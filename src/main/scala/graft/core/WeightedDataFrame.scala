@@ -1,0 +1,191 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A DataFrame with an attached per-row weight column — the engine's core
+  * abstraction, replacing the reference's accessor + side-car weights Series
+  * (`/root/reference/src/pandas_weights/base.py:11-50`,
+  * `frame.py:80-109`). The weight travels as an ordinary column of the plan
+  * (`__wt__`), so it stays lazy, survives shuffles, and "same length,
+  * positional alignment" becomes "same row, columnar alignment" for free.
+  *
+  * pandas `NaN` maps to SQL `NULL`: construction normalizes `NaN → NULL` on
+  * every floating-point column (including the weight), after which Spark's
+  * null-skipping aggregates reproduce pandas `skipna=True` semantics exactly.
+  */
+final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: String) {
+  import WeightedDataFrame._
+
+  /** The weight column. */
+  def w: Column = col(weightName)
+
+  /** Value columns (everything but the weight — the reference drops the
+    * weight column from the data at `wt()` time, `frame.py:103-104`). */
+  def valueCols: Seq[String] = df.columns.toSeq.filterNot(_ == weightName)
+
+  /** Numeric/boolean value columns — the reference's
+    * `select_dtypes(include=["number","bool"])` (`frame.py:268,496-503`). */
+  def numericCols: Seq[String] =
+    df.schema.fields.iterator
+      .filter(f => f.name != weightName && isNumeric(f.dataType))
+      .map(_.name).toSeq
+
+  private def numericSet: Set[String] = numericCols.toSet
+
+  /** Projection retaining weights — `frame.py:111-122`. */
+  def select(cols: String*): WeightedDataFrame =
+    new WeightedDataFrame(df.select((cols :+ weightName).map(col): _*), weightName)
+
+  /** Row-wise multiply by the weight — `frame.py:124-132`. Numeric columns
+    * are scaled; non-numeric pass through (the reference would raise on
+    * them; they never reach `weighted()` in practice). Pure projection —
+    * Catalyst collapses it into downstream aggregates, no materialization.
+    */
+  def weighted(): DataFrame = {
+    val ns = numericSet
+    df.select(valueCols.map { c =>
+      if (ns(c)) (col(c) * w).as(c) else col(c)
+    }: _*)
+  }
+
+  private def agg1(exprs: Seq[Column]): DataFrame =
+    df.agg(exprs.head, exprs.tail: _*)
+
+  /** Weighted count per column (all columns, any dtype) — `frame.py:189-213`. */
+  def count(skipna: Boolean = true): DataFrame =
+    agg1(valueCols.map(c => WeightedMoments.countExpr(col(c), w, skipna).as(c)))
+
+  /** Weighted sum per numeric column — `frame.py:215-220`. */
+  def sum(minCount: Int = 0): DataFrame =
+    agg1(numericCols.map(c => WeightedMoments.wSum(col(c), w, minCount).as(c)))
+
+  /** Weighted mean per numeric column — `frame.py:222-229`. */
+  def mean(skipna: Boolean = true): DataFrame =
+    agg1(numericCols.map(c => WeightedMoments.meanExpr(col(c), w, skipna).as(c)))
+
+  /** Weighted variance per numeric column — `frame.py:231-241`. */
+  def variance(ddof: Int = 1, skipna: Boolean = true): DataFrame =
+    agg1(numericCols.map(c => WeightedMoments.varExpr(col(c), w, ddof, skipna).as(c)))
+
+  /** Weighted standard deviation per numeric column — `frame.py:243-251`. */
+  def std(ddof: Int = 1, skipna: Boolean = true): DataFrame =
+    agg1(numericCols.map(c => WeightedMoments.stdExpr(col(c), w, ddof, skipna).as(c)))
+
+  /** Pairwise weighted Pearson correlation over numeric columns, long format
+    * `(col_x, col_y, corr)` with all k² cells — `frame.py:253-285`. One
+    * aggregate pass over the data (the reference runs one full pass per
+    * pair); the long format is the scale-friendly shape (k² rows, not a
+    * driver-side matrix).
+    */
+  def corr(minPeriods: Int = 1, ddof: Int = 1, method: String = "pearson"): DataFrame = {
+    requirePearson(method)
+    val cols = numericCols
+    val cells = for { x <- cols; y <- cols } yield
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        WeightedMoments.corrExpr(col(x), col(y), w, ddof, minPeriods).as("corr"))
+    agg1(Seq(array(cells: _*).as("cells")))
+      .select(explode(col("cells")).as("cell"))
+      .select(col("cell.col_x"), col("cell.col_y"), col("cell.corr"))
+  }
+
+  /** Local k×k correlation matrix for API parity with the reference's
+    * DataFrame return (small k; collect of a k²-row result). */
+  def corrMatrix(minPeriods: Int = 1, ddof: Int = 1): Map[(String, String), Option[Double]] =
+    corr(minPeriods, ddof).collect().map { r =>
+      (r.getString(0), r.getString(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }.toMap
+
+  /** Weighted groupby — `frame.py:134-159`. */
+  def groupBy(keys: Seq[String], dropna: Boolean = true, sort: Boolean = true): WeightedGroupBy =
+    new WeightedGroupBy(this, keys, dropna, sort)
+
+  def groupBy(key: String): WeightedGroupBy = groupBy(Seq(key))
+
+  /** Weighted time resample — `frame.py:161-187`. `on` names a timestamp
+    * column (the explicit analogue of the pandas DatetimeIndex). */
+  def resample(
+      on: String,
+      rule: String,
+      closed: String = "left",
+      label: String = "left",
+      origin: String = "start_day",
+      offset: Option[String] = None): WeightedResampler =
+    new WeightedResampler(this, on, rule, closed, label, origin, offset)
+
+  /** Apply an expression builder to each weighted numeric column
+    * (`frame.py:287-367` axis=0 semantics: the function sees the
+    * pre-weighted column). `f` builds either a per-row projection or an
+    * aggregate over `c*w`; the result is one column per input column.
+    */
+  def applyAgg(f: Column => Column): DataFrame =
+    agg1(numericCols.map(c => f(col(c) * w).as(c)))
+
+  def applyRows(f: Column => Column): DataFrame =
+    df.select(numericCols.map(c => f(col(c) * w).as(c)): _*)
+}
+
+object WeightedDataFrame {
+  /** Reserved weight-column name (never collides with user data in our
+    * test tables; construction fails fast if it would). */
+  val WeightCol = "__wt__"
+
+  private[core] def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType => true
+    case _ => false
+  }
+
+  /** Normalize NaN → NULL on a floating-point column so SQL NULL is the
+    * engine's single missing-value representation (SURVEY §1.2). */
+  private def normalize(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType => when(isnan(c), lit(null)).otherwise(c)
+    case _ => c
+  }
+
+  private def normalizeAll(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.exists(f => f.dataType == DoubleType || f.dataType == FloatType)
+    if (!needs) df
+    else df.select(df.schema.fields.map(f => normalize(col(f.name), f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** `df.wt("weights")` — weights taken from a named column, which is
+    * dropped from the value columns (`frame.py:100-104`); `naWeight` fills
+    * missing weights (`frame.py:106-107`).
+    */
+  def wt(df: DataFrame, weights: String, naWeight: Option[Double] = None): WeightedDataFrame = {
+    require(df.columns.contains(weights), s"weights column '$weights' not found")
+    require(!df.columns.contains(WeightCol), s"column name $WeightCol is reserved")
+    val rawW = normalize(col(weights).cast(DoubleType), DoubleType)
+    val wExpr = naWeight.fold(rawW)(na => coalesce(rawW, lit(na)))
+    val out = normalizeAll(df).withColumn(WeightCol, wExpr).drop(weights)
+    new WeightedDataFrame(out, WeightCol)
+  }
+
+  /** `df.wt([w…])` — positional weights for local/test data
+    * (`frame.py:100-101`, `base.py:46-50`). Positional alignment only makes
+    * sense for small driver-side arrays (a distributed DataFrame has no row
+    * order), so this routes through `rdd.zipWithIndex` — test/API-parity
+    * path, not a scale path.
+    */
+  def wt(df: DataFrame, weights: Seq[Double], naWeight: Option[Double]): WeightedDataFrame = {
+    require(!df.columns.contains(WeightCol), s"column name $WeightCol is reserved")
+    val spark = df.sparkSession
+    val wArr = weights.toArray
+    val schema = df.schema.add(WeightCol, DoubleType)
+    val rows = df.rdd.zipWithIndex().map { case (r, i) =>
+      val wv = if (i < wArr.length && !wArr(i.toInt).isNaN) java.lang.Double.valueOf(wArr(i.toInt)) else null
+      Row.fromSeq(r.toSeq :+ wv)
+    }
+    val out = normalizeAll(spark.createDataFrame(rows, schema))
+    val withNa = naWeight.fold(out)(na =>
+      out.withColumn(WeightCol, coalesce(col(WeightCol), lit(na))))
+    new WeightedDataFrame(withNa, WeightCol)
+  }
+
+  def wt(df: DataFrame, weights: Seq[Double]): WeightedDataFrame = wt(df, weights, None)
+
+  private[core] def requirePearson(method: String): Unit =
+    if (method != "pearson")
+      throw new NotImplementedError("Only 'pearson' weighted correlation is supported.")
+}

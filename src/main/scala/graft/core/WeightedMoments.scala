@@ -1,0 +1,109 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Column-expression kernels for weighted moments.
+  *
+  * Reference semantics: `/root/reference/src/pandas_weights/_stats.py:14-73`
+  * and `frame.py:189-251`. Everything here is a pure `Column` builder — lazy,
+  * codegen-friendly, and fused by Catalyst into a single `HashAggregateExec`
+  * pass (partial on executors, final after the exchange). The reference's
+  * multi-pass structure (2 passes for mean, 3 grouped passes for var,
+  * O(k²) passes for corr — `frame.py:229,601-609,272-283`) collapses to one
+  * scan + one shuffle here.
+  *
+  * Null convention: the engine normalizes `NaN → NULL` at ingestion
+  * ([[WeightedDataFrame]]), so SQL NULL plays the role of pandas NaN.
+  * A NULL weight behaves exactly like a NaN weight in pandas: it is skipped
+  * by every sum, contributing 0.
+  */
+object WeightedMoments {
+
+  private val nullD: Column = lit(null).cast(DoubleType)
+
+  /** Weighted count `Σ wᵢ` over non-null cells (`frame.py:189-213`,
+    * skipna=True branch). Result is DOUBLE, never NULL (empty input → 0.0,
+    * matching pandas' `sum()` of an all-NaN mask frame).
+    */
+  def wCount(c: Column, w: Column): Column =
+    coalesce(sum(when(c.isNotNull, w).otherwise(lit(0.0))), lit(0.0))
+
+  /** skipna=False count (`frame.py:208-212`): every cell counted regardless
+    * of value nulls; NULL weights still contribute 0. Independent of the
+    * value column — `Σ wᵢ` per column.
+    */
+  def wCountNoSkipna(w: Column): Column = coalesce(sum(w), lit(0.0))
+
+  def countExpr(c: Column, w: Column, skipna: Boolean = true): Column =
+    if (skipna) wCount(c, w) else wCountNoSkipna(w)
+
+  /** Weighted sum `Σ wᵢxᵢ` with pandas `min_count` semantics
+    * (`frame.py:215-220`): NULL (pandas NaN) when the number of valid
+    * (value, weight) pairs is below `minCount`; `minCount=0` → 0.0 on empty.
+    * Spark's null-skipping `sum` is exactly `min_count=1`.
+    */
+  def wSum(c: Column, w: Column, minCount: Int = 0): Column = {
+    val s = sum(c * w)
+    if (minCount <= 0) coalesce(s, lit(0.0))
+    else if (minCount == 1) s
+    else {
+      val valid = coalesce(sum(when(c.isNotNull && w.isNotNull, 1L).otherwise(0L)), lit(0L))
+      when(valid < minCount, nullD).otherwise(s)
+    }
+  }
+
+  /** Weighted sum of squares `Σ wᵢxᵢ²` with min_count=1 (`_stats.py:14-21`). */
+  def wSumSq(c: Column, w: Column): Column = sum(c * c * w)
+
+  /** Weighted mean = `sum(min_count=1) / count(skipna)` (`frame.py:222-229`).
+    * All-null column → NULL (pandas NaN).
+    */
+  def meanExpr(c: Column, w: Column, skipna: Boolean = true): Column =
+    wSum(c, w, 1) / countExpr(c, w, skipna)
+
+  /** Frequency-weight variance `(Q − S²/W) / (W − ddof)` (`_stats.py:24-33`,
+    * `frame.py:231-241`). Deliberately the reference's moment formula (not
+    * Welford) so values match the oracle bit-for-bit; no guard for
+    * `W ≤ ddof` — Spark yields NULL on the zero divisor where pandas yields
+    * inf/NaN, both "no result".
+    */
+  def varExpr(c: Column, w: Column, ddof: Int = 1, skipna: Boolean = true): Column = {
+    val s = wSum(c, w, 1)
+    val q = wSumSq(c, w)
+    val n = countExpr(c, w, skipna)
+    (q - (s * s) / n) / (n - lit(ddof.toDouble))
+  }
+
+  def stdExpr(c: Column, w: Column, ddof: Int = 1, skipna: Boolean = true): Column =
+    sqrt(varExpr(c, w, ddof, skipna))
+
+  /** Weighted Pearson correlation of a column pair under a joint-validity
+    * mask — `_stats.py:36-73`, including every guard:
+    *   - fewer than `minPeriods` valid (unweighted) rows → NULL (l.45)
+    *   - `Σw` non-finite or `Σw ≤ ddof` → NULL (l.52-54)
+    *   - either variance ≤ 0 → NULL (l.70-71)
+    * One aggregate pass; 7 moment sub-aggregates that Catalyst computes in a
+    * single HashAggregate (vs the reference's one full-data pass per pair).
+    */
+  def corrExpr(x: Column, y: Column, w: Column, ddof: Int = 1, minPeriods: Int = 1): Column = {
+    val valid = x.isNotNull && y.isNotNull && w.isNotNull
+    def m(e: Column): Column = sum(when(valid, e).otherwise(nullD))
+    val n   = coalesce(sum(when(valid, 1L).otherwise(0L)), lit(0L))
+    val sw  = coalesce(sum(when(valid, w).otherwise(lit(0.0))), lit(0.0))
+    val sx  = m(x * w)
+    val sy  = m(y * w)
+    val sxy = m(x * y * w)
+    val sxx = m(x * x * w)
+    val syy = m(y * y * w)
+    val denom = sw - lit(ddof.toDouble)
+    val cov  = (sxy - sx * sy / sw) / denom
+    val varx = (sxx - sx * sx / sw) / denom
+    val vary = (syy - sy * sy / sw) / denom
+    when(n < minPeriods || sw <= lit(ddof.toDouble) || isnan(sw), nullD)
+      .otherwise(
+        when(varx <= lit(0.0) || vary <= lit(0.0), nullD)
+          .otherwise(cov / sqrt(varx * vary)))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.core
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Pandas offset-alias → fixed duration (microseconds). Calendar-based rules
+  * (months/quarters/years) are not fixed durations and are unsupported — the
+  * reference's tests only exercise fixed rules (`tests/test_frame.py:311`).
+  */
+object RuleParser {
+  private val Pattern = """^(\d+)?\s*([a-zA-Z]+)$""".r
+
+  def toMicros(rule: String): Long = rule.trim match {
+    case Pattern(num, unit) =>
+      val n = Option(num).map(_.toLong).getOrElse(1L)
+      val unitUs = unit.toLowerCase(Locale.ROOT) match {
+        case "us"                        => 1L
+        case "ms"                        => 1000L
+        case "s" | "sec"                 => 1000000L
+        case "min" | "t"                 => 60L * 1000000L
+        case "h" | "hr"                  => 3600L * 1000000L
+        case "d" | "day" | "days"        => 86400L * 1000000L
+        case "w" | "week" | "weeks"      => 7L * 86400L * 1000000L
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported resample rule unit '$other' (calendar rules are not fixed durations)")
+      }
+      n * unitUs
+    case other => throw new IllegalArgumentException(s"cannot parse resample rule '$other'")
+  }
+}
+
+/** Weighted time-resample driver —
+  * `/root/reference/src/pandas_weights/frame.py:370-446`.
+  *
+  * Rows are assigned to fixed-width time buckets with pandas' boundary
+  * conventions (`closed`/`label`/`origin`/`offset`), aggregated with the same
+  * single-pass moment algebra as [[WeightedGroupBy]], and joined against a
+  * generated bucket spine so empty buckets are emitted (pandas emits every
+  * bucket in the span — `tests/test_frame.py:316-331`; Spark's groupBy omits
+  * empty groups, so the spine is synthesized with `sequence()` from the
+  * observed min/max bucket — a one-row broadcast, not a driver loop).
+  *
+  * Bucket arithmetic is pure integer microseconds (`pmod`), no floating
+  * point, so it is exact for any timestamp range.
+  */
+final class WeightedResampler private[core] (
+    wdf: WeightedDataFrame,
+    on: String,
+    rule: String,
+    closed: String,
+    label: String,
+    origin: String,
+    offset: Option[String]) {
+
+  require(closed == "left" || closed == "right", s"closed must be left|right, got $closed")
+  require(label == "left" || label == "right", s"label must be left|right, got $label")
+
+  private val ruleUs: Long = RuleParser.toMicros(rule)
+  private val offsetUs: Long = offset.map(RuleParser.toMicros).getOrElse(0L)
+  private val BucketCol = "__bucket_us__"
+
+  private def w: Column = wdf.w
+  private def aggCols: Seq[String] = wdf.valueCols.filterNot(_ == on)
+  private def numericAggCols: Seq[String] = wdf.numericCols.filterNot(_ == on)
+
+  /** Rows tagged with their bucket start (epoch microseconds). */
+  private def bucketed: DataFrame = {
+    val df0 = wdf.df.where(col(on).isNotNull)
+    val tsUs = unix_micros(col(on))
+    val (df1, originUs): (DataFrame, Column) = origin match {
+      case "epoch" => (df0, lit(offsetUs))
+      case "start_day" =>
+        // pandas default: bins anchored at midnight of the first day of data
+        // (frame.py:168). One tiny extra agg, broadcast onto every row.
+        val b = df0.agg(unix_micros(date_trunc("DAY", min(col(on)))).as("__origin_us__"))
+        (df0.crossJoin(broadcast(b)), col("__origin_us__") + lit(offsetUs))
+      case ts =>
+        (df0, unix_micros(to_timestamp(lit(ts))) + lit(offsetUs))
+    }
+    val delta = tsUs - originUs
+    val startUs =
+      if (closed == "left") tsUs - pmod(delta, lit(ruleUs))
+      else tsUs + pmod(-delta, lit(ruleUs)) - lit(ruleUs) // (start, start+rule]
+    df1.withColumn(BucketCol, startUs).drop("__origin_us__")
+  }
+
+  /** Aggregate per bucket, then left-join onto the full bucket spine.
+    * `fill` gives the value for empty buckets (None → NULL).
+    */
+  private def runAgg(cols: Seq[String], expr: String => Column, fill: Option[Double]): DataFrame = {
+    val b = bucketed
+    val agged = b.groupBy(col(BucketCol)).agg(expr(cols.head).as(cols.head),
+      cols.tail.map(c => expr(c).as(c)): _*)
+    val bounds = agged.agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
+    val spine = bounds
+      .where(col("mn").isNotNull)
+      .select(explode(sequence(col("mn"), col("mx"), lit(ruleUs))).as(BucketCol))
+    val joined = spine.join(agged, Seq(BucketCol), "left")
+    val filled = cols.map { c =>
+      fill.fold(col(c))(v => coalesce(col(c), lit(v)).as(c))
+    }
+    val labelUs = if (label == "left") col(BucketCol) else col(BucketCol) + lit(ruleUs)
+    joined
+      .select(timestamp_micros(labelUs).as(on) +: filled: _*)
+      .orderBy(col(on))
+  }
+
+  /** Weighted count per bucket, all columns — `frame.py:381-405`. Empty
+    * buckets count 0.0 (pandas `sum()` of an empty bin). */
+  def count(skipna: Boolean = true): DataFrame =
+    runAgg(aggCols, c => WeightedMoments.countExpr(col(c), w, skipna), Some(0.0))
+
+  /** Weighted sum per bucket — `frame.py:407-413`. min_count=0 → empty
+    * buckets 0.0; min_count≥1 → NULL. */
+  def sum(minCount: Int = 0): DataFrame =
+    runAgg(numericAggCols, c => WeightedMoments.wSum(col(c), w, minCount),
+      if (minCount <= 0) Some(0.0) else None)
+
+  /** Weighted mean per bucket — `frame.py:415-422`. Empty buckets NULL. */
+  def mean(skipna: Boolean = true): DataFrame =
+    runAgg(numericAggCols, c => WeightedMoments.meanExpr(col(c), w, skipna), None)
+
+  /** Weighted variance per bucket — `frame.py:424-436`. */
+  def variance(ddof: Int = 1, skipna: Boolean = true): DataFrame =
+    runAgg(numericAggCols, c => WeightedMoments.varExpr(col(c), w, ddof, skipna), None)
+
+  /** Weighted standard deviation per bucket — `frame.py:438-446`. */
+  def std(ddof: Int = 1, skipna: Boolean = true): DataFrame =
+    runAgg(numericAggCols, c => WeightedMoments.stdExpr(col(c), w, ddof, skipna), None)
+
+  /** All five aggregates for one value column in a single pass, bucket key
+    * emitted as epoch seconds — the shape used by the oracle queries. */
+  def summary(valueCol: String): DataFrame = {
+    val b = bucketed
+    val c = col(valueCol)
+    val agged = b.groupBy(col(BucketCol)).agg(
+      WeightedMoments.wCount(c, w).as("count_" + valueCol),
+      WeightedMoments.wSum(c, w, 0).as("sum_" + valueCol),
+      WeightedMoments.meanExpr(c, w).as("mean_" + valueCol),
+      WeightedMoments.varExpr(c, w).as("var_" + valueCol),
+      WeightedMoments.stdExpr(c, w).as("std_" + valueCol))
+    val bounds = agged.agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
+    val spine = bounds
+      .where(col("mn").isNotNull)
+      .select(explode(sequence(col("mn"), col("mx"), lit(ruleUs))).as(BucketCol))
+    spine.join(agged, Seq(BucketCol), "left")
+      .select(
+        (col(BucketCol) / lit(1000000L)).cast("long").as("bucket"),
+        coalesce(col("count_" + valueCol), lit(0.0)).as("count_" + valueCol),
+        coalesce(col("sum_" + valueCol), lit(0.0)).as("sum_" + valueCol),
+        col("mean_" + valueCol).cast(DoubleType).as("mean_" + valueCol),
+        col("var_" + valueCol).cast(DoubleType).as("var_" + valueCol),
+        col("std_" + valueCol).cast(DoubleType).as("std_" + valueCol))
+      .orderBy(col("bucket"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.core.{AlignedCorr, WeightedDataFrame}
+
+/** Correlation goldens — /root/reference/tests/test_frame.py:365-499 and
+  * test_series.py:103-276.
+  */
+class CorrSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def matrix(df: org.apache.spark.sql.DataFrame): Map[(String, String), Option[Double]] =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> cell(r, 2)).toMap
+
+  test("corr matrix of perfect linear relationships (test_frame.py:365-385)") {
+    val d = Seq(
+      (1.0, 2.0, 4.0, 1.0), (2.0, 4.0, 3.0, 2.0), (3.0, 6.0, 2.0, 3.0), (4.0, 8.0, 1.0, 4.0)
+    ).toDF("A", "B", "C", "weights")
+    val m = matrix(WeightedDataFrame.wt(d, "weights").corr())
+    assertApprox(m(("A", "A")), Some(1.0), 1e-9)
+    assertApprox(m(("A", "B")), Some(1.0), 1e-9)
+    assertApprox(m(("A", "C")), Some(-1.0), 1e-9)
+    assertApprox(m(("C", "B")), Some(-1.0), 1e-9)
+    assertApprox(m(("C", "C")), Some(1.0), 1e-9)
+    assert(m.size == 9)
+  }
+
+  test("corr min_periods + non-numeric excluded (test_frame.py:388-409)") {
+    val d = Seq(
+      (1.0, Some(2.0), 4.0, "x", 1.0),
+      (2.0, Some(4.0), 3.0, "y", 1.0),
+      (3.0, None: Option[Double], 2.0, "z", 1.0),
+      (4.0, Some(8.0), 1.0, "w", 1.0)
+    ).toDF("A", "B", "C", "Label", "weights")
+    val m = matrix(WeightedDataFrame.wt(d, "weights").corr(minPeriods = 4))
+    assert(m.size == 9) // Label excluded
+    assertApprox(m(("A", "A")), Some(1.0), 1e-9)
+    assert(m(("A", "B")).isEmpty)
+    assert(m(("B", "B")).isEmpty)
+    assertApprox(m(("A", "C")), Some(-1.0), 1e-9)
+  }
+
+  test("grouped corr matrices (test_frame.py:419-450)") {
+    val d = Seq(
+      ("A", 1.0, 2.0, 3.0, 1.0), ("A", 2.0, 4.0, 2.0, 2.0), ("A", 3.0, 6.0, 1.0, 3.0),
+      ("B", 1.0, 3.0, 1.0, 1.5), ("B", 2.0, 2.0, 2.0, 2.5), ("B", 3.0, 1.0, 3.0, 3.5)
+    ).toDF("Group", "X", "Y", "Z", "weights")
+    val rows = WeightedDataFrame.wt(d, "weights").groupBy("Group").corr()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> cell(r, 3)).toMap
+    assertApprox(rows(("A", "X", "Y")), Some(1.0), 1e-9)
+    assertApprox(rows(("A", "X", "Z")), Some(-1.0), 1e-9)
+    assertApprox(rows(("B", "X", "Y")), Some(-1.0), 1e-9)
+    assertApprox(rows(("B", "X", "Z")), Some(1.0), 1e-9)
+    assert(rows.size == 18)
+  }
+
+  test("grouped corr min_periods pairwise-complete (test_frame.py:467-499)") {
+    val d = Seq(
+      ("A", 1.0, Some(2.0), 3.0, 1.0), ("A", 2.0, Some(4.0), 2.0, 1.0), ("A", 3.0, None: Option[Double], 1.0, 1.0),
+      ("B", 1.0, Some(3.0), 1.0, 1.0), ("B", 2.0, None: Option[Double], 2.0, 1.0), ("B", 3.0, Some(1.0), 3.0, 1.0)
+    ).toDF("Group", "X", "Y", "Z", "weights")
+    val rows = WeightedDataFrame.wt(d, "weights").groupBy("Group").corr(minPeriods = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> cell(r, 3)).toMap
+    assertApprox(rows(("A", "X", "X")), Some(1.0), 1e-9)
+    assert(rows(("A", "X", "Y")).isEmpty)
+    assert(rows(("A", "Y", "Y")).isEmpty)
+    assertApprox(rows(("A", "X", "Z")), Some(-1.0), 1e-9)
+    assertApprox(rows(("B", "X", "Z")), Some(1.0), 1e-9)
+    assert(rows(("B", "Y", "Z")).isEmpty)
+  }
+
+  test("series corr with aligned other (test_series.py:103-110)") {
+    val left = Seq((0L, 1.0, 1.0), (1L, 2.0, 2.0), (2L, 3.0, 3.0), (3L, 4.0, 4.0))
+      .toDF("idx", "x", "weights")
+    val right = Seq((0L, 2.0), (1L, 4.0), (2L, 6.0), (3L, 8.0)).toDF("idx", "y")
+    val wdf = WeightedDataFrame.wt(left, "weights")
+    val got = oneRow(AlignedCorr.corr(wdf, "x", right, "y", Seq("idx")))
+    assertApprox(got("corr"), Some(1.0), 1e-9)
+  }
+
+  test("series corr inner alignment + min_periods (test_series.py:113-120)") {
+    val left = Seq((0L, 1.0, 1.0), (1L, 2.0, 1.0), (2L, 3.0, 1.0)).toDF("idx", "x", "weights")
+    val right = Seq((0L, 10.0), (1L, 20.0)).toDF("idx", "y")
+    val wdf = WeightedDataFrame.wt(left, "weights")
+    val got = oneRow(AlignedCorr.corr(wdf, "x", right, "y", Seq("idx")))
+    assertApprox(got("corr"), Some(1.0), 1e-9)
+    val mp = oneRow(AlignedCorr.corr(wdf, "x", right, "y", Seq("idx"), minPeriods = 3))
+    assert(mp("corr").isEmpty)
+  }
+
+  test("grouped series corr, duplicate index labels → cartesian 0.0 (test_series.py:230-243, README.md:88-135)") {
+    val left = Seq(("A", 1.0, 1.0), ("A", 2.0, 2.0), ("B", 3.0, 1.5), ("B", 4.0, 2.5))
+      .toDF("Group", "x", "weights")
+    val right = Seq(("A", 2.0), ("A", 4.0), ("B", 8.0), ("B", 6.0)).toDF("Group", "y")
+    val wdf = WeightedDataFrame.wt(left, "weights")
+    val got = AlignedCorr.corrByGroup(wdf, Seq("Group"), "x", right, "y", Seq("Group"))
+      .collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+    assertApprox(got("A"), Some(0.0), 1e-9)
+    assertApprox(got("B"), Some(0.0), 1e-9)
+  }
+
+  test("grouped series corr alignment (test_series.py:246-266, documented divergence)") {
+    // pandas short-circuits alignment when the two indexes are *identical in
+    // order* and pairs positionally (group A: (1,10),(2,20) → corr 1.0).
+    // Row order is undefined in a distributed engine, so this engine always
+    // uses label-equality alignment — the cartesian semantics pandas itself
+    // documents for duplicate labels (README.md:84-135): group A pairs
+    // (1,10),(1,20),(2,10),(2,20) → corr 0.0. Group B has no aligned rows
+    // and is still emitted with corr NULL (left join).
+    val left = Seq(("A", 1.0, 1.0), ("A", 2.0, 2.0), ("B", 3.0, 1.5), ("B", 4.0, 2.5))
+      .toDF("Group", "x", "weights")
+    val right = Seq(("A", 10.0), ("A", 20.0)).toDF("Group", "y")
+    val wdf = WeightedDataFrame.wt(left, "weights")
+    val got = AlignedCorr.corrByGroup(wdf, Seq("Group"), "x", right, "y", Seq("Group"))
+      .collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+    assertApprox(got("A"), Some(0.0), 1e-9)
+    assert(got.contains("B") && got("B").isEmpty)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.core.{RuleParser, WeightedDataFrame}
+
+/** Resample goldens — /root/reference/tests/test_frame.py:305-362 and
+  * test_series.py:320-375.
+  */
+class ResampleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  private def resampleDf = Seq(
+    (ts("2024-01-01"), Some(1.0), 1.0),
+    (ts("2024-01-02"), Some(2.0), 2.0),
+    (ts("2024-01-03"), None: Option[Double], 3.0),
+    (ts("2024-01-04"), Some(4.0), 4.0)
+  ).toDF("ts", "Value", "weights")
+
+  private def byBucket(df: org.apache.spark.sql.DataFrame): Map[String, Option[Double]] =
+    df.collect().map(r => r.getTimestamp(0).toString.take(10) -> cell(r, 1)).toMap
+
+  test("rule parsing") {
+    assert(RuleParser.toMicros("2D") == 2L * 86400 * 1000000)
+    assert(RuleParser.toMicros("12h") == 12L * 3600 * 1000000)
+    assert(RuleParser.toMicros("min") == 60L * 1000000)
+    intercept[IllegalArgumentException] { RuleParser.toMicros("M") }
+  }
+
+  test("resample 2D sum/count/mean (test_frame.py:305-338)") {
+    val r = WeightedDataFrame.wt(resampleDf, "weights").resample("ts", "2D")
+    val sum = byBucket(r.sum())
+    assert(sum("2024-01-01").contains(5.0) && sum("2024-01-03").contains(16.0))
+    val cnt = byBucket(r.count())
+    assert(cnt("2024-01-01").contains(3.0) && cnt("2024-01-03").contains(4.0))
+    val cntN = byBucket(r.count(skipna = false))
+    assert(cntN("2024-01-01").contains(3.0) && cntN("2024-01-03").contains(7.0))
+    val mean = byBucket(r.mean())
+    assertApprox(mean("2024-01-01"), Some(5.0 / 3.0), 1e-15)
+    assert(mean("2024-01-03").contains(4.0))
+  }
+
+  test("resample 2D var/std (test_frame.py:341-362)") {
+    val r = WeightedDataFrame.wt(resampleDf, "weights").resample("ts", "2D")
+    val v = byBucket(r.variance())
+    assertApprox(v("2024-01-01"), Some(1.0 / 3.0), 1e-12)
+    assertApprox(v("2024-01-03"), Some(0.0), 1e-12)
+    val s = byBucket(r.std())
+    assertApprox(s("2024-01-01"), Some(math.sqrt(1.0 / 3.0)), 1e-12)
+  }
+
+  test("empty buckets are emitted (pandas spine — tests/test_frame.py:316-331)") {
+    val gap = Seq(
+      (ts("2024-01-01"), Some(1.0), 1.0),
+      (ts("2024-01-07"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val r = WeightedDataFrame.wt(gap, "weights").resample("ts", "2D")
+    val cnt = byBucket(r.count())
+    assert(cnt.size == 4) // 01-01, 01-03, 01-05, 01-07
+    assert(cnt("2024-01-03").contains(0.0))
+    assert(cnt("2024-01-05").contains(0.0))
+    val sum = byBucket(r.sum())
+    assert(sum("2024-01-03").contains(0.0))
+    val mean = byBucket(r.mean())
+    assert(mean("2024-01-03").isEmpty) // NaN in pandas
+  }
+
+  test("origin=start_day anchors buckets at midnight of first day (frame.py:168)") {
+    val d = Seq(
+      (Timestamp.valueOf("2024-01-01 13:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-02 01:00:00"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val r = WeightedDataFrame.wt(d, "weights").resample("ts", "1D")
+    val cnt = byBucket(r.count())
+    assert(cnt.keySet == Set("2024-01-01", "2024-01-02"))
+  }
+
+  test("closed=right / label=right boundary conventions") {
+    val d = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    // closed=left: both days in their own bucket
+    val left = byBucket(WeightedDataFrame.wt(d, "weights").resample("ts", "1D").sum())
+    assert(left("2024-01-01").contains(1.0) && left("2024-01-02").contains(2.0))
+    // closed=right: a point exactly on the boundary belongs to the bucket
+    // ENDING there: 01-02 00:00 → bucket (01-01, 01-02]; label=right shows the end.
+    val right = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "1D", closed = "right", label = "right").sum()
+    val m = byBucket(right)
+    assert(m("2024-01-01").contains(1.0)) // (12-31, 01-01] labeled 01-01
+    assert(m("2024-01-02").contains(2.0))
+  }
+}

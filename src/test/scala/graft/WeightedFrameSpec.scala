@@ -1,0 +1,112 @@
+package graft
+
+import graft.core.WeightedDataFrame
+
+/** Ungrouped weighted aggregations — golden values transcribed from
+  * /root/reference/tests/test_frame.py and tests/test_series.py.
+  */
+class WeightedFrameSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def df = Seq((1L, 4L, 0.5), (2L, 5L, 1.5), (3L, 6L, 2.0)).toDF("A", "B", "weights")
+
+  test("wt by column drops the weight column from values (frame.py:100-104)") {
+    val wdf = WeightedDataFrame.wt(df, "weights")
+    assert(wdf.valueCols == Seq("A", "B"))
+  }
+
+  test("wt by positional array (test_frame.py:24-31)") {
+    val wdf = WeightedDataFrame.wt(Seq(1L, 2L, 3L).toDF("A"), Seq(0.5, 1.5, 2.0))
+    val got = wdf.weighted().orderBy("A").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.5, 3.0, 6.0))
+  }
+
+  test("na_weight fills missing weights (test_frame.py:34-40)") {
+    val base = Seq((1L, Some(0.5)), (2L, None: Option[Double]), (3L, Some(2.0))).toDF("A", "weights")
+    val wdf = WeightedDataFrame.wt(base, "weights", Some(1.0))
+    val got = wdf.weighted().orderBy("A").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.5, 2.0, 6.0))
+  }
+
+  test("weighted() multiplies every numeric column (test_frame.py:43-46)") {
+    val wdf = WeightedDataFrame.wt(df, "weights")
+    val rows = wdf.weighted().orderBy("A").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 3.0, 6.0))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(2.0, 7.5, 12.0))
+  }
+
+  test("count skipna / noskipna (test_frame.py:56-69)") {
+    val nan = Seq((Some(1.0), Some(4.0)), (Some(2.0), None: Option[Double]), (None: Option[Double], Some(6.0)))
+      .toDF("A", "B")
+    val wdf = WeightedDataFrame.wt(nan, Seq(0.5, 1.5, 2.0))
+    val sk = oneRow(wdf.count(skipna = true))
+    assert(sk("A").contains(2.0) && sk("B").contains(2.5))
+    val nsk = oneRow(wdf.count(skipna = false))
+    assert(nsk("A").contains(4.0) && nsk("B").contains(4.0))
+  }
+
+  test("sum (test_frame.py:72-77)") {
+    val got = oneRow(WeightedDataFrame.wt(df, "weights").sum())
+    assert(got("A").contains(9.5) && got("B").contains(21.5))
+  }
+
+  test("sum min_count (test_frame.py:80-87)") {
+    val d = Seq((Some(1.0), None: Option[Double]), (Some(2.0), None: Option[Double]), (None: Option[Double], None: Option[Double]))
+      .toDF("A", "B")
+    val wdf = WeightedDataFrame.wt(d, Seq(0.5, 1.5, 2.0))
+    val got = oneRow(wdf.sum(minCount = 1))
+    assert(got("A").contains(3.5) && got("B").isEmpty)
+    val got0 = oneRow(wdf.sum(minCount = 0))
+    assert(got0("B").contains(0.0))
+  }
+
+  test("mean (test_frame.py:90-95)") {
+    val got = oneRow(WeightedDataFrame.wt(df, "weights").mean())
+    assert(got("A").contains(2.375) && got("B").contains(5.375))
+  }
+
+  test("var / std (test_frame.py:98-111)") {
+    val wdf = WeightedDataFrame.wt(df, "weights")
+    val v = oneRow(wdf.variance())
+    assertApprox(v("A"), Some(0.6458333333333334), 1e-15)
+    assertApprox(v("B"), Some(0.6458333333333334), 1e-15)
+    val s = oneRow(wdf.std())
+    assertApprox(s("A"), Some(0.8036375634160796), 1e-15)
+  }
+
+  test("select retains weights (frame.py:111-122)") {
+    val wdf = WeightedDataFrame.wt(df, "weights").select("A")
+    assert(wdf.valueCols == Seq("A"))
+    val got = oneRow(wdf.mean())
+    assert(got("A").contains(2.375))
+  }
+
+  test("NaN values are normalized to NULL at wt() time (SURVEY §1.2)") {
+    val nan = Seq(1.0, Double.NaN, 3.0).toDF("A")
+    val wdf = WeightedDataFrame.wt(nan, Seq(1.0, 1.0, 1.0))
+    val got = oneRow(wdf.count())
+    assert(got("A").contains(2.0))
+  }
+
+  test("applyRows applies to pre-weighted data (test_series.py:288-296 add_two)") {
+    val s = Seq(10L, 20L, 30L, 40L).toDF("Value")
+    val wdf = WeightedDataFrame.wt(s, Seq(1.0, 2.0, 1.5, 2.5))
+    val got = wdf.applyRows(c => c + org.apache.spark.sql.functions.lit(2.0))
+      .orderBy("Value").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(12.0, 42.0, 47.0, 102.0))
+  }
+
+  test("applyAgg range over weighted data (test_frame.py:247-261)") {
+    import org.apache.spark.sql.functions.{max, min}
+    val s = Seq(10L, 20L, 30L, 40L).toDF("Value")
+    val wdf = WeightedDataFrame.wt(s, Seq(1.0, 2.0, 1.5, 2.5))
+    val got = oneRow(wdf.applyAgg(c => max(c) - min(c)))
+    assert(got("Value").contains(90.0))
+  }
+
+  test("corr(method != pearson) raises (test_frame.py:412-416)") {
+    intercept[NotImplementedError] {
+      WeightedDataFrame.wt(df, "weights").corr(method = "kendall")
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.core.WeightedDataFrame
+
+/** Grouped weighted aggregations — goldens from
+  * /root/reference/tests/test_frame.py:114-302 and test_series.py:165-231.
+  */
+class WeightedGroupBySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def groupedDf =
+    Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 30L, 1.5), ("B", 40L, 2.5))
+      .toDF("Group", "Value", "weights")
+
+  private def collectByKey(df: org.apache.spark.sql.DataFrame): Map[String, Option[Double]] =
+    df.collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+
+  test("groupby count skipna matrix (test_frame.py:165-181)") {
+    val d = Seq(("A", Some(10.0), 1.0), ("A", Some(20.0), 2.0), ("B", None: Option[Double], 1.5), ("B", Some(40.0), 2.5))
+      .toDF("Group", "Value", "weights")
+    val g = WeightedDataFrame.wt(d, "weights").groupBy("Group")
+    val sk = collectByKey(g.count())
+    assert(sk("A").contains(3.0) && sk("B").contains(2.5))
+    val nsk = collectByKey(g.count(skipna = false))
+    assert(nsk("A").contains(3.0) && nsk("B").contains(4.0))
+  }
+
+  test("groupby sum (test_frame.py:184-189)") {
+    val got = collectByKey(WeightedDataFrame.wt(groupedDf, "weights").groupBy("Group").sum())
+    assert(got("A").contains(50.0) && got("B").contains(145.0))
+  }
+
+  test("groupby mean (test_frame.py:192-197)") {
+    val got = collectByKey(WeightedDataFrame.wt(groupedDf, "weights").groupBy("Group").mean())
+    assertApprox(got("A"), Some(16.666666666666668), 1e-15)
+    assert(got("B").contains(36.25))
+  }
+
+  test("groupby numeric keys, mean skipna matrix (test_frame.py:210-226)") {
+    val d = Seq((1L, Some(10.0), 1.0), (1L, Some(20.0), 2.0), (2L, None: Option[Double], 1.5), (2L, Some(40.0), 2.5))
+      .toDF("Group", "Value", "weights")
+    val g = WeightedDataFrame.wt(d, "weights").groupBy("Group")
+    val sk = g.mean().collect().map(r => r.getLong(0) -> cell(r, 1)).toMap
+    assertApprox(sk(1L), Some(16.666666666666668), 1e-15)
+    assert(sk(2L).contains(40.0))
+    val nsk = g.mean(skipna = false).collect().map(r => r.getLong(0) -> cell(r, 1)).toMap
+    assert(nsk(2L).contains(25.0))
+  }
+
+  test("groupby var — exact moment-formula value incl. cancellation (test_frame.py:229-235)") {
+    val got = collectByKey(WeightedDataFrame.wt(groupedDf, "weights").groupBy("Group").variance())
+    // 33.333333333333314, not 33.3…: the reference's (Q − S²/W)/(W−ddof)
+    // double arithmetic, reproduced operation-for-operation.
+    assert(got("A").contains(33.333333333333314))
+    assert(got("B").contains(31.25))
+  }
+
+  test("groupby std (test_frame.py:238-244)") {
+    val got = collectByKey(WeightedDataFrame.wt(groupedDf, "weights").groupBy("Group").std())
+    assertApprox(got("A"), Some(5.773502691896255), 1e-14) // 1-ulp sqrt difference vs numpy
+    assert(got("B").contains(5.5901699437494745))
+  }
+
+  test("groupby applyAgg minmax over weighted data (test_frame.py:264-278)") {
+    import org.apache.spark.sql.functions.{max, min}
+    val g = WeightedDataFrame.wt(groupedDf, "weights").groupBy("Group")
+    val mins = collectByKey(g.applyAgg(min))
+    val maxs = collectByKey(g.applyAgg(max))
+    assert(mins("A").contains(10.0) && maxs("A").contains(40.0))
+    assert(mins("B").contains(45.0) && maxs("B").contains(100.0))
+  }
+
+  test("groupby multiple keys (test_series.py:310-317)") {
+    val d = Seq(("A", "A", 10L, 1.0), ("A", "B", 20L, 2.0), ("B", "A", 30L, 1.5), ("B", "B", 40L, 2.5))
+      .toDF("Group", "Subgroup", "Value", "weights")
+    val g = WeightedDataFrame.wt(d, "weights").groupBy(Seq("Group", "Subgroup"))
+    assert(g.groupKeys().count() == 4)
+    val got = g.sum().collect().map(r => (r.getString(0), r.getString(1)) -> cell(r, 2)).toMap
+    assert(got(("A", "B")).contains(40.0))
+  }
+
+  test("groupby dropna drops null-key rows (frame.py:134-159)") {
+    val d = Seq((Some("A"), 10L, 1.0), (None: Option[String], 20L, 2.0), (Some("B"), 30L, 1.0))
+      .toDF("Group", "Value", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    assert(wdf.groupBy(Seq("Group"), dropna = true).groupKeys().count() == 2)
+    assert(wdf.groupBy(Seq("Group"), dropna = false).groupKeys().count() == 3)
+  }
+
+  test("group iteration yields weighted slices (test_frame.py:120-139)") {
+    val wdf = WeightedDataFrame.wt(groupedDf, "weights")
+    val groups = wdf.groupBy("Group").iterator().map { case (k, sl) =>
+      k.head.asInstanceOf[String] -> sl
+    }.toMap
+    assert(groups.keySet == Set("A", "B"))
+    val a = oneRow(groups("A").select("Value").sum())
+    assert(a("Value").contains(50.0))
+  }
+
+  test("groupby select projects columns (test_frame.py:299-302)") {
+    val d = groupedDf.withColumn("Other", $"Value" * 2)
+    val g = WeightedDataFrame.wt(d, "weights").groupBy("Group").select("Value")
+    val got = g.sum().collect()
+    assert(got.head.schema.fieldNames.toSeq == Seq("Group", "Value"))
+  }
+}
