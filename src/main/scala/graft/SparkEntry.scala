@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{AlignedCorr, WeightedDataFrame}
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -166,7 +168,58 @@ object SparkEntry {
     // T3 projection + grouped mean on the projected accessor
     "q18_select_grouped_mean" -> ((s, dir) =>
       wli(s, dir).select("l_linestatus", "l_tax")
-        .groupBy("l_linestatus").mean())
+        .groupBy("l_linestatus").mean()),
+
+    // ---- training-data-pipeline operators (beyond-reference scope) ----
+
+    // exact dedup: hash-groupBy on text
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "text", "doc_id").orderBy("keep_id")),
+    // token-set dedup: order/multiplicity-insensitive duplicates
+    "q21_dedup_tokenset" -> ((s, dir) =>
+      Dedup.tokenSet(table(s, dir, "documents"), "text", "doc_id").orderBy("keep_id")),
+    // MinHash+LSH near-dup, verified with exact Jaccard (threshold 1.0 ⇒
+    // identical signatures ⇒ LSH recall is exactly 1, so the oracle can be
+    // the exact all-pairs answer)
+    "q22_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedup(table(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 1, numHashes = 32, bandRows = 8, threshold = 1.0)
+        .orderBy("doc_a", "doc_b")),
+    // SimHash near-dup pairs (hash-dependent — rows-only check)
+    "q23_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 1, maxHamming = 3).orderBy("doc_a", "doc_b")),
+    // char-3-gram Jaccard over explicit pairs (consecutive doc ids)
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      Dedup.ngramJaccardForPairs(pairs, d, "text", "doc_id", n = 3).orderBy("doc_a")
+    }),
+    // exact cosine top-5 neighbors for the first 10 vectors
+    "q25_knn_brute" -> ((s, dir) =>
+      Similarity.bruteKnn(table(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 5).withColumn("rank", col("rank").cast("long"))),
+    // LSH-bucketed ANN variant (hash/plane-dependent — rows-only check)
+    "q26_ann_lsh" -> ((s, dir) =>
+      Similarity.annLsh(table(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 5).withColumn("rank", col("rank").cast("long"))),
+    // embedding-cosine near-dup: nearest neighbor of every vector
+    "q27_embed_neardup" -> ((s, dir) =>
+      Similarity.nearestNeighbors(table(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("doc_a")),
+    // text analysis: token counts, ratios, language id, quality, fingerprint
+    "q28_text_analyze" -> ((s, dir) =>
+      TextAnalysis.analyze(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    // multimodal plumbing: decode-stub feature extraction; metadata columns
+    // are deterministic and oracle-checked (features are hash-driven)
+    "q30_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"))
+        .orderBy("media_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,6 +299,76 @@ object SparkEntry {
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
     "q18_select_grouped_mean" ->
       s"""SELECT l_linestatus, ${sqlMean("l_tax")} AS l_tax
-         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin.replace("\n", " ")
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin.replace("\n", " "),
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        |GROUP BY text ORDER BY keep_id""".stripMargin.replace("\n", " "),
+    "q21_dedup_tokenset" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        |GROUP BY list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |ORDER BY keep_id""".stripMargin.replace("\n", " "),
+    "q22_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) = len(list_distinct(list_concat(a.s, b.s)))
+        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+    "q24_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id,
+        |list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))) AS gr
+        |FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(list_concat(a.gr, b.gr))) AS ngram_jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin.replace("\n", " "),
+    "q25_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+        |FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+        |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS "rank", round(sim, 6) AS sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+    "q27_embed_neardup" ->
+      """WITH q AS (SELECT vec_id AS doc_a, embedding::DOUBLE[] AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS doc_b, embedding::DOUBLE[] AS nv FROM embeddings),
+        |s AS (SELECT doc_a, doc_b, list_cosine_similarity(qv, nv) AS sim
+        |FROM q CROSS JOIN c WHERE doc_a <> doc_b),
+        |r AS (SELECT doc_a, doc_b, sim,
+        |row_number() OVER (PARTITION BY doc_a ORDER BY sim DESC, doc_b) AS rk FROM s)
+        |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM r WHERE rk = 1 ORDER BY doc_a""".stripMargin.replace("\n", " "),
+    "q28_text_analyze" -> {
+      def markers(lang: String): String =
+        TextAnalysis.LangMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ",", "]")
+      def cnt(lang: String): String =
+        s"len(list_filter(toks, t -> list_contains(${markers(lang)}, t)))"
+      s"""WITH f AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id, text, toks, ${cnt("en")} AS c_en, ${cnt("es")} AS c_es,
+         |${cnt("de")} AS c_de, ${cnt("fr")} AS c_fr FROM f)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         |round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+         |round(CAST(c_en AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+         |CASE WHEN c_en <= 0 AND c_es <= 0 AND c_de <= 0 AND c_fr <= 0 THEN 'unknown'
+         |WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+         |WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+         |WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |ELSE 'fr' END AS pred_lang,
+         |round(0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 80.0)
+         |+ 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+         |+ 0.3 * least(1.0, (CAST(c_en AS DOUBLE) / len(toks)) * 5.0), 6) AS quality_score,
+         |md5(text) AS fingerprint
+         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "q30_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |doc_id % 640 + 64 AS w, doc_id % 480 + 48 AS h FROM documents)
+        |SELECT media_id, kind, n_bytes,
+        |CASE WHEN w <= h THEN 224 ELSE greatest(1, CAST(floor(w * 224.0 / h + 0.5) AS BIGINT)) END AS out_width,
+        |CASE WHEN w <= h THEN greatest(1, CAST(floor(h * 224.0 / w + 0.5) AS BIGINT)) ELSE 224 END AS out_height
+        |FROM m ORDER BY media_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -23,6 +23,14 @@ object WeightedMoments {
 
   private val nullD: Column = lit(null).cast(DoubleType)
 
+  /** NULL-on-zero division. Spark 4 runs ANSI mode by default, where `/ 0`
+    * throws; the pandas semantics we mirror produce NaN-ish "no result"
+    * (SURVEY §2.2 A3-A4), and the DuckDB oracle produces NULL. The `when`
+    * guard short-circuits, so this is safe under ANSI and non-ANSI alike.
+    */
+  private[graft] def safeDiv(a: Column, b: Column): Column =
+    when(b =!= 0.0, a / b)
+
   /** Weighted count `Σ wᵢ` over non-null cells (`frame.py:189-213`,
     * skipna=True branch). Result is DOUBLE, never NULL (empty input → 0.0,
     * matching pandas' `sum()` of an all-NaN mask frame).
@@ -61,7 +69,7 @@ object WeightedMoments {
     * All-null column → NULL (pandas NaN).
     */
   def meanExpr(c: Column, w: Column, skipna: Boolean = true): Column =
-    wSum(c, w, 1) / countExpr(c, w, skipna)
+    safeDiv(wSum(c, w, 1), countExpr(c, w, skipna))
 
   /** Frequency-weight variance `(Q − S²/W) / (W − ddof)` (`_stats.py:24-33`,
     * `frame.py:231-241`). Deliberately the reference's moment formula (not
@@ -73,7 +81,7 @@ object WeightedMoments {
     val s = wSum(c, w, 1)
     val q = wSumSq(c, w)
     val n = countExpr(c, w, skipna)
-    (q - (s * s) / n) / (n - lit(ddof.toDouble))
+    safeDiv(q - safeDiv(s * s, n), n - lit(ddof.toDouble))
   }
 
   def stdExpr(c: Column, w: Column, ddof: Int = 1, skipna: Boolean = true): Column =
@@ -98,12 +106,12 @@ object WeightedMoments {
     val sxx = m(x * x * w)
     val syy = m(y * y * w)
     val denom = sw - lit(ddof.toDouble)
-    val cov  = (sxy - sx * sy / sw) / denom
-    val varx = (sxx - sx * sx / sw) / denom
-    val vary = (syy - sy * sy / sw) / denom
+    val cov  = safeDiv(sxy - safeDiv(sx * sy, sw), denom)
+    val varx = safeDiv(sxx - safeDiv(sx * sx, sw), denom)
+    val vary = safeDiv(syy - safeDiv(sy * sy, sw), denom)
     when(n < minPeriods || sw <= lit(ddof.toDouble) || isnan(sw), nullD)
       .otherwise(
         when(varx <= lit(0.0) || vary <= lit(0.0), nullD)
-          .otherwise(cov / sqrt(varx * vary)))
+          .otherwise(safeDiv(cov, sqrt(varx * vary))))
   }
 }

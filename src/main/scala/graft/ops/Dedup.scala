@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-group),
+  * normalized token-set, MinHash+LSH near-dup, and SimHash near-dup.
+  *
+  * Scale design (the point of doing this on Spark):
+  *   - exact / token-set dedup is one `groupBy` — a single shuffle on the
+  *     dedup key; Spark's partial aggregation means each executor emits at
+  *     most one row per local key before the exchange.
+  *   - MinHash signatures are computed as pure column expressions (k
+  *     `array_min(transform(...))` over the shingle array — no explode, no
+  *     shuffle, whole-stage codegen). Only the *banding* join shuffles, and
+  *     it shuffles band keys (doc_count × bands rows), never shingles.
+  *   - candidate verification joins texts back by id — an equi-join Spark
+  *     plans as broadcast or shuffle-hash depending on size; at 100 TB the
+  *     candidate side is orders of magnitude smaller than the corpus.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct key, the kept (minimum)
+    * id and the number of copies. */
+  def exactGroups(df: DataFrame, keyExpr: Column, idCol: String): DataFrame =
+    df.groupBy(keyExpr.as("__key__"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Exact text dedup (byte-identical). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactGroups(df, col(textCol), idCol)
+
+  /** Normalized token-set key: order- and multiplicity-insensitive content
+    * identity — catches shuffled/repeated-word duplicates. */
+  def tokenSetKey(c: Column): Column =
+    array_sort(array_distinct(TextAnalysis.tokens(c)))
+
+  def tokenSet(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactGroups(df, tokenSetKey(col(textCol)).cast("string"), idCol)
+
+  /** Distinct word n-gram shingles (n=1 → distinct tokens). */
+  def shingles(c: Column, n: Int): Column = {
+    require(n >= 1)
+    val toks = TextAnalysis.tokens(c)
+    if (n == 1) array_distinct(toks)
+    else array_distinct(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** k-permutation MinHash signature of a shingle array: one xxhash64 family
+    * member per seed, `array_min` over the shingles. Pure expression —
+    * computed in the scan stage. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(s => array_min(transform(sh, x => xxhash64(x, lit(s))))): _*)
+
+  /** LSH banding: split the k-slot signature into bands of `r` rows, hash
+    * each band to one key. Docs sharing any band key become candidates. */
+  private def bandKeys(sig: Column, k: Int, r: Int): Column = {
+    require(k % r == 0, s"signature size $k must be divisible by band rows $r")
+    val bands = k / r
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until r).map(i => sig.getItem(b * r + i)) :+ lit(b): _*).as("h"))
+    }: _*)
+  }
+
+  /** Candidate near-duplicate pairs (doc_a < doc_b) from MinHash banding. */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bandRows: Int = 8): DataFrame = {
+    val sig = minhashSignature(shingles(col(textCol), shingleSize), numHashes)
+    val banded = df
+      .select(col(idCol).as("__id__"), explode(bandKeys(sig, numHashes, bandRows)).as("bk"))
+      .select(col("__id__"), col("bk.band"), col("bk.h"))
+    val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"))
+    val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"))
+    l.join(r, Seq("band", "h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates verified with exact
+    * Jaccard ≥ `threshold`. Output: (doc_a, doc_b, jaccard). */
+  def minhashDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bandRows: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, shingleSize, numHashes, bandRows)
+    val sh = df.select(col(idCol).as("__id__"), shingles(col(textCol), shingleSize).as("__sh__"))
+    cands
+      .join(sh.withColumnRenamed("__id__", "doc_a").withColumnRenamed("__sh__", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("__id__", "doc_b").withColumnRenamed("__sh__", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Per-document 64-bit SimHash: explode shingles, hash each ONCE, then a
+    * single grouped aggregate takes the per-bit majority vote (64 sum
+    * expressions in one HashAggregate — one scan + one shuffle on the doc
+    * id, the scale-correct shape; an expression-only fold would recompute
+    * the hash array 64× after projection collapse). */
+  def simhashTable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 1): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("__id__"), explode(shingles(col(textCol), shingleSize)).as("__tok__"))
+      .select(col("__id__"), xxhash64(col("__tok__")).as("__h__"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h__"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"__b$i")
+    }
+    val sim = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    hashed.groupBy(col("__id__")).agg(votes.head, votes.tail: _*)
+      .select(col("__id__"), sim.as("__sim__"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
+    * pigeonhole banding on four 16-bit chunks (hd ≤ 3 ⇒ some chunk equal);
+    * verified with `bit_count(xor)`. */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 1,
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = simhashTable(df, textCol, idCol, shingleSize)
+    val chunked = withSim.select(col("__id__"), col("__sim__"),
+      explode(array((0 until 4).map { ch =>
+        struct(lit(ch).as("chunk"),
+          shiftright(col("__sim__"), ch * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("ck"))
+      .select(col("__id__"), col("__sim__"), col("ck.chunk"), col("ck.key"))
+    val l = chunked.select(col("chunk"), col("key"), col("__id__").as("doc_a"), col("__sim__").as("sim_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("__id__").as("doc_b"), col("__sim__").as("sim_b"))
+    l.join(r, Seq("chunk", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Character n-gram Jaccard similarity for explicit document pairs —
+    * the n-gram-Jaccard near-dup check run over a candidate pair list. */
+  def ngramJaccardForPairs(
+      pairs: DataFrame, // (doc_a, doc_b)
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("__id__"),
+      array_distinct(transform(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+        i => col(textCol).substr(i, lit(n)))).as("__g__"))
+    pairs
+      .join(grams.withColumnRenamed("__id__", "doc_a").withColumnRenamed("__g__", "g_a"), "doc_a")
+      .join(grams.withColumnRenamed("__id__", "doc_b").withColumnRenamed("__g__", "g_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("g_a"), col("g_b")).as("ngram_jaccard"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[bruteKnn]]: exact cosine top-k — the baseline. Query set is tiny
+  *     (broadcast), corpus is scanned once; the per-query top-k is a window
+  *     rank over the scored pairs (shuffles query_id × corpus rows — fine
+  *     when |queries| is small, which is the brute-force contract).
+  *   - [[annLsh]]: random-hyperplane LSH (sign-bit buckets + multi-probe) —
+  *     the 100 TB path. Scoring happens only inside matching buckets, so the
+  *     join shuffles bucket keys, not the full cross product. Hyperplanes
+  *     are a deterministic seeded literal (no driver-side state to ship).
+  *
+  * All vector math is higher-order-function expressions (`zip_with` +
+  * `aggregate`) — codegen'd, no UDFs, no Python.
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, computed as dot/(|a|·|b|) in double; NULL for
+    * zero-norm vectors (ANSI-safe). */
+  def cosine(a: Column, b: Column): Column = {
+    val (ad, bd) = (toDouble(a), toDouble(b))
+    graft.core.WeightedMoments.safeDiv(dot(ad, bd), norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k cosine neighbors for every vector matching `queryPred`.
+    * Output: (query_id, neighbor_id, rank, sim) — rank 1..k, ties broken by
+    * neighbor id for determinism. */
+  def bruteKnn(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // pre-normalize once per row so the join-side work is a pure dot product
+    val prepped = df.select(col(idCol).as("__id__"),
+      transform(toDouble(col(vecCol)),
+        x => graft.core.WeightedMoments.safeDiv(x, norm(toDouble(col(vecCol))))).as("__nv__"))
+    val q = prepped.where(queryPred)
+      .select(col("__id__").as("query_id"), col("__nv__").as("qv"))
+    val c = prepped.select(col("__id__").as("neighbor_id"), col("__nv__").as("nv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic seeded hyperplanes as a literal array-of-arrays. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Column = {
+    val rnd = new Random(seed)
+    array((0 until nPlanes).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }: _*)
+  }
+
+  /** Sign-bit LSH bucket id of a vector under `planes`. */
+  def lshBucket(vec: Column, planes: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { i =>
+      when(dot(vec, planes.getItem(i)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** All XOR masks of `bits` bits with popcount ≤ maxHamming. */
+  private def probeMasks(bits: Int, maxHamming: Int): Seq[Long] =
+    (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+
+  /** Approximate top-k cosine neighbors via random-hyperplane LSH with
+    * multi-probe (each query also probes every bucket within `maxProbe`
+    * sign-bit flips, recovering most cross-boundary neighbors). Same output
+    * schema as [[bruteKnn]]. Recall/cost dial: more planes → smaller
+    * buckets; larger `maxProbe` → more buckets probed. */
+  def annLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nPlanes: Int = 6,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val prepped = df.select(col(idCol).as("__id__"),
+      transform(toDouble(col(vecCol)),
+        x => graft.core.WeightedMoments.safeDiv(x, norm(toDouble(col(vecCol))))).as("__nv__"))
+      .withColumn("__bucket__", lshBucket(col("__nv__"), planes, nPlanes))
+    val corpus = prepped.select(col("__bucket__").as("bucket"),
+      col("__id__").as("neighbor_id"), col("__nv__").as("nv"))
+    // queries probe their own bucket + every bucket within maxProbe bit flips
+    val probes = array(probeMasks(nPlanes, maxProbe).map(lit): _*)
+    val q = prepped.where(queryPred)
+      .select(col("__id__").as("query_id"), col("__nv__").as("qv"),
+        explode(transform(probes, f => col("__bucket__").bitwiseXOR(f))).as("bucket"))
+    val scored = broadcast(q).join(corpus, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("nv")).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim")) // dedup multi-probe hits
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicates: nearest neighbor of every vector
+    * (k=1 brute force over the full corpus — O(n²) scoring, one shuffle for
+    * the top-1; the LSH path above is the scale variant). */
+  def nearestNeighbors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    bruteKnn(df, idCol, vecCol, lit(true), 1)
+      .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"), col("sim"))
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword-marker heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish pre-tokenizer regex), and document fingerprinting.
+  *
+  * Everything is a pure `Column` expression (whole-stage codegen, no UDFs,
+  * no shuffle): at 100 TB these run as a single narrow projection over the
+  * scan, and any downstream filter on the derived columns is pushed into the
+  * same stage.
+  */
+object TextAnalysis {
+
+  /** Per-language marker/stopword lists for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"))
+
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, punctuation —
+    * the GPT-2-style pre-split, counted without materializing tokens. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpeTokenPattern))
+
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") / length(c)
+
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / length(c)
+
+  /** Occurrences of any marker of `lang` (all occurrences, not distinct). */
+  def markerCount(c: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    size(filter(tokens(c), t => array_contains(lit(markers.toArray), t)))
+  }
+
+  def stopwordRatio(c: Column, lang: String = "en"): Column =
+    markerCount(c, lang).cast("double") / wsTokenCount(c)
+
+  /** Language ID: argmax of per-language marker counts, ties broken in
+    * [[LangMarkers]] order, all-zero → "unknown". A real pipeline would use
+    * char-n-gram profiles; the argmax plumbing is identical.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, _) => lang -> markerCount(c, lang) }
+    val allZero = scores.map(_._2 <= 0).reduce(_ && _)
+    // fold from the right: last language is the ELSE, each earlier language
+    // wins ties against all later ones
+    val argmax = scores.init.foldRight(lit(scores.last._1)) { case ((lang, s), rest) =>
+      when(scores.filter(_._1 != lang).map(o => s >= o._2).reduce(_ && _), lang).otherwise(rest)
+    }
+    when(allZero, "unknown").otherwise(argmax)
+  }
+
+  /** Composite quality score in [0,1]: length, alphabetic purity, stopword
+    * density — the usual cheap pre-filter signals. */
+  def qualityScore(c: Column): Column =
+    lit(0.4) * least(lit(1.0), wsTokenCount(c).cast("double") / 80.0) +
+      lit(0.3) * alphaRatio(c) +
+      lit(0.3) * least(lit(1.0), stopwordRatio(c) * 5.0)
+
+  /** Content fingerprint (md5 hex) — stable across engines. */
+  def fingerprintMd5(c: Column): Column = md5(c)
+
+  /** Order-sensitive polynomial rolling hash over characters
+    * (`acc*31 + code (mod 1e9+7)`) — a Rabin-Karp-style content fingerprint
+    * built with higher-order functions only (codegen-friendly, no UDF).
+    */
+  def fingerprintRolling(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
+
+  /** Full per-document analysis projection. */
+  def analyze(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col(idCol),
+      wsTokenCount(c).cast("long").as("ws_tokens"),
+      bpeTokenCount(c).cast("long").as("bpe_tokens"),
+      round(alphaRatio(c), 6).as("alpha_ratio"),
+      round(stopwordRatio(c), 6).as("stopword_ratio"),
+      langId(c).as("pred_lang"),
+      round(qualityScore(c), 6).as("quality_score"),
+      fingerprintMd5(c).as("fingerprint"))
+  }
+}

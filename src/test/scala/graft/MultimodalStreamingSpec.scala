@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingWeighted
+
+class MultimodalSpec extends SparkSpecBase {
+
+  private def media = Multimodal.mediaFromDocuments(
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40))
+
+  test("media table has the binary + typed-metadata shape") {
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("kind").dataType.typeName == "string")
+    assert(media.count() == 40)
+  }
+
+  test("feature extraction is deterministic, batched, and shape-correct") {
+    val f1 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    assert(f1.length == 40)
+    assert(f1.forall(_.features.length == 16))
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    // payload is utf-8 of the text → n_bytes matches byte length
+    val n = media.select(col("media_id"), length(col("payload")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(f1.forall(f => f.n_bytes == n(f.media_id)))
+  }
+
+  test("resize preserves aspect ratio with shorter side at target") {
+    assert(Multimodal.resizedDims(100, 200, 224) == (224, 448))
+    assert(Multimodal.resizedDims(400, 100, 224) == (896, 224))
+    assert(Multimodal.resizedDims(224, 224, 224) == (224, 224))
+  }
+
+  test("frame-sample plan is metadata-only and bounded") {
+    val plan = Multimodal.frameSamplePlan(media, fps = 30, stride = 10, maxFrames = 8)
+    val counts = plan.groupBy("media_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(c => c >= 1 && c <= 8))
+    // the payload column must not appear in the plan (blob pruned at scan)
+    assert(!plan.queryExecution.optimizedPlan.toString.contains("payload"))
+  }
+}
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming weighted windowed summary matches the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Option[Double], Double)]
+    val sdf = input.toDF().toDF("ts", "value", "w")
+    val out = StreamingWeighted.windowedSummary(sdf, "ts", "value", "w", "2 days", "1 hour")
+    val q = out.writeStream.outputMode("complete").format("memory").queryName("wagg").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    input.addData(
+      (ts("2024-01-01"), Some(1.0), 1.0),
+      (ts("2024-01-02"), Some(2.0), 2.0),
+      (ts("2024-01-03"), None, 3.0),
+      (ts("2024-01-04"), Some(4.0), 4.0))
+    q.processAllAvailable()
+    val got = spark.table("wagg").orderBy("bucket_start").collect()
+    q.stop()
+    // streaming window() is epoch-aligned (2-day windows start 2023-12-31),
+    // so the four daily rows land in three buckets: [1], [2, null], [4].
+    // Hand-computed with the same moment formulas as the batch kernel.
+    assert(got.length == 3)
+    assert(cell(got(0), 1).contains(1.0) && cell(got(0), 2).contains(1.0))
+    assert(cell(got(0), 3).contains(1.0) && cell(got(0), 4).isEmpty) // W=1 → var NULL
+    assert(cell(got(1), 1).contains(2.0) && cell(got(1), 2).contains(4.0))
+    assert(cell(got(1), 3).contains(2.0) && cell(got(1), 4).contains(0.0))
+    assert(cell(got(2), 1).contains(4.0) && cell(got(2), 2).contains(16.0))
+    assert(cell(got(2), 3).contains(4.0) && cell(got(2), 4).contains(0.0))
+  }
+}

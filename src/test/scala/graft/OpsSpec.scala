@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("token counts") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "a b-c 12 d!")).toDF("id", "text")
+    val got = TextAnalysis.analyze(df, "text", "id").orderBy("id").collect()
+    assert(got(0).getAs[Int]("ws_tokens") == 4)
+    assert(got(1).getAs[Int]("ws_tokens") == 4)
+    // "a", "b", "-", "c", "12", "d", "!" → 7 BPE-ish tokens
+    assert(got(1).getAs[Int]("bpe_tokens") == 7)
+  }
+
+  test("language id picks the max-marker language; no markers → unknown") {
+    val df = Seq(
+      (1L, "the cat is of the mat and the dog"),
+      (2L, "el que la de los y el perro"),
+      (3L, "der die das und ist von der"),
+      (4L, "zzz qqq www")).toDF("id", "text")
+    val got = TextAnalysis.analyze(df, "text", "id").orderBy("id")
+      .select("pred_lang").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "es", "de", "unknown"))
+  }
+
+  test("quality score is bounded and monotone-ish in signal") {
+    val df = Seq(
+      (1L, "the of and in to is a " * 20), // long, stopword-rich, alphabetic
+      (2L, "#### $$$$ 1234 %%%%")).toDF("id", "text")
+    val got = TextAnalysis.analyze(df, "text", "id").orderBy("id")
+      .select("quality_score").collect().map(_.getDouble(0))
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("rolling fingerprint is deterministic and order-sensitive") {
+    val df = Seq((1L, "abc"), (2L, "cba"), (3L, "abc")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.fingerprintRolling(col("text")).as("fp"))
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(got(0) == got(2))
+    assert(got(0) != got(1))
+    // hand-rolled: ((0*31+97)*31+98)*31+99 = 96354 for "abc"
+    assert(got(0) == (('a' * 31 + 'b') * 31 + 'c').toLong)
+  }
+}
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps"),
+    (1L, "the quick brown fox jumps"), // exact dup of 0
+    (2L, "jumps fox brown quick the"), // token-set dup of 0
+    (3L, "completely different words here"),
+    (4L, "another unrelated document text")).toDF("doc_id", "text")
+
+  test("exact dedup groups byte-identical texts") {
+    val got = Dedup.exact(docs, "text", "doc_id").orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("token-set dedup catches reordered duplicates") {
+    val got = Dedup.tokenSet(docs, "text", "doc_id").orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles and jaccard") {
+    val df = Seq((0L, "a b c d"), (1L, "b c d e")).toDF("id", "t")
+    val sh3 = df.select(Dedup.shingles(col("t"), 3).as("s")).orderBy("s")
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(sh3.contains(Set("a b c", "b c d")))
+    val j = df.select(Dedup.jaccard(
+      Dedup.shingles(lit("a b c d"), 1), Dedup.shingles(lit("b c d e"), 1)).as("j"))
+      .head().getDouble(0)
+    assert(math.abs(j - 3.0 / 5.0) < 1e-12)
+  }
+
+  test("minhash LSH finds identical-shingle-set pairs with full recall") {
+    val got = Dedup.minhashDedup(docs, "text", "doc_id",
+      shingleSize = 1, numHashes = 32, bandRows = 8, threshold = 1.0)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 0,1,2 share the same token set → all three pairs
+    assert(got == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("minhash near-dup threshold excludes dissimilar docs") {
+    val near = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"), // 9/11 ≈ 0.82
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")).toDF("doc_id", "text")
+    val got = Dedup.minhashDedup(near, "text", "doc_id",
+      shingleSize = 1, numHashes = 32, bandRows = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L)))
+  }
+
+  test("simhash pairs: identical token sets at hamming 0") {
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", shingleSize = 1, maxHamming = 0)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("char n-gram jaccard over explicit pairs") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ngramJaccardForPairs(pairs, docs, "text", "doc_id", n = 3)
+      .orderBy("doc_a", "doc_b").collect().map(r => cell(r, 2).get)
+    assert(got(0) == 1.0) // identical texts
+    assert(got(1) < 0.5) // different texts
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine on hand vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteKnn ranks by cosine with deterministic ties") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteKnn(df, "vec_id", "embedding", col("vec_id") === 0, 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((3L, 1), (1L, 2))) // 3 is closer to (1,0) than 1
+  }
+
+  test("annLsh achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 20
+    val brute = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(emb, "vec_id", "embedding", pred, 5, nPlanes = 6, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    // random-gaussian embeddings are a worst case for LSH (weak cosine
+    // structure); with 6 planes + hamming-2 multi-probe expect ~0.5
+    assert(recall >= 0.35, s"recall $recall too low")
+  }
+
+  test("nearestNeighbors emits one row per vector") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val got = Similarity.nearestNeighbors(emb, "vec_id", "embedding")
+    assert(got.count() == 50)
+  }
+}
