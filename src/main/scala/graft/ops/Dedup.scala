@@ -54,10 +54,32 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** k-permutation MinHash signature of a shingle array: one xxhash64 family
-    * member per seed, `array_min` over the shingles. Pure expression —
-    * computed in the scan stage. */
+    * member per seed, `array_min` over the shingles. Pure expression form —
+    * fine for small shingle arrays, but HOFs evaluate interpreted; the bulk
+    * path is [[minhashTable]]. */
   def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map(s => array_min(transform(sh, x => xxhash64(x, lit(s))))): _*)
+
+  /** Bulk (id, shingle-set, signature) table: explode shingles once, then a
+    * single grouped aggregate computes all k signature slots (`min` of each
+    * seeded hash) plus the distinct shingle set (`collect_set`). Everything
+    * is codegen'd aggregate machinery — one scan + one shuffle on the doc
+    * id with map-side partial aggregation, vs k interpreted HOF passes over
+    * every shingle array. */
+  private def minhashTable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("__id__"), explode(shingles(col(textCol), shingleSize)).as("__tok__"))
+    val slots = (0 until numHashes).map(s => min(xxhash64(col("__tok__"), lit(s))).as(s"__m$s"))
+    val aggs = slots :+ collect_set(col("__tok__")).as("__sh__")
+    exploded.groupBy(col("__id__")).agg(aggs.head, aggs.tail: _*)
+      .select(col("__id__"), col("__sh__"),
+        array((0 until numHashes).map(s => col(s"__m$s")): _*).as("__sig__"))
+  }
 
   /** LSH banding: split the k-slot signature into bands of `r` rows, hash
     * each band to one key. Docs sharing any band key become candidates. */
@@ -78,9 +100,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bandRows: Int = 8): DataFrame = {
-    val sig = minhashSignature(shingles(col(textCol), shingleSize), numHashes)
-    val banded = df
-      .select(col(idCol).as("__id__"), explode(bandKeys(sig, numHashes, bandRows)).as("bk"))
+    val banded = minhashTable(df, textCol, idCol, shingleSize, numHashes)
+      .select(col("__id__"), explode(bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
       .select(col("__id__"), col("bk.band"), col("bk.h"))
     val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"))
     val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"))
@@ -90,8 +111,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Fraction of equal signature slots — the MinHash Jaccard estimate. */
+  private def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / k
+
   /** Full MinHash near-dup pipeline: LSH candidates verified with exact
-    * Jaccard ≥ `threshold`. Output: (doc_a, doc_b, jaccard). */
+    * Jaccard ≥ `threshold`. Output: (doc_a, doc_b, jaccard).
+    *
+    * Two physical plans by threshold:
+    *   - `threshold ≥ 1`: identical shingle sets ⇒ identical signatures, so
+    *     the right plan is a single groupBy on the full signature (dup
+    *     groups are tiny; pairs explode inside each group) — no banding
+    *     self-join, no skew, and recall is exactly 1. Jaccard is still
+    *     verified exactly (a 32-way hash collision of different sets is
+    *     astronomically unlikely but would otherwise be a wrong answer).
+    *   - `threshold < 1`: classic banding. Band buckets of mutually-similar
+    *     corpora are heavily skewed, so candidates are (a) prefiltered by
+    *     the cheap signature-slot estimate (threshold − 0.25 slack ≈ 3σ for
+    *     k=32, preserving recall) while signatures are still at hand, and
+    *     (b) repartitioned by pair before the expensive exact-Jaccard
+    *     verify so one hot bucket can't serialize the verify stage.
+    */
   def minhashDedup(
       df: DataFrame,
       textCol: String,
@@ -100,13 +141,39 @@ object Dedup {
       numHashes: Int = 32,
       bandRows: Int = 8,
       threshold: Double = 0.9): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, shingleSize, numHashes, bandRows)
-    val sh = df.select(col(idCol).as("__id__"), shingles(col(textCol), shingleSize).as("__sh__"))
-    cands
-      .join(sh.withColumnRenamed("__id__", "doc_a").withColumnRenamed("__sh__", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("__id__", "doc_b").withColumnRenamed("__sh__", "sh_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val base = minhashTable(df, textCol, idCol, shingleSize, numHashes)
+
+    if (threshold >= 1.0) {
+      val grouped = base.groupBy(col("__sig__"))
+        .agg(collect_list(struct(col("__id__"), col("__sh__"))).as("ms"))
+        .where(size(col("ms")) > 1)
+      val sorted = array_sort(col("ms")) // by (id, …) — deterministic pair order
+      val pairs = grouped.select(explode(flatten(
+        transform(sorted, (a, i) =>
+          transform(slice(sorted, i + 2, size(sorted)),
+            b => struct(a.getField("__id__").as("doc_a"), b.getField("__id__").as("doc_b"),
+              jaccard(a.getField("__sh__"), b.getField("__sh__")).as("jaccard"))))
+      )).as("p"))
+      pairs.select(col("p.doc_a"), col("p.doc_b"), col("p.jaccard"))
+        .where(col("jaccard") >= threshold)
+    } else {
+      val banded = base.select(col("__id__"), col("__sig__"),
+        explode(bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
+        .select(col("__id__"), col("__sig__"), col("bk.band"), col("bk.h"))
+      val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"), col("__sig__").as("sig_a"))
+      val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"), col("__sig__").as("sig_b"))
+      val cands = l.join(r, Seq("band", "h"))
+        .where(col("doc_a") < col("doc_b"))
+        .where(estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.25)
+        .select("doc_a", "doc_b")
+        .distinct() // also rebalances: hash-partitioned on the pair, not the hot bucket
+      val sh = base.select(col("__id__"), col("__sh__"))
+      cands
+        .join(sh.withColumnRenamed("__id__", "doc_a").withColumnRenamed("__sh__", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("__id__", "doc_b").withColumnRenamed("__sh__", "sh_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    }
   }
 
   /** Per-document 64-bit SimHash: explode shingles, hash each ONCE, then a

@@ -24,8 +24,11 @@ object Similarity {
 
   private def toDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Native codegen'd dot product ([[graft.functions.DotProduct]]) — the
+    * zip_with/aggregate HOF equivalent runs interpreted and dominates
+    * pairwise-scoring wall-clock by an order of magnitude. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,7 +48,6 @@ object Similarity {
       vecCol: String,
       queryPred: Column,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // pre-normalize once per row so the join-side work is a pure dot product
     val prepped = df.select(col(idCol).as("__id__"),
       transform(toDouble(col(vecCol)),
@@ -56,19 +58,37 @@ object Similarity {
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qv"), col("nv")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topK(scored, k)
+  }
+
+  /** Per-query top-k of a (query_id, neighbor_id, sim) set. k=1 uses a hash
+    * aggregate (`max(struct)` with map-side partial aggregation — the n²
+    * scored rows never hit the shuffle); k>1 uses a rank window (shuffle
+    * carries only the 3 scalar columns, arrays were dropped at scoring). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked =
+      if (k == 1) {
+        scored
+          .groupBy("query_id")
+          .agg(max(struct(col("sim"), -col("neighbor_id"))).as("best"))
+          .select(col("query_id"), (-col("best.col2")).as("neighbor_id"),
+            lit(1).as("rank"), col("best.sim").as("sim"))
+      } else {
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      }
+    ranked
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic seeded hyperplanes as a literal array-of-arrays. */
+  /** Deterministic seeded hyperplanes as ONE literal array-of-arrays
+    * (`typedlit`, not nested `array(lit…)`: the latter would rebuild the
+    * plane matrix expression per row). */
   private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Column = {
     val rnd = new Random(seed)
-    array((0 until nPlanes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-    }: _*)
+    typedlit((0 until nPlanes).map(_ => (0 until dim).map(_ => rnd.nextGaussian())))
   }
 
   /** Sign-bit LSH bucket id of a vector under `planes`. */
@@ -96,7 +116,6 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       maxProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val planes = hyperplanes(nPlanes, dim, seed)
     val prepped = df.select(col(idCol).as("__id__"),
       transform(toDouble(col(vecCol)),
@@ -113,11 +132,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("nv")).as("sim"))
       .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim")) // dedup multi-probe hits
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
-      .orderBy("query_id", "rank")
+    topK(scored, k)
   }
 
   /** Embedding-cosine near-duplicates: nearest neighbor of every vector

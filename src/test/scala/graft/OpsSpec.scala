@@ -10,10 +10,10 @@ class TextAnalysisSpec extends SparkSpecBase {
   test("token counts") {
     val df = Seq((1L, "the quick brown fox"), (2L, "a b-c 12 d!")).toDF("id", "text")
     val got = TextAnalysis.analyze(df, "text", "id").orderBy("id").collect()
-    assert(got(0).getAs[Int]("ws_tokens") == 4)
-    assert(got(1).getAs[Int]("ws_tokens") == 4)
+    assert(got(0).getAs[Long]("ws_tokens") == 4L)
+    assert(got(1).getAs[Long]("ws_tokens") == 4L)
     // "a", "b", "-", "c", "12", "d", "!" → 7 BPE-ish tokens
-    assert(got(1).getAs[Int]("bpe_tokens") == 7)
+    assert(got(1).getAs[Long]("bpe_tokens") == 7L)
   }
 
   test("language id picks the max-marker language; no markers → unknown") {
