@@ -156,7 +156,9 @@ object WeightedDataFrame {
   def wt(df: DataFrame, weights: String, naWeight: Option[Double] = None): WeightedDataFrame = {
     require(df.columns.contains(weights), s"weights column '$weights' not found")
     require(!df.columns.contains(WeightCol), s"column name $WeightCol is reserved")
-    val rawW = normalize(col(weights).cast(DoubleType), DoubleType)
+    // the weight expr operates on the already-NaN-normalized frame, so only
+    // the cast and na_weight fill remain (avoids a double isnan projection)
+    val rawW = col(weights).cast(DoubleType)
     val wExpr = naWeight.fold(rawW)(na => coalesce(rawW, lit(na)))
     val out = normalizeAll(df).withColumn(WeightCol, wExpr).drop(weights)
     new WeightedDataFrame(out, WeightCol)

@@ -1,0 +1,87 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.WeightedDataFrame
+
+/** Property-style invariants (SURVEY §5 engine test plan), run over seeded
+  * random frames:
+  *   1. unit weights ⇒ every weighted aggregate equals Spark's native
+  *      unweighted aggregate (count/sum/avg/var_samp/stddev_samp/corr);
+  *   2. weighted mean and corr are invariant under w → c·w (c > 0).
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def randomFrame(seed: Long, n: Int): DataFrame = {
+    val rnd = new Random(seed)
+    val rows = (0 until n).map { i =>
+      val a = if (rnd.nextDouble() < 0.2) None else Some(rnd.nextDouble() * 100 - 50)
+      val b = if (rnd.nextDouble() < 0.2) None else Some(rnd.nextDouble() * 10)
+      val g = s"g${rnd.nextInt(3)}"
+      (i.toLong, g, a, b)
+    }
+    rows.toDF("id", "g", "a", "b")
+  }
+
+  private def withUnitWeight(df: DataFrame): WeightedDataFrame =
+    WeightedDataFrame.wt(df.withColumn("w", lit(1.0)), "w")
+
+  test("unit weights reduce to native unweighted aggregates") {
+    for (seed <- 1L to 5L) {
+      val df = randomFrame(seed, 30 + seed.toInt)
+      val wdf = withUnitWeight(df.select("g", "a", "b"))
+
+      val got = oneRow(wdf.select("a", "b").mean())
+      val want = oneRow(df.agg(avg("a").as("a"), avg("b").as("b")))
+      assertApprox(got("a"), want("a"), 1e-9)
+      assertApprox(got("b"), want("b"), 1e-9)
+
+      val gotVar = oneRow(wdf.select("a", "b").variance())
+      val wantVar = oneRow(df.agg(var_samp("a").as("a"), var_samp("b").as("b")))
+      assertApprox(gotVar("a"), wantVar("a"), 1e-9)
+      assertApprox(gotVar("b"), wantVar("b"), 1e-9)
+
+      val gotCnt = oneRow(wdf.select("a").count())
+      val wantCnt = df.agg(count("a")).head().getLong(0).toDouble
+      assert(gotCnt("a").contains(wantCnt))
+
+      // pairwise corr equals Spark's native corr under the joint mask
+      val gotCorr = wdf.select("a", "b").corr().where($"col_x" === "a" && $"col_y" === "b")
+        .head().getDouble(2)
+      val wantCorr = df.agg(corr("a", "b")).head().getDouble(0)
+      assert(math.abs(gotCorr - wantCorr) < 1e-9, s"corr $gotCorr vs $wantCorr (seed $seed)")
+
+      // grouped means
+      val gGot = wdf.groupBy("g").mean().collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+      val gWant = df.groupBy("g").agg(avg("a")).collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+      gWant.foreach { case (k, v) => assertApprox(gGot(k), v, 1e-9) }
+    }
+  }
+
+  test("weighted mean/corr invariant under weight scaling w → c·w") {
+    for (seed <- 1L to 5L) {
+      val rnd = new Random(seed * 77)
+      val df = randomFrame(seed * 13, 40)
+        .withColumn("w", (rand(seed) * 5 + 0.1))
+      val c = rnd.nextDouble() * 9 + 0.5
+      val w1 = WeightedDataFrame.wt(df.select("g", "a", "b", "w"), "w")
+      val w2 = WeightedDataFrame.wt(
+        df.select(col("g"), col("a"), col("b"), (col("w") * c).as("w")), "w")
+
+      val m1 = oneRow(w1.select("a", "b").mean())
+      val m2 = oneRow(w2.select("a", "b").mean())
+      assertApprox(m1("a"), m2("a"), 1e-9)
+      assertApprox(m1("b"), m2("b"), 1e-9)
+
+      // corr with ddof: scaling weights changes the ddof-corrected denom,
+      // so compare with ddof=0 where scale invariance holds exactly
+      val c1 = w1.select("a", "b").corr(ddof = 0).where($"col_x" === "a" && $"col_y" === "b").head()
+      val c2 = w2.select("a", "b").corr(ddof = 0).where($"col_x" === "a" && $"col_y" === "b").head()
+      assertApprox(cell(c1, 2), cell(c2, 2), 1e-9)
+    }
+  }
+}
