@@ -169,6 +169,33 @@ object SparkEntry {
     "q18_select_grouped_mean" -> ((s, dir) =>
       wli(s, dir).select("l_linestatus", "l_tax")
         .groupBy("l_linestatus").mean()),
+    // null-handling semantics end-to-end: derive a null-bearing value column
+    // (lineitem has no NULLs), then exercise skipna / min_count per group
+    "q19_null_semantics" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .withColumn("v", when(col("l_discount") < 0.08, col("l_extendedprice")))
+        .select("l_returnflag", "v", "l_quantity")
+      val wdf = WeightedDataFrame.wt(li, "l_quantity")
+      val g = wdf.df.groupBy("l_returnflag")
+      import graft.core.WeightedMoments._
+      g.agg(
+        countExpr(col("v"), wdf.w, skipna = true).as("count_skipna"),
+        countExpr(col("v"), wdf.w, skipna = false).as("count_noskipna"),
+        wSum(col("v"), wdf.w, 0).as("sum_mc0"),
+        wSum(col("v"), wdf.w, 1).as("sum_mc1"),
+        meanExpr(col("v"), wdf.w).as("mean_v"),
+        varExpr(col("v"), wdf.w).as("var_v"))
+        .orderBy("l_returnflag")
+    }),
+    // resample with closed=right / label=right boundary conventions
+    "q16b_resample_right" -> ((s, dir) =>
+      wevents(s, dir).resample("ts", "12h", closed = "right", label = "right",
+        origin = "epoch").summary("value")),
+    // weighted median (beyond-reference extension; reference README lists
+    // weighted quantiles as future work)
+    "q31_weighted_median" -> ((s, dir) =>
+      wli(s, dir).select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag").quantile("l_extendedprice", 0.5)),
 
     // ---- training-data-pipeline operators (beyond-reference scope) ----
 
@@ -300,6 +327,39 @@ object SparkEntry {
     "q18_select_grouped_mean" ->
       s"""SELECT l_linestatus, ${sqlMean("l_tax")} AS l_tax
          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin.replace("\n", " "),
+    "q19_null_semantics" ->
+      """WITH b AS (SELECT l_returnflag, CASE WHEN l_discount < 0.08 THEN l_extendedprice END AS v,
+        |l_quantity AS w FROM lineitem)
+        |SELECT l_returnflag,
+        |sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END) AS count_skipna,
+        |coalesce(sum(w), 0.0) AS count_noskipna,
+        |coalesce(sum(v * w), 0.0) AS sum_mc0,
+        |sum(v * w) AS sum_mc1,
+        |(sum(v * w) / sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)) AS mean_v,
+        |((sum(v * v * w) - (sum(v * w) * sum(v * w)) / sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END) - 1)) AS var_v
+        |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q16b_resample_right" ->
+      """WITH b AS (SELECT CAST(ceil(epoch(ts) / 43200) AS BIGINT) * 43200 AS bucket,
+        |value, CAST((user_id % 7 + 1) AS DOUBLE) AS w FROM events),
+        |a AS (SELECT bucket,
+        |sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) AS count_value,
+        |coalesce(sum(value * w), 0.0) AS sum_value,
+        |(sum(value * w) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) AS mean_value,
+        |((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1)) AS var_value,
+        |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1))) AS std_value
+        |FROM b GROUP BY bucket),
+        |s AS (SELECT unnest(generate_series((SELECT min(bucket) FROM a), (SELECT max(bucket) FROM a), 43200)) AS bucket)
+        |SELECT s.bucket, coalesce(a.count_value, 0.0) AS count_value,
+        |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
+        |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " "),
+    "q31_weighted_median" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (SELECT l_returnflag, v,
+        |sum(w) OVER (PARTITION BY l_returnflag ORDER BY v, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM r)
+        |SELECT l_returnflag, min(v) AS l_extendedprice FROM c
+        |WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY keep_id""".stripMargin.replace("\n", " "),

@@ -94,6 +94,32 @@ final class WeightedGroupBy private[core] (
   def applyAgg(f: Column => Column): DataFrame =
     run(numericAggCols, c => f(col(c) * w))
 
+  /** Weighted quantile per group (lower interpolation): smallest value v
+    * such that the cumulative weight through v reaches `q`·Σw. Natural
+    * extension beyond the reference (its README lists weighted
+    * median/quantiles as future work — README.md:311-317). One window pass
+    * (cumulative weight within group, ordered by value) + one aggregate;
+    * both shuffles hash on the group keys.
+    */
+  def quantile(valueCol: String, q: Double = 0.5): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val rows = base.where(v.isNotNull && w.isNotNull)
+    val byVal = Window.partitionBy(keys.map(col): _*)
+      .orderBy(v, col(wdf.weightName)) // deterministic within ties
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(keys.map(col): _*)
+    // functions.sum/min explicitly: this class's own sum/min would shadow
+    val cum = rows
+      .withColumn("__cw__", org.apache.spark.sql.functions.sum(col(wdf.weightName)).over(byVal))
+      .withColumn("__tw__", org.apache.spark.sql.functions.sum(col(wdf.weightName)).over(all))
+    val out = cum.where(col("__cw__") >= lit(q) * col("__tw__"))
+      .groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.min(v).as(valueCol))
+    if (sort) out.orderBy(keys.map(col): _*) else out
+  }
+
   /** Driver-side group iteration for API parity with `__iter__`
     * (`frame.py:463-466`): collects the distinct keys, then yields
     * `(key, WeightedDataFrame-of-slice)`. Small-result / test path.

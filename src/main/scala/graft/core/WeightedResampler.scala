@@ -147,9 +147,10 @@ final class WeightedResampler private[core] (
     val spine = bounds
       .where(col("mn").isNotNull)
       .select(explode(sequence(col("mn"), col("mx"), lit(ruleUs))).as(BucketCol))
+    val labelUs = if (label == "left") col(BucketCol) else col(BucketCol) + lit(ruleUs)
     spine.join(agged, Seq(BucketCol), "left")
       .select(
-        (col(BucketCol) / lit(1000000L)).cast("long").as("bucket"),
+        (labelUs / lit(1000000L)).cast("long").as("bucket"),
         coalesce(col("count_" + valueCol), lit(0.0)).as("count_" + valueCol),
         coalesce(col("sum_" + valueCol), lit(0.0)).as("sum_" + valueCol),
         col("mean_" + valueCol).cast(DoubleType).as("mean_" + valueCol),

@@ -97,6 +97,16 @@ class WeightedGroupBySpec extends SparkSpecBase {
     assert(a("Value").contains(50.0))
   }
 
+  test("weighted quantile (lower interpolation)") {
+    // group A: values 10(w1), 20(w2) → cum 1,3 of total 3; median threshold
+    // 1.5 → first value with cum ≥ 1.5 is 20. q=0.25 → threshold 0.75 → 10.
+    val wdf = WeightedDataFrame.wt(groupedDf, "weights")
+    val med = collectByKey(wdf.groupBy("Group").quantile("Value", 0.5))
+    assert(med("A").contains(20.0) && med("B").contains(40.0))
+    val q25 = collectByKey(wdf.groupBy("Group").quantile("Value", 0.25))
+    assert(q25("A").contains(10.0) && q25("B").contains(30.0))
+  }
+
   test("groupby select projects columns (test_frame.py:299-302)") {
     val d = groupedDf.withColumn("Other", $"Value" * 2)
     val g = WeightedDataFrame.wt(d, "weights").groupBy("Group").select("Value")
