@@ -120,6 +120,27 @@ final class WeightedGroupBy private[core] (
     if (sort) out.orderBy(keys.map(col): _*) else out
   }
 
+  /** Distributed arbitrary-function-per-group escape hatch — the scale path
+    * for `groupby.apply` with a non-expressible function (`frame.py:662-679`
+    * via `Dataset.flatMapGroups`, SURVEY §2.3 G8). The function receives the
+    * group key and the iterator of *weighted* rows (numeric columns
+    * pre-multiplied by the weight, matching the reference's `_weighted`),
+    * in the schema order of `weightedSchema`. Groups never materialize on
+    * the driver; each group streams through one executor task.
+    */
+  def flatMapGroups[K: org.apache.spark.sql.Encoder, T: org.apache.spark.sql.Encoder](
+      keyFn: org.apache.spark.sql.Row => K)(
+      f: (K, Iterator[org.apache.spark.sql.Row]) => IterableOnce[T]): org.apache.spark.sql.Dataset[T] = {
+    val ns = numericAggCols.toSet // keys pass through unweighted (exclusions)
+    val weightedRows = base.select(weightedSchema.map { c =>
+      if (ns(c)) (col(c) * w).as(c) else col(c)
+    }: _*)
+    weightedRows.groupByKey(keyFn).flatMapGroups((k, it) => f(k, it).iterator)
+  }
+
+  /** Column order of the rows seen by [[flatMapGroups]]. */
+  def weightedSchema: Seq[String] = (keys ++ aggCols).distinct
+
   /** Driver-side group iteration for API parity with `__iter__`
     * (`frame.py:463-466`): collects the distinct keys, then yields
     * `(key, WeightedDataFrame-of-slice)`. Small-result / test path.

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink helpers. The reference has no I/O layer of its own (pandas
+  * constructors only — SURVEY §2.5); this is the engine's equivalent
+  * surface for the driver's parquet tables plus general formats, written so
+  * scans stay prunable/filterable and sinks are partition-aware.
+  */
+object Tables {
+
+  /** Read one of the driver's test tables. `events.ts` arrives as parquet
+    * TIMESTAMP(NANOS), which Spark reads only as a raw long — normalized
+    * here to a microsecond timestamp via integer division (double math
+    * would corrupt epochs above 2⁵³ ns).
+    */
+  def testTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Generic format read (parquet/orc/json/csv); csv/json get schema
+    * inference + header handling. Filters/projections compose lazily on the
+    * result and push into the scan where the format supports it. */
+  def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
+    format match {
+      case "csv"  => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case "json" => spark.read.json(path)
+      case f      => spark.read.format(f).load(path)
+    }
+
+  /** Partition-aware sink: directory-partitions by `partitionBy` (enables
+    * partition pruning for downstream readers) and targets `maxRecords` per
+    * file so a 1000-executor write neither produces millions of tiny files
+    * nor multi-GB ones. */
+  def write(
+      df: DataFrame,
+      path: String,
+      format: String = "parquet",
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val writer = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .format(format)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).save(path)
+  }
+}

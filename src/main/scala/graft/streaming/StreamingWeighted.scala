@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 import graft.core.WeightedMoments
 
@@ -38,5 +39,36 @@ object StreamingWeighted {
       .select(col("window.start").as("bucket_start"),
         col("count_" + valueCol), col("sum_" + valueCol),
         col("mean_" + valueCol), col("var_" + valueCol))
+  }
+
+  /** Per-key running weighted mean with explicit state
+    * (`mapGroupsWithState`): the stateful-streaming analogue of the
+    * weighted mean — state is just the two algebraic moments (Σw, Σwx), so
+    * it is O(1) per key regardless of stream length, and NULL values/weights
+    * are skipped exactly like the batch kernel. Output per trigger:
+    * (key, total_weight, running weighted mean).
+    */
+  def runningWeightedMean(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      weightCol: String): Dataset[(String, Double, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(valueCol).cast("double"),
+      col(weightCol).cast("double"))
+      .as[(String, Option[Double], Option[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Option[Double], Option[Double])],
+         state: GroupState[(Double, Double)]) =>
+          var (sw, swx) = state.getOption.getOrElse((0.0, 0.0))
+          it.foreach {
+            case (_, Some(v), Some(w)) => sw += w; swx += v * w
+            case _                     => () // NULL value or weight: skipna
+          }
+          state.update((sw, swx))
+          (k, sw, if (sw != 0.0) swx / sw else Double.NaN)
+      }
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.WeightedDataFrame
+import graft.sources.Tables
+import graft.streaming.StreamingWeighted
+
+class SourcesSpec extends SparkSpecBase {
+
+  test("testTable reads every driver table incl. nanos-timestamp events") {
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("lineitem", "orders", "documents", "embeddings", "events")) {
+      assert(Tables.testTable(spark, dir, t).count() > 0, t)
+    }
+    val events = Tables.testTable(spark, dir, "events")
+    assert(events.schema("ts").dataType.typeName == "timestamp")
+  }
+
+  test("partitioned sink round-trips with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val li = Tables.testTable(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_quantity")
+    Tables.write(li, dir, partitionBy = Seq("l_returnflag"))
+    val back = Tables.read(spark, dir)
+    assert(back.count() == li.count())
+    // a filter on the partition column must prune to one directory
+    val pruned = back.where(col("l_returnflag") === "R")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == li.where(col("l_returnflag") === "R").count())
+    assert(scan.contains("PartitionFilters") || scan.contains("l_returnflag"))
+  }
+}
+
+class FlatMapGroupsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("flatMapGroups streams weighted groups through executors (G8)") {
+    val df = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 30L, 1.5), ("B", 40L, 2.5))
+      .toDF("Group", "Value", "weights")
+    val g = WeightedDataFrame.wt(df, "weights").groupBy("Group")
+    assert(g.weightedSchema == Seq("Group", "Value"))
+    // reference test_frame.py:264-278 weighted_minmax, as a typed group fn
+    val got = g.flatMapGroups(r => r.getString(0)) { (k, it) =>
+      val vs = it.map(_.getDouble(1)).toVector
+      Iterator((k, vs.min, vs.max))
+    }.collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got("A") == ((10.0, 40.0)))
+    assert(got("B") == ((45.0, 100.0)))
+  }
+}
+
+class StatefulStreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("running weighted mean accumulates state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Option[Double], Option[Double])]
+    val out = StreamingWeighted.runningWeightedMean(
+      input.toDF().toDF("k", "v", "w"), "k", "v", "w")
+    val q = out.toDF().toDF("k", "total_w", "mean")
+      .writeStream.outputMode("update").format("memory").queryName("state").start()
+    input.addData(("a", Some(10.0), Some(1.0)), ("a", Some(20.0), Some(2.0)))
+    q.processAllAvailable()
+    val r1 = spark.table("state").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(r1.contains(("a", 3.0, 50.0 / 3.0)))
+    // second batch: state carries over; null weight skipped
+    input.addData(("a", Some(40.0), Some(1.0)), ("a", Some(99.0), None))
+    q.processAllAvailable()
+    val r2 = spark.table("state").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(r2.contains(("a", 4.0, 90.0 / 4.0)))
+  }
+}
