@@ -77,6 +77,32 @@ class ResampleSpec extends SparkSpecBase {
     assert(cnt.keySet == Set("2024-01-01", "2024-01-02"))
   }
 
+  test("offset shifts the bucket grid (frame.py:169, pandas offset kwarg)") {
+    val d = Seq(
+      (ts("2024-01-01"), Some(1.0), 1.0),
+      (ts("2024-01-02"), Some(2.0), 1.0),
+      (ts("2024-01-03"), Some(3.0), 1.0),
+      (ts("2024-01-04"), Some(4.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val r = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "2D", offset = Some("1D"))
+    val sum = byBucket(r.sum())
+    // grid anchored at start_day + 1D: buckets 12-31, 01-02, 01-04
+    assert(sum == Map("2023-12-31" -> Some(1.0), "2024-01-02" -> Some(5.0), "2024-01-04" -> Some(4.0)))
+  }
+
+  test("explicit timestamp origin anchors the grid") {
+    val d = Seq(
+      (ts("2024-01-01"), Some(1.0), 1.0),
+      (ts("2024-01-02"), Some(2.0), 1.0),
+      (ts("2024-01-03"), Some(3.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val r = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "2D", origin = "2024-01-02 00:00:00")
+    val sum = byBucket(r.sum())
+    assert(sum == Map("2023-12-31" -> Some(1.0), "2024-01-02" -> Some(5.0)))
+  }
+
   test("closed=right / label=right boundary conventions") {
     val d = Seq(
       (Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),
