@@ -230,6 +230,10 @@ object SparkEntry {
     "q26_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(table(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, 5).withColumn("rank", col("rank").cast("long"))),
+    // IVF (KMeans coarse-quantizer) ANN variant (model-dependent — rows-only)
+    "q32_ann_ivf" -> ((s, dir) =>
+      Similarity.annIvf(table(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 5).withColumn("rank", col("rank").cast("long"))),
     // embedding-cosine near-dup: nearest neighbor of every vector
     "q27_embed_neardup" -> ((s, dir) =>
       Similarity.nearestNeighbors(table(s, dir, "embeddings"), "vec_id", "embedding")

@@ -135,6 +135,63 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to its nearest of `nLists` centroid cells; queries score only
+    * the vectors in their `nProbe` closest cells. The classic
+    * cluster-structured alternative to [[annLsh]]: training is one ML
+    * KMeans fit (itself distributed), assignment is a codegen'd argmax of
+    * centroid dot products over a `typedlit` centroid matrix, and the probe
+    * join shuffles cell keys rather than the cross product. Same output
+    * schema as [[bruteKnn]].
+    */
+  def annIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+
+    val prepped = df.select(col(idCol).as("__id__"),
+      transform(toDouble(col(vecCol)),
+        x => graft.core.WeightedMoments.safeDiv(x, norm(toDouble(col(vecCol))))).as("__nv__"))
+
+    // coarse quantizer: KMeans on the normalized vectors (euclidean argmin
+    // on unit vectors ≡ cosine argmax)
+    val trainDf = prepped.select(array_to_vector(col("__nv__")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(trainDf)
+    val centroids = model.clusterCenters.map { c =>
+      val arr = c.toArray
+      val n = math.sqrt(arr.map(x => x * x).sum)
+      if (n == 0) arr.toSeq else arr.map(_ / n).toSeq
+    }.toSeq
+    val cm = typedlit(centroids)
+
+    // per-row centroid scores; corpus keeps argmax cell, queries keep nProbe
+    def cellScores = array(centroids.indices.map(i => dot(col("__nv__"), cm.getItem(i))): _*)
+    val corpus = prepped
+      .withColumn("cell", array_position(cellScores, array_max(cellScores)) - 1)
+      .select(col("cell"), col("__id__").as("neighbor_id"), col("__nv__").as("nv"))
+    val q = prepped.where(queryPred)
+      .select(col("__id__").as("query_id"), col("__nv__").as("qv"),
+        posexplode(cellScores).as(Seq("cell", "cscore")))
+    val qProbes = q
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = broadcast(qProbes).join(corpus, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("nv")).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicates: nearest neighbor of every vector
     * (k=1 brute force over the full corpus — O(n²) scoring, one shuffle for
     * the top-1; the LSH path above is the scale variant). */

@@ -153,6 +153,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.35, s"recall $recall too low")
   }
 
+  test("annIvf achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 20
+    val brute = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(emb, "vec_id", "embedding", pred, 5, nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing 4/16 cells; random-gaussian vectors are the worst case
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+
   test("nearestNeighbors emits one row per vector") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     val got = Similarity.nearestNeighbors(emb, "vec_id", "embedding")
