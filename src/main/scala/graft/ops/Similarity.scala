@@ -162,9 +162,16 @@ object Similarity {
         x => graft.core.WeightedMoments.safeDiv(x, norm(toDouble(col(vecCol))))).as("__nv__"))
 
     // coarse quantizer: KMeans on the normalized vectors (euclidean argmin
-    // on unit vectors ≡ cosine argmax)
-    val trainDf = prepped.select(array_to_vector(col("__nv__")).as("features"))
+    // on unit vectors ≡ cosine argmax). Trained on a bounded sample packed
+    // into one cached partition — quantizer quality needs only a sample,
+    // and per-iteration job overhead on many tiny partitions would
+    // otherwise dominate the fit.
+    val maxTrainRows = 20000
+    val trainDf = prepped.limit(maxTrainRows) // bounded w/o a counting job
+      .select(array_to_vector(col("__nv__")).as("features"))
+      .coalesce(1).cache()
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(trainDf)
+    trainDf.unpersist()
     val centroids = model.clusterCenters.map { c =>
       val arr = c.toArray
       val n = math.sqrt(arr.map(x => x * x).sum)
