@@ -196,6 +196,19 @@ object SparkEntry {
     "q31_weighted_median" -> ((s, dir) =>
       wli(s, dir).select("l_returnflag", "l_extendedprice")
         .groupBy("l_returnflag").quantile("l_extendedprice", 0.5)),
+    // rolling weighted mean per key over an ordered 5-row frame
+    "q33_rolling_mean" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = table(s, dir, "events")
+        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
+        .select("event_type", "event_id", "value", "w")
+      val wdf = WeightedDataFrame.wt(e, "w")
+      graft.core.WeightedRolling.rolling(wdf, "event_id", Seq("event_type"), 5)
+        .mean().orderBy("event_type", "event_id")
+    }),
+    // pairwise weighted covariance, long format
+    "q34_cov" -> ((s, dir) =>
+      wli(s, dir).select(corrCols: _*).cov().orderBy("col_x", "col_y")),
 
     // ---- training-data-pipeline operators (beyond-reference scope) ----
 
@@ -364,6 +377,20 @@ object SparkEntry {
         |sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM r)
         |SELECT l_returnflag, min(v) AS l_extendedprice FROM c
         |WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q33_rolling_mean" ->
+      """SELECT event_type, event_id,
+        |CASE WHEN sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) OVER win = 0 THEN NULL
+        |ELSE sum(value * w) OVER win / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) OVER win END AS value
+        |FROM (SELECT event_type, event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
+        |WINDOW win AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin.replace("\n", " "),
+    "q34_cov" -> {
+      val selects = for { x <- corrCols; y <- corrCols } yield
+        s"""SELECT '$x' AS col_x, '$y' AS col_y,
+           |CASE WHEN sw <= 1 THEN NULL ELSE ((sxy - sx * sy / sw) / (sw - 1)) END AS cov
+           |FROM (SELECT ${sqlCorrMoments(x, y, W)} FROM lineitem)""".stripMargin.replace("\n", " ")
+      selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_x, col_y")
+    },
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY keep_id""".stripMargin.replace("\n", " "),

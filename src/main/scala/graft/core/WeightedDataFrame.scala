@@ -81,13 +81,21 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     */
   def corr(minPeriods: Int = 1, ddof: Int = 1, method: String = "pearson"): DataFrame = {
     requirePearson(method)
+    pairwise("corr", (x, y) => WeightedMoments.corrExpr(x, y, w, ddof, minPeriods))
+  }
+
+  /** Pairwise weighted covariance, long format `(col_x, col_y, cov)` —
+    * reference future work (README.md:311-317), same single-pass shape. */
+  def cov(ddof: Int = 1): DataFrame =
+    pairwise("cov", (x, y) => WeightedMoments.covExpr(x, y, w, ddof))
+
+  private def pairwise(name: String, f: (Column, Column) => Column): DataFrame = {
     val cols = numericCols
     val cells = for { x <- cols; y <- cols } yield
-      struct(lit(x).as("col_x"), lit(y).as("col_y"),
-        WeightedMoments.corrExpr(col(x), col(y), w, ddof, minPeriods).as("corr"))
+      struct(lit(x).as("col_x"), lit(y).as("col_y"), f(col(x), col(y)).as(name))
     agg1(Seq(array(cells: _*).as("cells")))
       .select(explode(col("cells")).as("cell"))
-      .select(col("cell.col_x"), col("cell.col_y"), col("cell.corr"))
+      .select(col("cell.col_x"), col("cell.col_y"), col(s"cell.$name"))
   }
 
   /** Local k×k correlation matrix for API parity with the reference's

@@ -87,6 +87,20 @@ object WeightedMoments {
   def stdExpr(c: Column, w: Column, ddof: Int = 1, skipna: Boolean = true): Column =
     sqrt(varExpr(c, w, ddof, skipna))
 
+  /** Weighted covariance of a pair under the joint-validity mask — the
+    * `cov` piece of `_stats.py:62-66` exposed standalone (the reference
+    * README lists covariance as future work; same guards as corr). */
+  def covExpr(x: Column, y: Column, w: Column, ddof: Int = 1): Column = {
+    val valid = x.isNotNull && y.isNotNull && w.isNotNull
+    def m(e: Column): Column = sum(when(valid, e).otherwise(nullD))
+    val sw  = coalesce(sum(when(valid, w).otherwise(lit(0.0))), lit(0.0))
+    val sx  = m(x * w)
+    val sy  = m(y * w)
+    val sxy = m(x * y * w)
+    when(sw <= lit(ddof.toDouble) || isnan(sw), nullD)
+      .otherwise(safeDiv(sxy - safeDiv(sx * sy, sw), sw - lit(ddof.toDouble)))
+  }
+
   /** Weighted Pearson correlation of a column pair under a joint-validity
     * mask — `_stats.py:36-73`, including every guard:
     *   - fewer than `minPeriods` valid (unweighted) rows → NULL (l.45)

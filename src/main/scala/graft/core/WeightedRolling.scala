@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Weighted rolling / expanding windows — the reference README's stated
+  * future work (README.md:311-317), built from the exact same moment
+  * kernels as the batch aggregates, applied `.over()` an ordered row frame.
+  *
+  * Scale shape: one shuffle on the partition keys, then a per-partition
+  * sort; every aggregate for a row is computed incrementally by Spark's
+  * WindowExec over the sliding frame. Unpartitioned rolling over a single
+  * global order is refused — a single-partition window cannot scale.
+  */
+final class WeightedRolling private[core] (
+    wdf: WeightedDataFrame,
+    orderCol: String,
+    partitionKeys: Seq[String],
+    frameRows: Option[Int]) { // None → expanding from the frame start
+
+  require(partitionKeys.nonEmpty,
+    "rolling without partition keys serializes into one task; partition first " +
+      "(pandas' global-order rolling has no distributed analogue)")
+
+  private def spec: WindowSpec = {
+    val base = Window.partitionBy(partitionKeys.map(col): _*).orderBy(col(orderCol))
+    frameRows match {
+      case Some(n) => base.rowsBetween(-(n - 1L), Window.currentRow)
+      case None    => base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+  }
+
+  private def w: Column = wdf.w
+  private def aggCols: Seq[String] =
+    wdf.numericCols.filterNot(c => partitionKeys.contains(c) || c == orderCol)
+
+  private def run(expr: String => Column): DataFrame =
+    wdf.df.select(
+      (partitionKeys :+ orderCol).map(col) ++
+        aggCols.map(c => expr(c).as(c)): _*)
+
+  def count(skipna: Boolean = true): DataFrame = run { c =>
+    // this.sum(minCount) shadows functions.sum — qualify explicitly
+    val e =
+      if (skipna) org.apache.spark.sql.functions.sum(when(col(c).isNotNull, w).otherwise(lit(0.0)))
+      else org.apache.spark.sql.functions.sum(w)
+    coalesce(e.over(spec), lit(0.0))
+  }
+
+  def sum(minCount: Int = 0): DataFrame = run { c =>
+    val s = org.apache.spark.sql.functions.sum(col(c) * w).over(spec)
+    if (minCount <= 0) coalesce(s, lit(0.0)) else s
+  }
+
+  def mean(skipna: Boolean = true): DataFrame = run { c =>
+    val s = org.apache.spark.sql.functions.sum(col(c) * w).over(spec)
+    val n = (if (skipna) org.apache.spark.sql.functions.sum(
+      when(col(c).isNotNull, w).otherwise(lit(0.0)))
+    else org.apache.spark.sql.functions.sum(w)).over(spec)
+    WeightedMoments.safeDiv(s, n)
+  }
+
+  def variance(ddof: Int = 1, skipna: Boolean = true): DataFrame = run { c =>
+    val s = org.apache.spark.sql.functions.sum(col(c) * w).over(spec)
+    val q = org.apache.spark.sql.functions.sum(col(c) * col(c) * w).over(spec)
+    val n = (if (skipna) org.apache.spark.sql.functions.sum(
+      when(col(c).isNotNull, w).otherwise(lit(0.0)))
+    else org.apache.spark.sql.functions.sum(w)).over(spec)
+    WeightedMoments.safeDiv(q - WeightedMoments.safeDiv(s * s, n), n - lit(ddof.toDouble))
+  }
+
+  def std(ddof: Int = 1, skipna: Boolean = true): DataFrame = {
+    val v = variance(ddof, skipna)
+    v.select((partitionKeys :+ orderCol).map(col) ++
+      aggCols.map(c => sqrt(col(c)).as(c)): _*)
+  }
+}
+
+object WeightedRolling {
+  /** Rolling window of `n` rows per partition key, ordered by `orderCol`. */
+  def rolling(wdf: WeightedDataFrame, orderCol: String, keys: Seq[String], n: Int): WeightedRolling = {
+    require(n >= 1)
+    new WeightedRolling(wdf, orderCol, keys, Some(n))
+  }
+
+  /** Expanding window (cumulative) per partition key. */
+  def expanding(wdf: WeightedDataFrame, orderCol: String, keys: Seq[String]): WeightedRolling =
+    new WeightedRolling(wdf, orderCol, keys, None)
+}
