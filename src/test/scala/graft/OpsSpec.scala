@@ -121,6 +121,13 @@ class DedupSpec extends SparkSpecBase {
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("dot_product registers for SQL use (SparkSessionExtensions path)") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("cosine on hand vectors") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
       .toDF("a", "b")
