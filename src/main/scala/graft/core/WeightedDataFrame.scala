@@ -43,10 +43,12 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     * them; they never reach `weighted()` in practice). Pure projection —
     * Catalyst collapses it into downstream aggregates, no materialization.
     */
+  private def nc(c: String): Column = WeightedDataFrame.numericCol(df, c)
+
   def weighted(): DataFrame = {
     val ns = numericSet
     df.select(valueCols.map { c =>
-      if (ns(c)) (col(c) * w).as(c) else col(c)
+      if (ns(c)) (nc(c) * w).as(c) else col(c)
     }: _*)
   }
 
@@ -59,19 +61,19 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
 
   /** Weighted sum per numeric column — `frame.py:215-220`. */
   def sum(minCount: Int = 0): DataFrame =
-    agg1(numericCols.map(c => WeightedMoments.wSum(col(c), w, minCount).as(c)))
+    agg1(numericCols.map(c => WeightedMoments.wSum(nc(c), w, minCount).as(c)))
 
   /** Weighted mean per numeric column — `frame.py:222-229`. */
   def mean(skipna: Boolean = true): DataFrame =
-    agg1(numericCols.map(c => WeightedMoments.meanExpr(col(c), w, skipna).as(c)))
+    agg1(numericCols.map(c => WeightedMoments.meanExpr(nc(c), w, skipna).as(c)))
 
   /** Weighted variance per numeric column — `frame.py:231-241`. */
   def variance(ddof: Int = 1, skipna: Boolean = true): DataFrame =
-    agg1(numericCols.map(c => WeightedMoments.varExpr(col(c), w, ddof, skipna).as(c)))
+    agg1(numericCols.map(c => WeightedMoments.varExpr(nc(c), w, ddof, skipna).as(c)))
 
   /** Weighted standard deviation per numeric column — `frame.py:243-251`. */
   def std(ddof: Int = 1, skipna: Boolean = true): DataFrame =
-    agg1(numericCols.map(c => WeightedMoments.stdExpr(col(c), w, ddof, skipna).as(c)))
+    agg1(numericCols.map(c => WeightedMoments.stdExpr(nc(c), w, ddof, skipna).as(c)))
 
   /** Pairwise weighted Pearson correlation over numeric columns, long format
     * `(col_x, col_y, corr)` with all k² cells — `frame.py:253-285`. One
@@ -92,7 +94,7 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
   private def pairwise(name: String, f: (Column, Column) => Column): DataFrame = {
     val cols = numericCols
     val cells = for { x <- cols; y <- cols } yield
-      struct(lit(x).as("col_x"), lit(y).as("col_y"), f(col(x), col(y)).as(name))
+      struct(lit(x).as("col_x"), lit(y).as("col_y"), f(nc(x), nc(y)).as(name))
     agg1(Seq(array(cells: _*).as("cells")))
       .select(explode(col("cells")).as("cell"))
       .select(col("cell.col_x"), col("cell.col_y"), col(s"cell.$name"))
@@ -128,10 +130,10 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     * aggregate over `c*w`; the result is one column per input column.
     */
   def applyAgg(f: Column => Column): DataFrame =
-    agg1(numericCols.map(c => f(col(c) * w).as(c)))
+    agg1(numericCols.map(c => f(nc(c) * w).as(c)))
 
   def applyRows(f: Column => Column): DataFrame =
-    df.select(numericCols.map(c => f(col(c) * w).as(c)): _*)
+    df.select(numericCols.map(c => f(nc(c) * w).as(c)): _*)
 }
 
 object WeightedDataFrame {
@@ -143,6 +145,15 @@ object WeightedDataFrame {
     case _: NumericType | BooleanType => true
     case _ => false
   }
+
+  /** Numeric view of a column: booleans count as 1/0 like pandas'
+    * `select_dtypes(include=["number","bool"])` semantics (`frame.py:268`) —
+    * Spark's binary arithmetic rejects BOOLEAN operands outright. */
+  private[core] def numericCol(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case BooleanType => col(name).cast(DoubleType)
+      case _           => col(name)
+    }
 
   /** Normalize NaN → NULL on a floating-point column so SQL NULL is the
     * engine's single missing-value representation (SURVEY §1.2). */

@@ -23,6 +23,8 @@ final class WeightedGroupBy private[core] (
 
   private def w: Column = wdf.w
 
+  private def nc(c: String): Column = WeightedDataFrame.numericCol(wdf.df, c)
+
   /** Group keys are excluded from aggregated columns — the reference's
     * `_groupby.exclusions` (`frame.py:485-487,498-500`). */
   private def aggCols: Seq[String] = wdf.valueCols.filterNot(keys.contains)
@@ -45,19 +47,19 @@ final class WeightedGroupBy private[core] (
 
   /** Per-group weighted sum, numeric columns — `frame.py:534-566`. */
   def sum(minCount: Int = 0): DataFrame =
-    run(numericAggCols, c => WeightedMoments.wSum(col(c), w, minCount))
+    run(numericAggCols, c => WeightedMoments.wSum(nc(c), w, minCount))
 
   /** Per-group weighted mean — `frame.py:568-584`. */
   def mean(skipna: Boolean = true): DataFrame =
-    run(numericAggCols, c => WeightedMoments.meanExpr(col(c), w, skipna))
+    run(numericAggCols, c => WeightedMoments.meanExpr(nc(c), w, skipna))
 
   /** Per-group weighted variance — `frame.py:586-611`, one pass not three. */
   def variance(ddof: Int = 1, skipna: Boolean = true): DataFrame =
-    run(numericAggCols, c => WeightedMoments.varExpr(col(c), w, ddof, skipna))
+    run(numericAggCols, c => WeightedMoments.varExpr(nc(c), w, ddof, skipna))
 
   /** Per-group weighted standard deviation — `frame.py:613-628`. */
   def std(ddof: Int = 1, skipna: Boolean = true): DataFrame =
-    run(numericAggCols, c => WeightedMoments.stdExpr(col(c), w, ddof, skipna))
+    run(numericAggCols, c => WeightedMoments.stdExpr(nc(c), w, ddof, skipna))
 
   /** Per-group pairwise weighted Pearson, long format
     * `(keys…, col_x, col_y, corr)` — `frame.py:630-660`. One shuffle total
@@ -68,7 +70,7 @@ final class WeightedGroupBy private[core] (
     val cols = numericAggCols
     val cells = for { x <- cols; y <- cols } yield
       struct(lit(x).as("col_x"), lit(y).as("col_y"),
-        WeightedMoments.corrExpr(col(x), col(y), w, ddof, minPeriods).as("corr"))
+        WeightedMoments.corrExpr(nc(x), nc(y), w, ddof, minPeriods).as("corr"))
     val agged = base.groupBy(keys.map(col): _*).agg(array(cells: _*).as("cells"))
     val out = agged
       .select(keys.map(col) :+ explode(col("cells")).as("cell"): _*)
@@ -92,7 +94,7 @@ final class WeightedGroupBy private[core] (
     * `wdf.df.groupByKey(...).flatMapGroups` directly.
     */
   def applyAgg(f: Column => Column): DataFrame =
-    run(numericAggCols, c => f(col(c) * w))
+    run(numericAggCols, c => f(nc(c) * w))
 
   /** Weighted quantile per group (lower interpolation): smallest value v
     * such that the cumulative weight through v reaches `q`·Σw. Natural
@@ -133,7 +135,7 @@ final class WeightedGroupBy private[core] (
       f: (K, Iterator[org.apache.spark.sql.Row]) => IterableOnce[T]): org.apache.spark.sql.Dataset[T] = {
     val ns = numericAggCols.toSet // keys pass through unweighted (exclusions)
     val weightedRows = base.select(weightedSchema.map { c =>
-      if (ns(c)) (col(c) * w).as(c) else col(c)
+      if (ns(c)) (nc(c) * w).as(c) else col(c)
     }: _*)
     weightedRows.groupByKey(keyFn).flatMapGroups((k, it) => f(k, it).iterator)
   }

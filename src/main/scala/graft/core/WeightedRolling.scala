@@ -32,6 +32,7 @@ final class WeightedRolling private[core] (
   }
 
   private def w: Column = wdf.w
+  private def nc(c: String): Column = WeightedDataFrame.numericCol(wdf.df, c)
   private def aggCols: Seq[String] =
     wdf.numericCols.filterNot(c => partitionKeys.contains(c) || c == orderCol)
 
@@ -49,12 +50,12 @@ final class WeightedRolling private[core] (
   }
 
   def sum(minCount: Int = 0): DataFrame = run { c =>
-    val s = org.apache.spark.sql.functions.sum(col(c) * w).over(spec)
+    val s = org.apache.spark.sql.functions.sum(nc(c) * w).over(spec)
     if (minCount <= 0) coalesce(s, lit(0.0)) else s
   }
 
   def mean(skipna: Boolean = true): DataFrame = run { c =>
-    val s = org.apache.spark.sql.functions.sum(col(c) * w).over(spec)
+    val s = org.apache.spark.sql.functions.sum(nc(c) * w).over(spec)
     val n = (if (skipna) org.apache.spark.sql.functions.sum(
       when(col(c).isNotNull, w).otherwise(lit(0.0)))
     else org.apache.spark.sql.functions.sum(w)).over(spec)
@@ -62,8 +63,8 @@ final class WeightedRolling private[core] (
   }
 
   def variance(ddof: Int = 1, skipna: Boolean = true): DataFrame = run { c =>
-    val s = org.apache.spark.sql.functions.sum(col(c) * w).over(spec)
-    val q = org.apache.spark.sql.functions.sum(col(c) * col(c) * w).over(spec)
+    val s = org.apache.spark.sql.functions.sum(nc(c) * w).over(spec)
+    val q = org.apache.spark.sql.functions.sum(nc(c) * nc(c) * w).over(spec)
     val n = (if (skipna) org.apache.spark.sql.functions.sum(
       when(col(c).isNotNull, w).otherwise(lit(0.0)))
     else org.apache.spark.sql.functions.sum(w)).over(spec)

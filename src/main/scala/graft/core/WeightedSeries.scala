@@ -32,7 +32,7 @@ final class WeightedSeries private (
   }
 
   private def series = wdf.select((indexCols :+ valueCol): _*)
-  private def c: Column = col(valueCol)
+  private def c: Column = WeightedDataFrame.numericCol(wdf.df, valueCol)
   private def w: Column = wdf.w
 
   /** `series.py:99-107` — the weighted values (with index columns). */

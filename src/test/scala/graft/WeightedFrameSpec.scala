@@ -104,6 +104,21 @@ class WeightedFrameSpec extends SparkSpecBase {
     assert(got("Value").contains(90.0))
   }
 
+  test("boolean columns aggregate as 1/0 (select_dtypes number+bool, frame.py:268)") {
+    val d = Seq((true, 1.0), (false, 2.0), (true, 3.0)).toDF("b", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    val s = oneRow(wdf.sum())
+    assert(s("b").contains(4.0)) // 1*1 + 0*2 + 1*3
+    val m = oneRow(wdf.mean())
+    assertApprox(m("b"), Some(4.0 / 6.0), 1e-12)
+    val grouped = Seq(("A", true, 1.0), ("A", false, 2.0), ("B", true, 3.0))
+      .toDF("g", "b", "weights")
+    val gm = WeightedDataFrame.wt(grouped, "weights").groupBy("g").mean()
+      .collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+    assertApprox(gm("A"), Some(1.0 / 3.0), 1e-12)
+    assert(gm("B").contains(1.0))
+  }
+
   test("corr(method != pearson) raises (test_frame.py:412-416)") {
     intercept[NotImplementedError] {
       WeightedDataFrame.wt(df, "weights").corr(method = "kendall")
