@@ -37,7 +37,8 @@ object Dedup {
     array_sort(array_distinct(TextAnalysis.tokens(c)))
 
   def tokenSet(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    exactGroups(df, tokenSetKey(col(textCol)).cast("string"), idCol)
+    exactGroups(df, tokenSetKey(col(textCol)), idCol) // group by the array itself —
+  // a string-cast key could collide for tokens containing the separator
 
   /** Distinct word n-gram shingles (n=1 → distinct tokens). */
   def shingles(c: Column, n: Int): Column = {

@@ -124,4 +124,18 @@ class WeightedFrameSpec extends SparkSpecBase {
       WeightedDataFrame.wt(df, "weights").corr(method = "kendall")
     }
   }
+
+  test("wt with a missing weights column fails fast (frame.py:103 KeyError parity)") {
+    val e = intercept[IllegalArgumentException] {
+      WeightedDataFrame.wt(df, "nope")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("sum min_count > 1 (generalized pandas min_count)") {
+    val d = Seq(Some(1.0), Some(2.0), None: Option[Double]).toDF("A")
+    val wdf = WeightedDataFrame.wt(d, Seq(0.5, 1.5, 2.0))
+    assert(oneRow(wdf.sum(minCount = 2))("A").contains(3.5)) // 2 valid pairs
+    assert(oneRow(wdf.sum(minCount = 3))("A").isEmpty)       // only 2 valid
+  }
 }
