@@ -225,6 +225,13 @@ object SparkEntry {
       Dedup.minhashDedup(table(s, dir, "documents"), "text", "doc_id",
         shingleSize = 1, numHashes = 32, bandRows = 8, threshold = 1.0)
         .orderBy("doc_a", "doc_b")),
+    // deduplicated corpus under keep-first policy (exact + token-set)
+    "q35_drop_exact" -> ((s, dir) =>
+      Dedup.dropExact(table(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
+    "q36_drop_neardup" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(table(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")),
     // SimHash near-dup pairs (hash-dependent — rows-only check)
     "q23_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), "text", "doc_id",
@@ -398,6 +405,15 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+')))
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
+    "q35_drop_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q36_drop_neardup" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents
+        |GROUP BY list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))))
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q22_dedup_minhash" ->
       """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

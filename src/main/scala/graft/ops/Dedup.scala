@@ -31,6 +31,28 @@ object Dedup {
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exactGroups(df, col(textCol), idCol)
 
+  /** The deduplicated corpus under a keep-first (minimum id) policy: one
+    * surviving row per distinct key. A single groupBy + semi-join — the
+    * "give me the clean dataset" counterpart of [[exactGroups]]. */
+  def dropDuplicatesByKey(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
+    val keep = df.groupBy(keyExpr.as("__key__")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Drop byte-identical duplicate texts (keep lowest id). */
+  def dropExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    dropDuplicatesByKey(df, col(textCol), idCol)
+
+  /** Drop near-duplicates: every doc whose token-set (shingle-set) already
+    * appeared under a lower id is removed. Equivalent to keep-first over
+    * [[tokenSetKey]] groups; for sub-identical thresholds use
+    * [[minhashDedup]] pairs with a caller-chosen keep policy. */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String, shingleSize: Int = 1): DataFrame =
+    dropDuplicatesByKey(df, array_sort(shingles(col(textCol), shingleSize)), idCol)
+  // array_sort: shingles() preserves occurrence order, which would make
+  // reordered duplicates distinct keys
+
   /** Normalized token-set key: order- and multiplicity-insensitive content
     * identity — catches shuffled/repeated-word duplicates. */
   def tokenSetKey(c: Column): Column =

@@ -70,6 +70,15 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Seq((0L, 3L), (3L, 1L), (4L, 1L)))
   }
 
+  test("dropExact / dropNearDuplicates keep-first policies") {
+    val kept = Dedup.dropExact(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L, 4L)) // 1 is a byte-dup of 0
+    val keptNear = Dedup.dropNearDuplicates(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNear == Set(0L, 3L, 4L)) // 1 and 2 share 0's token set
+  }
+
   test("shingles and jaccard") {
     val df = Seq((0L, "a b c d"), (1L, "b c d e")).toDF("id", "t")
     val sh3 = df.select(Dedup.shingles(col("t"), 3).as("s")).orderBy("s")
