@@ -223,19 +223,26 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
-    * pigeonhole banding on four 16-bit chunks (hd ≤ 3 ⇒ some chunk equal);
-    * verified with `bit_count(xor)`. */
+    * pigeonhole banding on `maxHamming + 1` chunks (hd ≤ m over m+1 chunks
+    * ⇒ at least one chunk is untouched, so recall is exactly 1); candidate
+    * pairs verified with `bit_count(xor)`. */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleSize: Int = 1,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
     val withSim = simhashTable(df, textCol, idCol, shingleSize)
     val chunked = withSim.select(col("__id__"), col("__sim__"),
-      explode(array((0 until 4).map { ch =>
+      explode(array((0 until nChunks).map { ch =>
+        val lo = ch * width
+        val bits = math.min(width, 64 - lo)
+        val mask = if (bits >= 64) -1L else (1L << bits) - 1L
         struct(lit(ch).as("chunk"),
-          shiftright(col("__sim__"), ch * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col("__sim__"), lo).bitwiseAND(mask).as("key"))
       }: _*)).as("ck"))
       .select(col("__id__"), col("__sim__"), col("ck.chunk"), col("ck.key"))
     val l = chunked.select(col("chunk"), col("key"), col("__id__").as("doc_a"), col("__sim__").as("sim_a"))

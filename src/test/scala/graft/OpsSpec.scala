@@ -118,6 +118,16 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash generalized chunking keeps full recall at larger hamming radii") {
+    // maxHamming=7 → 8 chunks of 8 bits; identical-set pairs must still hit
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", shingleSize = 1, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) && got.contains((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 64)
+    }
+  }
+
   test("char n-gram jaccard over explicit pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
     val got = Dedup.ngramJaccardForPairs(pairs, docs, "text", "doc_id", n = 3)

@@ -29,6 +29,20 @@ class RollingCovSpec extends SparkSpecBase {
     assert(means(("A", 4L)).contains(4.0))
   }
 
+  test("rolling count and std") {
+    val wdf = WeightedDataFrame.wt(df, "w")
+    val roll = WeightedRolling.rolling(wdf, "i", Seq("k"), 2)
+    val cnt = collectKI(roll.count())
+    assert(cnt(("A", 2L)).contains(3.0))  // w1 + w2
+    assert(cnt(("A", 3L)).contains(2.0))  // null value skipped → only w2
+    val cntN = collectKI(roll.count(skipna = false))
+    assert(cntN(("A", 3L)).contains(5.0)) // 2 + 3 regardless of null
+    // std over frame rows 1-2 of A: values 1(w1), 2(w2): S=5, Q=9, W=3
+    // var = (9 - 25/3)/2 = 1/3
+    val std = collectKI(roll.std())
+    assertApprox(std(("A", 2L)), Some(math.sqrt(1.0 / 3.0)), 1e-12)
+  }
+
   test("expanding weighted mean is cumulative") {
     val wdf = WeightedDataFrame.wt(df, "w")
     val exp = WeightedRolling.expanding(wdf, "i", Seq("k"))
