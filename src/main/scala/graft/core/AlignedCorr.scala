@@ -29,9 +29,11 @@ object AlignedCorr {
       ddof: Int = 1,
       minPeriods: Int = 1): DataFrame = {
     val l = left.df.select((on :+ leftVal :+ left.weightName).map(col): _*)
-    val r = right.select((on :+ rightVal).map(col): _*)
+    val r = right.select((on :+ rightVal).map(c =>
+      WeightedDataFrame.numericCol(right, c).as(c)): _*)
     val j = l.join(r, on, "inner")
-    j.agg(WeightedMoments.corrExpr(col(leftVal), col(rightVal), col(left.weightName),
+    j.agg(WeightedMoments.corrExpr(
+      WeightedDataFrame.numericCol(left.df, leftVal), col(rightVal), col(left.weightName),
       ddof, minPeriods).as("corr"))
   }
 
@@ -54,10 +56,12 @@ object AlignedCorr {
       ddof: Int = 1,
       minPeriods: Int = 1): DataFrame = {
     val l = left.df.select((keys ++ on ++ Seq(leftVal, left.weightName)).distinct.map(col): _*)
-    val r = right.select((on :+ rightVal).map(col): _*)
+    val r = right.select((on :+ rightVal).map(c =>
+      WeightedDataFrame.numericCol(right, c).as(c)): _*)
     val j = l.join(r, on, "left")
     j.groupBy(keys.map(col): _*)
-      .agg(WeightedMoments.corrExpr(col(leftVal), col(rightVal), col(left.weightName),
+      .agg(WeightedMoments.corrExpr(
+        WeightedDataFrame.numericCol(left.df, leftVal), col(rightVal), col(left.weightName),
         ddof, minPeriods).as("corr"))
       .orderBy(keys.map(col): _*)
   }
