@@ -54,8 +54,11 @@ object AlignedCorr {
       rightVal: String,
       on: Seq[String],
       ddof: Int = 1,
-      minPeriods: Int = 1): DataFrame = {
-    val l = left.df.select((keys ++ on ++ Seq(leftVal, left.weightName)).distinct.map(col): _*)
+      minPeriods: Int = 1,
+      dropna: Boolean = true): DataFrame = {
+    val l0 = left.df.select((keys ++ on ++ Seq(leftVal, left.weightName)).distinct.map(col): _*)
+    // pandas groupby default dropna=True: NULL-key rows form no group
+    val l = if (dropna) l0.where(keys.map(col(_).isNotNull).reduce(_ && _)) else l0
     val r = right.select((on :+ rightVal).map(c =>
       WeightedDataFrame.numericCol(right, c).as(c)): _*)
     val j = l.join(r, on, "left")

@@ -52,8 +52,10 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     }: _*)
   }
 
-  private def agg1(exprs: Seq[Column]): DataFrame =
+  private def agg1(exprs: Seq[Column]): DataFrame = {
+    require(exprs.nonEmpty, "no aggregable columns (frame has no numeric value columns)")
     df.agg(exprs.head, exprs.tail: _*)
+  }
 
   /** Weighted count per column (all columns, any dtype) — `frame.py:189-213`. */
   def count(skipna: Boolean = true): DataFrame =
@@ -191,6 +193,9 @@ object WeightedDataFrame {
     */
   def wt(df: DataFrame, weights: Seq[Double], naWeight: Option[Double]): WeightedDataFrame = {
     require(!df.columns.contains(WeightCol), s"column name $WeightCol is reserved")
+    val n = df.count() // small/test path by contract; mismatch must raise like pandas
+    require(n == weights.length,
+      s"weights length ${weights.length} does not match row count $n")
     val spark = df.sparkSession
     val wArr = weights.toArray
     val schema = df.schema.add(WeightCol, DoubleType)

@@ -36,6 +36,8 @@ final class WeightedGroupBy private[core] (
   }
 
   private def run(cols: Seq[String], expr: String => Column): DataFrame = {
+    require(cols.nonEmpty,
+      s"no aggregable columns: every value column is a group key or non-numeric (keys=$keys)")
     val out = base.groupBy(keys.map(col): _*).agg(expr(cols.head).as(cols.head),
       cols.tail.map(c => expr(c).as(c)): _*)
     if (sort) out.orderBy(keys.map(col): _*) else out
@@ -151,7 +153,8 @@ final class WeightedGroupBy private[core] (
     val ks = groupKeys().collect().iterator
     ks.map { row =>
       val kvs = keys.zipWithIndex.map { case (k, i) => k -> row.get(i) }
-      val cond = kvs.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+      // <=> not ===: with dropna=false a NULL key group must match its rows
+      val cond = kvs.map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _)
       (kvs.map(_._2), new WeightedDataFrame(wdf.df.where(cond), wdf.weightName))
     }
   }

@@ -51,7 +51,13 @@ final class WeightedRolling private[core] (
 
   def sum(minCount: Int = 0): DataFrame = run { c =>
     val s = org.apache.spark.sql.functions.sum(nc(c) * w).over(spec)
-    if (minCount <= 0) coalesce(s, lit(0.0)) else s
+    if (minCount <= 0) coalesce(s, lit(0.0))
+    else if (minCount == 1) s
+    else { // full pandas min_count semantics, like the batch kernel
+      val valid = org.apache.spark.sql.functions.sum(
+        when(col(c).isNotNull && w.isNotNull, 1L).otherwise(0L)).over(spec)
+      when(valid < minCount, lit(null).cast("double")).otherwise(s)
+    }
   }
 
   def mean(skipna: Boolean = true): DataFrame = run { c =>

@@ -62,19 +62,27 @@ object Dedup {
     exactGroups(df, tokenSetKey(col(textCol)), idCol) // group by the array itself —
   // a string-cast key could collide for tokens containing the separator
 
-  /** Distinct word n-gram shingles (n=1 → distinct tokens). */
+  /** Distinct word n-gram shingles (n=1 → distinct tokens). Documents with
+    * fewer than n tokens yield an empty array (an unguarded
+    * `sequence(0, size-n)` would go descending for short docs and crash
+    * `slice` at runtime). */
   def shingles(c: Column, n: Int): Column = {
     require(n >= 1)
     val toks = TextAnalysis.tokens(c)
     if (n == 1) array_distinct(toks)
-    else array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    else
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Exact Jaccard similarity of two shingle arrays. */
+  /** Exact Jaccard similarity of two shingle arrays; NULL when both are
+    * empty (0/0 — ANSI-safe). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.core.WeightedMoments.safeDiv(
+      size(array_intersect(a, b)).cast("double"),
+      size(array_union(a, b)).cast("double"))
 
   /** k-permutation MinHash signature of a shingle array: one xxhash64 family
     * member per seed, `array_min` over the shingles. Pure expression form —
@@ -234,12 +242,15 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
     val nChunks = maxHamming + 1
-    val width = (64 + nChunks - 1) / nChunks
+    // partition the 64 bits into exactly nChunks non-empty ranges via
+    // integer boundaries (a fixed chunk width would overshoot 64 bits for
+    // many nChunks values, producing degenerate all-zero band keys)
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
     val withSim = simhashTable(df, textCol, idCol, shingleSize)
     val chunked = withSim.select(col("__id__"), col("__sim__"),
       explode(array((0 until nChunks).map { ch =>
-        val lo = ch * width
-        val bits = math.min(width, 64 - lo)
+        val lo = bounds(ch)
+        val bits = bounds(ch + 1) - lo
         val mask = if (bits >= 64) -1L else (1L << bits) - 1L
         struct(lit(ch).as("chunk"),
           shiftright(col("__sim__"), lo).bitwiseAND(mask).as("key"))

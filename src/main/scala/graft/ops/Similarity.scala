@@ -48,17 +48,27 @@ object Similarity {
       vecCol: String,
       queryPred: Column,
       k: Int): DataFrame = {
-    // pre-normalize once per row so the join-side work is a pure dot product
-    val prepped = df.select(col(idCol).as("__id__"),
-      transform(toDouble(col(vecCol)),
-        x => graft.core.WeightedMoments.safeDiv(x, norm(toDouble(col(vecCol))))).as("__nv__"))
-    val q = prepped.where(queryPred)
-      .select(col("__id__").as("query_id"), col("__nv__").as("qv"))
-    val c = prepped.select(col("__id__").as("neighbor_id"), col("__nv__").as("nv"))
+    // carry a per-row norm scalar; per-ELEMENT normalization would evaluate
+    // the O(d) norm inside the transform lambda for every element (O(d²)),
+    // since HOF lambdas run interpreted and nothing hoists across them
+    val (q, c) = prepNorm(df, idCol, vecCol, queryPred)
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dot(col("qv"), col("nv")).as("sim"))
+        graft.core.WeightedMoments.safeDiv(
+          dot(col("qv"), col("nv")), col("qn") * col("nn")).as("sim"))
     topK(scored, k)
+  }
+
+  /** (queries, corpus) with raw double vectors + precomputed norms. */
+  private def prepNorm(df: DataFrame, idCol: String, vecCol: String, queryPred: Column)
+      : (DataFrame, DataFrame) = {
+    val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
+      .withColumn("__n__", norm(col("__v__")))
+    val q = prepped.where(queryPred)
+      .select(col("__id__").as("query_id"), col("__v__").as("qv"), col("__n__").as("qn"))
+    val c = prepped
+      .select(col("__id__").as("neighbor_id"), col("__v__").as("nv"), col("__n__").as("nn"))
+    (q, c)
   }
 
   /** Per-query top-k of a (query_id, neighbor_id, sim) set. k=1 uses a hash
@@ -117,20 +127,23 @@ object Similarity {
       seed: Long = 42L,
       maxProbe: Int = 2): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
-    val prepped = df.select(col(idCol).as("__id__"),
-      transform(toDouble(col(vecCol)),
-        x => graft.core.WeightedMoments.safeDiv(x, norm(toDouble(col(vecCol))))).as("__nv__"))
-      .withColumn("__bucket__", lshBucket(col("__nv__"), planes, nPlanes))
+    // raw vectors + norm scalar (sign bits are norm-invariant, so buckets
+    // come straight from the raw dot products)
+    val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
+      .withColumn("__n__", norm(col("__v__")))
+      .withColumn("__bucket__", lshBucket(col("__v__"), planes, nPlanes))
     val corpus = prepped.select(col("__bucket__").as("bucket"),
-      col("__id__").as("neighbor_id"), col("__nv__").as("nv"))
+      col("__id__").as("neighbor_id"), col("__v__").as("nv"), col("__n__").as("nn"))
     // queries probe their own bucket + every bucket within maxProbe bit flips
     val probes = array(probeMasks(nPlanes, maxProbe).map(lit): _*)
     val q = prepped.where(queryPred)
-      .select(col("__id__").as("query_id"), col("__nv__").as("qv"),
+      .select(col("__id__").as("query_id"), col("__v__").as("qv"), col("__n__").as("qn"),
         explode(transform(probes, f => col("__bucket__").bitwiseXOR(f))).as("bucket"))
     val scored = broadcast(q).join(corpus, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("nv")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.core.WeightedMoments.safeDiv(
+          dot(col("qv"), col("nv")), col("qn") * col("nn")).as("sim"))
       .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim")) // dedup multi-probe hits
     topK(scored, k)
   }
@@ -157,18 +170,21 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
 
-    val prepped = df.select(col(idCol).as("__id__"),
-      transform(toDouble(col(vecCol)),
-        x => graft.core.WeightedMoments.safeDiv(x, norm(toDouble(col(vecCol))))).as("__nv__"))
+    // raw vectors + norm scalar; centroid ARGMAX is norm-invariant per row,
+    // so assignment/probing use raw dots and only the final sim divides
+    val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
+      .withColumn("__n__", norm(col("__v__")))
 
-    // coarse quantizer: KMeans on the normalized vectors (euclidean argmin
-    // on unit vectors ≡ cosine argmax). Trained on a bounded sample packed
+    // coarse quantizer: KMeans on normalized vectors (euclidean argmin on
+    // unit vectors ≡ cosine argmax). Trained on a bounded sample packed
     // into one cached partition — quantizer quality needs only a sample,
     // and per-iteration job overhead on many tiny partitions would
-    // otherwise dominate the fit.
+    // otherwise dominate the fit. (Per-element normalization is O(d²) but
+    // runs on ≤ maxTrainRows sample rows only.)
     val maxTrainRows = 20000
     val trainDf = prepped.limit(maxTrainRows) // bounded w/o a counting job
-      .select(array_to_vector(col("__nv__")).as("features"))
+      .select(array_to_vector(transform(col("__v__"),
+        x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))).as("features"))
       .coalesce(1).cache()
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(trainDf)
     trainDf.unpersist()
@@ -180,21 +196,24 @@ object Similarity {
     val cm = typedlit(centroids)
 
     // per-row centroid scores; corpus keeps argmax cell, queries keep nProbe
-    def cellScores = array(centroids.indices.map(i => dot(col("__nv__"), cm.getItem(i))): _*)
+    def cellScores = array(centroids.indices.map(i => dot(col("__v__"), cm.getItem(i))): _*)
     val corpus = prepped
       .withColumn("cell", array_position(cellScores, array_max(cellScores)) - 1)
-      .select(col("cell"), col("__id__").as("neighbor_id"), col("__nv__").as("nv"))
+      .select(col("cell"), col("__id__").as("neighbor_id"),
+        col("__v__").as("nv"), col("__n__").as("nn"))
     val q = prepped.where(queryPred)
-      .select(col("__id__").as("query_id"), col("__nv__").as("qv"),
+      .select(col("__id__").as("query_id"), col("__v__").as("qv"), col("__n__").as("qn"),
         posexplode(cellScores).as(Seq("cell", "cscore")))
     val qProbes = q
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))))
       .where(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val scored = broadcast(qProbes).join(corpus, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("nv")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.core.WeightedMoments.safeDiv(
+          dot(col("qv"), col("nv")), col("qn") * col("nn")).as("sim"))
       .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
     topK(scored, k)
   }

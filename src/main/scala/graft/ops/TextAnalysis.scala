@@ -31,11 +31,14 @@ object TextAnalysis {
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpeTokenPattern))
 
+  // safeDiv: an empty document would otherwise divide by zero (ANSI throws)
   def alphaRatio(c: Column): Column =
-    length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") / length(c)
+    graft.core.WeightedMoments.safeDiv(
+      length(regexp_replace(c, "[^A-Za-z]", "")).cast("double"), length(c).cast("double"))
 
   def punctRatio(c: Column): Column =
-    length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / length(c)
+    graft.core.WeightedMoments.safeDiv(
+      length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double"), length(c).cast("double"))
 
   /** Occurrences of any marker of `lang` (all occurrences, not distinct). */
   def markerCount(c: Column, lang: String): Column = {
