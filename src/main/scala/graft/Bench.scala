@@ -5,6 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A warmup action first touches each input table so
   * JIT/classloading and OS page-cache costs don't land on the first query.
+  *
+  * The timed action is `queryExecution.toRdd.count()`, not `df.count()`:
+  * under `count(1)` Catalyst column-prunes the whole projection, so a query
+  * ending in a pure projection (regex features, window aggregates, array
+  * intersections) would never execute its expressions and the timing would
+  * measure a parquet row count. Executing the analyzed plan's own RDD runs
+  * the physical plan exactly as built. Failures are reported per query in an
+  * `errors` field instead of being swallowed as fast fake timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,22 +26,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch every input table + exercise codegen once
+    // warmup: touch every input table (events via testTable so the
+    // nanos-as-long flag is set before the first read) + codegen once
     Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      try graft.sources.Tables.testTable(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q04_mean")(spark, sfDir).count() catch { case _: Throwable => () }
+    try SparkEntry.queries("q04_mean")(spark, sfDir).queryExecution.toRdd.count()
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
