@@ -67,6 +67,10 @@ final class WeightedResampler private[core] (
   private def aggCols: Seq[String] = wdf.valueCols.filterNot(_ == on)
   private def numericAggCols: Seq[String] = wdf.numericCols.filterNot(_ == on)
 
+  /** Boolean columns count as 1/0 like the other aggregate drivers —
+    * Spark rejects boolean×double arithmetic outright. */
+  private def ncol(c: String): Column = WeightedDataFrame.numericCol(wdf.df, c)
+
   /** Rows tagged with their bucket start (epoch microseconds). */
   private def bucketed: DataFrame = {
     val df0 = wdf.df.where(col(on).isNotNull)
@@ -117,26 +121,26 @@ final class WeightedResampler private[core] (
   /** Weighted sum per bucket — `frame.py:407-413`. min_count=0 → empty
     * buckets 0.0; min_count≥1 → NULL. */
   def sum(minCount: Int = 0): DataFrame =
-    runAgg(numericAggCols, c => WeightedMoments.wSum(col(c), w, minCount),
+    runAgg(numericAggCols, c => WeightedMoments.wSum(ncol(c), w, minCount),
       if (minCount <= 0) Some(0.0) else None)
 
   /** Weighted mean per bucket — `frame.py:415-422`. Empty buckets NULL. */
   def mean(skipna: Boolean = true): DataFrame =
-    runAgg(numericAggCols, c => WeightedMoments.meanExpr(col(c), w, skipna), None)
+    runAgg(numericAggCols, c => WeightedMoments.meanExpr(ncol(c), w, skipna), None)
 
   /** Weighted variance per bucket — `frame.py:424-436`. */
   def variance(ddof: Int = 1, skipna: Boolean = true): DataFrame =
-    runAgg(numericAggCols, c => WeightedMoments.varExpr(col(c), w, ddof, skipna), None)
+    runAgg(numericAggCols, c => WeightedMoments.varExpr(ncol(c), w, ddof, skipna), None)
 
   /** Weighted standard deviation per bucket — `frame.py:438-446`. */
   def std(ddof: Int = 1, skipna: Boolean = true): DataFrame =
-    runAgg(numericAggCols, c => WeightedMoments.stdExpr(col(c), w, ddof, skipna), None)
+    runAgg(numericAggCols, c => WeightedMoments.stdExpr(ncol(c), w, ddof, skipna), None)
 
   /** All five aggregates for one value column in a single pass, bucket key
     * emitted as epoch seconds — the shape used by the oracle queries. */
   def summary(valueCol: String): DataFrame = {
     val b = bucketed
-    val c = col(valueCol)
+    val c = ncol(valueCol)
     val agged = b.groupBy(col(BucketCol)).agg(
       WeightedMoments.wCount(c, w).as("count_" + valueCol),
       WeightedMoments.wSum(c, w, 0).as("sum_" + valueCol),

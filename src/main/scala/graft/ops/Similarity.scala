@@ -79,10 +79,16 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val ranked =
       if (k == 1) {
+        // min-of-struct on (−sim, id): max sim first, ties to the smallest
+        // id — negating sim (always double) instead of the id keeps the
+        // fast path valid for string ids too. NULL sims sort worst, like
+        // the window path's `desc` (nulls-last) ordering.
+        val negSim = when(col("sim").isNotNull, -col("sim")).otherwise(lit(Double.MaxValue))
         scored
           .groupBy("query_id")
-          .agg(max(struct(col("sim"), -col("neighbor_id"))).as("best"))
-          .select(col("query_id"), (-col("best.col2")).as("neighbor_id"),
+          .agg(min(struct(negSim.as("negsim"), col("neighbor_id").as("neighbor_id"),
+            col("sim").as("sim"))).as("best"))
+          .select(col("query_id"), col("best.neighbor_id").as("neighbor_id"),
             lit(1).as("rank"), col("best.sim").as("sim"))
       } else {
         val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
