@@ -42,7 +42,8 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ')
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }

@@ -136,6 +136,34 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
 
   def applyRows(f: Column => Column): DataFrame =
     df.select(numericCols.map(c => f(nc(c) * w).as(c)): _*)
+
+  /** Arbitrary-callable frame `apply` — the parity path for the reference's
+    * axis=0 `apply` with a function no expression can build
+    * (`frame.py:287-367`: `func` receives the full *weighted* column;
+    * golden `tests/test_frame.py:247-261`). Each weighted numeric column is
+    * COLLECTED to the driver (None = NULL) and reduced by `f`; the result
+    * is a one-row frame with one column per input column.
+    *
+    * Scale limits: this materializes every numeric column on the driver —
+    * by design it mirrors the reference's own eager single-process
+    * execution, for small frames and API-parity tests only. For
+    * distributed execution use [[applyAgg]] (expression-buildable `f`) or
+    * `groupBy(...).flatMapGroups` (arbitrary `f`, streamed per group, never
+    * driver-side).
+    */
+  def applyColumns(f: Seq[Option[Double]] => Option[Double]): DataFrame = {
+    val ns = numericCols
+    require(ns.nonEmpty, "no aggregable columns (frame has no numeric value columns)")
+    val rows = df.select(ns.map(c => (nc(c) * w).cast(DoubleType).as(c)): _*).collect()
+    val outVals: Seq[Any] = ns.indices.map { i =>
+      val colVals: Seq[Option[Double]] =
+        rows.toSeq.map(r => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+      f(colVals).map(java.lang.Double.valueOf).orNull
+    }
+    val schema = StructType(ns.map(c => StructField(c, DoubleType)).toArray)
+    df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(outVals)), schema)
+  }
 }
 
 object WeightedDataFrame {

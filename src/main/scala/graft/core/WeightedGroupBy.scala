@@ -101,27 +101,66 @@ final class WeightedGroupBy private[core] (
   /** Weighted quantile per group (lower interpolation): smallest value v
     * such that the cumulative weight through v reaches `q`·Σw. Natural
     * extension beyond the reference (its README lists weighted
-    * median/quantiles as future work — README.md:311-317). One window pass
-    * (cumulative weight within group, ordered by value) + one aggregate;
-    * both shuffles hash on the group keys.
+    * median/quantiles as future work — README.md:311-317).
+    *
+    * Two-pass histogram design so parallelism never degrades to the number
+    * of groups (a cumulative-weight window partitioned by the group keys
+    * would sort each whole group in ONE task — with 3 groups of 20M rows
+    * the stage serializes):
+    *   1. per-group stats (Σw, min, max) — hash aggregate, full parallelism;
+    *   2. per-(group, histogram-bin) weight — hash aggregate, full
+    *      parallelism; the cumulative over bins is a window over ≤ `buckets`
+    *      rows per group (tiny by construction);
+    *   3. the quantile's bin is known, so the exact scan runs over only that
+    *      bin's rows (~1/`buckets` of the group), collapsed to distinct
+    *      values first — equal values are interchangeable under
+    *      lower-interpolation, so per-value weight sums preserve the answer
+    *      while bounding the final window by the bin's distinct-value count.
+    * All comparisons stay exact for integer-valued weights (double sums of
+    * integers are exact below 2⁵³), so results are identical to the direct
+    * single-window formulation.
     */
-  def quantile(valueCol: String, q: Double = 0.5): DataFrame = {
+  def quantile(valueCol: String, q: Double = 0.5, buckets: Int = 256): DataFrame = {
     require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     import org.apache.spark.sql.expressions.Window
-    val v = col(valueCol)
-    val rows = base.where(v.isNotNull && w.isNotNull)
-    val byVal = Window.partitionBy(keys.map(col): _*)
-      .orderBy(v, col(wdf.weightName)) // deterministic within ties
+    import org.apache.spark.sql.functions.{sum => fSum, min => fMin, max => fMax, first => fFirst}
+    val kcols = keys.map(col)
+    val rows = base.where(col(valueCol).isNotNull && w.isNotNull)
+      .select(kcols :+ col(valueCol).as("__v__") :+ w.as("__w__"): _*)
+    // pass 1: per-group total weight + value range
+    val stats = rows.groupBy(kcols: _*)
+      .agg(fSum("__w__").as("__tw__"), fMin("__v__").as("__mn__"), fMax("__v__").as("__mx__"))
+    // bin assignment is a pure function of (v, group range) — identical in
+    // the histogram and the resolve pass. AQE picks broadcast vs shuffle
+    // for the stats join (its size is #groups rows).
+    val binExpr = when(col("__mx__") === col("__mn__"), lit(0))
+      .otherwise(least(lit(buckets - 1),
+        floor((col("__v__") - col("__mn__")) / (col("__mx__") - col("__mn__")) * buckets).cast("int")))
+    val binned = rows.join(stats, keys).withColumn("__b__", binExpr)
+    // pass 2: histogram — weight per (group, bin), then cumulative over bins
+    val hist = binned.groupBy(kcols :+ col("__b__"): _*)
+      .agg(fSum("__w__").as("__bw__"), fFirst("__tw__").as("__tw__"))
+    val byBin = Window.partitionBy(kcols: _*).orderBy(col("__b__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(keys.map(col): _*)
-    // functions.sum/min explicitly: this class's own sum/min would shadow
-    val cum = rows
-      .withColumn("__cw__", org.apache.spark.sql.functions.sum(col(wdf.weightName)).over(byVal))
-      .withColumn("__tw__", org.apache.spark.sql.functions.sum(col(wdf.weightName)).over(all))
-    val out = cum.where(col("__cw__") >= lit(q) * col("__tw__"))
-      .groupBy(keys.map(col): _*)
-      .agg(org.apache.spark.sql.functions.min(v).as(valueCol))
-    if (sort) out.orderBy(keys.map(col): _*) else out
+    val cum = hist.withColumn("__cum__", fSum("__bw__").over(byBin))
+    // the quantile's bin: smallest b whose cumulative reaches q·Σw; carry
+    // the cumulative weight strictly before it
+    val cand = cum.where(col("__cum__") >= lit(q) * col("__tw__"))
+      .groupBy(kcols: _*)
+      .agg(fMin(struct(col("__b__"), (col("__cum__") - col("__bw__")).as("__prev__"))).as("__s__"))
+      .select(kcols :+ col("__s__.__b__").as("__b__") :+ col("__s__.__prev__").as("__prev__"): _*)
+    // pass 3: exact resolve inside the candidate bin only
+    val inBin = binned.join(cand, keys :+ "__b__")
+    val dv = inBin.groupBy(kcols :+ col("__v__"): _*)
+      .agg(fSum("__w__").as("__vw__"), fFirst("__prev__").as("__prev__"), fFirst("__tw__").as("__tw__"))
+    val byVal = Window.partitionBy(kcols: _*).orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = dv.withColumn("__cw__", col("__prev__") + fSum("__vw__").over(byVal))
+      .where(col("__cw__") >= lit(q) * col("__tw__"))
+      .groupBy(kcols: _*)
+      .agg(fMin(col("__v__")).as(valueCol))
+    if (sort) out.orderBy(kcols: _*) else out
   }
 
   /** Distributed arbitrary-function-per-group escape hatch — the scale path

@@ -6,30 +6,58 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Pandas offset-alias → fixed duration (microseconds). Calendar-based rules
-  * (months/quarters/years) are not fixed durations and are unsupported — the
-  * reference's tests only exercise fixed rules (`tests/test_frame.py:311`).
-  */
+/** A parsed resample rule: either a fixed duration or a calendar
+  * month-multiple. Calendar rules are not fixed durations — February is
+  * shorter than March — so they bin by period membership (pandas' own
+  * semantics for `"M"`/`"Q"`/`"Y"`: a timestamp belongs to its calendar
+  * month's bin regardless of `closed`). */
+sealed trait ResampleRule
+final case class FixedRule(micros: Long) extends ResampleRule
+/** `months` per bin (3 for quarters, 12 for years), anchored at Jan 1970;
+  * `labelEnd` = the pandas end-labeled spellings (`"M"`, `"Q"`, `"Y"`). */
+final case class CalendarRule(months: Int, labelEnd: Boolean) extends ResampleRule
+
+/** Pandas offset-alias parser. Case matters exactly as in pandas: `"MS"` is
+  * month-start but `"ms"` is milliseconds; `"M"` is month-end but `"min"`
+  * is minutes. */
 object RuleParser {
   private val Pattern = """^(\d+)?\s*([a-zA-Z]+)$""".r
 
-  def toMicros(rule: String): Long = rule.trim match {
+  def parse(rule: String): ResampleRule = rule.trim match {
     case Pattern(num, unit) =>
-      val n = Option(num).map(_.toLong).getOrElse(1L)
-      val unitUs = unit.toLowerCase(Locale.ROOT) match {
-        case "us"                        => 1L
-        case "ms"                        => 1000L
-        case "s" | "sec"                 => 1000000L
-        case "min" | "t"                 => 60L * 1000000L
-        case "h" | "hr"                  => 3600L * 1000000L
-        case "d" | "day" | "days"        => 86400L * 1000000L
-        case "w" | "week" | "weeks"      => 7L * 86400L * 1000000L
-        case other =>
-          throw new IllegalArgumentException(
-            s"unsupported resample rule unit '$other' (calendar rules are not fixed durations)")
+      val n = Option(num).map(_.toInt).getOrElse(1)
+      // calendar aliases are case-sensitive (pandas: MS≠ms, M≠min)
+      unit match {
+        case "M" | "ME"        => CalendarRule(n, labelEnd = true)
+        case "MS"              => CalendarRule(n, labelEnd = false)
+        case "Q" | "QE"        => CalendarRule(3 * n, labelEnd = true)
+        case "QS"              => CalendarRule(3 * n, labelEnd = false)
+        case "Y" | "A" | "YE"  => CalendarRule(12 * n, labelEnd = true)
+        case "YS" | "AS"       => CalendarRule(12 * n, labelEnd = false)
+        case _ =>
+          val unitUs = unit.toLowerCase(Locale.ROOT) match {
+            case "us"                        => 1L
+            case "ms"                        => 1000L
+            case "s" | "sec"                 => 1000000L
+            case "min" | "t"                 => 60L * 1000000L
+            case "h" | "hr"                  => 3600L * 1000000L
+            case "d" | "day" | "days"        => 86400L * 1000000L
+            case "w" | "week" | "weeks"      => 7L * 86400L * 1000000L
+            case other =>
+              throw new IllegalArgumentException(
+                s"unsupported resample rule unit '$other'")
+          }
+          FixedRule(n * unitUs)
       }
-      n * unitUs
     case other => throw new IllegalArgumentException(s"cannot parse resample rule '$other'")
+  }
+
+  /** Fixed-duration rules only (offsets must be fixed durations). */
+  def toMicros(rule: String): Long = parse(rule) match {
+    case FixedRule(us) => us
+    case _: CalendarRule =>
+      throw new IllegalArgumentException(
+        s"'$rule' is a calendar rule, not a fixed duration")
   }
 }
 
@@ -37,7 +65,9 @@ object RuleParser {
   * `/root/reference/src/pandas_weights/frame.py:370-446`.
   *
   * Rows are assigned to fixed-width time buckets with pandas' boundary
-  * conventions (`closed`/`label`/`origin`/`offset`), aggregated with the same
+  * conventions (`closed`/`label`/`origin`/`offset`) — or, for calendar
+  * rules (`"MS"`, `"M"`, `"Q"`, `"Y"`…), to calendar-period bins by
+  * membership — aggregated with the same
   * single-pass moment algebra as [[WeightedGroupBy]], and joined against a
   * generated bucket spine so empty buckets are emitted (pandas emits every
   * bucket in the span — `tests/test_frame.py:316-331`; Spark's groupBy omits
@@ -59,9 +89,31 @@ final class WeightedResampler private[core] (
   require(closed == "left" || closed == "right", s"closed must be left|right, got $closed")
   require(label == "left" || label == "right", s"label must be left|right, got $label")
 
-  private val ruleUs: Long = RuleParser.toMicros(rule)
+  private val parsed: ResampleRule = RuleParser.parse(rule)
   private val offsetUs: Long = offset.map(RuleParser.toMicros).getOrElse(0L)
-  private val BucketCol = "__bucket_us__"
+  /** Fixed rules: bucket start in epoch µs. Calendar rules: bucket start as
+    * a months-since-1970 index (bins aren't equal-width in µs). */
+  private val BucketCol = "__bucket__"
+
+  /** Spine step in the bucket key's own unit. */
+  private def spineStep: Long = parsed match {
+    case FixedRule(us)        => us
+    case CalendarRule(m, _)   => m.toLong
+  }
+
+  /** Bucket key → the bin's label timestamp. */
+  private def labelTs(b: Column): Column = parsed match {
+    case FixedRule(us) =>
+      timestamp_micros(if (label == "left") b else b + lit(us))
+    case CalendarRule(months, labelEnd) =>
+      val yr = ((b - pmod(b, lit(12L))) / lit(12L)).cast("int") + 1970
+      val mo = pmod(b, lit(12L)).cast("int") + 1
+      val start = make_date(yr, mo, lit(1))
+      val d =
+        if (labelEnd || label == "right") date_add(add_months(start, months), -1)
+        else start
+      d.cast("timestamp")
+  }
 
   private def w: Column = wdf.w
   private def aggCols: Seq[String] = wdf.valueCols.filterNot(_ == on)
@@ -71,25 +123,34 @@ final class WeightedResampler private[core] (
     * Spark rejects boolean×double arithmetic outright. */
   private def ncol(c: String): Column = WeightedDataFrame.numericCol(wdf.df, c)
 
-  /** Rows tagged with their bucket start (epoch microseconds). */
-  private def bucketed: DataFrame = {
-    val df0 = wdf.df.where(col(on).isNotNull)
-    val tsUs = unix_micros(col(on))
-    val (df1, originUs): (DataFrame, Column) = origin match {
-      case "epoch" => (df0, lit(offsetUs))
-      case "start_day" =>
-        // pandas default: bins anchored at midnight of the first day of data
-        // (frame.py:168). One tiny extra agg, broadcast onto every row.
-        val b = df0.agg(unix_micros(date_trunc("DAY", min(col(on)))).as("__origin_us__"))
-        (df0.crossJoin(broadcast(b)), col("__origin_us__") + lit(offsetUs))
-      case ts =>
-        (df0, unix_micros(to_timestamp(lit(ts))) + lit(offsetUs))
-    }
-    val delta = tsUs - originUs
-    val startUs =
-      if (closed == "left") tsUs - pmod(delta, lit(ruleUs))
-      else tsUs + pmod(-delta, lit(ruleUs)) - lit(ruleUs) // (start, start+rule]
-    df1.withColumn(BucketCol, startUs).drop("__origin_us__")
+  /** Rows tagged with their bucket key (fixed: epoch-µs start; calendar:
+    * months-since-1970 index of the bin's first month). */
+  private def bucketed: DataFrame = parsed match {
+    case FixedRule(ruleUs) =>
+      val df0 = wdf.df.where(col(on).isNotNull)
+      val tsUs = unix_micros(col(on))
+      val (df1, originUs): (DataFrame, Column) = origin match {
+        case "epoch" => (df0, lit(offsetUs))
+        case "start_day" =>
+          // pandas default: bins anchored at midnight of the first day of data
+          // (frame.py:168). One tiny extra agg, broadcast onto every row.
+          val b = df0.agg(unix_micros(date_trunc("DAY", min(col(on)))).as("__origin_us__"))
+          (df0.crossJoin(broadcast(b)), col("__origin_us__") + lit(offsetUs))
+        case ts =>
+          (df0, unix_micros(to_timestamp(lit(ts))) + lit(offsetUs))
+      }
+      val delta = tsUs - originUs
+      val startUs =
+        if (closed == "left") tsUs - pmod(delta, lit(ruleUs))
+        else tsUs + pmod(-delta, lit(ruleUs)) - lit(ruleUs) // (start, start+rule]
+      df1.withColumn(BucketCol, startUs).drop("__origin_us__")
+    case CalendarRule(months, _) =>
+      // period membership: a row belongs to its calendar month's bin,
+      // multi-month bins anchored at Jan 1970 (pandas QS/YS anchoring);
+      // origin/offset/closed don't apply to period-like rules
+      val df0 = wdf.df.where(col(on).isNotNull)
+      val mIdx = (year(col(on)).cast("long") - 1970L) * 12L + month(col(on)).cast("long") - 1L
+      df0.withColumn(BucketCol, mIdx - pmod(mIdx, lit(months.toLong)))
   }
 
   /** Aggregate per bucket, then left-join onto the full bucket spine.
@@ -102,14 +163,13 @@ final class WeightedResampler private[core] (
     val bounds = agged.agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
     val spine = bounds
       .where(col("mn").isNotNull)
-      .select(explode(sequence(col("mn"), col("mx"), lit(ruleUs))).as(BucketCol))
+      .select(explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol))
     val joined = spine.join(agged, Seq(BucketCol), "left")
     val filled = cols.map { c =>
       fill.fold(col(c))(v => coalesce(col(c), lit(v)).as(c))
     }
-    val labelUs = if (label == "left") col(BucketCol) else col(BucketCol) + lit(ruleUs)
     joined
-      .select(timestamp_micros(labelUs).as(on) +: filled: _*)
+      .select(labelTs(col(BucketCol)).as(on) +: filled: _*)
       .orderBy(col(on))
   }
 
@@ -150,11 +210,10 @@ final class WeightedResampler private[core] (
     val bounds = agged.agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
     val spine = bounds
       .where(col("mn").isNotNull)
-      .select(explode(sequence(col("mn"), col("mx"), lit(ruleUs))).as(BucketCol))
-    val labelUs = if (label == "left") col(BucketCol) else col(BucketCol) + lit(ruleUs)
+      .select(explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol))
     spine.join(agged, Seq(BucketCol), "left")
       .select(
-        (labelUs / lit(1000000L)).cast("long").as("bucket"),
+        (unix_micros(labelTs(col(BucketCol))) / lit(1000000L)).cast("long").as("bucket"),
         coalesce(col("count_" + valueCol), lit(0.0)).as("count_" + valueCol),
         coalesce(col("sum_" + valueCol), lit(0.0)).as("sum_" + valueCol),
         col("mean_" + valueCol).cast(DoubleType).as("mean_" + valueCol),

@@ -117,9 +117,17 @@ object WeightedSeries {
     new WeightedSeries(wdf, valueCol, indexCols)
   }
 
-  /** `s.wt([w…])` positional weights (test/parity path, like the frame's). */
-  def wt(df: DataFrame, valueCol: String, weights: Seq[Double]): WeightedSeries = {
-    val wdf = WeightedDataFrame.wt(df.select(valueCol), weights, None)
+  /** `s.wt([w…], na_weight=…)` positional weights (test/parity path, like
+    * the frame's); `naWeight` fills missing weights — `series.py:94-95`. */
+  def wt(
+      df: DataFrame,
+      valueCol: String,
+      weights: Seq[Double],
+      naWeight: Option[Double]): WeightedSeries = {
+    val wdf = WeightedDataFrame.wt(df.select(valueCol), weights, naWeight)
     new WeightedSeries(wdf, valueCol, Nil)
   }
+
+  def wt(df: DataFrame, valueCol: String, weights: Seq[Double]): WeightedSeries =
+    wt(df, valueCol, weights, None)
 }

@@ -233,7 +233,17 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
     * pigeonhole banding on `maxHamming + 1` chunks (hd ≤ m over m+1 chunks
     * ⇒ at least one chunk is untouched, so recall is exactly 1); candidate
-    * pairs verified with `bit_count(xor)`. */
+    * pairs verified with `bit_count(xor)`.
+    *
+    * Skew treatment (the simhash analogue of [[minhashDedup]]'s
+    * signature-groupBy + pair-repartition): docs with an IDENTICAL 64-bit
+    * simhash are interchangeable for banding, so the chunk-bucket self-join
+    * runs over distinct signatures, not docs. A degenerate corpus — many
+    * near-identical short docs collapsing to one simhash — costs the hot
+    * bucket g² signature pairs instead of n² doc pairs; verified signature
+    * pairs are then repartitioned (groupBy on the pair) before being
+    * expanded back to doc pairs, so the expansion parallelizes instead of
+    * serializing on the bucket's join task. */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
@@ -246,8 +256,18 @@ object Dedup {
     // integer boundaries (a fixed chunk width would overshoot 64 bits for
     // many nChunks values, producing degenerate all-zero band keys)
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    val withSim = simhashTable(df, textCol, idCol, shingleSize)
-    val chunked = withSim.select(col("__id__"), col("__sim__"),
+    val sigGroups = simhashTable(df, textCol, idCol, shingleSize)
+      .groupBy(col("__sim__")).agg(collect_list(col("__id__")).as("__ids__"))
+
+    // within-signature pairs: hamming 0 by construction
+    val sortedIds = array_sort(col("__ids__"))
+    val eqPairs = sigGroups.where(size(col("__ids__")) > 1)
+      .select(explode(flatten(transform(sortedIds, (a, i) =>
+        transform(slice(sortedIds, i + 2, size(sortedIds)),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(0).as("hamming"))
+
+    val chunked = sigGroups.select(col("__sim__"), col("__ids__"),
       explode(array((0 until nChunks).map { ch =>
         val lo = bounds(ch)
         val bits = bounds(ch + 1) - lo
@@ -255,15 +275,26 @@ object Dedup {
         struct(lit(ch).as("chunk"),
           shiftright(col("__sim__"), lo).bitwiseAND(mask).as("key"))
       }: _*)).as("ck"))
-      .select(col("__id__"), col("__sim__"), col("ck.chunk"), col("ck.key"))
-    val l = chunked.select(col("chunk"), col("key"), col("__id__").as("doc_a"), col("__sim__").as("sim_a"))
-    val r = chunked.select(col("chunk"), col("key"), col("__id__").as("doc_b"), col("__sim__").as("sim_b"))
-    l.join(r, Seq("chunk", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("__sim__"), col("__ids__"), col("ck.chunk"), col("ck.key"))
+    val l = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_a"), col("__ids__").as("ids_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_b"), col("__ids__").as("ids_b"))
+    val sigPairs = l.join(r, Seq("chunk", "key"))
+      .where(col("sim_a") < col("sim_b"))
+      .select(col("sim_a"), col("ids_a"), col("sim_b"), col("ids_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+      // a signature pair can match on several chunks; the groupBy both
+      // dedupes and hash-partitions by the PAIR, moving the doc expansion
+      // off the hot bucket's join task
+      .groupBy(col("sim_a"), col("sim_b"))
+      .agg(first(col("ids_a")).as("ids_a"), first(col("ids_b")).as("ids_b"),
+        first(col("hamming")).as("hamming"))
+    val crossPairs = sigPairs
+      .select(explode(col("ids_a")).as("a"), col("ids_b"), col("hamming"))
+      .select(col("a"), explode(col("ids_b")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    eqPairs.unionByName(crossPairs)
   }
 
   /** Character n-gram Jaccard similarity for explicit document pairs —

@@ -33,11 +33,23 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, computed as dot/(|a|·|b|) in double; NULL for
-    * zero-norm vectors (ANSI-safe). */
+    * zero-norm vectors (ANSI-safe). NaN (from NaN vector elements) is also
+    * normalized to NULL so every ranking path orders it identically —
+    * Spark sorts NaN *greater* than any double, which would otherwise rank
+    * a NaN sim first under the window path but last under the k=1
+    * min-of-struct path. */
   def cosine(a: Column, b: Column): Column = {
     val (ad, bd) = (toDouble(a), toDouble(b))
-    graft.core.WeightedMoments.safeDiv(dot(ad, bd), norm(ad) * norm(bd))
+    nullifNaN(graft.core.WeightedMoments.safeDiv(dot(ad, bd), norm(ad) * norm(bd)))
   }
+
+  /** NaN → NULL (keeps non-NaN values, incl. NULL, unchanged). */
+  private def nullifNaN(c: Column): Column = when(!isnan(c), c)
+
+  /** Pair score used by every search path: cosine from precomputed norms. */
+  private def pairSim: Column =
+    nullifNaN(graft.core.WeightedMoments.safeDiv(
+      dot(col("qv"), col("nv")), col("qn") * col("nn")))
 
   /** Exact top-k cosine neighbors for every vector matching `queryPred`.
     * Output: (query_id, neighbor_id, rank, sim) — rank 1..k, ties broken by
@@ -53,9 +65,7 @@ object Similarity {
     // since HOF lambdas run interpreted and nothing hoists across them
     val (q, c) = prepNorm(df, idCol, vecCol, queryPred)
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.core.WeightedMoments.safeDiv(
-          dot(col("qv"), col("nv")), col("qn") * col("nn")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), pairSim.as("sim"))
     topK(scored, k)
   }
 
@@ -131,7 +141,8 @@ object Similarity {
       nPlanes: Int = 6,
       dim: Int = 64,
       seed: Long = 42L,
-      maxProbe: Int = 2): DataFrame = {
+      maxProbe: Int = 2,
+      smallQueries: Boolean = true): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     // raw vectors + norm scalar (sign bits are norm-invariant, so buckets
     // come straight from the raw dot products)
@@ -145,60 +156,81 @@ object Similarity {
     val q = prepped.where(queryPred)
       .select(col("__id__").as("query_id"), col("__v__").as("qv"), col("__n__").as("qn"),
         explode(transform(probes, f => col("__bucket__").bitwiseXOR(f))).as("bucket"))
-    val scored = broadcast(q).join(corpus, Seq("bucket"))
+    // small-query ANN broadcasts the probe side; all-pairs callers (near-dup)
+    // shuffle on the bucket key instead — broadcasting the corpus-sized
+    // probe set would be the cartesian anti-pattern in disguise
+    val probeSide = if (smallQueries) broadcast(q) else q
+    val scored = probeSide.join(corpus, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.core.WeightedMoments.safeDiv(
-          dot(col("qv"), col("nv")), col("qn") * col("nn")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), pairSim.as("sim"))
       .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim")) // dedup multi-probe hits
     topK(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
-    * vector to its nearest of `nLists` centroid cells; queries score only
-    * the vectors in their `nProbe` closest cells. The classic
-    * cluster-structured alternative to [[annLsh]]: training is one ML
-    * KMeans fit (itself distributed), assignment is a codegen'd argmax of
-    * centroid dot products over a `typedlit` centroid matrix, and the probe
-    * join shuffles cell keys rather than the cross product. Same output
-    * schema as [[bruteKnn]].
-    */
-  def annIvf(
+  /** IVF coarse-quantizer model: unit-norm centroid matrix. Fit once with
+    * [[fitIvf]], reuse across any number of [[searchIvf]] calls — the KMeans
+    * fit is the expensive, stateful step; at scale the quantizer is trained
+    * on a sample once per corpus, never per query batch. */
+  final case class IvfModel(centroids: Seq[Seq[Double]]) {
+    def nLists: Int = centroids.size
+  }
+
+  /** Train the IVF coarse quantizer: KMeans over a bounded sample of
+    * normalized vectors (euclidean argmin on unit vectors ≡ cosine argmax).
+    * The sample is packed into one cached partition — quantizer quality
+    * needs only a sample, and per-iteration job overhead on many tiny
+    * partitions would otherwise dominate the fit. (Per-element
+    * normalization is O(d²) interpreted HOF work, but runs on ≤
+    * `maxTrainRows` sample rows only.) */
+  def fitIvf(
       df: DataFrame,
-      idCol: String,
       vecCol: String,
-      queryPred: Column,
-      k: Int,
       nLists: Int = 16,
-      nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxTrainRows: Int = 4096): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
-
-    // raw vectors + norm scalar; centroid ARGMAX is norm-invariant per row,
-    // so assignment/probing use raw dots and only the final sim divides
-    val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
+    val v = toDouble(col(vecCol)).as("__v__")
+    val trainDf = df.select(v).limit(maxTrainRows) // bounded w/o a counting job
       .withColumn("__n__", norm(col("__v__")))
-
-    // coarse quantizer: KMeans on normalized vectors (euclidean argmin on
-    // unit vectors ≡ cosine argmax). Trained on a bounded sample packed
-    // into one cached partition — quantizer quality needs only a sample,
-    // and per-iteration job overhead on many tiny partitions would
-    // otherwise dominate the fit. (Per-element normalization is O(d²) but
-    // runs on ≤ maxTrainRows sample rows only.)
-    val maxTrainRows = 20000
-    val trainDf = prepped.limit(maxTrainRows) // bounded w/o a counting job
       .select(array_to_vector(transform(col("__v__"),
         x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))).as("features"))
       .coalesce(1).cache()
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(trainDf)
     trainDf.unpersist()
-    val centroids = model.clusterCenters.map { c =>
+    IvfModel(model.clusterCenters.map { c =>
       val arr = c.toArray
       val n = math.sqrt(arr.map(x => x * x).sum)
       if (n == 0) arr.toSeq else arr.map(_ / n).toSeq
-    }.toSeq
+    }.toSeq)
+  }
+
+  /** IVF (inverted-file) ANN search under a fitted [[IvfModel]]: every
+    * corpus vector is assigned to its nearest centroid cell (codegen'd
+    * argmax of centroid dot products over a `typedlit` centroid matrix);
+    * queries score only the vectors in their `nProbe` closest cells, so the
+    * probe join shuffles cell keys rather than the cross product. Same
+    * output schema as [[bruteKnn]].
+    *
+    * `smallQueries = true` (the default ANN contract: few queries, huge
+    * corpus) broadcasts the probe side; pass `false` when the query set is
+    * the corpus itself (e.g. all-pairs near-dup) so the join shuffles on
+    * the cell key instead of broadcasting the whole corpus. */
+  def searchIvf(
+      model: IvfModel,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nProbe: Int = 4,
+      smallQueries: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // raw vectors + norm scalar; centroid ARGMAX is norm-invariant per row,
+    // so assignment/probing use raw dots and only the final sim divides
+    val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
+      .withColumn("__n__", norm(col("__v__")))
+    val centroids = model.centroids
     val cm = typedlit(centroids)
 
     // per-row centroid scores; corpus keeps argmax cell, queries keep nProbe
@@ -215,19 +247,55 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))))
       .where(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    val scored = broadcast(qProbes).join(corpus, Seq("cell"))
+    val probeSide = if (smallQueries) broadcast(qProbes) else qProbes
+    val scored = probeSide.join(corpus, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.core.WeightedMoments.safeDiv(
-          dot(col("qv"), col("nv")), col("qn") * col("nn")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), pairSim.as("sim"))
       .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
     topK(scored, k)
   }
 
-  /** Embedding-cosine near-duplicates: nearest neighbor of every vector
-    * (k=1 brute force over the full corpus — O(n²) scoring, one shuffle for
-    * the top-1; the LSH path above is the scale variant). */
-  def nearestNeighbors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    bruteKnn(df, idCol, vecCol, lit(true), 1)
-      .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"), col("sim"))
+  /** One-shot IVF ANN: fit + search. Prefer [[fitIvf]]/[[searchIvf]] when
+    * issuing more than one query batch against the same corpus. */
+  def annIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame =
+    searchIvf(fitIvf(df, vecCol, nLists, seed), df, idCol, vecCol, queryPred, k, nProbe)
+
+  /** Embedding-cosine near-duplicates: nearest neighbor of every vector.
+    * Strategy picks the physical shape:
+    *   - `"brute"`: exact O(n²) scoring — the small-corpus / oracle
+    *     baseline. At 100 TB this is a cartesian; don't.
+    *   - `"lsh"`: random-hyperplane buckets; the self-join shuffles bucket
+    *     keys (no broadcast — the query side IS the corpus), so cost is
+    *     Σ bucket², not n². Approximate: recall < 1 across bucket
+    *     boundaries (multi-probe recovers most).
+    *   - `"ivf"`: KMeans cells, same shape with a trained quantizer; pass
+    *     `model` to reuse a fit, else one is trained here.
+    */
+  def nearestNeighbors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      strategy: String = "brute",
+      model: Option[IvfModel] = None): DataFrame = {
+    val nn = strategy match {
+      case "brute" => bruteKnn(df, idCol, vecCol, lit(true), 1)
+      case "lsh" =>
+        annLsh(df, idCol, vecCol, lit(true), 1, smallQueries = false)
+      case "ivf" =>
+        val m = model.getOrElse(fitIvf(df, vecCol))
+        searchIvf(m, df, idCol, vecCol, lit(true), 1, smallQueries = false)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown near-dup strategy '$other' (expected brute|lsh|ivf)")
+    }
+    nn.select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"), col("sim"))
+  }
 }

@@ -115,4 +115,25 @@ class CorrSpec extends SparkSpecBase {
     assertApprox(got("A"), Some(0.0), 1e-9)
     assert(got.contains("B") && got("B").isEmpty)
   }
+
+  test("row-id alignment recovers pandas positional pairing (test_series.py:246-266)") {
+    // The README's own unique-index recipe (README.md:115-135): give each
+    // row an explicit row id within its group; alignment on (Group, rid) is
+    // then 1:1, which reproduces pandas' identical-index positional
+    // shortcut exactly — group A pairs (1,10),(2,20) → corr 1.0; group B
+    // has no partner rows → NaN; min_periods=3 → NaN everywhere.
+    val left = Seq(("A", 0L, 1.0, 1.0), ("A", 1L, 2.0, 2.0),
+      ("B", 0L, 3.0, 1.5), ("B", 1L, 4.0, 2.5))
+      .toDF("Group", "rid", "x", "weights")
+    val right = Seq(("A", 0L, 10.0), ("A", 1L, 20.0)).toDF("Group", "rid", "y")
+    val wdf = WeightedDataFrame.wt(left, "weights")
+    val got = AlignedCorr.corrByGroup(wdf, Seq("Group"), "x", right, "y", Seq("Group", "rid"))
+      .collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+    assertApprox(got("A"), Some(1.0), 1e-9) // pandas expected_default
+    assert(got("B").isEmpty)
+    val mp = AlignedCorr.corrByGroup(wdf, Seq("Group"), "x", right, "y",
+      Seq("Group", "rid"), minPeriods = 3)
+      .collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+    assert(mp("A").isEmpty && mp("B").isEmpty) // pandas expected_min_periods
+  }
 }

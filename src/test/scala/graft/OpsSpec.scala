@@ -128,6 +128,22 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash skew: a block of identical docs yields all pairs via the signature-grouped path") {
+    // 30 byte-identical docs collapse to ONE simhash signature: the banding
+    // join sees a single signature row for the hot bucket (g² = 1 pair
+    // work, not n² = 435), and the doc-pair expansion emits all 435 pairs
+    // at hamming 0 with recall exactly 1.
+    val rows = (0L until 30L).map(i => (i, "same text repeated tokens every time")) ++
+      Seq((100L, "totally different other words"), (101L, "yet more unrelated stuff"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "text", "doc_id", shingleSize = 1, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val identicalPairs = (for { a <- 0L until 30L; b <- (a + 1) until 30L } yield (a, b)).toSet
+    assert(identicalPairs.subsetOf(got))
+    assert(got.filter(p => p._1 < 30L && p._2 < 30L) == identicalPairs) // no dup emissions
+    assert(got.forall { case (a, b) => a < b }) // normalized orientation
+  }
+
   test("char n-gram jaccard over explicit pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
     val got = Dedup.ngramJaccardForPairs(pairs, docs, "text", "doc_id", n = 3)
@@ -195,5 +211,50 @@ class SimilaritySpec extends SparkSpecBase {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     val got = Similarity.nearestNeighbors(emb, "vec_id", "embedding")
     assert(got.count() == 50)
+  }
+
+  test("fitIvf once, searchIvf many — model reuse is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.fitIvf(emb, "embedding")
+    assert(model.nLists == 16)
+    val a = Similarity.searchIvf(model, emb, "vec_id", "embedding", col("vec_id") < 5, 3)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.searchIvf(model, emb, "vec_id", "embedding",
+      col("vec_id") >= 5 && col("vec_id") < 10, 3).collect()
+    assert(a.nonEmpty && b.nonEmpty)
+    val a2 = Similarity.searchIvf(model, emb, "vec_id", "embedding", col("vec_id") < 5, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(a == a2) // same model → identical assignment and results
+  }
+
+  test("bucketed near-dup strategies: one row per vector, usable recall vs brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+    val brute = Similarity.nearestNeighbors(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.nearestNeighbors(emb, "vec_id", "embedding", strategy = "lsh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh.size == brute.size) // multi-probe covers every vector's own bucket
+    val recall = brute.count { case (k, v) => lsh.get(k).contains(v) }.toDouble / brute.size
+    // top-1 recall on random-gaussian vectors (LSH worst case), 6 planes + probe 2
+    assert(recall >= 0.25, s"lsh near-dup recall $recall too low")
+    val ivf = Similarity.nearestNeighbors(emb, "vec_id", "embedding", strategy = "ivf")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recallIvf = brute.count { case (k, v) => ivf.get(k).contains(v) }.toDouble / brute.size
+    assert(recallIvf >= 0.25, s"ivf near-dup recall $recallIvf too low")
+    intercept[IllegalArgumentException] {
+      Similarity.nearestNeighbors(emb, "vec_id", "embedding", strategy = "bogus")
+    }
+  }
+
+  test("NaN vector elements rank last in both top-k paths (NULL sim)") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(Float.NaN, 1.0f)),
+      (2L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val k1 = Similarity.bruteKnn(df, "vec_id", "embedding", col("vec_id") === 0, 1).collect()
+    assert(k1.head.getLong(1) == 2L) // k=1 aggregate path
+    val k2 = Similarity.bruteKnn(df, "vec_id", "embedding", col("vec_id") === 0, 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(k2 == Seq(2L, 1L)) // window path: NULL sim sorts after real sims
   }
 }

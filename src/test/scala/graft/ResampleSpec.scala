@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.core.{RuleParser, WeightedDataFrame}
+import graft.core.{CalendarRule, FixedRule, RuleParser, WeightedDataFrame}
 
 /** Resample goldens — /root/reference/tests/test_frame.py:305-362 and
   * test_series.py:320-375.
@@ -27,6 +27,47 @@ class ResampleSpec extends SparkSpecBase {
     assert(RuleParser.toMicros("12h") == 12L * 3600 * 1000000)
     assert(RuleParser.toMicros("min") == 60L * 1000000)
     intercept[IllegalArgumentException] { RuleParser.toMicros("M") }
+  }
+
+  test("calendar rule parsing is case-sensitive like pandas (MS month-start vs ms millis)") {
+    assert(RuleParser.parse("MS") == CalendarRule(1, labelEnd = false))
+    assert(RuleParser.parse("M") == CalendarRule(1, labelEnd = true))
+    assert(RuleParser.parse("2M") == CalendarRule(2, labelEnd = true))
+    assert(RuleParser.parse("Q") == CalendarRule(3, labelEnd = true))
+    assert(RuleParser.parse("QS") == CalendarRule(3, labelEnd = false))
+    assert(RuleParser.parse("Y") == CalendarRule(12, labelEnd = true))
+    assert(RuleParser.parse("ms") == FixedRule(1000L))
+    assert(RuleParser.parse("2D") == FixedRule(2L * 86400 * 1000000))
+  }
+
+  test("monthly resample bins by calendar month, emits empty months (MS)") {
+    val d = Seq(
+      (ts("2024-01-05"), Some(1.0), 1.0),
+      (ts("2024-01-20"), Some(2.0), 2.0),
+      (ts("2024-03-10"), Some(3.0), 1.0) // February empty
+    ).toDF("ts", "Value", "weights")
+    val r = WeightedDataFrame.wt(d, "weights").resample("ts", "MS")
+    val sum = byBucket(r.sum())
+    assert(sum == Map("2024-01-01" -> Some(5.0), "2024-02-01" -> Some(0.0),
+      "2024-03-01" -> Some(3.0)))
+    val mean = byBucket(r.mean())
+    assert(mean("2024-02-01").isEmpty) // NaN in pandas
+    assertApprox(mean("2024-01-01"), Some(5.0 / 3.0), 1e-15)
+  }
+
+  test("month-end labels (M) and quarter/year bins (QS, Y)") {
+    val d = Seq(
+      (ts("2024-01-05"), Some(1.0), 1.0),
+      (ts("2024-02-10"), Some(2.0), 1.0),
+      (ts("2024-03-20"), Some(3.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    val m = byBucket(wdf.resample("ts", "M").sum())
+    assert(m.keySet == Set("2024-01-31", "2024-02-29", "2024-03-31")) // leap Feb
+    val q = byBucket(wdf.resample("ts", "QS").sum())
+    assert(q == Map("2024-01-01" -> Some(6.0)))
+    val y = byBucket(wdf.resample("ts", "Y").sum())
+    assert(y == Map("2024-12-31" -> Some(6.0)))
   }
 
   test("resample 2D sum/count/mean (test_frame.py:305-338)") {

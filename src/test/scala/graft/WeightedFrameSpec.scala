@@ -138,4 +138,20 @@ class WeightedFrameSpec extends SparkSpecBase {
     assert(oneRow(wdf.sum(minCount = 2))("A").contains(3.5)) // 2 valid pairs
     assert(oneRow(wdf.sum(minCount = 3))("A").isEmpty)       // only 2 valid
   }
+
+  test("arbitrary-callable frame apply sees the weighted column (test_frame.py:247-261)") {
+    val d = Seq((10.0, 1.0), (20.0, 2.0), (30.0, 1.5), (40.0, 2.5))
+      .toDF("Value", "weights")
+    val got = oneRow(WeightedDataFrame.wt(d, "weights").applyColumns { vs =>
+      val xs = vs.flatten // weighted: 10, 40, 45, 100
+      Some(xs.max - xs.min)
+    })
+    assert(got("Value").contains(90.0)) // reference expected_apply_scalar
+    // NULLs surface as None to the callable; None result → NULL column
+    val dn = Seq((Some(1.0), 1.0), (None: Option[Double], 2.0)).toDF("Value", "weights")
+    val gotN = oneRow(WeightedDataFrame.wt(dn, "weights").applyColumns { vs =>
+      assert(vs.contains(None) && vs.flatten == Seq(1.0)); None
+    })
+    assert(gotN("Value").isEmpty)
+  }
 }

@@ -107,6 +107,39 @@ class WeightedGroupBySpec extends SparkSpecBase {
     assert(q25("A").contains(10.0) && q25("B").contains(30.0))
   }
 
+  test("weighted quantile histogram path: degenerate groups, few buckets, q=1") {
+    // all-equal values within a group → mx == mn → single-bin fast case
+    val d = Seq(("A", 5.0, 1.0), ("A", 5.0, 2.0), ("B", 1.0, 1.0), ("B", 2.0, 1.0))
+      .toDF("Group", "Value", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    val med = collectByKey(wdf.groupBy("Group").quantile("Value", 0.5))
+    assert(med("A").contains(5.0) && med("B").contains(1.0))
+    // tiny bucket count still resolves exactly (pass 3 does the exact scan)
+    val med2 = collectByKey(wdf.groupBy("Group").quantile("Value", 0.5, buckets = 2))
+    assert(med2 == med)
+    val q1 = collectByKey(wdf.groupBy("Group").quantile("Value", 1.0))
+    assert(q1("A").contains(5.0) && q1("B").contains(2.0))
+  }
+
+  test("weighted quantile matches a direct cumulative-weight computation") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      ("G" + (i % 3), rnd.nextInt(100).toDouble, (rnd.nextInt(5) + 1).toDouble))
+    val wdf = WeightedDataFrame.wt(rows.toDF("Group", "Value", "weights"), "weights")
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val got = collectByKey(wdf.groupBy("Group").quantile("Value", q))
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.map(t => (t._2, t._3)).sortBy(_._1)
+        val tw = sorted.map(_._2).sum
+        var cum = 0.0
+        val expect = sorted.collectFirst {
+          case (v, w0) if { cum += w0; cum >= q * tw } => v
+        }.get
+        assert(got(g).contains(expect), s"q=$q group=$g")
+      }
+    }
+  }
+
   test("groupby select projects columns (test_frame.py:299-302)") {
     val d = groupedDf.withColumn("Other", $"Value" * 2)
     val g = WeightedDataFrame.wt(d, "weights").groupBy("Group").select("Value")

@@ -53,4 +53,11 @@ class WeightedSeriesSpec extends SparkSpecBase {
       .orderBy("v").collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(12.0, 42.0, 47.0, 102.0))
   }
+
+  test("positional weights accept na_weight (series.py:94-95)") {
+    val s = WeightedSeries.wt(Seq(1.0, 2.0, 3.0).toDF("v"), "v",
+      Seq(0.5, Double.NaN, 2.0), Some(1.0))
+    assert(s.sum().contains(0.5 + 2.0 + 6.0)) // NaN weight filled with 1.0
+    assert(s.count().contains(3.5))
+  }
 }
