@@ -39,7 +39,11 @@ object SparkEntry {
 
   /** Fitted IVF coarse quantizers per corpus dir. The KMeans fit is the
     * expensive, reusable artifact (train once per corpus, search many
-    * times); caching it is the whole point of the fit/search split. */
+    * times); caching it is the whole point of the fit/search split.
+    * Keyed by directory with no invalidation — valid here because the
+    * driver's testdata dirs are immutable snapshots; a long-lived service
+    * over mutable corpora would need to key by content version (or refit)
+    * or it would search under a stale quantizer. */
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfModel]()
   private[graft] def ivfModel(s: SparkSession, dir: String): Similarity.IvfModel =

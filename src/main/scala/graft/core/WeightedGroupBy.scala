@@ -145,8 +145,15 @@ final class WeightedGroupBy private[core] (
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("__cum__", fSum("__bw__").over(byBin))
     // the quantile's bin: smallest b whose cumulative reaches q·Σw; carry
-    // the cumulative weight strictly before it
-    val cand = cum.where(col("__cum__") >= lit(q) * col("__tw__"))
+    // the cumulative weight strictly before it. The threshold is clamped to
+    // the group's max bin-cumulative — the bin cumulative re-sums the same
+    // fractional weights in a different order than pass 1's Σw, so at q=1
+    // it can undershoot q·Σw by ulps and no bin would qualify, silently
+    // dropping the group (for integer weights the clamp is a no-op).
+    val wholeGroupBins = Window.partitionBy(kcols: _*)
+    val cand = cum
+      .withColumn("__bthr__", least(lit(q) * col("__tw__"), fMax("__cum__").over(wholeGroupBins)))
+      .where(col("__cum__") >= col("__bthr__"))
       .groupBy(kcols: _*)
       .agg(fMin(struct(col("__b__"), (col("__cum__") - col("__bw__")).as("__prev__"))).as("__s__"))
       .select(kcols :+ col("__s__.__b__").as("__b__") :+ col("__s__.__prev__").as("__prev__"): _*)
@@ -156,8 +163,16 @@ final class WeightedGroupBy private[core] (
       .agg(fSum("__w__").as("__vw__"), fFirst("__prev__").as("__prev__"), fFirst("__tw__").as("__tw__"))
     val byVal = Window.partitionBy(kcols: _*).orderBy(col("__v__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // fractional-weight guard: pass 3 re-sums the bin's weights in a
+    // different order than pass 2, so the candidate bin's re-summed total
+    // can fall a few ulps short of q·Σw (worst at q = 1). Clamping the
+    // threshold to the bin's own max cumulative guarantees the last value
+    // always qualifies — the group resolves instead of silently vanishing,
+    // and for integer weights (exact sums) the clamp is a no-op.
+    val wholeGroup = Window.partitionBy(kcols: _*)
     val out = dv.withColumn("__cw__", col("__prev__") + fSum("__vw__").over(byVal))
-      .where(col("__cw__") >= lit(q) * col("__tw__"))
+      .withColumn("__thr__", least(lit(q) * col("__tw__"), fMax("__cw__").over(wholeGroup)))
+      .where(col("__cw__") >= col("__thr__"))
       .groupBy(kcols: _*)
       .agg(fMin(col("__v__")).as(valueCol))
     if (sort) out.orderBy(kcols: _*) else out

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * pairwise scoring inside whole-stage codegen (SURVEY §4: custom
   * `Expression` preferred over UDFs).
   *
-  * Returns NULL if either side is NULL; iterates over the common prefix
-  * length (callers guarantee equal dims).
+  * Returns NULL if either side is NULL; throws on a dimension mismatch —
+  * silently iterating a common prefix would quietly score (and bucket)
+  * vectors on a truncated subspace, a recall loss with no error anywhere.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -36,7 +37,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = DotProduct.checkDims(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -52,7 +53,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = graft.functions.DotProduct.checkDims($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
@@ -63,6 +64,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Shared by the interpreted and generated paths (must be public static
+    * for codegen'd classes to call it). */
+  def checkDims(a: Int, b: Int): Int = {
+    if (a != b)
+      throw new IllegalArgumentException(s"dot_product: dimension mismatch ($a vs $b)")
+    a
+  }
 }
 
 object VectorFunctions {

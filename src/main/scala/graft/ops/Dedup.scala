@@ -21,22 +21,40 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups: one row per distinct key, the kept (minimum)
-    * id and the number of copies. */
-  def exactGroups(df: DataFrame, keyExpr: Column, idCol: String): DataFrame =
-    df.groupBy(keyExpr.as("__key__"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    * id and the number of copies.
+    *
+    * The shuffle key is a 128-bit hash of the key (two seeded xxhash64
+    * slots), not the key itself — grouping on the full document text would
+    * ship the whole corpus through the exchange; the hash is fixed-width.
+    * Exactness is preserved, not assumed: a hash-singleton is provably a
+    * key-singleton (identical keys always share a hash), and only the
+    * hash-groups with ≥ 2 members — the duplicate candidates, a small
+    * fraction of a real corpus — are re-grouped by the full key to split
+    * any 128-bit collision. */
+  def exactGroups(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
+    val hashed = df.select(
+      xxhash64(keyExpr, lit(0)).as("__h1__"), xxhash64(keyExpr, lit(1)).as("__h2__"),
+      col(idCol).as("__id__"), keyExpr.as("__key__"))
+    val byHash = hashed.groupBy("__h1__", "__h2__") // __key__ pruned from this branch
+      .agg(min(col("__id__")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val singles = byHash.where(col("n_copies") === 1).select("keep_id", "n_copies")
+    val dupHashes = byHash.where(col("n_copies") > 1).select("__h1__", "__h2__")
+    val dupGroups = hashed.join(dupHashes, Seq("__h1__", "__h2__"), "left_semi")
+      .groupBy("__h1__", "__h2__", "__key__") // exact: collisions split here
+      .agg(min(col("__id__")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
+    singles.unionByName(dupGroups)
+  }
 
   /** Exact text dedup (byte-identical). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exactGroups(df, col(textCol), idCol)
 
   /** The deduplicated corpus under a keep-first (minimum id) policy: one
-    * surviving row per distinct key. A single groupBy + semi-join — the
-    * "give me the clean dataset" counterpart of [[exactGroups]]. */
+    * surviving row per distinct key — the "give me the clean dataset"
+    * counterpart of [[exactGroups]] (same hash-keyed shuffle). */
   def dropDuplicatesByKey(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
-    val keep = df.groupBy(keyExpr.as("__key__")).agg(min(col(idCol)).as(idCol))
-      .select(idCol)
+    val keep = exactGroups(df, keyExpr, idCol).select(col("keep_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
 
@@ -175,17 +193,18 @@ object Dedup {
     val base = minhashTable(df, textCol, idCol, shingleSize, numHashes)
 
     if (threshold >= 1.0) {
-      val grouped = base.groupBy(col("__sig__"))
-        .agg(collect_list(struct(col("__id__"), col("__sh__"))).as("ms"))
-        .where(size(col("ms")) > 1)
-      val sorted = array_sort(col("ms")) // by (id, …) — deterministic pair order
-      val pairs = grouped.select(explode(flatten(
-        transform(sorted, (a, i) =>
-          transform(slice(sorted, i + 2, size(sorted)),
-            b => struct(a.getField("__id__").as("doc_a"), b.getField("__id__").as("doc_b"),
-              jaccard(a.getField("__sh__"), b.getField("__sh__")).as("jaccard"))))
-      )).as("p"))
-      pairs.select(col("p.doc_a"), col("p.doc_b"), col("p.jaccard"))
+      // streamed self-join on the full signature (fixed-width, 256 B): a hot
+      // signature group emits its g² pairs through the join's streaming
+      // iterator instead of materializing one g²-element array row (which
+      // would OOM one executor on a degenerate all-identical corpus). The
+      // two sides are the same canonical subtree, so the signature exchange
+      // is planned once and reused.
+      val sigTab = base.select(col("__sig__"), col("__id__"), col("__sh__"))
+      sigTab.as("a")
+        .join(sigTab.as("b"),
+          col("a.__sig__") === col("b.__sig__") && col("a.__id__") < col("b.__id__"))
+        .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"),
+          jaccard(col("a.__sh__"), col("b.__sh__")).as("jaccard"))
         .where(col("jaccard") >= threshold)
     } else {
       val banded = base.select(col("__id__"), col("__sig__"),
@@ -236,14 +255,16 @@ object Dedup {
     * pairs verified with `bit_count(xor)`.
     *
     * Skew treatment (the simhash analogue of [[minhashDedup]]'s
-    * signature-groupBy + pair-repartition): docs with an IDENTICAL 64-bit
-    * simhash are interchangeable for banding, so the chunk-bucket self-join
-    * runs over distinct signatures, not docs. A degenerate corpus — many
-    * near-identical short docs collapsing to one simhash — costs the hot
-    * bucket g² signature pairs instead of n² doc pairs; verified signature
-    * pairs are then repartitioned (groupBy on the pair) before being
-    * expanded back to doc pairs, so the expansion parallelizes instead of
-    * serializing on the bucket's join task. */
+    * signature path): docs with an IDENTICAL 64-bit simhash are
+    * interchangeable for banding, so the chunk-bucket self-join runs over
+    * DISTINCT signatures, not docs — a degenerate corpus collapsing to one
+    * simhash costs g² signature pairs, not n² doc pairs. Every pair
+    * expansion is a streamed join (no `collect_list` of a group's ids into
+    * one row, no flattened g²-element pair array): within-signature pairs
+    * come from a self-join on the signature, and verified signature pairs
+    * are expanded back to doc pairs by two id joins, each hash-partitioned
+    * on its own key — memory per task stays O(1) rows however degenerate
+    * the corpus. */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
@@ -256,18 +277,18 @@ object Dedup {
     // integer boundaries (a fixed chunk width would overshoot 64 bits for
     // many nChunks values, producing degenerate all-zero band keys)
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    val sigGroups = simhashTable(df, textCol, idCol, shingleSize)
-      .groupBy(col("__sim__")).agg(collect_list(col("__id__")).as("__ids__"))
+    val docs = simhashTable(df, textCol, idCol, shingleSize) // (__id__, __sim__)
 
-    // within-signature pairs: hamming 0 by construction
-    val sortedIds = array_sort(col("__ids__"))
-    val eqPairs = sigGroups.where(size(col("__ids__")) > 1)
-      .select(explode(flatten(transform(sortedIds, (a, i) =>
-        transform(slice(sortedIds, i + 2, size(sortedIds)),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), lit(0).as("hamming"))
+    // within-signature pairs (hamming 0 by construction): streamed self-join
+    // on the 64-bit signature — the two sides share one canonical subtree,
+    // so the exchange is planned once and reused
+    val eqPairs = docs.as("a")
+      .join(docs.as("b"),
+        col("a.__sim__") === col("b.__sim__") && col("a.__id__") < col("b.__id__"))
+      .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"), lit(0).as("hamming"))
 
-    val chunked = sigGroups.select(col("__sim__"), col("__ids__"),
+    val sigs = docs.select("__sim__").distinct()
+    val chunked = sigs.select(col("__sim__"),
       explode(array((0 until nChunks).map { ch =>
         val lo = bounds(ch)
         val bits = bounds(ch + 1) - lo
@@ -275,23 +296,22 @@ object Dedup {
         struct(lit(ch).as("chunk"),
           shiftright(col("__sim__"), lo).bitwiseAND(mask).as("key"))
       }: _*)).as("ck"))
-      .select(col("__sim__"), col("__ids__"), col("ck.chunk"), col("ck.key"))
-    val l = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_a"), col("__ids__").as("ids_a"))
-    val r = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_b"), col("__ids__").as("ids_b"))
+      .select(col("__sim__"), col("ck.chunk"), col("ck.key"))
+    val l = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_b"))
     val sigPairs = l.join(r, Seq("chunk", "key"))
       .where(col("sim_a") < col("sim_b"))
-      .select(col("sim_a"), col("ids_a"), col("sim_b"), col("ids_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       // a signature pair can match on several chunks; the groupBy both
       // dedupes and hash-partitions by the PAIR, moving the doc expansion
       // off the hot bucket's join task
-      .groupBy(col("sim_a"), col("sim_b"))
-      .agg(first(col("ids_a")).as("ids_a"), first(col("ids_b")).as("ids_b"),
-        first(col("hamming")).as("hamming"))
+      .groupBy(col("sim_a"), col("sim_b")).agg(first(col("hamming")).as("hamming"))
+    // expand signature pairs to doc pairs: two streamed equi-joins on the
+    // signature (each repartitions on its own join key — no array blow-up)
     val crossPairs = sigPairs
-      .select(explode(col("ids_a")).as("a"), col("ids_b"), col("hamming"))
-      .select(col("a"), explode(col("ids_b")).as("b"), col("hamming"))
+      .join(docs.select(col("__sim__").as("sim_a"), col("__id__").as("a")), "sim_a")
+      .join(docs.select(col("__sim__").as("sim_b"), col("__id__").as("b")), "sim_b")
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
     eqPairs.unionByName(crossPairs)

@@ -117,32 +117,83 @@ object Similarity {
     typedlit((0 until nPlanes).map(_ => (0 until dim).map(_ => rnd.nextGaussian())))
   }
 
+  /** Plane count for a corpus of `n` vectors so the EXPECTED bucket
+    * population stays ≈ `targetBucketRows` regardless of corpus size —
+    * 2^planes ≈ n / target. A constant plane count would keep Σ bucket²
+    * (the self-join cost) at Θ(n²); growing planes with log₂(n) makes it
+    * Θ(n · target). Capped at 62 so bucket ids stay in a long. */
+  private[graft] def planesFor(n: Long, targetBucketRows: Int = 128): Int = {
+    require(targetBucketRows >= 1, s"targetBucketRows must be >= 1, got $targetBucketRows")
+    val p = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt
+    math.min(62, math.max(1, p))
+  }
+
+  /** Embedding dimension read off the first non-null row — callers should
+    * not have to know (or worse, guess) the width of their vectors. */
+  private[graft] def inferDim(df: DataFrame, vecCol: String): Int = {
+    val rows = df.where(col(vecCol).isNotNull).select(size(col(vecCol)).as("d")).head(1)
+    require(rows.nonEmpty, s"cannot infer vector dim: column '$vecCol' has no non-null rows")
+    rows.head.getInt(0)
+  }
+
   /** Sign-bit LSH bucket id of a vector under `planes`. */
   def lshBucket(vec: Column, planes: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { i =>
       when(dot(vec, planes.getItem(i)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** All XOR masks of `bits` bits with popcount ≤ maxHamming. */
-  private def probeMasks(bits: Int, maxHamming: Int): Seq[Long] =
-    (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+  /** All XOR masks of `bits` bits with popcount ≤ maxHamming, generated as
+    * bit combinations — Σ C(bits, h) masks — rather than filtering the full
+    * 2^bits enumeration, which would be infeasible at the plane counts a
+    * large corpus derives (e.g. 30+ planes for billions of vectors). */
+  private def probeMasks(bits: Int, maxHamming: Int): Seq[Long] = {
+    def combos(start: Int, remaining: Int): Seq[Long] =
+      if (remaining == 0) Seq(0L)
+      else (start to bits - remaining).flatMap(i =>
+        combos(i + 1, remaining - 1).map(m => m | (1L << i)))
+    (0 to math.min(maxHamming, bits)).flatMap(h => combos(0, h))
+  }
 
   /** Approximate top-k cosine neighbors via random-hyperplane LSH with
     * multi-probe (each query also probes every bucket within `maxProbe`
     * sign-bit flips, recovering most cross-boundary neighbors). Same output
     * schema as [[bruteKnn]]. Recall/cost dial: more planes → smaller
-    * buckets; larger `maxProbe` → more buckets probed. */
+    * buckets; larger `maxProbe` → more buckets probed.
+    *
+    * `nPlanes = 0` (default) derives the plane count from the corpus size
+    * (one cheap count job) so mean bucket population stays ≈
+    * `targetBucketRows` at any scale — see [[planesFor]]. `dim = 0`
+    * (default) infers the vector width from the data; a hardcoded dim
+    * smaller than the real one would silently bucket on a prefix subspace.
+    */
   def annLsh(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       queryPred: Column,
       k: Int,
-      nPlanes: Int = 6,
-      dim: Int = 64,
+      nPlanes: Int = 0,
+      dim: Int = 0,
       seed: Long = 42L,
       maxProbe: Int = 2,
-      smallQueries: Boolean = true): DataFrame = {
+      smallQueries: Boolean = true,
+      targetBucketRows: Int = 128): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val p = if (nPlanes > 0) nPlanes else planesFor(df.count(), targetBucketRows)
+    annLshFixed(df, idCol, vecCol, queryPred, k, p, d, seed, maxProbe, smallQueries)
+  }
+
+  private def annLshFixed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nPlanes: Int,
+      dim: Int,
+      seed: Long,
+      maxProbe: Int,
+      smallQueries: Boolean): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     // raw vectors + norm scalar (sign bits are norm-invariant, so buckets
     // come straight from the raw dot products)
@@ -175,28 +226,49 @@ object Similarity {
     def nLists: Int = centroids.size
   }
 
-  /** Train the IVF coarse quantizer: KMeans over a bounded sample of
+  /** Cells for a corpus of `n` vectors so the expected cell population
+    * stays ≈ `targetCellRows` — the IVF analogue of [[planesFor]]: a
+    * constant list count keeps the probe join Θ(n²) as the corpus grows. */
+  private[graft] def listsFor(n: Long, targetCellRows: Int = 128): Int = {
+    require(targetCellRows >= 1, s"targetCellRows must be >= 1, got $targetCellRows")
+    val k = math.ceil(n.toDouble / targetCellRows).toInt
+    math.max(2, math.min(65536, k))
+  }
+
+  /** Train the IVF coarse quantizer: KMeans over a bounded random sample of
     * normalized vectors (euclidean argmin on unit vectors ≡ cosine argmax).
     * The sample is packed into one cached partition — quantizer quality
     * needs only a sample, and per-iteration job overhead on many tiny
     * partitions would otherwise dominate the fit. (Per-element
-    * normalization is O(d²) interpreted HOF work, but runs on ≤
-    * `maxTrainRows` sample rows only.) */
+    * normalization is O(d²) interpreted HOF work, but runs on ~
+    * `maxTrainRows` sample rows only.)
+    *
+    * `nLists = 0` (default) derives the cell count from the corpus size so
+    * cells hold ≈ `targetCellRows` vectors at any scale (see [[listsFor]]).
+    * The training set is a seeded `sample()` — a `limit()` prefix would
+    * train the quantizer on whatever arbitrary slice the scan returns
+    * first, e.g. one skewed parquet file. */
   def fitIvf(
       df: DataFrame,
       vecCol: String,
-      nLists: Int = 16,
+      nLists: Int = 0,
       seed: Long = 42L,
-      maxTrainRows: Int = 4096): IvfModel = {
+      maxTrainRows: Int = 20000,
+      targetCellRows: Int = 128): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val n = df.count()
+    require(n > 0, "fitIvf: empty corpus")
+    val k = math.min(n, (if (nLists > 0) nLists else listsFor(n, targetCellRows)).toLong).toInt
+    val frac = math.min(1.0, maxTrainRows.toDouble / n)
     val v = toDouble(col(vecCol)).as("__v__")
-    val trainDf = df.select(v).limit(maxTrainRows) // bounded w/o a counting job
+    val sampled = if (frac < 1.0) df.select(v).sample(frac, seed) else df.select(v)
+    val trainDf = sampled
       .withColumn("__n__", norm(col("__v__")))
       .select(array_to_vector(transform(col("__v__"),
         x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))).as("features"))
       .coalesce(1).cache()
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(trainDf)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(trainDf)
     trainDf.unpersist()
     IvfModel(model.clusterCenters.map { c =>
       val arr = c.toArray
@@ -263,13 +335,16 @@ object Similarity {
       vecCol: String,
       queryPred: Column,
       k: Int,
-      nLists: Int = 16,
+      nLists: Int = 0,
       nProbe: Int = 4,
       seed: Long = 42L): DataFrame =
     searchIvf(fitIvf(df, vecCol, nLists, seed), df, idCol, vecCol, queryPred, k, nProbe)
 
   /** Embedding-cosine near-duplicates: nearest neighbor of every vector.
     * Strategy picks the physical shape:
+    *   - `"auto"` (default): brute below `bruteMaxRows` (one cheap count
+    *     job), LSH above — a default of "brute" at any size would plan a
+    *     cartesian over a 100 TB corpus without a word of warning.
     *   - `"brute"`: exact O(n²) scoring — the small-corpus / oracle
     *     baseline. At 100 TB this is a cartesian; don't.
     *   - `"lsh"`: random-hyperplane buckets; the self-join shuffles bucket
@@ -283,9 +358,14 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      strategy: String = "brute",
-      model: Option[IvfModel] = None): DataFrame = {
-    val nn = strategy match {
+      strategy: String = "auto",
+      model: Option[IvfModel] = None,
+      bruteMaxRows: Long = 100000L): DataFrame = {
+    val chosen = strategy match {
+      case "auto" => if (df.count() <= bruteMaxRows) "brute" else "lsh"
+      case s => s
+    }
+    val nn = chosen match {
       case "brute" => bruteKnn(df, idCol, vecCol, lit(true), 1)
       case "lsh" =>
         annLsh(df, idCol, vecCol, lit(true), 1, smallQueries = false)
@@ -294,7 +374,7 @@ object Similarity {
         searchIvf(m, df, idCol, vecCol, lit(true), 1, smallQueries = false)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown near-dup strategy '$other' (expected brute|lsh|ivf)")
+          s"unknown near-dup strategy '$other' (expected auto|brute|lsh|ivf)")
     }
     nn.select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"), col("sim"))
   }

@@ -216,7 +216,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("fitIvf once, searchIvf many — model reuse is deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = Similarity.fitIvf(emb, "embedding")
-    assert(model.nLists == 16)
+    assert(model.nLists == Similarity.listsFor(emb.count())) // derived from corpus size
     val a = Similarity.searchIvf(model, emb, "vec_id", "embedding", col("vec_id") < 5, 3)
       .collect().map(_.toSeq).toSeq
     val b = Similarity.searchIvf(model, emb, "vec_id", "embedding",
@@ -244,6 +244,51 @@ class SimilaritySpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Similarity.nearestNeighbors(emb, "vec_id", "embedding", strategy = "bogus")
     }
+  }
+
+  test("bucket parameters grow with corpus size — population stays bounded") {
+    // the scale contract: mean bucket/cell population ≈ target at ANY corpus
+    // size (a constant plane/list count would make the self-join Θ(n²))
+    for (n <- Seq(200L, 2000L, 200000L, 2000000000L)) {
+      val meanBucket = n.toDouble / (1L << Similarity.planesFor(n, 128))
+      assert(meanBucket <= 128.0, s"n=$n: mean LSH bucket $meanBucket exceeds target")
+      val meanCell = n.toDouble / Similarity.listsFor(n, 128)
+      assert(meanCell <= 129.0 || Similarity.listsFor(n, 128) == 65536,
+        s"n=$n: mean IVF cell $meanCell exceeds target")
+    }
+    assert(Similarity.planesFor(10L) >= 1)   // tiny corpora stay valid
+    assert(Similarity.listsFor(10L) == 2)
+  }
+
+  test("annLsh infers the true vector dim (no hardcoded-64 truncation)") {
+    // dim-96 corpus whose discriminating signal lives ONLY in components
+    // 64..95 — a hardcoded dim=64 would bucket every vector identically
+    // AND throw nothing; with inference the planes span all 96 components
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 40L).map { i =>
+      val tail = Array.fill(32)(rnd.nextGaussian().toFloat)
+      (i, base ++ tail)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 5
+    val brute = Similarity.bruteKnn(df, "vec_id", "embedding", pred, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(df, "vec_id", "embedding", pred, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty)
+    // 40 rows → 1 derived plane, probe radius 2 covers both buckets → exact
+    assert((brute & ann).size == brute.size)
+  }
+
+  test("dot_product raises on dimension mismatch instead of truncating") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Throwable] {
+      df.select(graft.functions.VectorFunctions.dotProduct(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))))
   }
 
   test("NaN vector elements rank last in both top-k paths (NULL sim)") {

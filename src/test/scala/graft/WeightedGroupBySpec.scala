@@ -121,6 +121,24 @@ class WeightedGroupBySpec extends SparkSpecBase {
     assert(q1("A").contains(5.0) && q1("B").contains(2.0))
   }
 
+  test("weighted quantile never drops a group under fractional weights (q=1 ulp guard)") {
+    // pass 3 re-sums the candidate bin's weights in value order while pass 2
+    // summed them in scan order — with fractional weights the two double
+    // sums can differ by ulps, and at q=1 the re-summed cumulative may sit
+    // just BELOW q·Σw, which without the max-cw clamp silently drops the
+    // whole group. Hammer many groups of awkward fractions and require
+    // every group present with the exact max value.
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      ("G" + (i % 40), rnd.nextDouble() * 100.0, 0.1 + rnd.nextDouble() * 0.7)
+    }
+    val wdf = WeightedDataFrame.wt(rows.toDF("Group", "Value", "weights"), "weights")
+    val got = collectByKey(wdf.groupBy("Group").quantile("Value", 1.0))
+    val expect = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).max }
+    assert(got.size == 40, s"groups dropped: got ${got.size} of 40")
+    expect.foreach { case (g, mx) => assert(got(g).contains(mx), s"group $g") }
+  }
+
   test("weighted quantile matches a direct cumulative-weight computation") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 500).map(i =>
