@@ -137,6 +137,35 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
   def applyRows(f: Column => Column): DataFrame =
     df.select(numericCols.map(c => f(nc(c) * w).as(c)): _*)
 
+  /** Arbitrary-callable row-wise `apply` — the reference's `axis=1`
+    * (`frame.py:288-317`: the signature accepts `axis`; the function then
+    * receives one row of *weighted* values and reduces it to a scalar —
+    * pandas' `result_type="reduce"` shape, a Series of one value per row).
+    *
+    * Distributed by construction: a `Dataset.map` over the struct of
+    * weighted numeric columns — rows never leave the executors, so this is
+    * the scale path for row-wise functions no expression can build
+    * (expression-buildable per-row transforms should use [[applyRows]],
+    * which stays inside codegen). `f` sees the weighted numeric columns in
+    * [[numericCols]] order (None = NULL) and must be serializable; `keep`
+    * names pass-through columns (e.g. an id) prepended to the result.
+    */
+  def applyRowsFn(f: Seq[Option[Double]] => Option[Double], keep: Seq[String] = Nil): DataFrame = {
+    val ns = numericCols.filterNot(keep.contains) // keep-cols pass through unweighted
+    require(ns.nonEmpty, "no aggregable columns (frame has no numeric value columns)")
+    val in = df.select(keep.map(col) ++ ns.map(c => (nc(c) * w).cast(DoubleType).as(c)): _*)
+    val keepFields = keep.map(c => in.schema(c))
+    val outSchema = StructType(keepFields.toArray :+ StructField("value", DoubleType))
+    val nKeep = keep.size
+    val nVals = ns.size
+    in.map { r =>
+      val vals: Seq[Option[Double]] = (0 until nVals).map { i =>
+        if (r.isNullAt(nKeep + i)) None else Some(r.getDouble(nKeep + i))
+      }
+      Row.fromSeq((0 until nKeep).map(r.get) :+ f(vals).map(java.lang.Double.valueOf).orNull)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Arbitrary-callable frame `apply` — the parity path for the reference's
     * axis=0 `apply` with a function no expression can build
     * (`frame.py:287-367`: `func` receives the full *weighted* column;

@@ -90,6 +90,17 @@ final class WeightedResampler private[core] (
   require(label == "left" || label == "right", s"label must be left|right, got $label")
 
   private val parsed: ResampleRule = RuleParser.parse(rule)
+  // calendar rules bin by period membership — closed/origin/offset have no
+  // effect on which period a timestamp belongs to, so accepting them would
+  // quietly return left-closed epoch-anchored results for whatever the
+  // caller thought they asked for; refuse instead of diverging silently
+  parsed match {
+    case _: CalendarRule =>
+      require(closed == "left" && origin == "start_day" && offset.isEmpty,
+        s"calendar rule '$rule' bins by period membership; closed/origin/offset do not apply " +
+          s"(got closed=$closed, origin=$origin, offset=$offset)")
+    case _ =>
+  }
   private val offsetUs: Long = offset.map(RuleParser.toMicros).getOrElse(0L)
   /** Fixed rules: bucket start in epoch µs. Calendar rules: bucket start as
     * a months-since-1970 index (bins aren't equal-width in µs). */
@@ -109,8 +120,13 @@ final class WeightedResampler private[core] (
       val yr = ((b - pmod(b, lit(12L))) / lit(12L)).cast("int") + 1970
       val mo = pmod(b, lit(12L)).cast("int") + 1
       val start = make_date(yr, mo, lit(1))
+      // end-labeled spellings (M/Q/Y) label the period end; start-labeled
+      // ones (MS/QS/YS) label the period start, or — pandas' label="right"
+      // semantics — the NEXT bin edge, i.e. the next period's first day
+      // (not end-of-period-minus-a-day, which is a different date)
       val d =
-        if (labelEnd || label == "right") date_add(add_months(start, months), -1)
+        if (labelEnd) date_add(add_months(start, months), -1)
+        else if (label == "right") add_months(start, months)
         else start
       d.cast("timestamp")
   }

@@ -17,23 +17,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(GraftFunctions.dotProductDescriptor)
+    GraftFunctions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftFunctions {
-  private[functions] val dotProductDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("dot_product"),
-    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-    (exprs: Seq[Expression]) => {
-      require(exprs.length == 2, "dot_product expects exactly 2 arguments")
-      DotProduct(exprs.head, exprs(1))
-    })
+  private[functions] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "dot_product expects exactly 2 arguments")
+        DotProduct(exprs.head, exprs(1))
+      }),
+    (
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "char_ngrams expects (text, n)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"char_ngrams: n must be an integer literal, got $other")
+        }
+        CharNGrams(exprs.head, n)
+      }))
 
   /** Register the engine functions into a live session. */
-  def register(spark: SparkSession): Unit = {
-    val (_, _, builder) = dotProductDescriptor
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("dot_product", builder, "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
 }

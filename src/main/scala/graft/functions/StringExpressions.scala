@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native distinct character n-grams of a string column.
+  *
+  * The expression-composition equivalent —
+  * `array_distinct(transform(sequence(...), i -> substr(text, i, n)))` —
+  * evaluates the higher-order lambda interpreted, re-dispatching per
+  * character position and allocating an intermediate array before the
+  * distinct pass (~1.4 ms/doc measured at sf0.1, the dominant cost of the
+  * n-gram-Jaccard query). This walks the UTF-8 bytes once into a dedup set
+  * inside whole-stage codegen (the generated code calls one static method,
+  * the same shape Spark's own collection builtins use).
+  *
+  * Semantics (mirrors the old composition exactly, oracle-compatible):
+  * strings of ≤ n code points yield one gram — the whole string (even when
+  * empty); longer strings yield their distinct n-grams in first-occurrence
+  * order. NULL in → NULL out.
+  */
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"char_ngrams requires n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"char_ngrams requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    CharNGrams.compute(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharNGrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNGrams {
+  /** Shared by the interpreted and generated paths (public static so
+    * codegen'd classes can call it). */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len <= n) return new GenericArrayData(Array[Any](s))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      seen.add(s.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+object StringFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** `char_ngrams(text, n)` as a Column. */
+  def charNGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNGrams(ColumnBridge.expression(text), n))
+}

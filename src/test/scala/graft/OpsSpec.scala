@@ -144,6 +144,46 @@ class DedupSpec extends SparkSpecBase {
     assert(got.forall { case (a, b) => a < b }) // normalized orientation
   }
 
+  test("minhash banding below threshold 1: derived (b,r) gives ≥0.9 measured recall") {
+    // (b, r) must follow the threshold: recall ≈ 1-(1-t^r)^b, so the
+    // largest safe r at t=0.8 with k=32 is 4 (the old fixed r=8 gave ~52%)
+    assert(Dedup.bandRowsFor(32, 0.8) == 4)
+    assert(Dedup.bandRowsFor(32, 0.95) == 8)
+    assert(Dedup.bandRowsFor(32, 0.5) == 2)
+    // synthetic corpus of 40 known near-dup pairs with true Jaccard
+    // 38/42 ≈ 0.905 (disjoint vocabularies across pairs → zero cross noise)
+    val docs = (0 until 40).flatMap { i =>
+      val toks = (0 until 40).map(j => s"w${i}_$j")
+      val partner = toks.take(38) ++ Seq(s"x${i}_a", s"x${i}_b")
+      Seq((2L * i, toks.mkString(" ")), (2L * i + 1, partner.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val got = Dedup.minhashDedup(docs, "text", "doc_id",
+      shingleSize = 1, numHashes = 32, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 40).map(i => (2L * i, 2L * i + 1)).toSet
+    val recall = (expected & got).size.toDouble / expected.size
+    assert(recall >= 0.9, s"banding recall $recall below 0.9")
+    assert((got -- expected).isEmpty, "false positives survived exact-Jaccard verify")
+  }
+
+  test("native char_ngrams matches the HOF composition on every edge") {
+    val n = 3
+    val df = Seq("", "ab", "abc", "abcd", "banana", "aaaa", "héllo wörld")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val hof = array_distinct(transform(
+      sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+      i => col("text").substr(i, lit(n))))
+    val got = df.select(col("id"),
+      graft.functions.StringFunctions.charNGrams(col("text"), n).as("native"),
+      hof.as("ref")).orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val sql = spark.sql("SELECT char_ngrams('banana', 3) AS g").head().getSeq[String](0)
+    assert(sql == Seq("ban", "ana", "nan"))
+  }
+
   test("char n-gram jaccard over explicit pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
     val got = Dedup.ngramJaccardForPairs(pairs, docs, "text", "doc_id", n = 3)

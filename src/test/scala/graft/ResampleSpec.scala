@@ -70,6 +70,28 @@ class ResampleSpec extends SparkSpecBase {
     assert(y == Map("2024-12-31" -> Some(6.0)))
   }
 
+  test("MS + label=right labels the next bin edge (pandas), not period end") {
+    val d = Seq(
+      (ts("2024-01-05"), Some(1.0), 1.0),
+      (ts("2024-02-10"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    val got = byBucket(wdf.resample("ts", "MS", label = "right").sum())
+    // pandas: df.resample("MS", label="right").sum() labels 2024-02-01 / 2024-03-01
+    assert(got == Map("2024-02-01" -> Some(1.0), "2024-03-01" -> Some(2.0)))
+  }
+
+  test("calendar rules refuse closed/origin/offset (period membership ignores them)") {
+    val d = Seq((ts("2024-01-05"), Some(1.0), 1.0)).toDF("ts", "Value", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    intercept[IllegalArgumentException] { wdf.resample("ts", "MS", closed = "right") }
+    intercept[IllegalArgumentException] { wdf.resample("ts", "M", origin = "epoch") }
+    intercept[IllegalArgumentException] { wdf.resample("ts", "Q", offset = Some("1D")) }
+    // the supported combinations still construct fine
+    wdf.resample("ts", "MS", label = "right")
+    wdf.resample("ts", "M", label = "left")
+  }
+
   test("resample 2D sum/count/mean (test_frame.py:305-338)") {
     val r = WeightedDataFrame.wt(resampleDf, "weights").resample("ts", "2D")
     val sum = byBucket(r.sum())

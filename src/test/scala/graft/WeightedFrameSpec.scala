@@ -104,6 +104,24 @@ class WeightedFrameSpec extends SparkSpecBase {
     assert(got("Value").contains(90.0))
   }
 
+  test("applyRowsFn: arbitrary row-wise function over weighted columns (axis=1, frame.py:288-317)") {
+    val d = Seq((1L, 10.0, 1.0, 2.0), (2L, 20.0, 3.0, 1.0), (3L, 30.0, 5.0, 0.5))
+      .toDF("id", "a", "b", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    // per-row max of the weighted values — not expression-free, but use a
+    // genuine closure to exercise the Dataset.map path
+    val got = wdf.applyRowsFn(vs => Some(vs.flatten.max), keep = Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // weighted rows: (20, 2), (20, 3), (15, 2.5) → max per row
+    assert(got == Seq((1L, 20.0), (2L, 20.0), (3L, 15.0)))
+    // NULLs surface as None; None result → NULL value
+    val dn = Seq((1L, Some(2.0), 1.0), (2L, None: Option[Double], 2.0)).toDF("id", "a", "weights")
+    val gotN = WeightedDataFrame.wt(dn, "weights")
+      .applyRowsFn(vs => vs.head.map(_ * 10), keep = Seq("id"))
+      .orderBy("id").collect()
+    assert(gotN(0).getDouble(1) == 20.0 && gotN(1).isNullAt(1))
+  }
+
   test("boolean columns aggregate as 1/0 (select_dtypes number+bool, frame.py:268)") {
     val d = Seq((true, 1.0), (false, 2.0), (true, 3.0)).toDF("b", "weights")
     val wdf = WeightedDataFrame.wt(d, "weights")
