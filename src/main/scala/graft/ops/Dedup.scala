@@ -109,13 +109,19 @@ object Dedup {
   def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map(s => array_min(transform(sh, x => xxhash64(x, lit(s))))): _*)
 
-  /** Bulk (id, shingle-set, signature) table: explode shingles once, then a
-    * single grouped aggregate computes all k signature slots (`min` of each
-    * seeded hash) plus the distinct shingle set (`collect_set`). Everything
-    * is codegen'd aggregate machinery — one scan + one shuffle on the doc
-    * id with map-side partial aggregation, vs k interpreted HOF passes over
-    * every shingle array. */
-  private def minhashTable(
+  /** Narrow (id, signature, set-fingerprint) table: explode shingles once,
+    * then a single grouped aggregate computes all k signature slots (`min`
+    * of each seeded hash) plus an order-insensitive 128-bit set fingerprint
+    * (`bit_xor` of two independently-seeded shingle hashes) and the set
+    * size. Everything is codegen'd aggregate machinery — one scan + one
+    * shuffle on the doc id with map-side partial aggregation.
+    *
+    * Deliberately NO `collect_set`: carrying every document's full shingle
+    * set through the aggregate and every downstream join/sort is the
+    * dominant memory and shuffle cost at corpus scale. Exact shingle sets
+    * are re-derived per-row for the (small) candidate subset at verify time
+    * ([[verifyCandidatePairs]]) instead. */
+  private def minhashNarrow(
       df: DataFrame,
       textCol: String,
       idCol: String,
@@ -123,11 +129,38 @@ object Dedup {
       numHashes: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("__id__"), explode(shingles(col(textCol), shingleSize)).as("__tok__"))
+      .select(col("__id__"), col("__tok__"),
+        xxhash64(col("__tok__"), lit(101)).as("__hx1__"),
+        xxhash64(col("__tok__"), lit(202)).as("__hx2__"))
     val slots = (0 until numHashes).map(s => min(xxhash64(col("__tok__"), lit(s))).as(s"__m$s"))
-    val aggs = slots :+ collect_set(col("__tok__")).as("__sh__")
+    val aggs = slots ++ Seq(
+      expr("bit_xor(__hx1__)").as("__x1__"),
+      expr("bit_xor(__hx2__)").as("__x2__"),
+      count(lit(1)).as("__nsh__")) // shingles() is distinct ⇒ count = set size
     exploded.groupBy(col("__id__")).agg(aggs.head, aggs.tail: _*)
-      .select(col("__id__"), col("__sh__"),
+      .select(col("__id__"), col("__x1__"), col("__x2__"), col("__nsh__"),
         array((0 until numHashes).map(s => col(s"__m$s")): _*).as("__sig__"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: re-derive shingle sets
+    * ONLY for documents that appear in a candidate pair (per-row expression
+    * over a scan — no shuffle of set payloads for the rest of the corpus)
+    * and keep pairs meeting the threshold. The small pair side broadcasts
+    * under AQE; at scale it degrades gracefully to a shuffle join on ids. */
+  private def verifyCandidatePairs(
+      cand: DataFrame, // (doc_a, doc_b)
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("__id__"),
+      shingles(col(textCol), shingleSize).as("__sh__"))
+    cand
+      .join(sh.select(col("__id__").as("doc_a"), col("__sh__").as("sh_a")), "doc_a")
+      .join(sh.select(col("__id__").as("doc_b"), col("__sh__").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** LSH banding: split the k-slot signature into bands of `r` rows, hash
@@ -149,7 +182,7 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bandRows: Int = 8): DataFrame = {
-    val banded = minhashTable(df, textCol, idCol, shingleSize, numHashes)
+    val banded = minhashNarrow(df, textCol, idCol, shingleSize, numHashes)
       .select(col("__id__"), explode(bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
       .select(col("__id__"), col("bk.band"), col("bk.h"))
     val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"))
@@ -185,18 +218,23 @@ object Dedup {
     * Jaccard ≥ `threshold`. Output: (doc_a, doc_b, jaccard).
     *
     * Two physical plans by threshold:
-    *   - `threshold ≥ 1`: identical shingle sets ⇒ identical signatures, so
-    *     the right plan is a single groupBy on the full signature (dup
-    *     groups are tiny; pairs explode inside each group) — no banding
-    *     self-join, no skew, and recall is exactly 1. Jaccard is still
-    *     verified exactly (a 32-way hash collision of different sets is
-    *     astronomically unlikely but would otherwise be a wrong answer).
+    *   - `threshold ≥ 1`: identical shingle sets ⇒ identical narrow rows
+    *     (signature + 128-bit xor fingerprint + size), so candidates come
+    *     from a streamed SELF-JOIN on the narrow table — a hot group emits
+    *     its g² pairs through the join's streaming iterator instead of one
+    *     g²-element array row (which would OOM an executor on a degenerate
+    *     all-identical corpus). The table is `repartition(sig)`-ed first so
+    *     every consumer reuses ONE exchange (the expensive explode+agg
+    *     subtree is computed once), and recall is exactly 1.
     *   - `threshold < 1`: classic banding. Band buckets of mutually-similar
     *     corpora are heavily skewed, so candidates are (a) prefiltered by
     *     the cheap signature-slot estimate (threshold − 0.25 slack ≈ 3σ for
     *     k=32, preserving recall) while signatures are still at hand, and
-    *     (b) repartitioned by pair before the expensive exact-Jaccard
-    *     verify so one hot bucket can't serialize the verify stage.
+    *     (b) repartitioned by pair (`distinct`) before verification so one
+    *     hot bucket can't serialize the verify stage.
+    * Both paths end in [[verifyCandidatePairs]] — exact Jaccard on shingle
+    * sets re-derived for candidate docs only, so a hash collision can never
+    * produce a wrong pair.
     */
   def minhashDedup(
       df: DataFrame,
@@ -206,41 +244,38 @@ object Dedup {
       numHashes: Int = 32,
       bandRows: Int = 0, // 0 → derived from the threshold ([[bandRowsFor]])
       threshold: Double = 0.9): DataFrame = {
-    val base = minhashTable(df, textCol, idCol, shingleSize, numHashes)
+    val narrow = minhashNarrow(df, textCol, idCol, shingleSize, numHashes)
 
-    if (threshold >= 1.0) {
-      // streamed self-join on the full signature (fixed-width, 256 B): a hot
-      // signature group emits its g² pairs through the join's streaming
-      // iterator instead of materializing one g²-element array row (which
-      // would OOM one executor on a degenerate all-identical corpus). The
-      // two sides are the same canonical subtree, so the signature exchange
-      // is planned once and reused.
-      val sigTab = base.select(col("__sig__"), col("__id__"), col("__sh__"))
-      sigTab.as("a")
-        .join(sigTab.as("b"),
-          col("a.__sig__") === col("b.__sig__") && col("a.__id__") < col("b.__id__"))
-        .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"),
-          jaccard(col("a.__sh__"), col("b.__sh__")).as("jaccard"))
-        .where(col("jaccard") >= threshold)
-    } else {
-      val r0 = if (bandRows > 0) bandRows else bandRowsFor(numHashes, threshold)
-      val banded = base.select(col("__id__"), col("__sig__"),
-        explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
-        .select(col("__id__"), col("__sig__"), col("bk.band"), col("bk.h"))
-      val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"), col("__sig__").as("sig_a"))
-      val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"), col("__sig__").as("sig_b"))
-      val cands = l.join(r, Seq("band", "h"))
-        .where(col("doc_a") < col("doc_b"))
-        .where(estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.25)
-        .select("doc_a", "doc_b")
-        .distinct() // also rebalances: hash-partitioned on the pair, not the hot bucket
-      val sh = base.select(col("__id__"), col("__sh__"))
-      cands
-        .join(sh.withColumnRenamed("__id__", "doc_a").withColumnRenamed("__sh__", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("__id__", "doc_b").withColumnRenamed("__sh__", "sh_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .where(col("jaccard") >= threshold)
-    }
+    val cand =
+      if (threshold >= 1.0) {
+        // pre-partition by the signature: the self-join's clustering
+        // requirement is satisfied by this single exchange, so both join
+        // sides (canonically identical subtrees) reuse it — the merge hint
+        // keeps the planner from broadcasting one side, which would
+        // recompute the aggregate subtree instead of reusing the shuffle
+        val t = narrow.repartition(col("__sig__"))
+        t.as("a").hint("merge")
+          .join(t.as("b").hint("merge"),
+            col("a.__sig__") === col("b.__sig__") &&
+              col("a.__x1__") === col("b.__x1__") &&
+              col("a.__x2__") === col("b.__x2__") &&
+              col("a.__nsh__") === col("b.__nsh__") &&
+              col("a.__id__") < col("b.__id__"))
+          .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"))
+      } else {
+        val r0 = if (bandRows > 0) bandRows else bandRowsFor(numHashes, threshold)
+        val banded = narrow.select(col("__id__"), col("__sig__"),
+          explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
+          .select(col("__id__"), col("__sig__"), col("bk.band"), col("bk.h"))
+        val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"), col("__sig__").as("sig_a"))
+        val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"), col("__sig__").as("sig_b"))
+        l.join(r, Seq("band", "h"))
+          .where(col("doc_a") < col("doc_b"))
+          .where(estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.25)
+          .select("doc_a", "doc_b")
+          .distinct() // also rebalances: hash-partitioned on the pair, not the hot bucket
+      }
+    verifyCandidatePairs(cand, df, textCol, idCol, shingleSize, threshold)
   }
 
   /** Per-document 64-bit SimHash: explode shingles, hash each ONCE, then a
@@ -253,7 +288,11 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleSize: Int = 1): DataFrame = {
-    val hashed = df
+    // explicit null-id filter: [[simhashPairs]]'s join conditions infer
+    // isnotnull(id) on SOME consumers of this subtree; making it explicit
+    // keeps every consumer's canonical plan identical so they share one
+    // exchange instead of recomputing the table per branch
+    val hashed = df.where(col(idCol).isNotNull)
       .select(col(idCol).as("__id__"), explode(shingles(col(textCol), shingleSize)).as("__tok__"))
       .select(col("__id__"), xxhash64(col("__tok__")).as("__h__"))
     val votes = (0 until 64).map { i =>
@@ -294,13 +333,19 @@ object Dedup {
     // integer boundaries (a fixed chunk width would overshoot 64 bits for
     // many nChunks values, producing degenerate all-zero band keys)
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    val docs = simhashTable(df, textCol, idCol, shingleSize) // (__id__, __sim__)
+    // pre-partition the (id, simhash) table by the signature: every
+    // consumer below (self-join sides, distinct signatures, the two doc
+    // expansions) needs clustering by __sim__, so they all reuse this ONE
+    // exchange and the explode+64-agg subtree is computed once
+    val docs = simhashTable(df, textCol, idCol, shingleSize)
+      .repartition(col("__sim__")) // (__id__, __sim__)
 
     // within-signature pairs (hamming 0 by construction): streamed self-join
-    // on the 64-bit signature — the two sides share one canonical subtree,
-    // so the exchange is planned once and reused
-    val eqPairs = docs.as("a")
-      .join(docs.as("b"),
+    // on the 64-bit signature — merge keeps the planner off a broadcast
+    // plan that would recompute the signature subtree instead of reusing
+    // the exchange
+    val eqPairs = docs.as("a").hint("merge")
+      .join(docs.as("b").hint("merge"),
         col("a.__sim__") === col("b.__sim__") && col("a.__id__") < col("b.__id__"))
       .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"), lit(0).as("hamming"))
 
@@ -343,9 +388,13 @@ object Dedup {
       idCol: String,
       n: Int = 3): DataFrame = {
     // native codegen'd n-gram expression — the interpreted HOF composition
-    // (sequence → transform → substr → array_distinct) costs ~1.4 ms/doc
+    // (sequence → transform → substr → array_distinct) costs ~1.4 ms/doc.
+    // repartition(id): both join sides consume the same canonical subtree,
+    // so the gram computation and its exchange run ONCE (ReuseExchange)
+    // instead of once per side.
     val grams = docs.select(col(idCol).as("__id__"),
       graft.functions.StringFunctions.charNGrams(col(textCol), n).as("__g__"))
+      .repartition(col("__id__"))
     pairs
       .join(grams.withColumnRenamed("__id__", "doc_a").withColumnRenamed("__g__", "g_a"), "doc_a")
       .join(grams.withColumnRenamed("__id__", "doc_b").withColumnRenamed("__g__", "g_b"), "doc_b")
