@@ -287,6 +287,18 @@ object SparkEntry {
     "q28_text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // A8 axis=1: arbitrary row-wise function over weighted columns via
+    // Dataset.map (distributed; the closure is max over the weighted row)
+    "q38_apply_rowwise" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = table(s, dir, "events")
+        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
+        .withColumn("v2", col("value") * 0.5 - 10.0)
+        .select("event_id", "value", "v2", "w")
+      val wdf = WeightedDataFrame.wt(e, "w")
+      wdf.applyRowsFn(vs => vs.flatten.maxOption, keep = Seq("event_id"))
+        .orderBy("event_id")
+    }),
     // multimodal plumbing: decode-stub feature extraction; metadata columns
     // are deterministic and oracle-checked (features are hash-driven)
     "q30_multimodal_meta" -> ((s, dir) =>
@@ -513,6 +525,10 @@ object SparkEntry {
          |md5(text) AS fingerprint
          |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+    "q38_apply_rowwise" ->
+      """SELECT event_id, greatest(value * w, (value * 0.5 - 10.0) * w) AS value
+        |FROM (SELECT event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
     "q30_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

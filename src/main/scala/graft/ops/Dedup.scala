@@ -174,16 +174,19 @@ object Dedup {
     }: _*)
   }
 
-  /** Candidate near-duplicate pairs (doc_a < doc_b) from MinHash banding. */
+  /** Candidate near-duplicate pairs (doc_a < doc_b) from MinHash banding.
+    * `bandRows = 0` derives (b, r) from `threshold` via [[bandRowsFor]]. */
   def minhashCandidates(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 32,
-      bandRows: Int = 8): DataFrame = {
+      bandRows: Int = 0,
+      threshold: Double = 0.9): DataFrame = {
+    val r0 = if (bandRows > 0) bandRows else bandRowsFor(numHashes, threshold)
     val banded = minhashNarrow(df, textCol, idCol, shingleSize, numHashes)
-      .select(col("__id__"), explode(bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
+      .select(col("__id__"), explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
       .select(col("__id__"), col("bk.band"), col("bk.h"))
     val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"))
     val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"))
