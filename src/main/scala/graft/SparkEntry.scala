@@ -270,10 +270,12 @@ object SparkEntry {
         "vec_id", "embedding", col("vec_id") < 10, 5)
         .withColumn("rank", col("rank").cast("long"))),
     // embedding-cosine near-dup: nearest neighbor of every vector (exact
-    // brute baseline — the oracle-checkable variant)
+    // brute baseline — the oracle-checkable variant). strategy pinned:
+    // "auto" would silently flip to approximate LSH past its size cutoff
+    // and the exact DuckDB oracle would then mismatch
     "q27_embed_neardup" -> ((s, dir) =>
-      Similarity.nearestNeighbors(table(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("doc_a")),
+      Similarity.nearestNeighbors(table(s, dir, "embeddings"), "vec_id", "embedding",
+        strategy = "brute").orderBy("doc_a")),
     // bucketed near-dup — the 100 TB shape: LSH self-join on bucket keys,
     // no broadcast, no cartesian (plane-dependent — rows-only check)
     "q37_embed_neardup_lsh" -> ((s, dir) =>

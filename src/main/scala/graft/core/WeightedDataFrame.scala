@@ -121,7 +121,7 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
       on: String,
       rule: String,
       closed: String = "left",
-      label: String = "left",
+      label: String = "auto", // rule-dependent pandas default: right for M/Q/Y, left otherwise
       origin: String = "start_day",
       offset: Option[String] = None): WeightedResampler =
     new WeightedResampler(this, on, rule, closed, label, origin, offset)

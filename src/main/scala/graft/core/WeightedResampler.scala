@@ -87,9 +87,21 @@ final class WeightedResampler private[core] (
     offset: Option[String]) {
 
   require(closed == "left" || closed == "right", s"closed must be left|right, got $closed")
-  require(label == "left" || label == "right", s"label must be left|right, got $label")
+  require(label == "auto" || label == "left" || label == "right",
+    s"label must be auto|left|right, got $label")
 
   private val parsed: ResampleRule = RuleParser.parse(rule)
+  /** pandas' label default is RULE-dependent: end-anchored calendar rules
+    * (M/Q/Y) default to right labels, everything else to left. "auto"
+    * resolves that here so an explicit `label="left"` on `"M"` can mean
+    * what it means in pandas (the previous period's end) instead of being
+    * silently coerced to the default. */
+  private val resolvedLabel: String =
+    if (label != "auto") label
+    else parsed match {
+      case CalendarRule(_, true) => "right"
+      case _                     => "left"
+    }
   // calendar rules bin by period membership — closed/origin/offset have no
   // effect on which period a timestamp belongs to, so accepting them would
   // quietly return left-closed epoch-anchored results for whatever the
@@ -115,19 +127,23 @@ final class WeightedResampler private[core] (
   /** Bucket key → the bin's label timestamp. */
   private def labelTs(b: Column): Column = parsed match {
     case FixedRule(us) =>
-      timestamp_micros(if (label == "left") b else b + lit(us))
+      timestamp_micros(if (resolvedLabel == "left") b else b + lit(us))
     case CalendarRule(months, labelEnd) =>
       val yr = ((b - pmod(b, lit(12L))) / lit(12L)).cast("int") + 1970
       val mo = pmod(b, lit(12L)).cast("int") + 1
       val start = make_date(yr, mo, lit(1))
-      // end-labeled spellings (M/Q/Y) label the period end; start-labeled
-      // ones (MS/QS/YS) label the period start, or — pandas' label="right"
-      // semantics — the NEXT bin edge, i.e. the next period's first day
-      // (not end-of-period-minus-a-day, which is a different date)
-      val d =
-        if (labelEnd) date_add(add_months(start, months), -1)
-        else if (label == "right") add_months(start, months)
-        else start
+      // pandas labeling: end-anchored rules (M/Q/Y) see bins as
+      // (prev period end, period end] — right label = period end (their
+      // default), left label = the PREVIOUS period's end. Start-anchored
+      // rules (MS/QS/YS) see [period start, next period start) — left
+      // label = period start (their default), right label = the NEXT
+      // period's start (the next bin edge, not end-of-period-minus-a-day).
+      val d = (labelEnd, resolvedLabel) match {
+        case (true, "left")   => date_add(start, -1)
+        case (true, _)        => date_add(add_months(start, months), -1)
+        case (false, "right") => add_months(start, months)
+        case (false, _)       => start
+      }
       d.cast("timestamp")
   }
 

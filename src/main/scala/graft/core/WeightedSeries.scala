@@ -97,7 +97,7 @@ final class WeightedSeries private (
       on: String,
       rule: String,
       closed: String = "left",
-      label: String = "left",
+      label: String = "auto", // rule-dependent pandas default: right for M/Q/Y, left otherwise
       origin: String = "start_day",
       offset: Option[String] = None): WeightedResampler =
     series.resample(on, rule, closed, label, origin, offset)

@@ -30,7 +30,13 @@ object Dedup {
     * key-singleton (identical keys always share a hash), and only the
     * hash-groups with ≥ 2 members — the duplicate candidates, a small
     * fraction of a real corpus — are re-grouped by the full key to split
-    * any 128-bit collision. */
+    * any 128-bit collision.
+    *
+    * Deliberate tradeoff: the two branches evaluate `keyExpr` over the
+    * corpus independently (scan-side CPU, embarrassingly parallel, no IO)
+    * rather than sharing one exchange — sharing would require shuffling
+    * the full key (the document text) corpus-wide, which is the exact cost
+    * this design removes. */
   def exactGroups(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
     val hashed = df.select(
       xxhash64(keyExpr, lit(0)).as("__h1__"), xxhash64(keyExpr, lit(1)).as("__h2__"),
@@ -175,7 +181,10 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs (doc_a < doc_b) from MinHash banding.
-    * `bandRows = 0` derives (b, r) from `threshold` via [[bandRowsFor]]. */
+    * `bandRows = 0` derives (b, r) from `threshold` via [[bandRowsFor]];
+    * `threshold ≥ 1` degenerates to one whole-signature band (identical
+    * signatures only — the same candidates [[minhashDedup]]'s ≥ 1 path
+    * joins on). */
   def minhashCandidates(
       df: DataFrame,
       textCol: String,
@@ -184,7 +193,10 @@ object Dedup {
       numHashes: Int = 32,
       bandRows: Int = 0,
       threshold: Double = 0.9): DataFrame = {
-    val r0 = if (bandRows > 0) bandRows else bandRowsFor(numHashes, threshold)
+    val r0 =
+      if (bandRows > 0) bandRows
+      else if (threshold >= 1.0) numHashes
+      else bandRowsFor(numHashes, threshold)
     val banded = minhashNarrow(df, textCol, idCol, shingleSize, numHashes)
       .select(col("__id__"), explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
       .select(col("__id__"), col("bk.band"), col("bk.h"))

@@ -228,11 +228,18 @@ object Similarity {
 
   /** Cells for a corpus of `n` vectors so the expected cell population
     * stays ≈ `targetCellRows` — the IVF analogue of [[planesFor]]: a
-    * constant list count keeps the probe join Θ(n²) as the corpus grows. */
+    * constant list count keeps the probe join Θ(n²) as the corpus grows.
+    *
+    * Capped at 1024: (a) [[searchIvf]] unrolls one dot-product expression
+    * per centroid plus a k×d literal, which must stay within codegen
+    * limits; (b) the KMeans fit cost grows with k × sample. Past the cap,
+    * cell population grows linearly again — corpora that large should use
+    * the LSH path (plane count scales to 2⁶²) or bring an externally
+    * trained quantizer via an explicit [[IvfModel]]. */
   private[graft] def listsFor(n: Long, targetCellRows: Int = 128): Int = {
     require(targetCellRows >= 1, s"targetCellRows must be >= 1, got $targetCellRows")
     val k = math.ceil(n.toDouble / targetCellRows).toInt
-    math.max(2, math.min(65536, k))
+    math.max(2, math.min(1024, k))
   }
 
   /** Train the IVF coarse quantizer: KMeans over a bounded random sample of
@@ -259,15 +266,23 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val n = df.count()
     require(n > 0, "fitIvf: empty corpus")
-    val k = math.min(n, (if (nLists > 0) nLists else listsFor(n, targetCellRows)).toLong).toInt
-    val frac = math.min(1.0, maxTrainRows.toDouble / n)
+    val derived = if (nLists > 0) nLists.toLong else listsFor(n, targetCellRows).toLong
+    // k can never exceed the TRAINING sample (KMeans with more clusters
+    // than points degenerates), and the sample grows with k so each cell
+    // sees enough points to place its centroid (≥ ~32/cell)
+    val trainRows = math.min(n, math.max(maxTrainRows.toLong, 32L * derived))
+    val k = math.min(math.min(n, trainRows), derived).toInt
+    val frac = math.min(1.0, trainRows.toDouble / n)
     val v = toDouble(col(vecCol)).as("__v__")
     val sampled = if (frac < 1.0) df.select(v).sample(frac, seed) else df.select(v)
+    // pack the sample into few partitions (not necessarily ONE: a large-k
+    // fit on a single task would serialize k × trainRows × d × iters work)
+    val trainParts = math.max(1, (trainRows / 8192L).toInt)
     val trainDf = sampled
       .withColumn("__n__", norm(col("__v__")))
       .select(array_to_vector(transform(col("__v__"),
         x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))).as("features"))
-      .coalesce(1).cache()
+      .coalesce(trainParts).cache()
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(trainDf)
     trainDf.unpersist()
     IvfModel(model.clusterCenters.map { c =>

@@ -70,6 +70,17 @@ class ResampleSpec extends SparkSpecBase {
     assert(y == Map("2024-12-31" -> Some(6.0)))
   }
 
+  test("M + label=left labels the previous period end (pandas)") {
+    val d = Seq(
+      (ts("2024-01-05"), Some(1.0), 1.0),
+      (ts("2024-02-10"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    // pandas: df.resample("ME", label="left").sum() labels 2023-12-31 / 2024-01-31
+    val got = byBucket(wdf.resample("ts", "M", label = "left").sum())
+    assert(got == Map("2023-12-31" -> Some(1.0), "2024-01-31" -> Some(2.0)))
+  }
+
   test("MS + label=right labels the next bin edge (pandas), not period end") {
     val d = Seq(
       (ts("2024-01-05"), Some(1.0), 1.0),
