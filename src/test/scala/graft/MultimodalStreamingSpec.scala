@@ -74,4 +74,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(cell(got(2), 1).contains(4.0) && cell(got(2), 2).contains(16.0))
     assert(cell(got(2), 3).contains(4.0) && cell(got(2), 4).contains(0.0))
   }
+
+  test("streaming exact dedup keeps first arrival per distinct text (hash-keyed state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.StreamingDedup.dropDuplicateTexts(sdf, "text")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    q.processAllAvailable()
+    input.addData((4L, "beta"), (5L, "gamma")) // beta already seen in batch 1
+    q.processAllAvailable()
+    val got = spark.table("sdedup").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    q.stop()
+    assert(got == Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+    // the state columns never leak into the output schema
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("streaming dedup with watermark bounds state and still drops in-window copies") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val sdf = input.toDF().toDF("ts", "text")
+    val out = graft.streaming.StreamingDedup.dropDuplicateTexts(
+      sdf, "text", tsCol = Some("ts"), watermarkDelay = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sdedupwm").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "alpha"),
+      (ts("2024-01-01 10:10:00"), "alpha"), // in-window duplicate: dropped
+      (ts("2024-01-01 10:20:00"), "beta"))
+    q.processAllAvailable()
+    val got = spark.table("sdedupwm").collect().map(_.getString(1)).sorted.toSeq
+    q.stop()
+    assert(got == Seq("alpha", "beta"))
+  }
 }
