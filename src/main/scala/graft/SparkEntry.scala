@@ -109,6 +109,35 @@ object SparkEntry {
     selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY l_returnflag, col_x, col_y")
   }
 
+  /** DuckDB mirror of TextAnalysis.analyze (no ORDER BY — callers append). */
+  private val textAnalyzeSql: String = {
+    def markers(lang: String): String =
+      TextAnalysis.LangMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ",", "]")
+    def cnt(lang: String): String =
+      s"len(list_filter(toks, t -> list_contains(${markers(lang)}, t)))"
+    s"""WITH f AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, text, toks, ${cnt("en")} AS c_en, ${cnt("es")} AS c_es,
+       |${cnt("de")} AS c_de, ${cnt("fr")} AS c_fr FROM f)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       |round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+       |round(CAST(c_en AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+       |CASE WHEN c_en <= 0 AND c_es <= 0 AND c_de <= 0 AND c_fr <= 0 THEN 'unknown'
+       |WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+       |WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+       |WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |ELSE 'fr' END AS pred_lang,
+       |round(0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 80.0)
+       |+ 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+       |+ 0.3 * least(1.0, (CAST(c_en AS DOUBLE) / len(toks)) * 5.0), 6) AS quality_score,
+       |md5(text) AS fingerprint
+       |FROM s""".stripMargin.replace("\n", " ")
+  }
+
+  /** Keep-first exact-dedup replacement for the `documents` source. */
+  private val keepFirstDocsSql =
+    "FROM (SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text))"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 count (skipna=true) — SURVEY §2.2
@@ -289,6 +318,10 @@ object SparkEntry {
     "q28_text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // composed corpus cleaning: exact dedup → features → quality filter
+    "q39_clean_corpus" -> ((s, dir) =>
+      graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
+        minQuality = 0.5, minTokens = 20L).orderBy("doc_id")),
     // A8 axis=1: arbitrary row-wise function over weighted columns via
     // Dataset.map (distributed; the closure is max over the weighted row)
     "q38_apply_rowwise" -> ((s, dir) => {
@@ -504,29 +537,12 @@ object SparkEntry {
         |r AS (SELECT doc_a, doc_b, sim,
         |row_number() OVER (PARTITION BY doc_a ORDER BY sim DESC, doc_b) AS rk FROM s)
         |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM r WHERE rk = 1 ORDER BY doc_a""".stripMargin.replace("\n", " "),
-    "q28_text_analyze" -> {
-      def markers(lang: String): String =
-        TextAnalysis.LangMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ",", "]")
-      def cnt(lang: String): String =
-        s"len(list_filter(toks, t -> list_contains(${markers(lang)}, t)))"
-      s"""WITH f AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-         |s AS (SELECT doc_id, text, toks, ${cnt("en")} AS c_en, ${cnt("es")} AS c_es,
-         |${cnt("de")} AS c_de, ${cnt("fr")} AS c_fr FROM f)
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens,
-         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
-         |round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
-         |round(CAST(c_en AS DOUBLE) / len(toks), 6) AS stopword_ratio,
-         |CASE WHEN c_en <= 0 AND c_es <= 0 AND c_de <= 0 AND c_fr <= 0 THEN 'unknown'
-         |WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
-         |WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
-         |WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
-         |ELSE 'fr' END AS pred_lang,
-         |round(0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 80.0)
-         |+ 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
-         |+ 0.3 * least(1.0, (CAST(c_en AS DOUBLE) / len(toks)) * 5.0), 6) AS quality_score,
-         |md5(text) AS fingerprint
-         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")
-    },
+    "q28_text_analyze" -> s"$textAnalyzeSql ORDER BY doc_id",
+    "q39_clean_corpus" ->
+      s"""SELECT * FROM ($textAnalyzeSql)
+         |WHERE quality_score >= 0.5 AND ws_tokens >= 20
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        .replace("FROM documents", keepFirstDocsSql),
     "q38_apply_rowwise" ->
       """SELECT event_id, greatest(value * w, (value * 0.5 - 10.0) * w) AS value
         |FROM (SELECT event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)

@@ -71,4 +71,38 @@ object StreamingWeighted {
           (k, sw, if (sw != 0.0) swx / sw else Double.NaN)
       }
   }
+
+  /** Per-key running weighted mean AND variance with O(1) state — the
+    * three algebraic moments (Σw, Σwx, Σwx²), combined with the identical
+    * formula the batch kernel uses
+    * (`(Q − S²/W)/(W − ddof)`, [[graft.core.WeightedMoments.varExpr]]).
+    * Output per trigger: (key, total_weight, mean, var) — var is NaN while
+    * Σw ≤ ddof, matching the batch NULL guard. */
+  def runningWeightedVar(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      weightCol: String,
+      ddof: Int = 1): Dataset[(String, Double, Double, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(valueCol).cast("double"),
+      col(weightCol).cast("double"))
+      .as[(String, Option[Double], Option[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Option[Double], Option[Double])],
+         state: GroupState[(Double, Double, Double)]) =>
+          var (sw, swx, swxx) = state.getOption.getOrElse((0.0, 0.0, 0.0))
+          it.foreach {
+            case (_, Some(v), Some(w)) => sw += w; swx += v * w; swxx += v * v * w
+            case _                     => () // NULL value or weight: skipna
+          }
+          state.update((sw, swx, swxx))
+          val mean = if (sw != 0.0) swx / sw else Double.NaN
+          val varr =
+            if (sw > ddof) (swxx - swx * swx / sw) / (sw - ddof) else Double.NaN
+          (k, sw, mean, varr)
+      }
+  }
 }

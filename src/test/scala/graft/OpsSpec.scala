@@ -144,6 +144,24 @@ class DedupSpec extends SparkSpecBase {
     assert(got.forall { case (a, b) => a < b }) // normalized orientation
   }
 
+  test("hash-keyed exactGroups is equivalent to a naive full-key groupBy (random dup corpora)") {
+    val rnd = new scala.util.Random(19)
+    // heavy duplication: ~60 distinct texts over 400 docs, group sizes 1..n
+    val rows = (0 until 400).map(i => (i.toLong, s"text body number ${rnd.nextInt(60)}"))
+    val df = rows.toDF("doc_id", "text")
+    val naive = df.groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashed = Dedup.exact(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hashed == naive)
+    val naiveKept = rows.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val kept = Dedup.dropExact(df, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == naiveKept)
+  }
+
   test("minhash banding below threshold 1: derived (b,r) gives ≥0.9 measured recall") {
     // (b, r) must follow the threshold: recall ≈ 1-(1-t^r)^b, so the
     // largest safe r at t=0.8 with k=32 is 4 (the old fixed r=8 gave ~52%)
@@ -182,6 +200,21 @@ class DedupSpec extends SparkSpecBase {
     graft.functions.GraftFunctions.register(spark)
     val sql = spark.sql("SELECT char_ngrams('banana', 3) AS g").head().getSeq[String](0)
     assert(sql == Seq("ban", "ana", "nan"))
+  }
+
+  test("cleanCorpus: dedup keeps first copy, filter drops low-quality/short docs") {
+    val good = "the quick brown fox jumps over the lazy dog and then the " +
+      "other animals watch the fox with great interest in the morning light"
+    val df = Seq(
+      (0L, good),
+      (1L, good), // exact dup of 0: dropped by keep-first
+      (2L, "#### 1234 %%%%"), // low quality + short: filtered
+      (3L, "tiny doc")) // too few tokens
+      .toDF("doc_id", "text")
+    val got = graft.ops.Pipeline.cleanCorpus(df, "text", "doc_id",
+      minQuality = 0.5, minTokens = 20L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(got.head.getAs[Long]("ws_tokens") >= 20L)
   }
 
   test("char n-gram jaccard over explicit pairs") {

@@ -74,4 +74,30 @@ class StatefulStreamingSpec extends SparkSpecBase {
     q.stop()
     assert(r2.contains(("a", 4.0, 90.0 / 4.0)))
   }
+
+  test("running weighted variance matches the batch kernel across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Option[Double], Option[Double])]
+    val out = StreamingWeighted.runningWeightedVar(
+      input.toDF().toDF("k", "v", "w"), "k", "v", "w")
+    val q = out.toDF().toDF("k", "total_w", "mean", "var")
+      .writeStream.outputMode("update").format("memory").queryName("statevar").start()
+    input.addData(("a", Some(10.0), Some(1.0)))
+    q.processAllAvailable()
+    val r1 = spark.table("statevar").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+    assert(r1.head._2 == 1.0 && r1.head._3.isNaN) // W = 1 = ddof → undefined
+    input.addData(("a", Some(20.0), Some(2.0)), ("a", None, Some(9.0)))
+    q.processAllAvailable()
+    val r2 = spark.table("statevar").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    q.stop()
+    // batch kernel on the same rows: W=3, S=50, Q=900 →
+    // var = (900 - 2500/3)/(3-1) = 100/3 / 2 (null value skipped)
+    val expectVar = (900.0 - 2500.0 / 3.0) / 2.0
+    assert(r2.exists { case (k, w, m, v) =>
+      k == "a" && w == 3.0 && math.abs(m - 50.0 / 3.0) < 1e-12 &&
+        math.abs(v - expectVar) < 1e-12
+    })
+  }
 }
