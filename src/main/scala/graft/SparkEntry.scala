@@ -310,6 +310,12 @@ object SparkEntry {
     "q37_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.nearestNeighbors(table(s, dir, "embeddings"), "vec_id", "embedding",
         strategy = "lsh").orderBy("doc_a")),
+    // embedding near-dup corpus output: keep-first drop of vectors whose
+    // nearest neighbor is an earlier near-dup (brute = oracle-checkable)
+    "q40_drop_embed_neardup" -> ((s, dir) =>
+      Similarity.dropNearDuplicateVectors(table(s, dir, "embeddings"),
+        "vec_id", "embedding", simThreshold = 0.45, strategy = "brute")
+        .select("vec_id").orderBy("vec_id")),
     // §2.4 calendar resample: monthly buckets over lineitem ship dates
     "q29_resample_monthly" -> ((s, dir) =>
       wli(s, dir).select("l_shipdate", "l_extendedprice")
@@ -537,6 +543,16 @@ object SparkEntry {
         |r AS (SELECT doc_a, doc_b, sim,
         |row_number() OVER (PARTITION BY doc_a ORDER BY sim DESC, doc_b) AS rk FROM s)
         |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM r WHERE rk = 1 ORDER BY doc_a""".stripMargin.replace("\n", " "),
+    "q40_drop_embed_neardup" ->
+      """WITH q AS (SELECT vec_id AS doc_a, embedding::DOUBLE[] AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS doc_b, embedding::DOUBLE[] AS nv FROM embeddings),
+        |s AS (SELECT doc_a, doc_b, list_cosine_similarity(qv, nv) AS sim
+        |FROM q CROSS JOIN c WHERE doc_a <> doc_b),
+        |r AS (SELECT doc_a, doc_b, sim,
+        |row_number() OVER (PARTITION BY doc_a ORDER BY sim DESC, doc_b) AS rk FROM s),
+        |d AS (SELECT doc_a FROM r WHERE rk = 1 AND round(sim, 6) >= 0.45 AND doc_b < doc_a)
+        |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT doc_a FROM d)
+        |ORDER BY vec_id""".stripMargin.replace("\n", " "),
     "q28_text_analyze" -> s"$textAnalyzeSql ORDER BY doc_id",
     "q39_clean_corpus" ->
       s"""SELECT * FROM ($textAnalyzeSql)

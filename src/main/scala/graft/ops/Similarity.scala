@@ -393,4 +393,24 @@ object Similarity {
     }
     nn.select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"), col("sim"))
   }
+
+  /** The deduplicated corpus under embedding-cosine near-duplication — the
+    * "give me the clean dataset" counterpart of [[nearestNeighbors]]
+    * (mirroring `Dedup.dropExact` for text): a vector is dropped iff its
+    * nearest neighbor scores `sim ≥ simThreshold` AND has a smaller id
+    * (keep-first). Top-1-based by design — the same single-NN the scale
+    * strategies compute — so the policy is identical under every strategy
+    * and needs one anti-join beyond the NN pass. */
+  def dropNearDuplicateVectors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      simThreshold: Double,
+      strategy: String = "auto",
+      model: Option[IvfModel] = None): DataFrame = {
+    val nn = nearestNeighbors(df, idCol, vecCol, strategy, model)
+    val drop = nn.where(col("sim") >= simThreshold && col("doc_b") < col("doc_a"))
+      .select(col("doc_a").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -366,6 +366,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))))
   }
 
+  test("dropNearDuplicateVectors keeps first copy of a near-dup cluster") {
+    val v = Array(1.0f, 0.0f, 0.0f)
+    val df = Seq(
+      (0L, v),
+      (1L, Array(0.999f, 0.01f, 0.0f)),  // near-dup of 0 → dropped (0 < 1)
+      (2L, Array(0.0f, 1.0f, 0.0f)),      // orthogonal → kept
+      (3L, Array(0.0f, 0.98f, 0.2f)))     // near 2 → dropped (2 < 3)
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.dropNearDuplicateVectors(df, "vec_id", "embedding",
+      simThreshold = 0.9, strategy = "brute").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L))
+  }
+
   test("NaN vector elements rank last in both top-k paths (NULL sim)") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
