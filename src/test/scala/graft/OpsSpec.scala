@@ -144,6 +144,28 @@ class DedupSpec extends SparkSpecBase {
     assert(got.forall { case (a, b) => a < b }) // normalized orientation
   }
 
+  test("exactGroups shuffles a fixed-width hash key, not the text") {
+    val plan = Dedup.exact(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__h1__"),
+      "primary dedup exchange must partition on the 128-bit key hash")
+  }
+
+  test("simhashPairs executes with one source scan (exchange reuse holds)") {
+    // parquet source like production: a LocalRelation gets constant-folded
+    // per branch (ConvertToLocalRelation), which legitimately defeats reuse
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.simhashPairs(d, "text", "doc_id")
+    out.queryExecution.toRdd.count() // force AQE to finalize
+    // toString renders the final plan followed by the pre-AQE initial plan;
+    // only the final section reflects what actually executed
+    val finalPlan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      "signature subtree must be shared, not recomputed per consumer")
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans <= 1, s"expected a single parquet scan, saw $scans — a consumer forked the plan")
+  }
+
   test("hash-keyed exactGroups is equivalent to a naive full-key groupBy (random dup corpora)") {
     val rnd = new scala.util.Random(19)
     // heavy duplication: ~60 distinct texts over 400 docs, group sizes 1..n
