@@ -49,4 +49,30 @@ object Tables {
       .format(format)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).save(path)
   }
+
+  /** Bucketed sink: hash-buckets (and sorts) by the join/group key into a
+    * catalog table. The 100 TB payoff is co-located joins and aggregations —
+    * two tables bucketed on the same key by the same count join with NO
+    * exchange on either side (Spark trusts the on-disk bucketing), so a
+    * fact⋈fact join that would shuffle both corpora becomes a per-bucket
+    * local merge. Requires `saveAsTable` (bucket metadata lives in the
+    * catalog, not the parquet files). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      format: String = "parquet"): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed requires at least one bucket column")
+    df.write.mode("overwrite")
+      .format(format)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Read a bucketed catalog table (bucket metadata applies automatically —
+    * joins/aggs on the bucket key skip their exchange). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

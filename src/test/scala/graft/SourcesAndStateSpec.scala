@@ -32,6 +32,23 @@ class SourcesSpec extends SparkSpecBase {
     assert(pruned.count() == li.where(col("l_returnflag") === "R").count())
     assert(scan.contains("PartitionFilters") || scan.contains("l_returnflag"))
   }
+
+  test("bucketed tables join WITHOUT an exchange (co-located join)") {
+    val li = Tables.testTable(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.testTable(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Tables.writeBucketed(li, "li_bkt", Seq("l_orderkey"), 4)
+    Tables.writeBucketed(ord, "ord_bkt", Seq("l_orderkey"), 4)
+    val a = Tables.readBucketed(spark, "li_bkt")
+    val b = Tables.readBucketed(spark, "ord_bkt")
+    // merge hint: a broadcast plan would hide the co-location being tested
+    val joined = a.hint("merge").join(b, "l_orderkey")
+    assert(joined.count() == li.join(ord, "l_orderkey").count())
+    val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"bucketed same-key same-count join must not shuffle either side:\n$plan")
+  }
 }
 
 class FlatMapGroupsSpec extends SparkSpecBase {
