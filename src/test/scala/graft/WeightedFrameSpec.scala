@@ -104,6 +104,15 @@ class WeightedFrameSpec extends SparkSpecBase {
     assert(got("Value").contains(90.0))
   }
 
+  test("api accessor syntax delegates to the constructors (base.py:11-50)") {
+    import graft.api._
+    val d = Seq((10.0, 1.0), (20.0, 2.0)).toDF("Value", "w")
+    assert(oneRow(d.wt("w").mean())("Value").contains(50.0 / 3.0))
+    assert(oneRow(d.wt(Seq(1.0, 2.0)).select("Value").mean())("Value").contains(50.0 / 3.0))
+    val s = d.wtSeries("Value", "w")
+    assert(s.mean().contains(50.0 / 3.0))
+  }
+
   test("applyRowsFn: arbitrary row-wise function over weighted columns (axis=1, frame.py:288-317)") {
     val d = Seq((1L, 10.0, 1.0, 2.0), (2L, 20.0, 3.0, 1.0), (3L, 30.0, 5.0, 0.5))
       .toDF("id", "a", "b", "weights")
