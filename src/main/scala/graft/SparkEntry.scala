@@ -251,6 +251,9 @@ object SparkEntry {
     // pairwise weighted covariance, long format
     "q34_cov" -> ((s, dir) =>
       wli(s, dir).select(corrCols: _*).cov().orderBy("col_x", "col_y")),
+    // weighted describe: count/mean/std/min/p25/p50/p75/max per column
+    "q41_describe" -> ((s, dir) =>
+      wli(s, dir).select(corrCols: _*).describe()),
 
     // ---- training-data-pipeline operators (beyond-reference scope) ----
 
@@ -495,6 +498,26 @@ object SparkEntry {
            |CASE WHEN sw <= 1 THEN NULL ELSE ((sxy - sx * sy / sw) / (sw - 1)) END AS cov
            |FROM (SELECT ${sqlCorrMoments(x, y, W)} FROM lineitem)""".stripMargin.replace("\n", " ")
       selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_x, col_y")
+    },
+    "q41_describe" -> {
+      val cnt = "sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)"
+      val union = corrCols.map(c => s"SELECT '$c' AS col_name, $c AS v, $W AS w FROM lineitem")
+        .mkString(" UNION ALL ")
+      s"""WITH r AS ($union),
+         |m AS (SELECT col_name, $cnt AS "count",
+         |(sum(v * w) / $cnt) AS mean,
+         |sqrt(((sum(v * v * w) - (sum(v * w) * sum(v * w)) / $cnt) / ($cnt - 1))) AS std,
+         |min(v) AS "min", max(v) AS "max" FROM r GROUP BY col_name),
+         |c AS (SELECT col_name, v,
+         |sum(w) OVER (PARTITION BY col_name ORDER BY v, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         |sum(w) OVER (PARTITION BY col_name) AS tw
+         |FROM (SELECT * FROM r WHERE v IS NOT NULL AND w IS NOT NULL)),
+         |p25 AS (SELECT col_name, min(v) AS p25 FROM c WHERE cw >= 0.25 * tw GROUP BY col_name),
+         |p50 AS (SELECT col_name, min(v) AS p50 FROM c WHERE cw >= 0.5 * tw GROUP BY col_name),
+         |p75 AS (SELECT col_name, min(v) AS p75 FROM c WHERE cw >= 0.75 * tw GROUP BY col_name)
+         |SELECT m.col_name, "count", mean, std, "min", p25, p50, p75, "max"
+         |FROM m JOIN p25 USING (col_name) JOIN p50 USING (col_name) JOIN p75 USING (col_name)
+         |ORDER BY col_name""".stripMargin.replace("\n", " ")
     },
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents

@@ -109,6 +109,40 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
       (r.getString(0), r.getString(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))
     }.toMap
 
+  /** Weighted `describe()`: count/mean/std/min/quantiles/max for every
+    * numeric column, one row per column (beyond-reference convenience —
+    * the reference README lists quantiles as future work).
+    *
+    * Shape: the frame is MELTED to `(col_name, v, w)` rows so all columns
+    * flow through ONE moment aggregate and ONE histogram-quantile pipeline
+    * per requested quantile (grouped by column name) — k columns cost a
+    * k× row expansion, not k separate jobs over the source. */
+  def describe(quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val cols = numericCols
+    require(cols.nonEmpty, "describe: frame has no numeric value columns")
+    val melted = df.select(
+      explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), nc(c).cast(DoubleType).as("v"))): _*)).as("m"),
+      w.cast(DoubleType).as("w0"))
+      .select(col("m.col_name").as("col_name"), col("m.v").as("v"), col("w0"))
+    val mwdf = WeightedDataFrame.wt(melted, "w0")
+    val mw = mwdf.w
+    val moments = mwdf.df.groupBy("col_name").agg(
+      WeightedMoments.countExpr(col("v"), mw, skipna = true).as("count"),
+      WeightedMoments.meanExpr(col("v"), mw).as("mean"),
+      WeightedMoments.stdExpr(col("v"), mw).as("std"),
+      min(col("v")).as("min"),
+      max(col("v")).as("max"))
+    val g = mwdf.groupBy(Seq("col_name"))
+    val withQs = quantiles.foldLeft(moments) { (acc, q) =>
+      val name = "p" + math.round(q * 100)
+      acc.join(g.quantile("v", q).withColumnRenamed("v", name), Seq("col_name"), "left")
+    }
+    val qNames = quantiles.map(q => "p" + math.round(q * 100))
+    withQs.select(("col_name" +: "count" +: "mean" +: "std" +: "min" +: qNames :+ "max")
+      .map(col): _*).orderBy("col_name")
+  }
+
   /** Weighted groupby — `frame.py:134-159`. */
   def groupBy(keys: Seq[String], dropna: Boolean = true, sort: Boolean = true): WeightedGroupBy =
     new WeightedGroupBy(this, keys, dropna, sort)

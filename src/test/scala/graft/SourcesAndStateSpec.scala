@@ -34,6 +34,19 @@ class SourcesSpec extends SparkSpecBase {
   }
 
   test("bucketed tables join WITHOUT an exchange (co-located join)") {
+    // idempotent across test runs: the managed-table LOCATION outlives the
+    // session-scoped metadata, and saveAsTable refuses to reuse it
+    for (t <- Seq("li_bkt", "ord_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val li = Tables.testTable(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_quantity")
     val ord = Tables.testTable(spark, "/root/testdata/sf0.001", "orders")

@@ -104,6 +104,23 @@ class WeightedFrameSpec extends SparkSpecBase {
     assert(got("Value").contains(90.0))
   }
 
+  test("describe: weighted count/mean/std/min/quantiles/max per column") {
+    // values 10(w1) 20(w2) 30(w1): W=4, S=80, mean=20, Q=1800,
+    // var=(1800-1600)/3, cum weights 1,3,4 → p25=10 (1≥1), p50=20 (3≥2), p75=20 (3≥3)
+    val d = Seq((10.0, 1.0), (20.0, 2.0), (30.0, 1.0)).toDF("Value", "w")
+    val got = WeightedDataFrame.wt(d, "w").describe().collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "Value")
+    assert(r.getDouble(1) == 4.0)                       // count
+    assert(r.getDouble(2) == 20.0)                      // mean
+    assertApprox(Some(r.getDouble(3)), Some(math.sqrt(200.0 / 3.0)), 1e-12) // std
+    assert(r.getDouble(4) == 10.0 && r.getDouble(8) == 30.0) // min, max
+    assert(r.getDouble(5) == 10.0)                      // p25
+    assert(r.getDouble(6) == 20.0)                      // p50
+    assert(r.getDouble(7) == 20.0)                      // p75
+  }
+
   test("api accessor syntax delegates to the constructors (base.py:11-50)") {
     import graft.api._
     val d = Seq((10.0, 1.0), (20.0, 2.0)).toDF("Value", "w")
