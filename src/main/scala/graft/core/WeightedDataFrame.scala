@@ -134,11 +134,8 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
       min(col("v")).as("min"),
       max(col("v")).as("max"))
     val g = mwdf.groupBy(Seq("col_name"))
-    val withQs = quantiles.foldLeft(moments) { (acc, q) =>
-      val name = "p" + math.round(q * 100)
-      acc.join(g.quantile("v", q).withColumnRenamed("v", name), Seq("col_name"), "left")
-    }
     val qNames = quantiles.map(q => "p" + math.round(q * 100))
+    val withQs = moments.join(g.quantiles("v", quantiles), Seq("col_name"), "left")
     withQs.select(("col_name" +: "count" +: "mean" +: "std" +: "min" +: qNames :+ "max")
       .map(col): _*).orderBy("col_name")
   }

@@ -120,9 +120,24 @@ final class WeightedGroupBy private[core] (
     * integers are exact below 2⁵³), so results are identical to the direct
     * single-window formulation.
     */
-  def quantile(valueCol: String, q: Double = 0.5, buckets: Int = 256): DataFrame = {
-    require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q")
+  def quantile(valueCol: String, q: Double = 0.5, buckets: Int = 256): DataFrame =
+    quantiles(valueCol, Seq(q), buckets)
+      .withColumnRenamed("p" + math.round(q * 100), valueCol)
+
+  /** Several quantiles in ONE histogram pipeline: passes 1 and 2 (stats,
+    * per-bin weights) are computed once; a single grouped aggregate emits
+    * every quantile's candidate bin, and pass 3 resolves all of them
+    * through one join keyed by (group, bin) — k quantiles cost one extra
+    * tiny aggregate, not k full pipelines. Output columns: `p25`, `p50`, …
+    * (`"p" + round(q·100)`). Same exactness story as [[quantile]],
+    * including the fractional-weight ulp clamps on BOTH the bin selection
+    * and the in-bin resolve (a group can never silently vanish). */
+  def quantiles(valueCol: String, qs: Seq[Double], buckets: Int = 256): DataFrame = {
+    require(qs.nonEmpty, "quantiles requires at least one q")
+    qs.foreach(q => require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q"))
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val qNames = qs.map(q => "p" + math.round(q * 100))
+    require(qNames.distinct.size == qs.size, s"quantiles round to duplicate names: $qNames")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{sum => fSum, min => fMin, max => fMax, first => fFirst}
     val kcols = keys.map(col)
@@ -144,37 +159,48 @@ final class WeightedGroupBy private[core] (
     val byBin = Window.partitionBy(kcols: _*).orderBy(col("__b__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("__cum__", fSum("__bw__").over(byBin))
-    // the quantile's bin: smallest b whose cumulative reaches q·Σw; carry
-    // the cumulative weight strictly before it. The threshold is clamped to
-    // the group's max bin-cumulative — the bin cumulative re-sums the same
-    // fractional weights in a different order than pass 1's Σw, so at q=1
-    // it can undershoot q·Σw by ulps and no bin would qualify, silently
-    // dropping the group (for integer weights the clamp is a no-op).
+    // every quantile's candidate bin from ONE aggregate over the (tiny,
+    // ≤ buckets rows per group) cumulative histogram: smallest b whose
+    // cumulative reaches q·Σw, carrying the cumulative strictly before it.
+    // The threshold is clamped to the group's max bin-cumulative — the bin
+    // cumulative re-sums the same fractional weights in a different order
+    // than pass 1's Σw, so at q=1 it can undershoot q·Σw by ulps and no
+    // bin would qualify, silently dropping the group (for integer weights
+    // the clamp is a no-op).
     val wholeGroupBins = Window.partitionBy(kcols: _*)
-    val cand = cum
-      .withColumn("__bthr__", least(lit(q) * col("__tw__"), fMax("__cum__").over(wholeGroupBins)))
-      .where(col("__cum__") >= col("__bthr__"))
-      .groupBy(kcols: _*)
-      .agg(fMin(struct(col("__b__"), (col("__cum__") - col("__bw__")).as("__prev__"))).as("__s__"))
-      .select(kcols :+ col("__s__.__b__").as("__b__") :+ col("__s__.__prev__").as("__prev__"): _*)
-    // pass 3: exact resolve inside the candidate bin only
-    val inBin = binned.join(cand, keys :+ "__b__")
-    val dv = inBin.groupBy(kcols :+ col("__v__"): _*)
+    val cumM = cum.withColumn("__maxcum__", fMax("__cum__").over(wholeGroupBins))
+    val candAggs = qs.zipWithIndex.map { case (q, i) =>
+      fMin(when(
+        col("__cum__") >= least(lit(q) * col("__tw__"), col("__maxcum__")),
+        struct(col("__b__"), (col("__cum__") - col("__bw__")).as("__prev__")))).as(s"__s$i")
+    }
+    val cands = cumM.groupBy(kcols: _*).agg(candAggs.head, candAggs.tail: _*)
+    // long form (group, quantile-index, bin, prev) → one resolve join
+    val candLong = cands
+      .select(kcols :+ explode(array(qs.indices.map(i =>
+        struct(lit(i).as("__qi__"), col(s"__s$i").getField("__b__").as("__b__"),
+          col(s"__s$i").getField("__prev__").as("__prev__"))): _*)).as("__c__"): _*)
+      .select(kcols :+ col("__c__.__qi__").as("__qi__") :+ col("__c__.__b__").as("__b__")
+        :+ col("__c__.__prev__").as("__prev__"): _*)
+    // pass 3: exact resolve inside each candidate bin only (a bin hosting
+    // several quantiles resolves them all through the same joined rows)
+    val inBin = binned.join(candLong, keys :+ "__b__")
+    val dv = inBin.groupBy(kcols :+ col("__qi__") :+ col("__v__"): _*)
       .agg(fSum("__w__").as("__vw__"), fFirst("__prev__").as("__prev__"), fFirst("__tw__").as("__tw__"))
-    val byVal = Window.partitionBy(kcols: _*).orderBy(col("__v__"))
+    val byVal = Window.partitionBy(kcols :+ col("__qi__"): _*).orderBy(col("__v__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // fractional-weight guard: pass 3 re-sums the bin's weights in a
-    // different order than pass 2, so the candidate bin's re-summed total
-    // can fall a few ulps short of q·Σw (worst at q = 1). Clamping the
-    // threshold to the bin's own max cumulative guarantees the last value
-    // always qualifies — the group resolves instead of silently vanishing,
-    // and for integer weights (exact sums) the clamp is a no-op.
-    val wholeGroup = Window.partitionBy(kcols: _*)
-    val out = dv.withColumn("__cw__", col("__prev__") + fSum("__vw__").over(byVal))
-      .withColumn("__thr__", least(lit(q) * col("__tw__"), fMax("__cw__").over(wholeGroup)))
+    val wholeGroup = Window.partitionBy(kcols :+ col("__qi__"): _*)
+    val qExpr = element_at(array(qs.map(lit): _*), col("__qi__") + 1)
+    val resolved = dv.withColumn("__cw__", col("__prev__") + fSum("__vw__").over(byVal))
+      .withColumn("__thr__", least(qExpr * col("__tw__"), fMax("__cw__").over(wholeGroup)))
       .where(col("__cw__") >= col("__thr__"))
-      .groupBy(kcols: _*)
-      .agg(fMin(col("__v__")).as(valueCol))
+      .groupBy(kcols :+ col("__qi__"): _*)
+      .agg(fMin(col("__v__")).as("__qv__"))
+    // pivot the quantile index back to one column per q
+    val out = resolved.groupBy(kcols: _*).agg(
+      fMin(when(col("__qi__") === 0, col("__qv__"))).as(qNames.head),
+      qs.indices.tail.map(i =>
+        fMin(when(col("__qi__") === i, col("__qv__"))).as(qNames(i))): _*)
     if (sort) out.orderBy(kcols: _*) else out
   }
 

@@ -139,6 +139,23 @@ class WeightedGroupBySpec extends SparkSpecBase {
     expect.foreach { case (g, mx) => assert(got(g).contains(mx), s"group $g") }
   }
 
+  test("multi-quantile pipeline agrees with per-q calls and direct computation") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map(i =>
+      ("G" + (i % 4), rnd.nextInt(50).toDouble, (rnd.nextInt(4) + 1).toDouble))
+    val wdf = WeightedDataFrame.wt(rows.toDF("Group", "Value", "weights"), "weights")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val multi = wdf.groupBy("Group").quantiles("Value", qs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    for ((q, idx) <- qs.zipWithIndex) {
+      val single = collectByKey(wdf.groupBy("Group").quantile("Value", q))
+      single.foreach { case (g, v) =>
+        val m = multi(g).productElement(idx).asInstanceOf[Double]
+        assert(v.contains(m), s"q=$q group=$g: single=$v multi=$m")
+      }
+    }
+  }
+
   test("weighted quantile matches a direct cumulative-weight computation") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 500).map(i =>
