@@ -254,6 +254,20 @@ object SparkEntry {
     // weighted describe: count/mean/std/min/p25/p50/p75/max per column
     "q41_describe" -> ((s, dir) =>
       wli(s, dir).select(corrCols: _*).describe()),
+    // as-of join: attach the most recent reference event per key (backward,
+    // exact matches included); right side pre-deduped per (k, ts) so the
+    // winner is well-defined on both engines
+    "q42_asof_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = table(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("k", col("user_id") % 50)
+      val left = e.where(col("event_id") % 3 =!= 0).select("event_id", "k", "ts")
+      val right = e.where(col("event_id") % 3 === 0)
+        .groupBy("k", "ts").agg(max("value").as("ref_value"))
+      graft.ops.AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts")
+        .select("event_id", "k", "ref_value").orderBy("event_id")
+    }),
 
     // ---- training-data-pipeline operators (beyond-reference scope) ----
 
@@ -499,6 +513,13 @@ object SparkEntry {
            |FROM (SELECT ${sqlCorrMoments(x, y, W)} FROM lineitem)""".stripMargin.replace("\n", " ")
       selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_x, col_y")
     },
+    "q42_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id % 50 AS k, ts, value FROM events),
+        |l AS (SELECT event_id, k, ts FROM e WHERE event_id % 3 <> 0),
+        |r AS (SELECT k, ts, max(value) AS ref_value FROM e WHERE event_id % 3 = 0 GROUP BY k, ts)
+        |SELECT l.event_id, l.k, r.ref_value
+        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
     "q41_describe" -> {
       val cnt = "sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)"
       val union = corrCols.map(c => s"SELECT '$c' AS col_name, $c AS v, $W AS w FROM lineitem")

@@ -248,6 +248,45 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join attaches the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 10:05:00")),
+      (3L, "a", ts("2024-01-01 09:00:00")), // before any right row → null
+      (4L, "b", ts("2024-01-01 10:00:00"))) // exact match
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", ts("2024-01-01 09:30:00"), 1.0),
+      ("a", ts("2024-01-01 10:02:00"), 2.0),
+      ("b", ts("2024-01-01 10:00:00"), 9.0))
+      .toDF("k", "ts", "v")
+    val got = graft.ops.AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(
+      (1L, Some(1.0)),  // 09:30 is latest ≤ 10:00
+      (2L, Some(2.0)),  // 10:02 is latest ≤ 10:05
+      (3L, None),       // nothing at or before 09:00
+      (4L, Some(9.0)))) // exact timestamp matches
+  }
+
+  test("asof join tolerance nulls matches older than the window") {
+    val left = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("a", ts("2024-01-01 09:00:00"), 5.0)).toDF("k", "ts", "v")
+    val within = graft.ops.AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts",
+      toleranceUs = Some(2L * 3600 * 1000000)).collect()
+    assert(within.head.getDouble(3) == 5.0)
+    val outside = graft.ops.AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts",
+      toleranceUs = Some(30L * 60 * 1000000)).collect()
+    assert(outside.head.isNullAt(3)) // 1h-old match exceeds 30min tolerance
+  }
+}
+
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
 
