@@ -74,6 +74,29 @@ object SparkEntry {
   private def sqlStd(c: String, w: String = W): String =
     s"sqrt(${sqlVar(c, w)})"
 
+  /** DuckDB mirrors of WeightedMoments.skewExpr / kurtExpr (same raw-moment
+    * expansion and operation order). */
+  private def sqlSkew(c: String, w: String = W): String = {
+    val n = sqlCount(c, w)
+    val mu = s"(sum($c * $w) / $n)"
+    val q = s"(sum($c * $c * $w) / $n)"
+    val cc = s"(sum($c * $c * $c * $w) / $n)"
+    val m2 = s"($q - $mu * $mu)"
+    val m3 = s"($cc - 3.0 * $mu * $q + 2.0 * $mu * $mu * $mu)"
+    s"(CASE WHEN $m2 > 0.0 THEN $m3 / sqrt($m2 * $m2 * $m2) END)"
+  }
+
+  private def sqlKurt(c: String, w: String = W): String = {
+    val n = sqlCount(c, w)
+    val mu = s"(sum($c * $w) / $n)"
+    val q = s"(sum($c * $c * $w) / $n)"
+    val cc = s"(sum($c * $c * $c * $w) / $n)"
+    val f = s"(sum($c * $c * $c * $c * $w) / $n)"
+    val m2 = s"($q - $mu * $mu)"
+    val m4 = s"($f - 4.0 * $mu * $cc + 6.0 * $mu * $mu * $q - 3.0 * $mu * $mu * $mu * $mu)"
+    s"(CASE WHEN $m2 > 0.0 THEN $m4 / ($m2 * $m2) - 3.0 END)"
+  }
+
   /** DuckDB mirror of WeightedMoments.corrExpr for a pair (same guards). */
   private def sqlCorrMoments(x: String, y: String, w: String): String = {
     val valid = s"($x IS NOT NULL AND $y IS NOT NULL AND $w IS NOT NULL)"
@@ -254,6 +277,20 @@ object SparkEntry {
     // weighted describe: count/mean/std/min/p25/p50/p75/max per column
     "q41_describe" -> ((s, dir) =>
       wli(s, dir).select(corrCols: _*).describe()),
+    // weighted skewness + excess kurtosis, grouped (beyond-reference moments)
+    "q43_grouped_skew_kurt" -> ((s, dir) => {
+      val g = wli(s, dir).select("l_returnflag", "l_extendedprice", "l_discount")
+        .groupBy("l_returnflag")
+      g.skew().withColumnRenamed("l_extendedprice", "skew_price")
+        .withColumnRenamed("l_discount", "skew_disc")
+        .join(g.kurt().withColumnRenamed("l_extendedprice", "kurt_price")
+          .withColumnRenamed("l_discount", "kurt_disc"), Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+    // weighted mode per group: value with the largest total weight
+    "q44_grouped_mode" -> ((s, dir) =>
+      wli(s, dir).select("l_returnflag", "l_tax")
+        .groupBy("l_returnflag").mode("l_tax")),
     // as-of join: attach the most recent reference event per key (backward,
     // exact matches included); right side pre-deduped per (k, ts) so the
     // winner is well-defined on both engines
@@ -513,6 +550,18 @@ object SparkEntry {
            |FROM (SELECT ${sqlCorrMoments(x, y, W)} FROM lineitem)""".stripMargin.replace("\n", " ")
       selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_x, col_y")
     },
+    "q43_grouped_skew_kurt" ->
+      s"""SELECT l_returnflag,
+         |${sqlSkew("l_extendedprice")} AS skew_price, ${sqlSkew("l_discount")} AS skew_disc,
+         |${sqlKurt("l_extendedprice")} AS kurt_price, ${sqlKurt("l_discount")} AS kurt_disc
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q44_grouped_mode" ->
+      """WITH vw AS (SELECT l_returnflag, l_tax AS v, sum(l_quantity) AS wsum FROM lineitem
+        |WHERE l_tax IS NOT NULL AND l_quantity IS NOT NULL GROUP BY l_returnflag, l_tax),
+        |r AS (SELECT l_returnflag, v,
+        |row_number() OVER (PARTITION BY l_returnflag ORDER BY wsum DESC, v) AS rk FROM vw)
+        |SELECT l_returnflag, v AS l_tax FROM r WHERE rk = 1
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
     "q42_asof_join" ->
       """WITH e AS (SELECT event_id, user_id % 50 AS k, ts, value FROM events),
         |l AS (SELECT event_id, k, ts FROM e WHERE event_id % 3 <> 0),

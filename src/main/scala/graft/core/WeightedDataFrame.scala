@@ -77,6 +77,15 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
   def std(ddof: Int = 1, skipna: Boolean = true): DataFrame =
     agg1(numericCols.map(c => WeightedMoments.stdExpr(nc(c), w, ddof, skipna).as(c)))
 
+  /** Weighted skewness per numeric column (beyond-reference; population
+    * m₃/m₂^1.5 — see [[WeightedMoments.skewExpr]]). */
+  def skew(skipna: Boolean = true): DataFrame =
+    agg1(numericCols.map(c => WeightedMoments.skewExpr(nc(c), w, skipna).as(c)))
+
+  /** Weighted excess kurtosis per numeric column (beyond-reference). */
+  def kurt(skipna: Boolean = true): DataFrame =
+    agg1(numericCols.map(c => WeightedMoments.kurtExpr(nc(c), w, skipna).as(c)))
+
   /** Pairwise weighted Pearson correlation over numeric columns, long format
     * `(col_x, col_y, corr)` with all k² cells — `frame.py:253-285`. One
     * aggregate pass over the data (the reference runs one full pass per

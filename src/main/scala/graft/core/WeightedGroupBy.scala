@@ -63,6 +63,32 @@ final class WeightedGroupBy private[core] (
   def std(ddof: Int = 1, skipna: Boolean = true): DataFrame =
     run(numericAggCols, c => WeightedMoments.stdExpr(nc(c), w, ddof, skipna))
 
+  /** Per-group weighted skewness (beyond-reference; see
+    * [[WeightedMoments.skewExpr]]). */
+  def skew(skipna: Boolean = true): DataFrame =
+    run(numericAggCols, c => WeightedMoments.skewExpr(nc(c), w, skipna))
+
+  /** Per-group weighted excess kurtosis (beyond-reference). */
+  def kurt(skipna: Boolean = true): DataFrame =
+    run(numericAggCols, c => WeightedMoments.kurtExpr(nc(c), w, skipna))
+
+  /** Per-group weighted mode of one column: the value with the largest
+    * total weight (ties → smallest value). Two hash aggregates with
+    * map-side partials — the distinct (group, value) table is the only
+    * thing that shuffles, so a hot group costs its distinct-value count,
+    * not its row count. */
+  def mode(valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{sum => fSum, min => fMin}
+    val kcols = keys.map(col)
+    val vw = base.where(col(valueCol).isNotNull && w.isNotNull)
+      .groupBy(kcols :+ col(valueCol).as("__v__"): _*)
+      .agg(fSum(w).as("__vw__"))
+    val out = vw.groupBy(kcols: _*)
+      .agg(fMin(struct((-col("__vw__")).as("__nw__"), col("__v__").as("__v__"))).as("__s__"))
+      .select(kcols :+ col("__s__.__v__").as(valueCol): _*)
+    if (sort) out.orderBy(kcols: _*) else out
+  }
+
   /** Per-group pairwise weighted Pearson, long format
     * `(keys…, col_x, col_y, corr)` — `frame.py:630-660`. One shuffle total
     * (the reference iterates groups in Python, one pass per group per pair).

@@ -87,6 +87,35 @@ object WeightedMoments {
   def stdExpr(c: Column, w: Column, ddof: Int = 1, skipna: Boolean = true): Column =
     sqrt(varExpr(c, w, ddof, skipna))
 
+  /** Weighted skewness (population-style: `m₃ / m₂^1.5` over weighted
+    * central moments `mₖ = Σw(x−μ)ᵏ / W`), expanded to raw moments so the
+    * whole thing is ONE aggregate pass:
+    * `m₂ = Q/W − μ²`, `m₃ = C/W − 3μQ/W + 2μ³` with `C = Σwx³`.
+    * NULL when `m₂ ≤ 0` (constant column) or the count is 0.
+    * Beyond-reference extension (pandas has unweighted `.skew()`). */
+  def skewExpr(c: Column, w: Column, skipna: Boolean = true): Column = {
+    val n = countExpr(c, w, skipna)
+    val mu = meanExpr(c, w, skipna)
+    val m2 = safeDiv(wSumSq(c, w), n) - mu * mu
+    val m3 = safeDiv(sum(c * c * c * w), n) - lit(3.0) * mu * safeDiv(wSumSq(c, w), n) +
+      lit(2.0) * mu * mu * mu
+    when(m2 > 0.0, m3 / sqrt(m2 * m2 * m2))
+  }
+
+  /** Weighted excess kurtosis (`m₄ / m₂² − 3`), same raw-moment expansion:
+    * `m₄ = F/W − 4μC/W + 6μ²Q/W − 3μ⁴` with `F = Σwx⁴`. NULL when
+    * `m₂ ≤ 0`. */
+  def kurtExpr(c: Column, w: Column, skipna: Boolean = true): Column = {
+    val n = countExpr(c, w, skipna)
+    val mu = meanExpr(c, w, skipna)
+    val q = safeDiv(wSumSq(c, w), n)
+    val cc = safeDiv(sum(c * c * c * w), n)
+    val f = safeDiv(sum(c * c * c * c * w), n)
+    val m2 = q - mu * mu
+    val m4 = f - lit(4.0) * mu * cc + lit(6.0) * mu * mu * q - lit(3.0) * mu * mu * mu * mu
+    when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0))
+  }
+
   /** Weighted covariance of a pair under the joint-validity mask — the
     * `cov` piece of `_stats.py:62-66` exposed standalone (the reference
     * README lists covariance as future work; same guards as corr). */

@@ -139,6 +139,32 @@ class WeightedGroupBySpec extends SparkSpecBase {
     expect.foreach { case (g, mx) => assert(got(g).contains(mx), s"group $g") }
   }
 
+  test("weighted skew/kurt: symmetric distribution → skew 0, hand-computed kurtosis") {
+    // values 10(w1) 20(w2) 30(w1): μ=20, m2=50, m3=0 (symmetric), m4=5000
+    // → skew 0, excess kurtosis 5000/2500 − 3 = −1
+    val d = Seq(("A", 10.0, 1.0), ("A", 20.0, 2.0), ("A", 30.0, 1.0))
+      .toDF("Group", "Value", "weights")
+    val g = WeightedDataFrame.wt(d, "weights").groupBy("Group")
+    val sk = g.skew().collect().head
+    assertApprox(cell(sk, 1), Some(0.0), 1e-12)
+    val ku = g.kurt().collect().head
+    assertApprox(cell(ku, 1), Some(-1.0), 1e-12)
+    // constant column → m2 = 0 → NULL both
+    val const = WeightedDataFrame.wt(
+      Seq(("A", 5.0, 1.0), ("A", 5.0, 2.0)).toDF("Group", "Value", "weights"), "weights")
+    assert(cell(const.groupBy("Group").skew().collect().head, 1).isEmpty)
+    assert(cell(const.groupBy("Group").kurt().collect().head, 1).isEmpty)
+  }
+
+  test("weighted mode picks the heaviest value, ties to the smallest") {
+    val d = Seq(
+      ("A", 1.0, 2.0), ("A", 2.0, 3.0),          // 2.0 wins on weight
+      ("B", 1.0, 2.0), ("B", 2.0, 2.0),          // tie → smallest (1.0)
+      ("C", 9.0, 1.0)).toDF("Group", "Value", "weights")
+    val got = collectByKey(WeightedDataFrame.wt(d, "weights").groupBy("Group").mode("Value"))
+    assert(got("A").contains(2.0) && got("B").contains(1.0) && got("C").contains(9.0))
+  }
+
   test("multi-quantile pipeline agrees with per-q calls and direct computation") {
     val rnd = new scala.util.Random(23)
     val rows = (1 to 300).map(i =>
