@@ -58,6 +58,14 @@ final class WeightedSeries private (
   def std(ddof: Int = 1, skipna: Boolean = true): Option[Double] =
     agg1(wdf.df.agg(WeightedMoments.stdExpr(c, w, ddof, skipna)))
 
+  /** Weighted skewness (beyond-reference; [[WeightedMoments.skewExpr]]). */
+  def skew(skipna: Boolean = true): Option[Double] =
+    agg1(wdf.df.agg(WeightedMoments.skewExpr(c, w, skipna)))
+
+  /** Weighted excess kurtosis (beyond-reference). */
+  def kurt(skipna: Boolean = true): Option[Double] =
+    agg1(wdf.df.agg(WeightedMoments.kurtExpr(c, w, skipna)))
+
   /** `series.py:222-247` — index-aligned weighted Pearson vs `other`
     * (columns: indexCols :+ otherVal). */
   def corr(

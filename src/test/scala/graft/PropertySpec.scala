@@ -82,6 +82,31 @@ class PropertySpec extends SparkSpecBase {
       val c1 = w1.select("a", "b").corr(ddof = 0).where($"col_x" === "a" && $"col_y" === "b").head()
       val c2 = w2.select("a", "b").corr(ddof = 0).where($"col_x" === "a" && $"col_y" === "b").head()
       assertApprox(cell(c1, 2), cell(c2, 2), 1e-9)
+
+      // skew/kurt/mode use population moments (every term is a W-ratio),
+      // so they are exactly weight-scale invariant
+      val s1 = oneRow(w1.select("a").skew()); val s2 = oneRow(w2.select("a").skew())
+      assertApprox(s1("a"), s2("a"), 1e-9)
+      val k1 = oneRow(w1.select("a").kurt()); val k2 = oneRow(w2.select("a").kurt())
+      assertApprox(k1("a"), k2("a"), 1e-9)
+      val mo1 = w1.groupBy("g").mode("a").collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+      val mo2 = w2.groupBy("g").mode("a").collect().map(r => r.getString(0) -> cell(r, 1)).toMap
+      assert(mo1 == mo2)
     }
+  }
+
+  test("skew/kurt on a standard normal-ish sample sit near 0 and shift with outliers") {
+    val rnd = new Random(99)
+    val sym = (1 to 4000).map(_ => ("g", rnd.nextGaussian(), 1.0 + rnd.nextInt(3)))
+      .toDF("g", "a", "w")
+    val wdf = WeightedDataFrame.wt(sym, "w")
+    val s = oneRow(wdf.select("a").skew())("a").get
+    val k = oneRow(wdf.select("a").kurt())("a").get
+    assert(math.abs(s) < 0.2, s"gaussian skew $s")
+    assert(math.abs(k) < 0.4, s"gaussian excess kurtosis $k")
+    // heavy right tail → positive skew
+    val tail = sym.union(Seq(("g", 25.0, 5.0)).toDF("g", "a", "w"))
+    val st = oneRow(WeightedDataFrame.wt(tail, "w").select("a").skew())("a").get
+    assert(st > 0.5, s"tailed skew $st")
   }
 }
