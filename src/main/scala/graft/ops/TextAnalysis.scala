@@ -40,10 +40,19 @@ object TextAnalysis {
     graft.core.WeightedMoments.safeDiv(
       length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double"), length(c).cast("double"))
 
-  /** Occurrences of any marker of `lang` (all occurrences, not distinct). */
+  /** Occurrences of any marker of `lang` (all occurrences, not distinct).
+    *
+    * Counted with a boundary-anchored regex rather than
+    * `filter(tokens(c), …)`: the higher-order-function lambda is
+    * CodegenFallback, which knocks the ENTIRE analyze projection (and any
+    * filter collapsed into it) out of whole-stage codegen — measured ~2×
+    * on the full analysis query. The zero-width `(?<!\S) … (?!\S)`
+    * boundaries match exactly whole whitespace-delimited tokens, so counts
+    * equal the token-equality formulation (adjacent markers included — the
+    * lookarounds consume no separator). */
   def markerCount(c: Column, lang: String): Column = {
     val markers = LangMarkers.toMap.apply(lang)
-    size(filter(tokens(c), t => array_contains(lit(markers.toArray), t)))
+    regexp_count(c, lit("(?<!\\S)(" + markers.mkString("|") + ")(?!\\S)"))
   }
 
   def stopwordRatio(c: Column, lang: String = "en"): Column =
