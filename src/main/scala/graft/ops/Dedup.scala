@@ -224,10 +224,14 @@ object Dedup {
     if (ok.nonEmpty) ok.max else 1
   }
 
-  /** Fraction of equal signature slots — the MinHash Jaccard estimate. */
+  /** Fraction of equal signature slots — the MinHash Jaccard estimate.
+    * Unrolled per-slot comparison (k is a small compile-time constant):
+    * the zip_with/aggregate HOF equivalent runs as CodegenFallback and
+    * would drop the banding prefilter out of whole-stage codegen. */
   private def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / k
+    (0 until k).map(i =>
+      when(sigA.getItem(i) === sigB.getItem(i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
 
   /** Full MinHash near-dup pipeline: LSH candidates verified with exact
     * Jaccard ≥ `threshold`. Output: (doc_a, doc_b, jaccard).

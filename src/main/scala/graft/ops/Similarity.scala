@@ -202,11 +202,16 @@ object Similarity {
       .withColumn("__bucket__", lshBucket(col("__v__"), planes, nPlanes))
     val corpus = prepped.select(col("__bucket__").as("bucket"),
       col("__id__").as("neighbor_id"), col("__v__").as("nv"), col("__n__").as("nn"))
-    // queries probe their own bucket + every bucket within maxProbe bit flips
+    // queries probe their own bucket + every bucket within maxProbe bit
+    // flips. The flip masks explode as a literal array and XOR afterwards —
+    // a transform(...) lambda here would be CodegenFallback and knock the
+    // whole probe-side projection out of whole-stage codegen
     val probes = array(probeMasks(nPlanes, maxProbe).map(lit): _*)
     val q = prepped.where(queryPred)
       .select(col("__id__").as("query_id"), col("__v__").as("qv"), col("__n__").as("qn"),
-        explode(transform(probes, f => col("__bucket__").bitwiseXOR(f))).as("bucket"))
+        col("__bucket__"), explode(probes).as("__flip__"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("__bucket__").bitwiseXOR(col("__flip__")).as("bucket"))
     // small-query ANN broadcasts the probe side; all-pairs callers (near-dup)
     // shuffle on the bucket key instead — broadcasting the corpus-sized
     // probe set would be the cartesian anti-pattern in disguise
