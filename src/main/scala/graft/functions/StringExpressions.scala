@@ -62,10 +62,82 @@ object CharNGrams {
   }
 }
 
+/** Native distinct word (whitespace-token) n-grams of a string column —
+  * the shingle kernel for MinHash/SimHash/token-set dedup.
+  *
+  * Semantics mirror the expression composition
+  * `array_distinct(transform(sequence(...), i -> concat_ws(" ",
+  * slice(split(trim(text), "\\s+"), i, n))))` EXACTLY, including its edge
+  * behavior: Spark's `trim` strips 0x20 only (not tabs), `split(_, -1)`
+  * keeps leading/trailing empty tokens after non-space separators, and a
+  * doc with fewer than n tokens yields an empty array (n ≥ 2) or its
+  * distinct tokens (n = 1). One pass, no interpreted lambdas — the HOF
+  * form is CodegenFallback inside the shingle `Generate`. */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngrams requires n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"word_ngrams requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    WordNGrams.compute(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNGrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  /** Shared by the interpreted and generated paths. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val raw = s.toString
+    // Spark's trim() strips 0x20 ONLY (not \t\r\n) — String.trim would not
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    // Spark's split(str, regex) uses limit -1 (trailing empties kept)
+    val toks = raw.substring(b, e).split("\\s+", -1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n == 1) {
+      var i = 0
+      while (i < toks.length) { seen.add(UTF8String.fromString(toks(i))); i += 1 }
+    } else if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
 object StringFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** `char_ngrams(text, n)` as a Column. */
   def charNGrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNGrams(ColumnBridge.expression(text), n))
+
+  /** `word_ngrams(text, n)` as a Column — distinct whitespace-token
+    * n-gram shingles. */
+  def wordNGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNGrams(ColumnBridge.expression(text), n))
 }

@@ -86,19 +86,13 @@ object Dedup {
     exactGroups(df, tokenSetKey(col(textCol)), idCol) // group by the array itself —
   // a string-cast key could collide for tokens containing the separator
 
-  /** Distinct word n-gram shingles (n=1 → distinct tokens). Documents with
-    * fewer than n tokens yield an empty array (an unguarded
-    * `sequence(0, size-n)` would go descending for short docs and crash
-    * `slice` at runtime). */
+  /** Distinct word n-gram shingles (n=1 → distinct tokens); documents with
+    * fewer than n tokens yield an empty array. Native codegen'd expression
+    * ([[graft.functions.WordNGrams]]) — the HOF composition this replaces
+    * was CodegenFallback inside every signature pipeline's `Generate`. */
   def shingles(c: Column, n: Int): Column = {
     require(n >= 1)
-    val toks = TextAnalysis.tokens(c)
-    if (n == 1) array_distinct(toks)
-    else
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(array_distinct(
-          transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    graft.functions.StringFunctions.wordNGrams(c, n)
   }
 
   /** Exact Jaccard similarity of two shingle arrays; NULL when both are

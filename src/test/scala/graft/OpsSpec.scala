@@ -206,6 +206,30 @@ class DedupSpec extends SparkSpecBase {
     assert((got -- expected).isEmpty, "false positives survived exact-Jaccard verify")
   }
 
+  test("native word_ngrams matches the HOF composition incl. whitespace edges") {
+    val rnd = new scala.util.Random(31)
+    val words = Seq("alpha", "beta", "g", "dd", "", " ", "\t")
+    val texts = (1 to 60).map { _ =>
+      (1 to rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    } ++ Seq("", " ", "  ", "a", "a b", " a  b ", "\ta b\t", "x y z x y")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val toks = split(trim(col("text")), "\\s+")
+      val hof =
+        if (n == 1) array_distinct(toks)
+        else when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      val got = df.select(col("id"),
+        graft.functions.StringFunctions.wordNGrams(col("text"), n).as("native"),
+        hof.as("ref")).orderBy("id").collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)} text='${texts(r.getLong(0).toInt)}'")
+      }
+    }
+  }
+
   test("native char_ngrams matches the HOF composition on every edge") {
     val n = 3
     val df = Seq("", "ab", "abc", "abcd", "banana", "aaaa", "héllo wörld")
