@@ -41,6 +41,18 @@ object GraftFunctions {
             s"char_ngrams: n must be an integer literal, got $other")
         }
         CharNGrams(exprs.head, n)
+      }),
+    (
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "word_ngrams expects (text, n)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams: n must be an integer literal, got $other")
+        }
+        WordNGrams(exprs.head, n)
       }))
 
   /** Register the engine functions into a live session. */

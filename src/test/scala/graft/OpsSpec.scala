@@ -246,6 +246,8 @@ class DedupSpec extends SparkSpecBase {
     graft.functions.GraftFunctions.register(spark)
     val sql = spark.sql("SELECT char_ngrams('banana', 3) AS g").head().getSeq[String](0)
     assert(sql == Seq("ban", "ana", "nan"))
+    val wsql = spark.sql("SELECT word_ngrams('a b c b c', 2) AS g").head().getSeq[String](0)
+    assert(wsql == Seq("a b", "b c", "c b"))
   }
 
   test("cleanCorpus: dedup keeps first copy, filter drops low-quality/short docs") {
