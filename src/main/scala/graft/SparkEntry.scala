@@ -382,6 +382,12 @@ object SparkEntry {
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
         minQuality = 0.5, minTokens = 20L).orderBy("doc_id")),
+    // deterministic weighted sampling (hash-seeded — rows-only check; the
+    // determinism itself is pinned by SamplingSpec across partitionings)
+    "q45_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(table(s, dir, "documents"),
+        "n_chars", Seq("doc_id"), 200, seed = 7L)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
     // A8 axis=1: arbitrary row-wise function over weighted columns via
     // Dataset.map (distributed; the closure is max over the weighted row)
     "q38_apply_rowwise" -> ((s, dir) => {

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling primitives for training-data pipelines.
+  *
+  * Randomness comes from seeded `xxhash64` over caller-named id columns,
+  * NOT `rand()`: hash randomness is a pure per-row function, so results
+  * are identical across retries, partitionings, and cluster sizes —
+  * `rand(seed)` is per-partition-deterministic only, which silently
+  * reshuffles a "reproducible" sample whenever the scan splits differently.
+  */
+object Sampling {
+
+  private val M = 1000000007L
+
+  /** Uniform (0,1) from the row's id hash. */
+  private def unif(idCols: Seq[String], seed: Long): Column =
+    (pmod(xxhash64((idCols.map(col) :+ lit(seed)): _*), lit(M)).cast("double") + lit(0.5)) / M
+
+  /** Weighted sample WITHOUT replacement of `n` rows
+    * (Efraimidis–Spirakis exponential keys: row priority `-ln(u)/w`,
+    * smallest n win — inclusion probability scales with weight). The plan
+    * is `TakeOrderedAndProject` — per-partition top-n then a merge of n-row
+    * heads, never a global sort. */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: String,
+      idCols: Seq[String],
+      n: Int,
+      seed: Long = 42L): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    require(idCols.nonEmpty, "weightedSample needs id columns to hash")
+    val key = -log(unif(idCols, seed)) / col(weightCol)
+    df.where(col(weightCol) > 0)
+      .withColumn("__k__", key)
+      .orderBy("__k__")
+      .limit(n)
+      .drop("__k__")
+  }
+
+  /** Deterministic split assignment (train/val/test…): every row gets the
+    * split whose cumulative fraction bucket its id hash lands in. Adding a
+    * split or resizing fractions only moves rows at bucket boundaries;
+    * the same (id, seed) always lands in the same split. Fractions must
+    * sum to ~1. */
+  def assignSplit(
+      df: DataFrame,
+      idCols: Seq[String],
+      fractions: Seq[(String, Double)],
+      seed: Long = 42L,
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    val u = unif(idCols, seed)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val expr = fractions.init.zip(cum.init).foldRight(lit(fractions.last._1)) {
+      case (((name, _), upper), rest) => when(u < upper, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+}

@@ -274,6 +274,45 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.ops.Sampling
+
+  test("weightedSample: exact size, deterministic, weight-proportional inclusion") {
+    val df = (1 to 2000).map { i =>
+      (i.toLong, if (i % 2 == 0) "heavy" else "light", if (i % 2 == 0) 10.0 else 1.0)
+    }.toDF("id", "cls", "w")
+    val s1 = Sampling.weightedSample(df, "w", Seq("id"), 400, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 400)
+    val s2 = Sampling.weightedSample(df.repartition(13), "w", Seq("id"), 400, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    // heavy class (10× weight) dominates: expected share ≈ 10/11 before
+    // depletion effects; assert clearly above the unweighted 1/2
+    val heavy = s1.count(_ % 2 == 0).toDouble / s1.size
+    assert(heavy > 0.75, s"heavy-class share $heavy not weight-proportional")
+  }
+
+  test("assignSplit: deterministic covering split with ~requested fractions") {
+    val df = (1 to 5000).map(i => Tuple1(i.toLong)).toDF("id")
+    val out = Sampling.assignSplit(df, Seq("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3L)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000)
+    assert(math.abs(counts("train") - 4000.0) < 200, counts.toString)
+    assert(math.abs(counts("val") - 500.0) < 120, counts.toString)
+    // same ids land in the same split on recompute
+    val again = Sampling.assignSplit(df, Seq("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3L)
+    assert(out.except(again).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, Seq("id"), Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+}
+
 class AsOfJoinSpec extends SparkSpecBase {
   import spark.implicits._
 
