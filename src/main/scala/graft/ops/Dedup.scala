@@ -109,37 +109,36 @@ object Dedup {
   def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map(s => array_min(transform(sh, x => xxhash64(x, lit(s))))): _*)
 
-  /** Narrow (id, signature, set-fingerprint) table: explode shingles once,
-    * then a single grouped aggregate computes all k signature slots (`min`
-    * of each seeded hash) plus an order-insensitive 128-bit set fingerprint
-    * (`bit_xor` of two independently-seeded shingle hashes) and the set
-    * size. Everything is codegen'd aggregate machinery — one scan + one
-    * shuffle on the doc id with map-side partial aggregation.
+  /** Narrow (id, signature, set-fingerprint) table: the whole signature —
+    * k slot-mins, an order-insensitive 128-bit xor set fingerprint, and the
+    * set size — comes from ONE per-row pass of the native
+    * [[graft.functions.MinHashMeta]] expression over the shingle array.
+    * ZERO shuffles: a document's signature is a pure function of its own
+    * shingles, so the explode + grouped-aggregate formulation this replaces
+    * paid a full corpus exchange on the doc id for nothing. Hash values are
+    * bit-identical to that formulation (same seeded xxhash64 family), so
+    * candidate sets are unchanged. Empty-shingle docs produce no row,
+    * exactly as they produced no group before.
     *
-    * Deliberately NO `collect_set`: carrying every document's full shingle
-    * set through the aggregate and every downstream join/sort is the
-    * dominant memory and shuffle cost at corpus scale. Exact shingle sets
-    * are re-derived per-row for the (small) candidate subset at verify time
-    * ([[verifyCandidatePairs]]) instead. */
+    * Deliberately NO shingle sets in the output: carrying them through
+    * every downstream join/sort is the dominant memory and shuffle cost at
+    * corpus scale. Exact sets are re-derived per-row for the (small)
+    * candidate subset at verify time ([[verifyCandidatePairs]]). */
   private def minhashNarrow(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("__id__"), explode(shingles(col(textCol), shingleSize)).as("__tok__"))
-      .select(col("__id__"), col("__tok__"),
-        xxhash64(col("__tok__"), lit(101)).as("__hx1__"),
-        xxhash64(col("__tok__"), lit(202)).as("__hx2__"))
-    val slots = (0 until numHashes).map(s => min(xxhash64(col("__tok__"), lit(s))).as(s"__m$s"))
-    val aggs = slots ++ Seq(
-      expr("bit_xor(__hx1__)").as("__x1__"),
-      expr("bit_xor(__hx2__)").as("__x2__"),
-      count(lit(1)).as("__nsh__")) // shingles() is distinct ⇒ count = set size
-    exploded.groupBy(col("__id__")).agg(aggs.head, aggs.tail: _*)
-      .select(col("__id__"), col("__x1__"), col("__x2__"), col("__nsh__"),
-        array((0 until numHashes).map(s => col(s"__m$s")): _*).as("__sig__"))
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__id__"),
+        graft.functions.SignatureFunctions
+          .minhashMeta(shingles(col(textCol), shingleSize), numHashes).as("__m__"))
+      .where(col("__m__").isNotNull)
+      .select(col("__id__"), col("__m__").getField("x1").as("__x1__"),
+        col("__m__").getField("x2").as("__x2__"),
+        col("__m__").getField("nsh").cast("long").as("__nsh__"),
+        col("__m__").getField("sig").as("__sig__"))
   }
 
   /** Exact-Jaccard verification of candidate pairs: re-derive shingle sets
@@ -291,32 +290,24 @@ object Dedup {
     verifyCandidatePairs(cand, df, textCol, idCol, shingleSize, threshold)
   }
 
-  /** Per-document 64-bit SimHash: explode shingles, hash each ONCE, then a
-    * single grouped aggregate takes the per-bit majority vote (64 sum
-    * expressions in one HashAggregate — one scan + one shuffle on the doc
-    * id, the scale-correct shape; an expression-only fold would recompute
-    * the hash array 64× after projection collapse). */
+  /** Per-document 64-bit SimHash from ONE per-row pass of the native
+    * [[graft.functions.SimHash64]] expression — zero shuffles (the
+    * explode + 64-vote aggregate this replaces paid a corpus exchange on
+    * the doc id; the signature is a pure per-document function). Values are
+    * bit-identical to the aggregate formulation. The explicit null-id
+    * filter keeps every consumer's canonical plan identical
+    * ([[simhashPairs]] infers isnotnull(id) on some branches), so they all
+    * share one exchange. */
   def simhashTable(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      shingleSize: Int = 1): DataFrame = {
-    // explicit null-id filter: [[simhashPairs]]'s join conditions infer
-    // isnotnull(id) on SOME consumers of this subtree; making it explicit
-    // keeps every consumer's canonical plan identical so they share one
-    // exchange instead of recomputing the table per branch
-    val hashed = df.where(col(idCol).isNotNull)
-      .select(col(idCol).as("__id__"), explode(shingles(col(textCol), shingleSize)).as("__tok__"))
-      .select(col("__id__"), xxhash64(col("__tok__")).as("__h__"))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h__"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"__b$i")
-    }
-    val sim = (0 until 64).map { i =>
-      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    hashed.groupBy(col("__id__")).agg(votes.head, votes.tail: _*)
-      .select(col("__id__"), sim.as("__sim__"))
-  }
+      shingleSize: Int = 1): DataFrame =
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__id__"),
+        graft.functions.SignatureFunctions
+          .simhash64(shingles(col(textCol), shingleSize)).as("__sim__"))
+      .where(col("__sim__").isNotNull)
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
     * pigeonhole banding on `maxHamming + 1` chunks (hd ≤ m over m+1 chunks
@@ -362,7 +353,14 @@ object Dedup {
         col("a.__sim__") === col("b.__sim__") && col("a.__id__") < col("b.__id__"))
       .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"), lit(0).as("hamming"))
 
-    val sigs = docs.select("__sim__").distinct()
+    // distinct signatures via groupBy(sig) + a representative id that a
+    // trivially-true filter keeps alive: a plain select(sig).distinct()
+    // lets column pruning push a sig-only projection BELOW the shared
+    // repartition, forking this consumer's canonical subtree away from the
+    // (id, sig) joins — one corpus re-scan and re-hash for nothing
+    val sigs = docs.groupBy(col("__sim__")).agg(min(col("__id__")).as("__rep__"))
+      .where(col("__rep__").isNotNull)
+      .select("__sim__")
     val chunked = sigs.select(col("__sim__"),
       explode(array((0 until nChunks).map { ch =>
         val lo = bounds(ch)
