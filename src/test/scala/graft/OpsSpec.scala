@@ -274,6 +274,63 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class DegenerateInputSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.core.WeightedDataFrame
+  import graft.ops.{AsOfJoin, Dedup, Pipeline, Sampling, Similarity}
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc = Seq((1L, "only one document here with several words")).toDF("doc_id", "text")
+
+  test("dedup operators survive empty and single-row corpora") {
+    for (d <- Seq(emptyDocs, oneDoc)) {
+      assert(Dedup.exact(d, "text", "doc_id").count() == d.count())
+      assert(Dedup.dropExact(d, "text", "doc_id").count() == d.count())
+      assert(Dedup.minhashDedup(d, "text", "doc_id", shingleSize = 1, threshold = 1.0).count() == 0)
+      assert(Dedup.minhashDedup(d, "text", "doc_id", shingleSize = 1, threshold = 0.8).count() == 0)
+      assert(Dedup.simhashPairs(d, "text", "doc_id").count() == 0)
+      assert(Pipeline.cleanCorpus(d, "text", "doc_id", minQuality = 0.0, minTokens = 0L)
+        .count() == d.count())
+      assert(Sampling.weightedSample(d.withColumn("w", lit(1.0)), "w", Seq("doc_id"), 5)
+        .count() == math.min(5, d.count()))
+    }
+  }
+
+  test("empty-text and null-text docs flow through signatures without crashing") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, "real content here"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // null/whitespace docs produce no signature row; nothing throws
+    assert(Dedup.simhashTable(d, "text", "doc_id").count() >= 1)
+    assert(Dedup.minhashDedup(d, "text", "doc_id", shingleSize = 1, threshold = 1.0).count() >= 0)
+    // "" and "   " share the empty token-set key → one group + the real doc
+    assert(Dedup.tokenSet(d.where(col("text").isNotNull), "text", "doc_id").count() == 2)
+  }
+
+  test("weighted aggregates and quantiles survive empty frames and all-null columns") {
+    val empty = Seq.empty[(String, Option[Double], Double)].toDF("Group", "Value", "weights")
+    val wEmpty = WeightedDataFrame.wt(empty, "weights")
+    assert(wEmpty.mean().collect().length == 1)            // NULL mean row
+    assert(wEmpty.describe().count() == 0)                 // no groups → empty
+    assert(wEmpty.groupBy("Group").quantile("Value").count() == 0)
+    val allNull = Seq(("A", None: Option[Double], 1.0), ("A", None, 2.0))
+      .toDF("Group", "Value", "weights")
+    val wNull = WeightedDataFrame.wt(allNull, "weights")
+    assert(cell(wNull.mean().collect().head, 0).isEmpty)   // NULL, not crash
+    assert(wNull.groupBy("Group").quantile("Value").count() == 0) // no valid rows
+    assert(cell(wNull.groupBy("Group").skew().collect().head, 1).isEmpty)
+  }
+
+  test("asof join and knn survive empty sides") {
+    val left = Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "k", "ts")
+    val emptyRight = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("k", "ts", "v")
+    val got = AsOfJoin.asofJoin(left, emptyRight, Seq("k"), "ts", "ts").collect()
+    assert(got.length == 1 && got.head.isNullAt(3)) // left kept, no match
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteKnn(emptyVecs, "vec_id", "embedding", lit(true), 3).count() == 0)
+  }
+}
+
 class SamplingSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.ops.Sampling
