@@ -314,6 +314,10 @@ object SparkEntry {
     // token-set dedup: order/multiplicity-insensitive duplicates
     "q21_dedup_tokenset" -> ((s, dir) =>
       Dedup.tokenSet(table(s, dir, "documents"), "text", "doc_id").orderBy("keep_id")),
+    // normalized ("fuzzy exact") dedup: case/punctuation/spacing-insensitive
+    "q46_dedup_normalized" -> ((s, dir) =>
+      Dedup.normalizedGroups(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("keep_id")),
     // MinHash+LSH near-dup, verified with exact Jaccard (threshold 1.0 ⇒
     // identical signatures ⇒ LSH recall is exactly 1, so the oracle can be
     // the exact all-pairs answer)
@@ -601,6 +605,10 @@ object SparkEntry {
     "q21_dedup_tokenset" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |ORDER BY keep_id""".stripMargin.replace("\n", " "),
+    "q46_dedup_normalized" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
     "q35_drop_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -82,6 +82,18 @@ object Dedup {
   def tokenSetKey(c: Column): Column =
     array_sort(array_distinct(TextAnalysis.tokens(c)))
 
+  /** Case/punctuation-insensitive normalization (the standard "fuzzy exact"
+    * dedup preprocessor): lowercase, punctuation → space, whitespace runs
+    * collapsed, trimmed. Two docs differing only in casing, punctuation, or
+    * spacing share a key. */
+  def normalizedKey(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Exact dedup on the normalized text ([[normalizedKey]]) — same
+    * hash-keyed two-phase shuffle as [[exactGroups]]. */
+  def normalizedGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactGroups(df, normalizedKey(col(textCol)), idCol)
+
   def tokenSet(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exactGroups(df, tokenSetKey(col(textCol)), idCol) // group by the array itself —
   // a string-cast key could collide for tokens containing the separator

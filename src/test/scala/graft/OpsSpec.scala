@@ -144,6 +144,17 @@ class DedupSpec extends SparkSpecBase {
     assert(got.forall { case (a, b) => a < b }) // normalized orientation
   }
 
+  test("normalized dedup groups case/punctuation/spacing variants") {
+    val d = Seq(
+      (0L, "Hello, World!"),
+      (1L, "hello world"),
+      (2L, "HELLO  world."),
+      (3L, "goodbye world")).toDF("doc_id", "text")
+    val got = Dedup.normalizedGroups(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 3L), (3L, 1L)))
+  }
+
   test("exactGroups shuffles a fixed-width hash key, not the text") {
     val plan = Dedup.exact(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
