@@ -20,6 +20,53 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Narrow (hash₁, hash₂, id) corpus table, hash-partitioned on the
+    * 128-bit key hash. This is the ONE subtree every exact-dedup phase
+    * consumes: the `repartition` puts a reusable shuffle exchange below all
+    * of them, so `keyExpr` — potentially expensive (regex normalization,
+    * shingle sorting) — is evaluated exactly ONCE over the corpus and the
+    * exchange carries 24-byte rows, never the key itself. Consumers must
+    * keep the column set identical (all three columns) or column pruning
+    * forks the canonical subtree and the reuse is silently lost.
+    *
+    * Null-id rows are excluded (consistent with [[minhashTable]] /
+    * `minhashNarrow`): the exact-verify phase retrieves candidate rows by
+    * id equality, which cannot address a null id. [[dropDuplicatesByKey]]
+    * passes null-id rows through unchanged. */
+  private def hashedNarrow(df: DataFrame, keyExpr: Column, idCol: String): DataFrame =
+    df.where(col(idCol).isNotNull)
+      .select(
+        xxhash64(keyExpr, lit(0)).as("__h1__"), xxhash64(keyExpr, lit(1)).as("__h2__"),
+        col(idCol).as("__id__"))
+      .repartition(col("__h1__"), col("__h2__"))
+
+  /** Duplicate-candidate rows — (key, id) for every row whose 128-bit key
+    * hash is shared by ≥ 2 rows — re-keyed on the FULL key so a hash
+    * collision can never merge distinct documents. `keyExpr` is evaluated
+    * here only for the candidates (a small fraction of a real corpus): the
+    * candidate ids come off the shared [[hashedNarrow]] exchange and are
+    * joined back to `df` by id (AQE broadcasts the small id list), so the
+    * full-key exchange this feeds is candidate-sized, not corpus-sized. */
+  private def dupKeyed(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
+    val hashed = hashedNarrow(df, keyExpr, idCol)
+    // min(__id__) keeps __id__ in this consumer's column set: a count-only
+    // aggregate would let column pruning push an __id__-free projection
+    // below the shared repartition and fork the canonical subtree
+    val dupHashes = hashed.groupBy("__h1__", "__h2__")
+      .agg(min(col("__id__")).as("__keep__"), count(lit(1)).as("__n__"))
+      .where(col("__n__") > 1 && col("__keep__").isNotNull)
+      .select("__h1__", "__h2__")
+    // INNER join, not left_semi: (h1,h2) is unique in dupHashes so they are
+    // equivalent, but PushDownLeftSemiAntiJoin would push a semi join BELOW
+    // the user repartition (semi-then-repartition ≡ repartition-then-semi),
+    // forking the left side off the shared exchange and re-hashing the
+    // corpus; inner joins stay put
+    val dupIds = hashed.join(dupHashes, Seq("__h1__", "__h2__"))
+      .select("__id__")
+    df.join(dupIds, col(idCol) === dupIds("__id__"), "left_semi")
+      .select(keyExpr.as("__key__"), col(idCol).as("__id__"))
+  }
+
   /** Exact duplicate groups: one row per distinct key, the kept (minimum)
     * id and the number of copies.
     *
@@ -28,25 +75,21 @@ object Dedup {
     * ship the whole corpus through the exchange; the hash is fixed-width.
     * Exactness is preserved, not assumed: a hash-singleton is provably a
     * key-singleton (identical keys always share a hash), and only the
-    * hash-groups with ≥ 2 members — the duplicate candidates, a small
-    * fraction of a real corpus — are re-grouped by the full key to split
-    * any 128-bit collision.
+    * hash-groups with ≥ 2 members — the duplicate candidates — are
+    * re-grouped by the full key ([[dupKeyed]]) to split any 128-bit
+    * collision. Both phases hang off the single [[hashedNarrow]] exchange,
+    * so `keyExpr` runs once corpus-wide plus once for the candidates.
     *
-    * Deliberate tradeoff: the two branches evaluate `keyExpr` over the
-    * corpus independently (scan-side CPU, embarrassingly parallel, no IO)
-    * rather than sharing one exchange — sharing would require shuffling
-    * the full key (the document text) corpus-wide, which is the exact cost
-    * this design removes. */
+    * `keyExpr` must be DETERMINISTIC: the candidate re-keying evaluates it
+    * a second time for dup-candidate rows, and a nondeterministic key would
+    * hash differently per evaluation and silently split groups. */
   def exactGroups(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
-    val hashed = df.select(
-      xxhash64(keyExpr, lit(0)).as("__h1__"), xxhash64(keyExpr, lit(1)).as("__h2__"),
-      col(idCol).as("__id__"), keyExpr.as("__key__"))
-    val byHash = hashed.groupBy("__h1__", "__h2__") // __key__ pruned from this branch
+    val hashed = hashedNarrow(df, keyExpr, idCol)
+    val byHash = hashed.groupBy("__h1__", "__h2__")
       .agg(min(col("__id__")).as("keep_id"), count(lit(1)).as("n_copies"))
     val singles = byHash.where(col("n_copies") === 1).select("keep_id", "n_copies")
-    val dupHashes = byHash.where(col("n_copies") > 1).select("__h1__", "__h2__")
-    val dupGroups = hashed.join(dupHashes, Seq("__h1__", "__h2__"), "left_semi")
-      .groupBy("__h1__", "__h2__", "__key__") // exact: collisions split here
+    val dupGroups = dupKeyed(df, keyExpr, idCol)
+      .groupBy("__key__") // exact: collisions split here (equal keys ⇒ equal hashes)
       .agg(min(col("__id__")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
     singles.unionByName(dupGroups)
@@ -56,12 +99,32 @@ object Dedup {
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exactGroups(df, col(textCol), idCol)
 
+  /** Ids of the rows a keep-first policy REMOVES: every dup-candidate row
+    * that is not the minimum id of its full-key group. This list is
+    * duplicate-sized (tiny against a real corpus), which is what makes
+    * [[dropDuplicatesByKey]] a broadcast anti-join instead of a
+    * corpus-sized shuffle join on the keep list. */
+  def duplicateIds(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__key__"))
+    dupKeyed(df, keyExpr, idCol)
+      .withColumn("__keep__", min(col("__id__")).over(w))
+      .where(col("__id__") =!= col("__keep__"))
+      .select("__id__")
+  }
+
   /** The deduplicated corpus under a keep-first (minimum id) policy: one
     * surviving row per distinct key — the "give me the clean dataset"
-    * counterpart of [[exactGroups]] (same hash-keyed shuffle). */
+    * counterpart of [[exactGroups]] (same hash-keyed shuffle).
+    *
+    * Planned as `df ANTI JOIN duplicateIds`: the drop list is
+    * duplicate-sized, so at corpus scale this is a broadcast anti-join the
+    * corpus streams through — the keep-list semi-join it replaces shuffled
+    * the ENTIRE corpus by id against a keep list nearly as large as the
+    * corpus. Null-id rows pass through unchanged (they cannot be addressed
+    * by a keep/drop policy). */
   def dropDuplicatesByKey(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
-    val keep = exactGroups(df, keyExpr, idCol).select(col("keep_id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val drops = duplicateIds(df, keyExpr, idCol)
+    df.join(drops, col(idCol) === drops("__id__"), "left_anti")
   }
 
   /** Drop byte-identical duplicate texts (keep lowest id). */

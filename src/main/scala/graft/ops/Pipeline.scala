@@ -23,13 +23,17 @@ object Pipeline {
     * the [[TextAnalysis.analyze]] schema (id, token counts, ratios,
     * pred_lang, quality_score, fingerprint) for survivors.
     *
-    * Stage order matters for codegen: features are computed and filtered
-    * BEFORE the dedup semi-join, so the filter and the feature projection
-    * share one whole-stage-codegen region and subexpression elimination
-    * runs the regex kernels once per doc. Filtering `analyze(deduped)`
-    * instead pushes the predicate through the join into a separate
-    * interpreted Filter that re-evaluates every regex on every raw doc
-    * (measured ~1.7× the query cost at sf0.1). */
+    * Physical shape (three scans of `df`, regex kernels in one branch):
+    * the dedup side resolves to the duplicate-sized drop list
+    * ([[Dedup.duplicateIds]] — one fixed-width-key shuffle off the shared
+    * hashed exchange), which broadcasts into an ANTI join the feature
+    * branch streams through — the keep-list semi-join this replaces
+    * shuffled the whole feature table by id. Catalyst pushes the quality
+    * predicate below the feature projection (alias substitution), so the
+    * quality regexes run in the filter and again in the projection for
+    * survivors; the cheap `ws_tokens` bound is ordered FIRST in the
+    * conjunction so short-length docs short-circuit past the regex
+    * kernels in the filter. */
   def cleanCorpus(
       df: DataFrame,
       textCol: String,
@@ -37,9 +41,8 @@ object Pipeline {
       minQuality: Double = 0.5,
       minTokens: Long = 20L): DataFrame = {
     val feats = TextAnalysis.analyze(df, textCol, idCol)
-      .where(col("quality_score") >= minQuality && col("ws_tokens") >= minTokens)
-    val keepIds = Dedup.exactGroups(df, col(textCol), idCol)
-      .select(col("keep_id").as(idCol))
-    feats.join(keepIds, Seq(idCol), "left_semi")
+      .where(col("ws_tokens") >= minTokens && col("quality_score") >= minQuality)
+    val drops = Dedup.duplicateIds(df, col(textCol), idCol)
+    feats.join(drops, col(idCol) === drops("__id__"), "left_anti")
   }
 }
