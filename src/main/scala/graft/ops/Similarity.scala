@@ -154,11 +154,30 @@ object Similarity {
     (0 to math.min(maxHamming, bits)).flatMap(h => combos(0, h))
   }
 
-  /** Approximate top-k cosine neighbors via random-hyperplane LSH with
-    * multi-probe (each query also probes every bucket within `maxProbe`
-    * sign-bit flips, recovering most cross-boundary neighbors). Same output
-    * schema as [[bruteKnn]]. Recall/cost dial: more planes → smaller
-    * buckets; larger `maxProbe` → more buckets probed.
+  /** Collapse duplicate (query, neighbor) hits from overlapping probes or
+    * tables. Skipped for k = 1: duplicates of a pair carry the SAME sim, and
+    * [[topK]]'s k=1 min-of-struct aggregate is duplicate-insensitive — the
+    * groupBy here would shuffle every scored pair for nothing. k > 1 needs
+    * it (`row_number` would rank a duplicate pair twice). */
+  private def dedupPairs(scored: DataFrame, k: Int): DataFrame =
+    if (k == 1) scored
+    else scored.groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+
+  /** Approximate top-k cosine neighbors via random-hyperplane LSH. Same
+    * output schema as [[bruteKnn]].
+    *
+    * Two physical shapes:
+    *   - `smallQueries = true` (few queries, huge corpus): one plane table;
+    *     each query multi-probes every bucket within `maxProbe` sign-bit
+    *     flips and the probe side broadcasts. Probe amplification is
+    *     Σ C(p, h) for h ≤ maxProbe — superlinear in p, affordable only
+    *     because it multiplies the SMALL query side.
+    *   - `smallQueries = false` (all-pairs: the query set IS the corpus):
+    *     `nTables` independent plane tables, one streamed self-join on the
+    *     (table, bucket) key — row amplification is exactly `nTables`
+    *     (linear, corpus-side multi-probe would be O(p²)); recall comes
+    *     from table count instead of Hamming-ball probes
+    *     (P[miss] = (1 − c^p)^T for per-plane collision prob c).
     *
     * `nPlanes = 0` (default) derives the plane count from the corpus size
     * (one cheap count job) so mean bucket population stays ≈
@@ -177,13 +196,17 @@ object Similarity {
       seed: Long = 42L,
       maxProbe: Int = 2,
       smallQueries: Boolean = true,
-      targetBucketRows: Int = 128): DataFrame = {
+      targetBucketRows: Int = 128,
+      nTables: Int = 4): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val p = if (nPlanes > 0) nPlanes else planesFor(df.count(), targetBucketRows)
-    annLshFixed(df, idCol, vecCol, queryPred, k, p, d, seed, maxProbe, smallQueries)
+    if (smallQueries) annLshProbed(df, idCol, vecCol, queryPred, k, p, d, seed, maxProbe)
+    else annLshTabled(df, idCol, vecCol, queryPred, k, p, d, seed, nTables)
   }
 
-  private def annLshFixed(
+  /** Few-queries path: one plane table, Hamming-ball multi-probe on the
+    * broadcast query side. */
+  private def annLshProbed(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -192,8 +215,7 @@ object Similarity {
       nPlanes: Int,
       dim: Int,
       seed: Long,
-      maxProbe: Int,
-      smallQueries: Boolean): DataFrame = {
+      maxProbe: Int): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     // raw vectors + norm scalar (sign bits are norm-invariant, so buckets
     // come straight from the raw dot products)
@@ -212,15 +234,56 @@ object Similarity {
         col("__bucket__"), explode(probes).as("__flip__"))
       .select(col("query_id"), col("qv"), col("qn"),
         col("__bucket__").bitwiseXOR(col("__flip__")).as("bucket"))
-    // small-query ANN broadcasts the probe side; all-pairs callers (near-dup)
-    // shuffle on the bucket key instead — broadcasting the corpus-sized
-    // probe set would be the cartesian anti-pattern in disguise
-    val probeSide = if (smallQueries) broadcast(q) else q
-    val scored = probeSide.join(corpus, Seq("bucket"))
+    val scored = broadcast(q).join(corpus, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), pairSim.as("sim"))
-      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim")) // dedup multi-probe hits
-    topK(scored, k)
+    topK(dedupPairs(scored, k), k)
+  }
+
+  /** All-pairs path: `nTables` independent plane tables, candidates from a
+    * streamed self-join on the (table, bucket) key. The banded table is
+    * `repartition(t, b)`-ed once so both join sides reuse ONE exchange (the
+    * merge hint keeps the planner off a broadcast plan that would recompute
+    * the bucketing subtree), exactly the recipe of `Dedup.minhashDedup` /
+    * `simhashPairs`. A non-trivial `queryPred` filters the probe side above
+    * the shared table (a `lit(true)` pred — the near-dup caller — is
+    * optimized away, preserving reuse). */
+  private def annLshTabled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nPlanes: Int,
+      dim: Int,
+      seed: Long,
+      nTables: Int): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    val tb = explode(array((0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        lshBucket(col("__v__"), hyperplanes(nPlanes, dim, seed + 1000L * t), nPlanes).as("b"))
+    }: _*))
+    // the probe side filters BEFORE banding (queryPred resolves against the
+    // pre-rename child via missing-reference resolution, like the probed
+    // path); a lit(true) pred — the all-pairs near-dup caller — is
+    // optimizer-eliminated, leaving both sides canonically identical so the
+    // self-join reuses ONE exchange
+    def bandedFor(pred: Column): DataFrame =
+      df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
+        .where(pred)
+        .withColumn("__n__", norm(col("__v__")))
+        .select(col("__id__"), col("__v__"), col("__n__"), tb.as("tb"))
+        .select(col("__id__"), col("__v__"), col("__n__"),
+          col("tb.t").as("t"), col("tb.b").as("b"))
+        .repartition(col("t"), col("b"))
+    val scored = bandedFor(queryPred).as("a").hint("merge")
+      .join(bandedFor(lit(true)).as("b").hint("merge"),
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+          col("a.__id__") =!= col("b.__id__"))
+      .select(col("a.__id__").as("query_id"), col("b.__id__").as("neighbor_id"),
+        nullifNaN(graft.core.WeightedMoments.safeDiv(
+          dot(col("a.__v__"), col("b.__v__")), col("a.__n__") * col("b.__n__"))).as("sim"))
+    topK(dedupPairs(scored, k), k)
   }
 
   /** IVF coarse-quantizer model: unit-norm centroid matrix. Fit once with
@@ -343,8 +406,7 @@ object Similarity {
     val scored = probeSide.join(corpus, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), pairSim.as("sim"))
-      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
-    topK(scored, k)
+    topK(dedupPairs(scored, k), k)
   }
 
   /** One-shot IVF ANN: fit + search. Prefer [[fitIvf]]/[[searchIvf]] when
