@@ -256,6 +256,14 @@ object SparkEntry {
     "q16b_resample_right" -> ((s, dir) =>
       wevents(s, dir).resample("ts", "12h", closed = "right", label = "right",
         origin = "epoch").summary("value")),
+    // anchored weekly rule (pandas "W": 7-day bins ENDING on Sunday,
+    // right-closed right-labeled defaults — not an origin-anchored tick)
+    "q47_resample_weekly" -> ((s, dir) =>
+      wevents(s, dir).resample("ts", "W").summary("value")),
+    // end-anchored origin: the grid counts back from the last timestamp,
+    // closed/label defaults flip to right (pandas origin="end")
+    "q48_resample_origin_end" -> ((s, dir) =>
+      wevents(s, dir).resample("ts", "3D", origin = "end").summary("value")),
     // weighted median (beyond-reference extension; reference README lists
     // weighted quantiles as future work)
     "q31_weighted_median" -> ((s, dir) =>
@@ -535,6 +543,42 @@ object SparkEntry {
         |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1))) AS std_value
         |FROM b GROUP BY bucket),
         |s AS (SELECT unnest(generate_series((SELECT min(bucket) FROM a), (SELECT max(bucket) FROM a), 43200)) AS bucket)
+        |SELECT s.bucket, coalesce(a.count_value, 0.0) AS count_value,
+        |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
+        |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " "),
+    // pandas "W" ≡ [Mon 00:00, next Mon 00:00) bins labeled by their Sunday:
+    // anchor 345600 = 1970-01-05 (a Monday); label = start + 6 days (864000
+    // = 345600 + 518400)
+    "q47_resample_weekly" ->
+      """WITH b AS (SELECT (CAST(floor((epoch(ts) - 345600) / 604800) AS BIGINT) * 604800 + 864000) AS bucket,
+        |value, CAST((user_id % 7 + 1) AS DOUBLE) AS w FROM events),
+        |a AS (SELECT bucket,
+        |sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) AS count_value,
+        |coalesce(sum(value * w), 0.0) AS sum_value,
+        |(sum(value * w) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) AS mean_value,
+        |((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1)) AS var_value,
+        |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1))) AS std_value
+        |FROM b GROUP BY bucket),
+        |s AS (SELECT unnest(generate_series((SELECT min(bucket) FROM a), (SELECT max(bucket) FROM a), 604800)) AS bucket)
+        |SELECT s.bucket, coalesce(a.count_value, 0.0) AS count_value,
+        |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
+        |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " "),
+    // origin="end": right-closed bins counting back from max(ts); a row's
+    // bin label (right) is origin − floor((origin − ts)/rule)·rule, computed
+    // in integer µs exactly like the engine (ns truncated to µs)
+    "q48_resample_origin_end" ->
+      """WITH mo AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS o FROM events),
+        |b AS (SELECT CAST(floor(((SELECT o FROM mo) -
+        |CAST(floor(((SELECT o FROM mo) - epoch_us(CAST(ts AS TIMESTAMP))) / 259200000000) AS BIGINT) * 259200000000) / 1000000) AS BIGINT) AS bucket,
+        |value, CAST((user_id % 7 + 1) AS DOUBLE) AS w FROM events),
+        |a AS (SELECT bucket,
+        |sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) AS count_value,
+        |coalesce(sum(value * w), 0.0) AS sum_value,
+        |(sum(value * w) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) AS mean_value,
+        |((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1)) AS var_value,
+        |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1))) AS std_value
+        |FROM b GROUP BY bucket),
+        |s AS (SELECT unnest(generate_series((SELECT min(bucket) FROM a), (SELECT max(bucket) FROM a), 259200)) AS bucket)
         |SELECT s.bucket, coalesce(a.count_value, 0.0) AS count_value,
         |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
         |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " "),

@@ -160,8 +160,8 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
   def resample(
       on: String,
       rule: String,
-      closed: String = "left",
-      label: String = "auto", // rule-dependent pandas default: right for M/Q/Y, left otherwise
+      closed: String = "auto", // pandas default: right for W and end origins, left otherwise
+      label: String = "auto", // rule-dependent pandas default: right for M/Q/Y/W, left otherwise
       origin: String = "start_day",
       offset: Option[String] = None): WeightedResampler =
     new WeightedResampler(this, on, rule, closed, label, origin, offset)

@@ -16,18 +16,37 @@ final case class FixedRule(micros: Long) extends ResampleRule
 /** `months` per bin (3 for quarters, 12 for years), anchored at Jan 1970;
   * `labelEnd` = the pandas end-labeled spellings (`"M"`, `"Q"`, `"Y"`). */
 final case class CalendarRule(months: Int, labelEnd: Boolean) extends ResampleRule
+/** Anchored weekly rule (`"W"`, `"W-SUN"`, `"W-MON"`…): 7-day bins ENDING on
+  * `endDow` (pandas weekday: 0=Mon … 6=Sun). Not a plain fixed rule — the
+  * grid is pinned to the weekday, not to `origin`. */
+final case class WeeklyRule(endDow: Int) extends ResampleRule
 
 /** Pandas offset-alias parser. Case matters exactly as in pandas: `"MS"` is
   * month-start but `"ms"` is milliseconds; `"M"` is month-end but `"min"`
   * is minutes. */
 object RuleParser {
-  private val Pattern = """^(\d+)?\s*([a-zA-Z]+)$""".r
+  private val Pattern = """^(\d+)?\s*([a-zA-Z]+)(?:-([a-zA-Z]+))?$""".r
+
+  private val Weekdays =
+    Seq("MON", "TUE", "WED", "THU", "FRI", "SAT", "SUN").zipWithIndex.toMap
 
   def parse(rule: String): ResampleRule = rule.trim match {
-    case Pattern(num, unit) =>
+    case Pattern(num, unit, anchor) =>
       val n = Option(num).map(_.toInt).getOrElse(1)
-      // calendar aliases are case-sensitive (pandas: MS≠ms, M≠min)
-      unit match {
+      if (anchor != null || unit.equalsIgnoreCase("w")) {
+        // anchored weekly: "W" (= W-SUN), "W-MON" … — pandas treats these as
+        // anchored offsets, NOT 7-day ticks (to_offset("w") is Week(SUN))
+        require(unit.equalsIgnoreCase("w"),
+          s"anchored rule '$rule' not supported (only W-<weekday>)")
+        require(n == 1,
+          s"'$rule': multi-week anchored rules are not supported (pandas anchors " +
+            "them to the end of the data; use an explicit '14d' grid instead)")
+        val dow = Option(anchor).map(_.toUpperCase(Locale.ROOT)).getOrElse("SUN")
+        val endDow = Weekdays.getOrElse(dow,
+          throw new IllegalArgumentException(s"unknown weekday anchor '$anchor' in '$rule'"))
+        WeeklyRule(endDow)
+      } else unit match {
+        // calendar aliases are case-sensitive (pandas: MS≠ms, M≠min)
         case "M" | "ME"        => CalendarRule(n, labelEnd = true)
         case "MS"              => CalendarRule(n, labelEnd = false)
         case "Q" | "QE"        => CalendarRule(3 * n, labelEnd = true)
@@ -42,7 +61,6 @@ object RuleParser {
             case "min" | "t"                 => 60L * 1000000L
             case "h" | "hr"                  => 3600L * 1000000L
             case "d" | "day" | "days"        => 86400L * 1000000L
-            case "w" | "week" | "weeks"      => 7L * 86400L * 1000000L
             case other =>
               throw new IllegalArgumentException(
                 s"unsupported resample rule unit '$other'")
@@ -55,9 +73,9 @@ object RuleParser {
   /** Fixed-duration rules only (offsets must be fixed durations). */
   def toMicros(rule: String): Long = parse(rule) match {
     case FixedRule(us) => us
-    case _: CalendarRule =>
+    case _ =>
       throw new IllegalArgumentException(
-        s"'$rule' is a calendar rule, not a fixed duration")
+        s"'$rule' is an anchored/calendar rule, not a fixed duration")
   }
 }
 
@@ -86,31 +104,50 @@ final class WeightedResampler private[core] (
     origin: String,
     offset: Option[String]) {
 
-  require(closed == "left" || closed == "right", s"closed must be left|right, got $closed")
+  require(closed == "auto" || closed == "left" || closed == "right",
+    s"closed must be auto|left|right, got $closed")
   require(label == "auto" || label == "left" || label == "right",
     s"label must be auto|left|right, got $label")
 
   private val parsed: ResampleRule = RuleParser.parse(rule)
+  private def endOrigin: Boolean = origin == "end" || origin == "end_day"
+  /** pandas' closed default is RULE- and ORIGIN-dependent: anchored weekly
+    * rules and end-anchored origins default to right-closed bins, everything
+    * else to left. "auto" resolves that here (mirroring the label default
+    * below) so call sites get pandas' defaults without re-deriving them. */
+  private val resolvedClosed: String =
+    if (closed != "auto") closed
+    else parsed match {
+      case _: WeeklyRule => "right"
+      case _             => if (endOrigin) "right" else "left"
+    }
   /** pandas' label default is RULE-dependent: end-anchored calendar rules
-    * (M/Q/Y) default to right labels, everything else to left. "auto"
-    * resolves that here so an explicit `label="left"` on `"M"` can mean
-    * what it means in pandas (the previous period's end) instead of being
-    * silently coerced to the default. */
+    * (M/Q/Y) and weekly rules default to right labels — as do end-anchored
+    * origins — everything else to left. "auto" resolves that here so an
+    * explicit `label="left"` on `"M"` can mean what it means in pandas (the
+    * previous period's end) instead of being silently coerced. */
   private val resolvedLabel: String =
     if (label != "auto") label
     else parsed match {
       case CalendarRule(_, true) => "right"
-      case _                     => "left"
+      case _: WeeklyRule         => "right"
+      case _                     => if (endOrigin) "right" else "left"
     }
   // calendar rules bin by period membership — closed/origin/offset have no
   // effect on which period a timestamp belongs to, so accepting them would
   // quietly return left-closed epoch-anchored results for whatever the
-  // caller thought they asked for; refuse instead of diverging silently
+  // caller thought they asked for; refuse instead of diverging silently.
+  // Weekly rules are pinned to their weekday anchor — pandas silently
+  // IGNORES origin/offset for them; we refuse non-defaults instead.
   parsed match {
     case _: CalendarRule =>
-      require(closed == "left" && origin == "start_day" && offset.isEmpty,
+      require(resolvedClosed == "left" && origin == "start_day" && offset.isEmpty,
         s"calendar rule '$rule' bins by period membership; closed/origin/offset do not apply " +
           s"(got closed=$closed, origin=$origin, offset=$offset)")
+    case _: WeeklyRule =>
+      require(origin == "start_day" && offset.isEmpty,
+        s"weekly rule '$rule' is anchored to its weekday; origin/offset do not apply " +
+          s"(got origin=$origin, offset=$offset)")
     case _ =>
   }
   private val offsetUs: Long = offset.map(RuleParser.toMicros).getOrElse(0L)
@@ -118,16 +155,31 @@ final class WeightedResampler private[core] (
     * a months-since-1970 index (bins aren't equal-width in µs). */
   private val BucketCol = "__bucket__"
 
+  private val DayUs = 86400L * 1000000L
+  private val WeekUs = 7L * DayUs
+
   /** Spine step in the bucket key's own unit. */
   private def spineStep: Long = parsed match {
     case FixedRule(us)        => us
     case CalendarRule(m, _)   => m.toLong
+    case _: WeeklyRule        => WeekUs
   }
 
   /** Bucket key → the bin's label timestamp. */
   private def labelTs(b: Column): Column = parsed match {
     case FixedRule(us) =>
       timestamp_micros(if (resolvedLabel == "left") b else b + lit(us))
+    case _: WeeklyRule =>
+      // pandas labels weekly bins with the anchor WEEKDAY's date. Right-
+      // closed bins [Mon, next Mon) (the W-SUN default — pandas pushes the
+      // Sunday-midnight edges to end-of-day): right label = the bin's own
+      // Sunday (start+6d), left label = the previous Sunday (start−1d).
+      // Left-closed bins start ON the anchor day: left label = the start
+      // Sunday, right label = the next one (the next bin edge).
+      val d =
+        if (resolvedClosed == "right") { if (resolvedLabel == "left") -DayUs else 6L * DayUs }
+        else { if (resolvedLabel == "left") 0L else WeekUs }
+      timestamp_micros(b + lit(d))
     case CalendarRule(months, labelEnd) =>
       val yr = ((b - pmod(b, lit(12L))) / lit(12L)).cast("int") + 1970
       val mo = pmod(b, lit(12L)).cast("int") + 1
@@ -161,21 +213,50 @@ final class WeightedResampler private[core] (
     case FixedRule(ruleUs) =>
       val df0 = wdf.df.where(col(on).isNotNull)
       val tsUs = unix_micros(col(on))
+      // data-derived origins are one tiny agg, broadcast onto every row
+      def dataOrigin(o: Column): (DataFrame, Column) = {
+        val b = df0.agg(o.as("__origin_us__"))
+        (df0.crossJoin(broadcast(b)), col("__origin_us__") + lit(offsetUs))
+      }
       val (df1, originUs): (DataFrame, Column) = origin match {
         case "epoch" => (df0, lit(offsetUs))
         case "start_day" =>
-          // pandas default: bins anchored at midnight of the first day of data
-          // (frame.py:168). One tiny extra agg, broadcast onto every row.
-          val b = df0.agg(unix_micros(date_trunc("DAY", min(col(on)))).as("__origin_us__"))
-          (df0.crossJoin(broadcast(b)), col("__origin_us__") + lit(offsetUs))
-        case ts =>
+          // pandas default: bins anchored at midnight of the first day of
+          // data (frame.py:168)
+          dataOrigin(unix_micros(date_trunc("DAY", min(col(on)))))
+        case "start" => // the first timestamp itself, un-truncated
+          dataOrigin(unix_micros(min(col(on))))
+        case "end" => // the last timestamp itself (bins count back from it)
+          dataOrigin(unix_micros(max(col(on))))
+        case "end_day" =>
+          // ceiling midnight of the last day (midnight stays put) — the
+          // grid phase only matters modulo the rule, so anchoring at the
+          // ceiling is pandas' `Timestamp(last).ceil("D")`
+          val mx = unix_micros(max(col(on)))
+          dataOrigin(mx + pmod(-mx, lit(DayUs)))
+        case ts if ts.nonEmpty && ts.head.isDigit =>
           (df0, unix_micros(to_timestamp(lit(ts))) + lit(offsetUs))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown resample origin '$other' (expected epoch|start_day|start|end|end_day " +
+              "or a timestamp literal)")
       }
       val delta = tsUs - originUs
       val startUs =
-        if (closed == "left") tsUs - pmod(delta, lit(ruleUs))
+        if (resolvedClosed == "left") tsUs - pmod(delta, lit(ruleUs))
         else tsUs + pmod(-delta, lit(ruleUs)) - lit(ruleUs) // (start, start+rule]
       df1.withColumn(BucketCol, startUs).drop("__origin_us__")
+    case WeeklyRule(endDow) =>
+      // right-closed (the pandas W default): pandas draws Sunday-midnight
+      // edges then pushes them to end-of-day, so the bin is exactly
+      // [Mon 00:00, next Mon 00:00) at any sub-day resolution — grid
+      // anchored at the day AFTER the end weekday. Left-closed bins start
+      // ON the anchor weekday. 1970-01-01 is a Thursday (pandas weekday 3).
+      val df0 = wdf.df.where(col(on).isNotNull)
+      val startDow = if (resolvedClosed == "right") (endDow + 1) % 7 else endDow
+      val anchorUs = (((startDow - 3) % 7 + 7) % 7).toLong * DayUs
+      val tsUs = unix_micros(col(on))
+      df0.withColumn(BucketCol, tsUs - pmod(tsUs - lit(anchorUs), lit(WeekUs)))
     case CalendarRule(months, _) =>
       // period membership: a row belongs to its calendar month's bin,
       // multi-month bins anchored at Jan 1970 (pandas QS/YS anchoring);

@@ -31,6 +31,20 @@ object AsOfJoin {
       rightTs: String,
       toleranceUs: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin requires at least one key column")
+    // tolerance arithmetic casts to timestamp: a numeric epoch column would
+    // be interpreted as SECONDS, silently scaling the window by 1e6 — fail
+    // fast instead of matching on a garbled timeline
+    if (toleranceUs.isDefined) {
+      def reqTs(df: DataFrame, c: String, side: String): Unit = {
+        val dt = df.schema(c).dataType
+        require(dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+          dt.isInstanceOf[org.apache.spark.sql.types.DateType],
+          s"asofJoin with tolerance requires a timestamp/date $side column; " +
+            s"'$c' is $dt (cast numeric epochs explicitly with timestamp_micros/timestamp_seconds)")
+      }
+      reqTs(left, leftTs, "left ts")
+      reqTs(right, rightTs, "right ts")
+    }
     val rValCols = right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTs)
     require(rValCols.nonEmpty, "asofJoin: right side has no value columns")
 

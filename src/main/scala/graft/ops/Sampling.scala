@@ -23,7 +23,19 @@ object Sampling {
     * (Efraimidis–Spirakis exponential keys: row priority `-ln(u)/w`,
     * smallest n win — inclusion probability scales with weight). The plan
     * is `TakeOrderedAndProject` — per-partition top-n then a merge of n-row
-    * heads, never a global sort. */
+    * heads, never a global sort.
+    *
+    * Contracts:
+    *   - `idCols` values must be UNIQUE per row: duplicate ids share one
+    *     sort key, so which duplicate's payload survives the cut would
+    *     depend on partition order. The id tiebreaker below pins the
+    *     boundary between *distinct* ids; it cannot distinguish clones.
+    *   - `n` must fit one node: TakeOrdered merges every partition's n-row
+    *     head on a single task (capped at [[maxSingleNodeN]]). For samples
+    *     beyond that, take a fraction deterministically with [[assignSplit]]
+    *     (threshold on the same hash) instead of an exact-n cut. */
+  private[graft] val maxSingleNodeN = 10000000
+
   def weightedSample(
       df: DataFrame,
       weightCol: String,
@@ -31,11 +43,14 @@ object Sampling {
       n: Int,
       seed: Long = 42L): DataFrame = {
     require(n > 0, s"sample size must be positive, got $n")
+    require(n <= maxSingleNodeN,
+      s"weightedSample materializes the n-row head on one node; n=$n exceeds " +
+        s"$maxSingleNodeN — use assignSplit (hash-threshold fraction) for huge samples")
     require(idCols.nonEmpty, "weightedSample needs id columns to hash")
     val key = -log(unif(idCols, seed)) / col(weightCol)
     df.where(col(weightCol) > 0)
       .withColumn("__k__", key)
-      .orderBy("__k__")
+      .orderBy(col("__k__") +: idCols.map(col): _*)
       .limit(n)
       .drop("__k__")
   }

@@ -52,7 +52,11 @@ object TextAnalysis {
     * lookarounds consume no separator). */
   def markerCount(c: Column, lang: String): Column = {
     val markers = LangMarkers.toMap.apply(lang)
-    regexp_count(c, lit("(?<!\\S)(" + markers.mkString("|") + ")(?!\\S)"))
+    // Pattern.quote each marker: today's markers are plain words, but a
+    // future marker containing a regex metacharacter (e.g. "c'est") must
+    // count as a literal token, not silently change the alternation
+    val quoted = markers.map(java.util.regex.Pattern.quote)
+    regexp_count(c, lit("(?<!\\S)(" + quoted.mkString("|") + ")(?!\\S)"))
   }
 
   def stopwordRatio(c: Column, lang: String = "en"): Column =

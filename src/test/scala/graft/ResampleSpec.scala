@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.core.{CalendarRule, FixedRule, RuleParser, WeightedDataFrame}
+import graft.core.{CalendarRule, FixedRule, RuleParser, WeeklyRule, WeightedDataFrame}
 
 /** Resample goldens — /root/reference/tests/test_frame.py:305-362 and
   * test_series.py:320-375.
@@ -192,5 +192,99 @@ class ResampleSpec extends SparkSpecBase {
     val m = byBucket(right)
     assert(m("2024-01-01").contains(1.0)) // (12-31, 01-01] labeled 01-01
     assert(m("2024-01-02").contains(2.0))
+  }
+
+  test("weekly rule parsing: W anchors to Sunday, W-<day> to that day, multi-week refused") {
+    assert(RuleParser.parse("W") == WeeklyRule(6))
+    assert(RuleParser.parse("w") == WeeklyRule(6)) // pandas to_offset("w") = Week(SUN)
+    assert(RuleParser.parse("W-MON") == WeeklyRule(0))
+    assert(RuleParser.parse("W-WED") == WeeklyRule(2))
+    intercept[IllegalArgumentException] { RuleParser.parse("2W") }
+    intercept[IllegalArgumentException] { RuleParser.parse("W-XXX") }
+    intercept[IllegalArgumentException] { RuleParser.toMicros("W") }
+  }
+
+  test("W bins end on Sunday with right label (pandas default)") {
+    // 2024-01-01 is a Monday, 2024-01-07 a Sunday. pandas:
+    //   Jan 1 (Mon), Jan 7 (Sun) -> week labeled 2024-01-07
+    //   Jan 8 (Mon)              -> week labeled 2024-01-14
+    val d = Seq(
+      (ts("2024-01-01"), Some(1.0), 1.0),
+      (ts("2024-01-07"), Some(2.0), 2.0),
+      (ts("2024-01-08"), Some(4.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val sum = byBucket(WeightedDataFrame.wt(d, "weights").resample("ts", "W").sum())
+    assert(sum == Map("2024-01-07" -> Some(5.0), "2024-01-14" -> Some(4.0)))
+    // label=left labels the PREVIOUS anchor day (pandas W, label="left")
+    val leftLab = byBucket(WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "W", label = "left").sum())
+    assert(leftLab == Map("2023-12-31" -> Some(5.0), "2024-01-07" -> Some(4.0)))
+  }
+
+  test("W-WED anchors the week end to Wednesday") {
+    // 2024-01-03 is a Wednesday: Jan 1 (Mon) -> week ending Jan 3;
+    // Jan 4 (Thu) -> week ending Jan 10
+    val d = Seq(
+      (ts("2024-01-01"), Some(1.0), 1.0),
+      (ts("2024-01-04"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val sum = byBucket(WeightedDataFrame.wt(d, "weights").resample("ts", "W-WED").sum())
+    assert(sum == Map("2024-01-03" -> Some(1.0), "2024-01-10" -> Some(2.0)))
+  }
+
+  test("W closed=left bins start ON the anchor day (next-edge right label)") {
+    // closed=left: [Sun, next Sun), default label stays right = the next
+    // Sunday edge. Jan 7 (Sun) -> [Jan 7, Jan 14) labeled Jan 14;
+    // Jan 1 (Mon) -> [Dec 31, Jan 7) labeled Jan 7.
+    val d = Seq(
+      (ts("2024-01-01"), Some(1.0), 1.0),
+      (ts("2024-01-07"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val sum = byBucket(WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "W", closed = "left").sum())
+    assert(sum == Map("2024-01-07" -> Some(1.0), "2024-01-14" -> Some(2.0)))
+  }
+
+  test("weekly rules refuse origin/offset (anchored to their weekday)") {
+    val w = WeightedDataFrame.wt(resampleDf, "weights")
+    intercept[IllegalArgumentException] { w.resample("ts", "W", origin = "epoch").sum() }
+    intercept[IllegalArgumentException] { w.resample("ts", "W", offset = Some("1h")).sum() }
+  }
+
+  test("origin=start anchors at the first timestamp un-truncated") {
+    val d = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-02 09:00:00"), Some(2.0), 1.0),
+      (Timestamp.valueOf("2024-01-02 11:00:00"), Some(4.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val sum = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "1D", origin = "start").sum()
+      .collect().map(r => r.getTimestamp(0).toString -> cell(r, 1)).toMap
+    // bins [Jan 1 10:00, Jan 2 10:00), [Jan 2 10:00, Jan 3 10:00)
+    assert(sum == Map("2024-01-01 10:00:00.0" -> Some(3.0),
+      "2024-01-02 10:00:00.0" -> Some(4.0)))
+  }
+
+  test("origin=end anchors at the last timestamp; closed/label default right") {
+    // max ts = Jan 4; 2D bins counting back: (Dec 31, Jan 2], (Jan 2, Jan 4]
+    val sum = byBucket(WeightedDataFrame.wt(resampleDf, "weights")
+      .resample("ts", "2D", origin = "end").sum())
+    assert(sum == Map("2024-01-02" -> Some(5.0), "2024-01-04" -> Some(16.0)))
+  }
+
+  test("origin=end_day anchors at the ceiling midnight of the last day") {
+    val d = Seq(
+      (Timestamp.valueOf("2024-01-03 09:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-04 10:00:00"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    // ceil(Jan 4 10:00) = Jan 5 00:00; 1D bins: (Jan 2, Jan 3]... (Jan 4, Jan 5]
+    val sum = byBucket(WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "1D", origin = "end_day").sum())
+    assert(sum == Map("2024-01-04" -> Some(1.0), "2024-01-05" -> Some(2.0)))
+  }
+
+  test("unknown origin alias is rejected loudly") {
+    val w = WeightedDataFrame.wt(resampleDf, "weights")
+    intercept[IllegalArgumentException] { w.resample("ts", "1D", origin = "bogus").sum() }
   }
 }
