@@ -136,17 +136,40 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
       .select(col("m.col_name").as("col_name"), col("m.v").as("v"), col("w0"))
     val mwdf = WeightedDataFrame.wt(melted, "w0")
     val mw = mwdf.w
-    val moments = mwdf.df.groupBy("col_name").agg(
+    // ONE aggregate computes the display moments AND the quantile
+    // pipeline's pass-1 stats (restricted to value-and-weight-non-null rows
+    // via when(), matching quantileRows' filter exactly) — then MATERIALIZES
+    // it on the driver. The result is one row per numeric COLUMN: bounded by
+    // schema width, never by data size, so the collect is safe at any scale,
+    // and every downstream consumer (bin-assignment join, display join)
+    // reads a local literal instead of re-running the aggregate. Left lazy,
+    // the plan's three consumers would each re-scan the melted source:
+    // consumer-specific column pruning rewrites the aggregate per consumer,
+    // so ReuseExchange never fires on it (measured: 4 source scans lazy vs
+    // 2 materialized).
+    val momentsAll = mwdf.df.groupBy("col_name").agg(
       WeightedMoments.countExpr(col("v"), mw, skipna = true).as("count"),
       WeightedMoments.meanExpr(col("v"), mw).as("mean"),
       WeightedMoments.stdExpr(col("v"), mw).as("std"),
       min(col("v")).as("min"),
-      max(col("v")).as("max"))
+      max(col("v")).as("max"),
+      org.apache.spark.sql.functions.sum(when(col("v").isNotNull, mw)).as("__tw__"),
+      min(when(mw.isNotNull, col("v"))).as("__mn__"),
+      max(when(mw.isNotNull, col("v"))).as("__mx__"))
+    val spark = df.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(momentsAll.collect(): _*), momentsAll.schema)
     val g = mwdf.groupBy(Seq("col_name"))
     val qNames = quantiles.map(q => "p" + math.round(q * 100))
-    val withQs = moments.join(g.quantiles("v", quantiles), Seq("col_name"), "left")
-    withQs.select(("col_name" +: "count" +: "mean" +: "std" +: "min" +: qNames :+ "max")
-      .map(col): _*).orderBy("col_name")
+    val qdf = g.quantilesWithStats("v", quantiles, 256,
+      local.select("col_name", "__tw__", "__mn__", "__mx__"))
+    // columns with zero valid (v, w) rows never enter the quantile pipeline;
+    // the LEFT join from the (complete, literal) moments table keeps their
+    // rows with null quantiles
+    val ordered = ("col_name" +: "count" +: "mean" +: "std" +: "min" +: qNames :+ "max").map(col)
+    local.join(qdf, Seq("col_name"), "left")
+      .select(ordered: _*)
+      .orderBy("col_name")
   }
 
   /** Weighted groupby — `frame.py:134-159`. */

@@ -159,6 +159,35 @@ final class WeightedGroupBy private[core] (
     * including the fractional-weight ulp clamps on BOTH the bin selection
     * and the in-bin resolve (a group can never silently vanish). */
   def quantiles(valueCol: String, qs: Seq[Double], buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.functions.{sum => fSum, min => fMin, max => fMax}
+    val kcols = keys.map(col)
+    val rows = quantileRows(valueCol)
+    // pass 1: per-group total weight + value range
+    val stats = rows.groupBy(kcols: _*)
+      .agg(fSum("__w__").as("__tw__"), fMin("__v__").as("__mn__"), fMax("__v__").as("__mx__"))
+    quantilesWithStats(valueCol, qs, buckets, stats)
+  }
+
+  /** The row set every quantile pass sees: (keys, __v__, __w__) with value
+    * and weight both non-null. */
+  private def quantileRows(valueCol: String): DataFrame =
+    base.where(col(valueCol).isNotNull && w.isNotNull)
+      .select(keys.map(col) :+ col(valueCol).as("__v__") :+ w.as("__w__"): _*)
+
+  /** [[quantiles]] with the pass-1 stats INJECTED: `stats` must hold one row
+    * per group with `__tw__`/`__mn__`/`__mx__` computed over exactly the
+    * rows [[quantileRows]] yields (value and weight non-null). Extra columns
+    * are ignored. Lets a caller that already aggregates per group (describe's
+    * moment pass) supply the stats — ideally as a materialized local
+    * relation, since the pipeline consumes `stats` from several operators
+    * and a lazy plan would be recomputed (source re-scanned) per consumer.
+    * Groups with NO valid rows (null `__tw__`) produce no output row —
+    * callers union or left-join them back if they must appear. */
+  private[core] def quantilesWithStats(
+      valueCol: String,
+      qs: Seq[Double],
+      buckets: Int,
+      stats: DataFrame): DataFrame = {
     require(qs.nonEmpty, "quantiles requires at least one q")
     qs.foreach(q => require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q"))
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
@@ -167,11 +196,7 @@ final class WeightedGroupBy private[core] (
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{sum => fSum, min => fMin, max => fMax, first => fFirst}
     val kcols = keys.map(col)
-    val rows = base.where(col(valueCol).isNotNull && w.isNotNull)
-      .select(kcols :+ col(valueCol).as("__v__") :+ w.as("__w__"): _*)
-    // pass 1: per-group total weight + value range
-    val stats = rows.groupBy(kcols: _*)
-      .agg(fSum("__w__").as("__tw__"), fMin("__v__").as("__mn__"), fMax("__v__").as("__mx__"))
+    val rows = quantileRows(valueCol)
     // bin assignment is a pure function of (v, group range) — identical in
     // the histogram and the resolve pass. AQE picks broadcast vs shuffle
     // for the stats join (its size is #groups rows).

@@ -121,6 +121,18 @@ class WeightedFrameSpec extends SparkSpecBase {
     assert(r.getDouble(7) == 20.0)                      // p75
   }
 
+  test("describe keeps a column whose values are all null (zero valid rows)") {
+    val d = Seq((10.0, Option.empty[Double], 1.0), (20.0, Option.empty[Double], 2.0))
+      .toDF("Value", "AllNull", "w")
+    val got = WeightedDataFrame.wt(d, "w").describe().collect()
+    assert(got.length == 2)
+    val byName = got.map(r => r.getString(0) -> r).toMap
+    val nullRow = byName("AllNull")
+    assert(nullRow.getDouble(1) == 0.0)            // count
+    assert(nullRow.isNullAt(2) && nullRow.isNullAt(5) && nullRow.isNullAt(6)) // mean, p25, p50
+    assert(byName("Value").getDouble(2) == 50.0 / 3.0) // mean unaffected
+  }
+
   test("api accessor syntax delegates to the constructors (base.py:11-50)") {
     import graft.api._
     val d = Seq((10.0, 1.0), (20.0, 2.0)).toDF("Value", "w")
