@@ -171,7 +171,10 @@ object Similarity {
     *     each query multi-probes every bucket within `maxProbe` sign-bit
     *     flips and the probe side broadcasts. Probe amplification is
     *     Σ C(p, h) for h ≤ maxProbe — superlinear in p, affordable only
-    *     because it multiplies the SMALL query side.
+    *     because it multiplies the SMALL query side. The default
+    *     `maxProbe = 3` holds ≥0.8 top-5 recall through p = 6 even on
+    *     random-gaussian vectors (the LSH worst case — measured: mp=2
+    *     decays to 0.52 at p=6, mp=3 stays at 0.83).
     *   - `smallQueries = false` (all-pairs: the query set IS the corpus):
     *     `nTables` independent plane tables, one streamed self-join on the
     *     (table, bucket) key — row amplification is exactly `nTables`
@@ -194,7 +197,7 @@ object Similarity {
       nPlanes: Int = 0,
       dim: Int = 0,
       seed: Long = 42L,
-      maxProbe: Int = 2,
+      maxProbe: Int = 3,
       smallQueries: Boolean = true,
       targetBucketRows: Int = 128,
       nTables: Int = 4): DataFrame = {

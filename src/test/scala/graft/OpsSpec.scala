@@ -458,8 +458,8 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ann).size.toDouble / brute.size
     // random-gaussian embeddings are a worst case for LSH (weak cosine
-    // structure); with 6 planes + hamming-2 multi-probe expect ~0.5
-    assert(recall >= 0.35, s"recall $recall too low")
+    // structure); 6 planes + default hamming-3 multi-probe measures 0.83
+    assert(recall >= 0.7, s"recall $recall too low")
   }
 
   test("annIvf achieves high recall vs brute force on real embeddings") {
@@ -467,11 +467,13 @@ class SimilaritySpec extends SparkSpecBase {
     val pred = col("vec_id") < 20
     val brute = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.annIvf(emb, "vec_id", "embedding", pred, 5, nLists = 16, nProbe = 4)
+    val ivf = Similarity.annIvf(emb, "vec_id", "embedding", pred, 5, nLists = 16, nProbe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    // probing 4/16 cells; random-gaussian vectors are the worst case
-    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // probing 8/16 cells measures 0.80 on random-gaussian vectors (the IVF
+    // worst case — no cluster structure); real embedding corpora reach the
+    // same recall at far lower nProbe/nLists ratios
+    assert(recall >= 0.7, s"IVF recall $recall too low")
   }
 
   test("nearestNeighbors emits one row per vector") {
@@ -502,12 +504,13 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lsh.size == brute.size) // multi-probe covers every vector's own bucket
     val recall = brute.count { case (k, v) => lsh.get(k).contains(v) }.toDouble / brute.size
-    // top-1 recall on random-gaussian vectors (LSH worst case), 6 planes + probe 2
-    assert(recall >= 0.25, s"lsh near-dup recall $recall too low")
+    // top-1 recall on random-gaussian vectors (LSH worst case): 4 independent
+    // plane tables measure 0.85 at 500 rows
+    assert(recall >= 0.6, s"lsh near-dup recall $recall too low")
     val ivf = Similarity.nearestNeighbors(emb, "vec_id", "embedding", strategy = "ivf")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val recallIvf = brute.count { case (k, v) => ivf.get(k).contains(v) }.toDouble / brute.size
-    assert(recallIvf >= 0.25, s"ivf near-dup recall $recallIvf too low")
+    assert(recallIvf >= 0.6, s"ivf near-dup recall $recallIvf too low")
     intercept[IllegalArgumentException] {
       Similarity.nearestNeighbors(emb, "vec_id", "embedding", strategy = "bogus")
     }
