@@ -390,6 +390,30 @@ object SparkEntry {
     "q28_text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // duplicate clustering: pairwise near-dup hits → connected components
+    // (min-label propagation + pointer jumping). The edge criterion here
+    // (same lang, |Δn_chars| ≤ 1) is SQL-expressible so DuckDB can verify
+    // the transitive closure with a recursive CTE; real pipelines feed
+    // minhashDedup/simhashPairs output through the same operator.
+    "q49_dup_clusters" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val e = d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 1 &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      Dedup.connectedComponents(e, "src", "dst",
+        table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+    // sequence packing: shard the corpus into fixed-token-budget packs
+    // (streaming concatenation chunking over id-ordered hash streams)
+    "q50_pack_sequences" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        table(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        TextAnalysis.bpeTokenCount(col("text")), capacity = 2048L, nStreams = 8)
+        .select("doc_id", "n_tokens", "stream", "pack", "pack_id")
+        .orderBy("doc_id")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
@@ -705,6 +729,29 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT doc_a FROM d)
         |ORDER BY vec_id""".stripMargin.replace("\n", " "),
     "q28_text_analyze" -> s"$textAnalyzeSql ORDER BY doc_id",
+    // transitive closure via recursive CTE; cluster id = min reachable id
+    "q49_dup_clusters" ->
+      """WITH RECURSIVE e AS (SELECT a.doc_id AS s, b.doc_id AS t
+        |FROM documents a JOIN documents b
+        |ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1 AND a.doc_id <> b.doc_id),
+        |n AS (SELECT doc_id AS id FROM documents),
+        |reach(id, r) AS (SELECT id, id FROM n
+        |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // same streaming-concatenation chunking: exclusive running token offset
+    // within each id-ordered stream, integer-divided by the capacity
+    "q50_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+        |CAST(doc_id % 8 AS BIGINT) AS stream FROM documents),
+        |c AS (SELECT doc_id, n_tokens, stream,
+        |sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+        |FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, stream, off // 2048 AS pack,
+        |stream * 4294967296 + off // 2048 AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q39_clean_corpus" ->
       s"""SELECT * FROM ($textAnalyzeSql)
          |WHERE quality_score >= 0.5 AND ws_tokens >= 20

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: shard a document corpus into
+  * fixed-token-budget packs (the files/batches a trainer consumes), without
+  * collecting anything and without a global sort.
+  *
+  * Contract — "streaming concatenation chunking": documents are laid out in
+  * a deterministic order inside `nStreams` independent streams (stream =
+  * `id % nStreams`, ordered by id), and pack `k` of a stream holds the
+  * documents whose preceding-token offset falls in `[k·capacity,
+  * (k+1)·capacity)`. Equivalently: concatenate the stream's token counts
+  * and cut at capacity boundaries — a document crossing a boundary stays in
+  * the pack it started in (packs may overrun by at most one document; a
+  * trainer that can't truncate should size `capacity` with that headroom).
+  * This is exactly the deterministic chunking a token-stream sharder does,
+  * and (unlike first-fit bin packing, which is inherently sequential) it is
+  * embarrassingly parallel: each stream is one window partition, so
+  * parallelism = `nStreams` regardless of corpus size — set it to a few ×
+  * the cluster's cores. All arithmetic is integer and hash-free, so the
+  * assignment is reproducible across partitionings and cluster sizes.
+  */
+object Packing {
+
+  /** Assign every document to (stream, pack). `tokenExpr` is the per-row
+    * token count (e.g. `TextAnalysis.bpeTokenCount(col("text"))`); rows
+    * with a null or non-positive count are dropped (they cannot occupy pack
+    * space). Output: input columns + `n_tokens`, `stream`, `pack`,
+    * `pack_id` (= globally unique `stream * 2³² + pack`). */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenExpr: Column,
+      capacity: Long,
+      nStreams: Int = 64): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(nStreams > 0, s"nStreams must be positive, got $nStreams")
+    val w = Window.partitionBy(col("stream")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenExpr.cast("long"))
+      .where(col("n_tokens").isNotNull && col("n_tokens") > 0)
+      .withColumn("stream", pmod(col(idCol), lit(nStreams.toLong)).cast("long"))
+      .withColumn("pack",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(capacity)).cast("long"))
+      .withColumn("pack_id", col("stream") * lit(1L << 32) + col("pack"))
+  }
+
+  /** Per-pack summary: document count, token total, fill ratio vs
+    * `capacity`. The overrun contract means `fill` can exceed 1 by at most
+    * `(max doc tokens − 1) / capacity`. */
+  def packSummary(packed: DataFrame, capacity: Long): DataFrame =
+    packed.groupBy(col("stream"), col("pack"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        (sum(col("n_tokens")) / lit(capacity.toDouble)).as("fill"))
+      .orderBy(col("stream"), col("pack"))
+}

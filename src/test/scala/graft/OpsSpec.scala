@@ -588,3 +588,69 @@ class SimilaritySpec extends SparkSpecBase {
     assert(k2 == Seq(2L, 1L)) // window path: NULL sim sorts after real sims
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+    Dedup.connectedComponents(
+      edges.toDF("src", "dst"), "src", "dst", nodes.toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chains, pairs, and isolated nodes cluster to the component minimum") {
+    // 1-2-3 is a CHAIN (1~3 never emitted) — pairs alone would under-merge
+    val got = cc(Seq((1L, 2L), (2L, 3L), (5L, 6L)), Seq(1L, 2L, 3L, 5L, 6L, 7L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("pointer jumping converges a 200-node chain well under the round cap") {
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = cc(edges, 0L to 199L)
+    assert(got.values.toSet == Set(0L)) // one component, labeled by its min
+  }
+
+  test("edge direction and duplication do not matter") {
+    val got = cc(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L)), Seq(1L, 2L, 3L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("empty edge list leaves every node its own cluster") {
+    val got = cc(Seq.empty, Seq(4L, 9L))
+    assert(got == Map(4L -> 4L, 9L -> 9L))
+  }
+}
+
+class PackingSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.ops.Packing
+
+  test("packs cut at capacity boundaries; boundary-crossing doc stays put") {
+    // one stream (nStreams=1), ordered by id; capacity 10.
+    // tokens:   4  4  4  4   -> offsets 0 4 8 12 -> packs 0 0 0 1
+    val d = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L)).toDF("doc_id", "t")
+    val got = Packing.packSequences(d, "doc_id", col("t"), 10L, 1)
+      .orderBy("doc_id").collect().map(r => r.getAs[Long]("pack")).toSeq
+    assert(got == Seq(0L, 0L, 0L, 1L)) // doc 3 overruns pack 0 (8+4>10), stays
+  }
+
+  test("assignment is deterministic across partitionings") {
+    val d = (1L to 500L).map(i => (i, 1L + i % 37)).toDF("doc_id", "t")
+    val a = Packing.packSequences(d, "doc_id", col("t"), 256L, 8)
+      .select("doc_id", "stream", "pack").collect().map(_.toSeq).toSet
+    val b = Packing.packSequences(d.repartition(13), "doc_id", col("t"), 256L, 8)
+      .select("doc_id", "stream", "pack").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("null and non-positive token counts are dropped; fill tracks overrun") {
+    val d = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(7L)))
+      .toDF("doc_id", "t")
+    val packed = Packing.packSequences(d, "doc_id", col("t"), 8L, 1)
+    assert(packed.count() == 2)
+    val s = Packing.packSummary(packed, 8L).collect()
+    // docs 1 (5 tokens, offset 0) and 4 (7 tokens, offset 5) share pack 0:
+    // doc 4 starts below capacity 8 and overruns it (12 tokens total)
+    assert(s.length == 1 && s.head.getAs[Long]("tokens") == 12L)
+    assert(math.abs(s.head.getAs[Double]("fill") - 1.5) < 1e-12)
+  }
+}
