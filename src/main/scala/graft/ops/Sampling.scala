@@ -55,6 +55,32 @@ object Sampling {
       .drop("__k__")
   }
 
+  /** Deterministic stratified sampling: keep each row with its stratum's
+    * fraction, decided by the row's id hash — `sampleBy` without `rand()`:
+    * the same (id, seed) keeps or drops the row under ANY partitioning or
+    * retry, and resizing a stratum's fraction only flips rows whose hash
+    * sits between the old and new thresholds (downsampling a stratum keeps
+    * a subset of the previous sample, never a reshuffle). Strata missing
+    * from `fractions` fall back to `defaultFraction` (0 = drop). Pure
+    * per-row predicate: no shuffle, no driver state, pushes down to the
+    * scan like any filter. */
+  def sampleStratified(
+      df: DataFrame,
+      idCols: Seq[String],
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    require(idCols.nonEmpty, "sampleStratified needs id columns to hash")
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1], got $fractions / default $defaultFraction")
+    val u = unif(idCols, seed)
+    val thr = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.where(u < thr)
+  }
+
   /** Deterministic split assignment (train/val/test…): every row gets the
     * split whose cumulative fraction bucket its id hash lands in. Adding a
     * split or resizing fractions only moves rows at bucket boundaries;

@@ -379,6 +379,26 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.assignSplit(df, Seq("id"), Seq("a" -> 0.5, "b" -> 0.6))
     }
   }
+
+  test("sampleStratified: per-stratum fractions, nested downsampling, no reshuffle") {
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val kept = Sampling.sampleStratified(df, Seq("id"), "s", Map("a" -> 0.5, "b" -> 0.1))
+    val counts = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 1000.0) < 150, counts.toString)
+    assert(math.abs(counts("b") - 200.0) < 90, counts.toString)
+    // unknown stratum dropped by default
+    assert(!Sampling.sampleStratified(df, Seq("id"), "s", Map("a" -> 0.5))
+      .collect().exists(_.getString(1) == "b"))
+    // partitioning-independent
+    val k2 = Sampling.sampleStratified(df.repartition(17), Seq("id"), "s",
+      Map("a" -> 0.5, "b" -> 0.1)).collect().map(_.getLong(0)).toSet
+    assert(k2 == kept.collect().map(_.getLong(0)).toSet)
+    // shrinking a fraction keeps a SUBSET (threshold semantics)
+    val smaller = Sampling.sampleStratified(df, Seq("id"), "s",
+      Map("a" -> 0.25, "b" -> 0.1)).collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(k2))
+  }
 }
 
 class AsOfJoinSpec extends SparkSpecBase {
