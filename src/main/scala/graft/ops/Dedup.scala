@@ -494,17 +494,27 @@ object Dedup {
     * (Pairs alone under-dedup: a∼b and b∼c puts a, b, c in one cluster even
     * when a∼c was never emitted.)
     *
-    * Algorithm: iterative min-label propagation PLUS pointer jumping
-    * (each round a node takes the min of its own label, its neighbors'
-    * labels, and its label's label — the halving trick of the MapReduce
-    * connected-components literature), so rounds needed are O(log diameter),
-    * not O(diameter): a 10⁶-long chain converges in ~20 rounds. Each round
-    * is two equi-joins + one aggregate over the (node, label) table — every
-    * shuffle carries 16-byte rows, never payloads. Iteration state is
-    * truncated with `localCheckpoint` each round (lineage would otherwise
-    * double per round and overwhelm the planner; on a production cluster
-    * with a configured checkpoint dir, reliable `checkpoint` is the
-    * fault-tolerant equivalent).
+    * Algorithm: min-label propagation with EDGE CONTRACTION (the star-
+    * contraction shape of the MapReduce connected-components literature,
+    * cf. Kiveris et al.'s large-star/small-star): each round (1) every
+    * node takes the min of its own label and its graph-neighbors' labels,
+    * (2) the label table is pointer-jumped (`lbl := min(lbl, lbl(lbl))`)
+    * a few times to compress pointer chains, and (3) the edge set is
+    * REWRITTEN through the new labels (`(s,t) → (lbl(s), lbl(t))`, loops
+    * dropped, distinct) so adjacent label regions merge pairwise and the
+    * active graph shrinks geometrically — termination (no inter-region
+    * edge left) in O(log n) rounds. Label propagation without contraction
+    * is O(diameter): information crosses local-minimum regions one edge
+    * hop per round (measured: a 5 000-node interval graph at sf0.1 was
+    * still churning after 50 rounds; contraction finishes it in 5). Every
+    * shuffle carries 16-byte (node, label) or (src, dst) rows, never
+    * payloads, and the edge table SHRINKS each round, so later rounds are
+    * nearly free. Iteration state is truncated with `localCheckpoint` plus
+    * a statistics reset (see `DatasetBridge` — checkpointing alone carries
+    * Catalyst size estimates that SQUARE per self-join round and melt the
+    * driver in BigInteger arithmetic); on a production cluster with a
+    * configured checkpoint dir, reliable `checkpoint` is the
+    * fault-tolerant equivalent.
     *
     * `nodes` supplies the full node universe (isolated nodes never appear
     * in the edge list); pass e.g. `docs.select(idCol)`. Throws if the fix
@@ -517,40 +527,72 @@ object Dedup {
       nodes: DataFrame,
       nodeCol: String,
       maxIter: Int = 50): DataFrame = {
+    // freeze = materialize + TRUNCATE both lineage AND statistics. The
+    // stats reset is load-bearing: checkpoint alone carries originStats,
+    // and iterated self-joins square sizeInBytes each round — the BigInt
+    // doubles in bit-length per step and the driver ends up spending
+    // minutes in BigInteger.multiply planning 16-byte-row joins (measured:
+    // 124 s for one 5 000-row jump by round 5). See DatasetBridge scaladoc.
+    def freeze(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRdd(df.localCheckpoint())
+    def jump(t: DataFrame): DataFrame = freeze(t
+      .join(t.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+      .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl")))
     // symmetric, self-loop-free, distinct edge table — frozen once; every
     // round re-reads it, so recomputing the caller's (possibly expensive)
     // pair-generation per round would multiply the whole upstream plan
-    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
-      .where(col("s") =!= col("t") && col("s").isNotNull && col("t").isNotNull)
-      .distinct()
-      .localCheckpoint()
-    var labels = nodes.select(col(nodeCol).as("id")).where(col("id").isNotNull)
-      .distinct().withColumn("lbl", col("id"))
-      .localCheckpoint()
+    var e = freeze(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
+        .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
+        .where(col("s") =!= col("t") && col("s").isNotNull && col("t").isNotNull)
+        .distinct())
+    var labels = freeze(
+      nodes.select(col(nodeCol).as("id")).where(col("id").isNotNull)
+        .distinct().withColumn("lbl", col("id")))
+    val innerJumps = 3 // 2³ = 8-level chain compression per round
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min over: own label, neighbors' labels
+      // min over: own label, neighbor REGION roots' labels
       val nbr = e.join(labels.select(col("id").as("t"), col("lbl")), Seq("t"))
         .select(col("s").as("id"), col("lbl"))
-      val stepped = labels.select("id", "lbl").union(nbr)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-      // pointer jumping: follow the label's own label (labels are node ids,
-      // so the label table doubles as the jump table)
-      val jumped = stepped
-        .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
-        .localCheckpoint()
-      val changes = jumped.join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
-        .where(col("lbl") =!= col("old")).count()
-      labels = jumped
-      converged = changes == 0
+      var cur = freeze(labels.select("id", "lbl").union(nbr)
+        .groupBy("id").agg(min("lbl").as("lbl")))
+      // path compression: follow the label's own label (labels are node
+      // ids, so the table doubles as the jump table)
+      for (_ <- 0 until innerJumps) cur = jump(cur)
+      // CONTRACT: rewrite the surviving edges through the new labels —
+      // adjacent label regions merge pairwise, so the edge set (and the
+      // active graph) shrinks geometrically and the loop terminates in
+      // O(log n) rounds when NO inter-region edge remains (label-jumping
+      // alone is O(diameter): information crosses local-minimum regions
+      // one edge hop per round — measured 50+ stalled rounds at sf0.1)
+      e = freeze(e
+        .join(cur.select(col("id").as("s"), col("lbl").as("__ls__")), Seq("s"))
+        .join(cur.select(col("id").as("t"), col("lbl").as("__lt__")), Seq("t"))
+        .select(col("__ls__").as("s"), col("__lt__").as("t"))
+        .where(col("s") =!= col("t")).distinct())
+      labels = cur
+      converged = e.isEmpty
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
+    // flush stale chains: members that lost their edges in an early
+    // contraction stop receiving root updates, so their labels can lag the
+    // root's final value by a pointer chain — jump to the fixpoint (chains
+    // only point downward, terminating at each component's minimum)
+    var stable = false
+    var flushes = 0
+    while (!stable && flushes < maxIter) {
+      val j = jump(labels)
+      stable = j.join(labels.select(col("id"), col("lbl").as("__old__")), Seq("id"))
+        .where(col("lbl") =!= col("__old__")).isEmpty
+      labels = j
+      flushes += 1
+    }
+    require(stable, s"label flush did not stabilize within $maxIter jumps")
     labels.select(col("id").as(nodeCol), col("lbl").as("cluster_id"))
   }
 }

@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.types.StructType
+
+/** Re-wrap an already-materialized internal RDD as a fresh DataFrame with
+  * NO inherited statistics.
+  *
+  * Why it exists: `Dataset.checkpoint`/`localCheckpoint` deliberately carry
+  * the child plan's Catalyst statistics onto the new `LogicalRDD`
+  * (`originStats`). For iterative self-join algorithms (connected
+  * components' pointer jumping) that is catastrophic: every self-join
+  * ESTIMATE multiplies `sizeInBytes × sizeInBytes`, the product is stored
+  * as the checkpoint's origin stats, and the next round squares it again —
+  * the BigInt doubles in bit-length per iteration, and by ~20 iterations
+  * the DRIVER spends minutes inside `BigInteger.multiply` while planning
+  * 5 000-row joins (observed: 124 s for one such join). Rebuilding the
+  * Dataset from the checkpointed RDD through this bridge resets the stats
+  * to the session default, making per-iteration planning cost constant.
+  * (`Dataset.ofRows` and `LogicalRDD` are `private[sql]`, hence the
+  * namespace.)
+  */
+object DatasetBridge {
+  def fromInternalRdd(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    val schema: StructType = df.schema
+    val rdd: RDD[InternalRow] = df.queryExecution.toRdd
+    Dataset.ofRows(spark, LogicalRDD(DataTypeUtils.toAttributes(schema), rdd)(spark))
+  }
+}
