@@ -595,4 +595,14 @@ object Dedup {
     require(stable, s"label flush did not stabilize within $maxIter jumps")
     labels.select(col("id").as(nodeCol), col("lbl").as("cluster_id"))
   }
+
+  /** One-call duplicate clustering: near-duplicate PAIRS → per-document
+    * `cluster_id` over the whole corpus (documents with no near-dup hit
+    * form singleton clusters). `pairs` is any (doc_a, doc_b) frame —
+    * [[minhashDedup]], [[simhashPairs]], or a thresholded
+    * `Similarity.nearestNeighbors` output. Dedup policy then reduces to
+    * "keep min(doc_id) per cluster_id" — transitively correct, unlike
+    * pairwise keep-first. */
+  def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, "doc_a", "doc_b", docs.select(idCol), idCol)
 }

@@ -638,6 +638,20 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     val got = cc(Seq.empty, Seq(4L, 9L))
     assert(got == Map(4L -> 4L, 9L -> 9L))
   }
+
+  test("duplicateClusters: minhash pairs cluster transitively over the corpus") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "the quick brown fox jumps"),
+      (2L, "jumps fox brown quick the"),
+      (3L, "completely different words here"),
+      (4L, "another unrelated document text")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedup(docs, "text", "doc_id",
+      shingleSize = 1, numHashes = 32, bandRows = 8, threshold = 1.0)
+    val got = Dedup.duplicateClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+  }
 }
 
 class PackingSpec extends SparkSpecBase {
