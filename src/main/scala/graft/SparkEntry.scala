@@ -406,6 +406,11 @@ object SparkEntry {
         table(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")
     }),
+    // TF-IDF keyword retrieval: only the query terms' posting lists ever
+    // shuffle; top-k is a TakeOrdered merge, no global sort
+    "q51_tfidf_search" -> ((s, dir) =>
+      TextAnalysis.tfidfSearch(table(s, dir, "documents"), "text", "doc_id",
+        Seq("query", "stream", "window"), k = 20)),
     // sequence packing: shard the corpus into fixed-token-budget packs
     // (streaming concatenation chunking over id-ordered hash streams)
     "q50_pack_sequences" -> ((s, dir) =>
@@ -739,6 +744,18 @@ object SparkEntry {
         |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // tf-idf with raw counts, natural log, N = corpus size; score rounded
+    // to 6 decimals on both sides (ln ulp differences across libms)
+    "q51_tfidf_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |WHERE term IN ('query', 'stream', 'window') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, round(sum(tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / dfreq.df)), 6) AS score
+        |FROM tf JOIN dfreq ON tf.term = dfreq.term
+        |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin.replace("\n", " "),
     // same streaming-concatenation chunking: exclusive running token offset
     // within each id-ordered stream, integer-divided by the capacity
     "q50_pack_sequences" ->

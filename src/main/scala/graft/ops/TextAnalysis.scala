@@ -108,4 +108,45 @@ object TextAnalysis {
       round(qualityScore(c), 6).as("quality_score"),
       fingerprintMd5(c).as("fingerprint"))
   }
+
+  /** Term frequencies: one row per (doc, whitespace token) with its count.
+    * The explode is the only corpus-sized step; everything downstream of a
+    * search should filter to the query's terms BEFORE this aggregates (see
+    * [[tfidfSearch]]). */
+  def termFrequencies(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Top-k documents for a bag-of-words query under TF-IDF scoring:
+    * `score(doc) = Σ_{t ∈ query} tf(doc, t) · ln(N / df(t))` with raw term
+    * counts, natural log, and N = corpus size. Ties break by id; scores are
+    * rounded to 6 decimals (ln differs in ulps across libms — this keeps
+    * results comparable against any reference implementation).
+    *
+    * Scale shape: the term filter lands BELOW the explode's aggregation, so
+    * only the QUERY's posting lists ever shuffle — the corpus itself is one
+    * narrow scan + explode + filter regardless of vocabulary size. Document
+    * frequencies come from the same filtered aggregate (one row per
+    * (term, doc)), N from a one-row broadcast, and the final top-k is a
+    * TakeOrdered merge of per-partition heads, never a global sort. */
+  def tfidfSearch(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: Seq[String],
+      k: Int): DataFrame = {
+    require(query.nonEmpty, "tfidfSearch requires at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val n = df.select(count(lit(1)).as("__n__"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isin(query.distinct: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") * log(col("__n__") / col("df"))), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -37,6 +37,17 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(0) > got(1))
   }
 
+  test("tfidfSearch ranks by summed tf·ln(N/df), ties to the smaller id") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c b")).toDF("doc_id", "text")
+    // N=3, df(a)=2, df(b)=2: doc1 = 3·ln(1.5), doc2 = doc3 = ln(1.5)
+    val got = TextAnalysis.tfidfSearch(docs, "text", "doc_id", Seq("a", "b"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val l = math.rint(math.log(1.5) * 1e6) / 1e6
+    assert(got == Seq((1L, math.rint(3 * math.log(1.5) * 1e6) / 1e6), (2L, l)))
+    // terms absent from the corpus contribute nothing; unknown-only → empty
+    assert(TextAnalysis.tfidfSearch(docs, "text", "doc_id", Seq("zz"), 5).count() == 0)
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "abc"), (2L, "cba"), (3L, "abc")).toDF("id", "text")
     val got = df.select(col("id"), TextAnalysis.fingerprintRolling(col("text")).as("fp"))
