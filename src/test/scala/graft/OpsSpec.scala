@@ -342,6 +342,22 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(cell(wNull.groupBy("Group").skew().collect().head, 1).isEmpty)
   }
 
+  test("round-6 ops survive empty and single-row inputs") {
+    import graft.ops.{Packing, TextAnalysis}
+    for (d <- Seq(emptyDocs, oneDoc)) {
+      // packing: empty in → empty out; one doc → one pack
+      assert(Packing.packSequences(d, "doc_id",
+        TextAnalysis.bpeTokenCount(col("text")), 1024L, 4).count() == d.count())
+      // tf-idf: no posting rows → empty result, no division by zero
+      assert(TextAnalysis.tfidfSearch(d, "text", "doc_id", Seq("words"), 3)
+        .count() == (if (d.isEmpty) 0 else 1))
+      // connected components: no edges → every doc its own cluster
+      val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+      val cc = Dedup.connectedComponents(noEdges, "src", "dst", d.select("doc_id"), "doc_id")
+      assert(cc.count() == d.count())
+    }
+  }
+
   test("asof join and knn survive empty sides") {
     val left = Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("id", "k", "ts")
