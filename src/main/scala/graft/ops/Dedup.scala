@@ -535,9 +535,15 @@ object Dedup {
     // 124 s for one 5 000-row jump by round 5). See DatasetBridge scaladoc.
     def freeze(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRdd(df.localCheckpoint())
-    def jump(t: DataFrame): DataFrame = freeze(t
+    def jumpOnce(t: DataFrame): DataFrame = t
       .join(t.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-      .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl")))
+      .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
+    // k composed jumps as ONE job: the input is a checkpointed leaf, so the
+    // 2^k leaf references are cached-block re-reads, not recomputation —
+    // one materialization instead of k (k is small; the intra-plan size
+    // estimates square only k times, a ~2^k·64-bit constant)
+    def jump(t: DataFrame, k: Int): DataFrame =
+      freeze(Iterator.iterate(t)(jumpOnce).drop(k).next())
     // symmetric, self-loop-free, distinct edge table — frozen once; every
     // round re-reads it, so recomputing the caller's (possibly expensive)
     // pair-generation per round would multiply the whole upstream plan
@@ -560,7 +566,7 @@ object Dedup {
         .groupBy("id").agg(min("lbl").as("lbl")))
       // path compression: follow the label's own label (labels are node
       // ids, so the table doubles as the jump table)
-      for (_ <- 0 until innerJumps) cur = jump(cur)
+      cur = jump(cur, innerJumps)
       // CONTRACT: rewrite the surviving edges through the new labels —
       // adjacent label regions merge pairwise, so the edge set (and the
       // active graph) shrinks geometrically and the loop terminates in
@@ -586,7 +592,7 @@ object Dedup {
     var stable = false
     var flushes = 0
     while (!stable && flushes < maxIter) {
-      val j = jump(labels)
+      val j = jump(labels, 1)
       stable = j.join(labels.select(col("id"), col("lbl").as("__old__")), Seq("id"))
         .where(col("lbl") =!= col("__old__")).isEmpty
       labels = j
