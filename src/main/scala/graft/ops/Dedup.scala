@@ -552,8 +552,13 @@ object Dedup {
         .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
         .where(col("s") =!= col("t") && col("s").isNotNull && col("t").isNotNull)
         .distinct())
+    // label universe = nodes ∪ edge endpoints: an endpoint missing from
+    // `nodes` must still RELAY labels (dropping it would silently
+    // disconnect paths through it); the output is filtered back to the
+    // caller's node universe at the end
+    val nodeIds = nodes.select(col(nodeCol).as("id")).where(col("id").isNotNull).distinct()
     var labels = freeze(
-      nodes.select(col(nodeCol).as("id")).where(col("id").isNotNull)
+      nodeIds.union(e.select(col("s").as("id")))
         .distinct().withColumn("lbl", col("id")))
     val innerJumps = 3 // 2³ = 8-level chain compression per round
     var iter = 0
@@ -599,7 +604,8 @@ object Dedup {
       flushes += 1
     }
     require(stable, s"label flush did not stabilize within $maxIter jumps")
-    labels.select(col("id").as(nodeCol), col("lbl").as("cluster_id"))
+    labels.join(nodeIds, Seq("id"), "left_semi")
+      .select(col("id").as(nodeCol), col("lbl").as("cluster_id"))
   }
 
   /** One-call duplicate clustering: near-duplicate PAIRS → per-document

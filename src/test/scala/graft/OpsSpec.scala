@@ -666,6 +666,13 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(got == Map(4L -> 4L, 9L -> 9L))
   }
 
+  test("endpoints outside the node universe still relay connectivity") {
+    // 1-2-3 where 2 is NOT in `nodes`: 1 and 3 must still merge through it,
+    // and 2 itself must not appear in the output
+    val got = cc(Seq((1L, 2L), (2L, 3L)), Seq(1L, 3L))
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("duplicateClusters: minhash pairs cluster transitively over the corpus") {
     val docs = Seq(
       (0L, "the quick brown fox jumps"),
