@@ -19,18 +19,32 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries a TIMESTAMP(NANOS) column Spark's schema
+    * converter rejects by default. Reading with an explicit schema (ts as
+    * raw long nanos) sidesteps the legacy `nanosAsLong` session conf
+    * entirely, so no query lambda mutates session state. */
+  private val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  private def eventsRaw(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+
   /** lineitem weighted by l_quantity — the t2 workhorse (FIXTURES.md §2). */
   private def wli(s: SparkSession, dir: String): WeightedDataFrame =
     WeightedDataFrame.wt(table(s, dir, "lineitem"), "l_quantity")
 
   /** events with a derived deterministic weight (events has no weight col).
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (legacy flag); convert ns → µs with integer division (a double
-    * roundtrip would lose precision above 2⁵³).
+    * `events.ts` arrives as raw long nanos (see [[eventsRaw]]); convert
+    * ns → µs with integer division (a double roundtrip would lose precision
+    * above 2⁵³).
     */
   private def wevents(s: SparkSession, dir: String): WeightedDataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = table(s, dir, "events")
+    val e = eventsRaw(s, dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
       .select("ts", "value", "w")
@@ -271,8 +285,7 @@ object SparkEntry {
         .groupBy("l_returnflag").quantile("l_extendedprice", 0.5)),
     // rolling weighted mean per key over an ordered 5-row frame
     "q33_rolling_mean" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = table(s, dir, "events")
+      val e = eventsRaw(s, dir)
         .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
         .select("event_type", "event_id", "value", "w")
       val wdf = WeightedDataFrame.wt(e, "w")
@@ -303,8 +316,7 @@ object SparkEntry {
     // exact matches included); right side pre-deduped per (k, ts) so the
     // winner is well-defined on both engines
     "q42_asof_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = table(s, dir, "events")
+      val e = eventsRaw(s, dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withColumn("k", col("user_id") % 50)
       val left = e.where(col("event_id") % 3 =!= 0).select("event_id", "k", "ts")
@@ -432,8 +444,7 @@ object SparkEntry {
     // A8 axis=1: arbitrary row-wise function over weighted columns via
     // Dataset.map (distributed; the closure is max over the weighted row)
     "q38_apply_rowwise" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = table(s, dir, "events")
+      val e = eventsRaw(s, dir)
         .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
         .withColumn("v2", col("value") * 0.5 - 10.0)
         .select("event_id", "value", "v2", "w")

@@ -11,18 +11,22 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   /** Read one of the driver's test tables. `events.ts` arrives as parquet
-    * TIMESTAMP(NANOS), which Spark reads only as a raw long — normalized
-    * here to a microsecond timestamp via integer division (double math
-    * would corrupt epochs above 2⁵³ ns).
+    * TIMESTAMP(NANOS), which Spark's default schema converter rejects;
+    * reading with an explicit schema (ts as raw long nanos) avoids the
+    * legacy `nanosAsLong` session conf — no session state is mutated —
+    * then ts is normalized to a microsecond timestamp via integer division
+    * (double math would corrupt epochs above 2⁵³ ns).
     */
-  def testTable(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def testTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      import org.apache.spark.sql.types._
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.read.schema(sch).parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Generic format read (parquet/orc/json/csv); csv/json get schema
     * inference + header handling. Filters/projections compose lazily on the
