@@ -407,11 +407,18 @@ object SparkEntry {
     // (same lang, |Δn_chars| ≤ 1) is SQL-expressible so DuckDB can verify
     // the transitive closure with a recursive CTE; real pipelines feed
     // minhashDedup/simhashPairs output through the same operator.
+    // Edge enumeration equi-joins on the composite (lang, n_chars) key —
+    // the left side explodes each row to its three admissible n_chars
+    // probes (n−1, n, n+1), so the shuffle partitions on fine-grained
+    // keys instead of the 4-value lang column (which would be per-lang
+    // quadratic and maximally skewed at scale). Identical edge set.
     "q49_dup_clusters" -> ((s, dir) => {
       val d = table(s, dir, "documents").select("doc_id", "lang", "n_chars")
-      val e = d.as("a").join(d.as("b"),
+      val probes = d.withColumn("nb",
+        explode(array(col("n_chars") - 1, col("n_chars"), col("n_chars") + 1)))
+      val e = probes.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= 1 &&
+          col("a.nb") === col("b.n_chars") &&
           col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       Dedup.connectedComponents(e, "src", "dst",

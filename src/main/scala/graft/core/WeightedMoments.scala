@@ -116,6 +116,65 @@ object WeightedMoments {
     when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0))
   }
 
+  // ---- axis=1 (row-wise) kernels -----------------------------------------
+  //
+  // The reference's named aggs all accept `axis` and reduce across columns
+  // per row (`frame.py:189-251`): the row's single weight multiplies every
+  // term, so these are pure per-row fold expressions — fully codegen'd
+  // projections, zero shuffles, and they scale embarrassingly (no state
+  // crosses rows).
+
+  /** Row-wise weighted count (`frame.py:204-213` with axis=1): skipna sums
+    * `w` per non-null cell (`notna().mul(weights)` then row-sum); otherwise
+    * every cell counts. A NULL weight makes the whole row's mask NaN in
+    * pandas, which `sum(skipna=True)` reduces to 0.0 — hence coalesce(w,0).
+    */
+  def rowCountExpr(cs: Seq[Column], w: Column, skipna: Boolean = true): Column = {
+    val n =
+      if (skipna) cs.map(c => when(c.isNotNull, lit(1.0)).otherwise(lit(0.0))).reduce(_ + _)
+      else lit(cs.size.toDouble)
+    coalesce(w, lit(0.0)) * n
+  }
+
+  /** Row-wise weighted sum with pandas min_count (`frame.py:215-220` with
+    * axis=1): Σ over cells where value AND weight are non-null; NULL when
+    * fewer than `minCount` such cells (min_count=0 → 0.0 on an empty row).
+    */
+  def rowSumExpr(cs: Seq[Column], w: Column, minCount: Int = 0): Column =
+    rowFold(cs, w, c => c * w, minCount)
+
+  /** Row-wise weighted sum of squares, min_count=1 (`_stats.py:14-21`). */
+  def rowSumSqExpr(cs: Seq[Column], w: Column): Column =
+    rowFold(cs, w, c => c * c * w, 1)
+
+  private def rowFold(cs: Seq[Column], w: Column, f: Column => Column, minCount: Int): Column = {
+    val valid = cs.map(c => c.isNotNull && w.isNotNull)
+    val s = cs.zip(valid).map { case (c, v) => when(v, f(c)).otherwise(lit(0.0)) }.reduce(_ + _)
+    if (minCount <= 0) s
+    else {
+      val n = valid.map(v => when(v, lit(1)).otherwise(lit(0))).reduce(_ + _)
+      when(n < minCount, nullD).otherwise(s)
+    }
+  }
+
+  /** Row-wise weighted mean = rowSum(min_count=1) / rowCount (`frame.py:229`
+    * with axis=1; the weight cancels when all cells are valid, but not under
+    * partial-null rows — same formula as the reference, not a shortcut). */
+  def rowMeanExpr(cs: Seq[Column], w: Column, skipna: Boolean = true): Column =
+    safeDiv(rowSumExpr(cs, w, 1), rowCountExpr(cs, w, skipna))
+
+  /** Row-wise weighted variance, the reference's moment formula over the
+    * row (`_stats.py:24-33` with axis=1): `(Q − S²/W) / (W − ddof)`. */
+  def rowVarExpr(cs: Seq[Column], w: Column, ddof: Int = 1, skipna: Boolean = true): Column = {
+    val s = rowSumExpr(cs, w, 1)
+    val q = rowSumSqExpr(cs, w)
+    val n = rowCountExpr(cs, w, skipna)
+    safeDiv(q - safeDiv(s * s, n), n - lit(ddof.toDouble))
+  }
+
+  def rowStdExpr(cs: Seq[Column], w: Column, ddof: Int = 1, skipna: Boolean = true): Column =
+    sqrt(rowVarExpr(cs, w, ddof, skipna))
+
   /** Weighted covariance of a pair under the joint-validity mask — the
     * `cov` piece of `_stats.py:62-66` exposed standalone (the reference
     * README lists covariance as future work; same guards as corr). */

@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.WeightedDataFrame
+import org.apache.spark.sql.DataFrame
 
 /** Ungrouped weighted aggregations — golden values transcribed from
   * /root/reference/tests/test_frame.py and tests/test_series.py.
@@ -193,6 +194,54 @@ class WeightedFrameSpec extends SparkSpecBase {
     val wdf = WeightedDataFrame.wt(d, Seq(0.5, 1.5, 2.0))
     assert(oneRow(wdf.sum(minCount = 2))("A").contains(3.5)) // 2 valid pairs
     assert(oneRow(wdf.sum(minCount = 3))("A").isEmpty)       // only 2 valid
+  }
+
+  // ---- axis=1 (row-wise) named aggs --------------------------------------
+  // No reference test exercises axis=1; goldens below were produced by
+  // RUNNING the reference package (pandas_weights, frame.py:189-251) on this
+  // exact fixture: df = {a:[1,2,NA,4], b:[10,NA,30,40], c:[5,6,7,8]},
+  // w = [0.5, 1.5, 2.0, NA].
+
+  private def axisDf = Seq(
+    (0L, Some(1.0), Some(10.0), 5.0, Some(0.5)),
+    (1L, Some(2.0), None: Option[Double], 6.0, Some(1.5)),
+    (2L, None: Option[Double], Some(30.0), 7.0, Some(2.0)),
+    (3L, Some(4.0), Some(40.0), 8.0, None: Option[Double])
+  ).toDF("id", "a", "b", "c", "weights")
+
+  private def axisCol(d: DataFrame, name: String): Seq[Option[Double]] =
+    d.orderBy("id").collect().toSeq.map(r => cell(r, d.columns.indexOf(name)))
+
+  test("count(axis=1) skipna and not (reference run, frame.py:189-213)") {
+    val wdf = WeightedDataFrame.wt(axisDf, "weights")
+    val sk = axisCol(wdf.count(axis = 1, keep = Seq("id")), "count")
+    Seq(1.5, 3.0, 4.0, 0.0).zip(sk).foreach { case (e, g) => assertApprox(g, Some(e)) }
+    val nsk = axisCol(wdf.count(axis = 1, skipna = false, keep = Seq("id")), "count")
+    Seq(1.5, 4.5, 6.0, 0.0).zip(nsk).foreach { case (e, g) => assertApprox(g, Some(e)) }
+  }
+
+  test("sum(axis=1) with min_count (reference run, frame.py:215-220)") {
+    val wdf = WeightedDataFrame.wt(axisDf, "weights")
+    val s0 = axisCol(wdf.sum(axis = 1, keep = Seq("id")), "sum")
+    Seq(8.0, 12.0, 74.0, 0.0).zip(s0).foreach { case (e, g) => assertApprox(g, Some(e)) }
+    val mc3 = axisCol(wdf.sum(axis = 1, minCount = 3, keep = Seq("id")), "sum")
+    assertApprox(mc3.head, Some(8.0))
+    assert(mc3.tail.forall(_.isEmpty)) // rows 1-3 have < 3 valid cells
+  }
+
+  test("mean/var/std(axis=1) (reference run, frame.py:222-251)") {
+    val wdf = WeightedDataFrame.wt(axisDf, "weights")
+    val m = axisCol(wdf.mean(axis = 1, keep = Seq("id")), "mean")
+    Seq(Some(16.0 / 3.0), Some(4.0), Some(18.5), None).zip(m).foreach { case (e, g) => assertApprox(g, e) }
+    val v = axisCol(wdf.variance(axis = 1, keep = Seq("id")), "var")
+    Seq(Some(40.66666666666667), Some(6.0), Some(176.33333333333334), None)
+      .zip(v).foreach { case (e, g) => assertApprox(g, e, 1e-12) }
+    val v0 = axisCol(wdf.variance(axis = 1, ddof = 0, keep = Seq("id")), "var")
+    Seq(Some(13.555555555555557), Some(4.0), Some(132.25), None)
+      .zip(v0).foreach { case (e, g) => assertApprox(g, e, 1e-12) }
+    val s = axisCol(wdf.std(axis = 1, keep = Seq("id")), "std")
+    Seq(Some(6.377042156569664), Some(2.449489742783178), Some(13.279056191361393), None)
+      .zip(s).foreach { case (e, g) => assertApprox(g, e, 1e-12) }
   }
 
   test("arbitrary-callable frame apply sees the weighted column (test_frame.py:247-261)") {
