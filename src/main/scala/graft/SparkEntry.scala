@@ -266,6 +266,27 @@ object SparkEntry {
         varExpr(col("v"), wdf.w).as("var_v"))
         .orderBy("l_returnflag")
     }),
+    // axis=1 named aggs (frame.py:189-251 with axis=1): row-wise weighted
+    // variance over a null-bearing column trio — a pure codegen'd
+    // projection, zero shuffles, embarrassingly parallel at any scale
+    "q52_rowwise_var" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .withColumn("v", when(col("l_discount") < 0.08, col("l_extendedprice")))
+        .select("l_orderkey", "l_linenumber", "v", "l_tax", "l_discount", "l_quantity")
+      WeightedDataFrame.wt(li, "l_quantity")
+        .variance(axis = 1, keep = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // axis=1 sum with min_count gating: rows whose null-bearing cell drops
+    // them below min_count=2 valid cells yield NULL (frame.py:215-220)
+    "q53_rowwise_sum_mc" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .withColumn("v", when(col("l_discount") < 0.08, col("l_extendedprice")))
+        .select("l_orderkey", "l_linenumber", "v", "l_tax", "l_quantity")
+      WeightedDataFrame.wt(li, "l_quantity")
+        .sum(axis = 1, minCount = 2, keep = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // resample with closed=right / label=right boundary conventions
     "q16b_resample_right" -> ((s, dir) =>
       wevents(s, dir).resample("ts", "12h", closed = "right", label = "right",
@@ -579,6 +600,28 @@ object SparkEntry {
         |(sum(v * w) / sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)) AS mean_v,
         |((sum(v * v * w) - (sum(v * w) * sum(v * w)) / sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END) - 1)) AS var_v
         |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    // row-wise var: same fold order as rowVarExpr ((v + tax) + discount);
+    // n_valid >= 2 always (tax/discount never null), so the min_count=1
+    // guards on s and q can't fire and are omitted here
+    "q52_rowwise_var" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |CASE WHEN l_discount < 0.08 THEN l_extendedprice END AS v,
+        |l_tax, l_discount, l_quantity AS w FROM lineitem),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |(CASE WHEN v IS NOT NULL THEN v * w ELSE 0.0 END + l_tax * w + l_discount * w) AS s,
+        |(CASE WHEN v IS NOT NULL THEN v * v * w ELSE 0.0 END + l_tax * l_tax * w + l_discount * l_discount * w) AS q,
+        |w * (CASE WHEN v IS NOT NULL THEN 1.0 ELSE 0.0 END + 1.0 + 1.0) AS n
+        |FROM b)
+        |SELECT l_orderkey, l_linenumber, ((q - (s * s) / n) / (n - 1.0)) AS "var"
+        |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
+    "q53_rowwise_sum_mc" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |CASE WHEN l_discount < 0.08 THEN l_extendedprice END AS v,
+        |l_tax, l_quantity AS w FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |CASE WHEN (CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END + 1) < 2 THEN NULL
+        |ELSE (CASE WHEN v IS NOT NULL THEN v * w ELSE 0.0 END + l_tax * w) END AS "sum"
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
     "q16b_resample_right" ->
       """WITH b AS (SELECT CAST(ceil(epoch(ts) / 43200) AS BIGINT) * 43200 AS bucket,
         |value, CAST((user_id % 7 + 1) AS DOUBLE) AS w FROM events),
