@@ -488,7 +488,21 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
           col("out_width").cast("long").as("out_width"),
           col("out_height").cast("long").as("out_height"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    // multimodal byte-level decode: dims parsed FROM the payload bytes by
+    // the native ImageDims expression (PNG IHDR / JPEG SOF segment walk);
+    // hdr_hex exposes the raw header so the oracle checks the byte layout
+    "q54_image_dims" -> ((s, dir) => {
+      val m = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+        graft.functions.MediaFunctions.imageDims(col("payload")).as("d"),
+        col("payload"))
+        .select(col("media_id"), col("d.format").as("kind"),
+          col("d.width").cast("long").as("width"),
+          col("d.height").cast("long").as("height"),
+          hex(expr("substring(payload, 1, IF(media_id % 2 = 0, 33, 39))")).as("hdr_hex"))
+        .orderBy("media_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -841,12 +855,28 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
     "q30_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
-        |CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+        |CAST(octet_length(encode(text)) + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS n_bytes,
         |doc_id % 640 + 64 AS w, doc_id % 480 + 48 AS h FROM documents)
         |SELECT media_id, kind, n_bytes,
         |CASE WHEN w <= h THEN 224 ELSE greatest(1, CAST(floor(w * 224.0 / h + 0.5) AS BIGINT)) END AS out_width,
         |CASE WHEN w <= h THEN greatest(1, CAST(floor(h * 224.0 / w + 0.5) AS BIGINT)) ELSE 224 END AS out_height
+        |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // byte-level decode check: Spark PARSES width/height/format back out of
+    // the payload's container header (native ImageDims expression); DuckDB
+    // independently RECONSTRUCTS the exact header bytes from arithmetic.
+    // hdr_hex pins Spark's byte encoding (endianness, offsets) bit-for-bit.
+    "q54_image_dims" ->
+      """WITH m AS (SELECT doc_id AS media_id, doc_id % 640 + 64 AS w,
+        |doc_id % 480 + 48 AS h FROM documents)
+        |SELECT media_id,
+        |CASE WHEN media_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+        |CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |CASE WHEN media_id % 2 = 0 THEN
+        |'89504E470D0A1A0A0000000D49484452' || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '080200000000000000'
+        |ELSE
+        |'FFD8FFE000104A46494600010200000100010000FFC0001108' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0') || '03011100021101031101'
+        |END AS hdr_hex
         |FROM m ORDER BY media_id""".stripMargin.replace("\n", " ")
   )
 }

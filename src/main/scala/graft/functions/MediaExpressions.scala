@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level image-container header parsing — the real (codec-free) part of
+  * multimodal decode. Container dims live in the first bytes of the payload,
+  * so width/height/format extraction needs no image codec: PNG stores them
+  * big-endian in the IHDR chunk (bytes 16-23 of the file, per the PNG spec's
+  * fixed signature+IHDR layout), and JPEG stores them in the frame header
+  * (SOFn segment), found by walking the segment list from SOI.
+  *
+  * One native expression per row inside whole-stage codegen: the payload is
+  * scanned once, only its first bytes are touched, and no UDF boundary or
+  * row materialization is involved. At 100 TB this runs as a narrow
+  * projection; with Parquet it benefits from the binary column being read
+  * only when the parse is actually in the plan.
+  */
+case class ImageDims(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true // unrecognized container → NULL
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"image_dims requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ImageDims.parse(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("dims")
+      s"""
+         |InternalRow $r = graft.functions.ImageDims.parse($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageDims {
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** `(format, width, height)` from the payload's container header, or null
+    * if the bytes are not a recognizable PNG/JPEG. */
+  def parse(bytes: Array[Byte]): InternalRow = {
+    val png = parsePng(bytes)
+    if (png != null) return png
+    parseJpeg(bytes)
+  }
+
+  /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first (len=13,
+    * type "IHDR", width/height as big-endian u32 at file offsets 16/20). */
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    if (b.length < 24) return null
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return null; i += 1 }
+    // chunk length must be 13 and type must be IHDR
+    if (be32(b, 8) != 13L) return null
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return null
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+    InternalRow(UTF8String.fromString("png"), w.toInt, h.toInt)
+  }
+
+  /** JPEG: SOI (FFD8), then a segment walk — each segment is FF <marker>
+    * <len:be16 incl itself>. Height/width sit at +3/+5 into the first
+    * frame-header segment (SOF0..SOF15 minus the non-frame C4/C8/CC).
+    * Standalone markers (RSTn, TEM) and fill bytes are skipped per spec. */
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return null
+    var i = 2
+    while (i + 1 < b.length) {
+      if (u8(b, i) != 0xff) return null // desynchronized stream
+      var m = u8(b, i + 1)
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        i += 2 // standalone marker, no length field
+      } else if (m == 0xd9 || m == 0xda) {
+        return null // EOI / start-of-scan before any frame header
+      } else {
+        if (i + 3 >= b.length) return null
+        val len = be16(b, i + 2)
+        if (len < 2) return null
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (i + 8 >= b.length || len < 8) return null
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          if (w <= 0 || h <= 0) return null
+          return InternalRow(UTF8String.fromString("jpeg"), w, h)
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+}
+
+object MediaFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** `image_dims(payload)` — struct(format, width, height) parsed from PNG
+    * IHDR / JPEG SOF header bytes; NULL for unrecognized payloads. */
+  def imageDims(payload: Column): Column =
+    ColumnBridge.column(ImageDims(ColumnBridge.expression(payload)))
+}

@@ -1,17 +1,18 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media item: opaque payload bytes + typed metadata. The schema shape
   * for multimodal columns at scale: `binary` payload, scalar metadata
-  * columns the optimizer can prune/push down independently of the blob.
+  * columns (recorded at ingest) the optimizer can prune/push down
+  * independently of the blob.
   */
 case class MediaItem(
     media_id: Long,
-    kind: String, // "image" | "audio"
-    width: Int, // pixels (image) or sample-rate/1000 (audio)
-    height: Int, // pixels (image) or channels (audio)
+    kind: String, // container format: "png" | "jpeg"
+    width: Int, // pixels
+    height: Int, // pixels
     payload: Array[Byte])
 
 case class MediaFeatures(
@@ -52,20 +53,51 @@ object Multimodal {
     out
   }
 
-  /** Build a demo media table from the documents table (payload = utf-8
-    * bytes; kind/width/height derived deterministically). Stand-in for a
-    * real binary source so the plumbing is exercised end-to-end. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+  /** Big-endian fixed-width bytes of an integral column (builder helper for
+    * the synthetic container headers below). */
+  private def be(c: Column, nBytes: Int): Column =
+    unhex(lpad(hex(c), nBytes * 2, "0"))
+
+  /** Build a demo media table from the documents table. Payloads carry REAL
+    * container headers — even doc_ids get a spec-shaped PNG (signature +
+    * IHDR with big-endian dims), odd ones a JPEG (SOI + APP0/JFIF + SOF0
+    * frame header) — followed by the document text as stand-in pixel data.
+    * The width/height/kind metadata columns model what an ingest job records
+    * (so metadata-only plans still prune the blob); the dims are genuinely
+    * encoded in the payload bytes and [[graft.functions.ImageDims]] parses
+    * them back (verified bit-level against a DuckDB blob oracle in q54). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val w = (col("doc_id") % 640 + 64).cast("int")
+    val h = (col("doc_id") % 480 + 48).cast("int")
+    val pngHeader = concat(
+      lit(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)), // signature
+      lit(Array[Byte](0, 0, 0, 13)), // IHDR chunk length
+      lit("IHDR".getBytes("US-ASCII")),
+      be(w, 4), be(h, 4),
+      lit(Array[Byte](8, 2, 0, 0, 0)), // bit depth 8, truecolor, no interlace
+      lit(Array[Byte](0, 0, 0, 0))) // CRC placeholder (not validated)
+    val jpegHeader = concat(
+      lit(Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10).map(_.toByte)), // SOI + APP0, len 16
+      lit("JFIF".getBytes("US-ASCII") ++
+        Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0)), // JFIF\0, v1.2, densities, no thumb
+      lit(Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)), // SOF0, len 17, precision 8
+      be(h, 2), be(w, 2),
+      lit(Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))) // 3 components
     docs.select(
       col("doc_id").as("media_id"),
-      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
-      (col("doc_id") % 640 + 64).cast("int").as("width"),
-      (col("doc_id") % 480 + 48).cast("int").as("height"),
-      encode(col("text"), "UTF-8").as("payload"))
+      when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("kind"),
+      w.as("width"),
+      h.as("height"),
+      concat(when(col("doc_id") % 2 === 0, pngHeader).otherwise(jpegHeader),
+        encode(col("text"), "UTF-8")).as("payload"))
+  }
 
   /** Decode + feature-extract, batched per partition. `mapPartitions` (not
     * per-row map) so a real decoder would amortize model/codec setup once
-    * per partition — the same batch contract as `mapInPandas`. */
+    * per partition — the same batch contract as `mapInPandas`. The resize
+    * dims come from PARSING the payload's container header (the codec-free
+    * part of decode — real bytes, real parser), not from the metadata
+    * columns; only the pixel decode itself remains faked. */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -73,8 +105,12 @@ object Multimodal {
       // real pipeline: instantiate decoder/model HERE, once per partition
       it.map { m =>
         val feats = fakeDecode(m, dim)
-        val (ow, oh) = resizedDims(m.width, m.height, 224)
-        MediaFeatures(m.media_id, m.kind, m.payload.length, ow, oh, feats)
+        val parsed = graft.functions.ImageDims.parse(m.payload)
+        val (kind, pw, ph) =
+          if (parsed != null) (parsed.getString(0), parsed.getInt(1), parsed.getInt(2))
+          else (m.kind, m.width, m.height) // headerless blob: trust ingest metadata
+        val (ow, oh) = resizedDims(pw, ph, 224)
+        MediaFeatures(m.media_id, kind, m.payload.length, ow, oh, feats)
       }
     }
   }

@@ -36,6 +36,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.resizedDims(224, 224, 224) == (224, 224))
   }
 
+  test("image dims are parsed from real header bytes and match ingest metadata") {
+    import graft.functions.MediaFunctions
+    val parsed = media.select(
+      col("media_id"), col("kind"), col("width"), col("height"),
+      MediaFunctions.imageDims(col("payload")).as("d"))
+    val rows = parsed.collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val d = r.getStruct(4)
+      assert(d.getString(0) == r.getString(1), s"format mismatch for ${r.getLong(0)}")
+      assert(d.getInt(1) == r.getInt(2), s"width mismatch for ${r.getLong(0)}")
+      assert(d.getInt(2) == r.getInt(3), s"height mismatch for ${r.getLong(0)}")
+    }
+  }
+
+  test("ImageDims handles segment walks, progressive JPEG, and garbage") {
+    import graft.functions.ImageDims
+    def be2(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // JPEG with a COM segment before a PROGRESSIVE (SOF2) frame header
+    val com = Array(0xff, 0xfe, 0x00, 0x07).map(_.toByte) ++ "hello".getBytes
+    val sof2 = Array(0xff, 0xc2, 0x00, 0x0b, 0x08).map(_.toByte) ++
+      be2(321) ++ be2(123) ++ Array[Byte](1, 1, 0x11, 0)
+    val jpeg = Array(0xff, 0xd8).map(_.toByte) ++ com ++ sof2
+    val r = ImageDims.parse(jpeg)
+    assert(r != null && r.getString(0) == "jpeg" && r.getInt(1) == 123 && r.getInt(2) == 321)
+    // DHT (C4) is not a frame header and must be skipped, not misread
+    val dht = Array(0xff, 0xc4, 0x00, 0x05, 0, 1, 2).map(_.toByte)
+    val jpeg2 = Array(0xff, 0xd8).map(_.toByte) ++ dht ++ sof2
+    val r2 = ImageDims.parse(jpeg2)
+    assert(r2 != null && r2.getInt(1) == 123)
+    // start-of-scan before any SOF → no dims
+    assert(ImageDims.parse(Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)) == null)
+    // garbage / truncated / wrong magic
+    assert(ImageDims.parse("not an image at all".getBytes) == null)
+    assert(ImageDims.parse(Array[Byte]()) == null)
+    assert(ImageDims.parse(Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)) == null)
+  }
+
   test("frame-sample plan is metadata-only and bounded") {
     val plan = Multimodal.frameSamplePlan(media, fps = 30, stride = 10, maxFrames = 8)
     val counts = plan.groupBy("media_id").count().collect().map(_.getLong(1))
