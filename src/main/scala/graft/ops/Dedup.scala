@@ -526,7 +526,19 @@ object Dedup {
       dstCol: String,
       nodes: DataFrame,
       nodeCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsWithStats(edges, srcCol, dstCol, nodes, nodeCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds it took —
+    * the observable behind the O(log n) claim (asserted in
+    * ConnectedComponentsSpec on a worst-case path graph). */
+  private[graft] def connectedComponentsWithStats(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: DataFrame,
+      nodeCol: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
     // freeze = materialize + TRUNCATE both lineage AND statistics. The
     // stats reset is load-bearing: checkpoint alone carries originStats,
     // and iterated self-joins square sizeInBytes each round — the BigInt
@@ -604,8 +616,8 @@ object Dedup {
       flushes += 1
     }
     require(stable, s"label flush did not stabilize within $maxIter jumps")
-    labels.join(nodeIds, Seq("id"), "left_semi")
-      .select(col("id").as(nodeCol), col("lbl").as("cluster_id"))
+    (labels.join(nodeIds, Seq("id"), "left_semi")
+      .select(col("id").as(nodeCol), col("lbl").as("cluster_id")), iter)
   }
 
   /** One-call duplicate clustering: near-duplicate PAIRS → per-document

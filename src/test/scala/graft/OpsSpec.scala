@@ -656,6 +656,21 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(got.values.toSet == Set(0L)) // one component, labeled by its min
   }
 
+  test("50k-node path graph converges in O(log n) contraction rounds") {
+    // a path is the worst case for plain label propagation (diameter = n);
+    // contraction + 8-level jumps must finish in logarithmic rounds
+    val n = 50000
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = spark.range(n).toDF("id")
+    val (labels, rounds) = Dedup.connectedComponentsWithStats(
+      edges, "src", "dst", nodes, "id")
+    val distinct = labels.select("cluster_id").distinct().collect()
+    assert(distinct.length == 1 && distinct.head.getLong(0) == 0L)
+    assert(labels.count() == n)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound, s"took $rounds contraction rounds, bound $bound")
+  }
+
   test("edge direction and duplication do not matter") {
     val got = cc(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L)), Seq(1L, 2L, 3L))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
