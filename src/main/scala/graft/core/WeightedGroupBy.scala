@@ -134,17 +134,29 @@ final class WeightedGroupBy private[core] (
     * would sort each whole group in ONE task — with 3 groups of 20M rows
     * the stage serializes):
     *   1. per-group stats (Σw, min, max) — hash aggregate, full parallelism;
-    *   2. ONE scan collapses the source to per-(group, bin, distinct value)
-    *      weight sums — equal values are interchangeable under
-    *      lower-interpolation, so per-value sums preserve the answer. The
-    *      histogram (weight per bin, cumulative over ≤ `buckets` rows per
-    *      group) and the exact resolve both read this collapsed table, so
-    *      its exchange is computed once and reused — no source re-scan;
-    *   3. the quantile's bin is known, so the exact resolve touches only
-    *      that bin's distinct values (~1/`buckets` of the group).
+    *   2. per-(group, histogram-bin) weight — hash aggregate, full
+    *      parallelism; the cumulative over bins is a window over ≤ `buckets`
+    *      rows per group (tiny by construction);
+    *   3. the quantile's bin is known, so the exact scan runs over only that
+    *      bin's rows (~1/`buckets` of the group), collapsed to distinct
+    *      values first — equal values are interchangeable under
+    *      lower-interpolation, so per-value weight sums preserve the answer
+    *      while bounding the final window by the bin's distinct-value count.
     * All comparisons stay exact for integer-valued weights (double sums of
     * integers are exact below 2⁵³), so results are identical to the direct
     * single-window formulation.
+    *
+    * Deliberately TWO source scans, not one: collapsing the source to
+    * per-(group, bin, distinct value) weights up front would let both the
+    * histogram and the resolve share one exchange (1 scan total), but for
+    * high-cardinality value columns the map-side partial aggregation
+    * reduces nothing and that exchange carries the ENTIRE row set — a full
+    * shuffle is strictly more expensive than a second pruned columnar scan,
+    * locally (measured 2×: q31 1.76 s → 3.36 s at sf0.1) and more so on a
+    * cluster, where scan 2 reads 2 parquet columns with pushdown while a
+    * shuffle writes+reads+ships every row. The two-scan shape keeps the
+    * histogram shuffle at ≤ `buckets`·groups rows (partial agg) and the
+    * resolve's join probe-side pruned to the candidate bins.
     */
   def quantile(valueCol: String, q: Double = 0.5, buckets: Int = 256): DataFrame =
     quantiles(valueCol, Seq(q), buckets)
@@ -203,20 +215,10 @@ final class WeightedGroupBy private[core] (
     val binExpr = when(col("__mx__") === col("__mn__"), lit(0))
       .otherwise(least(lit(buckets - 1),
         floor((col("__v__") - col("__mn__")) / (col("__mx__") - col("__mn__")) * buckets).cast("int")))
-    // collapse to per-(group, bin, DISTINCT VALUE) weight sums in ONE pass
-    // over the source: equal values are interchangeable under
-    // lower-interpolation, so per-value sums preserve the answer. This
-    // collapsed table feeds BOTH the histogram and the in-bin resolve, so
-    // the source is scanned once — the exchange under this aggregate is
-    // what ReuseExchange shares between the two consumers — and the shuffle
-    // carries at most #distinct-values rows (map-side partial aggregation),
-    // not the raw row set.
-    val vals = rows.join(stats, keys).withColumn("__b__", binExpr)
-      .groupBy(kcols :+ col("__b__") :+ col("__v__"): _*)
-      .agg(fSum("__w__").as("__vw__"), fFirst("__tw__").as("__tw__"))
+    val binned = rows.join(stats, keys).withColumn("__b__", binExpr)
     // pass 2: histogram — weight per (group, bin), then cumulative over bins
-    val hist = vals.groupBy(kcols :+ col("__b__"): _*)
-      .agg(fSum("__vw__").as("__bw__"), fFirst("__tw__").as("__tw__"))
+    val hist = binned.groupBy(kcols :+ col("__b__"): _*)
+      .agg(fSum("__w__").as("__bw__"), fFirst("__tw__").as("__tw__"))
     val byBin = Window.partitionBy(kcols: _*).orderBy(col("__b__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("__cum__", fSum("__bw__").over(byBin))
@@ -244,10 +246,10 @@ final class WeightedGroupBy private[core] (
       .select(kcols :+ col("__c__.__qi__").as("__qi__") :+ col("__c__.__b__").as("__b__")
         :+ col("__c__.__prev__").as("__prev__"): _*)
     // pass 3: exact resolve inside each candidate bin only (a bin hosting
-    // several quantiles resolves them all through the same joined rows).
-    // `vals` is already per-(group, bin, value), so the join output is the
-    // distinct-value table directly — no further aggregate needed.
-    val dv = vals.join(candLong, keys :+ "__b__")
+    // several quantiles resolves them all through the same joined rows)
+    val inBin = binned.join(candLong, keys :+ "__b__")
+    val dv = inBin.groupBy(kcols :+ col("__qi__") :+ col("__v__"): _*)
+      .agg(fSum("__w__").as("__vw__"), fFirst("__prev__").as("__prev__"), fFirst("__tw__").as("__tw__"))
     val byVal = Window.partitionBy(kcols :+ col("__qi__"): _*).orderBy(col("__v__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wholeGroup = Window.partitionBy(kcols :+ col("__qi__"): _*)
