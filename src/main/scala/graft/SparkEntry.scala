@@ -459,6 +459,17 @@ object SparkEntry {
         TextAnalysis.bpeTokenCount(col("text")), capacity = 2048L, nStreams = 8)
         .select("doc_id", "n_tokens", "stream", "pack", "pack_id")
         .orderBy("doc_id")),
+    // context-window chunking: split each doc into fixed token windows
+    // with overlap (pure per-row integer arithmetic + explode, no shuffle)
+    "q55_chunk_docs" -> ((s, dir) =>
+      graft.ops.Packing.chunkDocuments(
+        table(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        TextAnalysis.bpeTokenCount(col("text")), chunkSize = 256L, overlap = 32L)
+        .orderBy("doc_id", "chunk_idx")),
+    // corpus vocabulary: top-k tokens by total frequency (one grouped agg
+    // keyed by term — shuffle ≈ vocab size — then a TakeOrdered merge)
+    "q56_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(table(s, dir, "documents"), "text", "doc_id", 100)),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
@@ -844,6 +855,25 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, stream, off // 2048 AS pack,
         |stream * 4294967296 + off // 2048 AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // chunking: stride 224 = 256 - 32; integer ceil via (x + 223) // 224
+    "q55_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |1 + (greatest(n_tokens - 256, 0) + 223) // 224 AS nc FROM t WHERE n_tokens > 0),
+        |e AS (SELECT doc_id, n_tokens, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, n_tokens, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |CAST(chunk_idx * 224 AS BIGINT) AS tok_start,
+        |CAST(least(chunk_idx * 224 + 256, n_tokens) AS BIGINT) AS tok_end
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+    "q56_vocabulary" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS tf,
+        |CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM toks WHERE term <> '' GROUP BY term
+        |ORDER BY tf DESC, term LIMIT 100""".stripMargin.replace("\n", " "),
     "q39_clean_corpus" ->
       s"""SELECT * FROM ($textAnalyzeSql)
          |WHERE quality_score >= 0.5 AND ws_tokens >= 20

@@ -58,4 +58,41 @@ object Packing {
         sum(col("n_tokens")).as("tokens"),
         (sum(col("n_tokens")) / lit(capacity.toDouble)).as("fill"))
       .orderBy(col("stream"), col("pack"))
+
+  /** Split each document into fixed-size token windows with overlap — the
+    * context-window chunking step of a training/RAG pipeline (packing
+    * concatenates ACROSS documents; chunking splits WITHIN them).
+    *
+    * Chunk `i` covers token offsets `[i·stride, min(i·stride + chunkSize,
+    * n_tokens))` with `stride = chunkSize − overlap`; the number of chunks
+    * is the smallest `c ≥ 1` with `(c−1)·stride + chunkSize ≥ n_tokens`,
+    * i.e. `1 + ceil(max(0, n − chunkSize) / stride)` — every token is
+    * covered and no chunk starts at or past the end. Rows with null or
+    * non-positive token counts are dropped.
+    *
+    * Pure per-row integer arithmetic + one `explode` (row amplification =
+    * #chunks, no shuffle, no state across documents) — embarrassingly
+    * parallel at any corpus size. Output: `idCol`, `n_tokens`,
+    * `chunk_idx`, `tok_start`, `tok_end`.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      tokenExpr: Column,
+      chunkSize: Long,
+      overlap: Long = 0L): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap for chunkSize $chunkSize")
+    val stride = chunkSize - overlap
+    df.withColumn("n_tokens", tokenExpr.cast("long"))
+      .where(col("n_tokens").isNotNull && col("n_tokens") > 0)
+      .withColumn("__nc__", // integer ceil: 1 + ceil(max(0, n - size) / stride)
+        lit(1L) + (greatest(col("n_tokens") - lit(chunkSize), lit(0L))
+          + lit(stride - 1L)).divide(lit(stride)).cast("long"))
+      .select(col(idCol), col("n_tokens"),
+        explode(sequence(lit(0L), col("__nc__") - 1L)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * lit(stride))
+      .withColumn("tok_end", least(col("tok_start") + lit(chunkSize), col("n_tokens")))
+  }
 }

@@ -129,6 +129,28 @@ object TextAnalysis {
     * frequencies come from the same filtered aggregate (one row per
     * (term, doc)), N from a one-row broadcast, and the final top-k is a
     * TakeOrdered merge of per-partition heads, never a global sort. */
+  /** Corpus vocabulary: the `k` most frequent tokens with their total and
+    * document frequencies — the counting step a tokenizer/BPE trainer or a
+    * stopword-list builder runs first.
+    *
+    * Scale shape: explode → ONE grouped aggregate keyed by term (map-side
+    * partial aggregation collapses each partition to its distinct-token
+    * counts, so the shuffle carries ≈ vocabulary-size rows, not token
+    * occurrences; `count(DISTINCT id)` for document frequency rides the
+    * same aggregate via Spark's expand), then the top-k is a TakeOrdered
+    * merge — no global sort. Ties break lexicographically by term so the
+    * cut is deterministic.
+    */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(col(idCol).as("__id__"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__id__")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+  }
+
   def tfidfSearch(
       df: DataFrame,
       textCol: String,

@@ -725,6 +725,38 @@ class PackingSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("chunking covers every token once per stride with the overlap") {
+    // n=500, size=200, overlap=50 -> stride 150, nc = 1 + ceil(300/150) = 3
+    // chunks: [0,200) [150,350) [300,500)
+    val d = Seq((1L, 500L), (2L, 200L), (3L, 1L), (4L, 0L)).toDF("doc_id", "t")
+    val got = Packing.chunkDocuments(d, "doc_id", col("t"), 200L, 50L)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 200L), (1L, 1L, 150L, 350L), (1L, 2L, 300L, 500L),
+      (2L, 0L, 0L, 200L), // exactly one chunk at n == chunkSize
+      (3L, 0L, 0L, 1L)))  // tiny doc: one short chunk; n=0 dropped
+    // no chunk starts at/past the end; last chunk always reaches n
+    val big = (1L to 300L).map(i => (i, i)).toDF("doc_id", "t")
+    val rows = Packing.chunkDocuments(big, "doc_id", col("t"), 64L, 16L).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tok_start") < r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("tok_end") <= r.getAs[Long]("n_tokens"))
+    }
+    val lastEnd = rows.groupBy(_.getLong(0)).map { case (_, rs) => rs.map(r =>
+      (r.getAs[Long]("tok_end"), r.getAs[Long]("n_tokens"))).maxBy(_._1) }
+    assert(lastEnd.forall { case (end, n) => end == n })
+  }
+
+  test("vocabulary counts total and document frequency with a deterministic cut") {
+    val d = Seq(
+      (1L, "a b b c"), (2L, "b c c d"), (3L, "c d  d"), (4L, "")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.vocabulary(d, "text", "doc_id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // tf: c=4, d=3, b=3, a=1; tie d-vs-b breaks lexicographically (b first)
+    assert(got == Seq(("c", 4L, 3L), ("b", 3L, 2L), ("d", 3L, 2L)))
+  }
+
   test("null and non-positive token counts are dropped; fill tracks overrun") {
     val d = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(7L)))
       .toDF("doc_id", "t")
