@@ -88,6 +88,12 @@ object SparkEntry {
   private def sqlStd(c: String, w: String = W): String =
     s"sqrt(${sqlVar(c, w)})"
 
+  /** Little-endian hex of an integer SQL expression, `nBytes` wide — the
+    * DuckDB mirror of Multimodal's RIFF/WAV field encoding. */
+  private def leSql(x: String, nBytes: Int): String =
+    (0 until nBytes).map(i =>
+      s"lpad(hex((($x) // ${1L << (8 * i)}) % 256), 2, '0')").mkString(" || ")
+
   /** DuckDB mirrors of WeightedMoments.skewExpr / kurtExpr (same raw-moment
     * expansion and operation order). */
   private def sqlSkew(c: String, w: String = W): String = {
@@ -500,6 +506,20 @@ object SparkEntry {
           col("out_width").cast("long").as("out_width"),
           col("out_height").cast("long").as("out_height"))
         .orderBy("media_id")),
+    // audio modality: RIFF/WAVE header parsed back by the native AudioMeta
+    // chunk walk; hdr_hex pins the little-endian byte layout bit-for-bit
+    "q57_audio_meta" -> ((s, dir) => {
+      val a = Multimodal.audioFromDocuments(table(s, dir, "documents"))
+      a.select(col("media_id"),
+        graft.functions.MediaFunctions.audioMeta(col("payload")).as("m"),
+        col("payload"))
+        .select(col("media_id"), col("m.format").as("kind"),
+          col("m.sample_rate").cast("long").as("sample_rate"),
+          col("m.channels").cast("long").as("channels"),
+          col("m.bits").cast("long").as("bits"),
+          hex(substring(col("payload"), 1, 44)).as("hdr_hex"))
+        .orderBy("media_id")
+    }),
     // multimodal byte-level decode: dims parsed FROM the payload bytes by
     // the native ImageDims expression (PNG IHDR / JPEG SOF segment walk);
     // hdr_hex exposes the raw header so the oracle checks the byte layout
@@ -892,6 +912,18 @@ object SparkEntry {
         |CASE WHEN w <= h THEN 224 ELSE greatest(1, CAST(floor(w * 224.0 / h + 0.5) AS BIGINT)) END AS out_width,
         |CASE WHEN w <= h THEN greatest(1, CAST(floor(h * 224.0 / w + 0.5) AS BIGINT)) ELSE 224 END AS out_height
         |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // audio: DuckDB reconstructs the exact RIFF/WAVE header hex (all fields
+    // little-endian) that Spark built and parsed; 'WAVEfmt ' and the PCM /
+    // bit-depth constants are fixed byte runs
+    "q57_audio_meta" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, 8000 + (doc_id % 8) * 4000 AS sr,
+         |1 + doc_id % 2 AS ch, octet_length(encode(text)) AS n FROM documents)
+         |SELECT media_id, 'wav' AS kind, CAST(sr AS BIGINT) AS sample_rate,
+         |CAST(ch AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+         |'52494646' || ${leSql("36 + n", 4)} || '57415645666D7420' || '10000000' || '0100' ||
+         |${leSql("ch", 2)} || ${leSql("sr", 4)} || ${leSql("sr * ch * 2", 4)} ||
+         |${leSql("ch * 2", 2)} || '1000' || '64617461' || ${leSql("n", 4)} AS hdr_hex
+         |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "),
     // byte-level decode check: Spark PARSES width/height/format back out of
     // the payload's container header (native ImageDims expression); DuckDB
     // independently RECONSTRUCTS the exact header bytes from arithmetic.

@@ -118,6 +118,77 @@ object ImageDims {
   }
 }
 
+/** WAV/RIFF audio header parsing — the audio-modality sibling of
+  * [[ImageDims]]: sample rate / channels / bit depth live little-endian in
+  * the `fmt ` chunk, found by a real RIFF chunk walk from the `WAVE` form
+  * header (chunks are `id:4 size:le32 payload[size]`, word-aligned, in any
+  * order — a LIST or cue chunk before `fmt ` is handled, not assumed away).
+  */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true // not a RIFF/WAVE payload → NULL
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"audio_meta requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    AudioMeta.parse(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("meta")
+      s"""
+         |InternalRow $r = graft.functions.AudioMeta.parse($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioMeta {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** `(format, sample_rate, channels, bits)` from a RIFF/WAVE header, or
+    * null if the bytes are not a WAV with a well-formed `fmt ` chunk. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b.length < 36 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        val channels = le16(b, i + 10)
+        val rate = le32(b, i + 12)
+        val bits = le16(b, i + 22)
+        if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0) return null
+        return InternalRow(UTF8String.fromString("wav"), rate.toInt, channels, bits)
+      }
+      if (size < 0 || size > Int.MaxValue) return null
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+    }
+    null
+  }
+}
+
 object MediaFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -125,4 +196,9 @@ object MediaFunctions {
     * IHDR / JPEG SOF header bytes; NULL for unrecognized payloads. */
   def imageDims(payload: Column): Column =
     ColumnBridge.column(ImageDims(ColumnBridge.expression(payload)))
+
+  /** `audio_meta(payload)` — struct(format, sample_rate, channels, bits)
+    * parsed from a RIFF/WAVE header; NULL for unrecognized payloads. */
+  def audioMeta(payload: Column): Column =
+    ColumnBridge.column(AudioMeta(ColumnBridge.expression(payload)))
 }

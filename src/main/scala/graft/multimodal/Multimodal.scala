@@ -92,6 +92,42 @@ object Multimodal {
         encode(col("text"), "UTF-8")).as("payload"))
   }
 
+  /** Little-endian fixed-width bytes of an integral column (RIFF/WAV fields
+    * are little-endian, unlike PNG/JPEG's big-endian). */
+  private def le(c: Column, nBytes: Int): Column =
+    unhex(concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*))
+
+  /** Build a demo AUDIO media table from the documents table: payloads
+    * carry a real RIFF/WAVE header (`RIFF` size `WAVE`, a spec-shaped
+    * `fmt ` chunk with PCM format, channels, sample rate, byte rate, block
+    * align, and bit depth — all little-endian — then a `data` chunk) with
+    * the document text as stand-in sample data. sample_rate/channels
+    * metadata columns model ingest-recorded values; the same numbers are
+    * genuinely encoded in the header bytes and
+    * [[graft.functions.AudioMeta]] parses them back (byte-level DuckDB
+    * oracle in q57). */
+  def audioFromDocuments(docs: DataFrame): DataFrame = {
+    val sr = lit(8000L) + (col("doc_id") % 8) * lit(4000L)
+    val ch = lit(1L) + col("doc_id") % 2
+    val dataLen = length(encode(col("text"), "UTF-8")).cast("long")
+    val header = concat(
+      lit("RIFF".getBytes("US-ASCII")), le(lit(36L) + dataLen, 4),
+      lit("WAVEfmt ".getBytes("US-ASCII")), le(lit(16L), 4), // fmt chunk, len 16
+      le(lit(1L), 2), // PCM
+      le(ch, 2), le(sr, 4),
+      le(sr * ch * lit(2L), 4), // byte rate (16-bit samples)
+      le(ch * lit(2L), 2), // block align
+      le(lit(16L), 2), // bits per sample
+      lit("data".getBytes("US-ASCII")), le(dataLen, 4))
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("wav").as("kind"),
+      sr.cast("int").as("sample_rate"),
+      ch.cast("int").as("channels"),
+      concat(header, encode(col("text"), "UTF-8")).as("payload"))
+  }
+
   /** Decode + feature-extract, batched per partition. `mapPartitions` (not
     * per-row map) so a real decoder would amortize model/codec setup once
     * per partition — the same batch contract as `mapInPandas`. The resize

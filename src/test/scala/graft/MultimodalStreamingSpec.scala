@@ -74,6 +74,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(ImageDims.parse(Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)) == null)
   }
 
+  test("audio metadata is parsed from real RIFF/WAVE bytes and matches ingest metadata") {
+    import graft.functions.MediaFunctions
+    val audio = Multimodal.audioFromDocuments(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40))
+    val rows = audio.select(
+      col("media_id"), col("sample_rate"), col("channels"),
+      MediaFunctions.audioMeta(col("payload")).as("m")).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val m = r.getStruct(3)
+      assert(m.getString(0) == "wav")
+      assert(m.getInt(1) == r.getInt(1), s"rate mismatch for ${r.getLong(0)}")
+      assert(m.getInt(2) == r.getInt(2), s"channels mismatch for ${r.getLong(0)}")
+      assert(m.getInt(3) == 16)
+    }
+  }
+
+  test("AudioMeta walks chunks and rejects garbage") {
+    import graft.functions.AudioMeta
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 2 * 2) ++ le16(4) ++ le16(16)
+    // a LIST chunk (odd size -> word-aligned skip) BEFORE fmt must be walked over
+    val list = "LIST".getBytes ++ le32(5) ++ "INFOx".getBytes ++ Array[Byte](0)
+    val wav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++ list ++ fmt
+    val r = AudioMeta.parse(wav)
+    assert(r != null && r.getString(0) == "wav" && r.getInt(1) == 44100 &&
+      r.getInt(2) == 2 && r.getInt(3) == 16)
+    // no fmt chunk, truncated, wrong magic
+    assert(AudioMeta.parse("RIFF1234WAVE".getBytes) == null)
+    assert(AudioMeta.parse("RIFX1234WAVE".getBytes ++ fmt) == null)
+    assert(AudioMeta.parse("garbage".getBytes) == null)
+    // an image payload is not audio (and vice versa)
+    assert(AudioMeta.parse(Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)) == null)
+    assert(graft.functions.ImageDims.parse(wav) == null)
+  }
+
   test("frame-sample plan is metadata-only and bounded") {
     val plan = Multimodal.frameSamplePlan(media, fps = 30, stride = 10, maxFrames = 8)
     val counts = plan.groupBy("media_id").count().collect().map(_.getLong(1))
