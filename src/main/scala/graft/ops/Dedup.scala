@@ -199,7 +199,7 @@ object Dedup {
     * every downstream join/sort is the dominant memory and shuffle cost at
     * corpus scale. Exact sets are re-derived per-row for the (small)
     * candidate subset at verify time ([[verifyCandidatePairs]]). */
-  private def minhashNarrow(
+  private[graft] def minhashNarrow(
       df: DataFrame,
       textCol: String,
       idCol: String,
@@ -239,7 +239,7 @@ object Dedup {
 
   /** LSH banding: split the k-slot signature into bands of `r` rows, hash
     * each band to one key. Docs sharing any band key become candidates. */
-  private def bandKeys(sig: Column, k: Int, r: Int): Column = {
+  private[graft] def bandKeys(sig: Column, k: Int, r: Int): Column = {
     require(k % r == 0, s"signature size $k must be divisible by band rows $r")
     val bands = k / r
     array((0 until bands).map { b =>

@@ -43,4 +43,88 @@ object StreamingDedup {
     }
     deduped.drop("__h1__", "__h2__")
   }
+
+  /** One micro-batch step of streaming MinHash NEAR-duplicate dedup:
+    * given the accumulated `seen` band-key table, returns the batch rows
+    * to admit and the updated band-key table.
+    *
+    * Semantics (keep-first, transitive): a document is dropped when any of
+    * its LSH bands collides with a band of any earlier document — earlier
+    * batch, or a lower-id document in the same batch. Bands of ALL arriving
+    * documents (kept or dropped) are registered, so duplicate chains
+    * a∼b∼c collapse to `a` exactly like the batch connected-components
+    * clustering's keep-min rule. Banding is bit-identical to
+    * [[graft.ops.Dedup.minhashDedup]] (same native MinHashMeta signature,
+    * same band hash), so stream and batch admit the same documents for the
+    * same arrival order.
+    *
+    * Scale shape: state is DISTINCT (band, hash) keys — 12 bytes per band
+    * per distinct document, independent of text size — and each step is
+    * two narrow joins (batch-bands ⋈ seen, batch-bands self-join); the
+    * self-join is per-batch-sized, never corpus-sized.
+    */
+  def nearDupBatchStep(
+      batch: DataFrame,
+      seen: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bandRows: Int = 8): (DataFrame, DataFrame) = {
+    import graft.ops.Dedup
+    val narrow = Dedup.minhashNarrow(batch, textCol, idCol, shingleSize, numHashes)
+    val bands = narrow.select(col("__id__"),
+      explode(Dedup.bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
+      .select(col("__id__"), col("bk.band").as("band"), col("bk.h").as("h"))
+    val dupPast = bands.join(seen, Seq("band", "h"), "left_semi")
+      .select(col("__id__")).distinct()
+    val dupWithin = bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.__id__") < col("b.__id__"))
+      .select(col("b.__id__").as("__id__")).distinct()
+    val drops = dupPast.union(dupWithin).distinct()
+    val kept = batch.join(drops.withColumnRenamed("__id__", idCol), Seq(idCol), "left_anti")
+    val newSeen = seen.union(bands.select("band", "h")).distinct()
+    (kept, newSeen)
+  }
+
+  /** foreachBatch wiring for [[nearDupBatchStep]]: maintains the seen-band
+    * state across micro-batches (localCheckpoint + stats reset per step —
+    * the state table is re-read every batch, so lineage must not grow) and
+    * hands each batch's admitted rows to `sink`.
+    *
+    * foreachBatch is the right Structured-Streaming shape here: the
+    * any-band-matches predicate needs one membership join plus a
+    * register-all update per batch, which a single keyed stateful operator
+    * cannot express (a document's admission depends on ALL its band groups
+    * at once, and chaining a second stateful operator after
+    * flatMapGroupsWithState is unsupported).
+    */
+  def nearDupForeachBatch(
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bandRows: Int = 8)(sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    var seen: DataFrame = null
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val s =
+        if (seen != null) seen
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType))))
+      val (kept, newSeen) = nearDupBatchStep(
+        batch, s, textCol, idCol, shingleSize, numHashes, bandRows)
+      val keptFrozen = org.apache.spark.sql.graftbridge.DatasetBridge
+        .fromInternalRdd(kept.localCheckpoint())
+      seen = org.apache.spark.sql.graftbridge.DatasetBridge
+        .fromInternalRdd(newSeen.localCheckpoint())
+      sink(keptFrozen)
+    }
+  }
 }

@@ -170,6 +170,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.schema.fieldNames.toSeq == Seq("doc_id", "text"))
   }
 
+  test("streaming near-dup: batch step dedups within and across micro-batches") {
+    import graft.streaming.StreamingDedup
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType))))
+    // batch 1: docs 1 and 2 are identical (every band collides), 3 distinct
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with other words entirely")).toDF("doc_id", "text")
+    val (k1, seen1) = StreamingDedup.nearDupBatchStep(
+      b1, empty, "text", "doc_id", shingleSize = 1, numHashes = 32, bandRows = 8)
+    assert(k1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // batch 2: doc 4 copies doc 1 (cross-batch dup), doc 5 is fresh
+    val b2 = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "yet another unrelated document about streams and state")).toDF("doc_id", "text")
+    val (k2, seen2) = StreamingDedup.nearDupBatchStep(
+      b2, seen1, "text", "doc_id", shingleSize = 1, numHashes = 32, bandRows = 8)
+    assert(k2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(seen2.count() > seen1.count()) // batch-2 bands registered
+  }
+
+  test("streaming near-dup over foreachBatch admits stream-order firsts only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val step = StreamingDedup.nearDupForeachBatch(
+      "text", "doc_id", shingleSize = 1, numHashes = 32, bandRows = 8) { kept =>
+      admitted.synchronized {
+        admitted ++= kept.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    val q = sdf.writeStream.outputMode("append").foreachBatch(step).start()
+    input.addData((1L, "alpha beta gamma delta epsilon"), (2L, "totally distinct text here"))
+    q.processAllAvailable()
+    input.addData(
+      (3L, "alpha beta gamma delta epsilon"), // near-dup of 1, prior batch
+      (4L, "brand new words never seen before"))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("streaming dedup with watermark bounds state and still drops in-window copies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
