@@ -476,6 +476,11 @@ object SparkEntry {
     // keyed by term — shuffle ≈ vocab size — then a TakeOrdered merge)
     "q56_vocabulary" -> ((s, dir) =>
       TextAnalysis.vocabulary(table(s, dir, "documents"), "text", "doc_id", 100)),
+    // repetition/diversity quality metrics: distinct-token ratio and the
+    // most-repeated-bigram share per document (per-doc lead windows)
+    "q58_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
@@ -894,6 +899,19 @@ object SparkEntry {
         |CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM toks WHERE term <> '' GROUP BY term
         |ORDER BY tf DESC, term LIMIT 100""".stripMargin.replace("\n", " "),
+    // bigrams with multiplicity via a 1-indexed lambda over the token list
+    "q58_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |u AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_words,
+        |CAST(len(list_distinct(a)) AS BIGINT) AS n_distinct FROM d),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg FROM d),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+        |bm AS (SELECT doc_id, max(c) AS mx FROM bc GROUP BY doc_id)
+        |SELECT u.doc_id, n_words, n_distinct,
+        |CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+        |CASE WHEN n_words > 1 THEN CAST(mx AS DOUBLE) / (n_words - 1) END AS top_bigram_frac
+        |FROM u LEFT JOIN bm ON u.doc_id = bm.doc_id
+        |ORDER BY u.doc_id""".stripMargin.replace("\n", " "),
     "q39_clean_corpus" ->
       s"""SELECT * FROM ($textAnalyzeSql)
          |WHERE quality_score >= 0.5 AND ws_tokens >= 20

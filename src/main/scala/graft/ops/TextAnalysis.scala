@@ -129,6 +129,37 @@ object TextAnalysis {
     * frequencies come from the same filtered aggregate (one row per
     * (term, doc)), N from a one-row broadcast, and the final top-k is a
     * TakeOrdered merge of per-partition heads, never a global sort. */
+  /** Per-document repetition/diversity metrics — the Gopher-style
+    * repetition filters a corpus-quality pass runs: token count, distinct
+    * token count and ratio, and the share of the most-repeated word bigram
+    * (high values flag boilerplate/spam).
+    *
+    * Scale shape: one posexplode feeds both aggregates; bigrams come from a
+    * `lead` window partitioned BY DOCUMENT (thousands of small windows —
+    * parallelism is #docs, never 1) and the (doc, bigram) counts partially
+    * aggregate map-side. No HOF lambdas — those run interpreted and would
+    * knock the projection out of whole-stage codegen.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.WeightedMoments.safeDiv
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__p__", "__w__")))
+    val uni = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("__w__")).as("n_distinct"))
+    val biMax = toks
+      .withColumn("__w2__",
+        lead(col("__w__"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("__p__"))))
+      .where(col("__w2__").isNotNull)
+      .groupBy(col(idCol), col("__w__"), col("__w2__"))
+      .agg(count(lit(1)).as("__c__"))
+      .groupBy(col(idCol)).agg(max(col("__c__")).as("__mx__"))
+    uni.join(biMax, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        (col("n_distinct") / col("n_words")).as("distinct_ratio"),
+        safeDiv(col("__mx__"), col("n_words") - 1).as("top_bigram_frac"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with their total and
     * document frequencies — the counting step a tokenizer/BPE trainer or a
     * stopword-list builder runs first.

@@ -748,6 +748,20 @@ class PackingSpec extends SparkSpecBase {
     assert(lastEnd.forall { case (end, n) => end == n })
   }
 
+  test("repetition stats: distinct ratio and top-bigram share per doc") {
+    val d = Seq(
+      (1L, "a b a b c"), // 5 words, 3 distinct; 'a b' twice of 4 bigrams
+      (2L, "x x x x"),   // 4 words, 1 distinct; 'x x' 3 of 3
+      (3L, "solo")       // single token: no bigram -> NULL frac
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.repetitionStats(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 5L && got(0).getLong(2) == 3L)
+    assert(got(0).getDouble(3) == 0.6 && got(0).getDouble(4) == 0.5)
+    assert(got(1).getDouble(3) == 0.25 && got(1).getDouble(4) == 1.0)
+    assert(got(2).getLong(1) == 1L && got(2).isNullAt(4))
+  }
+
   test("vocabulary counts total and document frequency with a deterministic cut") {
     val d = Seq(
       (1L, "a b b c"), (2L, "b c c d"), (3L, "c d  d"), (4L, "")).toDF("doc_id", "text")
