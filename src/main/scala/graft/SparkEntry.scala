@@ -481,6 +481,12 @@ object SparkEntry {
     "q58_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // CCNet-style LM quality filter: unigram perplexity of each doc under
+    // the corpus's own token distribution (term-keyed count join, no text
+    // ever shuffles)
+    "q59_unigram_ppl" -> ((s, dir) =>
+      TextAnalysis.unigramPerplexity(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
@@ -899,6 +905,16 @@ object SparkEntry {
         |CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM toks WHERE term <> '' GROUP BY term
         |ORDER BY tf DESC, term LIMIT 100""".stripMargin.replace("\n", " "),
+    // ln/exp rounded to 6 decimals on both sides (libm ulps)
+    "q59_unigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |FROM documents),
+        |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |c AS (SELECT term, count(*) AS tc FROM t2 GROUP BY term),
+        |tot AS (SELECT sum(tc) AS tot FROM c)
+        |SELECT doc_id, round(exp(-avg(ln(CAST(tc AS DOUBLE) / tot))), 6) AS ppl
+        |FROM t2 JOIN c USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // bigrams with multiplicity via a 1-indexed lambda over the token list
     "q58_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),

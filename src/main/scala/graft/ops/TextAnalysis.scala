@@ -160,6 +160,32 @@ object TextAnalysis {
         safeDiv(col("__mx__"), col("n_words") - 1).as("top_bigram_frac"))
   }
 
+  /** Per-document unigram language-model perplexity against the corpus's
+    * own token distribution — the CCNet-style LM quality filter (docs that
+    * look unlike the corpus score high): `ppl(doc) = exp(−mean ln p(w))`
+    * with `p(w) = count(w) / total` over the whole corpus. Scores are
+    * rounded to 6 decimals (ln/exp differ in ulps across libms).
+    *
+    * Scale shape: corpus counts are ONE term-keyed aggregate (vocab-sized
+    * shuffle, same as [[vocabulary]]); the per-doc pass joins exploded
+    * tokens to the count table ON THE TERM KEY — a shuffle (or AQE
+    * broadcast when the vocab is small) that carries (doc, term) pairs,
+    * never text — and reduces to one row per doc. Every token is in the
+    * vocab by construction (the model IS the corpus), so no smoothing
+    * branch is needed.
+    */
+  def unigramPerplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id__"),
+      explode(tokens(col(textCol))).as("term")).where(col("term") =!= "")
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("__tc__"))
+    val total = counts.agg(sum(col("__tc__")).as("__tot__"))
+    toks.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id__"))
+      .agg(round(exp(-avg(log(col("__tc__") / col("__tot__")))), 6).as("ppl"))
+      .select(col("__id__").as(idCol), col("ppl"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with their total and
     * document frequencies — the counting step a tokenizer/BPE trainer or a
     * stopword-list builder runs first.

@@ -762,6 +762,17 @@ class PackingSpec extends SparkSpecBase {
     assert(got(2).getLong(1) == 1L && got(2).isNullAt(4))
   }
 
+  test("unigram perplexity: uniform docs score corpus-typical, rare-word docs high") {
+    // corpus: 'a' x6, 'b' x2 -> p(a)=0.75, p(b)=0.25
+    val d = Seq((1L, "a a a"), (2L, "a a a"), (3L, "b b")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.unigramPerplexity(d, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ppl(doc of all-a) = 1/0.75, ppl(all-b) = 1/0.25
+    assert(math.abs(got(1L) - 4.0 / 3.0) < 1e-6)
+    assert(math.abs(got(3L) - 4.0) < 1e-6)
+    assert(got(3L) > got(1L)) // rarer tokens -> higher perplexity
+  }
+
   test("vocabulary counts total and document frequency with a deterministic cut") {
     val d = Seq(
       (1L, "a b b c"), (2L, "b c c d"), (3L, "c d  d"), (4L, "")).toDF("doc_id", "text")
