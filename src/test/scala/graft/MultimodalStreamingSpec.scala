@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.schema.fieldNames.toSeq == Seq("doc_id", "text"))
   }
 
+  test("streaming packing carries the token offset across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPacking
+    val input = MemoryStream[(Long, Long)]
+    val sdf = input.toDF().toDF("doc_id", "t")
+    val out = StreamingPacking.packStream(sdf, "doc_id", "t", capacity = 10L, nStreams = 1)
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("spack").start()
+    input.addData((1L, 4L), (2L, 4L), (3L, 4L)) // offsets 0,4,8 -> packs 0,0,0
+    q.processAllAvailable()
+    input.addData((4L, 4L), (5L, 9L)) // offsets 12,16 -> packs 1,1 (state carried)
+    q.processAllAvailable()
+    val got = spark.table("spack").orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack")).toSeq
+    q.stop()
+    assert(got == Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // id-order delivery matches the batch operator's assignment exactly
+    val batch = graft.ops.Packing.packSequences(
+      Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L), (5L, 9L)).toDF("doc_id", "t"),
+      "doc_id", col("t"), 10L, 1)
+      .orderBy("doc_id").collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack")).toSeq
+    assert(batch == got)
+  }
+
   test("streaming near-dup: batch step dedups within and across micro-batches") {
     import graft.streaming.StreamingDedup
     val empty = spark.createDataFrame(
