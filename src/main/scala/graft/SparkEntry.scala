@@ -20,32 +20,18 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries a TIMESTAMP(NANOS) column Spark's schema
-    * converter rejects by default. Reading with an explicit schema (ts as
-    * raw long nanos) sidesteps the legacy `nanosAsLong` session conf
-    * entirely, so no query lambda mutates session state. */
-  private val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-
-  private def eventsRaw(s: SparkSession, dir: String): DataFrame =
-    s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+    * converter rejects by default; `Tables.testTable` owns the ONE explicit
+    * schema + ns→µs conversion (no session conf, no duplicated schema). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.testTable(s, dir, "events")
 
   /** lineitem weighted by l_quantity — the t2 workhorse (FIXTURES.md §2). */
   private def wli(s: SparkSession, dir: String): WeightedDataFrame =
     WeightedDataFrame.wt(table(s, dir, "lineitem"), "l_quantity")
 
-  /** events with a derived deterministic weight (events has no weight col).
-    * `events.ts` arrives as raw long nanos (see [[eventsRaw]]); convert
-    * ns → µs with integer division (a double roundtrip would lose precision
-    * above 2⁵³).
-    */
+  /** events with a derived deterministic weight (events has no weight col). */
   private def wevents(s: SparkSession, dir: String): WeightedDataFrame = {
-    val e = eventsRaw(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = events(s, dir)
       .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
       .select("ts", "value", "w")
     WeightedDataFrame.wt(e, "w")
@@ -312,7 +298,7 @@ object SparkEntry {
         .groupBy("l_returnflag").quantile("l_extendedprice", 0.5)),
     // rolling weighted mean per key over an ordered 5-row frame
     "q33_rolling_mean" -> ((s, dir) => {
-      val e = eventsRaw(s, dir)
+      val e = events(s, dir)
         .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
         .select("event_type", "event_id", "value", "w")
       val wdf = WeightedDataFrame.wt(e, "w")
@@ -343,8 +329,7 @@ object SparkEntry {
     // exact matches included); right side pre-deduped per (k, ts) so the
     // winner is well-defined on both engines
     "q42_asof_join" -> ((s, dir) => {
-      val e = eventsRaw(s, dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val e = events(s, dir)
         .withColumn("k", col("user_id") % 50)
       val left = e.where(col("event_id") % 3 =!= 0).select("event_id", "k", "ts")
       val right = e.where(col("event_id") % 3 === 0)
@@ -500,7 +485,7 @@ object SparkEntry {
     // A8 axis=1: arbitrary row-wise function over weighted columns via
     // Dataset.map (distributed; the closure is max over the weighted row)
     "q38_apply_rowwise" -> ((s, dir) => {
-      val e = eventsRaw(s, dir)
+      val e = events(s, dir)
         .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
         .withColumn("v2", col("value") * 0.5 - 10.0)
         .select("event_id", "value", "v2", "w")

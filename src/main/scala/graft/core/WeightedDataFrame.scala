@@ -68,38 +68,52 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     df.select(keep.map(col) :+ f(cs.map(c => nc(c))).as(name): _*)
   }
 
+  /** pandas raises `ValueError: No axis named N` for anything but 0/1. */
+  private def requireAxis(axis: Int): Unit =
+    require(axis == 0 || axis == 1, s"No axis named $axis for WeightedDataFrame")
+
   /** Weighted count (all columns, any dtype) — `frame.py:189-213`. axis=0:
     * one row, `Σw` per column; axis=1: one `count` per row over the value
     * columns (`keep` passes id columns through — see [[rowAgg]]). */
-  def count(axis: Int = 0, skipna: Boolean = true, keep: Seq[String] = Nil): DataFrame =
+  def count(axis: Int = 0, skipna: Boolean = true, keep: Seq[String] = Nil): DataFrame = {
+    requireAxis(axis)
     if (axis == 0) agg1(valueCols.map(c => WeightedMoments.countExpr(col(c), w, skipna).as(c)))
     else rowAgg("count", valueCols, keep, cs => WeightedMoments.rowCountExpr(cs, w, skipna))
+  }
 
   /** Weighted sum per numeric column (axis=0) or per row (axis=1) —
     * `frame.py:215-220`. */
-  def sum(axis: Int = 0, minCount: Int = 0, keep: Seq[String] = Nil): DataFrame =
+  def sum(axis: Int = 0, minCount: Int = 0, keep: Seq[String] = Nil): DataFrame = {
+    requireAxis(axis)
     if (axis == 0) agg1(numericCols.map(c => WeightedMoments.wSum(nc(c), w, minCount).as(c)))
     else rowAgg("sum", numericCols, keep, cs => WeightedMoments.rowSumExpr(cs, w, minCount))
+  }
 
   /** Weighted mean per numeric column (axis=0) or per row (axis=1) —
     * `frame.py:222-229`. */
-  def mean(axis: Int = 0, skipna: Boolean = true, keep: Seq[String] = Nil): DataFrame =
+  def mean(axis: Int = 0, skipna: Boolean = true, keep: Seq[String] = Nil): DataFrame = {
+    requireAxis(axis)
     if (axis == 0) agg1(numericCols.map(c => WeightedMoments.meanExpr(nc(c), w, skipna).as(c)))
     else rowAgg("mean", numericCols, keep, cs => WeightedMoments.rowMeanExpr(cs, w, skipna))
+  }
 
   /** Weighted variance per numeric column (axis=0) or per row (axis=1) —
     * `frame.py:231-241`. */
   def variance(axis: Int = 0, ddof: Int = 1, skipna: Boolean = true,
-      keep: Seq[String] = Nil): DataFrame =
+      keep: Seq[String] = Nil): DataFrame = {
+    requireAxis(axis)
     if (axis == 0) agg1(numericCols.map(c => WeightedMoments.varExpr(nc(c), w, ddof, skipna).as(c)))
     else rowAgg("var", numericCols, keep, cs => WeightedMoments.rowVarExpr(cs, w, ddof, skipna))
+  }
 
   /** Weighted standard deviation per numeric column (axis=0) or per row
     * (axis=1) — `frame.py:243-251`. */
   def std(axis: Int = 0, ddof: Int = 1, skipna: Boolean = true,
-      keep: Seq[String] = Nil): DataFrame =
+      keep: Seq[String] = Nil): DataFrame = {
+    requireAxis(axis)
     if (axis == 0) agg1(numericCols.map(c => WeightedMoments.stdExpr(nc(c), w, ddof, skipna).as(c)))
     else rowAgg("std", numericCols, keep, cs => WeightedMoments.rowStdExpr(cs, w, ddof, skipna))
+  }
 
   /** Weighted skewness per numeric column (beyond-reference; population
     * m₃/m₂^1.5 — see [[WeightedMoments.skewExpr]]). */

@@ -171,19 +171,21 @@ object AudioMeta {
     * null if the bytes are not a WAV with a well-formed `fmt ` chunk. */
   def parse(b: Array[Byte]): InternalRow = {
     if (b.length < 36 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var i = 12
+    // Long cursor: a malformed chunk size near 2³² must walk off the end
+    // and yield NULL, not overflow Int into a negative index and throw
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "fmt ")) {
+      val at = i.toInt
+      val size = le32(b, at + 4)
+      if (tag(b, at, "fmt ")) {
         if (size < 16 || i + 8 + 16 > b.length) return null
-        val channels = le16(b, i + 10)
-        val rate = le32(b, i + 12)
-        val bits = le16(b, i + 22)
+        val channels = le16(b, at + 10)
+        val rate = le32(b, at + 12)
+        val bits = le16(b, at + 22)
         if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0) return null
         return InternalRow(UTF8String.fromString("wav"), rate.toInt, channels, bits)
       }
-      if (size < 0 || size > Int.MaxValue) return null
-      i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+      i += 8L + size + (size & 1L) // RIFF chunks are word-aligned
     }
     null
   }

@@ -154,7 +154,12 @@ object TextAnalysis {
       .groupBy(col(idCol), col("__w__"), col("__w2__"))
       .agg(count(lit(1)).as("__c__"))
       .groupBy(col(idCol)).agg(max(col("__c__")).as("__mx__"))
-    uni.join(biMax, Seq(idCol), "left")
+    // left-join from the FULL id set: a NULL-text document explodes to no
+    // token rows, but must surface with NULL metrics, not vanish from the
+    // quality table (silent coverage gaps are how bad docs slip a filter)
+    df.select(col(idCol))
+      .join(uni, Seq(idCol), "left")
+      .join(biMax, Seq(idCol), "left")
       .select(col(idCol), col("n_words"), col("n_distinct"),
         (col("n_distinct") / col("n_words")).as("distinct_ratio"),
         safeDiv(col("__mx__"), col("n_words") - 1).as("top_bigram_frac"))

@@ -73,9 +73,13 @@ object StreamingDedup {
       bandRows: Int = 8): (DataFrame, DataFrame) = {
     import graft.ops.Dedup
     val narrow = Dedup.minhashNarrow(batch, textCol, idCol, shingleSize, numHashes)
-    val bands = narrow.select(col("__id__"),
+    // freeze the band table: it has four consumers (past-join, both
+    // self-join sides, state update) and the shingling + signature pass is
+    // the expensive part — without materialization it would recompute per
+    // consumer and again per downstream checkpoint
+    val bands = freeze(narrow.select(col("__id__"),
       explode(Dedup.bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
-      .select(col("__id__"), col("bk.band").as("band"), col("bk.h").as("h"))
+      .select(col("__id__"), col("bk.band").as("band"), col("bk.h").as("h")))
     val dupPast = bands.join(seen, Seq("band", "h"), "left_semi")
       .select(col("__id__")).distinct()
     val dupWithin = bands.as("a").join(bands.as("b"),
@@ -107,24 +111,43 @@ object StreamingDedup {
       numHashes: Int = 32,
       bandRows: Int = 8)(sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     var seen: DataFrame = null
-    (batch: DataFrame, _: Long) => {
-      val spark = batch.sparkSession
-      val s =
-        if (seen != null) seen
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("band",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("h",
-              org.apache.spark.sql.types.LongType))))
-      val (kept, newSeen) = nearDupBatchStep(
-        batch, s, textCol, idCol, shingleSize, numHashes, bandRows)
-      val keptFrozen = org.apache.spark.sql.graftbridge.DatasetBridge
-        .fromInternalRdd(kept.localCheckpoint())
-      seen = org.apache.spark.sql.graftbridge.DatasetBridge
-        .fromInternalRdd(newSeen.localCheckpoint())
-      sink(keptFrozen)
+    var lastBatchId = -1L
+    var lastKept: DataFrame = null
+    (batch: DataFrame, batchId: Long) => {
+      if (batchId == lastBatchId && lastKept != null) {
+        // replayed micro-batch (failure after the state advanced): the
+        // band state already includes this batch, so recomputing would
+        // drop every document against its own bands — re-emit the
+        // admitted set instead (standard foreachBatch redelivery contract)
+        sink(lastKept)
+      } else {
+        val spark = batch.sparkSession
+        val s =
+          if (seen != null) seen
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("band",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("h",
+                org.apache.spark.sql.types.LongType))))
+        val (kept, newSeen) = nearDupBatchStep(
+          batch, s, textCol, idCol, shingleSize, numHashes, bandRows)
+        val keptFrozen = freeze(kept)
+        val seenFrozen = freeze(newSeen)
+        // sink BEFORE advancing the state: a sink failure leaves `seen`
+        // untouched, so the engine's retry recomputes the identical batch
+        sink(keptFrozen)
+        seen = seenFrozen
+        lastBatchId = batchId
+        lastKept = keptFrozen
+      }
     }
   }
+
+  /** Materialize + truncate lineage AND Catalyst statistics (see
+    * `DatasetBridge` — checkpointing alone carries size estimates that
+    * compound across iterated state updates). */
+  private def freeze(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRdd(df.localCheckpoint())
 }

@@ -111,6 +111,11 @@ class MultimodalSpec extends SparkSpecBase {
     // an image payload is not audio (and vice versa)
     assert(AudioMeta.parse(Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)) == null)
     assert(graft.functions.ImageDims.parse(wav) == null)
+    // a chunk size near 2^32 must walk off the end -> NULL, never an
+    // Int-overflowed negative index
+    val huge = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array[Byte](-16, -1, -1, -1) ++ new Array[Byte](40)
+    assert(AudioMeta.parse(huge) == null)
   }
 
   test("frame-sample plan is metadata-only and bounded") {

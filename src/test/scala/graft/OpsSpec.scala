@@ -760,6 +760,11 @@ class PackingSpec extends SparkSpecBase {
     assert(got(0).getDouble(3) == 0.6 && got(0).getDouble(4) == 0.5)
     assert(got(1).getDouble(3) == 0.25 && got(1).getDouble(4) == 1.0)
     assert(got(2).getLong(1) == 1L && got(2).isNullAt(4))
+    // a NULL-text doc surfaces with NULL metrics instead of vanishing
+    val withNull = Seq((1L, Some("a b")), (2L, None: Option[String])).toDF("doc_id", "text")
+    val g2 = graft.ops.TextAnalysis.repetitionStats(withNull, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(g2.length == 2 && g2(1).isNullAt(1) && g2(1).isNullAt(3))
   }
 
   test("unigram perplexity: uniform docs score corpus-typical, rare-word docs high") {

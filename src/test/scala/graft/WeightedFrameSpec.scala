@@ -244,6 +244,14 @@ class WeightedFrameSpec extends SparkSpecBase {
       .zip(s).foreach { case (e, g) => assertApprox(g, e, 1e-12) }
   }
 
+  test("axis other than 0/1 raises like pandas (No axis named N)") {
+    val wdf = WeightedDataFrame.wt(axisDf, "weights")
+    val e = intercept[IllegalArgumentException] { wdf.variance(axis = 2) }
+    assert(e.getMessage.contains("No axis named 2"))
+    intercept[IllegalArgumentException] { wdf.count(axis = -1) }
+    intercept[IllegalArgumentException] { wdf.sum(axis = 3) }
+  }
+
   test("arbitrary-callable frame apply sees the weighted column (test_frame.py:247-261)") {
     val d = Seq((10.0, 1.0), (20.0, 2.0), (30.0, 1.5), (40.0, 2.5))
       .toDF("Value", "weights")
