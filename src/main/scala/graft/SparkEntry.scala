@@ -472,6 +472,32 @@ object SparkEntry {
     "q59_unigram_ppl" -> ((s, dir) =>
       TextAnalysis.unigramPerplexity(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // benchmark decontamination: per-doc distinct-3-gram overlap vs a
+    // held-out benchmark slice (bench gram set broadcasts; corpus never
+    // shuffles for the join — real pipelines use n≈13)
+    "q60_decontaminate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.ops.Decontamination.overlapStats(
+        d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 3).orderBy("doc_id")
+    }),
+    // the drop path: corpus minus contaminated docs via a narrow id
+    // anti-join (text rides the probe side untouched)
+    "q62_drop_contaminated" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.ops.Decontamination.dropContaminated(
+        d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 3)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+    // token-budget mixture: first docs per (lang, source) until each
+    // group's running whitespace-token total passes 2000 (one window
+    // shuffle; how a training mix hits "N tokens per domain" exactly)
+    "q61_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.takeTokenBudget(
+        table(s, dir, "documents"), Seq("lang", "source"),
+        TextAnalysis.wsTokenCount(col("text")), budget = 2000L, Seq("doc_id"))
+        .select("doc_id", "lang", "source", "cum_tokens").orderBy("doc_id")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
@@ -900,6 +926,34 @@ object SparkEntry {
         |SELECT doc_id, round(exp(-avg(ln(CAST(tc AS DOUBLE) / tot))), 6) AS ppl
         |FROM t2 JOIN c USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // distinct word 3-grams per doc (list_distinct mirrors WordNGrams);
+    // bench = doc_id % 97 = 0 slice, corpus = the rest
+    "q60_decontaminate" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(a) - 1, 1)),
+        |i -> list_aggregate(a[i:i+2], 'string_agg', ' ')))) AS gr FROM d),
+        |b AS (SELECT DISTINCT gr FROM g WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, gr FROM g WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |CAST(count(b.gr) AS BIGINT) AS n_shared, count(b.gr) > 0 AS contaminated
+        |FROM c LEFT JOIN b ON c.gr = b.gr
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q62_drop_contaminated" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(a) - 1, 1)),
+        |i -> list_aggregate(a[i:i+2], 'string_agg', ' ')))) AS gr FROM d),
+        |b AS (SELECT DISTINCT gr FROM g WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT c.doc_id FROM g c JOIN b ON c.gr = b.gr WHERE c.doc_id % 97 <> 0)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q61_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |len(regexp_split_to_array(trim(text), '\s+')) AS ntok FROM documents),
+        |c AS (SELECT doc_id, lang, source, CAST(sum(ntok) OVER
+        |(PARTITION BY lang, source ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT doc_id, lang, source, cum_tokens FROM c
+        |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // bigrams with multiplicity via a 1-indexed lambda over the token list
     "q58_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),

@@ -103,4 +103,36 @@ object Sampling {
     }
     df.withColumn(splitCol, expr)
   }
+
+  /** Token-budget mixture sampling: per group (e.g. language × source),
+    * keep rows in `orderCols` order until the group's running token total
+    * exceeds `budget` — how a training mix hits "N tokens of each domain"
+    * exactly instead of by row-count proxy. The kept rows carry their
+    * inclusive running total in `cumCol`.
+    *
+    * One shuffle (hash on `groupCols` for the window); enforcement is a
+    * prefix scan, so each group sorts within its partition. Groups are
+    * domains/languages — thousands at most, each budget-bounded; for a
+    * budget so large one group's rows overwhelm a partition, pre-thin with
+    * [[sampleStratified]] (fraction ≈ budget / group tokens) and let this
+    * make the cut exact.
+    *
+    * `orderCols` must be a total order (unique key last): a tie would make
+    * the budget boundary partition-order-dependent. */
+  def takeTokenBudget(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tokenCol: Column,
+      budget: Long,
+      orderCols: Seq[String],
+      cumCol: String = "cum_tokens"): DataFrame = {
+    require(groupCols.nonEmpty, "takeTokenBudget needs group columns")
+    require(orderCols.nonEmpty, "takeTokenBudget needs a deterministic order")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn(cumCol, sum(tokenCol.cast("long")).over(w))
+      .where(col(cumCol) <= budget)
+  }
 }

@@ -426,6 +426,66 @@ class SamplingSpec extends SparkSpecBase {
       Map("a" -> 0.25, "b" -> 0.1)).collect().map(_.getLong(0)).toSet
     assert(smaller.subsetOf(k2))
   }
+
+  test("takeTokenBudget: inclusive per-group cut, partitioning-independent") {
+    // group a: tokens 100,200,300,400 (ids 1..4) — budget 600 keeps 1..3
+    // (cum 100,300,600); group b: 500,200 — keeps both (cum 500,700 > 600
+    // drops id 6)
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 300L), (4L, "a", 400L),
+      (5L, "b", 500L), (6L, "b", 200L)).toDF("id", "g", "tok")
+    val got = Sampling.takeTokenBudget(df, Seq("g"), col("tok"), 600L, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 100L), (2L, 300L), (3L, 600L), (5L, 500L)))
+    val again = Sampling.takeTokenBudget(
+      df.repartition(7), Seq("g"), col("tok"), 600L, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.toSeq == got.toSeq, "cut must not depend on partitioning")
+    intercept[IllegalArgumentException] {
+      Sampling.takeTokenBudget(df, Nil, col("tok"), 600L, Seq("id"))
+    }
+  }
+}
+
+class DecontaminationSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.ops.Decontamination
+
+  private val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+
+  test("overlapStats counts distinct shared n-grams; clean and NULL docs surface") {
+    val corpus = Seq(
+      // shares "the quick brown" + "quick brown fox" (2 of its 3 grams)
+      (1L, Some("a the quick brown fox")),
+      // repeats a shared gram — distinct semantics count it once
+      (2L, Some("the quick brown cat saw the quick brown fox")),
+      (3L, Some("entirely different words here now")),
+      (4L, Some("ab")), // < n tokens: zero grams
+      (5L, None: Option[String])).toDF("doc_id", "text")
+    val got = Decontamination.overlapStats(corpus, bench, "text", "doc_id", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, true),
+      // 9 tokens -> 7 positions, "the quick brown" twice -> 6 distinct; 2 shared
+      (2L, 6L, 2L, true),
+      (3L, 3L, 0L, false),
+      (4L, 0L, 0L, false),
+      (5L, 0L, 0L, false)))
+  }
+
+  test("dropContaminated keeps clean docs with all columns; maxShared loosens") {
+    val corpus = Seq(
+      (1L, "x the quick brown fox y", "keepme1"),
+      (2L, "clean text with no overlap at all", "keepme2")).toDF("doc_id", "text", "tag")
+    val kept = Decontamination.dropContaminated(corpus, bench, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(kept.toSeq == Seq((2L, "keepme2")))
+    // doc 1 shares exactly 2 grams; maxShared = 2 is an inclusive bound
+    val loose = Decontamination.dropContaminated(
+      corpus, bench, "text", "doc_id", 3, maxShared = 2L)
+    assert(loose.count() == 2)
+  }
 }
 
 class AsOfJoinSpec extends SparkSpecBase {
