@@ -498,6 +498,24 @@ object SparkEntry {
         table(s, dir, "documents"), Seq("lang", "source"),
         TextAnalysis.wsTokenCount(col("text")), budget = 2000L, Seq("doc_id"))
         .select("doc_id", "lang", "source", "cum_tokens").orderBy("doc_id")),
+    // per-label mean-pooled embedding (class prototypes): exploded to
+    // (label, dim, value) rows for the oracle — the dim shuffle carries
+    // map-side partial avgs, never the vector table
+    "q63_group_centroids" -> ((s, dir) =>
+      graft.ops.Similarity.groupCentroids(
+        table(s, dir, "embeddings"), Seq("label"), "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")),
+          col("n_vectors"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("value"),
+          col("n_vectors"))
+        .orderBy("label", "dim")),
+    // rebalance langs to a fixed target mix (hash-seeded sampling —
+    // rows-only check; proportions are pinned by SamplingSpec)
+    "q64_match_distribution" -> ((s, dir) =>
+      graft.ops.Sampling.matchDistribution(
+        table(s, dir, "documents"), Seq("doc_id"), "lang",
+        Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1), seed = 11L)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
@@ -947,6 +965,16 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // generate_subscripts zips with unnest; dim is 0-based on the Spark
+    // side (posexplode) so the oracle shifts p by 1
+    "q63_group_centroids" ->
+      """WITH x AS (SELECT label, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS p FROM embeddings),
+        |m AS (SELECT label, p, avg(CAST(v AS DOUBLE)) AS value, count(*) AS c
+        |FROM x GROUP BY label, p)
+        |SELECT label, CAST(p - 1 AS BIGINT) AS dim, value,
+        |CAST(max(c) OVER (PARTITION BY label) AS BIGINT) AS n_vectors
+        |FROM m ORDER BY label, dim""".stripMargin.replace("\n", " "),
     "q61_token_budget" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |len(regexp_split_to_array(trim(text), '\s+')) AS ntok FROM documents),

@@ -135,4 +135,38 @@ object Sampling {
     df.withColumn(cumCol, sum(tokenCol.cast("long")).over(w))
       .where(col(cumCol) <= budget)
   }
+
+  /** Rebalance strata to target proportions (e.g. lang mix 40/30/20/10)
+    * by deterministic per-stratum downsampling: the largest subset whose
+    * expected stratum shares match `targets` — the binding stratum (the
+    * one with the least data relative to its target) keeps everything,
+    * the rest downsample to match. Strata absent from `targets` are
+    * dropped. Hash-thresholded like [[sampleStratified]], so shares match
+    * in expectation (exact-count trimming would need a per-stratum global
+    * sort); deterministic under any partitioning.
+    *
+    * One counting aggregate collects #strata rows to the driver to derive
+    * the fractions — strata are languages/domains, tiny by construction —
+    * then the filter is a pure per-row predicate (no further shuffle). */
+  def matchDistribution(
+      df: DataFrame,
+      idCols: Seq[String],
+      strataCol: String,
+      targets: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      s"targets must be positive, got $targets")
+    val total = targets.values.sum
+    val counts = df.where(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(strataCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val missing = targets.keySet.diff(counts.keySet)
+    require(missing.isEmpty, s"strata absent from the data: $missing")
+    // binding stratum: smallest available/target ratio sets the output size
+    val k = targets.map { case (s, t) => counts(s) / (t / total) }.min
+    val fractions = targets.map { case (s, t) =>
+      s -> math.min(1.0, k * (t / total) / counts(s))
+    }
+    sampleStratified(df, idCols, strataCol, fractions, defaultFraction = 0.0, seed = seed)
+  }
 }

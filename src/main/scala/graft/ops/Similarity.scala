@@ -483,4 +483,34 @@ object Similarity {
       .select(col("doc_a").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Per-group mean-pooled embedding (class prototypes, cluster seeds,
+    * per-domain "average document" vectors): `(groupCols…, centroid
+    * array<double>, n_vectors)`.
+    *
+    * Scale shape: `posexplode` fans each vector into (group, dim, value)
+    * rows, partial `avg` collapses them map-side, so the one data shuffle
+    * carries ~groups × dims rows per partition — never the vector table.
+    * The second (groups-sized) agg reassembles dimension means into an
+    * ordered array; `n_vectors` is the dim-0 count (every vector
+    * contributes exactly one row to dim 0). NULL vectors are skipped by
+    * `posexplode`'s NULL handling; ragged dims are a caller bug surfacing
+    * as differing per-dim counts.
+    */
+  def groupCentroids(
+      df: DataFrame,
+      groupCols: Seq[String],
+      vecCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCentroids needs group columns")
+    val g = groupCols.map(col)
+    df
+      .select(g :+ posexplode(toDouble(col(vecCol))).as(Seq("__p__", "__v__")): _*)
+      .groupBy(g :+ col("__p__"): _*)
+      .agg(avg(col("__v__")).as("__m__"), count(lit(1)).as("__c__"))
+      .groupBy(g: _*)
+      .agg(
+        transform(array_sort(collect_list(struct(col("__p__"), col("__m__")))),
+          s => s.getField("__m__")).as("centroid"),
+        max(when(col("__p__") === 0, col("__c__"))).as("n_vectors"))
+  }
 }

@@ -445,6 +445,30 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.takeTokenBudget(df, Nil, col("tok"), 600L, Seq("id"))
     }
   }
+
+  test("matchDistribution: binding stratum kept whole, shares match targets") {
+    // 4000 a / 1000 b / 500 c; target 50/25/25 → c binds (500 / 0.25 = 2000
+    // total): expect ~1000 a, ~500 b, all 500 c; d is dropped (no target)
+    val df = ((1 to 4000).map(i => (i.toLong, "a")) ++
+      (4001 to 5000).map(i => (i.toLong, "b")) ++
+      (5001 to 5500).map(i => (i.toLong, "c")) ++
+      (5501 to 5600).map(i => (i.toLong, "d"))).toDF("id", "s")
+    val out = Sampling.matchDistribution(df, Seq("id"), "s",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), seed = 5L)
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("d"))
+    assert(counts("c") == 500, s"binding stratum must keep everything: $counts")
+    assert(math.abs(counts("a") - 1000.0) < 120, counts.toString)
+    assert(math.abs(counts("b") - 500.0) < 90, counts.toString)
+    // deterministic across partitionings
+    val again = Sampling.matchDistribution(df.repartition(13), Seq("id"), "s",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), seed = 5L)
+    assert(out.select("id").except(again.select("id")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.matchDistribution(df, Seq("id"), "s", Map("nope" -> 1.0))
+    }
+  }
 }
 
 class DecontaminationSpec extends SparkSpecBase {
@@ -693,6 +717,26 @@ class SimilaritySpec extends SparkSpecBase {
     val k2 = Similarity.bruteKnn(df, "vec_id", "embedding", col("vec_id") === 0, 2)
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(k2 == Seq(2L, 1L)) // window path: NULL sim sorts after real sims
+  }
+
+  test("groupCentroids: ordered dimension means, NULL vectors skipped") {
+    val df = Seq(
+      (0L, "a", Array(1.0f, 10.0f, 100.0f)),
+      (1L, "a", Array(3.0f, 30.0f, 300.0f)),
+      (2L, "b", Array(5.0f, 50.0f, 500.0f)),
+      (3L, "b", null.asInstanceOf[Array[Float]])).toDF("id", "g", "vec")
+    val got = Similarity.groupCentroids(df, Seq("g"), "vec")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toSeq, r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("a", Seq(2.0, 20.0, 200.0), 2L),
+      ("b", Seq(5.0, 50.0, 500.0), 1L)))
+    // partitioning-independent (avg is order-sensitive in ulps only; the
+    // exact halves here make the assertion exact)
+    val again = Similarity.groupCentroids(df.repartition(7), Seq("g"), "vec")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toSeq, r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
   }
 }
 
