@@ -509,6 +509,33 @@ object SparkEntry {
         .select(col("label"), col("dim").cast("long").as("dim"), col("value"),
           col("n_vectors"))
         .orderBy("label", "dim")),
+    // PII redaction: deterministic synthetic email+IP injected per doc,
+    // then scrubbed (pure regex projection — the scan is the whole plan)
+    "q65_scrub_pii" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@ex.com via 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("text"))
+      d.select(col("doc_id"),
+        graft.ops.Scrub.piiCount(col("text")).cast("long").as("n_pii"),
+        graft.ops.Scrub.redactPii(col("text")).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // C4-style line cleaning: a too-short line (even docs) / long-enough
+    // line (odd docs) + the real text + a banned-phrase line; keep lines
+    // with >= 3 tokens not containing "slow"
+    "q66_clean_lines" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("too short")).otherwise(lit("kept lead line")),
+          lit("\n"), col("text"), lit("\nthis line is slow boilerplate")).as("text"))
+      d.select(col("doc_id"),
+        graft.ops.Scrub.cleanLines(col("text"), minTokens = 3,
+          banned = Seq("slow")).as("clean"))
+        .withColumn("n_lines", when(col("clean") === "", lit(0L))
+          .otherwise(size(split(col("clean"), "\n")).cast("long")))
+        .orderBy("doc_id")
+    }),
     // rebalance langs to a fixed target mix (hash-seeded sampling —
     // rows-only check; proportions are pinned by SamplingSpec)
     "q64_match_distribution" -> ((s, dir) =>
@@ -965,6 +992,32 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // same RE2/Java-subset regexes as Scrub; DuckDB needs the 'g' flag
+    // (Spark's regexp_replace is global by default)
+    "q65_scrub_pii" ->
+      ("""WITH d AS (SELECT doc_id, text || ' contact u' || doc_id ||
+        |'@ex.com via 10.0.' || (doc_id % 256) || '.7' AS text FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '#EM#')) + len(regexp_extract_all(text, '#PH#'))
+        |+ len(regexp_extract_all(text, '#IP#')) AS BIGINT) AS n_pii,
+        |regexp_replace(regexp_replace(regexp_replace(text, '#EM#', '<EMAIL>', 'g'),
+        |'#PH#', '<PHONE>', 'g'), '#IP#', '<IP>', 'g') AS clean
+        |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        .replace("#EM#", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+        .replace("#PH#", "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b")
+        .replace("#IP#", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")),
+    "q66_clean_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |(CASE WHEN doc_id % 2 = 0 THEN 'too short' ELSE 'kept lead line' END)
+        ||| chr(10) || text || chr(10) || 'this line is slow boilerplate' AS text
+        |FROM documents),
+        |c AS (SELECT doc_id, list_aggregate(list_filter(string_split(text, chr(10)),
+        |l -> len(string_split_regex(trim(l), '\s+')) >= 3
+        |AND NOT contains(lower(l), 'slow')), 'string_agg', chr(10)) AS cl FROM d)
+        |SELECT doc_id, coalesce(cl, '') AS clean,
+        |CAST(CASE WHEN cl IS NULL OR cl = '' THEN 0
+        |ELSE len(string_split(cl, chr(10))) END AS BIGINT) AS n_lines
+        |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // generate_subscripts zips with unnest; dim is 0-based on the Spark
     // side (posexplode) so the oracle shifts p by 1
     "q63_group_centroids" ->

@@ -4,6 +4,47 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 
+class ScrubSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.ops.Scrub
+
+  test("redactPii replaces emails, phones, IPs with typed placeholders") {
+    val df = Seq(
+      (1L, "mail me at jo.do+x@sub.ex.org or call 555-123-4567 now"),
+      (2L, "server at 192.168.0.1 and 10.0.255.7; version 1.2 stays"),
+      (3L, "no pii here at all")).toDF("id", "text")
+    val got = df.select(col("id"), Scrub.redactPii(col("text")).as("c"),
+      Scrub.piiCount(col("text")).as("n")).orderBy("id").collect()
+    assert(got(0).getString(1) == "mail me at <EMAIL> or call <PHONE> now")
+    assert(got(0).getInt(2) == 2)
+    assert(got(1).getString(1) == "server at <IP> and <IP>; version 1.2 stays")
+    assert(got(1).getInt(2) == 2)
+    assert(got(2).getString(1) == "no pii here at all" && got(2).getInt(2) == 0)
+  }
+
+  test("cleanLines: min-token, terminal-punct, and banned-phrase rules") {
+    val text = "too short\nthis line has enough tokens.\nbuy CHEAP pills today\nterminal punct missing here"
+    val df = Seq(Tuple1(text)).toDF("text")
+    // min tokens only: drops line 1
+    val base = df.select(Scrub.cleanLines(col("text"), minTokens = 3).as("c"))
+      .head().getString(0)
+    assert(base == "this line has enough tokens.\nbuy CHEAP pills today\nterminal punct missing here")
+    // + banned phrase (case-insensitive)
+    val noAds = df.select(Scrub.cleanLines(col("text"), minTokens = 3,
+      banned = Seq("cheap pills")).as("c")).head().getString(0)
+    assert(noAds == "this line has enough tokens.\nterminal punct missing here")
+    // + terminal punctuation
+    val punct = df.select(Scrub.cleanLines(col("text"), minTokens = 3,
+      requireTerminalPunct = true, banned = Seq("cheap pills")).as("c"))
+      .head().getString(0)
+    assert(punct == "this line has enough tokens.")
+    // fully-filtered doc → empty string, NULL stays NULL
+    val empty = Seq(Tuple1("a\nb"), Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(Scrub.cleanLines(col("text")).as("c")).collect()
+    assert(empty(0).getString(0) == "" && empty(1).isNullAt(0))
+  }
+}
+
 class TextAnalysisSpec extends SparkSpecBase {
   import spark.implicits._
 
