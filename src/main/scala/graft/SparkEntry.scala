@@ -491,12 +491,13 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
     // token-budget mixture: first docs per (lang, source) until each
-    // group's running whitespace-token total passes 2000 (one window
-    // shuffle; how a training mix hits "N tokens per domain" exactly)
+    // group's running whitespace-token total passes 500 (one window
+    // shuffle; budget chosen so the cut BINDS at the oracle-checked SFs —
+    // ~10% of rows drop — not just at bench scale)
     "q61_token_budget" -> ((s, dir) =>
       graft.ops.Sampling.takeTokenBudget(
         table(s, dir, "documents"), Seq("lang", "source"),
-        TextAnalysis.wsTokenCount(col("text")), budget = 2000L, Seq("doc_id"))
+        TextAnalysis.wsTokenCount(col("text")), budget = 500L, Seq("doc_id"))
         .select("doc_id", "lang", "source", "cum_tokens").orderBy("doc_id")),
     // per-label mean-pooled embedding (class prototypes): exploded to
     // (label, dim, value) rows for the oracle — the dim shuffle carries
@@ -973,16 +974,23 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // distinct word 3-grams per doc (list_distinct mirrors WordNGrams);
     // bench = doc_id % 97 = 0 slice, corpus = the rest
+    // outer-joined from the full corpus id set so a < n-token or NULL-text
+    // doc surfaces as (0, 0, false), mirroring explode_outer on the Spark
+    // side (fixtures have >= 10 tokens today; this keeps the oracle honest
+    // if they ever don't)
     "q60_decontaminate" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(a) - 1, 1)),
         |i -> list_aggregate(a[i:i+2], 'string_agg', ' ')))) AS gr FROM d),
         |b AS (SELECT DISTINCT gr FROM g WHERE doc_id % 97 = 0),
-        |c AS (SELECT doc_id, gr FROM g WHERE doc_id % 97 <> 0)
-        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |CAST(count(b.gr) AS BIGINT) AS n_shared, count(b.gr) > 0 AS contaminated
-        |FROM c LEFT JOIN b ON c.gr = b.gr
-        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        |c AS (SELECT doc_id, gr FROM g WHERE doc_id % 97 <> 0),
+        |agg AS (SELECT c.doc_id, count(*) AS ng, count(b.gr) AS ns
+        |FROM c LEFT JOIN b ON c.gr = b.gr GROUP BY c.doc_id)
+        |SELECT ids.doc_id, CAST(coalesce(agg.ng, 0) AS BIGINT) AS n_grams,
+        |CAST(coalesce(agg.ns, 0) AS BIGINT) AS n_shared, coalesce(agg.ns, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) ids
+        |LEFT JOIN agg ON ids.doc_id = agg.doc_id
+        |ORDER BY ids.doc_id""".stripMargin.replace("\n", " "),
     "q62_drop_contaminated" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(a) - 1, 1)),
@@ -996,13 +1004,16 @@ object SparkEntry {
     // (Spark's regexp_replace is global by default)
     "q65_scrub_pii" ->
       ("""WITH d AS (SELECT doc_id, text || ' contact u' || doc_id ||
-        |'@ex.com via 10.0.' || (doc_id % 256) || '.7' AS text FROM documents)
+        |'@ex.com via 10.0.' || (doc_id % 256) || '.7' AS text FROM documents),
+        |r AS (SELECT doc_id, text,
+        |regexp_replace(text, '#EM#', '<EMAIL>', 'g') AS t1 FROM d),
+        |r2 AS (SELECT doc_id, text, t1,
+        |regexp_replace(t1, '#PH#', '<PHONE>', 'g') AS t2 FROM r)
         |SELECT doc_id,
-        |CAST(len(regexp_extract_all(text, '#EM#')) + len(regexp_extract_all(text, '#PH#'))
-        |+ len(regexp_extract_all(text, '#IP#')) AS BIGINT) AS n_pii,
-        |regexp_replace(regexp_replace(regexp_replace(text, '#EM#', '<EMAIL>', 'g'),
-        |'#PH#', '<PHONE>', 'g'), '#IP#', '<IP>', 'g') AS clean
-        |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        |CAST(len(regexp_extract_all(text, '#EM#')) + len(regexp_extract_all(t1, '#PH#'))
+        |+ len(regexp_extract_all(t2, '#IP#')) AS BIGINT) AS n_pii,
+        |regexp_replace(t2, '#IP#', '<IP>', 'g') AS clean
+        |FROM r2 ORDER BY doc_id""".stripMargin.replace("\n", " ")
         .replace("#EM#", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
         .replace("#PH#", "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b")
         .replace("#IP#", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")),
@@ -1034,7 +1045,7 @@ object SparkEntry {
         |c AS (SELECT doc_id, lang, source, CAST(sum(ntok) OVER
         |(PARTITION BY lang, source ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, lang, source, cum_tokens FROM c
-        |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        |WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // bigrams with multiplicity via a 1-indexed lambda over the token list
     "q58_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),

@@ -34,10 +34,17 @@ object Scrub {
   }
 
   /** Count of PII spans that [[redactPii]] would redact (for audit tables
-    * and "what fraction of the corpus carries PII" dashboards). */
-  def piiCount(c: Column): Column =
-    regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(PhoneRe)) +
-      regexp_count(c, lit(Ipv4Re))
+    * and "what fraction of the corpus carries PII" dashboards). Counts
+    * SEQUENTIALLY on the progressively-redacted text, mirroring the
+    * replacement order — three independent counts on the original would
+    * double-count a phone number or IP embedded in an email address
+    * (the email replacement consumes it first). */
+  def piiCount(c: Column): Column = {
+    val afterEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    regexp_count(c, lit(EmailRe)) + regexp_count(afterEmail, lit(PhoneRe)) +
+      regexp_count(afterPhone, lit(Ipv4Re))
+  }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): split on
     * newlines, keep lines with at least `minTokens` whitespace tokens,
@@ -56,7 +63,7 @@ object Scrub {
       banned: Seq[String] = Nil): Column = {
     val lines = split(c, "\n")
     val kept = filter(lines, l => {
-      val tokOk = size(split(trim(l), "\\s+")) >= minTokens
+      val tokOk = TextAnalysis.wsTokenCount(l) >= minTokens
       val punctOk =
         if (requireTerminalPunct) trim(l).rlike("[.!?\"']$") else lit(true)
       val banOk = banned.foldLeft(lit(true)) { (acc, b) =>

@@ -247,6 +247,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(admitted.sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("foreachBatch replay (same batchId) re-emits the admitted set, not empty") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val step = StreamingDedup.nearDupForeachBatch(
+      "text", "doc_id", shingleSize = 1, numHashes = 32, bandRows = 8) { kept =>
+      emitted += kept.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    }
+    val b0 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally distinct text here")).toDF("doc_id", "text")
+    step(b0, 0L)
+    // redelivery of batch 0 (engine retry after the state advanced): the
+    // band state already contains this batch's bands — without the guard
+    // every doc would collide with itself and the re-emit would be empty
+    step(b0, 0L)
+    assert(emitted.toSeq == Seq(Seq(1L, 2L), Seq(1L, 2L)))
+    // the replay must not have double-registered state: a fresh batch with
+    // a near-dup of doc 1 still dedups, and a new doc is admitted
+    val b1 = Seq((3L, "alpha beta gamma delta epsilon"),
+      (4L, "brand new words never seen before")).toDF("doc_id", "text")
+    step(b1, 1L)
+    assert(emitted.last == Seq(4L))
+  }
+
   test("streaming dedup with watermark bounds state and still drops in-window copies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]

@@ -20,6 +20,12 @@ class ScrubSpec extends SparkSpecBase {
     assert(got(1).getString(1) == "server at <IP> and <IP>; version 1.2 stays")
     assert(got(1).getInt(2) == 2)
     assert(got(2).getString(1) == "no pii here at all" && got(2).getInt(2) == 0)
+    // a phone embedded in an email counts ONCE (sequential counting
+    // mirrors replacement order — the email consumes it first)
+    val nested = Seq(Tuple1("reach 555-123-4567@mail.com today")).toDF("text")
+      .select(Scrub.redactPii(col("text")).as("c"), Scrub.piiCount(col("text")).as("n"))
+      .head()
+    assert(nested.getString(0) == "reach <EMAIL> today" && nested.getInt(1) == 1)
   }
 
   test("cleanLines: min-token, terminal-punct, and banned-phrase rules") {
