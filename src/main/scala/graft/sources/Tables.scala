@@ -79,4 +79,52 @@ object Tables {
     * joins/aggs on the bucket key skip their exchange). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Read a JSONL corpus — the de-facto interchange format for LLM training
+    * data (one JSON document per line, typically .jsonl or .jsonl.gz).
+    *
+    * Contract for 100 TB ingests:
+    *   - `schema` is REQUIRED: schema inference reads the whole corpus
+    *     twice (once to infer, once to load) — never acceptable at scale,
+    *     and an explicit schema also prunes unread fields at parse time.
+    *   - PERMISSIVE mode with a `_corrupt` capture column: a multi-TB crawl
+    *     dump always carries some malformed lines; failing the job on line
+    *     3 billion is worse than quarantining. `corrupt` below splits the
+    *     read into (clean rows, corrupt raw lines) for a quarantine sink.
+    *   - gzip inputs are NOT splittable — one task per .gz file regardless
+    *     of size. Fine for the many-small-files layout corpora ship in
+    *     (each file one task), ruinous for single huge archives; repack to
+    *     parquet/zstd-seekable early in any real pipeline.
+    */
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "_corrupt"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a '$corruptCol' field")
+    // text scan + from_json rather than the json datasource: Spark refuses
+    // any query whose referenced columns are only the internal corrupt
+    // record column of a raw json scan (the quarantine branch is exactly
+    // that), and the json source is a line-based text parse anyway — same
+    // plan cost, no caching workaround needed
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0) // blank lines are not documents
+      .select(from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+      .select(full.fieldNames.map(n => col("j." + n)).toSeq: _*)
+  }
+
+  /** [[readJsonl]] split into (clean rows without the capture column,
+    * corrupt raw lines) — quarantine the second, train on the first. */
+  def readJsonlQuarantined(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "_corrupt"): (DataFrame, DataFrame) = {
+    val raw = readJsonl(spark, path, schema, corruptCol)
+    (raw.where(col(corruptCol).isNull).drop(corruptCol),
+      raw.where(col(corruptCol).isNotNull).select(col(corruptCol).as("line")))
+  }
 }

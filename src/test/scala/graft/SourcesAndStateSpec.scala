@@ -62,6 +62,30 @@ class SourcesSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"),
       s"bucketed same-key same-count join must not shuffle either side:\n$plan")
   }
+
+  test("JSONL corpus read quarantines corrupt lines instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("part-0.jsonl")
+    java.nio.file.Files.write(f, Seq(
+      """{"doc_id": 1, "text": "clean doc one"}""",
+      """{"doc_id": 2, "text": "clean doc two"}""",
+      """{"doc_id": 3, "text": "truncated""",
+      """not json at all""").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, corrupt) = Tables.readJsonlQuarantined(spark, dir.toString, schema)
+    assert(clean.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "clean doc one"), (2L, "clean doc two")))
+    assert(clean.columns.toSeq == Seq("doc_id", "text")) // capture col dropped
+    val bad = corrupt.collect().map(_.getString(0)).sorted
+    assert(bad.length == 2 && bad.exists(_.contains("truncated"))
+      && bad.contains("not json at all"))
+    // a schema that collides with the capture column fails fast
+    intercept[IllegalArgumentException] {
+      Tables.readJsonl(spark, dir.toString, schema.add("_corrupt", StringType))
+    }
+  }
 }
 
 class FlatMapGroupsSpec extends SparkSpecBase {
