@@ -601,6 +601,73 @@ object SparkEntry {
           col("d.height").cast("long").as("height"),
           hex(expr("substring(payload, 1, IF(media_id % 2 = 0, 33, 39))")).as("hdr_hex"))
         .orderBy("media_id")
+    }),
+    // cluster assignment: the q63 centroids feed back as a broadcast
+    // codebook; every vector classified by cosine argmax (corpus never
+    // shuffles — only the id-keyed argmax aggregate does)
+    "q67_assign_centroids" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.groupCentroids(emb, Seq("label"), "embedding")
+      Similarity.assignNearestCentroid(emb, cents, "vec_id", "embedding")
+        .select(col("vec_id"), col("label").cast("long").as("assigned"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("vec_id")
+    }),
+    // curation: keep the 5 longest (by ws-token count) docs per language
+    "q68_topk_per_group" -> ((s, dir) =>
+      graft.ops.Selection.topKPerGroup(
+        table(s, dir, "documents")
+          .withColumn("n_tokens", TextAnalysis.wsTokenCount(col("text")).cast("long")),
+        Seq("lang"), col("n_tokens"), k = 5, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("lang", "rank")),
+    // curation: top 25% of each language by n_chars (ceil ⇒ every lang
+    // keeps at least one doc)
+    "q69_top_fraction" -> ((s, dir) =>
+      graft.ops.Selection.keepTopFraction(
+        table(s, dir, "documents"), Seq("lang"), col("n_chars"), 0.25, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("lang", "rank")),
+    // sentence segmentation: shuffle-free explode; RE2-safe split pattern
+    // so the oracle reproduces boundaries byte-for-byte. The synthetic
+    // corpus has no punctuation, so deterministic terminators are injected
+    // at fixed offsets (à la q65's synthetic PII) to exercise the splitter
+    "q70_sentences" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), lit(". "),
+          substring(col("text"), 41, 40), lit("! "),
+          expr("substring(text, 81)")).as("text"))
+      TextAnalysis.splitSentences(d, "text", "doc_id")
+        .orderBy("doc_id", "sent_idx")
+    }),
+    // per-source language-mix entropy (corpus-composition report)
+    "q71_mix_entropy" -> ((s, dir) =>
+      TextAnalysis.mixReport(table(s, dir, "documents"), Seq("source"), "lang")
+        .orderBy("source")),
+    // token-length histogram (bucket width 50)
+    "q72_length_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(table(s, dir, "documents"), "text", width = 50)
+        .orderBy("bucket_start")),
+    // cross-corpus near-dup links: even-id docs as corpus A, odd-id as B;
+    // t=1.0 (identical token sets) keeps the banding deterministic for the
+    // oracle — the probabilistic t<1 path is pinned by CrossCorpusDedupSpec
+    "q73_cross_neardup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.crossNearDuplicates(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "text", "doc_id", shingleSize = 1, numHashes = 32, threshold = 1.0)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // incremental-ingest dedup: admit odd-id batch only where the even-id
+    // reference corpus lacks the content
+    "q74_drop_against_ref" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.dropAgainstReference(
+        d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", shingleSize = 1, numHashes = 32, threshold = 1.0)
+        .select("doc_id", "n_chars").orderBy("doc_id")
     })
   )
 
@@ -1104,6 +1171,75 @@ object SparkEntry {
         |ELSE
         |'FFD8FFE000104A46494600010200000100010000FFC0001108' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0') || '03011100021101031101'
         |END AS hdr_hex
-        |FROM m ORDER BY media_id""".stripMargin.replace("\n", " ")
+        |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "q67_assign_centroids" ->
+      """WITH x AS (SELECT label, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS p FROM embeddings),
+        |c AS (SELECT label, p, avg(CAST(v AS DOUBLE)) AS m FROM x GROUP BY label, p),
+        |e AS (SELECT vec_id, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS p FROM embeddings),
+        |s AS (SELECT e.vec_id, c.label,
+        |sum(CAST(e.v AS DOUBLE) * c.m) /
+        |(sqrt(sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE))) * sqrt(sum(c.m * c.m))) AS sim
+        |FROM e JOIN c ON e.p = c.p GROUP BY e.vec_id, c.label),
+        |r AS (SELECT vec_id, label, sim,
+        |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn FROM s)
+        |SELECT vec_id, CAST(label AS BIGINT) AS assigned, round(sim, 6) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "q68_topk_per_group" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rank
+        |FROM t)
+        |SELECT doc_id, lang, n_tokens, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin.replace("\n", " "),
+    "q69_top_fraction" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank,
+        |count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        |SELECT doc_id, lang, n_chars, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= ceil(n * 0.25) ORDER BY lang, rank""".stripMargin.replace("\n", " "),
+    "q70_sentences" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) || '. ' ||
+        |substr(text, 41, 40) || '! ' || substr(text, 81) AS text FROM documents),
+        |x AS (SELECT doc_id,
+        |unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS s,
+        |generate_subscripts(regexp_split_to_array(text, '[.!?]+\s+'), 1) AS p
+        |FROM d),
+        |t AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS sent_idx, trim(s) AS sentence FROM x)
+        |SELECT doc_id, sent_idx, sentence,
+        |CAST(length(sentence) AS BIGINT) AS n_chars,
+        |CAST(len(regexp_split_to_array(trim(sentence), '\s+')) AS BIGINT) AS n_tokens
+        |FROM t WHERE sentence <> '' ORDER BY doc_id, sent_idx""".stripMargin.replace("\n", " "),
+    "q71_mix_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |CAST(count(*) AS BIGINT) AS n_distinct,
+        |ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+        |FROM c GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+    "q72_length_histogram" ->
+      """WITH t AS (SELECT
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok
+        |FROM documents)
+        |SELECT CAST(floor(ntok / 50.0) * 50 AS BIGINT) AS bucket_start,
+        |CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY bucket_start ORDER BY bucket_start""".stripMargin.replace("\n", " "),
+    "q73_cross_neardup" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE len(list_intersect(a.s, b.s)) = len(list_distinct(list_concat(a.s, b.s)))
+        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+    "q74_drop_against_ref" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents),
+        |h AS (SELECT DISTINCT a.doc_id FROM t a JOIN t b
+        |ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |AND len(list_intersect(a.s, b.s)) = len(list_distinct(list_concat(a.s, b.s))))
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM h)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -365,6 +365,71 @@ object Dedup {
     verifyCandidatePairs(cand, df, textCol, idCol, shingleSize, threshold)
   }
 
+  /** Cross-corpus near-duplicate LINKS: MinHash-banded candidates between
+    * two corpora (new crawl vs. existing corpus, train vs. held-out
+    * snapshot), verified with exact Jaccard ≥ `threshold`. Output:
+    * (doc_a from `dfA`, doc_b from `dfB`, jaccard) — no `a < b` constraint
+    * since the sides are distinct corpora.
+    *
+    * Same scale shape as [[minhashDedup]]'s banding path, but the join is
+    * A-bands × B-bands: the shuffle carries band keys of BOTH corpora and
+    * the verify runs only on surviving candidates. `threshold ≥ 1` keeps
+    * one whole-signature band per doc (deterministic: identical shingle
+    * sets only — exact-verified, so hash collisions cannot leak a pair);
+    * below 1 the est-prefilter + pair-repartition skew guards apply. */
+  def crossNearDuplicates(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bandRows: Int = 0,
+      threshold: Double = 0.9): DataFrame = {
+    val r0 =
+      if (bandRows > 0) bandRows
+      else if (threshold >= 1.0) numHashes
+      else bandRowsFor(numHashes, threshold)
+    def banded(df: DataFrame, side: String): DataFrame =
+      minhashNarrow(df, textCol, idCol, shingleSize, numHashes)
+        .select(col("__id__"), col("__sig__"),
+          explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
+        .select(col("__id__").as(s"doc_$side"), col("__sig__").as(s"sig_$side"),
+          col("bk.band"), col("bk.h"))
+    val joined = banded(dfA, "a").join(banded(dfB, "b"), Seq("band", "h"))
+    val pre =
+      if (threshold >= 1.0) joined
+      else joined.where(
+        estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.25)
+    val cand = pre.select("doc_a", "doc_b").distinct()
+    val shA = dfA.select(col(idCol).as("doc_a"),
+      shingles(col(textCol), shingleSize).as("__sha__"))
+    val shB = dfB.select(col(idCol).as("doc_b"),
+      shingles(col(textCol), shingleSize).as("__shb__"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("__sha__"), col("__shb__")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Keep only the documents of `df` with NO near-duplicate in `reference`
+    * — incremental-ingest dedup: admit a new crawl batch only where it adds
+    * content the corpus doesn't already have. Anti-join on the match list;
+    * the reference corpus never materializes beyond its band keys. */
+  def dropAgainstReference(
+      df: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      threshold: Double = 0.9): DataFrame = {
+    val hits = crossNearDuplicates(df, reference, textCol, idCol,
+      shingleSize, numHashes, bandRows = 0, threshold)
+      .select(col("doc_a").as("__hit__")).distinct()
+    df.join(hits, col(idCol) === col("__hit__"), "left_anti")
+  }
+
   /** Per-document 64-bit SimHash from ONE per-row pass of the native
     * [[graft.functions.SimHash64]] expression — zero shuffles (the
     * explode + 64-vote aggregate this replaces paid a corpus exchange on

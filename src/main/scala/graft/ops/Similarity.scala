@@ -513,4 +513,43 @@ object Similarity {
           s => s.getField("__m__")).as("centroid"),
         max(when(col("__p__") === 0, col("__c__"))).as("n_vectors"))
   }
+
+  /** Assign every vector to its nearest centroid by cosine — the
+    * classification half of the [[groupCentroids]] round trip (k-means-style
+    * cluster assignment, topic routing, SemDeDup-style bucketing).
+    *
+    * `centroids` is (labelCol, centroidCol) — one row per cluster; cluster
+    * counts are small by construction (labels/domains/k-means cells), so the
+    * cross join is broadcast: the corpus never shuffles, and the argmax over
+    * clusters is a partial-aggregated `max_by` per vector id. Ties (equal
+    * sim) break toward the smallest label for determinism.
+    *
+    * Output: (idCol, labelCol, `sim`) — one row per input vector; vectors
+    * whose sim is NULL against every centroid (zero-norm/NaN) keep a NULL
+    * label. */
+  def assignNearestCentroid(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String = "label",
+      centroidCol: String = "centroid"): DataFrame = {
+    val scored = df
+      .select(col(idCol), toDouble(col(vecCol)).as("__v__"))
+      .join(broadcast(centroids.select(
+        col(labelCol).as("__l__"), toDouble(col(centroidCol)).as("__c__"))))
+      .select(col(idCol), col("__l__"),
+        cosine(col("__v__"), col("__c__")).as("__s__"))
+    // min_by over (-sim, label): highest sim first, ties toward the
+    // smallest label. NULL-sim pairs get a NULL ordering key, which
+    // min_by ignores — so they can never beat a real assignment, and an
+    // all-NULL vector yields a NULL struct (NULL label + NULL sim).
+    scored
+      .groupBy(col(idCol))
+      .agg(
+        min_by(struct(col("__l__").as(labelCol), col("__s__").as("sim")),
+          when(col("__s__").isNotNull,
+            struct(-col("__s__"), col("__l__")))).as("__b__"))
+      .select(col(idCol), col(s"__b__.$labelCol"), col("__b__.sim"))
+  }
 }

@@ -233,4 +233,59 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Sentence-boundary split pattern: one-or-more terminators then
+    * whitespace. Deliberately lookaround-free (RE2-compatible) so external
+    * tools can reproduce the segmentation byte-for-byte. */
+  val SentenceSplitPattern = "[.!?]+\\s+"
+
+  /** Segment documents into sentences: one output row per non-blank
+    * sentence with its 0-based position, character and whitespace-token
+    * counts. Pure explode over a per-row split — shuffle-free, codegen'd,
+    * and the scan only reads (idCol, textCol). Trailing terminator
+    * punctuation is consumed by the splitter; sentences are trimmed. */
+  def splitSentences(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), SentenceSplitPattern)).as(Seq("sent_idx", "__s__")))
+      .select(col(idCol), col("sent_idx").cast("long").as("sent_idx"),
+        trim(col("__s__")).as("sentence"))
+      .where(col("sentence") =!= "")
+      .withColumn("n_chars", length(col("sentence")).cast("long"))
+      .withColumn("n_tokens", wsTokenCount(col("sentence")).cast("long"))
+
+  /** Composition report: for each `groupCols` slice, the document count and
+    * the Shannon entropy (nats) of its distribution over `overCol` — the
+    * standard "how diverse is each source's language mix" curation check.
+    * Two aggregates over (group, overCol) then (group): the first shuffle
+    * carries one row per distinct combination, the second one row per
+    * group — both tiny relative to the corpus at any scale. */
+  def mixReport(df: DataFrame, groupCols: Seq[String], overCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mixReport needs group columns")
+    val g = groupCols.map(col)
+    df.groupBy(g :+ col(overCol): _*)
+      .agg(count(lit(1)).as("__c__"))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__c__")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        // H = log N - (Σ c·log c)/N  (algebraic form avoids a second pass
+        // for the per-group total before the per-cell p·log p)
+        (log(sum(col("__c__"))) -
+          sum(col("__c__") * log(col("__c__"))) / sum(col("__c__"))).as("entropy"))
+  }
+
+  /** Token-length histogram: documents bucketed by whitespace-token count
+    * into `[k·width, (k+1)·width)` bins — the length-distribution profile
+    * used to pick packing capacities and spot truncation spikes. One
+    * aggregate; the shuffle carries one row per non-empty bucket. */
+  def lengthHistogram(
+      df: DataFrame,
+      textCol: String,
+      width: Int = 50): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val ntok = wsTokenCount(col(textCol)).cast("long")
+    df.select((floor(ntok / width) * width).as("bucket_start"), ntok.as("__t__"))
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t__")).as("total_tokens"))
+  }
 }

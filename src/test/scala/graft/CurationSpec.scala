@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Selection, Similarity, TextAnalysis}
+
+class SelectionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    // (id, grp, score)
+    (1L, "a", 10.0), (2L, "a", 30.0), (3L, "a", 20.0), (4L, "a", 30.0),
+    (5L, "b", 5.0)
+  ).toDF("id", "grp", "score")
+
+  test("topKPerGroup keeps k best with deterministic tie-break") {
+    val got = Selection.topKPerGroup(docs, Seq("grp"), col("score"), 2, Seq("id"))
+      .select("grp", "rank", "id").as[(String, Int, Long)].collect().sorted
+    // group a: score 30 ties between id 2 and 4 → id asc wins rank 1
+    assert(got.toSeq == Seq(("a", 1, 2L), ("a", 2, 4L), ("b", 1, 5L)))
+  }
+
+  test("topKPerGroup plans a WindowGroupLimit (partial top-k before the exchange)") {
+    val plan = Selection.topKPerGroup(docs, Seq("grp"), col("score"), 2, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("keepTopFraction keeps ceil(frac·n) per group — tiny groups survive") {
+    val got = Selection.keepTopFraction(docs, Seq("grp"), col("score"), 0.5, Seq("id"))
+      .select("grp", "id").as[(String, Long)].collect().sorted
+    // a: n=4 → keep 2 (ids 2,4 at score 30); b: n=1 → ceil(0.5)=1 keeps id 5
+    assert(got.toSeq == Seq(("a", 2L), ("a", 4L), ("b", 5L)))
+  }
+
+  test("keepTopFraction rejects out-of-range fractions") {
+    intercept[IllegalArgumentException] {
+      Selection.keepTopFraction(docs, Seq("grp"), col("score"), 0.0, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Selection.keepTopFraction(docs, Seq("grp"), col("score"), 1.5, Seq("id"))
+    }
+  }
+}
+
+class CentroidAssignSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("assignNearestCentroid picks the cosine argmax") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),  // → label 0 (x axis)
+      (2L, Seq(0.0f, 2.0f)),  // → label 1 (y axis)
+      (3L, Seq(3.0f, 4.0f))   // cos vs x = .6, vs y = .8 → label 1
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(2.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("label", "centroid")
+    val got = Similarity.assignNearestCentroid(vecs, cents, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (2L, 1), (3L, 1)))
+    assertApprox(cell(got(2), 2), Some(0.8), 1e-12)
+  }
+
+  test("assignNearestCentroid ties break toward the smallest label") {
+    val vecs = Seq((1L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((7, Seq(1.0, 1.0)), (3, Seq(2.0, 2.0))).toDF("label", "centroid")
+    val got = Similarity.assignNearestCentroid(vecs, cents, "vec_id", "embedding").collect()
+    assert(got.head.getInt(1) == 3)
+  }
+
+  test("assignNearestCentroid leaves zero-norm vectors unassigned (NULL)") {
+    val vecs = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0))).toDF("label", "centroid")
+    val got = Similarity.assignNearestCentroid(vecs, cents, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2))
+    assert(got(1).getInt(1) == 0)
+  }
+}
+
+class CrossCorpusDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("crossNearDuplicates links identical token sets across corpora at t=1") {
+    val a = Seq((1L, "alpha beta gamma"), (2L, "unique content here"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "beta gamma alpha"), (11L, "different words entirely"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.crossNearDuplicates(a, b, "text", "doc_id",
+      shingleSize = 1, threshold = 1.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L)))
+  }
+
+  test("crossNearDuplicates banding path finds high-overlap cross pairs with exact jaccard") {
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 18).map(i => s"tok$i").mkString(" ") + " other word"
+    val a = Seq((1L, base)).toDF("doc_id", "text")
+    val b = Seq((2L, near), (3L, "completely unrelated text body")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.crossNearDuplicates(a, b, "text", "doc_id",
+      shingleSize = 1, numHashes = 32, threshold = 0.6).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // exact verify: |∩|=18, |∪|=22
+    assertApprox(cell(got.head, 2), Some(18.0 / 22.0), 1e-12)
+  }
+
+  test("dropAgainstReference admits only novel content") {
+    val batch = Seq((1L, "already in corpus text"), (2L, "genuinely new material"))
+      .toDF("doc_id", "text")
+    val ref = Seq((100L, "text corpus in already")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dropAgainstReference(batch, ref, "text", "doc_id",
+      shingleSize = 1, threshold = 1.0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+}
+
+class TextCurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("splitSentences segments, trims, indexes, and drops blanks") {
+    val d = Seq((1L, "One two. Three!  Four five?"), (2L, "No terminator here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.splitSentences(d, "text", "doc_id")
+      .orderBy("doc_id", "sent_idx")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, "One two", 7L, 2L),
+      (1L, 1L, "Three", 5L, 1L),
+      (1L, 2L, "Four five?", 10L, 2L),
+      (2L, 0L, "No terminator here", 18L, 3L)))
+  }
+
+  test("splitSentences keeps positions of dropped blanks (no re-indexing)") {
+    // trailing ". " yields a trailing empty fragment at position 1 — it is
+    // dropped but position 0 is unaffected
+    val d = Seq((1L, "Only sentence. ")).toDF("doc_id", "text")
+    val got = TextAnalysis.splitSentences(d, "text", "doc_id").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 0L
+      && got.head.getString(2) == "Only sentence")
+  }
+
+  test("mixReport computes Shannon entropy per group") {
+    val d = Seq(
+      ("s1", "en"), ("s1", "es"),             // uniform over 2 → ln 2
+      ("s2", "en"), ("s2", "en"), ("s2", "en") // single lang → 0
+    ).toDF("source", "lang")
+    val got = TextAnalysis.mixReport(d, Seq("source"), "lang")
+      .orderBy("source").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 2L)
+    assertApprox(cell(got(0), 3), Some(math.log(2.0)), 1e-12)
+    assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 1L)
+    assertApprox(cell(got(1), 3), Some(0.0), 1e-12)
+  }
+
+  test("lengthHistogram buckets by token count") {
+    val d = Seq(
+      (1L, "a b c"),                       // 3 tokens → bucket 0
+      (2L, Seq.fill(5)("t").mkString(" ")), // 5 tokens → bucket 5 (width 5)
+      (3L, Seq.fill(7)("t").mkString(" "))  // 7 tokens → bucket 5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthHistogram(d, "text", width = 5)
+      .orderBy("bucket_start").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 3L), (5L, 2L, 12L)))
+  }
+}
