@@ -668,6 +668,17 @@ object SparkEntry {
         d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0),
         "text", "doc_id", shingleSize = 1, numHashes = 32, threshold = 1.0)
         .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+    // canonicalization: token-set near-dup pairs → transitive clusters →
+    // keep the longest doc per cluster (ties → smallest id)
+    "q75_canonicalize" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(d, "text", "doc_id",
+        shingleSize = 1, numHashes = 32, threshold = 1.0)
+      graft.ops.Pipeline.canonicalize(
+        d.select("doc_id", "lang", "n_chars"), "doc_id", col("n_chars"), pairs)
+        .select("doc_id", "cluster_id", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -1240,6 +1251,21 @@ object SparkEntry {
         |AND len(list_intersect(a.s, b.s)) = len(list_distinct(list_concat(a.s, b.s))))
         |SELECT doc_id, n_chars FROM documents
         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM h)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q75_canonicalize" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+        |list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s FROM documents),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tok a JOIN tok b
+        |ON a.doc_id <> b.doc_id
+        |AND len(list_intersect(a.s, b.s)) = len(list_distinct(list_concat(a.s, b.s)))),
+        |reach(id, r) AS (SELECT doc_id, doc_id FROM documents
+        |UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |rk AS (SELECT d.doc_id, lab.cluster_id, d.lang, d.n_chars,
+        |row_number() OVER (PARTITION BY lab.cluster_id
+        |ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |FROM documents d JOIN lab ON d.doc_id = lab.doc_id)
+        |SELECT doc_id, cluster_id, lang, n_chars FROM rk WHERE rn = 1
         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

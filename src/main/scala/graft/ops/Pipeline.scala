@@ -45,4 +45,31 @@ object Pipeline {
     val drops = Dedup.duplicateIds(df, col(textCol), idCol)
     feats.join(drops, col(idCol) === drops("__id__"), "left_anti")
   }
+
+  /** Canonicalization: collapse every near-duplicate CLUSTER to its single
+    * best representative — the transitively-correct keep policy (pairwise
+    * keep-first can drop every member of a chain a→b→c where only the
+    * middle links are near-dups). `pairs` is any (doc_a, doc_b) near-dup
+    * frame ([[Dedup.minhashDedup]], [[Dedup.simhashPairs]], thresholded
+    * embedding neighbors); docs not in any pair survive as their own
+    * singleton cluster.
+    *
+    * Physical shape: [[Dedup.duplicateClusters]] resolves pairs to
+    * per-doc `cluster_id` (O(log n) contraction rounds over 16-byte edge
+    * rows), one id-keyed join attaches labels, and the per-cluster best
+    * (highest `scoreCol`, ties → smallest id) is a k=1
+    * [[Selection.topKPerGroup]] — WindowGroupLimit keeps each map task's
+    * local best per cluster, so the final exchange carries ≈ one row per
+    * cluster per task. Output: the surviving rows of `docs` plus their
+    * `cluster_id`. */
+  def canonicalize(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: org.apache.spark.sql.Column,
+      pairs: DataFrame): DataFrame = {
+    val labels = Dedup.duplicateClusters(docs, idCol, pairs)
+    val labeled = docs.join(labels, Seq(idCol))
+    Selection.topKPerGroup(labeled, Seq("cluster_id"), scoreCol, 1, Seq(idCol))
+      .drop("rank")
+  }
 }

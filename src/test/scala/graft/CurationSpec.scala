@@ -114,6 +114,30 @@ class CrossCorpusDedupSpec extends SparkSpecBase {
   }
 }
 
+class CanonicalizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("canonicalize keeps the best doc per transitive cluster plus singletons") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // cluster via chain 1-2, 2-3
+      (4L, 5L)                         // singleton
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Pipeline.canonicalize(docs, "doc_id", col("score"), pairs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().sorted
+    // chain collapses to cluster 1; best score 30 → doc 2. Singleton kept.
+    assert(got.toSeq == Seq((2L, 1L), (4L, 4L)))
+  }
+
+  test("canonicalize ties break toward the smallest id") {
+    val docs = Seq((7L, 1.0), (9L, 1.0)).toDF("doc_id", "score")
+    val pairs = Seq((7L, 9L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Pipeline.canonicalize(docs, "doc_id", col("score"), pairs)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(7L))
+  }
+}
+
 class TextCurationSpec extends SparkSpecBase {
   import spark.implicits._
 
