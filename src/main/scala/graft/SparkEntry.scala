@@ -642,9 +642,13 @@ object SparkEntry {
       TextAnalysis.splitSentences(d, "text", "doc_id")
         .orderBy("doc_id", "sent_idx")
     }),
-    // per-source language-mix entropy (corpus-composition report)
+    // per-source language-mix entropy (corpus-composition report).
+    // entropy rounded to 6 decimals on BOTH sides (q51 precedent): two
+    // sources can have mathematically-equal entropies that differ by 1 ulp
+    // across engines, which would flip value-sorted row order in the compare
     "q71_mix_entropy" -> ((s, dir) =>
       TextAnalysis.mixReport(table(s, dir, "documents"), Seq("source"), "lang")
+        .withColumn("entropy", round(col("entropy"), 6))
         .orderBy("source")),
     // token-length histogram (bucket width 50)
     "q72_length_histogram" -> ((s, dir) =>
@@ -1228,7 +1232,7 @@ object SparkEntry {
       """WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang)
         |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
         |CAST(count(*) AS BIGINT) AS n_distinct,
-        |ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+        |round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
         |FROM c GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     "q72_length_histogram" ->
       """WITH t AS (SELECT

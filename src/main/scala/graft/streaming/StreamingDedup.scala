@@ -109,8 +109,12 @@ object StreamingDedup {
       idCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 32,
-      bandRows: Int = 8)(sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
-    var seen: DataFrame = null
+      bandRows: Int = 8,
+      initialSeen: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    // seed state with a reference corpus's bands ([[referenceBands]]) for
+    // streaming ingest admission: drop arrivals the corpus already has
+    var seen: DataFrame = initialSeen.map(freeze).orNull
     var lastBatchId = -1L
     var lastKept: DataFrame = null
     (batch: DataFrame, batchId: Long) => {
@@ -143,6 +147,27 @@ object StreamingDedup {
         lastKept = keptFrozen
       }
     }
+  }
+
+  /** The (band, h) key table of a static reference corpus — the seed state
+    * for streaming ingest admission ([[nearDupForeachBatch]]'s
+    * `initialSeen`): arrivals that near-duplicate ANY reference document
+    * are dropped from batch one, exactly as if the reference had streamed
+    * first. Banding parameters must match the stream's. One pass over the
+    * reference (per-row native signatures, distinct band keys ≈ 12 bytes ×
+    * bands × docs); the reference text itself is never retained. */
+  def referenceBands(
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bandRows: Int = 8): DataFrame = {
+    import graft.ops.Dedup
+    Dedup.minhashNarrow(reference, textCol, idCol, shingleSize, numHashes)
+      .select(explode(Dedup.bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.h").as("h"))
+      .distinct()
   }
 
   /** Materialize + truncate lineage AND Catalyst statistics (see

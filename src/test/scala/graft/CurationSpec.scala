@@ -138,6 +138,54 @@ class CanonicalizeSpec extends SparkSpecBase {
   }
 }
 
+class CurationDegenerateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("round-7 curation ops survive empty inputs") {
+    val emptyScored = Seq.empty[(Long, String, Double)].toDF("id", "grp", "score")
+    assert(Selection.topKPerGroup(emptyScored, Seq("grp"), col("score"), 3, Seq("id"))
+      .count() == 0)
+    assert(Selection.keepTopFraction(emptyScored, Seq("grp"), col("score"), 0.5, Seq("id"))
+      .count() == 0)
+    assert(TextAnalysis.splitSentences(emptyDocs, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.mixReport(
+      Seq.empty[(String, String)].toDF("source", "lang"), Seq("source"), "lang").count() == 0)
+    assert(TextAnalysis.lengthHistogram(emptyDocs, "text").count() == 0)
+  }
+
+  test("splitSentences passes null and empty text through as zero rows") {
+    val d = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "Real. Text here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.splitSentences(d, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(3L, 3L))
+  }
+
+  test("cross-corpus dedup and canonicalize survive empty sides") {
+    val one = Seq((1L, "some real document text")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.crossNearDuplicates(emptyDocs, one, "text", "doc_id",
+      shingleSize = 1, threshold = 1.0).count() == 0)
+    assert(graft.ops.Dedup.crossNearDuplicates(one, emptyDocs, "text", "doc_id",
+      shingleSize = 1, threshold = 0.8).count() == 0)
+    assert(graft.ops.Dedup.dropAgainstReference(one, emptyDocs, "text", "doc_id",
+      shingleSize = 1, threshold = 1.0).count() == 1)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val docs = Seq((1L, 2.0), (2L, 1.0)).toDF("doc_id", "score")
+    // no pairs → every doc is its own cluster → everything survives
+    assert(graft.ops.Pipeline.canonicalize(docs, "doc_id", col("score"), noPairs)
+      .count() == 2)
+  }
+
+  test("assignNearestCentroid with no centroids yields no assignments") {
+    val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val noCents = Seq.empty[(Int, Seq[Double])].toDF("label", "centroid")
+    assert(Similarity.assignNearestCentroid(vecs, noCents, "vec_id", "embedding")
+      .count() == 0)
+  }
+}
+
 class TextCurationSpec extends SparkSpecBase {
   import spark.implicits._
 

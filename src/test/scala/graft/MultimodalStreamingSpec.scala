@@ -247,6 +247,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(admitted.sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("streaming ingest admission drops arrivals the reference corpus already has") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val reference = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val seed = StreamingDedup.referenceBands(reference, "text", "doc_id",
+      shingleSize = 1, numHashes = 32, bandRows = 8)
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val step = StreamingDedup.nearDupForeachBatch(
+      "text", "doc_id", shingleSize = 1, numHashes = 32, bandRows = 8,
+      initialSeen = Some(seed)) { kept =>
+      admitted.synchronized {
+        admitted ++= kept.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    val q = sdf.writeStream.outputMode("append").foreachBatch(step).start()
+    input.addData(
+      (1L, "epsilon delta gamma beta alpha"), // token-set dup of reference 100
+      (2L, "novel content not in the corpus"))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.sorted.toSeq == Seq(2L))
+  }
+
   test("foreachBatch replay (same batchId) re-emits the admitted set, not empty") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
