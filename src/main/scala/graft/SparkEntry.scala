@@ -673,6 +673,19 @@ object SparkEntry {
         "text", "doc_id", shingleSize = 1, numHashes = 32, threshold = 1.0)
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
+    // finite-memory exponentially-weighted mean per event_type stream
+    // (pandas ewm.mean(adjust=True) truncated at 16 rows — β¹⁶ ≈ 1.5e-5
+    // tail; the truncation is the distributed-scale design, see
+    // WeightedRolling.ewmMean)
+    "q76_ewm_mean" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
+        .select("event_type", "event_id", "value", "w")
+      val wdf = WeightedDataFrame.wt(e, "w")
+      graft.core.WeightedRolling.expanding(wdf, "event_id", Seq("event_type"))
+        .ewmMean(alpha = 0.5, memory = 16)
+        .orderBy("event_type", "event_id")
+    }),
     // canonicalization: token-set near-dup pairs → transitive clusters →
     // keep the longest doc per cluster (ties → smallest id)
     "q75_canonicalize" -> ((s, dir) => {
@@ -882,6 +895,21 @@ object SparkEntry {
         |FROM (SELECT event_type, event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
         |WINDOW win AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, event_id""".stripMargin.replace("\n", " "),
+    "q76_ewm_mean" -> {
+      // identical unrolled-lag formulation to WeightedRolling.ewmMean
+      // (same term order → same IEEE addition sequence)
+      val num = (0 until 16).map(j =>
+        s"pow(0.5, $j) * coalesce(lag(CASE WHEN value IS NOT NULL THEN value * w ELSE 0 END, $j) OVER win, 0)")
+        .mkString(" + ")
+      val den = (0 until 16).map(j =>
+        s"pow(0.5, $j) * coalesce(lag(CASE WHEN value IS NOT NULL THEN w ELSE 0 END, $j) OVER win, 0)")
+        .mkString(" + ")
+      s"""SELECT event_type, event_id,
+         |CASE WHEN ($den) = 0 THEN NULL ELSE ($num) / ($den) END AS value
+         |FROM (SELECT event_type, event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
+         |WINDOW win AS (PARTITION BY event_type ORDER BY event_id)
+         |ORDER BY event_type, event_id""".stripMargin.replace("\n", " ")
+    },
     "q34_cov" -> {
       val selects = for { x <- corrCols; y <- corrCols } yield
         s"""SELECT '$x' AS col_x, '$y' AS col_y,

@@ -82,6 +82,35 @@ final class WeightedRolling private[core] (
     v.select((partitionKeys :+ orderCol).map(col) ++
       aggCols.map(c => sqrt(col(c)).as(c)): _*)
   }
+
+  /** Exponentially weighted mean with FINITE memory: the last `memory`
+    * rows contribute with position-based decay `β = 1−α` (pandas
+    * `ewm(alpha).mean()` with `adjust=True, ignore_na=False`, truncated at
+    * β^memory ≈ 0 — for α=0.5, memory=32 the tail is 2⁻³² ≈ 2e-10 of the
+    * head weight). Truncation is the deliberate scale choice: unbounded
+    * EWM needs either a sequential recurrence (unparallelizable) or
+    * β^(−i) prefix terms that overflow doubles within ~10³ rows; a
+    * `memory`-row frame is O(memory) per row inside one WindowExec pass
+    * and exactly reproducible by any engine. Row weights multiply the
+    * decay: ewm_t = Σⱼ βʲ·w·x / Σⱼ βʲ·w over valid (non-null) entries;
+    * positions, not valid-counts, drive the decay (ignore_na=False). */
+  def ewmMean(alpha: Double, memory: Int = 32): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(memory >= 1 && memory <= 128, s"memory must be in [1,128], got $memory")
+    require(frameRows.isEmpty || frameRows.exists(_ >= memory),
+      "ewmMean needs an expanding frame or a rolling frame >= memory")
+    val beta = 1.0 - alpha
+    val base = Window.partitionBy(partitionKeys.map(col): _*).orderBy(col(orderCol))
+    run { c =>
+      val wx = when(col(c).isNotNull, nc(c) * w).otherwise(lit(0.0))
+      val wn = when(col(c).isNotNull, w).otherwise(lit(0.0))
+      val num = (0 until memory).map(j =>
+        lit(math.pow(beta, j)) * coalesce(lag(wx, j).over(base), lit(0.0))).reduce(_ + _)
+      val den = (0 until memory).map(j =>
+        lit(math.pow(beta, j)) * coalesce(lag(wn, j).over(base), lit(0.0))).reduce(_ + _)
+      WeightedMoments.safeDiv(num, den)
+    }
+  }
 }
 
 object WeightedRolling {

@@ -14,6 +14,37 @@ class RollingCovSpec extends SparkSpecBase {
   private def collectKI(d: org.apache.spark.sql.DataFrame): Map[(String, Long), Option[Double]] =
     d.collect().map(r => (r.getString(0), r.getLong(1)) -> cell(r, 2)).toMap
 
+  test("ewmMean matches pandas ewm(alpha).mean() for series shorter than memory") {
+    // unit weights: pandas ewm(alpha=0.5, adjust=True).mean() on [1,2,3]
+    // → [1, (2+0.5)/1.5, (3+1+0.25)/1.75]
+    val d = Seq(("A", 1L, Some(1.0), 1.0), ("A", 2L, Some(2.0), 1.0),
+      ("A", 3L, Some(3.0), 1.0)).toDF("k", "i", "v", "w")
+    val got = collectKI(WeightedRolling.expanding(
+      WeightedDataFrame.wt(d, "w"), "i", Seq("k")).ewmMean(0.5, memory = 16))
+    assertApprox(got(("A", 1L)), Some(1.0), 1e-12)
+    assertApprox(got(("A", 2L)), Some(2.5 / 1.5), 1e-12)
+    assertApprox(got(("A", 3L)), Some(4.25 / 1.75), 1e-12)
+  }
+
+  test("ewmMean: row weights multiply the decay; nulls hold position (ignore_na=False)") {
+    val d = Seq(("A", 1L, Some(4.0), 3.0), ("A", 2L, None: Option[Double], 9.0),
+      ("A", 3L, Some(1.0), 2.0)).toDF("k", "i", "v", "w")
+    val got = collectKI(WeightedRolling.expanding(
+      WeightedDataFrame.wt(d, "w"), "i", Seq("k")).ewmMean(0.5, memory = 16))
+    assertApprox(got(("A", 1L)), Some(4.0), 1e-12)
+    // t=2: null value → numerator/denominator carry only the β·w(1) term
+    assertApprox(got(("A", 2L)), Some(0.5 * 3.0 * 4.0 / (0.5 * 3.0)), 1e-12)
+    // t=3: (1·2·1 + β²·3·4) / (1·2 + β²·3)
+    assertApprox(got(("A", 3L)), Some((2.0 + 0.25 * 12.0) / (2.0 + 0.75)), 1e-12)
+  }
+
+  test("ewmMean refuses a rolling frame shorter than its memory") {
+    val wdf = WeightedDataFrame.wt(df, "w")
+    intercept[IllegalArgumentException] {
+      WeightedRolling.rolling(wdf, "i", Seq("k"), 2).ewmMean(0.5, memory = 16)
+    }
+  }
+
   test("rolling weighted sum/mean over a 2-row frame") {
     val wdf = WeightedDataFrame.wt(df, "w")
     val roll = WeightedRolling.rolling(wdf, "i", Seq("k"), 2)
