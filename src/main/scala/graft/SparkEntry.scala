@@ -673,6 +673,26 @@ object SparkEntry {
         "text", "doc_id", shingleSize = 1, numHashes = 32, threshold = 1.0)
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
+    // weighted empirical CDF of doc length within language — the
+    // cross-domain score-normalization transform (one window shuffle)
+    "q77_pct_rank" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("w", (col("doc_id") % 7 + 1).cast("double"))
+      val wdf = WeightedDataFrame.wt(d, "w")
+      graft.core.WeightedNormalize.ecdf(wdf, "n_chars", Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "pct_rank")
+        .orderBy("doc_id")
+    }),
+    // weighted per-language z-score of doc length (same moment kernel as
+    // the batch var — ddof against the weighted count)
+    "q78_zscore" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("w", (col("doc_id") % 7 + 1).cast("double"))
+      val wdf = WeightedDataFrame.wt(d, "w")
+      graft.core.WeightedNormalize.zscore(wdf, "n_chars", Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "zscore")
+        .orderBy("doc_id")
+    }),
     // finite-memory exponentially-weighted mean per event_type stream
     // (pandas ewm.mean(adjust=True) truncated at 16 rows — β¹⁶ ≈ 1.5e-5
     // tail; the truncation is the distributed-scale design, see
@@ -895,6 +915,29 @@ object SparkEntry {
         |FROM (SELECT event_type, event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
         |WINDOW win AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, event_id""".stripMargin.replace("\n", " "),
+    "q77_pct_rank" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |CAST(doc_id % 7 + 1 AS DOUBLE) AS w FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |CASE WHEN n_chars IS NULL THEN NULL ELSE
+        |sum(CASE WHEN n_chars IS NOT NULL THEN w ELSE 0 END)
+        |OVER (PARTITION BY lang ORDER BY n_chars
+        |RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |/ sum(CASE WHEN n_chars IS NOT NULL THEN w ELSE 0 END)
+        |OVER (PARTITION BY lang) END AS pct_rank
+        |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q78_zscore" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x, n_chars,
+        |CAST(doc_id % 7 + 1 AS DOUBLE) AS w FROM documents),
+        |m AS (SELECT *, sum(x * w) OVER g AS s,
+        |sum(x * x * w) OVER g AS q,
+        |sum(CASE WHEN x IS NOT NULL THEN w ELSE 0 END) OVER g AS n
+        |FROM t WINDOW g AS (PARTITION BY lang))
+        |SELECT doc_id, lang, n_chars,
+        |CASE WHEN x IS NULL THEN NULL ELSE
+        |(x - s / n) / sqrt(CASE WHEN (q - s * s / n) / (n - 1) > 0
+        |THEN (q - s * s / n) / (n - 1) END) END AS zscore
+        |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q76_ewm_mean" -> {
       // identical unrolled-lag formulation to WeightedRolling.ewmMean
       // (same term order → same IEEE addition sequence)

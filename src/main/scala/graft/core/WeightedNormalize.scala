@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted per-group NORMALIZATION transforms — row-preserving
+  * complements of the reductions in [[WeightedMoments]]: every input row
+  * comes back with its weighted empirical-CDF position or z-score within
+  * its group. The curation use-case: make quality scores comparable across
+  * domains/languages before a global cut ([[graft.ops.Selection]]).
+  *
+  * Both are single-shuffle plans: one hash exchange on the group keys,
+  * then WindowExec computes the group moments and the per-row transform in
+  * the same pass — no join back, no second scan, no driver collection.
+  */
+object WeightedNormalize {
+
+  /** Weighted empirical CDF: for each row, `Σ wᵢ·1[xᵢ ≤ x] / Σ wᵢ` over
+    * its group's non-null values (ties share one value — all peers of the
+    * current x are included, the RANGE-frame convention). NULL x → NULL.
+    * Output: the input rows plus `outCol`. */
+  def ecdf(
+      wdf: WeightedDataFrame,
+      valueCol: String,
+      keys: Seq[String],
+      outCol: String = "pct_rank"): DataFrame = {
+    require(keys.nonEmpty,
+      "ecdf without group keys serializes into one task; partition first")
+    val x = WeightedDataFrame.numericCol(wdf.df, valueCol)
+    // null x sorts first under asc and contributes 0 weight — harmless in
+    // every frame; its own output is nulled explicitly
+    val wn = when(col(valueCol).isNotNull, wdf.w).otherwise(lit(0.0))
+    val upTo = Window.partitionBy(keys.map(col): _*).orderBy(x.asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(keys.map(col): _*)
+    wdf.df.withColumn(outCol,
+      when(col(valueCol).isNotNull,
+        WeightedMoments.safeDiv(sum(wn).over(upTo), sum(wn).over(whole))))
+  }
+
+  /** Weighted z-score: `(x − μ_w) / σ_w` per group, with the engine's
+    * moment-formula variance (`ddof` against the weighted count, exactly
+    * [[WeightedMoments]]'s batch kernel). NULL x, zero variance, or
+    * `Σw ≤ ddof` → NULL. Output: the input rows plus `outCol`. */
+  def zscore(
+      wdf: WeightedDataFrame,
+      valueCol: String,
+      keys: Seq[String],
+      ddof: Int = 1,
+      outCol: String = "zscore"): DataFrame = {
+    require(keys.nonEmpty,
+      "zscore without group keys serializes into one task; partition first")
+    val x = WeightedDataFrame.numericCol(wdf.df, valueCol)
+    val whole = Window.partitionBy(keys.map(col): _*)
+    val wn = when(col(valueCol).isNotNull, wdf.w).otherwise(lit(0.0))
+    val s = sum(x * wdf.w).over(whole)
+    val q = sum(x * x * wdf.w).over(whole)
+    val n = sum(wn).over(whole)
+    val mean = WeightedMoments.safeDiv(s, n)
+    val variance = WeightedMoments.safeDiv(
+      q - WeightedMoments.safeDiv(s * s, n), n - lit(ddof.toDouble))
+    val sd = sqrt(when(variance > 0, variance))
+    wdf.df.withColumn(outCol,
+      when(col(valueCol).isNotNull, WeightedMoments.safeDiv(x - mean, sd)))
+  }
+}

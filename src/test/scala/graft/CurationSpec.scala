@@ -77,6 +77,50 @@ class CentroidAssignSpec extends SparkSpecBase {
   }
 }
 
+class NormalizeSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.core.{WeightedDataFrame, WeightedNormalize}
+
+  test("weighted ecdf: ties share a value, weights drive the mass") {
+    val d = Seq(("A", 1L, Some(1.0), 1.0), ("A", 2L, Some(2.0), 2.0),
+      ("A", 3L, Some(2.0), 3.0), ("A", 4L, Some(4.0), 4.0))
+      .toDF("k", "id", "x", "w")
+    val got = WeightedNormalize.ecdf(WeightedDataFrame.wt(d, "w"), "x", Seq("k"))
+      .select("id", "pct_rank").collect().map(r => r.getLong(0) -> cell(r, 1)).toMap
+    assertApprox(got(1L), Some(0.1), 1e-12)
+    assertApprox(got(2L), Some(0.6), 1e-12) // both x=2 rows: (1+2+3)/10
+    assertApprox(got(3L), Some(0.6), 1e-12)
+    assertApprox(got(4L), Some(1.0), 1e-12)
+  }
+
+  test("ecdf: null values get null rank and contribute no weight") {
+    val d = Seq(("A", 1L, None: Option[Double], 5.0), ("A", 2L, Some(3.0), 1.0))
+      .toDF("k", "id", "x", "w")
+    val got = WeightedNormalize.ecdf(WeightedDataFrame.wt(d, "w"), "x", Seq("k"))
+      .select("id", "pct_rank").collect().map(r => r.getLong(0) -> cell(r, 1)).toMap
+    assert(got(1L).isEmpty)
+    assertApprox(got(2L), Some(1.0), 1e-12) // null row's weight excluded
+  }
+
+  test("weighted zscore matches the batch moment kernel") {
+    val d = Seq(("A", 1L, Some(1.0), 1.0), ("A", 2L, Some(2.0), 1.0),
+      ("A", 3L, Some(3.0), 1.0)).toDF("k", "id", "x", "w")
+    val got = WeightedNormalize.zscore(WeightedDataFrame.wt(d, "w"), "x", Seq("k"))
+      .select("id", "zscore").collect().map(r => r.getLong(0) -> cell(r, 1)).toMap
+    assertApprox(got(1L), Some(-1.0), 1e-12)
+    assertApprox(got(2L), Some(0.0), 1e-12)
+    assertApprox(got(3L), Some(1.0), 1e-12)
+  }
+
+  test("zscore: zero variance and null values yield NULL, never infinity") {
+    val d = Seq(("A", 1L, Some(2.0), 1.0), ("A", 2L, Some(2.0), 1.0),
+      ("A", 3L, None: Option[Double], 1.0)).toDF("k", "id", "x", "w")
+    val got = WeightedNormalize.zscore(WeightedDataFrame.wt(d, "w"), "x", Seq("k"))
+      .select("id", "zscore").collect().map(r => r.getLong(0) -> cell(r, 1)).toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
+  }
+}
+
 class CrossCorpusDedupSpec extends SparkSpecBase {
   import spark.implicits._
 
