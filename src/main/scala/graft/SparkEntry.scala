@@ -1269,9 +1269,12 @@ object SparkEntry {
         |(sqrt(sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE))) * sqrt(sum(c.m * c.m))) AS sim
         |FROM e JOIN c ON e.p = c.p GROUP BY e.vec_id, c.label),
         |r AS (SELECT vec_id, label, sim,
-        |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn FROM s)
-        |SELECT vec_id, CAST(label AS BIGINT) AS assigned, round(sim, 6) AS sim
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " "),
+        |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+        |FROM s WHERE sim IS NOT NULL)
+        |SELECT e0.vec_id, CAST(r.label AS BIGINT) AS assigned, round(r.sim, 6) AS sim
+        |FROM (SELECT vec_id FROM embeddings) e0
+        |LEFT JOIN r ON r.vec_id = e0.vec_id AND r.rn = 1
+        |ORDER BY e0.vec_id""".stripMargin.replace("\n", " "),
     "q68_topk_per_group" ->
       """WITH t AS (SELECT doc_id, lang,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -220,22 +220,54 @@ object Dedup {
     * ONLY for documents that appear in a candidate pair (per-row expression
     * over a scan — no shuffle of set payloads for the rest of the corpus)
     * and keep pairs meeting the threshold. The small pair side broadcasts
-    * under AQE; at scale it degrades gracefully to a shuffle join on ids. */
+    * under AQE; at scale it degrades gracefully to a shuffle join on ids.
+    * `doc_a` resolves against `dfA`, `doc_b` against `dfB` (pass the same
+    * frame twice for single-corpus dedup — the canonically identical
+    * shingle subtrees still share one exchange). */
   private def verifyCandidatePairs(
       cand: DataFrame, // (doc_a, doc_b)
-      df: DataFrame,
+      dfA: DataFrame,
+      dfB: DataFrame,
       textCol: String,
       idCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("__id__"),
+    def sh(df: DataFrame) = df.select(col(idCol).as("__id__"),
       shingles(col(textCol), shingleSize).as("__sh__"))
     cand
-      .join(sh.select(col("__id__").as("doc_a"), col("__sh__").as("sh_a")), "doc_a")
-      .join(sh.select(col("__id__").as("doc_b"), col("__sh__").as("sh_b")), "doc_b")
+      .join(sh(dfA).select(col("__id__").as("doc_a"), col("__sh__").as("sh_a")), "doc_a")
+      .join(sh(dfB).select(col("__id__").as("doc_b"), col("__sh__").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** The threshold→(b, r) banding policy, in ONE place: explicit override,
+    * else whole-signature band at t ≥ 1 (deterministic, exact-verified),
+    * else [[bandRowsFor]]'s recall-preserving derivation. */
+  private def bandRowsOrDerived(bandRows: Int, numHashes: Int, threshold: Double): Int =
+    if (bandRows > 0) bandRows
+    else if (threshold >= 1.0) numHashes
+    else bandRowsFor(numHashes, threshold)
+
+  /** Est-prefilter slack below the verify threshold (≈3σ of the k=32
+    * signature-slot estimate — preserves recall while pruning candidates). */
+  private[graft] val EstSlack = 0.25
+
+  /** (__id__, __sig__, band, h) band-key table — the shared first stage of
+    * every banding consumer (single-corpus candidates, cross-corpus links,
+    * streaming state). Unused columns prune away downstream. */
+  private[graft] def bandTable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      r0: Int): DataFrame =
+    minhashNarrow(df, textCol, idCol, shingleSize, numHashes)
+      .select(col("__id__"), col("__sig__"),
+        explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
+      .select(col("__id__"), col("__sig__"),
+        col("bk.band").as("band"), col("bk.h").as("h"))
 
   /** LSH banding: split the k-slot signature into bands of `r` rows, hash
     * each band to one key. Docs sharing any band key become candidates. */
@@ -261,13 +293,8 @@ object Dedup {
       numHashes: Int = 32,
       bandRows: Int = 0,
       threshold: Double = 0.9): DataFrame = {
-    val r0 =
-      if (bandRows > 0) bandRows
-      else if (threshold >= 1.0) numHashes
-      else bandRowsFor(numHashes, threshold)
-    val banded = minhashNarrow(df, textCol, idCol, shingleSize, numHashes)
-      .select(col("__id__"), explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
-      .select(col("__id__"), col("bk.band"), col("bk.h"))
+    val r0 = bandRowsOrDerived(bandRows, numHashes, threshold)
+    val banded = bandTable(df, textCol, idCol, shingleSize, numHashes, r0)
     val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"))
     val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"))
     l.join(r, Seq("band", "h"))
@@ -350,19 +377,17 @@ object Dedup {
               col("a.__id__") < col("b.__id__"))
           .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"))
       } else {
-        val r0 = if (bandRows > 0) bandRows else bandRowsFor(numHashes, threshold)
-        val banded = narrow.select(col("__id__"), col("__sig__"),
-          explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
-          .select(col("__id__"), col("__sig__"), col("bk.band"), col("bk.h"))
+        val r0 = bandRowsOrDerived(bandRows, numHashes, threshold)
+        val banded = bandTable(df, textCol, idCol, shingleSize, numHashes, r0)
         val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"), col("__sig__").as("sig_a"))
         val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"), col("__sig__").as("sig_b"))
         l.join(r, Seq("band", "h"))
           .where(col("doc_a") < col("doc_b"))
-          .where(estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.25)
+          .where(estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold - EstSlack)
           .select("doc_a", "doc_b")
           .distinct() // also rebalances: hash-partitioned on the pair, not the hot bucket
       }
-    verifyCandidatePairs(cand, df, textCol, idCol, shingleSize, threshold)
+    verifyCandidatePairs(cand, df, df, textCol, idCol, shingleSize, threshold)
   }
 
   /** Cross-corpus near-duplicate LINKS: MinHash-banded candidates between
@@ -386,30 +411,18 @@ object Dedup {
       numHashes: Int = 32,
       bandRows: Int = 0,
       threshold: Double = 0.9): DataFrame = {
-    val r0 =
-      if (bandRows > 0) bandRows
-      else if (threshold >= 1.0) numHashes
-      else bandRowsFor(numHashes, threshold)
+    val r0 = bandRowsOrDerived(bandRows, numHashes, threshold)
     def banded(df: DataFrame, side: String): DataFrame =
-      minhashNarrow(df, textCol, idCol, shingleSize, numHashes)
-        .select(col("__id__"), col("__sig__"),
-          explode(bandKeys(col("__sig__"), numHashes, r0)).as("bk"))
+      bandTable(df, textCol, idCol, shingleSize, numHashes, r0)
         .select(col("__id__").as(s"doc_$side"), col("__sig__").as(s"sig_$side"),
-          col("bk.band"), col("bk.h"))
+          col("band"), col("h"))
     val joined = banded(dfA, "a").join(banded(dfB, "b"), Seq("band", "h"))
     val pre =
       if (threshold >= 1.0) joined
       else joined.where(
-        estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold - 0.25)
+        estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold - EstSlack)
     val cand = pre.select("doc_a", "doc_b").distinct()
-    val shA = dfA.select(col(idCol).as("doc_a"),
-      shingles(col(textCol), shingleSize).as("__sha__"))
-    val shB = dfB.select(col(idCol).as("doc_b"),
-      shingles(col(textCol), shingleSize).as("__shb__"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("__sha__"), col("__shb__")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    verifyCandidatePairs(cand, dfA, dfB, textCol, idCol, shingleSize, threshold)
   }
 
   /** Keep only the documents of `df` with NO near-duplicate in `reference`

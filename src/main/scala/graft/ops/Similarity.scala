@@ -526,7 +526,10 @@ object Similarity {
     *
     * Output: (idCol, labelCol, `sim`) — one row per input vector; vectors
     * whose sim is NULL against every centroid (zero-norm/NaN) keep a NULL
-    * label. */
+    * label. Exception: an EMPTY centroid table yields an empty result
+    * (the cross join has nothing to score against — pinned by
+    * CurationDegenerateSpec), so validate the codebook upstream if the
+    * row-preserving shape matters. */
   def assignNearestCentroid(
       df: DataFrame,
       centroids: DataFrame,

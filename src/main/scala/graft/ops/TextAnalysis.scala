@@ -235,9 +235,12 @@ object TextAnalysis {
   }
 
   /** Sentence-boundary split pattern: one-or-more terminators then
-    * whitespace. Deliberately lookaround-free (RE2-compatible) so external
-    * tools can reproduce the segmentation byte-for-byte. */
-  val SentenceSplitPattern = "[.!?]+\\s+"
+    * whitespace. Deliberately lookaround-free AND `\s`-free: Java's `\s`
+    * includes vertical tab (U+000B) but RE2's does not, so the whitespace
+    * class is spelled out explicitly — both dialects then consume the
+    * byte-identical separator and external tools reproduce the
+    * segmentation exactly. */
+  val SentenceSplitPattern = "[.!?]+[ \\t\\n\\f\\r]+"
 
   /** Segment documents into sentences: one output row per non-blank
     * sentence with its 0-based position, character and whitespace-token

@@ -72,14 +72,13 @@ object StreamingDedup {
       numHashes: Int = 32,
       bandRows: Int = 8): (DataFrame, DataFrame) = {
     import graft.ops.Dedup
-    val narrow = Dedup.minhashNarrow(batch, textCol, idCol, shingleSize, numHashes)
     // freeze the band table: it has four consumers (past-join, both
     // self-join sides, state update) and the shingling + signature pass is
     // the expensive part — without materialization it would recompute per
     // consumer and again per downstream checkpoint
-    val bands = freeze(narrow.select(col("__id__"),
-      explode(Dedup.bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
-      .select(col("__id__"), col("bk.band").as("band"), col("bk.h").as("h")))
+    val bands = freeze(
+      Dedup.bandTable(batch, textCol, idCol, shingleSize, numHashes, bandRows)
+        .select("__id__", "band", "h"))
     val dupPast = bands.join(seen, Seq("band", "h"), "left_semi")
       .select(col("__id__")).distinct()
     val dupWithin = bands.as("a").join(bands.as("b"),
@@ -162,13 +161,11 @@ object StreamingDedup {
       idCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 32,
-      bandRows: Int = 8): DataFrame = {
-    import graft.ops.Dedup
-    Dedup.minhashNarrow(reference, textCol, idCol, shingleSize, numHashes)
-      .select(explode(Dedup.bandKeys(col("__sig__"), numHashes, bandRows)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.h").as("h"))
+      bandRows: Int = 8): DataFrame =
+    graft.ops.Dedup
+      .bandTable(reference, textCol, idCol, shingleSize, numHashes, bandRows)
+      .select("band", "h")
       .distinct()
-  }
 
   /** Materialize + truncate lineage AND Catalyst statistics (see
     * `DatasetBridge` — checkpointing alone carries size estimates that
