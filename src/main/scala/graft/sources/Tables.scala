@@ -75,6 +75,40 @@ object Tables {
       .saveAsTable(table)
   }
 
+  /** Training-data shard export: every row lands in a DETERMINISTIC shard
+    * (`pmod(xxhash64(idCols), nShards)` — stable across runs, partitionings,
+    * and cluster sizes, unlike `repartition`'s round-robin), written as one
+    * directory partition per shard, sorted within each shard by `sortCols`
+    * (typically token count, so fixed-capacity packing reads near-uniform
+    * sequences). Exactly one file per shard at any scale: the repartition
+    * shuffles each shard to one task — size shards via `nShards`, not file
+    * splits, which is the training-loader contract (shard count = loader
+    * parallelism). Returns the shard column name for downstream joins. */
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      idCols: Seq[String],
+      nShards: Int,
+      sortCols: Seq[String] = Nil,
+      format: String = "parquet"): String = {
+    require(idCols.nonEmpty, "writeShards needs id columns for stable assignment")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val shardCol = "shard"
+    val sharded = df.withColumn(shardCol,
+      pmod(xxhash64(idCols.map(col): _*), lit(nShards.toLong)))
+    val placed = sharded.repartition(nShards, col(shardCol))
+    // lead the sort with the partition column: the partitioned writer
+    // requires its data ordered by partition cols and would otherwise
+    // insert its own (unstable) sort, destroying the secondary order
+    val ordered =
+      if (sortCols.nonEmpty)
+        placed.sortWithinPartitions((shardCol +: sortCols).map(col): _*)
+      else placed
+    ordered.write.mode("overwrite").format(format)
+      .partitionBy(shardCol).save(path)
+    shardCol
+  }
+
   /** Read a bucketed catalog table (bucket metadata applies automatically —
     * joins/aggs on the bucket key skip their exchange). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =

@@ -95,6 +95,56 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("ecdf is a weighted CDF: in (0,1], monotone in value, 1 at the group max") {
+    import graft.core.WeightedNormalize
+    for (seed <- 1L to 3L) {
+      val df = randomFrame(seed, 40).withColumn("w", (col("id") % 5 + 1).cast("double"))
+      val wdf = WeightedDataFrame.wt(df, "w")
+      val got = WeightedNormalize.ecdf(wdf, "a", Seq("g"))
+        .select("g", "a", "pct_rank").collect()
+        .flatMap(r => cell(r, 1).map(a => (r.getString(0), a, cell(r, 2).get)))
+      assert(got.forall { case (_, _, p) => p > 0 && p <= 1 + 1e-12 })
+      got.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.zip(sorted.tail).forall { case ((_, _, p1), (_, _, p2)) => p1 <= p2 + 1e-12 })
+        assertApprox(Some(sorted.last._3), Some(1.0), 1e-12)
+      }
+    }
+  }
+
+  test("zscore output has weighted mean 0 and weighted variance 1 per group") {
+    import graft.core.WeightedNormalize
+    for (seed <- 1L to 3L) {
+      val df = randomFrame(seed, 50).withColumn("w", (col("id") % 5 + 1).cast("double"))
+      val z = WeightedNormalize.zscore(WeightedDataFrame.wt(df, "w"), "a", Seq("g"))
+        .withColumn("w", (col("id") % 5 + 1).cast("double"))
+      val wz = WeightedDataFrame.wt(z.select("g", "zscore", "w"), "w")
+      wz.groupBy("g").mean().collect().foreach(r =>
+        assertApprox(cell(r, 1), Some(0.0), 1e-9))
+      wz.groupBy("g").variance().collect().foreach(r =>
+        cell(r, 1).foreach(v => assertApprox(Some(v), Some(1.0), 1e-9)))
+    }
+  }
+
+  test("topKPerGroup never exceeds k and keeps exactly the score-maximal rows") {
+    import graft.ops.Selection
+    for (seed <- 1L to 3L) {
+      val df = randomFrame(seed, 60).where(col("a").isNotNull)
+      val k = 4
+      val got = Selection.topKPerGroup(df, Seq("g"), col("a"), k, Seq("id"))
+        .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      val byGroup = got.groupBy(_._1)
+      assert(byGroup.values.forall(_.length <= k))
+      // reference computation on the driver
+      val all = df.select("g", "id", "a").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      all.groupBy(_._1).foreach { case (g, rows) =>
+        val want = rows.sortBy(t => (-t._3, t._2)).take(k).map(_._2).toSet
+        assert(byGroup.getOrElse(g, Array.empty).map(_._2).toSet == want, s"group $g")
+      }
+    }
+  }
+
   test("skew/kurt on a standard normal-ish sample sit near 0 and shift with outliers") {
     val rnd = new Random(99)
     val sym = (1 to 4000).map(_ => ("g", rnd.nextGaussian(), 1.0 + rnd.nextInt(3)))

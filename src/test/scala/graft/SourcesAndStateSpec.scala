@@ -19,6 +19,39 @@ class SourcesSpec extends SparkSpecBase {
     assert(events.schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("writeShards: deterministic membership, one file per shard, sorted within") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = Tables.testTable(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "n_chars")
+    val shardCol = Tables.writeShards(docs, dir, Seq("doc_id"), nShards = 4,
+      sortCols = Seq("n_chars"))
+    val back = Tables.read(spark, dir)
+    assert(back.count() == docs.count())
+    // membership is the documented stable hash — recomputable by anyone
+    val bad = back.where(
+      col(shardCol) =!= pmod(xxhash64(col("doc_id")), lit(4L))).count()
+    assert(bad == 0)
+    // exactly one data file per shard directory
+    for (s <- 0 until 4) {
+      val files = new java.io.File(s"$dir/$shardCol=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files")
+    }
+    // same assignment regardless of input partitioning
+    val again = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    Tables.writeShards(docs.repartition(7), again, Seq("doc_id"), nShards = 4)
+    val a = Tables.read(spark, dir).select("doc_id", shardCol)
+    val b = Tables.read(spark, again).select("doc_id", shardCol)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // within-shard files are length-sorted (read one file raw, check order)
+    val f0 = new java.io.File(s"$dir/$shardCol=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val lens = spark.read.parquet(f0.toString).select("n_chars")
+      .collect().map(_.getLong(0)).toSeq
+    assert(lens == lens.sorted, "shard 0 not sorted by n_chars")
+  }
+
   test("partitioned sink round-trips with partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val li = Tables.testTable(spark, "/root/testdata/sf0.001", "lineitem")
