@@ -72,4 +72,48 @@ object Pipeline {
     Selection.topKPerGroup(labeled, Seq("cluster_id"), scoreCol, 1, Seq(idCol))
       .drop("rank")
   }
+
+  /** The full training-data preparation flow in one call — every stage is
+    * an already-audited operator, composed lazily so Catalyst plans each
+    * materialization boundary (only the iterative cluster step checkpoints
+    * internally):
+    *
+    *   1. quality gate + exact dedup       — [[cleanCorpus]]
+    *   2. near-dup clusters → best doc     — [[canonicalize]] over
+    *      [[Dedup.minhashDedup]] pairs (threshold 1.0 = token-set
+    *      identity; lower for fuzzier collapse), keep highest
+    *      quality_score (ties → smallest id)
+    *   3. optional language/domain rebalance — [[Sampling.matchDistribution]]
+    *   4. token-budget sequence packing    — [[Packing.packSequences]]
+    *
+    * Output: surviving docs with `quality_score`, `cluster_id`, `n_tokens`,
+    * `stream`, `pack`, `pack_id` — ready for [[graft.sources.Tables.writeShards]]
+    * keyed on `pack_id`. */
+  def prepareTrainingData(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minQuality: Double = 0.5,
+      minTokens: Long = 20L,
+      nearDupThreshold: Double = 1.0,
+      strataCol: Option[String] = None,
+      strataTargets: Map[String, Double] = Map.empty,
+      capacity: Long = 2048L,
+      nStreams: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val quality = cleanCorpus(docs, textCol, idCol, minQuality, minTokens)
+      .select(col(idCol), col("quality_score"))
+    val kept = docs.join(quality, Seq(idCol))
+    val pairs = Dedup.minhashDedup(kept, textCol, idCol,
+      shingleSize = 1, threshold = nearDupThreshold)
+    val canon = canonicalize(kept, idCol, col("quality_score"), pairs)
+    val balanced = strataCol match {
+      case Some(sc) =>
+        require(strataTargets.nonEmpty, "strataCol given without strataTargets")
+        Sampling.matchDistribution(canon, Seq(idCol), sc, strataTargets, seed)
+      case None => canon
+    }
+    Packing.packSequences(balanced, idCol,
+      TextAnalysis.bpeTokenCount(col(textCol)), capacity, nStreams)
+  }
 }

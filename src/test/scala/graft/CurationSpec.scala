@@ -230,6 +230,36 @@ class CurationDegenerateSpec extends SparkSpecBase {
   }
 }
 
+class PrepareTrainingDataSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("prepareTrainingData composes clean -> canonicalize -> pack end-to-end") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.Pipeline.prepareTrainingData(docs, "text", "doc_id",
+      minQuality = 0.0, minTokens = 5L, capacity = 512L, nStreams = 8)
+    val n = out.count()
+    assert(n > 0 && n <= docs.count())
+    // canonicalization really collapsed the token-set duplicate clusters
+    assert(out.select("cluster_id").distinct().count() == n)
+    // packing overrun contract: each pack minus its largest doc fits
+    val packs = out.groupBy("stream", "pack")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .select("t", "m").as[(Long, Long)].collect()
+    assert(packs.forall { case (t, m) => t - m < 512L })
+  }
+
+  test("prepareTrainingData with strata targets rebalances the language mix") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.Pipeline.prepareTrainingData(docs, "text", "doc_id",
+      minQuality = 0.0, minTokens = 1L,
+      strataCol = Some("lang"), strataTargets = Map("en" -> 0.5, "de" -> 0.5),
+      capacity = 512L, nStreams = 8)
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de"))) // non-target strata dropped
+    assert(out.count() > 0)
+  }
+}
+
 class TextCurationSpec extends SparkSpecBase {
   import spark.implicits._
 
