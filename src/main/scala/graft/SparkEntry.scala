@@ -683,6 +683,16 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars", "pct_rank")
         .orderBy("doc_id")
     }),
+    // weighted quartile buckets of doc length within language (qcut on
+    // weighted mass — each bucket ≈ 1/4 of the group's weight)
+    "q79_qcut" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("w", (col("doc_id") % 7 + 1).cast("double"))
+      val wdf = WeightedDataFrame.wt(d, "w")
+      graft.core.WeightedNormalize.qcut(wdf, "n_chars", Seq("lang"), q = 4)
+        .select("doc_id", "lang", "n_chars", "bucket")
+        .orderBy("doc_id")
+    }),
     // weighted per-language z-score of doc length (same moment kernel as
     // the batch var — ddof against the weighted count)
     "q78_zscore" -> ((s, dir) => {
@@ -926,6 +936,20 @@ object SparkEntry {
         |/ sum(CASE WHEN n_chars IS NOT NULL THEN w ELSE 0 END)
         |OVER (PARTITION BY lang) END AS pct_rank
         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q79_qcut" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |CAST(doc_id % 7 + 1 AS DOUBLE) AS w FROM documents),
+        |p AS (SELECT doc_id, lang, n_chars,
+        |sum(CASE WHEN n_chars IS NOT NULL THEN w ELSE 0 END)
+        |OVER (PARTITION BY lang ORDER BY n_chars
+        |RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |/ sum(CASE WHEN n_chars IS NOT NULL THEN w ELSE 0 END)
+        |OVER (PARTITION BY lang) AS pr
+        |FROM t)
+        |SELECT doc_id, lang, n_chars,
+        |CASE WHEN n_chars IS NULL THEN NULL ELSE
+        |CAST(least(greatest(ceil(round(pr * 4, 6)) - 1, 0), 3) AS BIGINT) END AS bucket
+        |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q78_zscore" ->
       """WITH t AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x, n_chars,
         |CAST(doc_id % 7 + 1 AS DOUBLE) AS w FROM documents),

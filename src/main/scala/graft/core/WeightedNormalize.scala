@@ -39,6 +39,34 @@ object WeightedNormalize {
         WeightedMoments.safeDiv(sum(wn).over(upTo), sum(wn).over(whole))))
   }
 
+  /** Weighted quantile-bucket assignment (pandas `qcut` analog, defined on
+    * weighted MASS rather than interpolated quantile edges): bucket `i` of
+    * `q` holds the rows whose weighted ECDF position falls in
+    * `(i/q, (i+1)/q]` — each bucket carries ≈ 1/q of the total weight, ties
+    * share one bucket (they share an ECDF value), and the top-ranked rows
+    * always land in bucket `q−1`. NULL x → NULL bucket. Same single-shuffle
+    * plan as [[ecdf]]. */
+  def qcut(
+      wdf: WeightedDataFrame,
+      valueCol: String,
+      keys: Seq[String],
+      q: Int,
+      outCol: String = "bucket"): DataFrame = {
+    require(q >= 2, s"qcut needs at least 2 buckets, got $q")
+    // round(p·q, 6) before ceil: p is a ratio of weight sums, so an
+    // engine-dependent ulp in the denominator would flip a whole bucket
+    // exactly at the i/q boundaries (p = 1 sits on one in EVERY group);
+    // true p·q values are rationals spaced ≫ 1e-6 apart for any realistic
+    // group weight total, so rounding absorbs the ulp without merging
+    // distinct positions. The clamp covers round-up past q at p ≈ 1.
+    ecdf(wdf, valueCol, keys, "__p__")
+      .withColumn(outCol,
+        when(col("__p__").isNotNull,
+          least(greatest(ceil(round(col("__p__") * q, 6)) - 1, lit(0)), lit(q - 1))
+            .cast("long")))
+      .drop("__p__")
+  }
+
   /** Weighted z-score: `(x − μ_w) / σ_w` per group, with the engine's
     * moment-formula variance (`ddof` against the weighted count, exactly
     * [[WeightedMoments]]'s batch kernel). NULL x, zero variance, or

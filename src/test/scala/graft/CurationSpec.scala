@@ -102,6 +102,23 @@ class NormalizeSpec extends SparkSpecBase {
     assertApprox(got(2L), Some(1.0), 1e-12) // null row's weight excluded
   }
 
+  test("qcut assigns weighted-mass quartiles, right-closed, ties share a bucket") {
+    // unit weights, 8 values → exact quartile masses
+    val d = (1 to 8).map(i => ("A", i.toLong, Some(i.toDouble), 1.0))
+      .toDF("k", "id", "x", "w")
+    val got = WeightedNormalize.qcut(WeightedDataFrame.wt(d, "w"), "x", Seq("k"), 4)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3))
+    // a heavy weight drags following rows into upper buckets
+    val dw = Seq(("A", 1L, Some(1.0), 6.0), ("A", 2L, Some(2.0), 1.0),
+      ("A", 3L, Some(3.0), 1.0)).toDF("k", "id", "x", "w")
+    val gw = WeightedNormalize.qcut(WeightedDataFrame.wt(dw, "w"), "x", Seq("k"), 4)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p = 6/8, 7/8, 1 → buckets 2, 3, 3
+    assert(gw == Map(1L -> 2, 2L -> 3, 3L -> 3))
+  }
+
   test("weighted zscore matches the batch moment kernel") {
     val d = Seq(("A", 1L, Some(1.0), 1.0), ("A", 2L, Some(2.0), 1.0),
       ("A", 3L, Some(3.0), 1.0)).toDF("k", "id", "x", "w")
