@@ -948,7 +948,7 @@ object SparkEntry {
         |FROM t)
         |SELECT doc_id, lang, n_chars,
         |CASE WHEN n_chars IS NULL THEN NULL ELSE
-        |CAST(least(greatest(ceil(round(pr * 4, 6)) - 1, 0), 3) AS BIGINT) END AS bucket
+        |CAST(least(greatest(ceil(round(pr * 4, 9)) - 1, 0), 3) AS BIGINT) END AS bucket
         |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q78_zscore" ->
       """WITH t AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x, n_chars,

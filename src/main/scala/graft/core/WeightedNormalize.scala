@@ -51,19 +51,26 @@ object WeightedNormalize {
       valueCol: String,
       keys: Seq[String],
       q: Int,
-      outCol: String = "bucket"): DataFrame = {
+      outCol: String = "bucket",
+      boundaryDigits: Int = 9): DataFrame = {
     require(q >= 2, s"qcut needs at least 2 buckets, got $q")
-    // round(p·q, 6) before ceil: p is a ratio of weight sums, so an
-    // engine-dependent ulp in the denominator would flip a whole bucket
-    // exactly at the i/q boundaries (p = 1 sits on one in EVERY group);
-    // true p·q values are rationals spaced ≫ 1e-6 apart for any realistic
-    // group weight total, so rounding absorbs the ulp without merging
-    // distinct positions. The clamp covers round-up past q at p ≈ 1.
+    require(boundaryDigits >= 6 && boundaryDigits <= 12,
+      s"boundaryDigits must be in [6,12], got $boundaryDigits")
+    // round(p·q, d) before ceil: p is a ratio of weight sums, so a 1-ulp
+    // difference in the denominator's summation order would flip a whole
+    // bucket exactly at the i/q boundaries (p = 1 sits on one in EVERY
+    // group). Rounding absorbs the ulp; it is lossless while distinct
+    // p·q rationals are spaced wider than 10^-d, i.e. while a group's
+    // weight mass (in min-weight units) stays below ~10^d — at d = 9,
+    // groups up to ~1e9 mass. Beyond that raise `boundaryDigits` (ulp
+    // noise is ~1e-15, so up to 12 stays safe). The clamp covers
+    // round-up past q at p ≈ 1.
     ecdf(wdf, valueCol, keys, "__p__")
       .withColumn(outCol,
         when(col("__p__").isNotNull,
-          least(greatest(ceil(round(col("__p__") * q, 6)) - 1, lit(0)), lit(q - 1))
-            .cast("long")))
+          least(
+            greatest(ceil(round(col("__p__") * q, boundaryDigits)) - 1, lit(0)),
+            lit(q - 1)).cast("long")))
       .drop("__p__")
   }
 

@@ -96,24 +96,39 @@ object Pipeline {
       minQuality: Double = 0.5,
       minTokens: Long = 20L,
       nearDupThreshold: Double = 1.0,
+      shingleSize: Int = 3,
       strataCol: Option[String] = None,
       strataTargets: Map[String, Double] = Map.empty,
       capacity: Long = 2048L,
       nStreams: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val quality = cleanCorpus(docs, textCol, idCol, minQuality, minTokens)
-      .select(col(idCol), col("quality_score"))
-    val kept = docs.join(quality, Seq(idCol))
+    // the pipeline's computed quality_score/bpe_tokens govern; a pre-scored
+    // corpus's same-named columns would make the join ambiguous
+    val base = docs.drop("quality_score", "bpe_tokens")
+    val quality = cleanCorpus(base, textCol, idCol, minQuality, minTokens)
+      .select(col(idCol), col("quality_score"), col("bpe_tokens"))
+    val kept = base.join(quality, Seq(idCol))
+    // shingleSize defaults to minhashDedup's 3-gram shingles: at thresholds
+    // below 1.0, unigram token SETS (shingleSize = 1) would link any two
+    // documents sharing most of their vocabulary regardless of order/counts
+    // — silent topical over-collapse. Pass 1 explicitly for token-set
+    // identity semantics at threshold 1.0.
     val pairs = Dedup.minhashDedup(kept, textCol, idCol,
-      shingleSize = 1, threshold = nearDupThreshold)
+      shingleSize = shingleSize, threshold = nearDupThreshold)
     val canon = canonicalize(kept, idCol, col("quality_score"), pairs)
     val balanced = strataCol match {
       case Some(sc) =>
         require(strataTargets.nonEmpty, "strataCol given without strataTargets")
-        Sampling.matchDistribution(canon, Seq(idCol), sc, strataTargets, seed)
+        // matchDistribution counts strata EAGERLY (one driver collect);
+        // freeze first or the whole clean→cluster→cut subtree runs twice —
+        // once for the counts, again when the result is consumed
+        val frozen = org.apache.spark.sql.graftbridge.DatasetBridge
+          .fromInternalRdd(canon.localCheckpoint())
+        Sampling.matchDistribution(frozen, Seq(idCol), sc, strataTargets, seed)
       case None => canon
     }
-    Packing.packSequences(balanced, idCol,
-      TextAnalysis.bpeTokenCount(col(textCol)), capacity, nStreams)
+    // bpe_tokens rides along from analyze — the packing stage must not pay
+    // a second regexp_count pass over the full text payload
+    Packing.packSequences(balanced, idCol, col("bpe_tokens"), capacity, nStreams)
   }
 }

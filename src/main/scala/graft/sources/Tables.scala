@@ -94,6 +94,11 @@ object Tables {
     require(idCols.nonEmpty, "writeShards needs id columns for stable assignment")
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val shardCol = "shard"
+    // loud, not silent: overwriting a caller's own `shard` column would
+    // reassign rows under the same name (e.g. a frame read back from a
+    // previous writeShards output)
+    require(!df.columns.contains(shardCol),
+      s"input already has a '$shardCol' column — drop or rename it first")
     val sharded = df.withColumn(shardCol,
       pmod(xxhash64(idCols.map(col): _*), lit(nShards.toLong)))
     val placed = sharded.repartition(nShards, col(shardCol))
@@ -104,7 +109,11 @@ object Tables {
       if (sortCols.nonEmpty)
         placed.sortWithinPartitions((shardCol +: sortCols).map(col): _*)
       else placed
+    // pin maxRecordsPerFile OFF: a session-level spark.sql.files
+    // .maxRecordsPerFile would otherwise split big shards into multiple
+    // part files, silently breaking the one-file-per-shard loader contract
     ordered.write.mode("overwrite").format(format)
+      .option("maxRecordsPerFile", 0)
       .partitionBy(shardCol).save(path)
     shardCol
   }

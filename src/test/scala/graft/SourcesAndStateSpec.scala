@@ -32,10 +32,13 @@ class SourcesSpec extends SparkSpecBase {
     val bad = back.where(
       col(shardCol) =!= pmod(xxhash64(col("doc_id")), lit(4L))).count()
     assert(bad == 0)
-    // exactly one data file per shard directory
+    // exactly one data file per shard directory (listFiles is null for a
+    // missing dir — fail with a message, not an NPE, if a shard is empty)
+    def parquetFiles(p: String) =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
     for (s <- 0 until 4) {
-      val files = new java.io.File(s"$dir/$shardCol=$s")
-        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val files = parquetFiles(s"$dir/$shardCol=$s")
       assert(files.length == 1, s"shard $s has ${files.length} files")
     }
     // same assignment regardless of input partitioning
@@ -45,9 +48,9 @@ class SourcesSpec extends SparkSpecBase {
     val b = Tables.read(spark, again).select("doc_id", shardCol)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
     // within-shard files are length-sorted (read one file raw, check order)
-    val f0 = new java.io.File(s"$dir/$shardCol=0").listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val lens = spark.read.parquet(f0.toString).select("n_chars")
+    val f0 = parquetFiles(s"$dir/$shardCol=0")
+    assert(f0.nonEmpty, "shard 0 directory missing or empty")
+    val lens = spark.read.parquet(f0.head.toString).select("n_chars")
       .collect().map(_.getLong(0)).toSeq
     assert(lens == lens.sorted, "shard 0 not sorted by n_chars")
   }
