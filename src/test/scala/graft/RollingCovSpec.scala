@@ -38,6 +38,24 @@ class RollingCovSpec extends SparkSpecBase {
     assertApprox(got(("A", 3L)), Some((2.0 + 0.25 * 12.0) / (2.0 + 0.75)), 1e-12)
   }
 
+  test("ewmMean invariants: constant series is a fixed point; weights cancel") {
+    val const = (1L to 40L).map(i => ("A", i, Some(7.5), 1.0 + (i % 3)))
+      .toDF("k", "i", "v", "w")
+    val got = collectKI(WeightedRolling.expanding(
+      WeightedDataFrame.wt(const, "w"), "i", Seq("k")).ewmMean(0.3, memory = 32))
+    got.values.foreach(v => assertApprox(v, Some(7.5), 1e-12))
+    // uniform weight scaling w → c·w leaves the mean unchanged
+    val a = Seq(("A", 1L, Some(1.0), 2.0), ("A", 2L, Some(5.0), 2.0))
+      .toDF("k", "i", "v", "w")
+    val b = Seq(("A", 1L, Some(1.0), 6.0), ("A", 2L, Some(5.0), 6.0))
+      .toDF("k", "i", "v", "w")
+    val ga = collectKI(WeightedRolling.expanding(
+      WeightedDataFrame.wt(a, "w"), "i", Seq("k")).ewmMean(0.5))
+    val gb = collectKI(WeightedRolling.expanding(
+      WeightedDataFrame.wt(b, "w"), "i", Seq("k")).ewmMean(0.5))
+    ga.foreach { case (k, v) => assertApprox(gb(k), v, 1e-12) }
+  }
+
   test("ewmMean refuses a rolling frame shorter than its memory") {
     val wdf = WeightedDataFrame.wt(df, "w")
     intercept[IllegalArgumentException] {
