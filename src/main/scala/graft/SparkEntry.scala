@@ -683,6 +683,20 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars", "pct_rank")
         .orderBy("doc_id")
     }),
+    // bucketed point-in-interval range join: every 50th event opens a
+    // 30-minute window; all events falling in a window link to it. The
+    // bucket equi-join avoids the BroadcastNestedLoop a naive
+    // s <= t < e join would plan
+    "q80_range_join" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), unix_micros(col("ts")).as("t"))
+      val iv = e.where(col("event_id") % 50 === 0)
+        .select(col("event_id").as("interval_id"), col("t").as("s"),
+          (col("t") + 30L * 60 * 1000000).as("e"))
+      graft.ops.RangeJoin.rangeJoin(e, "t", iv, "s", "e",
+        bucketWidth = 10L * 60 * 1000000)
+        .select("event_id", "interval_id", "t")
+        .orderBy("event_id", "interval_id")
+    }),
     // weighted quartile buckets of doc length within language (qcut on
     // weighted mass — each bucket ≈ 1/4 of the group's weight)
     "q79_qcut" -> ((s, dir) => {
@@ -936,6 +950,13 @@ object SparkEntry {
         |/ sum(CASE WHEN n_chars IS NOT NULL THEN w ELSE 0 END)
         |OVER (PARTITION BY lang) END AS pct_rank
         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q80_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |iv AS (SELECT event_id AS interval_id, t AS s, t + 30 * 60 * 1000000 AS fin
+        |FROM ev WHERE event_id % 50 = 0)
+        |SELECT ev.event_id, iv.interval_id, ev.t
+        |FROM ev JOIN iv ON ev.t >= iv.s AND ev.t < iv.fin
+        |ORDER BY ev.event_id, iv.interval_id""".stripMargin.replace("\n", " "),
     "q79_qcut" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
         |CAST(doc_id % 7 + 1 AS DOUBLE) AS w FROM documents),

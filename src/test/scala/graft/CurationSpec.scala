@@ -247,6 +247,43 @@ class CurationDegenerateSpec extends SparkSpecBase {
   }
 }
 
+class RangeJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.ops.RangeJoin
+
+  private def pts = Seq.tabulate(10)(i => (i.toLong, i.toLong)).toDF("pid", "t")
+
+  test("rangeJoin matches half-open containment exactly") {
+    val iv = Seq((100L, 2L, 5L), (200L, 5L, 5L), (300L, 8L, 20L))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.rangeJoin(pts, "t", iv, "s", "e", bucketWidth = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    // [2,5) → 2,3,4; [5,5) empty; [8,20) → 8,9
+    assert(got == Seq((2L, 100L), (3L, 100L), (4L, 100L), (8L, 300L), (9L, 300L)))
+  }
+
+  test("rangeJoin finds overlapping intervals and plans no nested-loop join") {
+    val iv = Seq((1L, 0L, 10L), (2L, 3L, 6L)).toDF("iid", "s", "e")
+    val joined = RangeJoin.rangeJoin(pts, "t", iv, "s", "e", bucketWidth = 3L)
+    val got = joined.groupBy("pid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // points 3,4,5 fall in both intervals
+    assert(got(3L) == 2 && got(4L) == 2 && got(5L) == 2 && got(0L) == 1)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"inequality join leaked into the plan:\n$plan")
+  }
+
+  test("rangeJoin fails loudly on an interval exceeding the bucket guard") {
+    val iv = Seq((1L, 0L, 1000000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.rangeJoin(pts, "t", iv, "s", "e",
+        bucketWidth = 1L, maxBucketsPerInterval = 100L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+}
+
 class PrepareTrainingDataSpec extends SparkSpecBase {
   import spark.implicits._
 
