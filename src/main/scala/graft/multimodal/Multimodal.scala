@@ -158,12 +158,19 @@ object Multimodal {
     if (w <= h) (target, math.max(1, math.round(h.toFloat * target / w)))
     else (math.max(1, math.round(w.toFloat * target / h)), target)
 
-  /** Frame-sampling plan for video/audio: every `stride`-th frame index up
-    * to `maxFrames` — metadata-only, no payload touched (column pruning
-    * keeps the blob out of this plan entirely). */
-  def frameSamplePlan(media: DataFrame, fps: Int = 30, stride: Int = 10, maxFrames: Int = 8): DataFrame =
+  /** Frame-sampling plan for IMAGE/VIDEO media (tables with a `width`
+    * column, i.e. [[mediaFromDocuments]] — the audio table's schema is
+    * sample_rate/channels and has no frame geometry): every `stride`-th
+    * frame index up to `maxFrames` — metadata-only, no payload touched
+    * (column pruning keeps the blob out of this plan entirely). Fails
+    * fast with a clear message rather than an unresolved-column error. */
+  def frameSamplePlan(media: DataFrame, fps: Int = 30, stride: Int = 10, maxFrames: Int = 8): DataFrame = {
+    require(media.columns.contains("width"),
+      "frameSamplePlan needs a 'width' column (image/video media table); " +
+        "audioFromDocuments tables have no frame geometry to sample")
     media.select(col("media_id"), col("kind"),
       explode(sequence(lit(0), least(lit(maxFrames - 1), (col("width") / stride).cast("int"))))
         .as("frame_index"))
       .withColumn("frame_ts_ms", col("frame_index") * lit(1000 * stride) / fps)
+  }
 }

@@ -132,7 +132,13 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    df.withColumn(cumCol, sum(tokenCol.cast("long")).over(w))
+    // NULL token counts are excluded up front: inside the window a NULL
+    // is skipped by sum(), so such a row would be dropped or kept
+    // depending on whether it sorts first in its group — a
+    // position-dependent NULL policy. Excluding them is the consistent one
+    // (a row with no token count cannot spend budget).
+    df.where(tokenCol.isNotNull)
+      .withColumn(cumCol, sum(tokenCol.cast("long")).over(w))
       .where(col(cumCol) <= budget)
   }
 

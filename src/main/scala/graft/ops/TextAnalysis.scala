@@ -184,11 +184,16 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term")).where(col("term") =!= "")
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("__tc__"))
     val total = counts.agg(sum(col("__tc__")).as("__tot__"))
-    toks.join(counts, Seq("term"))
+    val scored = toks.join(counts, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("__id__"))
       .agg(round(exp(-avg(log(col("__tc__") / col("__tot__")))), 6).as("ppl"))
-      .select(col("__id__").as(idCol), col("ppl"))
+    // full-coverage contract (same as repetitionStats): a NULL/empty-text
+    // doc explodes to zero token rows and would silently vanish from the
+    // output — a filter joined on ppl would then drop or keep it by join
+    // flavor instead of by an explicit NULL marker
+    df.select(col(idCol))
+      .join(scored.select(col("__id__").as(idCol), col("ppl")), Seq(idCol), "left")
   }
 
   /** Corpus vocabulary: the `k` most frequent tokens with their total and

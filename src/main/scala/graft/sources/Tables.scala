@@ -154,9 +154,14 @@ object Tables {
     val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
     spark.read.text(path)
       .where(length(trim(col("value"))) > 0) // blank lines are not documents
-      .select(from_json(col("value"), full,
+      .select(col("value"), from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
-      .select(full.fieldNames.map(n => col("j." + n)).toSeq: _*)
+      .select((schema.fieldNames.map(n => col("j." + n)) :+
+        // the JSON literal `null` parses to a NULL struct — every field
+        // NULL including the capture column, which would classify it as a
+        // clean all-NULL ghost row; route it to quarantine explicitly
+        coalesce(col("j." + corruptCol),
+          when(col("j").isNull, col("value"))).as(corruptCol)).toSeq: _*)
   }
 
   /** [[readJsonl]] split into (clean rows without the capture column,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -48,21 +49,30 @@ object StreamingDedup {
     * given the accumulated `seen` band-key table, returns the batch rows
     * to admit and the updated band-key table.
     *
-    * Semantics (keep-first, transitive): a document is dropped when any of
-    * its LSH bands collides with a band of any earlier document — earlier
-    * batch, or a lower-id document in the same batch. Bands of ALL arriving
-    * documents (kept or dropped) are registered, so duplicate chains
-    * a∼b∼c collapse to `a` exactly like the batch connected-components
-    * clustering's keep-min rule. Banding is bit-identical to
-    * [[graft.ops.Dedup.minhashDedup]] (same native MinHashMeta signature,
-    * same band hash), so stream and batch admit the same documents for the
-    * same arrival order.
+    * Semantics (keep-first, transitive, CANDIDATE-level): a document is
+    * dropped when any of its LSH bands collides with a band of any earlier
+    * document — earlier batch, or a lower-id document in the same batch.
+    * Bands of ALL arriving documents (kept or dropped) are registered, so
+    * duplicate chains a∼b∼c collapse to `a`. Banding is bit-identical to
+    * [[graft.ops.Dedup.minhashDedup]]'s, so the stream drops exactly the
+    * batch path's banding CANDIDATES for the same arrival order — but,
+    * unlike batch, there is NO exact-Jaccard verify: earlier documents'
+    * shingles are gone (the state keeps 12-byte band keys precisely so it
+    * does not retain the corpus). A band collision therefore over-drops
+    * with probability ≈ b·J^r per pair (bandRows=8, numHashes=32: a
+    * J=0.6 pair collides with p ≈ 4·0.6⁸ ≈ 6.6%) — the inherent
+    * text-free-state tradeoff; raise `bandRows` for sharper precision at
+    * lower near-dup recall.
     *
     * Scale shape: state is DISTINCT (band, hash) keys — 12 bytes per band
     * per distinct document, independent of text size — and each step is
     * two narrow joins (batch-bands ⋈ seen, batch-bands self-join); the
     * self-join is per-batch-sized, never corpus-sized.
-    */
+    *
+    * NOTE: each call persists the batch's band table and leaves it cached
+    * (the returned frames reference it lazily). For unbounded streams use
+    * [[nearDupForeachBatch]], which releases each generation once the
+    * next state is materialized. */
   def nearDupBatchStep(
       batch: DataFrame,
       seen: DataFrame,
@@ -71,12 +81,25 @@ object StreamingDedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bandRows: Int = 8): (DataFrame, DataFrame) = {
+    val (kept, newSeen, _) = nearDupBatchStepTracked(
+      batch, seen, textCol, idCol, shingleSize, numHashes, bandRows)
+    (kept, newSeen)
+  }
+
+  private[streaming] def nearDupBatchStepTracked(
+      batch: DataFrame,
+      seen: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bandRows: Int): (DataFrame, DataFrame, RDD[_]) = {
     import graft.ops.Dedup
     // freeze the band table: it has four consumers (past-join, both
     // self-join sides, state update) and the shingling + signature pass is
     // the expensive part — without materialization it would recompute per
     // consumer and again per downstream checkpoint
-    val bands = freeze(
+    val (bands, bandsRdd) = freeze(
       Dedup.bandTable(batch, textCol, idCol, shingleSize, numHashes, bandRows)
         .select("__id__", "band", "h"))
     val dupPast = bands.join(seen, Seq("band", "h"), "left_semi")
@@ -88,13 +111,23 @@ object StreamingDedup {
     val drops = dupPast.union(dupWithin).distinct()
     val kept = batch.join(drops.withColumnRenamed("__id__", idCol), Seq(idCol), "left_anti")
     val newSeen = seen.union(bands.select("band", "h")).distinct()
-    (kept, newSeen)
+    (kept, newSeen, bandsRdd)
   }
 
   /** foreachBatch wiring for [[nearDupBatchStep]]: maintains the seen-band
-    * state across micro-batches (localCheckpoint + stats reset per step —
-    * the state table is re-read every batch, so lineage must not grow) and
+    * state across micro-batches (each generation persisted + stats-reset,
+    * the PREVIOUS generation unpersisted once the new one is materialized
+    * — state storage stays O(current state), not O(batches × state)) and
     * hands each batch's admitted rows to `sink`.
+    *
+    * Durability contract: the state lives in THIS driver JVM. The
+    * batchId-replay guard covers a same-JVM sink retry; it does NOT
+    * survive a query restart from checkpoint (a new closure starts with
+    * `initialSeen` only). For restart resilience, rebuild the state from
+    * what was durably admitted: pass
+    * `initialSeen = Some(referenceBands(sinkTable, …))` over the sink's
+    * accumulated output — band keys are a pure function of admitted text,
+    * so the rebuilt state equals the lost one for every admitted doc.
     *
     * foreachBatch is the right Structured-Streaming shape here: the
     * any-band-matches predicate needs one membership join plus a
@@ -113,9 +146,14 @@ object StreamingDedup {
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     // seed state with a reference corpus's bands ([[referenceBands]]) for
     // streaming ingest admission: drop arrivals the corpus already has
-    var seen: DataFrame = initialSeen.map(freeze).orNull
+    var seen: DataFrame = null
+    var seenRdd: RDD[_] = null
+    initialSeen.foreach { s =>
+      val (df, rdd) = freeze(s); seen = df; seenRdd = rdd
+    }
     var lastBatchId = -1L
     var lastKept: DataFrame = null
+    var lastKeptRdd: RDD[_] = null
     (batch: DataFrame, batchId: Long) => {
       if (batchId == lastBatchId && lastKept != null) {
         // replayed micro-batch (failure after the state advanced): the
@@ -134,16 +172,23 @@ object StreamingDedup {
                 org.apache.spark.sql.types.IntegerType),
               org.apache.spark.sql.types.StructField("h",
                 org.apache.spark.sql.types.LongType))))
-        val (kept, newSeen) = nearDupBatchStep(
+        val (kept, newSeen, bandsRdd) = nearDupBatchStepTracked(
           batch, s, textCol, idCol, shingleSize, numHashes, bandRows)
-        val keptFrozen = freeze(kept)
-        val seenFrozen = freeze(newSeen)
+        val (keptFrozen, keptRdd) = freeze(kept)
+        val (seenFrozen, newSeenRdd) = freeze(newSeen)
+        // the new generations are materialized — the batch band table and
+        // the superseded generations can go (non-blocking)
+        bandsRdd.unpersist(blocking = false)
         // sink BEFORE advancing the state: a sink failure leaves `seen`
         // untouched, so the engine's retry recomputes the identical batch
         sink(keptFrozen)
+        if (seenRdd != null) seenRdd.unpersist(blocking = false)
+        if (lastKeptRdd != null) lastKeptRdd.unpersist(blocking = false)
         seen = seenFrozen
+        seenRdd = newSeenRdd
         lastBatchId = batchId
         lastKept = keptFrozen
+        lastKeptRdd = keptRdd
       }
     }
   }
@@ -154,7 +199,9 @@ object StreamingDedup {
     * are dropped from batch one, exactly as if the reference had streamed
     * first. Banding parameters must match the stream's. One pass over the
     * reference (per-row native signatures, distinct band keys ≈ 12 bytes ×
-    * bands × docs); the reference text itself is never retained. */
+    * bands × docs); the reference text itself is never retained. Also the
+    * restart-recovery path: run it over the sink's admitted output to
+    * reconstruct the in-memory state after a driver restart. */
   def referenceBands(
       reference: DataFrame,
       textCol: String,
@@ -167,9 +214,9 @@ object StreamingDedup {
       .select("band", "h")
       .distinct()
 
-  /** Materialize + truncate lineage AND Catalyst statistics (see
-    * `DatasetBridge` — checkpointing alone carries size estimates that
-    * compound across iterated state updates). */
-  private def freeze(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRdd(df.localCheckpoint())
+  /** Materialize + truncate lineage AND Catalyst statistics, returning the
+    * persisted RDD handle so the previous state generation can be released
+    * (see `DatasetBridge.freezeTracked`). */
+  private def freeze(df: DataFrame): (DataFrame, RDD[_]) =
+    org.apache.spark.sql.graftbridge.DatasetBridge.freezeTracked(df)
 }

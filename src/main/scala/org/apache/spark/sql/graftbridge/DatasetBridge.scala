@@ -32,4 +32,20 @@ object DatasetBridge {
     val rdd: RDD[InternalRow] = df.queryExecution.toRdd
     Dataset.ofRows(spark, LogicalRDD(DataTypeUtils.toAttributes(schema), rdd)(spark))
   }
+
+  /** Materialize `df` into an explicitly persisted internal RDD and re-wrap
+    * it stats-free, returning the RDD handle so the holder of generational
+    * state (streaming dedup's seen-band table) can `unpersist` the PREVIOUS
+    * generation. `localCheckpoint` alone pins every generation in executor
+    * storage with no handle to release it — an unbounded stream leaks
+    * O(batches × state size). Rows are copied before persisting (the
+    * internal iterator reuses mutable rows, same as localCheckpoint). */
+  def freezeTracked(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    val schema: StructType = df.schema
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize NOW so lineage (and its inputs) can be dropped
+    (Dataset.ofRows(spark, LogicalRDD(DataTypeUtils.toAttributes(schema), rdd)(spark)), rdd)
+  }
 }

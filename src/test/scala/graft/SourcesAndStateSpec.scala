@@ -107,6 +107,7 @@ class SourcesSpec extends SparkSpecBase {
       """{"doc_id": 1, "text": "clean doc one"}""",
       """{"doc_id": 2, "text": "clean doc two"}""",
       """{"doc_id": 3, "text": "truncated""",
+      """null""",
       """not json at all""").mkString("\n").getBytes("UTF-8"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
@@ -115,8 +116,10 @@ class SourcesSpec extends SparkSpecBase {
       == Seq((1L, "clean doc one"), (2L, "clean doc two")))
     assert(clean.columns.toSeq == Seq("doc_id", "text")) // capture col dropped
     val bad = corrupt.collect().map(_.getString(0)).sorted
-    assert(bad.length == 2 && bad.exists(_.contains("truncated"))
-      && bad.contains("not json at all"))
+    // the `null` literal parses to a NULL struct — quarantined, not a
+    // clean all-NULL ghost row
+    assert(bad.length == 3 && bad.exists(_.contains("truncated"))
+      && bad.contains("not json at all") && bad.contains("null"))
     // a schema that collides with the capture column fails fast
     intercept[IllegalArgumentException] {
       Tables.readJsonl(spark, dir.toString, schema.add("_corrupt", StringType))
