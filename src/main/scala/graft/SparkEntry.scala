@@ -1138,8 +1138,8 @@ object SparkEntry {
         |sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
         |FROM t WHERE n_tokens > 0)
-        |SELECT doc_id, n_tokens, stream, off // 2048 AS pack,
-        |stream * 4294967296 + off // 2048 AS pack_id
+        |SELECT doc_id, n_tokens, stream, CAST(off // 2048 AS BIGINT) AS pack,
+        |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // chunking: stride 224 = 256 - 32; integer ceil via (x + 223) // 224
     "q55_chunk_docs" ->

@@ -43,8 +43,14 @@ object Packing {
     df.withColumn("n_tokens", tokenExpr.cast("long"))
       .where(col("n_tokens").isNotNull && col("n_tokens") > 0)
       .withColumn("stream", pmod(col(idCol), lit(nStreams.toLong)).cast("long"))
-      .withColumn("pack",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(capacity)).cast("long"))
+      // pure long division (`div`), not floor(double /): the exclusive
+      // offset is a nonnegative long, and keeping every numeric path in
+      // integer arithmetic makes the assignment bit-identical to any other
+      // engine's integer `//` at all magnitudes (doubles lose exactness
+      // past 2^53, which a 100 TB corpus's token offsets can reach)
+      .withColumn("__off__", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack", expr(s"__off__ div CAST($capacity AS BIGINT)"))
+      .drop("__off__")
       .withColumn("pack_id", col("stream") * lit(1L << 32) + col("pack"))
   }
 
