@@ -1314,7 +1314,7 @@ object SparkEntry {
         |(sqrt(sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE))) * sqrt(sum(c.m * c.m))) AS sim
         |FROM e JOIN c ON e.p = c.p GROUP BY e.vec_id, c.label),
         |r AS (SELECT vec_id, label, sim,
-        |row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+        |row_number() OVER (PARTITION BY vec_id ORDER BY round(sim, 6) DESC, label) AS rn
         |FROM s WHERE sim IS NOT NULL)
         |SELECT e0.vec_id, CAST(r.label AS BIGINT) AS assigned, round(r.sim, 6) AS sim
         |FROM (SELECT vec_id FROM embeddings) e0

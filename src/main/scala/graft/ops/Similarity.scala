@@ -543,16 +543,21 @@ object Similarity {
         col(labelCol).as("__l__"), toDouble(col(centroidCol)).as("__c__"))))
       .select(col(idCol), col("__l__"),
         cosine(col("__v__"), col("__c__")).as("__s__"))
-    // min_by over (-sim, label): highest sim first, ties toward the
-    // smallest label. NULL-sim pairs get a NULL ordering key, which
-    // min_by ignores — so they can never beat a real assignment, and an
-    // all-NULL vector yields a NULL struct (NULL label + NULL sim).
+    // min_by over (-round(sim, 6), label): highest sim first, ties toward
+    // the smallest label. The comparison key is ROUNDED so two centroids
+    // whose cosines differ only at ulp level (different engines' libm /
+    // summation order) collapse to the same key and the deterministic
+    // smallest-label tie-break decides — otherwise `assigned` can flip
+    // across engines while the (rounded) output sim still matches. NULL-sim
+    // pairs get a NULL ordering key, which min_by ignores — so they can
+    // never beat a real assignment, and an all-NULL vector yields a NULL
+    // struct (NULL label + NULL sim).
     scored
       .groupBy(col(idCol))
       .agg(
         min_by(struct(col("__l__").as(labelCol), col("__s__").as("sim")),
           when(col("__s__").isNotNull,
-            struct(-col("__s__"), col("__l__")))).as("__b__"))
+            struct(-round(col("__s__"), 6), col("__l__")))).as("__b__"))
       .select(col(idCol), col(s"__b__.$labelCol"), col("__b__.sim"))
   }
 }

@@ -180,8 +180,17 @@ object StreamingDedup {
         // the superseded generations can go (non-blocking)
         bandsRdd.unpersist(blocking = false)
         // sink BEFORE advancing the state: a sink failure leaves `seen`
-        // untouched, so the engine's retry recomputes the identical batch
-        sink(keptFrozen)
+        // untouched, so the engine's retry recomputes the identical batch.
+        // On failure, release the just-built generations too — each retry
+        // would otherwise persist fresh copies and leave the abandoned ones
+        // to GC/ContextCleaner timing instead of deterministic release.
+        try sink(keptFrozen)
+        catch {
+          case t: Throwable =>
+            keptRdd.unpersist(blocking = false)
+            newSeenRdd.unpersist(blocking = false)
+            throw t
+        }
         if (seenRdd != null) seenRdd.unpersist(blocking = false)
         if (lastKeptRdd != null) lastKeptRdd.unpersist(blocking = false)
         seen = seenFrozen

@@ -39,12 +39,24 @@ object DatasetBridge {
     * generation. `localCheckpoint` alone pins every generation in executor
     * storage with no handle to release it — an unbounded stream leaks
     * O(batches × state size). Rows are copied before persisting (the
-    * internal iterator reuses mutable rows, same as localCheckpoint). */
+    * internal iterator reuses mutable rows, same as localCheckpoint).
+    *
+    * `localCheckpoint()` before the materializing `count()` TRUNCATES the
+    * RDD's lineage at materialization: without it, each generation's RDD
+    * keeps dependencies (including its micro-batch source plan and any
+    * shuffle) on all prior generations, so the driver-side RDD graph and
+    * registered shuffle files grow O(batches) on an unbounded stream even
+    * though the superseded generations' blocks are unpersisted. The
+    * documented localCheckpoint tradeoff applies: losing an executor loses
+    * the truncated partitions (no recomputation path) — acceptable for
+    * derived dedup state, which the holder can rebuild from its sink (the
+    * restart contract). */
   def freezeTracked(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
     val spark = df.sparkSession.asInstanceOf[SparkSession]
     val schema: StructType = df.schema
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint() // keeps the persist level; truncates lineage at count()
     rdd.count() // materialize NOW so lineage (and its inputs) can be dropped
     (Dataset.ofRows(spark, LogicalRDD(DataTypeUtils.toAttributes(schema), rdd)(spark)), rdd)
   }
