@@ -740,7 +740,21 @@ object SparkEntry {
         d.select("doc_id", "lang", "n_chars"), "doc_id", col("n_chars"), pairs)
         .select("doc_id", "cluster_id", "lang", "n_chars")
         .orderBy("doc_id")
-    })
+    }),
+    // the flagship one-call pipeline, in its fully deterministic
+    // configuration (quality gate + exact dedup → token-set-identity
+    // canonicalization keeping the best quality_score → sequence packing;
+    // no hash-seeded rebalance) — the COMPOSITION is what this row audits,
+    // each stage is individually oracle-backed (q39/q75/q50)
+    "q81_prepare_training" -> ((s, dir) =>
+      graft.ops.Pipeline.prepareTrainingData(
+        table(s, dir, "documents"), "text", "doc_id",
+        minQuality = 0.5, minTokens = 20L,
+        nearDupThreshold = 1.0, shingleSize = 1,
+        capacity = 2048L, nStreams = 8)
+        .select("doc_id", "cluster_id", "quality_score", "n_tokens",
+          "stream", "pack", "pack_id")
+        .orderBy("doc_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1389,6 +1403,40 @@ object SparkEntry {
         |ORDER BY d.n_chars DESC, d.doc_id) AS rn
         |FROM documents d JOIN lab ON d.doc_id = lab.doc_id)
         |SELECT doc_id, cluster_id, lang, n_chars FROM rk WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // composition of the q39 (clean), q75 (canonicalize, score =
+    // quality_score), and q50 (packing) oracle logic — integer window sum
+    // output columns cast back to BIGINT (DuckDB sum → HUGEINT → float64)
+    "q81_prepare_training" -> {
+      val featSql =
+        s"""SELECT * FROM ($textAnalyzeSql)
+           |WHERE quality_score >= 0.5 AND ws_tokens >= 20""".stripMargin
+          .replace("\n", " ")
+          .replace("FROM documents", keepFirstDocsSql)
+      s"""WITH RECURSIVE feat AS ($featSql),
+         |kept AS (SELECT doc_id, quality_score, bpe_tokens FROM feat),
+         |tok AS (SELECT d.doc_id,
+         |list_distinct(regexp_split_to_array(trim(d.text), '\\s+')) AS s
+         |FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tok a JOIN tok b
+         |ON a.doc_id <> b.doc_id
+         |AND len(list_intersect(a.s, b.s)) = len(list_distinct(list_concat(a.s, b.s)))),
+         |reach(id, r) AS (SELECT doc_id, doc_id FROM kept
+         |UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |rk AS (SELECT k.doc_id, lab.cluster_id, k.quality_score, k.bpe_tokens,
+         |row_number() OVER (PARTITION BY lab.cluster_id
+         |ORDER BY k.quality_score DESC, k.doc_id) AS rn
+         |FROM kept k JOIN lab ON k.doc_id = lab.doc_id),
+         |surv AS (SELECT doc_id, cluster_id, quality_score,
+         |CAST(bpe_tokens AS BIGINT) AS n_tokens,
+         |CAST(doc_id % 8 AS BIGINT) AS stream FROM rk WHERE rn = 1 AND bpe_tokens > 0),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off FROM surv)
+         |SELECT doc_id, cluster_id, quality_score, n_tokens, stream,
+         |CAST(off // 2048 AS BIGINT) AS pack,
+         |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    }
   )
 }
