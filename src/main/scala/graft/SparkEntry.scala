@@ -588,6 +588,20 @@ object SparkEntry {
           hex(substring(col("payload"), 1, 44)).as("hdr_hex"))
         .orderBy("media_id")
     }),
+    // sample-LEVEL PCM decode (codec-free, past q57's header parse): the
+    // native PcmStats expression walks the RIFF chunks and accumulates
+    // count / peak / Σv² / rms over the data chunk's 16-bit LE samples in
+    // one pass — no row amplification (the oracle must explode per-sample)
+    "q82_pcm_stats" -> ((s, dir) => {
+      val a = Multimodal.audioFromDocuments(table(s, dir, "documents"))
+      a.select(col("media_id"),
+        graft.functions.MediaFunctions.pcmStats(col("payload")).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("media_id"), col("p.n_samples").as("n_samples"),
+          col("p.peak").cast("long").as("peak"), col("p.sum_sq").as("sum_sq"),
+          round(col("p.rms"), 6).as("rms"))
+        .orderBy("media_id")
+    }),
     // multimodal byte-level decode: dims parsed FROM the payload bytes by
     // the native ImageDims expression (PNG IHDR / JPEG SOF segment walk);
     // hdr_hex exposes the raw header so the oracle checks the byte layout
@@ -1301,6 +1315,26 @@ object SparkEntry {
          |${leSql("ch", 2)} || ${leSql("sr", 4)} || ${leSql("sr * ch * 2", 4)} ||
          |${leSql("ch * 2", 2)} || '1000' || '64617461' || ${leSql("n", 4)} AS hdr_hex
          |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // PCM sample decode: DuckDB re-derives each 16-bit LE sample from the
+    // UTF-8 payload's hex (byte j = hex chars 2j+1..2j+2, sample k = bytes
+    // 2k lo + 2k+1 hi, two's complement at 32768), then aggregates the same
+    // count/peak/Σv²/rms; Σv² cast back to BIGINT (sum → HUGEINT → float64)
+    "q82_pcm_stats" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT media_id, hx, n // 2 AS ns, unnest(range(0, n // 2)) AS k
+        |FROM m WHERE n >= 2),
+        |v AS (SELECT media_id, ns,
+        |(strpos('0123456789ABCDEF', substr(hx, 4*k+3, 1)) - 1) * 4096
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+4, 1)) - 1) * 256
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+2, 1)) - 1) AS u FROM s),
+        |w AS (SELECT media_id, ns, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM v)
+        |SELECT media_id, CAST(max(ns) AS BIGINT) AS n_samples,
+        |CAST(max(abs(x)) AS BIGINT) AS peak,
+        |CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sum_sq,
+        |round(sqrt(CAST(sum(CAST(x AS BIGINT) * x) AS DOUBLE) / max(ns)), 6) AS rms
+        |FROM w GROUP BY media_id ORDER BY media_id""".stripMargin.replace("\n", " "),
     // byte-level decode check: Spark PARSES width/height/format back out of
     // the payload's container header (native ImageDims expression); DuckDB
     // independently RECONSTRUCTS the exact header bytes from arithmetic.

@@ -118,6 +118,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(AudioMeta.parse(huge) == null)
   }
 
+  test("PcmStats decodes 8/16-bit samples and rejects non-PCM payloads") {
+    import graft.functions.PcmStats
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fmt(codec: Int, bits: Int) = "fmt ".getBytes ++ le32(16) ++ le16(codec) ++
+      le16(1) ++ le32(8000) ++ le32(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits)
+    def wav(bits: Int, data: Array[Byte], codec: Int = 1) =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        fmt(codec, bits) ++ "data".getBytes ++ le32(data.length) ++ data
+    // 16-bit: samples 1000, -1000, 32767, -32768 → peak 32768,
+    // sum_sq = 2*10^6 + 32767² + 32768² = 2149514113
+    val d16 = le16(1000) ++ le16(-1000 & 0xffff) ++ le16(32767) ++ le16(-32768 & 0xffff)
+    val r16 = PcmStats.parse(wav(16, d16))
+    assert(r16 != null && r16.getLong(0) == 4L && r16.getInt(1) == 32768)
+    assert(r16.getLong(2) == 2000000L + 32767L * 32767 + 32768L * 32768)
+    assert(math.abs(r16.getDouble(3) - math.sqrt(r16.getLong(2) / 4.0)) < 1e-12)
+    // trailing odd byte of a 16-bit stream is ignored
+    val rOdd = PcmStats.parse(wav(16, d16 :+ 0x7f.toByte))
+    assert(rOdd != null && rOdd.getLong(0) == 4L && rOdd.getLong(2) == r16.getLong(2))
+    // 8-bit unsigned offset-128: bytes 128, 0, 255 → 0, -128, 127
+    val r8 = PcmStats.parse(wav(8, Array[Byte](128.toByte, 0, 255.toByte)))
+    assert(r8 != null && r8.getLong(0) == 3L && r8.getInt(1) == 128)
+    assert(r8.getLong(2) == 0L + 128L * 128 + 127L * 127)
+    // declared data size past the physical end is clamped, not an exception
+    val over = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++ fmt(1, 16) ++
+      "data".getBytes ++ le32(1000000) ++ le16(5) ++ le16(-5 & 0xffff)
+    val rOver = PcmStats.parse(over)
+    assert(rOver != null && rOver.getLong(0) == 2L && rOver.getLong(2) == 50L)
+    // non-PCM codec, 24-bit depth, zero samples, garbage → NULL
+    assert(PcmStats.parse(wav(16, d16, codec = 3)) == null)
+    assert(PcmStats.parse(wav(24, d16)) == null)
+    assert(PcmStats.parse(wav(16, Array[Byte]())) == null)
+    assert(PcmStats.parse("not audio".getBytes) == null)
+  }
+
   test("frame-sample plan is metadata-only and bounded") {
     val plan = Multimodal.frameSamplePlan(media, fps = 30, stride = 10, maxFrames = 8)
     val counts = plan.groupBy("media_id").count().collect().map(_.getLong(1))
