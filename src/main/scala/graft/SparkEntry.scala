@@ -167,6 +167,100 @@ object SparkEntry {
   private val keepFirstDocsSql =
     "FROM (SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text))"
 
+  // ---- DuckDB reimplementation of Spark's xxhash64 (public XXH64) --------
+  // Spark's xxhash64(c1, c2, ...) starts at seed 42 and folds each long in
+  // with hashLong(input, runningHash) — one 8-byte XXH64 round + avalanche.
+  // DuckDB has no xxhash64, but the algorithm is pure 64-bit integer
+  // arithmetic, expressible with HUGEINT mod-2^64 emulation: wrapping
+  // multiply splits the left operand at 2^32 so no intermediate exceeds
+  // 2^97 (int128-safe). This makes graft.Sampling's hash-seeded admission
+  // (unif = (pmod(xxhash64(id, seed), 1e9+7) + 0.5) / 1e9+7) EXACTLY
+  // oracle-checkable — not just its deterministic derivation.
+  private val xxP1 = 0x9E3779B185EBCA87L
+  private val xxP2 = 0xC2B2AE3D27D4EB4FL
+  private val xxP3 = 0x165667B19E3779F9L
+  private val xxP4 = 0x85EBCA77C2B2AE63L
+  private val xxP5 = 0x27D4EB2F165667C5L
+  private def uns(v: Long): String = java.lang.Long.toUnsignedString(v)
+  private val T64 = "18446744073709551616" // 2^64
+
+  /** `(x * c) mod 2^64` over HUGEINT columns: split x at 2^32. */
+  private def xxMul(x: String, c: Long): String =
+    s"((($x) % 4294967296) * ${uns(c)} + (((($x) >> 32) * ${uns(c)}) % 4294967296) * 4294967296) % $T64"
+
+  /** 64-bit rotate-left of a HUGEINT column in [0, 2^64). */
+  private def xxRotl(x: String, r: Int): String =
+    s"(((($x) << $r) % $T64) | (($x) >> ${64 - r}))"
+
+  /** CTE chain computing `u = (pmod(xxhash64(idExpr, lit(seed)), 1e9+7) +
+    * 0.5) / 1e9+7` — bit-identical to [[graft.ops.Sampling]]'s `unif` — as
+    * column `u` appended to `srcCte`'s columns. Returns (cteListSql,
+    * lastCteName); splice as `WITH $srcCte AS (...), $cteList ... FROM
+    * $last`. `idExpr` must be a nonnegative BIGINT expression. */
+  private def xxhashUnifCtes(
+      srcCte: String, idExpr: String, seed: Long, prefix: String): (String, String) = {
+    // hashLong(seedLit, h)'s input-dependent half is a constant per seed
+    val kc = java.lang.Long.rotateLeft(seed * xxP2, 31) * xxP1
+    val steps = Seq(
+      "m1" -> xxMul(s"CAST($idExpr AS HUGEINT)", xxP2),
+      "r1" -> xxRotl("m1", 31),
+      "k1" -> xxMul("r1", xxP1),
+      "h1" -> s"xor(CAST(${uns(42L + xxP5 + 8L)} AS HUGEINT), k1)",
+      "r2" -> xxRotl("h1", 27),
+      "h2" -> s"(${xxMul("r2", xxP1)} + ${uns(xxP4)}) % $T64",
+      "f1" -> "xor(h2, h2 >> 33)",
+      "f2" -> xxMul("f1", xxP2),
+      "f3" -> "xor(f2, f2 >> 29)",
+      "f4" -> xxMul("f3", xxP3),
+      "hA" -> "xor(f4, f4 >> 32)",
+      "bh" -> s"(hA + ${uns(xxP5 + 8L)}) % $T64",
+      "g1" -> s"xor(bh, CAST(${uns(kc)} AS HUGEINT))",
+      "g2" -> xxRotl("g1", 27),
+      "g3" -> s"(${xxMul("g2", xxP1)} + ${uns(xxP4)}) % $T64",
+      "e1" -> "xor(g3, g3 >> 33)",
+      "e2" -> xxMul("e1", xxP2),
+      "e3" -> "xor(e2, e2 >> 29)",
+      "e4" -> xxMul("e3", xxP3),
+      "hB" -> "xor(e4, e4 >> 32)",
+      "sh" -> s"CASE WHEN hB >= 9223372036854775808 THEN hB - $T64 ELSE hB END",
+      "pm" -> "((sh % 1000000007) + 1000000007) % 1000000007",
+      "u" -> "(CAST(pm AS DOUBLE) + 0.5) / 1000000007")
+    val ctes = steps.zipWithIndex.map { case ((name, expr), i) =>
+      val src = if (i == 0) srcCte else s"$prefix${i - 1}"
+      s"$prefix$i AS (SELECT *, $expr AS $name FROM $src)"
+    }
+    (ctes.mkString(", "), s"$prefix${steps.length - 1}")
+  }
+
+  /** Full-precision double literal for SQL (round-trips exactly). */
+  private def dbl(v: Double): String =
+    if (v == v.toLong.toDouble) s"CAST(${v.toLong} AS DOUBLE)"
+    else s"CAST(${String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))} AS DOUBLE)"
+
+  /** The q64/q83 language-mix config — ONE definition so the Spark queries
+    * and the oracle's inlined share literals cannot drift. Order matters:
+    * `Map(...).values.sum` iterates insertion order on a 4-entry map, and
+    * the oracle must add the same doubles in the same order. */
+  private val mixTargets = Seq("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
+  private val mixShares: Seq[(String, Double)] = {
+    val total = mixTargets.map(_._2).sum
+    mixTargets.map { case (l, t) => l -> t / total }
+  }
+
+  /** CTEs deriving matchDistribution's per-stratum keep fraction over the
+    * `documents.lang` strata: counts → inlined share literals → binding
+    * min-ratio k → `fr(lang, c, f)`. Shares are Scala-computed doubles
+    * rendered at full precision, so both engines run the identical IEEE
+    * expression tree. */
+  private def mixFracCtes: String = {
+    val langs = mixShares.map(s => s"'${s._1}'").mkString(", ")
+    val arms = mixShares.map { case (l, sh) => s"WHEN '$l' THEN ${dbl(sh)}" }.mkString(" ")
+    s"""cnt AS (SELECT lang, count(*) AS c FROM documents WHERE lang IN ($langs) GROUP BY lang),
+       |shr AS (SELECT lang, c, CASE lang $arms END AS share FROM cnt),
+       |kk AS (SELECT min(c / share) AS k FROM shr),
+       |fr AS (SELECT lang, c, least(CAST(1 AS DOUBLE), (SELECT k FROM kk) * share / c) AS f FROM shr)""".stripMargin.replace("\n", " ")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 count (skipna=true) — SURVEY §2.2
@@ -537,19 +631,29 @@ object SparkEntry {
           .otherwise(size(split(col("clean"), "\n")).cast("long")))
         .orderBy("doc_id")
     }),
-    // rebalance langs to a fixed target mix (hash-seeded sampling —
-    // rows-only check; proportions are pinned by SamplingSpec)
+    // rebalance langs to a fixed target mix — FULLY oracle-backed: the
+    // oracle reimplements Spark's xxhash64 (public XXH64) in HUGEINT SQL,
+    // so the hash-seeded admission itself is exact-checked, not rows-only
     "q64_match_distribution" -> ((s, dir) =>
       graft.ops.Sampling.matchDistribution(
         table(s, dir, "documents"), Seq("doc_id"), "lang",
-        Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1), seed = 11L)
+        Map(mixTargets: _*), seed = 11L)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // the deterministic half of q64 as its own relation: per-stratum
+    // available counts + derived keep fraction (binding stratum = 1.0)
+    "q83_match_fractions" -> ((s, dir) =>
+      graft.ops.Sampling.matchDistributionPlan(
+        table(s, dir, "documents"), "lang", Map(mixTargets: _*))
+        .select(col("lang"), col("available"),
+          round(col("fraction"), 6).as("fraction"))
+        .orderBy("lang")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
         minQuality = 0.5, minTokens = 20L).orderBy("doc_id")),
-    // deterministic weighted sampling (hash-seeded — rows-only check; the
-    // determinism itself is pinned by SamplingSpec across partitionings)
+    // deterministic weighted sampling — FULLY oracle-backed: the oracle
+    // recomputes the Efraimidis–Spirakis keys from the same XXH64 hash
+    // (HUGEINT SQL reimplementation) and takes the same 200-row head
     "q45_weighted_sample" -> ((s, dir) =>
       graft.ops.Sampling.weightedSample(table(s, dir, "documents"),
         "n_chars", Seq("doc_id"), 200, seed = 7L)
@@ -1438,6 +1542,31 @@ object SparkEntry {
         |FROM documents d JOIN lab ON d.doc_id = lab.doc_id)
         |SELECT doc_id, cluster_id, lang, n_chars FROM rk WHERE rn = 1
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // hash-seeded weighted sampling, exact: XXH64 reimplemented in HUGEINT
+    // CTEs (same bits as Spark's xxhash64), then the same E–S keys
+    // -ln(u)/w, same (key, id)-ordered 200-row head
+    "q45_weighted_sample" -> {
+      val (ctes, last) = xxhashUnifCtes("src", "doc_id", 7L, "x45_")
+      s"""WITH src AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+         |$ctes,
+         |kt AS (SELECT doc_id, n_chars, -ln(u) / n_chars AS kk FROM $last),
+         |st AS (SELECT doc_id, n_chars FROM kt ORDER BY kk, doc_id LIMIT 200)
+         |SELECT doc_id, n_chars FROM st ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    // hash-seeded mix rebalance, exact: per-stratum fraction derivation
+    // (inlined full-precision share literals) + XXH64 admission u < f
+    "q64_match_distribution" -> {
+      val (ctes, last) = xxhashUnifCtes("src", "doc_id", 11L, "x64_")
+      s"""WITH src AS (SELECT doc_id, lang FROM documents),
+         |$ctes,
+         |$mixFracCtes
+         |SELECT t.doc_id, t.lang FROM $last t JOIN fr ON t.lang = fr.lang
+         |WHERE t.u < fr.f ORDER BY t.doc_id""".stripMargin.replace("\n", " ")
+    },
+    "q83_match_fractions" ->
+      s"""WITH $mixFracCtes
+         |SELECT lang, CAST(c AS BIGINT) AS available, round(f, 6) AS fraction
+         |FROM fr ORDER BY lang""".stripMargin.replace("\n", " "),
     // composition of the q39 (clean), q75 (canonicalize, score =
     // quality_score), and q50 (packing) oracle logic — integer window sum
     // output columns cast back to BIGINT (DuckDB sum → HUGEINT → float64)

@@ -160,19 +160,39 @@ object Sampling {
       strataCol: String,
       targets: Map[String, Double],
       seed: Long = 42L): DataFrame = {
+    val rows = matchDistributionPlan(df, strataCol, targets).collect()
+    val missing = targets.keySet.diff(rows.map(_.get(0).toString).toSet)
+    require(missing.isEmpty, s"strata absent from the data: $missing")
+    val fractions = rows.map(r => r.get(0).toString -> r.getDouble(2)).toMap
+    sampleStratified(df, idCols, strataCol, fractions, defaultFraction = 0.0, seed = seed)
+  }
+
+  /** The deterministic half of [[matchDistribution]] as its own relation:
+    * per stratum, the available row count and the derived keep-fraction —
+    * the binding stratum (smallest available/target ratio) keeps 1.0, the
+    * rest downsample to match the target mix. Pure SQL shape (one grouped
+    * count over the strata + a global min over the #strata-row frame), so
+    * it is oracle-checkable and costs one aggregate; [[matchDistribution]]
+    * collects THIS relation (strata are languages/domains — tiny) to build
+    * its per-row predicate. Strata absent from `targets` are omitted. */
+  def matchDistributionPlan(
+      df: DataFrame,
+      strataCol: String,
+      targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       s"targets must be positive, got $targets")
     val total = targets.values.sum
-    val counts = df.where(col(strataCol).isin(targets.keys.toSeq: _*))
-      .groupBy(strataCol).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
-    val missing = targets.keySet.diff(counts.keySet)
-    require(missing.isEmpty, s"strata absent from the data: $missing")
-    // binding stratum: smallest available/target ratio sets the output size
-    val k = targets.map { case (s, t) => counts(s) / (t / total) }.min
-    val fractions = targets.map { case (s, t) =>
-      s -> math.min(1.0, k * (t / total) / counts(s))
+    val share = targets.foldLeft(lit(null).cast("double")) { case (acc, (s, t)) =>
+      when(col(strataCol) === s, lit(t / total)).otherwise(acc)
     }
-    sampleStratified(df, idCols, strataCol, fractions, defaultFraction = 0.0, seed = seed)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.where(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(strataCol).agg(count(lit(1)).as("available"))
+      .withColumn("__share__", share)
+      .withColumn("__k__",
+        min(col("available").cast("double") / col("__share__")).over(w))
+      .select(col(strataCol), col("available"),
+        least(lit(1.0), col("__k__") * col("__share__") / col("available"))
+          .as("fraction"))
   }
 }
