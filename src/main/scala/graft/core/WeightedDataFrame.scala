@@ -132,7 +132,52 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     */
   def corr(minPeriods: Int = 1, ddof: Int = 1, method: String = "pearson"): DataFrame = {
     requirePearson(method)
+    if (numericCols.length <= WeightedDataFrame.wideCorrThreshold)
+      corrNarrow(minPeriods, ddof)
+    else corrMelted(minPeriods, ddof)
+  }
+
+  /** k² cells as one aggregate pass with 7 sub-aggregates per cell — the
+    * right plan for the reference's k≈10 frames (no row amplification),
+    * but Catalyst planning is O(k²) EXPRESSIONS, which explodes past a
+    * couple hundred columns. [[corr]] switches paths on
+    * [[WeightedDataFrame.wideCorrThreshold]]. */
+  private[graft] def corrNarrow(minPeriods: Int = 1, ddof: Int = 1): DataFrame =
     pairwise("corr", (x, y) => WeightedMoments.corrExpr(x, y, w, ddof, minPeriods))
+
+  /** Wide-frame path: MELT each row to k (name, value) structs and explode
+    * twice into (x, y, w) pair rows, then ONE 7-moment hash aggregate with
+    * k² groups. Planning is O(k) expressions regardless of width; execution
+    * streams n·k² pair rows through partial aggregation (map-side combine
+    * collapses each task to ≤ k² moment rows before the single exchange) —
+    * the same FLOPs as the narrow path, organized as rows instead of
+    * expressions. Numerics are IDENTICAL: both paths end in
+    * [[WeightedMoments.corrFromMoments]]. */
+  private[graft] def corrMelted(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
+    import WeightedMoments.nullD
+    // the class's own `sum(minCount, ...)` shadows the aggregate function
+    import org.apache.spark.sql.functions.{sum => sumAgg}
+    val cols = numericCols
+    val arr = array(cols.map(c => struct(lit(c).as("name"), nc(c).as("v"))): _*)
+    val pairs = df.select(w.as("__w__"), arr.as("__arr__"))
+      .select(col("__w__"), explode(col("__arr__")).as("x"), col("__arr__"))
+      .select(col("__w__"), col("x"), explode(col("__arr__")).as("y"))
+    val valid = col("x.v").isNotNull && col("y.v").isNotNull && col("__w__").isNotNull
+    def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
+    val vx = col("x.v"); val vy = col("y.v"); val vw = col("__w__")
+    pairs
+      .groupBy(col("x.name").as("col_x"), col("y.name").as("col_y"))
+      .agg(
+        coalesce(sumAgg(when(valid, 1L).otherwise(0L)), lit(0L)).as("__n__"),
+        coalesce(sumAgg(when(valid, vw).otherwise(lit(0.0))), lit(0.0)).as("__sw__"),
+        m(vx * vw).as("__sx__"), m(vy * vw).as("__sy__"),
+        m(vx * vy * vw).as("__sxy__"),
+        m(vx * vx * vw).as("__sxx__"), m(vy * vy * vw).as("__syy__"))
+      .select(col("col_x"), col("col_y"),
+        WeightedMoments.corrFromMoments(
+          col("__n__"), col("__sw__"), col("__sx__"), col("__sy__"),
+          col("__sxy__"), col("__sxx__"), col("__syy__"),
+          ddof, minPeriods).as("corr"))
   }
 
   /** Pairwise weighted covariance, long format `(col_x, col_y, cov)` —
@@ -300,6 +345,13 @@ object WeightedDataFrame {
   /** Reserved weight-column name (never collides with user data in our
     * test tables; construction fails fast if it would). */
   val WeightCol = "__wt__"
+
+  /** Width above which [[WeightedDataFrame.corr]] switches from the k²-
+    * expression single-pass plan to the melted O(k)-planning plan: past a
+    * couple hundred columns Catalyst spends longer PLANNING 7k² aggregate
+    * expressions than executing them (240k expressions at k=200). 16 keeps
+    * the reference-sized frames (k≈10) on the no-amplification plan. */
+  val wideCorrThreshold = 16
 
   private[core] def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType | BooleanType => true

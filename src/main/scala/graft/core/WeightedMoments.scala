@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.DoubleType
   */
 object WeightedMoments {
 
-  private val nullD: Column = lit(null).cast(DoubleType)
+  private[core] val nullD: Column = lit(null).cast(DoubleType)
 
   /** NULL-on-zero division. Spark 4 runs ANSI mode by default, where `/ 0`
     * throws; the pandas semantics we mirror produce NaN-ish "no result"
@@ -202,11 +202,20 @@ object WeightedMoments {
     def m(e: Column): Column = sum(when(valid, e).otherwise(nullD))
     val n   = coalesce(sum(when(valid, 1L).otherwise(0L)), lit(0L))
     val sw  = coalesce(sum(when(valid, w).otherwise(lit(0.0))), lit(0.0))
-    val sx  = m(x * w)
-    val sy  = m(y * w)
-    val sxy = m(x * y * w)
-    val sxx = m(x * x * w)
-    val syy = m(y * y * w)
+    corrFromMoments(n, sw,
+      m(x * w), m(y * w), m(x * y * w), m(x * x * w), m(y * y * w),
+      ddof, minPeriods)
+  }
+
+  /** Final correlation from the 7 joint-validity moments, with every
+    * `_stats.py:36-73` guard — shared by the per-pair aggregate path
+    * ([[corrExpr]]) and the melted wide-frame path
+    * ([[graft.core.WeightedDataFrame.corr]]), so the two plans cannot
+    * drift numerically. */
+  def corrFromMoments(
+      n: Column, sw: Column, sx: Column, sy: Column,
+      sxy: Column, sxx: Column, syy: Column,
+      ddof: Int, minPeriods: Int): Column = {
     val denom = sw - lit(ddof.toDouble)
     val cov  = safeDiv(sxy - safeDiv(sx * sy, sw), denom)
     val varx = safeDiv(sxx - safeDiv(sx * sx, sw), denom)

@@ -136,4 +136,58 @@ class CorrSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> cell(r, 1)).toMap
     assert(mp("A").isEmpty && mp("B").isEmpty) // pandas expected_min_periods
   }
+
+  test("melted wide-corr path equals the narrow path cell-for-cell") {
+    // nulls + a weight-null row + a constant column (variance-0 guard) so
+    // every corrFromMoments branch is exercised through BOTH plans
+    val d = Seq(
+      (1.0, Some(2.0), 4.0, 5.0, Some(1.0)),
+      (2.0, Some(4.0), 3.0, 5.0, Some(2.0)),
+      (3.0, None: Option[Double], 2.0, 5.0, Some(3.0)),
+      (4.0, Some(8.0), 1.0, 5.0, None: Option[Double])
+    ).toDF("A", "B", "C", "K", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    for (minPeriods <- Seq(1, 3); ddof <- Seq(0, 1)) {
+      val narrow = matrix(wdf.corrNarrow(minPeriods, ddof))
+      val melted = matrix(wdf.corrMelted(minPeriods, ddof))
+      assert(melted.keySet == narrow.keySet)
+      narrow.foreach { case (k, v) =>
+        (v, melted(k)) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"$k: $a vs $b")
+          case (a, b) => assert(a == b, s"$k: $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("100-column corr plans in O(k) and computes correct cells") {
+    // k=100 → the narrow path would build 70k aggregate expressions; the
+    // melted path must plan and run the whole 10 000-cell matrix quickly
+    val k = 100
+    val cols = (0 until k).map(i => f"c$i%03d")
+    val rows = (0 until 200).map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        cols.indices.map(i => (r * (i + 1) % 17).toDouble) :+ 1.0)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      (cols :+ "weights").map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val t0 = System.nanoTime()
+    val out = WeightedDataFrame.wt(df, "weights").corr()
+    val cells = out.collect().map(r => (r.getString(0), r.getString(1)) -> cell(r, 2)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cells.size == k * k)
+    info(f"100-column corr (10k cells) in $secs%.1f s")
+    assert(secs < 120, s"wide corr took $secs s — planning is not O(k)")
+    // spot-check against the narrow path on a 3-column projection
+    val sub = WeightedDataFrame.wt(df.select("c001", "c002", "c050", "weights"), "weights")
+    val expect = matrix(sub.corrNarrow())
+    for (pair <- Seq(("c001", "c002"), ("c001", "c050"), ("c002", "c050"), ("c001", "c001"))) {
+      (expect(pair), cells(pair)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"$pair: $a vs $b")
+        case (a, b) => assert(a == b, s"$pair: $a vs $b")
+      }
+    }
+  }
 }
