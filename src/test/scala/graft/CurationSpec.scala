@@ -282,6 +282,47 @@ class RangeJoinSpec extends SparkSpecBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("property: rangeJoin equals brute-force containment on random inputs") {
+    // seeded random points/intervals, deliberately including: negative
+    // coordinates (floor-division bucketing must round toward -inf),
+    // points exactly at k·bucketWidth and at interval starts/ends
+    // (half-open boundary), empty and length-1 intervals, and several
+    // widths per dataset
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val points = (0 until 120).map { i =>
+        val t = rnd.nextInt(9) match {
+          case 0 => rnd.nextInt(10) * 7L            // on 7-bucket boundaries
+          case 1 => -(rnd.nextInt(10) * 7L)         // negative boundaries
+          case _ => rnd.nextInt(201).toLong - 100L  // uniform incl. negatives
+        }
+        (i.toLong, t)
+      }
+      val intervals = (0 until 60).map { j =>
+        val s = rnd.nextInt(201).toLong - 100L
+        val len = rnd.nextInt(6) match {
+          case 0 => 0L                               // empty: matches nothing
+          case 1 => -3L                              // inverted: matches nothing
+          case 2 => 1L                               // single point
+          case _ => rnd.nextInt(40).toLong + 1L
+        }
+        (j.toLong, s, s + len)
+      }
+      val expect = (for {
+        (pid, t) <- points
+        (iid, s, e) <- intervals
+        if t >= s && t < e
+      } yield (pid, iid)).sorted
+      val pdf = points.toDF("pid", "t")
+      val idf = intervals.toDF("iid", "s", "e")
+      for (width <- Seq(1L, 3L, 7L, 64L)) {
+        val got = RangeJoin.rangeJoin(pdf, "t", idf, "s", "e", bucketWidth = width)
+          .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == expect, s"seed=$seed width=$width: ${got.size} vs ${expect.size}")
+      }
+    }
+  }
 }
 
 class PrepareTrainingDataSpec extends SparkSpecBase {

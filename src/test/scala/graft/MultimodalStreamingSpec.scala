@@ -334,6 +334,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(emitted.last == Seq(4L))
   }
 
+  test("restart contract: rebuilding state from the sink prevents re-admission") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    // phase 1: stream runs; the sink is the durable output (admitted docs)
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def drain(kept: org.apache.spark.sql.DataFrame): Unit = sink.synchronized {
+      sink ++= kept.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    val in1 = MemoryStream[(Long, String)]
+    val step1 = StreamingDedup.nearDupForeachBatch(
+      "text", "doc_id", shingleSize = 1, numHashes = 32, bandRows = 8)(drain)
+    val q1 = in1.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append").foreachBatch(step1).start()
+    in1.addData((1L, "alpha beta gamma"), (2L, "wholly different text"))
+    q1.processAllAvailable()
+    in1.addData((3L, "gamma beta alpha"), (4L, "yet more novel content")) // 3 dups 1
+    q1.processAllAvailable()
+    q1.stop() // driver gone: the in-memory band state dies with it
+    assert(sink.map(_._1).sorted.toSeq == Seq(1L, 2L, 4L))
+    // phase 2: restart — seed a FRESH step with referenceBands over the
+    // sink output (same banding params), per the documented recovery path
+    val seed = StreamingDedup.referenceBands(sink.toSeq.toDF("doc_id", "text"),
+      "text", "doc_id", shingleSize = 1, numHashes = 32, bandRows = 8)
+    val in2 = MemoryStream[(Long, String)]
+    val step2 = StreamingDedup.nearDupForeachBatch(
+      "text", "doc_id", shingleSize = 1, numHashes = 32, bandRows = 8,
+      initialSeen = Some(seed))(drain)
+    val q2 = in2.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append").foreachBatch(step2).start()
+    in2.addData(
+      (5L, "beta alpha gamma"),      // token-set dup of pre-restart 1
+      (6L, "different wholly text"), // token-set dup of pre-restart 2
+      (7L, "genuinely new arrival")) // first of its kind
+    q2.processAllAvailable()
+    in2.addData((8L, "arrival genuinely new")) // dup of post-restart 7
+    q2.processAllAvailable()
+    q2.stop()
+    // no duplicate ever admitted across the restart boundary
+    assert(sink.map(_._1).sorted.toSeq == Seq(1L, 2L, 4L, 7L))
+  }
+
   test("streaming dedup with watermark bounds state and still drops in-window copies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
