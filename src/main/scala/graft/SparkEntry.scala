@@ -242,6 +242,10 @@ object SparkEntry {
     * `Map(...).values.sum` iterates insertion order on a 4-entry map, and
     * the oracle must add the same doubles in the same order. */
   private val mixTargets = Seq("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
+
+  /** q84 split config; the oracle inlines the SAME Scala-computed
+    * cumulative thresholds (scanLeft order) at full precision. */
+  private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val mixShares: Seq[(String, Double)] = {
     val total = mixTargets.map(_._2).sum
     mixTargets.map { case (l, t) => l -> t / total }
@@ -647,6 +651,13 @@ object SparkEntry {
         .select(col("lang"), col("available"),
           round(col("fraction"), 6).as("fraction"))
         .orderBy("lang")),
+    // deterministic train/val/test assignment — exact oracle via the same
+    // XXH64 SQL reimplementation (every row's split is hash-derived)
+    "q84_assign_split" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplit(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        Seq("doc_id"), splitFractions, seed = 5L)
+        .select("doc_id", "lang", "split").orderBy("doc_id")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
@@ -1567,6 +1578,17 @@ object SparkEntry {
       s"""WITH $mixFracCtes
          |SELECT lang, CAST(c AS BIGINT) AS available, round(f, 6) AS fraction
          |FROM fr ORDER BY lang""".stripMargin.replace("\n", " "),
+    // exact split assignment: XXH64 unif vs the Scala-computed cumulative
+    // thresholds (inlined full-precision, same scanLeft addition order)
+    "q84_assign_split" -> {
+      val (ctes, last) = xxhashUnifCtes("src", "doc_id", 5L, "x84_")
+      val cum = splitFractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      val arms = splitFractions.init.zip(cum.init)
+        .map { case ((n, _), up) => s"WHEN u < ${dbl(up)} THEN '$n'" }.mkString(" ")
+      s"""WITH src AS (SELECT doc_id, lang FROM documents), $ctes
+         |SELECT doc_id, lang, CASE $arms ELSE '${splitFractions.last._1}' END AS split
+         |FROM $last ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
     // composition of the q39 (clean), q75 (canonicalize, score =
     // quality_score), and q50 (packing) oracle logic — integer window sum
     // output columns cast back to BIGINT (DuckDB sum → HUGEINT → float64)
