@@ -658,6 +658,14 @@ object SparkEntry {
         table(s, dir, "documents").select("doc_id", "lang"),
         Seq("doc_id"), splitFractions, seed = 5L)
         .select("doc_id", "lang", "split").orderBy("doc_id")),
+    // deterministic stratified sampling with explicit per-stratum
+    // fractions (incl. a 0-keep default for strata not listed) — exact
+    // oracle via the XXH64 unif grid
+    "q85_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.sampleStratified(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        Seq("doc_id"), "lang", Map("en" -> 0.5, "de" -> 0.25), seed = 13L)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
@@ -1578,6 +1586,21 @@ object SparkEntry {
       s"""WITH $mixFracCtes
          |SELECT lang, CAST(c AS BIGINT) AS available, round(f, 6) AS fraction
          |FROM fr ORDER BY lang""".stripMargin.replace("\n", " "),
+    // exact stratified sampling: u < per-stratum fraction. The threshold
+    // comes via a JOIN against a 2-row VALUES table, NOT a single-table
+    // WHERE on u: DuckDB pushes single-table predicates down through the
+    // 23-step projection chain, substituting each step's definition (which
+    // references its input 2-3 times) — exponential expression blowup that
+    // OOMs the oracle. A join predicate stays above the chain. Strata
+    // absent from the fractions map default to 0.0 (never admitted), which
+    // the inner join reproduces by dropping them.
+    "q85_sample_stratified" -> {
+      val (ctes, last) = xxhashUnifCtes("src", "doc_id", 13L, "x85_")
+      s"""WITH src AS (SELECT doc_id, lang FROM documents), $ctes,
+         |fr(lang, f) AS (VALUES ('en', ${dbl(0.5)}), ('de', ${dbl(0.25)}))
+         |SELECT t.doc_id, t.lang FROM $last t JOIN fr ON t.lang = fr.lang
+         |WHERE t.u < fr.f ORDER BY t.doc_id""".stripMargin.replace("\n", " ")
+    },
     // exact split assignment: XXH64 unif vs the Scala-computed cumulative
     // thresholds (inlined full-precision, same scanLeft addition order)
     "q84_assign_split" -> {
