@@ -59,9 +59,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // log-tail capture can truncate a long run's stdout (round 7 lost
-    // q01–q19 and the total); a file copy makes the artifact durable
+    // q01–q19 and the total); a file copy makes the artifact durable. A
+    // failed write (missing dir, perms) must not fail the completed run —
+    // the stdout artifact already exists
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -1561,9 +1561,12 @@ object SparkEntry {
         |FROM documents d JOIN lab ON d.doc_id = lab.doc_id)
         |SELECT doc_id, cluster_id, lang, n_chars FROM rk WHERE rn = 1
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
-    // hash-seeded weighted sampling, exact: XXH64 reimplemented in HUGEINT
-    // CTEs (same bits as Spark's xxhash64), then the same E–S keys
-    // -ln(u)/w, same (key, id)-ordered 200-row head
+    // hash-seeded weighted sampling: the XXH64 u values are bit-exact
+    // across engines; the E–S keys -ln(u)/w go through each engine's libm
+    // ln, so exact ties (identical (u, w)) rank identically but two
+    // DISTINCT keys within ~1 ulp of each other could in principle order
+    // differently at the 200-row cut (P ≈ n²·2⁻⁵² — accepted residual risk,
+    // unlike the integer-threshold q64/q84/q85 which are provably exact)
     "q45_weighted_sample" -> {
       val (ctes, last) = xxhashUnifCtes("src", "doc_id", 7L, "x45_")
       s"""WITH src AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),

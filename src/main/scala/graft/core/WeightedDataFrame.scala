@@ -153,19 +153,36 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     * the same FLOPs as the narrow path, organized as rows instead of
     * expressions. Numerics are IDENTICAL: both paths end in
     * [[WeightedMoments.corrFromMoments]]. */
+  /** The melted pair rows (one per row × colX × colY) and their joint-
+    * validity predicate — shared by [[corrMelted]] and [[covMelted]]. */
+  private def meltedPairs: (DataFrame, Column) = {
+    val arr = array(numericCols.map(c => struct(lit(c).as("name"), nc(c).as("v"))): _*)
+    val pairs = df.select(w.as("__w__"), arr.as("__arr__"))
+      .select(col("__w__"), explode(col("__arr__")).as("x"), col("__arr__"))
+      .select(col("__w__"), col("x"), explode(col("__arr__")).as("y"))
+    (pairs, col("x.v").isNotNull && col("y.v").isNotNull && col("__w__").isNotNull)
+  }
+
+  /** All k² (col_x, col_y) name pairs as data (two k-element explodes —
+    * O(k) expressions, broadcast-sized): an empty frame must still yield
+    * every cell with a null statistic, exactly like the narrow path's
+    * always-emitting global aggregate, but a groupBy over zero melted pair
+    * rows emits nothing — so the melted paths LEFT-join their moments onto
+    * this spine. */
+  private def pairSpine: DataFrame = {
+    val names = typedlit(numericCols)
+    df.sparkSession.range(1).select(explode(names).as("col_x"))
+      .crossJoin(df.sparkSession.range(1).select(explode(names).as("col_y")))
+  }
+
   private[graft] def corrMelted(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
     import WeightedMoments.nullD
     // the class's own `sum(minCount, ...)` shadows the aggregate function
     import org.apache.spark.sql.functions.{sum => sumAgg}
-    val cols = numericCols
-    val arr = array(cols.map(c => struct(lit(c).as("name"), nc(c).as("v"))): _*)
-    val pairs = df.select(w.as("__w__"), arr.as("__arr__"))
-      .select(col("__w__"), explode(col("__arr__")).as("x"), col("__arr__"))
-      .select(col("__w__"), col("x"), explode(col("__arr__")).as("y"))
-    val valid = col("x.v").isNotNull && col("y.v").isNotNull && col("__w__").isNotNull
+    val (pairs, valid) = meltedPairs
     def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
     val vx = col("x.v"); val vy = col("y.v"); val vw = col("__w__")
-    pairs
+    val moments = pairs
       .groupBy(col("x.name").as("col_x"), col("y.name").as("col_y"))
       .agg(
         coalesce(sumAgg(when(valid, 1L).otherwise(0L)), lit(0L)).as("__n__"),
@@ -173,16 +190,43 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
         m(vx * vw).as("__sx__"), m(vy * vw).as("__sy__"),
         m(vx * vy * vw).as("__sxy__"),
         m(vx * vx * vw).as("__sxx__"), m(vy * vy * vw).as("__syy__"))
+    pairSpine.join(moments, Seq("col_x", "col_y"), "left")
       .select(col("col_x"), col("col_y"),
         WeightedMoments.corrFromMoments(
-          col("__n__"), col("__sw__"), col("__sx__"), col("__sy__"),
+          coalesce(col("__n__"), lit(0L)), coalesce(col("__sw__"), lit(0.0)),
+          col("__sx__"), col("__sy__"),
           col("__sxy__"), col("__sxx__"), col("__syy__"),
           ddof, minPeriods).as("corr"))
   }
 
+  /** Wide-frame covariance, same shape as [[corrMelted]] (4 moments). */
+  private[graft] def covMelted(ddof: Int = 1): DataFrame = {
+    import WeightedMoments.nullD
+    import org.apache.spark.sql.functions.{sum => sumAgg}
+    val (pairs, valid) = meltedPairs
+    def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
+    val vx = col("x.v"); val vy = col("y.v"); val vw = col("__w__")
+    val moments = pairs
+      .groupBy(col("x.name").as("col_x"), col("y.name").as("col_y"))
+      .agg(
+        coalesce(sumAgg(when(valid, vw).otherwise(lit(0.0))), lit(0.0)).as("__sw__"),
+        m(vx * vw).as("__sx__"), m(vy * vw).as("__sy__"),
+        m(vx * vy * vw).as("__sxy__"))
+    pairSpine.join(moments, Seq("col_x", "col_y"), "left")
+      .select(col("col_x"), col("col_y"),
+        WeightedMoments.covFromMoments(
+          coalesce(col("__sw__"), lit(0.0)),
+          col("__sx__"), col("__sy__"), col("__sxy__"), ddof).as("cov"))
+  }
+
   /** Pairwise weighted covariance, long format `(col_x, col_y, cov)` —
-    * reference future work (README.md:311-317), same single-pass shape. */
+    * reference future work (README.md:311-317), same single-pass shape and
+    * the same wide-frame path switch as [[corr]]. */
   def cov(ddof: Int = 1): DataFrame =
+    if (numericCols.length <= WeightedDataFrame.wideCorrThreshold) covNarrow(ddof)
+    else covMelted(ddof)
+
+  private[graft] def covNarrow(ddof: Int = 1): DataFrame =
     pairwise("cov", (x, y) => WeightedMoments.covExpr(x, y, w, ddof))
 
   private def pairwise(name: String, f: (Column, Column) => Column): DataFrame = {

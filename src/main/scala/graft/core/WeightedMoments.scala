@@ -182,12 +182,15 @@ object WeightedMoments {
     val valid = x.isNotNull && y.isNotNull && w.isNotNull
     def m(e: Column): Column = sum(when(valid, e).otherwise(nullD))
     val sw  = coalesce(sum(when(valid, w).otherwise(lit(0.0))), lit(0.0))
-    val sx  = m(x * w)
-    val sy  = m(y * w)
-    val sxy = m(x * y * w)
+    covFromMoments(sw, m(x * w), m(y * w), m(x * y * w), ddof)
+  }
+
+  /** Final covariance from the 4 joint-validity moments — shared by the
+    * per-pair aggregate path ([[covExpr]]) and the melted wide-frame path,
+    * mirroring [[corrFromMoments]]. */
+  def covFromMoments(sw: Column, sx: Column, sy: Column, sxy: Column, ddof: Int): Column =
     when(sw <= lit(ddof.toDouble) || isnan(sw), nullD)
       .otherwise(safeDiv(sxy - safeDiv(sx * sy, sw), sw - lit(ddof.toDouble)))
-  }
 
   /** Weighted Pearson correlation of a column pair under a joint-validity
     * mask — `_stats.py:36-73`, including every guard:

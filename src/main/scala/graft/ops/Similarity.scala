@@ -521,8 +521,15 @@ object Similarity {
     * `centroids` is (labelCol, centroidCol) — one row per cluster; cluster
     * counts are small by construction (labels/domains/k-means cells), so the
     * cross join is broadcast: the corpus never shuffles, and the argmax over
-    * clusters is a partial-aggregated `max_by` per vector id. Ties (equal
-    * sim) break toward the smallest label for determinism.
+    * clusters is a partial-aggregated `max_by` per vector id.
+    *
+    * ARGMAX CONTRACT: the comparison key is the cosine QUANTIZED to 6
+    * decimals — centroids whose similarities agree within 1e-6 are treated
+    * as tied and break toward the smallest label. This trades sub-1e-6 sim
+    * distinctions (below embedding noise, and below cross-engine/summation-
+    * order reproducibility) for a deterministic assignment under any
+    * partitioning, engine, or float summation order. The OUTPUT sim is the
+    * full-precision winner's cosine.
     *
     * Output: (idCol, labelCol, `sim`) — one row per input vector; vectors
     * whose sim is NULL against every centroid (zero-norm/NaN) keep a NULL

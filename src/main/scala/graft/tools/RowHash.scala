@@ -38,9 +38,12 @@ object RowHash {
   }
 
   /** %.17e is reproducible across Java and Python ("1.00000000000000000e+10"
-    * both sides); NaN/Inf normalized explicitly. */
+    * both sides). NaN renders as null ("n:"): pandas stores SQL NULL as NaN
+    * in float64 columns, so the Python twin CANNOT distinguish them — both
+    * sides adopt the same null-normalization or the twins would disagree on
+    * any NaN-bearing output. Infinities stay distinct. */
   private def canonicalFloat(d: Double): String =
-    if (d.isNaN) "f:nan"
+    if (d.isNaN) "n:"
     else if (d.isPosInfinity) "f:inf"
     else if (d.isNegInfinity) "f:-inf"
     else "f:" + String.format(java.util.Locale.ROOT, "%.17e", Double.box(d))

@@ -160,6 +160,43 @@ class CorrSpec extends SparkSpecBase {
     }
   }
 
+  test("melted paths keep the k² output shape on an empty frame") {
+    val d = Seq((1.0, 2.0, 3.0, 1.0)).toDF("A", "B", "C", "weights")
+      .where(org.apache.spark.sql.functions.lit(false)) // 0 rows, schema intact
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    val narrow = matrix(wdf.corrNarrow())
+    val melted = matrix(wdf.corrMelted())
+    assert(narrow.size == 9 && melted.size == 9)
+    assert(narrow.values.forall(_.isEmpty) && melted.values.forall(_.isEmpty))
+    val covN = wdf.covNarrow().collect()
+    val covM = wdf.covMelted().collect()
+    assert(covN.length == 9 && covM.length == 9)
+    assert(covN.forall(_.isNullAt(2)) && covM.forall(_.isNullAt(2)))
+  }
+
+  test("melted cov equals the narrow cov cell-for-cell") {
+    val d = Seq(
+      (1.0, Some(2.0), 4.0, 1.0),
+      (2.0, Some(4.0), 3.0, 2.0),
+      (3.0, None: Option[Double], 2.0, 3.0),
+      (4.0, Some(8.0), 1.0, 4.0)
+    ).toDF("A", "B", "C", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    for (ddof <- Seq(0, 1)) {
+      val narrow = wdf.covNarrow(ddof).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> cell(r, 2)).toMap
+      val melted = wdf.covMelted(ddof).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> cell(r, 2)).toMap
+      assert(melted.keySet == narrow.keySet)
+      narrow.foreach { case (k, v) =>
+        (v, melted(k)) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"$k: $a vs $b")
+          case (a, b) => assert(a == b, s"$k: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("100-column corr plans in O(k) and computes correct cells") {
     // k=100 → the narrow path would build 70k aggregate expressions; the
     // melted path must plan and run the whole 10 000-cell matrix quickly

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Cross-check graft.Verify parquet dumps against DuckDB oracle SQL.
 
-Usage: python3 tools/crosscheck.py <verify_out_dir> <sf_dir> [--rowhash q50,q55]
+Usage: python3 tools/crosscheck.py <verify_out_dir> <sf_dir> [--rowhash=q50,q55]
+(the = form is required; bare --rowhash fingerprints every query)
 
 Driver-side diagnostic only (duckdb/pandas are NOT dependencies of the
 library). Two checks beyond the tolerant value compare:
@@ -20,7 +21,7 @@ library). Two checks beyond the tolerant value compare:
    computes it over the Spark parquet. Equal fingerprints ⇒ the driver's
    hash_match must pass.
 """
-import sys, os, json, glob, hashlib
+import sys, os, json, glob, hashlib, datetime
 import duckdb
 import pandas as pd
 import numpy as np
@@ -53,7 +54,12 @@ def kind(dtype):
 
 
 def canonical_cell(v):
-    """Twin of graft.tools.RowHash.canonicalCell — keep in sync."""
+    """Twin of graft.tools.RowHash.canonicalCell — keep in sync.
+
+    NaN renders as null ("n:") BY CONVENTION on both sides: pandas stores
+    SQL NULL as NaN in float64 columns, so Python cannot tell them apart;
+    the Scala twin normalizes identically.
+    """
     if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
         return "n:"
     if isinstance(v, (bool, np.bool_)):
@@ -62,8 +68,6 @@ def canonical_cell(v):
         return f"i:{int(v)}"
     if isinstance(v, (float, np.floating)):
         f = float(v)
-        if np.isnan(f):
-            return "f:nan"
         if np.isposinf(f):
             return "f:inf"
         if np.isneginf(f):
@@ -71,6 +75,10 @@ def canonical_cell(v):
         return f"f:{f:.17e}"
     if isinstance(v, pd.Timestamp):
         return f"t:{v.value // 1_000_000}"
+    if isinstance(v, datetime.date):  # java.sql.Date.toString is ISO too
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):  # JVM bytes are signed
+        return "a:[" + ",".join(f"i:{b - 256 if b >= 128 else b}" for b in v) + "]"
     if isinstance(v, (list, np.ndarray)):
         return "a:[" + ",".join(canonical_cell(x) for x in v) + "]"
     return f"s:{v}"
