@@ -37,16 +37,19 @@ object RowHash {
     case other => s"?:$other"
   }
 
-  /** %.17e is reproducible across Java and Python ("1.00000000000000000e+10"
-    * both sides). NaN renders as null ("n:"): pandas stores SQL NULL as NaN
-    * in float64 columns, so the Python twin CANNOT distinguish them — both
-    * sides adopt the same null-normalization or the twins would disagree on
-    * any NaN-bearing output. Infinities stay distinct. */
+  /** Doubles render as their signed IEEE-754 bit pattern: text formatting
+    * is NOT portable (Java's %.17e pads Double.toString's shortest repr
+    * with zeros instead of correctly rounding — 59.50523437499999 renders
+    * "...49999900e+01" in Java but "...49999935e+01" in Python), while the
+    * bit pattern is exact and trivially identical across languages
+    * (`struct.unpack('<q', struct.pack('<d', f))` in the twin). NaN renders
+    * as null ("n:"): pandas stores SQL NULL as NaN in float64 columns, so
+    * the Python twin CANNOT distinguish them — both sides adopt the same
+    * null-normalization or the twins would disagree on any NaN-bearing
+    * output. */
   private def canonicalFloat(d: Double): String =
     if (d.isNaN) "n:"
-    else if (d.isPosInfinity) "f:inf"
-    else if (d.isNegInfinity) "f:-inf"
-    else "f:" + String.format(java.util.Locale.ROOT, "%.17e", Double.box(d))
+    else "f:" + java.lang.Double.doubleToLongBits(d)
 
   /** Fingerprint of a DataFrame under the driver convention. Collects — this
     * is a verify-scale diagnostic (≤ ~100k rows), not a production op. */

@@ -21,7 +21,7 @@ library). Two checks beyond the tolerant value compare:
    computes it over the Spark parquet. Equal fingerprints ⇒ the driver's
    hash_match must pass.
 """
-import sys, os, json, glob, hashlib, datetime
+import sys, os, json, glob, hashlib, datetime, struct
 import duckdb
 import pandas as pd
 import numpy as np
@@ -67,12 +67,9 @@ def canonical_cell(v):
     if isinstance(v, (int, np.integer)):
         return f"i:{int(v)}"
     if isinstance(v, (float, np.floating)):
-        f = float(v)
-        if np.isposinf(f):
-            return "f:inf"
-        if np.isneginf(f):
-            return "f:-inf"
-        return f"f:{f:.17e}"
+        # signed IEEE-754 bit pattern: %.17e is NOT portable (Java pads the
+        # shortest repr with zeros instead of correctly rounding)
+        return f"f:{struct.unpack('<q', struct.pack('<d', float(v)))[0]}"
     if isinstance(v, pd.Timestamp):
         return f"t:{v.value // 1_000_000}"
     if isinstance(v, datetime.date):  # java.sql.Date.toString is ISO too
