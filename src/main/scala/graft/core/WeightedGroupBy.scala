@@ -95,6 +95,16 @@ final class WeightedGroupBy private[core] (
     */
   def corr(minPeriods: Int = 1, ddof: Int = 1, method: String = "pearson"): DataFrame = {
     WeightedDataFrame.requirePearson(method)
+    if (numericAggCols.length <= WeightedDataFrame.wideCorrThreshold)
+      corrNarrow(minPeriods, ddof)
+    else corrMelted(minPeriods, ddof)
+  }
+
+  /** k² cells per group in one aggregate pass — O(k²) PLANNING, the right
+    * plan at reference width; [[corr]] switches to [[corrMelted]] past
+    * [[WeightedDataFrame.wideCorrThreshold]] (same cliff as the ungrouped
+    * path). */
+  private[graft] def corrNarrow(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
     val cols = numericAggCols
     val cells = for { x <- cols; y <- cols } yield
       struct(lit(x).as("col_x"), lit(y).as("col_y"),
@@ -103,6 +113,43 @@ final class WeightedGroupBy private[core] (
     val out = agged
       .select(keys.map(col) :+ explode(col("cells")).as("cell"): _*)
       .select(keys.map(col) ++ Seq(col("cell.col_x"), col("cell.col_y"), col("cell.corr")): _*)
+    if (sort) out.orderBy((keys :+ "col_x" :+ "col_y").map(col): _*) else out
+  }
+
+  /** Wide-frame grouped corr: melt → double explode → one 7-moment hash
+    * aggregate keyed on (group keys, col_x, col_y) — O(k) planning, the
+    * grouped sibling of [[WeightedDataFrame.corrMelted]]. Every base row
+    * explodes into k² pair rows regardless of nulls, so every group
+    * present in `base` still emits all k² cells (no spine needed: a group
+    * exists in the narrow output iff it has a base row, same here). */
+  private[graft] def corrMelted(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
+    import WeightedMoments.nullD
+    import org.apache.spark.sql.functions.{sum => sumAgg}
+    val cols = numericAggCols
+    val arr = array(cols.map(c => struct(lit(c).as("name"), nc(c).as("v"))): _*)
+    val pairs = base
+      .select(keys.map(col) :+ w.as("__w__") :+ arr.as("__arr__"): _*)
+      .select(keys.map(col) ++ Seq(col("__w__"),
+        explode(col("__arr__")).as("x"), col("__arr__")): _*)
+      .select(keys.map(col) ++ Seq(col("__w__"), col("x"),
+        explode(col("__arr__")).as("y")): _*)
+    val valid = col("x.v").isNotNull && col("y.v").isNotNull && col("__w__").isNotNull
+    def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
+    val vx = col("x.v"); val vy = col("y.v"); val vw = col("__w__")
+    val out = pairs
+      .groupBy(keys.map(col) ++ Seq(
+        col("x.name").as("col_x"), col("y.name").as("col_y")): _*)
+      .agg(
+        coalesce(sumAgg(when(valid, 1L).otherwise(0L)), lit(0L)).as("__n__"),
+        coalesce(sumAgg(when(valid, vw).otherwise(lit(0.0))), lit(0.0)).as("__sw__"),
+        m(vx * vw).as("__sx__"), m(vy * vw).as("__sy__"),
+        m(vx * vy * vw).as("__sxy__"),
+        m(vx * vx * vw).as("__sxx__"), m(vy * vy * vw).as("__syy__"))
+      .select(keys.map(col) ++ Seq(col("col_x"), col("col_y"),
+        WeightedMoments.corrFromMoments(
+          col("__n__"), col("__sw__"), col("__sx__"), col("__sy__"),
+          col("__sxy__"), col("__sxx__"), col("__syy__"),
+          ddof, minPeriods).as("corr")): _*)
     if (sort) out.orderBy((keys :+ "col_x" :+ "col_y").map(col): _*) else out
   }
 

@@ -174,6 +174,29 @@ class CorrSpec extends SparkSpecBase {
     assert(covN.forall(_.isNullAt(2)) && covM.forall(_.isNullAt(2)))
   }
 
+  test("grouped melted corr equals the grouped narrow path cell-for-cell") {
+    val d = Seq(
+      ("A", 1.0, Some(2.0), 3.0, 1.0), ("A", 2.0, Some(4.0), 2.0, 2.0),
+      ("A", 3.0, None: Option[Double], 1.0, 3.0),
+      ("B", 1.0, Some(3.0), 1.0, 1.5), ("B", 2.0, Some(2.0), 2.0, 2.5),
+      ("B", 3.0, Some(1.0), 3.0, 3.5)
+    ).toDF("Group", "X", "Y", "Z", "weights")
+    val g = WeightedDataFrame.wt(d, "weights").groupBy("Group")
+    for (minPeriods <- Seq(1, 3); ddof <- Seq(0, 1)) {
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> cell(r, 3)).toMap
+      val narrow = toMap(g.corrNarrow(minPeriods, ddof))
+      val melted = toMap(g.corrMelted(minPeriods, ddof))
+      assert(melted.keySet == narrow.keySet && narrow.size == 18)
+      narrow.foreach { case (k, v) =>
+        (v, melted(k)) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"$k: $a vs $b")
+          case (a, b) => assert(a == b, s"$k: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("melted cov equals the narrow cov cell-for-cell") {
     val d = Seq(
       (1.0, Some(2.0), 4.0, 1.0),
