@@ -232,6 +232,93 @@ object SparkEntry {
     (ctes.mkString(", "), s"$prefix${steps.length - 1}")
   }
 
+  /** CTE chain computing Spark's `xxhash64(stringCol)` (seed 42) over a
+    * VARIABLE-LENGTH string — the full public XXH64: 32-byte stripes folded
+    * with `list_reduce` over a 4-lane HUGEINT struct, then the ≤3 8-byte /
+    * ≤1 4-byte / ≤3 1-byte tail rounds as CASE-guarded steps, then the
+    * avalanche. Rows of `srcCte` must carry `tok` (STRING); the final CTE
+    * adds `hash` in [0, 2^64). Validated byte-for-byte against
+    * `org.apache.spark.sql.functions.xxhash64` on empty/short/stripe-length
+    * /unicode strings. Same step discipline as [[xxhashUnifCtes]]: each CTE
+    * references only prior CTE COLUMNS, never re-nesting expressions (and
+    * consumers must never put a single-table WHERE on `hash` — join a tiny
+    * relation instead, see q85). */
+  private def xxhashStringCtes(srcCte: String, prefix: String): (String, String) = {
+    // 1-indexed HUGEINT byte list of tok's UTF-8 encoding
+    val byteList =
+      "list_transform(range(0, octet_length(encode(tok))), i -> " +
+        "CAST((strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i + 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i + 2, 1)) - 1) AS HUGEINT))"
+    def u64(off: String): String =
+      (0 until 8).map(j => s"bl[($off) + $j] * ${1L << (8 * j)}").mkString("(", " + ", ")")
+    def u32(off: String): String =
+      (0 until 4).map(j => s"bl[($off) + $j] * ${1L << (8 * j)}").mkString("(", " + ", ")")
+    // rotl31((acc + x*P2) mod 2^64) * P1 mod 2^64 — inline (lambda-safe)
+    def rnd(acc: String, x: String): String =
+      xxMul(xxRotl(s"(($acc) + ${xxMul(x, xxP2)}) % $T64", 31), xxP1)
+    val v1i = uns(42L + xxP1 + xxP2); val v2i = uns(42L + xxP2)
+    val v3i = "42"; val v4i = uns(42L - xxP1)
+    val init = s"{v1: CAST($v1i AS HUGEINT), v2: CAST($v2i AS HUGEINT), " +
+      s"v3: CAST($v3i AS HUGEINT), v4: CAST($v4i AS HUGEINT), i: CAST(-1 AS BIGINT)}"
+    val zeroLane = "CAST(0 AS HUGEINT)"
+    val lam = "(acc, x) -> {" +
+      s"v1: ${rnd("acc.v1", u64("32*x.i + 1"))}, " +
+      s"v2: ${rnd("acc.v2", u64("32*x.i + 9"))}, " +
+      s"v3: ${rnd("acc.v3", u64("32*x.i + 17"))}, " +
+      s"v4: ${rnd("acc.v4", u64("32*x.i + 25"))}, i: x.i}"
+    val mergeSteps = (0 until 4).flatMap { i =>
+      Seq(
+        s"mk$i" -> rnd(zeroLane, s"st.v${i + 1}"),
+        s"mh${i + 1}" -> s"(${xxMul(s"xor(mh$i, mk$i)", xxP1)} + ${uns(xxP4)}) % $T64")
+    }
+    val tail8 = (0 until 3).flatMap { t =>
+      val off = s"((L // 32) * 32 + ${8 * t} + 1)"
+      val cond = s"(L // 32) * 32 + ${8 * t} + 8 <= L"
+      Seq(
+        s"tk$t" -> s"CASE WHEN $cond THEN ${rnd(zeroLane, u64(off))} ELSE NULL END",
+        s"h${t + 1}" -> (s"CASE WHEN $cond THEN (${xxMul(xxRotl(s"xor(h$t, tk$t)", 27), xxP1)} " +
+          s"+ ${uns(xxP4)}) % $T64 ELSE h$t END"))
+    }
+    val off4 = "((L // 32) * 32 + ((L % 32) // 8) * 8 + 1)"
+    val cond4 = "(L // 32) * 32 + ((L % 32) // 8) * 8 + 4 <= L"
+    val offB = s"((L // 32) * 32 + ((L % 32) // 8) * 8 + (CASE WHEN $cond4 THEN 4 ELSE 0 END))"
+    val tail1 = (0 until 3).map { t =>
+      val cond = s"$offB + $t < L"
+      s"h${5 + t}" -> (s"CASE WHEN $cond THEN ${xxMul(xxRotl(
+        s"xor(h${4 + t}, (bl[$offB + $t + 1] * ${uns(xxP5)}) % $T64)", 11), xxP1)} " +
+        s"ELSE h${4 + t} END")
+    }
+    val steps: Seq[(String, String)] =
+      Seq(
+        "L" -> "octet_length(encode(tok))",
+        "bl" -> byteList,
+        "st" -> (s"list_reduce(list_concat([$init], list_transform(range(0, L // 32), " +
+          "i -> {v1: CAST(0 AS HUGEINT), v2: CAST(0 AS HUGEINT), v3: CAST(0 AS HUGEINT), " +
+          s"v4: CAST(0 AS HUGEINT), i: i})), $lam)"),
+        "mh0" -> (s"(${xxRotl("st.v1", 1)} + ${xxRotl("st.v2", 7)} + " +
+          s"${xxRotl("st.v3", 12)} + ${xxRotl("st.v4", 18)}) % $T64")) ++
+      mergeSteps ++
+      Seq("h0" -> (s"(CASE WHEN L >= 32 THEN mh4 ELSE CAST(${uns(42L + xxP5)} AS HUGEINT) END " +
+        s"+ L) % $T64")) ++
+      tail8 ++
+      Seq(
+        "fk" -> s"CASE WHEN $cond4 THEN ${xxMul(u32(off4), xxP1)} ELSE NULL END",
+        "h4" -> (s"CASE WHEN $cond4 THEN (${xxMul(xxRotl("xor(h3, fk)", 23), xxP2)} " +
+          s"+ ${uns(xxP3)}) % $T64 ELSE h3 END")) ++
+      tail1 ++
+      Seq(
+        "a1" -> "xor(h7, h7 >> 33)",
+        "a2" -> xxMul("a1", xxP2),
+        "a3" -> "xor(a2, a2 >> 29)",
+        "a4" -> xxMul("a3", xxP3),
+        "hash" -> "xor(a4, a4 >> 32)")
+    val ctes = steps.zipWithIndex.map { case ((name, expr), i) =>
+      val src = if (i == 0) srcCte else s"$prefix${i - 1}"
+      s"$prefix$i AS (SELECT *, $expr AS $name FROM $src)"
+    }
+    (ctes.mkString(", "), s"$prefix${steps.length - 1}")
+  }
+
   /** Full-precision double literal for SQL (round-trips exactly). */
   private def dbl(v: Double): String =
     if (v == v.toLong.toDouble) s"CAST(${v.toLong} AS DOUBLE)"
@@ -462,7 +549,11 @@ object SparkEntry {
     "q36_drop_neardup" -> ((s, dir) =>
       Dedup.dropNearDuplicates(table(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "n_chars").orderBy("doc_id")),
-    // SimHash near-dup pairs (hash-dependent — rows-only check)
+    // SimHash near-dup pairs — FULLY oracle-backed: the oracle recomputes
+    // every token's XXH64 in SQL, takes the same per-bit majority vote,
+    // and brute-forces all pairs with hamming ≤ 3 (the banding here is an
+    // efficiency device with recall exactly 1 by pigeonhole, so the
+    // semantics ARE "all pairs within the hamming radius")
     "q23_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), "text", "doc_id",
         shingleSize = 1, maxHamming = 3).orderBy("doc_a", "doc_b")),
@@ -1589,6 +1680,32 @@ object SparkEntry {
       s"""WITH $mixFracCtes
          |SELECT lang, CAST(c AS BIGINT) AS available, round(f, 6) AS fraction
          |FROM fr ORDER BY lang""".stripMargin.replace("\n", " "),
+    // SimHash pairs, exact: per-token XXH64 via the string CTE chain, the
+    // same 64-bit majority vote (sum of ±1 per bit over DISTINCT tokens),
+    // signature back to signed BIGINT, then a brute pair join with
+    // bit_count(xor) ≤ 3 — pigeonhole banding has recall 1, so Spark's
+    // banded plan computes exactly this relation
+    "q23_dedup_simhash" -> {
+      val (ctes, last) = xxhashStringCtes("tok_t", "xs_")
+      val votes = (0 until 64)
+        .map(b => s"sum(CASE WHEN (hash >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val simexpr = (0 until 64)
+        .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${uns(1L << b)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
+        .mkString(" + ")
+      s"""WITH tok_t AS (SELECT doc_id,
+         |unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+         |FROM documents),
+         |$ctes,
+         |vt AS (SELECT doc_id, $votes FROM $last GROUP BY doc_id),
+         |ds AS (SELECT doc_id, CAST(CASE WHEN ($simexpr) >= 9223372036854775808
+         |THEN ($simexpr) - $T64 ELSE ($simexpr) END AS BIGINT) AS sim FROM vt)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         |FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
     // exact stratified sampling: u < per-stratum fraction. The threshold
     // comes via a JOIN against a 2-row VALUES table, NOT a single-table
     // WHERE on u: DuckDB pushes single-table predicates down through the
