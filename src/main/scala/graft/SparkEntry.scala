@@ -567,7 +567,13 @@ object SparkEntry {
     "q25_knn_brute" -> ((s, dir) =>
       Similarity.bruteKnn(table(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, 5).withColumn("rank", col("rank").cast("long"))),
-    // LSH-bucketed ANN variant (hash/plane-dependent — rows-only check)
+    // LSH-bucketed ANN variant — oracle-backed by PROVABLE degeneracy to
+    // brute top-k: planesFor(n=500) = 2 planes and maxProbe = 3, so the
+    // Hamming probe ball covers the ENTIRE bucket space and the candidate
+    // set is the full corpus; each pair scores exactly once (one XOR mask
+    // maps a query's bucket to a neighbor's), so the output EQUALS q25's.
+    // At n > 1024 (planesFor > maxProbe) annLsh is legitimately
+    // approximate and this oracle would no longer apply.
     "q26_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(table(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, 5).withColumn("rank", col("rank").cast("long"))),
@@ -1321,6 +1327,18 @@ object SparkEntry {
         |CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(list_concat(a.gr, b.gr))) AS ngram_jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin.replace("\n", " "),
     "q25_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+        |FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+        |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS "rank", round(sim, 6) AS sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+    // identical to the q25 oracle: with planesFor(500) = 2 ≤ maxProbe = 3
+    // the probe ball covers every bucket, so annLsh's candidate set is the
+    // full corpus and its top-k EQUALS brute top-k (see the query comment)
+    "q26_ann_lsh" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
         |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
