@@ -244,11 +244,13 @@ object SparkEntry {
     * consumers must never put a single-table WHERE on `hash` — join a tiny
     * relation instead, see q85). */
   private def xxhashStringCtes(srcCte: String, prefix: String): (String, String) = {
-    // 1-indexed HUGEINT byte list of tok's UTF-8 encoding
+    // 1-indexed HUGEINT byte list of tok's UTF-8 encoding, indexing the
+    // HOISTED hx column — recomputing hex(encode(tok)) inside the lambda
+    // would do O(L) string work per byte (O(L²) per token)
     val byteList =
-      "list_transform(range(0, octet_length(encode(tok))), i -> " +
-        "CAST((strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i + 1, 1)) - 1) * 16 " +
-        "+ (strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i + 2, 1)) - 1) AS HUGEINT))"
+      "list_transform(range(0, L), i -> " +
+        "CAST((strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS HUGEINT))"
     def u64(off: String): String =
       (0 until 8).map(j => s"bl[($off) + $j] * ${1L << (8 * j)}").mkString("(", " + ", ")")
     def u32(off: String): String =
@@ -290,7 +292,8 @@ object SparkEntry {
     }
     val steps: Seq[(String, String)] =
       Seq(
-        "L" -> "octet_length(encode(tok))",
+        "hx" -> "hex(encode(tok))",
+        "L" -> "length(hx) // 2",
         "bl" -> byteList,
         "st" -> (s"list_reduce(list_concat([$init], list_transform(range(0, L // 32), " +
           "i -> {v1: CAST(0 AS HUGEINT), v2: CAST(0 AS HUGEINT), v3: CAST(0 AS HUGEINT), " +
@@ -323,6 +326,29 @@ object SparkEntry {
   private def dbl(v: Double): String =
     if (v == v.toLong.toDouble) s"CAST(${v.toLong} AS DOUBLE)"
     else s"CAST(${String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))} AS DOUBLE)"
+
+  /** Exact brute-force cosine top-5 — the q25 oracle, shared verbatim by
+    * q26 (whose LSH provably degenerates to brute at n ≤ 1024; see the
+    * q26 query comment). `guarded = true` adds a fixture-size assertion so
+    * the degeneracy precondition is self-enforcing: on an oversized
+    * embeddings table the oracle errors instead of silently asserting a
+    * false equivalence. */
+  private def bruteTopKOracle(guarded: Boolean): String = {
+    val guard =
+      if (guarded)
+        " AND (SELECT CASE WHEN count(*) <= 1024 THEN true ELSE " +
+          "error('q26 oracle invalid here: planesFor(n) > maxProbe — annLsh is approximate at this corpus size') " +
+          "END FROM embeddings)"
+      else ""
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10$guard),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+       |FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS "rank", round(sim, 6) AS sim
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+  }
 
   /** The q64/q83 language-mix config — ONE definition so the Spark queries
     * and the oracle's inlined share literals cannot drift. Order matters:
@@ -1326,27 +1352,13 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(list_concat(a.gr, b.gr))) AS ngram_jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin.replace("\n", " "),
-    "q25_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
-        |FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
-        |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS "rank", round(sim, 6) AS sim
-        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
-    // identical to the q25 oracle: with planesFor(500) = 2 ≤ maxProbe = 3
-    // the probe ball covers every bucket, so annLsh's candidate set is the
-    // full corpus and its top-k EQUALS brute top-k (see the query comment)
-    "q26_ann_lsh" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
-        |FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
-        |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS "rank", round(sim, 6) AS sim
-        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "),
+    "q25_knn_brute" -> bruteTopKOracle(guarded = false),
+    // the q25 oracle with a self-enforcing guard: the probe-ball-covers-
+    // all-buckets degeneracy (see the query comment) requires
+    // planesFor(n) ≤ maxProbe, i.e. n ≤ 1024 embeddings — on a bigger
+    // fixture the oracle ERRORS loudly instead of asserting a false
+    // equality against a genuinely approximate annLsh
+    "q26_ann_lsh" -> bruteTopKOracle(guarded = true),
     "q27_embed_neardup" ->
       """WITH q AS (SELECT vec_id AS doc_a, embedding::DOUBLE[] AS qv FROM embeddings),
         |c AS (SELECT vec_id AS doc_b, embedding::DOUBLE[] AS nv FROM embeddings),

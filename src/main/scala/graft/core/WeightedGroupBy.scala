@@ -127,18 +127,23 @@ final class WeightedGroupBy private[core] (
     import org.apache.spark.sql.functions.{sum => sumAgg}
     val cols = numericAggCols
     val arr = array(cols.map(c => struct(lit(c).as("name"), nc(c).as("v"))): _*)
+    // reserved aliases (__x__/__y__): the group key columns ride along
+    // here, so a user key named `x` or `y` must not collide with the
+    // exploded structs (the ungrouped path drops all original columns
+    // first and can use bare names)
     val pairs = base
       .select(keys.map(col) :+ w.as("__w__") :+ arr.as("__arr__"): _*)
       .select(keys.map(col) ++ Seq(col("__w__"),
-        explode(col("__arr__")).as("x"), col("__arr__")): _*)
-      .select(keys.map(col) ++ Seq(col("__w__"), col("x"),
-        explode(col("__arr__")).as("y")): _*)
-    val valid = col("x.v").isNotNull && col("y.v").isNotNull && col("__w__").isNotNull
+        explode(col("__arr__")).as("__x__"), col("__arr__")): _*)
+      .select(keys.map(col) ++ Seq(col("__w__"), col("__x__"),
+        explode(col("__arr__")).as("__y__")): _*)
+    val valid = col("__x__.v").isNotNull && col("__y__.v").isNotNull &&
+      col("__w__").isNotNull
     def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
-    val vx = col("x.v"); val vy = col("y.v"); val vw = col("__w__")
+    val vx = col("__x__.v"); val vy = col("__y__.v"); val vw = col("__w__")
     val out = pairs
       .groupBy(keys.map(col) ++ Seq(
-        col("x.name").as("col_x"), col("y.name").as("col_y")): _*)
+        col("__x__.name").as("col_x"), col("__y__.name").as("col_y")): _*)
       .agg(
         coalesce(sumAgg(when(valid, 1L).otherwise(0L)), lit(0L)).as("__n__"),
         coalesce(sumAgg(when(valid, vw).otherwise(lit(0.0))), lit(0.0)).as("__sw__"),

@@ -197,6 +197,26 @@ class CorrSpec extends SparkSpecBase {
     }
   }
 
+  test("grouped melted corr tolerates group keys named x/y") {
+    // 17 numeric columns push corr() onto the melted path; the group key
+    // is deliberately named `x`, which must not collide with the melted
+    // pair aliases
+    val k = 17
+    val cols = (0 until k).map(i => f"c$i%02d")
+    val rows = (0 until 40).map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(s"g${r % 2}") ++ cols.indices.map(i => ((r + 1) * (i + 2) % 13).toDouble) :+ 1.0)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.StringType) +:
+        (cols :+ "weights").map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = WeightedDataFrame.wt(df, "weights").groupBy("x").corr()
+    assert(out.columns.toSeq == Seq("x", "col_x", "col_y", "corr"))
+    assert(out.count() == 2L * k * k)
+  }
+
   test("melted cov equals the narrow cov cell-for-cell") {
     val d = Seq(
       (1.0, Some(2.0), 4.0, 1.0),

@@ -60,8 +60,8 @@ def canonical_cell(v):
     SQL NULL as NaN in float64 columns, so Python cannot tell them apart;
     the Scala twin normalizes identically.
     """
-    if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
-        return "n:"
+    if v is None or (isinstance(v, (float, np.floating)) and np.isnan(v)) or v is pd.NaT:
+        return "n:"  # np.floating covers float32 NaN (not a Python-float subclass)
     if isinstance(v, (bool, np.bool_)):
         return f"b:{str(bool(v)).lower()}"
     if isinstance(v, (int, np.integer)):
