@@ -328,19 +328,18 @@ object SparkEntry {
     else s"CAST(${String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))} AS DOUBLE)"
 
   /** Exact brute-force cosine top-5 — the q25 oracle, shared verbatim by
-    * q26 (whose LSH provably degenerates to brute at n ≤ 1024; see the
-    * q26 query comment). `guarded = true` adds a fixture-size assertion so
-    * the degeneracy precondition is self-enforcing: on an oversized
-    * embeddings table the oracle errors instead of silently asserting a
-    * false equivalence. */
-  private def bruteTopKOracle(guarded: Boolean): String = {
-    val guard =
-      if (guarded)
-        " AND (SELECT CASE WHEN count(*) <= 1024 THEN true ELSE " +
-          "error('q26 oracle invalid here: planesFor(n) > maxProbe — annLsh is approximate at this corpus size') " +
-          "END FROM embeddings)"
-      else ""
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10$guard),
+    * q26 and q32, whose ANN paths provably degenerate to brute at these
+    * corpus sizes (probe ball covers every LSH bucket; nProbe covers every
+    * IVF cell — see the query comments; the IVF argument is MODEL-
+    * INDEPENDENT: whatever the KMeans fit produced, each corpus vector
+    * keeps one argmax cell and every cell is probed). `guard` makes each
+    * precondition self-enforcing: on an oversized embeddings table the
+    * oracle errors instead of silently asserting a false equivalence. */
+  private def bruteTopKOracle(guard: Option[(Int, String)]): String = {
+    val guardSql = guard.map { case (maxRows, msg) =>
+      s" AND (SELECT CASE WHEN count(*) <= $maxRows THEN true ELSE error('$msg') END FROM embeddings)"
+    }.getOrElse("")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10$guardSql),
        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
        |FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
@@ -603,8 +602,14 @@ object SparkEntry {
     "q26_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(table(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, 5).withColumn("rank", col("rank").cast("long"))),
-    // IVF (KMeans coarse-quantizer) ANN variant (model-dependent — rows-only);
-    // searches under the cached per-corpus model (fit once, search many)
+    // IVF (KMeans coarse-quantizer) ANN variant, searched under the cached
+    // per-corpus model (fit once, search many) — oracle-backed by a
+    // MODEL-INDEPENDENT degeneracy: listsFor(n=500) = 4 = nProbe, so every
+    // query probes every cell; each corpus vector sits in exactly one
+    // (probed) argmax cell, so the candidate set is the full corpus and
+    // the output EQUALS q25's brute top-k no matter what the KMeans fit
+    // produced. At n > 512 the search is legitimately approximate and the
+    // guarded oracle errors instead.
     "q32_ann_ivf" -> ((s, dir) =>
       Similarity.searchIvf(ivfModel(s, dir), table(s, dir, "embeddings"),
         "vec_id", "embedding", col("vec_id") < 10, 5)
@@ -1352,13 +1357,20 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(list_distinct(list_concat(a.gr, b.gr))) AS ngram_jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin.replace("\n", " "),
-    "q25_knn_brute" -> bruteTopKOracle(guarded = false),
+    "q25_knn_brute" -> bruteTopKOracle(None),
     // the q25 oracle with a self-enforcing guard: the probe-ball-covers-
     // all-buckets degeneracy (see the query comment) requires
     // planesFor(n) ≤ maxProbe, i.e. n ≤ 1024 embeddings — on a bigger
     // fixture the oracle ERRORS loudly instead of asserting a false
     // equality against a genuinely approximate annLsh
-    "q26_ann_lsh" -> bruteTopKOracle(guarded = true),
+    "q26_ann_lsh" -> bruteTopKOracle(Some((1024,
+      "q26 oracle invalid here: planesFor(n) > maxProbe — annLsh is approximate at this corpus size"))),
+    // same shape for IVF: listsFor(n) ≤ nProbe = 4 ⇔ n ≤ 512 means every
+    // cell is probed, so whatever quantizer KMeans fit, each corpus vector
+    // sits in ONE probed cell and the candidate set is the full corpus —
+    // searchIvf's top-k EQUALS brute top-k, model-independently
+    "q32_ann_ivf" -> bruteTopKOracle(Some((512,
+      "q32 oracle invalid here: listsFor(n) > nProbe — IVF search is approximate at this corpus size"))),
     "q27_embed_neardup" ->
       """WITH q AS (SELECT vec_id AS doc_a, embedding::DOUBLE[] AS qv FROM embeddings),
         |c AS (SELECT vec_id AS doc_b, embedding::DOUBLE[] AS nv FROM embeddings),
