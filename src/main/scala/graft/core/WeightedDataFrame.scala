@@ -171,9 +171,18 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     * this spine. */
   private def pairSpine: DataFrame = {
     val names = typedlit(numericCols)
-    df.sparkSession.range(1).select(explode(names).as("col_x"))
-      .crossJoin(df.sparkSession.range(1).select(explode(names).as("col_y")))
+    df.sparkSession.range(1)
+      .select(posexplode(names).as(Seq("__ix__", "col_x")))
+      .crossJoin(df.sparkSession.range(1)
+        .select(posexplode(names).as(Seq("__iy__", "col_y"))))
   }
+
+  /** Restore the narrow path's deterministic cell order (frame column
+    * order, x-major) on a melted result: the moments join is post-shuffle
+    * unordered, and the public long format must not change row order with
+    * frame WIDTH. k² rows — the sort is driver-trivial at any scale. */
+  private def spineOrdered(joined: DataFrame, out: Seq[Column]): DataFrame =
+    joined.orderBy(col("__ix__"), col("__iy__")).select(out: _*)
 
   private[graft] def corrMelted(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
     import WeightedMoments.nullD
@@ -190,13 +199,13 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
         m(vx * vw).as("__sx__"), m(vy * vw).as("__sy__"),
         m(vx * vy * vw).as("__sxy__"),
         m(vx * vx * vw).as("__sxx__"), m(vy * vy * vw).as("__syy__"))
-    pairSpine.join(moments, Seq("col_x", "col_y"), "left")
-      .select(col("col_x"), col("col_y"),
+    spineOrdered(pairSpine.join(moments, Seq("col_x", "col_y"), "left"),
+      Seq(col("col_x"), col("col_y"),
         WeightedMoments.corrFromMoments(
           coalesce(col("__n__"), lit(0L)), coalesce(col("__sw__"), lit(0.0)),
           col("__sx__"), col("__sy__"),
           col("__sxy__"), col("__sxx__"), col("__syy__"),
-          ddof, minPeriods).as("corr"))
+          ddof, minPeriods).as("corr")))
   }
 
   /** Wide-frame covariance, same shape as [[corrMelted]] (4 moments). */
@@ -212,11 +221,11 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
         coalesce(sumAgg(when(valid, vw).otherwise(lit(0.0))), lit(0.0)).as("__sw__"),
         m(vx * vw).as("__sx__"), m(vy * vw).as("__sy__"),
         m(vx * vy * vw).as("__sxy__"))
-    pairSpine.join(moments, Seq("col_x", "col_y"), "left")
-      .select(col("col_x"), col("col_y"),
+    spineOrdered(pairSpine.join(moments, Seq("col_x", "col_y"), "left"),
+      Seq(col("col_x"), col("col_y"),
         WeightedMoments.covFromMoments(
           coalesce(col("__sw__"), lit(0.0)),
-          col("__sx__"), col("__sy__"), col("__sxy__"), ddof).as("cov"))
+          col("__sx__"), col("__sy__"), col("__sxy__"), ddof).as("cov")))
   }
 
   /** Pairwise weighted covariance, long format `(col_x, col_y, cov)` —

@@ -122,15 +122,21 @@ final class WeightedGroupBy private[core] (
     * explodes into k² pair rows regardless of nulls, so every group
     * present in `base` still emits all k² cells (no spine needed: a group
     * exists in the narrow output iff it has a base row, same here). */
-  private[graft] def corrMelted(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
-    import WeightedMoments.nullD
-    import org.apache.spark.sql.functions.{sum => sumAgg}
-    val cols = numericAggCols
-    val arr = array(cols.map(c => struct(lit(c).as("name"), nc(c).as("v"))): _*)
-    // reserved aliases (__x__/__y__): the group key columns ride along
-    // here, so a user key named `x` or `y` must not collide with the
-    // exploded structs (the ungrouped path drops all original columns
-    // first and can use bare names)
+  /** Grouped melted pair rows and their joint-validity predicate — shared
+    * by [[corrMelted]] and [[covMelted]]. Reserved aliases (__w__ /
+    * __arr__ / __x__ / __y__): the group key columns ride along through
+    * these projections (the ungrouped path drops all original columns
+    * first and can use bare names), so a user key named like a reserved
+    * alias would silently shadow it — fail fast instead. */
+  private def meltedPairs: (DataFrame, Column) = {
+    val reserved = Seq("__w__", "__arr__", "__x__", "__y__")
+    val bad = keys.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"group key name(s) ${bad.mkString(", ")} collide with the wide-frame " +
+        s"melted path's reserved aliases (${reserved.mkString(", ")}); " +
+        "rename the key column(s)")
+    val arr = array(numericAggCols.map(c =>
+      struct(lit(c).as("name"), nc(c).as("v"))): _*)
     val pairs = base
       .select(keys.map(col) :+ w.as("__w__") :+ arr.as("__arr__"): _*)
       .select(keys.map(col) ++ Seq(col("__w__"),
@@ -139,6 +145,13 @@ final class WeightedGroupBy private[core] (
         explode(col("__arr__")).as("__y__")): _*)
     val valid = col("__x__.v").isNotNull && col("__y__.v").isNotNull &&
       col("__w__").isNotNull
+    (pairs, valid)
+  }
+
+  private[graft] def corrMelted(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
+    import WeightedMoments.nullD
+    import org.apache.spark.sql.functions.{sum => sumAgg}
+    val (pairs, valid) = meltedPairs
     def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
     val vx = col("__x__.v"); val vy = col("__y__.v"); val vw = col("__w__")
     val out = pairs
@@ -155,6 +168,51 @@ final class WeightedGroupBy private[core] (
           col("__n__"), col("__sw__"), col("__sx__"), col("__sy__"),
           col("__sxy__"), col("__sxx__"), col("__syy__"),
           ddof, minPeriods).as("corr")): _*)
+    if (sort) out.orderBy((keys :+ "col_x" :+ "col_y").map(col): _*) else out
+  }
+
+  /** Per-group pairwise weighted covariance, long format
+    * `(keys…, col_x, col_y, cov)` — the grouped sibling of
+    * [[WeightedDataFrame.cov]] (reference future work, README.md:311-317),
+    * with the same wide-frame path switch. One shuffle total. */
+  def cov(ddof: Int = 1): DataFrame =
+    if (numericAggCols.length <= WeightedDataFrame.wideCorrThreshold)
+      covNarrow(ddof)
+    else covMelted(ddof)
+
+  private[graft] def covNarrow(ddof: Int = 1): DataFrame = {
+    val cols = numericAggCols
+    val cells = for { x <- cols; y <- cols } yield
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        WeightedMoments.covExpr(nc(x), nc(y), w, ddof).as("cov"))
+    val agged = base.groupBy(keys.map(col): _*).agg(array(cells: _*).as("cells"))
+    val out = agged
+      .select(keys.map(col) :+ explode(col("cells")).as("cell"): _*)
+      .select(keys.map(col) ++ Seq(col("cell.col_x"), col("cell.col_y"), col("cell.cov")): _*)
+    if (sort) out.orderBy((keys :+ "col_x" :+ "col_y").map(col): _*) else out
+  }
+
+  /** Wide-frame grouped covariance: melt → double explode → one 4-moment
+    * hash aggregate keyed on (group keys, col_x, col_y) — O(k) planning,
+    * identical numerics to [[covNarrow]] (both end in
+    * [[WeightedMoments.covFromMoments]]). */
+  private[graft] def covMelted(ddof: Int = 1): DataFrame = {
+    import WeightedMoments.nullD
+    import org.apache.spark.sql.functions.{sum => sumAgg}
+    val (pairs, valid) = meltedPairs
+    def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
+    val vx = col("__x__.v"); val vy = col("__y__.v"); val vw = col("__w__")
+    val out = pairs
+      .groupBy(keys.map(col) ++ Seq(
+        col("__x__.name").as("col_x"), col("__y__.name").as("col_y")): _*)
+      .agg(
+        coalesce(sumAgg(when(valid, vw).otherwise(lit(0.0))), lit(0.0)).as("__sw__"),
+        m(vx * vw).as("__sx__"), m(vy * vw).as("__sy__"),
+        m(vx * vy * vw).as("__sxy__"))
+      .select(keys.map(col) ++ Seq(col("col_x"), col("col_y"),
+        WeightedMoments.covFromMoments(
+          col("__sw__"), col("__sx__"), col("__sy__"), col("__sxy__"),
+          ddof).as("cov")): _*)
     if (sort) out.orderBy((keys :+ "col_x" :+ "col_y").map(col): _*) else out
   }
 

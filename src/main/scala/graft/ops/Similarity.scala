@@ -558,13 +558,17 @@ object Similarity {
     // across engines while the (rounded) output sim still matches. NULL-sim
     // pairs get a NULL ordering key, which min_by ignores — so they can
     // never beat a real assignment, and an all-NULL vector yields a NULL
-    // struct (NULL label + NULL sim).
+    // struct (NULL label + NULL sim). The `+ 0.0` collapses IEEE -0.0 to
+    // +0.0: sims straddling zero round to ±0.0, which Double.compare ranks
+    // as distinct (-0.0 < +0.0) while SQL engines treat them equal — without
+    // the normalization the label tie-break would never fire at the zero
+    // boundary and the assignment could still flip across engines.
     scored
       .groupBy(col(idCol))
       .agg(
         min_by(struct(col("__l__").as(labelCol), col("__s__").as("sim")),
           when(col("__s__").isNotNull,
-            struct(-round(col("__s__"), 6), col("__l__")))).as("__b__"))
+            struct(-round(col("__s__"), 6) + lit(0.0), col("__l__")))).as("__b__"))
       .select(col(idCol), col(s"__b__.$labelCol"), col("__b__.sim"))
   }
 }

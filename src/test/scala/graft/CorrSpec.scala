@@ -240,6 +240,80 @@ class CorrSpec extends SparkSpecBase {
     }
   }
 
+  test("narrow ≡ melted property on random frames straddling the width threshold") {
+    // VERDICT r8 #7: the path switch at wideCorrThreshold is a delicate
+    // seam (the k²-spine empty-frame regression proved it) — pin narrow ≡
+    // melted cell-for-cell on seeded random frames with nulls and null
+    // weights, at k just below and just above the switch, for corr and cov,
+    // grouped and ungrouped.
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val thr = WeightedDataFrame.wideCorrThreshold
+    for (seed <- 1 to 3; k <- Seq(thr - 1, thr + 1)) {
+      val rnd = new scala.util.Random(seed * 1000 + k)
+      val cols = (0 until k).map(i => f"c$i%02d")
+      val rows = (0 until 60).map { _ =>
+        SRow.fromSeq(
+          Seq(s"g${rnd.nextInt(3)}") ++
+            (0 until k).map(_ =>
+              if (rnd.nextDouble() < 0.15) null
+              else java.lang.Double.valueOf(rnd.nextDouble() * 20 - 10)) :+
+            (if (rnd.nextDouble() < 0.1) null
+             else java.lang.Double.valueOf(rnd.nextDouble() * 3 + 0.1)))
+      }
+      val schema = StructType(StructField("g", StringType) +:
+        (cols :+ "weights").map(c => StructField(c, DoubleType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      val wdf = WeightedDataFrame.wt(df, "weights")
+      def cmp(a: Map[Seq[Any], Option[Double]], b: Map[Seq[Any], Option[Double]],
+              what: String): Unit = {
+        assert(a.keySet == b.keySet, s"$what keys (seed=$seed k=$k)")
+        a.foreach { case (key, v) =>
+          (v, b(key)) match {
+            case (Some(x), Some(y)) =>
+              assert(math.abs(x - y) < 1e-12, s"$what $key: $x vs $y (seed=$seed k=$k)")
+            case (x, y) => assert(x == y, s"$what $key: $x vs $y (seed=$seed k=$k)")
+          }
+        }
+      }
+      def toM(d: org.apache.spark.sql.DataFrame): Map[Seq[Any], Option[Double]] = {
+        val n = d.columns.length
+        d.collect().map(r => r.toSeq.init -> cell(r, n - 1)).toMap
+      }
+      cmp(toM(wdf.corrNarrow(2, 1)), toM(wdf.corrMelted(2, 1)), "corr")
+      cmp(toM(wdf.covNarrow(1)), toM(wdf.covMelted(1)), "cov")
+      val g = wdf.groupBy("g")
+      cmp(toM(g.corrNarrow(2, 1)), toM(g.corrMelted(2, 1)), "grouped corr")
+      cmp(toM(g.covNarrow(1)), toM(g.covMelted(1)), "grouped cov")
+      // the public APIs route to the right path at this width
+      assert(wdf.corr().count() == k.toLong * k)
+      assert(g.cov().count() == 3L * k * k)
+    }
+  }
+
+  test("melted long-format output preserves the narrow path's cell order") {
+    // ADVICE r8: order must not change with frame width — melted output is
+    // sorted onto the frame-column-order spine (x-major), same as narrow
+    val d = Seq((1.0, 2.0, 3.0, 1.0), (2.0, 1.0, 5.0, 2.0))
+      .toDF("B", "A", "C", "weights") // deliberately non-alphabetical
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    def order(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(order(wdf.corrMelted()) == order(wdf.corrNarrow()))
+    assert(order(wdf.covMelted()) == order(wdf.covNarrow()))
+    assert(order(wdf.corrNarrow()).take(3) == Seq(("B", "B"), ("B", "A"), ("B", "C")))
+  }
+
+  test("grouped melted paths fail fast on reserved-alias group keys") {
+    val d = Seq(("a", 1.0, 2.0, 1.0), ("a", 2.0, 3.0, 1.0))
+      .toDF("__x__", "p", "q", "weights")
+    val g = WeightedDataFrame.wt(d, "weights").groupBy("__x__")
+    val e = intercept[IllegalArgumentException](g.corrMelted())
+    assert(e.getMessage.contains("__x__") && e.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException](g.covMelted())
+    assert(e2.getMessage.contains("reserved"))
+  }
+
   test("100-column corr plans in O(k) and computes correct cells") {
     // k=100 → the narrow path would build 70k aggregate expressions; the
     // melted path must plan and run the whole 10 000-cell matrix quickly

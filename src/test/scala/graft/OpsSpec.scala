@@ -899,6 +899,20 @@ class PackingSpec extends SparkSpecBase {
     assert(lastEnd.forall { case (end, n) => end == n })
   }
 
+  test("chunk-count arithmetic is exact past 2^53 (pure long div, no double)") {
+    // numerator 2^53 + 3 is NOT double-representable (rounds to 2^53 + 4):
+    // the old floor(double-division) path yields 2^52 + 2 with stride 2,
+    // while exact integer division gives floor((2^53+3)/2) = 2^52 + 1.
+    val num = (1L << 53) + 3L
+    val stride = 2L
+    val got = Seq(num).toDF("__num__")
+      .select(Packing.chunkCountFromNum(stride).as("nc"))
+      .head().getLong(0)
+    assert(got == 1L + num / stride) // Scala Long / == SQL div for nonnegatives
+    val doubled = 1L + (num.toDouble / stride.toDouble).toLong
+    assert(got != doubled, "test must exercise a value where double division is wrong")
+  }
+
   test("repetition stats: distinct ratio and top-bigram share per doc") {
     val d = Seq(
       (1L, "a b a b c"), // 5 words, 3 distinct; 'a b' twice of 4 bigrams
