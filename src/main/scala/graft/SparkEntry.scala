@@ -867,6 +867,28 @@ object SparkEntry {
           hex(expr("substring(payload, 1, IF(media_id % 2 = 0, 33, 39))")).as("hdr_hex"))
         .orderBy("media_id")
     }),
+    // pixel-LEVEL PNG decode (codec-free, past q54's header parse): the
+    // native PngPixelStats expression walks the chunks, inflates the IDAT
+    // stream (JDK Inflater), unfilters scanlines, and accumulates
+    // per-channel sum/min/max in one pass; the fixtures carry STORED
+    // (uncompressed) deflate blocks so the oracle re-derives every pixel
+    // byte from the same text hex without a decompressor (q82's pattern)
+    "q86_png_pixels" -> ((s, dir) => {
+      val m = Multimodal.pngPixelMediaFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.functions.MediaFunctions.pngPixelStats(col("payload")).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("media_id"), col("p.width").as("w"), col("p.height").as("hh"),
+          col("p.ch_sum").as("cs"), col("p.ch_min").as("cmn"), col("p.ch_max").as("cmx"))
+        .select(col("media_id"), col("w"), col("hh"),
+          posexplode(arrays_zip(col("cs"), col("cmn"), col("cmx"))).as(Seq("channel", "z")))
+        .select(col("media_id"), col("channel").cast("long").as("channel"),
+          (col("w").cast("long") * col("hh")).as("n_px"),
+          col("z.cs").as("c_sum"), col("z.cmn").cast("long").as("c_min"),
+          col("z.cmx").cast("long").as("c_max"),
+          (col("z.cs").cast("double") / (col("w") * col("hh"))).as("c_mean"))
+        .orderBy("media_id", "channel")
+    }),
     // cluster assignment: the q63 centroids feed back as a broadcast
     // codebook; every vector classified by cosine argmax (corpus never
     // shuffles — only the id-keyed argmax aggregate does)
@@ -1607,6 +1629,28 @@ object SparkEntry {
         |'FFD8FFE000104A46494600010200000100010000FFC0001108' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0') || '03011100021101031101'
         |END AS hdr_hex
         |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // pixel-level decode check: Spark DECODES the PNG (inflate + unfilter);
+    // DuckDB independently re-derives each pixel byte from the document
+    // text's hex (the fixture's stored-deflate blocks are byte-transparent,
+    // filter type 0 everywhere — so pixel bytes ≡ padded text bytes)
+    "q86_png_pixels" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |CAST(doc_id % 6 + 2 AS INTEGER) AS w, CAST(doc_id % 4 + 2 AS INTEGER) AS h,
+        |hex(encode(text)) AS hx FROM documents),
+        |p AS (SELECT media_id, w, h,
+        |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM m),
+        |s AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM p),
+        |v AS (SELECT media_id, w, h, i % 3 AS channel,
+        |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM s)
+        |SELECT media_id, CAST(channel AS BIGINT) AS channel,
+        |CAST(w*h AS BIGINT) AS n_px,
+        |CAST(sum(u) AS BIGINT) AS c_sum,
+        |CAST(min(u) AS BIGINT) AS c_min,
+        |CAST(max(u) AS BIGINT) AS c_max,
+        |CAST(sum(u) AS DOUBLE) / (w*h) AS c_mean
+        |FROM v GROUP BY media_id, channel, w, h
+        |ORDER BY media_id, channel""".stripMargin.replace("\n", " "),
     "q67_assign_centroids" ->
       """WITH x AS (SELECT label, unnest(embedding) AS v,
         |generate_subscripts(embedding, 1) AS p FROM embeddings),
@@ -1618,7 +1662,7 @@ object SparkEntry {
         |(sqrt(sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE))) * sqrt(sum(c.m * c.m))) AS sim
         |FROM e JOIN c ON e.p = c.p GROUP BY e.vec_id, c.label),
         |r AS (SELECT vec_id, label, sim,
-        |row_number() OVER (PARTITION BY vec_id ORDER BY round(sim, 6) DESC, label) AS rn
+        |row_number() OVER (PARTITION BY vec_id ORDER BY CAST(floor(sim * 1e6 + 0.5) AS BIGINT) DESC, label) AS rn
         |FROM s WHERE sim IS NOT NULL)
         |SELECT e0.vec_id, CAST(r.label AS BIGINT) AS assigned, round(r.sim, 6) AS sim
         |FROM (SELECT vec_id FROM embeddings) e0

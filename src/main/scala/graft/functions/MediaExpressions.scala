@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -291,6 +292,191 @@ object PcmStats {
   }
 }
 
+/** Pixel-level PNG decode — the codec-free step past [[ImageDims]]'s header
+  * parse, and the end of the repo's last decode stub: PNG's only compression
+  * is zlib/deflate, which ships in the JDK (`java.util.zip.Inflater`), and
+  * scanline unfiltering (filter types 0–4: None/Sub/Up/Average/Paeth, PNG
+  * spec §9) is pure byte arithmetic. Supports the common web shape:
+  * bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA), non-interlaced,
+  * multi-IDAT streams. Output: image geometry plus per-channel sum/min/max
+  * over all pixels (means are left to the caller as exact `sum / (w·h)`
+  * rationals). NULL for anything else — unrecognized bytes, interlaced or
+  * 16-bit images, undecodable streams.
+  *
+  * One native expression per row inside whole-stage codegen, like
+  * [[PcmStats]]: a narrow projection over the binary column, no UDF
+  * boundary, no row amplification. The decode buffer is bounded
+  * (`MaxRawBytes`) so a corrupt header can never allocate unboundedly —
+  * at 100 TB a poisoned blob must fail to NULL, not OOM an executor. */
+case class PngPixelStats(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("ch_sum", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("ch_min", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ch_max", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"png_pixel_stats requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    PngPixelStats.parse(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("png")
+      s"""
+         |InternalRow $r = graft.functions.PngPixelStats.parse($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PngPixelStats {
+
+  /** Cap on the unfiltered scanline buffer (64 MiB ≈ a 4096×4096 RGBA
+    * image): a forged IHDR declaring huge dims must return NULL before
+    * allocating, not after. */
+  private val MaxRawBytes = 1 << 26
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** `(width, height, channels, ch_sum[], ch_min[], ch_max[])` decoded from
+    * a supported PNG payload, or null. */
+  def parse(b: Array[Byte]): InternalRow = {
+    // signature + IHDR (required first chunk, len 13)
+    if (b.length < 45) return null
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return null; i += 1 }
+    if (be32(b, 8) != 13L || !tag(b, 12, "IHDR")) return null
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val bitDepth = u8(b, 24)
+    val colorType = u8(b, 25)
+    if (w <= 0 || h <= 0 || bitDepth != 8 ||
+      u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return null
+    val ch = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return null // palette / alpha-gray not supported
+    }
+    val rowBytes = w * ch // Long arithmetic: forged dims can't overflow
+    val rawLen = h * (1L + rowBytes)
+    if (rawLen > MaxRawBytes) return null
+
+    // chunk walk: concatenate every IDAT's data (the spec allows splitting
+    // the one zlib stream across any number of IDAT chunks); CRCs are not
+    // validated (same contract as ImageDims/AudioMeta)
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 33L
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val at = pos.toInt
+      val len = be32(b, at)
+      if (pos + 8 + len > b.length) done = true // truncated chunk: stop
+      else {
+        if (tag(b, at + 4, "IDAT")) idat.write(b, at + 8, len.toInt)
+        else if (tag(b, at + 4, "IEND")) done = true
+        pos += 12L + len // length + type + data + crc
+      }
+    }
+    val z = idat.toByteArray
+    // zlib wrapper: deflate method, no preset dictionary; inflate RAW
+    // (nowrap) past the 2-byte header so the trailing Adler32 is not
+    // required — works for both stored-block fixtures and real streams
+    if (z.length < 3 || (z(0) & 0x0f) != 8 || (z(1) & 0x20) != 0) return null
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(z, 2, z.length - 2)
+      var got = 0
+      var n = 1
+      while (n > 0 && got < raw.length) {
+        n = inf.inflate(raw, got, raw.length - got)
+        got += n
+      }
+      if (got < raw.length) return null // truncated pixel stream
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+
+    // unfilter in place, scanline by scanline (PNG spec §9: a/b/c are the
+    // RECONSTRUCTED left / above / upper-left bytes; out-of-frame = 0)
+    val wI = w.toInt
+    val hI = h.toInt
+    val rb = rowBytes.toInt
+    val stride = 1 + rb
+    var r = 0
+    while (r < hI) {
+      val base = r * stride + 1
+      val prev = base - stride
+      val f = u8(raw, base - 1)
+      if (f > 4) return null
+      if (f != 0) {
+        var x = 0
+        while (x < rb) {
+          val a = if (x >= ch) u8(raw, base + x - ch) else 0
+          val up = if (r > 0) u8(raw, prev + x) else 0
+          val ul = if (r > 0 && x >= ch) u8(raw, prev + x - ch) else 0
+          val add = f match {
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) >> 1
+            case _ => // Paeth predictor
+              val p = a + up - ul
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+          }
+          raw(base + x) = ((u8(raw, base + x) + add) & 0xff).toByte
+          x += 1
+        }
+      }
+      r += 1
+    }
+
+    // per-channel stats in one pass over the reconstructed pixels
+    val sums = new Array[Long](ch)
+    val mins = Array.fill(ch)(255)
+    val maxs = new Array[Int](ch)
+    r = 0
+    while (r < hI) {
+      val base = r * stride + 1
+      var x = 0
+      while (x < rb) {
+        val v = u8(raw, base + x)
+        val c = x % ch
+        sums(c) += v
+        if (v < mins(c)) mins(c) = v
+        if (v > maxs(c)) maxs(c) = v
+        x += 1
+      }
+      r += 1
+    }
+    InternalRow(wI, hI, ch,
+      new GenericArrayData(sums), new GenericArrayData(mins), new GenericArrayData(maxs))
+  }
+}
+
 object MediaFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -308,4 +494,10 @@ object MediaFunctions {
     * from a PCM WAV's sample bytes; NULL for non-PCM-WAV payloads. */
   def pcmStats(payload: Column): Column =
     ColumnBridge.column(PcmStats(ColumnBridge.expression(payload)))
+
+  /** `png_pixel_stats(payload)` — struct(width, height, channels, ch_sum,
+    * ch_min, ch_max) decoded from a PNG payload's pixel data (inflate +
+    * scanline unfilter); NULL for unsupported/undecodable payloads. */
+  def pngPixelStats(payload: Column): Column =
+    ColumnBridge.column(PngPixelStats(ColumnBridge.expression(payload)))
 }

@@ -26,19 +26,24 @@ case class MediaFeatures(
 /** Multimodal-column plumbing: decode / feature-extract / resize /
   * frame-sample over binary payloads.
   *
-  * The DECODE STEP IS STUBBED — this container has no image/audio codecs, so
-  * `fakeDecode` derives a deterministic byte-driven feature vector instead
-  * of running a real decoder. Everything around it is the real Spark shape:
-  * typed `Dataset` schema, `mapPartitions` batch iteration (one decoder
+  * Decode is REAL for the codec-free formats: PCM WAV samples
+  * ([[graft.functions.PcmStats]]) and 8-bit non-interlaced PNG pixels
+  * ([[graft.functions.PngPixelStats]] — JDK Inflater + scanline
+  * unfiltering; see [[pngPixelMediaFromDocuments]] for decodable
+  * fixtures). Only formats that genuinely need an external codec (JPEG
+  * entropy decode) fall back to `fakeDecode`, a deterministic byte-driven
+  * stand-in. Everything around the decode is the real Spark shape: typed
+  * `Dataset` schema, `mapPartitions` batch iteration (one decoder
   * instantiation per partition, the same contract a JNI/codec binding or a
   * vectorized Pandas-UDF batch would use), and metadata-only transforms that
   * never touch the payload (so Parquet column pruning skips the blobs).
   */
 object Multimodal {
 
-  /** Deterministic fake "decode + featurize": a real pipeline would replace
-    * the body with e.g. JPEG decode + CNN embedding. Keyed on payload bytes
-    * so tests can assert determinism. */
+  /** Deterministic fake "decode + featurize" FALLBACK for payloads the
+    * codec-free decoders can't handle (JPEG needs an entropy decoder this
+    * container doesn't have). Keyed on payload bytes so tests can assert
+    * determinism. */
   private[multimodal] def fakeDecode(item: MediaItem, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L // deterministic FNV-ish fold over the payload
@@ -92,6 +97,49 @@ object Multimodal {
         encode(col("text"), "UTF-8")).as("payload"))
   }
 
+  /** Build a demo media table of fully DECODABLE PNGs from the documents
+    * table: real signature/IHDR/IDAT/IEND structure with the pixel data
+    * zlib-wrapped in a single STORED (uncompressed, BTYPE=00) deflate
+    * block — spec-valid for any inflater, and byte-transparent so the
+    * DuckDB oracle can re-derive every pixel from the same text bytes
+    * without a decompressor (exactly the q82 WAV pattern, one level up).
+    * Pixels are the document text's UTF-8 bytes ('A'-padded to w·h·3),
+    * laid out as RGB scanlines with filter type 0; w/h vary per doc_id.
+    * [[graft.functions.PngPixelStats]] runs the REAL decode path over
+    * these: chunk walk → inflate → unfilter → per-channel stats (q86).
+    * CRC/Adler fields are zeroed — neither is validated (raw inflate),
+    * matching the [[ImageDims]] contract. */
+  def pngPixelMediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("w", (col("doc_id") % 6 + 2).cast("int"))
+      .withColumn("h", (col("doc_id") % 4 + 2).cast("int"))
+      .withColumn("npx", col("w") * col("h") * lit(3))
+      .withColumn("pxhex",
+        expr("substr(concat(hex(encode(text, 'UTF-8')), repeat('41', npx)), 1, 2*npx)"))
+      .withColumn("rawlen", col("h") * (lit(1) + col("w") * lit(3)))
+      .withColumn("slhex", expr(
+        "array_join(transform(sequence(0, h-1), r -> concat('00', substr(pxhex, r*w*6+1, w*6))), '')"))
+      .withColumn("lenle", expr(
+        "concat(lpad(hex(rawlen % 256), 2, '0'), lpad(hex(rawlen div 256), 2, '0'))"))
+      .withColumn("nlenle", expr(
+        "concat(lpad(hex((65535 - rawlen) % 256), 2, '0'), lpad(hex((65535 - rawlen) div 256), 2, '0'))"))
+      .withColumn("payload_hex", concat(
+        lit("89504E470D0A1A0A"), // signature
+        lit("0000000D49484452"), // IHDR length + type
+        expr("lpad(hex(w), 8, '0')"), expr("lpad(hex(h), 8, '0')"),
+        lit("0802000000"), // bit depth 8, truecolor, no interlace
+        lit("00000000"), // IHDR crc (not validated)
+        expr("lpad(hex(rawlen + 11), 8, '0')"), lit("49444154"), // IDAT len + type
+        lit("7801"), // zlib header: deflate, no preset dict
+        lit("01"), col("lenle"), col("nlenle"), // final stored-block header
+        col("slhex"), // raw filter-0 scanlines
+        lit("00000000"), // adler32 (ignored by raw inflate)
+        lit("00000000"), // IDAT crc
+        lit("0000000049454E44AE426082"))) // IEND
+      .select(col("doc_id").as("media_id"), lit("png").as("kind"),
+        col("w").as("width"), col("h").as("height"),
+        unhex(col("payload_hex")).as("payload"))
+
   /** Little-endian fixed-width bytes of an integral column (RIFF/WAV fields
     * are little-endian, unlike PNG/JPEG's big-endian). */
   private def le(c: Column, nBytes: Int): Column =
@@ -128,19 +176,45 @@ object Multimodal {
       concat(header, encode(col("text"), "UTF-8")).as("payload"))
   }
 
+  /** Pixel-statistic feature vector from a REAL decode
+    * ([[graft.functions.PngPixelStats]] result row): per-channel
+    * mean/min/max normalized to [0,1], cycled to `dim`. Deterministic by
+    * construction (pure function of the decoded pixels). */
+  private[multimodal] def pixelFeatures(
+      px: org.apache.spark.sql.catalyst.InternalRow, dim: Int): Array[Float] = {
+    val w = px.getInt(0); val h = px.getInt(1); val ch = px.getInt(2)
+    val sums = px.getArray(3); val mins = px.getArray(4); val maxs = px.getArray(5)
+    val n = w.toFloat * h
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      val c = (j / 3) % ch
+      out(j) = (j % 3) match {
+        case 0 => (sums.getLong(c) / n) / 255.0f
+        case 1 => mins.getInt(c) / 255.0f
+        case _ => maxs.getInt(c) / 255.0f
+      }
+      j += 1
+    }
+    out
+  }
+
   /** Decode + feature-extract, batched per partition. `mapPartitions` (not
     * per-row map) so a real decoder would amortize model/codec setup once
     * per partition — the same batch contract as `mapInPandas`. The resize
     * dims come from PARSING the payload's container header (the codec-free
     * part of decode — real bytes, real parser), not from the metadata
-    * columns; only the pixel decode itself remains faked. */
+    * columns. Decodable PNGs get REAL pixel-statistic features
+    * ([[pixelFeatures]] over the inflate+unfilter decode); only payloads
+    * needing an external codec (JPEG) fall back to [[fakeDecode]]. */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
       // real pipeline: instantiate decoder/model HERE, once per partition
       it.map { m =>
-        val feats = fakeDecode(m, dim)
+        val px = graft.functions.PngPixelStats.parse(m.payload)
+        val feats = if (px != null) pixelFeatures(px, dim) else fakeDecode(m, dim)
         val parsed = graft.functions.ImageDims.parse(m.payload)
         val (kind, pw, ph) =
           if (parsed != null) (parsed.getString(0), parsed.getInt(1), parsed.getInt(2))

@@ -550,25 +550,27 @@ object Similarity {
         col(labelCol).as("__l__"), toDouble(col(centroidCol)).as("__c__"))))
       .select(col(idCol), col("__l__"),
         cosine(col("__v__"), col("__c__")).as("__s__"))
-    // min_by over (-round(sim, 6), label): highest sim first, ties toward
-    // the smallest label. The comparison key is ROUNDED so two centroids
-    // whose cosines differ only at ulp level (different engines' libm /
-    // summation order) collapse to the same key and the deterministic
-    // smallest-label tie-break decides — otherwise `assigned` can flip
-    // across engines while the (rounded) output sim still matches. NULL-sim
-    // pairs get a NULL ordering key, which min_by ignores — so they can
-    // never beat a real assignment, and an all-NULL vector yields a NULL
-    // struct (NULL label + NULL sim). The `+ 0.0` collapses IEEE -0.0 to
-    // +0.0: sims straddling zero round to ±0.0, which Double.compare ranks
-    // as distinct (-0.0 < +0.0) while SQL engines treat them equal — without
-    // the normalization the label tie-break would never fire at the zero
-    // boundary and the assignment could still flip across engines.
+    // min_by over (-quantize(sim), label): highest sim first, ties toward
+    // the smallest label. The comparison key is QUANTIZED to the 1e-6 grid
+    // so two centroids whose cosines differ only at ulp level (different
+    // engines' libm / summation order) collapse to the same key and the
+    // deterministic smallest-label tie-break decides — otherwise `assigned`
+    // can flip across engines while the (rounded) output sim still matches.
+    // The grid key is an INTEGER `floor(sim·1e6 + 0.5)` rather than
+    // `round(sim, 6)`: identical pure-IEEE arithmetic on every engine (the
+    // oracle mirrors it), no per-candidate BigDecimal allocation inside
+    // codegen (the round-8 A/B measured `round` at ~20% of q67's runtime),
+    // and a long key has no IEEE -0.0/+0.0 boundary case for sims
+    // straddling zero. NULL-sim pairs get a NULL ordering key, which
+    // min_by ignores — so they can never beat a real assignment, and an
+    // all-NULL vector yields a NULL struct (NULL label + NULL sim).
     scored
       .groupBy(col(idCol))
       .agg(
         min_by(struct(col("__l__").as(labelCol), col("__s__").as("sim")),
           when(col("__s__").isNotNull,
-            struct(-round(col("__s__"), 6) + lit(0.0), col("__l__")))).as("__b__"))
+            struct(-floor(col("__s__") * lit(1e6) + lit(0.5)),
+              col("__l__")))).as("__b__"))
       .select(col(idCol), col(s"__b__.$labelCol"), col("__b__.sim"))
   }
 }

@@ -154,6 +154,164 @@ class MultimodalSpec extends SparkSpecBase {
     assert(PcmStats.parse("not audio".getBytes) == null)
   }
 
+  // ---- PngPixelStats: real decode (inflate + unfilter) -------------------
+
+  /** Reference PNG encoder for the decoder tests: takes the raw pixel
+    * array, applies the requested FILTER per scanline (the encoder-side
+    * transform, independently implemented from the spec), deflates with
+    * the JDK's real Deflater, and wraps in signature/IHDR/IDAT/IEND —
+    * optionally splitting the zlib stream across several IDAT chunks. */
+  private def makePng(w: Int, h: Int, ch: Int, pixels: Array[Int],
+      filterOf: Int => Int, idatSplit: Int = 1): Array[Byte] = {
+    require(pixels.length == w * h * ch)
+    val colorType = ch match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val rb = w * ch
+    val raw = new Array[Byte](h * (1 + rb))
+    for (r <- 0 until h) {
+      val f = filterOf(r)
+      raw(r * (1 + rb)) = f.toByte
+      for (x <- 0 until rb) {
+        val cur = pixels(r * rb + x)
+        val left = if (x >= ch) pixels(r * rb + x - ch) else 0
+        val up = if (r > 0) pixels((r - 1) * rb + x) else 0
+        val ul = if (r > 0 && x >= ch) pixels((r - 1) * rb + x - ch) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(r * (1 + rb) + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = deflater.deflate(zbuf); deflater.end()
+    val z = zbuf.take(zlen)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length)); out.write(typ.getBytes("US-ASCII"))
+      out.write(data); out.write(Array[Byte](0, 0, 0, 0)) // crc not validated
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+    val per = math.max(1, (z.length + idatSplit - 1) / idatSplit)
+    z.grouped(per).foreach(part => chunk("IDAT", part))
+    chunk("IEND", Array[Byte]())
+    out.toByteArray
+  }
+
+  private def expectStats(w: Int, h: Int, ch: Int, pixels: Array[Int]) = {
+    val sums = new Array[Long](ch); val mins = Array.fill(ch)(255); val maxs = new Array[Int](ch)
+    for (i <- pixels.indices) {
+      val c = i % ch
+      sums(c) += pixels(i)
+      mins(c) = math.min(mins(c), pixels(i)); maxs(c) = math.max(maxs(c), pixels(i))
+    }
+    (sums.toSeq, mins.toSeq, maxs.toSeq)
+  }
+
+  private def checkDecode(w: Int, h: Int, ch: Int, pixels: Array[Int],
+      filterOf: Int => Int, idatSplit: Int = 1): Unit = {
+    val row = graft.functions.PngPixelStats.parse(makePng(w, h, ch, pixels, filterOf, idatSplit))
+    assert(row != null, s"decode failed for w=$w h=$h ch=$ch")
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((w, h, ch)))
+    val (es, emn, emx) = expectStats(w, h, ch, pixels)
+    assert(row.getArray(3).toLongArray.toSeq == es)
+    assert(row.getArray(4).toIntArray.toSeq == emn)
+    assert(row.getArray(5).toIntArray.toSeq == emx)
+  }
+
+  test("PngPixelStats decodes real-deflate streams through every filter type") {
+    val rnd = new scala.util.Random(42)
+    for (ch <- Seq(1, 3, 4)) {
+      val (w, h) = (11, 7)
+      val pixels = Array.fill(w * h * ch)(rnd.nextInt(256))
+      for (f <- 0 to 4) checkDecode(w, h, ch, pixels, _ => f) // uniform filter
+      checkDecode(w, h, ch, pixels, r => r % 5) // mixed filters per row
+    }
+  }
+
+  test("PngPixelStats reassembles multi-IDAT streams and 1-pixel images") {
+    val rnd = new scala.util.Random(7)
+    val pixels = Array.fill(16 * 9 * 3)(rnd.nextInt(256))
+    checkDecode(16, 9, 3, pixels, r => (r * 3) % 5, idatSplit = 5)
+    checkDecode(1, 1, 3, Array(12, 200, 7), _ => 4) // a/b/c all zero
+  }
+
+  test("PngPixelStats rejects unsupported and corrupt payloads") {
+    import graft.functions.PngPixelStats
+    val ok = makePng(4, 3, 3, Array.fill(36)(9), _ => 1)
+    assert(PngPixelStats.parse(ok) != null)
+    assert(PngPixelStats.parse("not a png".getBytes) == null)
+    assert(PngPixelStats.parse(ok.take(40)) == null) // truncated mid-IDAT
+    val interlaced = ok.clone(); interlaced(28) = 1.toByte
+    assert(PngPixelStats.parse(interlaced) == null)
+    val sixteenBit = ok.clone(); sixteenBit(24) = 16.toByte
+    assert(PngPixelStats.parse(sixteenBit) == null)
+    val palette = ok.clone(); palette(25) = 3.toByte
+    assert(PngPixelStats.parse(palette) == null)
+    // forged IHDR with absurd dims must be rejected BEFORE allocating
+    val forged = ok.clone()
+    forged(16) = 0x7f.toByte; forged(17) = 0xff.toByte // width ≈ 2^31
+    assert(PngPixelStats.parse(forged) == null)
+    // bad zlib bytes inside a well-formed chunk walk
+    val badz = makePng(2, 2, 1, Array.fill(4)(5), _ => 0)
+    val idatData = badz.indexOfSlice("IDAT".getBytes.toSeq) + 4
+    badz(idatData) = 0x00.toByte // clobber the zlib CMF byte (method ≠ 8)
+    assert(PngPixelStats.parse(badz) == null)
+  }
+
+  test("stored-block fixtures decode and match the text-derived pixels") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    val m = Multimodal.pngPixelMediaFromDocuments(docs)
+    val got = m.select(col("media_id"), col("width"), col("height"),
+        graft.functions.MediaFunctions.pngPixelStats(col("payload")).as("p"))
+      .collect()
+    assert(got.length == 30)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+      val p = r.getStruct(3)
+      assert(p != null, s"fixture for doc $id failed to decode")
+      assert((p.getInt(0), p.getInt(1), p.getInt(2)) == ((w, h, 3)))
+      val need = w * h * 3
+      val tb = texts(id).getBytes("UTF-8")
+      val pixels = (0 until need).map(i => if (i < tb.length) tb(i) & 0xff else 0x41).toArray
+      val (es, emn, emx) = expectStats(w, h, 3, pixels)
+      assert(p.getSeq[Long](3) == es, s"sums for doc $id")
+      assert(p.getSeq[Int](4) == emn && p.getSeq[Int](5) == emx, s"min/max for doc $id")
+    }
+  }
+
+  test("extractFeatures uses real pixel features for decodable PNGs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    val m = Multimodal.pngPixelMediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(m, dim = 9).collect()
+    assert(feats.length == 10)
+    // dim 9 = [mean,min,max] × 3 channels, each normalized into [0,1]
+    val stats = m.select(col("media_id"),
+        graft.functions.MediaFunctions.pngPixelStats(col("payload")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    feats.foreach { f =>
+      val p = stats(f.media_id)
+      val n = p.getInt(0).toFloat * p.getInt(1)
+      for (c <- 0 until 3) {
+        assert(f.features(c * 3) == (p.getSeq[Long](3)(c) / n) / 255.0f)
+        assert(f.features(c * 3 + 1) == p.getSeq[Int](4)(c) / 255.0f)
+        assert(f.features(c * 3 + 2) == p.getSeq[Int](5)(c) / 255.0f)
+      }
+    }
+  }
+
   test("frame-sample plan is metadata-only and bounded") {
     val plan = Multimodal.frameSamplePlan(media, fps = 30, stride = 10, maxFrames = 8)
     val counts = plan.groupBy("media_id").count().collect().map(_.getLong(1))
