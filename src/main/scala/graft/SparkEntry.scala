@@ -626,6 +626,51 @@ object SparkEntry {
     "q37_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.nearestNeighbors(table(s, dir, "embeddings"), "vec_id", "embedding",
         strategy = "lsh").orderBy("doc_a")),
+    // SOUNDNESS oracle for q37 (VERDICT r8 #1): the tabled-LSH pair LIST is
+    // plane-dependent and recall<1 by construction, so no completeness
+    // oracle exists — but every REPORTED pair is provably checkable. This
+    // query re-verifies each reported pair through two INDEPENDENT paths
+    // (cosine recomputed via explode+sum from the raw parquet floats, and
+    // the exact brute top-1 as an upper bound) and emits per-property
+    // violation counts, which the oracle pins exactly: all zeros, plus a
+    // non-vacuousness row proving pairs were actually reported. A single
+    // fabricated, reflexive, duplicated, or sim-inflated pair turns a
+    // count nonzero and the driver's hash check red.
+    "q37b_lsh_soundness" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      // bounded (≤ one row per vector): checkpoint so the LSH pass runs
+      // once, not once per property branch
+      val rep = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+        strategy = "lsh").localCheckpoint()
+      val va = emb.select(col("vec_id").as("doc_a"),
+        posexplode(col("embedding")).as(Seq("p", "xa")))
+      val vb = emb.select(col("vec_id").as("doc_b"),
+        posexplode(col("embedding")).as(Seq("p", "xb")))
+      val re = rep.join(va, "doc_a").join(vb, Seq("doc_b", "p"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sim"))
+        .agg(sum(col("xa").cast("double") * col("xb").cast("double")).as("dp"),
+          sum(col("xa").cast("double") * col("xa").cast("double")).as("na2"),
+          sum(col("xb").cast("double") * col("xb").cast("double")).as("nb2"))
+        .withColumn("cos2", col("dp") / sqrt(col("na2") * col("nb2")))
+      val brute = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+        strategy = "brute").select(col("doc_a"), col("sim").as("best_sim"))
+      def cnt(name: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_bad"))
+          .select(lit(name).as("property"), col("n_bad"))
+      cnt("reflexive_pairs", rep.where(col("doc_a") === col("doc_b")))
+        .unionAll(cnt("multi_reports",
+          rep.groupBy("doc_a").agg(count(lit(1)).as("c")).where(col("c") > 1)))
+        .unionAll(cnt("null_sims", rep.where(col("sim").isNull)))
+        // reported sim is round(cos, 6) (topK's determinism grid), so the
+        // recompute must agree within the half-grid, not to the ulp
+        .unionAll(cnt("sim_mismatch",
+          re.where(abs(col("sim") - col("cos2")) > 5.01e-7)))
+        .unionAll(cnt("beats_true_best", rep.join(brute, "doc_a")
+          .where(col("sim") > col("best_sim") + 1e-9)))
+        .unionAll(rep.agg(least(count(lit(1)), lit(1L)).as("n_bad"))
+          .select(lit("has_pairs").as("property"), col("n_bad")))
+        .orderBy("property")
+    }),
     // embedding near-dup corpus output: keep-first drop of vectors whose
     // nearest neighbor is an earlier near-dup (brute = oracle-checkable)
     "q40_drop_embed_neardup" -> ((s, dir) =>
@@ -1629,6 +1674,20 @@ object SparkEntry {
         |'FFD8FFE000104A46494600010200000100010000FFC0001108' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0') || '03011100021101031101'
         |END AS hdr_hex
         |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // q37's soundness twin: the oracle pins the exact violation-count rows
+    // (all zero) plus the non-vacuousness sentinel. The VERIFICATION runs on
+    // the Spark side through two independent recomputes; DuckDB cannot see
+    // the plane-dependent pair list, but it pins that no property can be
+    // violated and that the check was not vacuous.
+    "q37b_lsh_soundness" ->
+      """SELECT * FROM (VALUES
+        |('beats_true_best', CAST(0 AS BIGINT)),
+        |('has_pairs', CAST(1 AS BIGINT)),
+        |('multi_reports', CAST(0 AS BIGINT)),
+        |('null_sims', CAST(0 AS BIGINT)),
+        |('reflexive_pairs', CAST(0 AS BIGINT)),
+        |('sim_mismatch', CAST(0 AS BIGINT)))
+        |AS t(property, n_bad) ORDER BY property""".stripMargin.replace("\n", " "),
     // pixel-level decode check: Spark DECODES the PNG (inflate + unfilter);
     // DuckDB independently re-derives each pixel byte from the document
     // text's hex (the fixture's stored-deflate blocks are byte-transparent,
