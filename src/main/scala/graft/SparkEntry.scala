@@ -368,10 +368,15 @@ object SparkEntry {
     * min-ratio k → `fr(lang, c, f)`. Shares are Scala-computed doubles
     * rendered at full precision, so both engines run the identical IEEE
     * expression tree. */
-  private def mixFracCtes: String = {
+  private def mixFracCtes: String = mixFracCtesFrom("documents")
+
+  /** Same fraction derivation over an arbitrary source relation (q81b
+    * derives the mix from the post-canonicalization corpus, not raw
+    * `documents` — matchDistribution counts its INPUT's strata). */
+  private def mixFracCtesFrom(src: String): String = {
     val langs = mixShares.map(s => s"'${s._1}'").mkString(", ")
     val arms = mixShares.map { case (l, sh) => s"WHEN '$l' THEN ${dbl(sh)}" }.mkString(" ")
-    s"""cnt AS (SELECT lang, count(*) AS c FROM documents WHERE lang IN ($langs) GROUP BY lang),
+    s"""cnt AS (SELECT lang, count(*) AS c FROM $src WHERE lang IN ($langs) GROUP BY lang),
        |shr AS (SELECT lang, c, CASE lang $arms END AS share FROM cnt),
        |kk AS (SELECT min(c / share) AS k FROM shr),
        |fr AS (SELECT lang, c, least(CAST(1 AS DOUBLE), (SELECT k FROM kk) * share / c) AS f FROM shr)""".stripMargin.replace("\n", " ")
@@ -1084,6 +1089,21 @@ object SparkEntry {
         minQuality = 0.5, minTokens = 20L,
         nearDupThreshold = 1.0, shingleSize = 1,
         capacity = 2048L, nStreams = 8)
+        .select("doc_id", "cluster_id", "quality_score", "n_tokens",
+          "stream", "pack", "pack_id")
+        .orderBy("doc_id")),
+    // the flagship with the hash-seeded rebalance stage ENABLED — the
+    // remaining configuration q81 left uncovered. The lang mix is derived
+    // from the post-canonicalization corpus (matchDistribution counts its
+    // input), and admission is XXH64-thresholded per row, all of which the
+    // oracle reproduces exactly (q64's CTEs chained onto q81's).
+    "q81b_prepare_rebalanced" -> ((s, dir) =>
+      graft.ops.Pipeline.prepareTrainingData(
+        table(s, dir, "documents"), "text", "doc_id",
+        minQuality = 0.5, minTokens = 20L,
+        nearDupThreshold = 1.0, shingleSize = 1,
+        strataCol = Some("lang"), strataTargets = Map(mixTargets: _*),
+        capacity = 2048L, nStreams = 8, seed = 11L)
         .select("doc_id", "cluster_id", "quality_score", "n_tokens",
           "stream", "pack", "pack_id")
         .orderBy("doc_id"))
@@ -1880,36 +1900,67 @@ object SparkEntry {
     // composition of the q39 (clean), q75 (canonicalize, score =
     // quality_score), and q50 (packing) oracle logic — integer window sum
     // output columns cast back to BIGINT (DuckDB sum → HUGEINT → float64)
-    "q81_prepare_training" -> {
-      val featSql =
-        s"""SELECT * FROM ($textAnalyzeSql)
-           |WHERE quality_score >= 0.5 AND ws_tokens >= 20""".stripMargin
-          .replace("\n", " ")
-          .replace("FROM documents", keepFirstDocsSql)
-      s"""WITH RECURSIVE feat AS ($featSql),
-         |kept AS (SELECT doc_id, quality_score, bpe_tokens FROM feat),
-         |tok AS (SELECT d.doc_id,
-         |list_distinct(regexp_split_to_array(trim(d.text), '\\s+')) AS s
-         |FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
-         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tok a JOIN tok b
-         |ON a.doc_id <> b.doc_id
-         |AND len(list_intersect(a.s, b.s)) = len(list_distinct(list_concat(a.s, b.s)))),
-         |reach(id, r) AS (SELECT doc_id, doc_id FROM kept
-         |UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
-         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |rk AS (SELECT k.doc_id, lab.cluster_id, k.quality_score, k.bpe_tokens,
-         |row_number() OVER (PARTITION BY lab.cluster_id
-         |ORDER BY k.quality_score DESC, k.doc_id) AS rn
-         |FROM kept k JOIN lab ON k.doc_id = lab.doc_id),
+    "q81_prepare_training" ->
+      s"""WITH RECURSIVE $q81CoreCtes,
          |surv AS (SELECT doc_id, cluster_id, quality_score,
          |CAST(bpe_tokens AS BIGINT) AS n_tokens,
          |CAST(doc_id % 8 AS BIGINT) AS stream FROM rk WHERE rn = 1 AND bpe_tokens > 0),
-         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
-         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off FROM surv)
-         |SELECT doc_id, cluster_id, quality_score, n_tokens, stream,
-         |CAST(off // 2048 AS BIGINT) AS pack,
-         |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
-         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
+         |$q81PackTail""".stripMargin.replace("\n", " "),
+    // the flagship in its FULL configuration: clean → canonicalize →
+    // hash-seeded lang rebalance (the q64 machinery, counting the
+    // POST-canonicalization strata) → packing. Every stage exactly
+    // SQL-expressible since round 8's XXH64 CTEs, so the one-call API is
+    // now oracle-covered in both configs (VERDICT r8 #6).
+    "q81b_prepare_rebalanced" -> {
+      val (ctes, last) = xxhashUnifCtes("canon", "doc_id", 11L, "x81b_")
+      s"""WITH RECURSIVE $q81CoreCtes,
+         |canon AS (SELECT rk.doc_id, rk.cluster_id, rk.quality_score,
+         |rk.bpe_tokens, d.lang FROM rk JOIN documents d ON d.doc_id = rk.doc_id
+         |WHERE rk.rn = 1),
+         |${mixFracCtesFrom("canon")},
+         |$ctes,
+         |bal AS (SELECT t.doc_id, t.cluster_id, t.quality_score, t.bpe_tokens
+         |FROM $last t JOIN fr ON t.lang = fr.lang WHERE t.u < fr.f),
+         |surv AS (SELECT doc_id, cluster_id, quality_score,
+         |CAST(bpe_tokens AS BIGINT) AS n_tokens,
+         |CAST(doc_id % 8 AS BIGINT) AS stream FROM bal WHERE bpe_tokens > 0),
+         |$q81PackTail""".stripMargin.replace("\n", " ")
     }
   )
+
+  /** Shared CTE prefix of the q81/q81b oracles: clean (q39) →
+    * token-set-identity clusters via recursive reachability (q49's shape)
+    * → per-cluster best-quality ranking (q75). Ends at `rk`
+    * (doc_id, cluster_id, quality_score, bpe_tokens, rn). */
+  private def q81CoreCtes: String = {
+    val featSql =
+      s"""SELECT * FROM ($textAnalyzeSql)
+         |WHERE quality_score >= 0.5 AND ws_tokens >= 20""".stripMargin
+        .replace("\n", " ")
+        .replace("FROM documents", keepFirstDocsSql)
+    s"""feat AS ($featSql),
+       |kept AS (SELECT doc_id, quality_score, bpe_tokens FROM feat),
+       |tok AS (SELECT d.doc_id,
+       |list_distinct(regexp_split_to_array(trim(d.text), '\\s+')) AS s
+       |FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+       |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tok a JOIN tok b
+       |ON a.doc_id <> b.doc_id
+       |AND len(list_intersect(a.s, b.s)) = len(list_distinct(list_concat(a.s, b.s)))),
+       |reach(id, r) AS (SELECT doc_id, doc_id FROM kept
+       |UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |rk AS (SELECT k.doc_id, lab.cluster_id, k.quality_score, k.bpe_tokens,
+       |row_number() OVER (PARTITION BY lab.cluster_id
+       |ORDER BY k.quality_score DESC, k.doc_id) AS rn
+       |FROM kept k JOIN lab ON k.doc_id = lab.doc_id)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Shared packing tail (q50's window over `surv`) + final projection. */
+  private def q81PackTail: String =
+    s"""c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off FROM surv)
+       |SELECT doc_id, cluster_id, quality_score, n_tokens, stream,
+       |CAST(off // 2048 AS BIGINT) AS pack,
+       |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
 }
