@@ -523,6 +523,11 @@ object SparkEntry {
     // pairwise weighted covariance, long format
     "q34_cov" -> ((s, dir) =>
       wli(s, dir).select(corrCols: _*).cov().orderBy("col_x", "col_y")),
+    // grouped pairwise weighted covariance (round 9: the grouped sibling
+    // of q34, same single-shuffle shape as grouped corr)
+    "q87_grouped_cov" -> ((s, dir) =>
+      wli(s, dir).select(("l_returnflag" +: corrCols): _*)
+        .groupBy("l_returnflag").cov()),
     // weighted describe: count/mean/std/min/p25/p50/p75/max per column
     "q41_describe" -> ((s, dir) =>
       wli(s, dir).select(corrCols: _*).describe()),
@@ -1370,6 +1375,13 @@ object SparkEntry {
            |CASE WHEN sw <= 1 THEN NULL ELSE ((sxy - sx * sy / sw) / (sw - 1)) END AS cov
            |FROM (SELECT ${sqlCorrMoments(x, y, W)} FROM lineitem)""".stripMargin.replace("\n", " ")
       selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_x, col_y")
+    },
+    "q87_grouped_cov" -> {
+      val selects = for { x <- corrCols; y <- corrCols } yield
+        s"""SELECT l_returnflag, '$x' AS col_x, '$y' AS col_y,
+           |CASE WHEN sw <= 1 THEN NULL ELSE ((sxy - sx * sy / sw) / (sw - 1)) END AS cov
+           |FROM (SELECT l_returnflag, ${sqlCorrMoments(x, y, W)} FROM lineitem GROUP BY l_returnflag)""".stripMargin.replace("\n", " ")
+      selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY l_returnflag, col_x, col_y")
     },
     "q43_grouped_skew_kurt" ->
       s"""SELECT l_returnflag,
