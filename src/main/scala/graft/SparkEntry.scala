@@ -1727,7 +1727,7 @@ object SparkEntry {
     "q86_png_pixels" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |CAST(doc_id % 6 + 2 AS INTEGER) AS w, CAST(doc_id % 4 + 2 AS INTEGER) AS h,
-        |hex(encode(text)) AS hx FROM documents),
+        |hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL),
         |p AS (SELECT media_id, w, h,
         |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM m),
         |s AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM p),

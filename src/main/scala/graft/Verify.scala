@@ -15,9 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // optional comma-separated name filter, same contract as Bench
+    // optional comma-separated name filter, same contract as Bench —
+    // including the unknown-name WARNING: a typo'd name silently writing
+    // nothing would let a stale previous output green-light the compare
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: unknown query '$n' in SPARK_GRAFT_QUERIES")))
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

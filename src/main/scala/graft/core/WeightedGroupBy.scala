@@ -105,6 +105,7 @@ final class WeightedGroupBy private[core] (
     * [[WeightedDataFrame.wideCorrThreshold]] (same cliff as the ungrouped
     * path). */
   private[graft] def corrNarrow(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
+    requireKeysFree(Seq("cells", "cell", "col_x", "col_y", "corr"))
     val cols = numericAggCols
     val cells = for { x <- cols; y <- cols } yield
       struct(lit(x).as("col_x"), lit(y).as("col_y"),
@@ -128,13 +129,18 @@ final class WeightedGroupBy private[core] (
     * these projections (the ungrouped path drops all original columns
     * first and can use bare names), so a user key named like a reserved
     * alias would silently shadow it — fail fast instead. */
-  private def meltedPairs: (DataFrame, Column) = {
-    val reserved = Seq("__w__", "__arr__", "__x__", "__y__")
+  /** Fail fast when a group key collides with a column name a corr/cov
+    * path is about to introduce — the alternative is an opaque
+    * ambiguous-reference AnalysisException deep inside the plan. */
+  private def requireKeysFree(reserved: Seq[String]): Unit = {
     val bad = keys.filter(reserved.contains)
     require(bad.isEmpty,
-      s"group key name(s) ${bad.mkString(", ")} collide with the wide-frame " +
-        s"melted path's reserved aliases (${reserved.mkString(", ")}); " +
-        "rename the key column(s)")
+      s"group key name(s) ${bad.mkString(", ")} collide with reserved " +
+        s"column names (${reserved.mkString(", ")}); rename the key column(s)")
+  }
+
+  private def meltedPairs: (DataFrame, Column) = {
+    requireKeysFree(Seq("__w__", "__arr__", "__x__", "__y__"))
     val arr = array(numericAggCols.map(c =>
       struct(lit(c).as("name"), nc(c).as("v"))): _*)
     val pairs = base
@@ -151,6 +157,7 @@ final class WeightedGroupBy private[core] (
   private[graft] def corrMelted(minPeriods: Int = 1, ddof: Int = 1): DataFrame = {
     import WeightedMoments.nullD
     import org.apache.spark.sql.functions.{sum => sumAgg}
+    requireKeysFree(Seq("col_x", "col_y", "corr"))
     val (pairs, valid) = meltedPairs
     def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
     val vx = col("__x__.v"); val vy = col("__y__.v"); val vw = col("__w__")
@@ -181,6 +188,7 @@ final class WeightedGroupBy private[core] (
     else covMelted(ddof)
 
   private[graft] def covNarrow(ddof: Int = 1): DataFrame = {
+    requireKeysFree(Seq("cells", "cell", "col_x", "col_y", "cov"))
     val cols = numericAggCols
     val cells = for { x <- cols; y <- cols } yield
       struct(lit(x).as("col_x"), lit(y).as("col_y"),
@@ -199,6 +207,7 @@ final class WeightedGroupBy private[core] (
   private[graft] def covMelted(ddof: Int = 1): DataFrame = {
     import WeightedMoments.nullD
     import org.apache.spark.sql.functions.{sum => sumAgg}
+    requireKeysFree(Seq("col_x", "col_y", "cov"))
     val (pairs, valid) = meltedPairs
     def m(e: Column): Column = sumAgg(when(valid, e).otherwise(nullD))
     val vx = col("__x__.v"); val vy = col("__y__.v"); val vw = col("__w__")

@@ -370,15 +370,18 @@ object PngPixelStats {
     val h = be32(b, 20)
     val bitDepth = u8(b, 24)
     val colorType = u8(b, 25)
-    if (w <= 0 || h <= 0 || bitDepth != 8 ||
-      u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return null
+    // cap each DIMENSION before any multiplication: be32 values reach
+    // 2^32-1, and h*(1+w*ch) on unchecked Longs could wrap past 2^63 on a
+    // forged IHDR (w,h ≤ 2^26 bounds the product at ~2^54 — no overflow)
+    if (w <= 0 || h <= 0 || w > MaxRawBytes || h > MaxRawBytes ||
+      bitDepth != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return null
     val ch = colorType match {
       case 0 => 1
       case 2 => 3
       case 6 => 4
       case _ => return null // palette / alpha-gray not supported
     }
-    val rowBytes = w * ch // Long arithmetic: forged dims can't overflow
+    val rowBytes = w * ch
     val rawLen = h * (1L + rowBytes)
     if (rawLen > MaxRawBytes) return null
 

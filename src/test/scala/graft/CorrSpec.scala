@@ -312,6 +312,16 @@ class CorrSpec extends SparkSpecBase {
     assert(e.getMessage.contains("__x__") && e.getMessage.contains("reserved"))
     val e2 = intercept[IllegalArgumentException](g.covMelted())
     assert(e2.getMessage.contains("reserved"))
+    // output-column collisions fail fast too, on BOTH paths (review
+    // finding: a key named col_x used to surface as an opaque
+    // ambiguous-reference AnalysisException)
+    val d2 = Seq(("a", 1.0, 2.0, 1.0), ("a", 2.0, 3.0, 1.0))
+      .toDF("col_x", "p", "q", "weights")
+    val g2 = WeightedDataFrame.wt(d2, "weights").groupBy("col_x")
+    assert(intercept[IllegalArgumentException](g2.covNarrow())
+      .getMessage.contains("col_x"))
+    assert(intercept[IllegalArgumentException](g2.corrMelted())
+      .getMessage.contains("col_x"))
   }
 
   test("100-column corr plans in O(k) and computes correct cells") {

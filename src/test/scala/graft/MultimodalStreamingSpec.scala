@@ -262,6 +262,17 @@ class MultimodalSpec extends SparkSpecBase {
     val forged = ok.clone()
     forged(16) = 0x7f.toByte; forged(17) = 0xff.toByte // width ≈ 2^31
     assert(PngPixelStats.parse(forged) == null)
+    // dims chosen so h*(1+3w) wraps Long past 2^63 (review finding): both
+    // dimensions are individually plausible-looking but the product would
+    // overflow — the per-dimension cap must reject before multiplying
+    val wrap = ok.clone()
+    def putBe32(at: Int, v: Long): Unit = {
+      wrap(at) = (v >>> 24).toByte; wrap(at + 1) = (v >>> 16).toByte
+      wrap(at + 2) = (v >>> 8).toByte; wrap(at + 3) = v.toByte
+    }
+    putBe32(16, 1666666666L) // w
+    putBe32(20, 2000000000L) // h → h*(1+3w) ≈ 1e19 > 2^63
+    assert(PngPixelStats.parse(wrap) == null)
     // bad zlib bytes inside a well-formed chunk walk
     val badz = makePng(2, 2, 1, Array.fill(4)(5), _ => 0)
     val idatData = badz.indexOfSlice("IDAT".getBytes.toSeq) + 4
