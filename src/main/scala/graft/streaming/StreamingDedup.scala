@@ -202,6 +202,128 @@ object StreamingDedup {
     }
   }
 
+  /** One micro-batch step of BOUNDED-STATE streaming near-dup dedup: the
+    * TTL sibling of [[nearDupBatchStep]] for unbounded streams. The state
+    * table carries `last_batch` per band key; keys not sighted within
+    * `ttlBatches` micro-batches are EVICTED before matching, so state is
+    * O(bands of docs sighted in the trailing window) — never O(corpus).
+    * Every sighting refreshes `last_batch` (kept or dropped arrival
+    * alike), so a sustained duplicate keeps its bands alive indefinitely
+    * while a document whose duplicates stopped arriving ages out and a
+    * later copy is admitted again — the dedup horizon is explicit, the
+    * standard production tradeoff for infinite ingest.
+    *
+    * `seen` schema: (band INT, h LONG, last_batch LONG); start from
+    * [[emptyTtlState]]. Returns (admitted rows, updated state). */
+  def nearDupBatchStepTtl(
+      batch: DataFrame,
+      seen: DataFrame,
+      batchId: Long,
+      ttlBatches: Long,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bandRows: Int = 8): (DataFrame, DataFrame) = {
+    val (kept, newSeen, _) = nearDupBatchStepTtlTracked(
+      batch, seen, batchId, ttlBatches, textCol, idCol,
+      shingleSize, numHashes, bandRows)
+    (kept, newSeen)
+  }
+
+  private[streaming] def nearDupBatchStepTtlTracked(
+      batch: DataFrame,
+      seen: DataFrame,
+      batchId: Long,
+      ttlBatches: Long,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bandRows: Int): (DataFrame, DataFrame, RDD[_]) = {
+    require(ttlBatches > 0, s"ttlBatches must be positive, got $ttlBatches")
+    import graft.ops.Dedup
+    val (bands, bandsRdd) = freeze(
+      Dedup.bandTable(batch, textCol, idCol, shingleSize, numHashes, bandRows)
+        .select("__id__", "band", "h"))
+    // evict BEFORE matching: an expired band must not veto a new arrival
+    val live = seen.where(col("last_batch") > lit(batchId - ttlBatches))
+    val dupPast = bands.join(live, Seq("band", "h"), "left_semi")
+      .select(col("__id__")).distinct()
+    val dupWithin = bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.__id__") < col("b.__id__"))
+      .select(col("b.__id__").as("__id__")).distinct()
+    val drops = dupPast.union(dupWithin).distinct()
+    val kept = batch.join(drops.withColumnRenamed("__id__", idCol), Seq(idCol), "left_anti")
+    // refresh-on-sighting: max(last_batch) keeps hot keys alive; evicted
+    // keys are already gone from `live`, so state size is window-bounded
+    val newSeen = live
+      .unionByName(bands.select(col("band"), col("h"), lit(batchId).as("last_batch")))
+      .groupBy("band", "h").agg(max(col("last_batch")).as("last_batch"))
+    (kept, newSeen, bandsRdd)
+  }
+
+  /** Empty (band, h, last_batch) state frame for [[nearDupBatchStepTtl]]. */
+  def emptyTtlState(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last_batch",
+          org.apache.spark.sql.types.LongType))))
+
+  /** foreachBatch wiring for [[nearDupBatchStepTtl]] — the bounded-state
+    * twin of [[nearDupForeachBatch]], same generation/persist/replay
+    * mechanics and the same durability contract (state lives in this
+    * driver JVM; rebuild from the sink's trailing window after a restart).
+    */
+  def nearDupForeachBatchTtl(
+      textCol: String,
+      idCol: String,
+      ttlBatches: Long,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bandRows: Int = 8)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(ttlBatches > 0, s"ttlBatches must be positive, got $ttlBatches")
+    var seen: DataFrame = null
+    var seenRdd: RDD[_] = null
+    var lastBatchId = -1L
+    var lastKept: DataFrame = null
+    var lastKeptRdd: RDD[_] = null
+    (batch: DataFrame, batchId: Long) => {
+      if (batchId == lastBatchId && lastKept != null) {
+        sink(lastKept) // replayed micro-batch: re-emit (see nearDupForeachBatch)
+      } else {
+        val s = if (seen != null) seen else emptyTtlState(batch.sparkSession)
+        val (kept, newSeen, bandsRdd) = nearDupBatchStepTtlTracked(
+          batch, s, batchId, ttlBatches, textCol, idCol,
+          shingleSize, numHashes, bandRows)
+        val (keptFrozen, keptRdd) = freeze(kept)
+        val (seenFrozen, newSeenRdd) = freeze(newSeen)
+        bandsRdd.unpersist(blocking = false)
+        try sink(keptFrozen)
+        catch {
+          case t: Throwable =>
+            keptRdd.unpersist(blocking = false)
+            newSeenRdd.unpersist(blocking = false)
+            throw t
+        }
+        if (seenRdd != null) seenRdd.unpersist(blocking = false)
+        if (lastKeptRdd != null) lastKeptRdd.unpersist(blocking = false)
+        seen = seenFrozen
+        seenRdd = newSeenRdd
+        lastBatchId = batchId
+        lastKept = keptFrozen
+        lastKeptRdd = keptRdd
+      }
+    }
+  }
+
   /** The (band, h) key table of a static reference corpus — the seed state
     * for streaming ingest admission ([[nearDupForeachBatch]]'s
     * `initialSeen`): arrivals that near-duplicate ANY reference document

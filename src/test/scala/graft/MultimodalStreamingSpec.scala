@@ -484,6 +484,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(sf.count() == union)
   }
 
+  test("TTL near-dup: state is window-bounded, expiry re-admits, hot keys stay alive") {
+    import graft.streaming.StreamingDedup
+    val docA = "alpha beta gamma delta epsilon"
+    val docB = "zeta eta theta iota kappa"
+    def b(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("doc_id", "text")
+    var seen = StreamingDedup.emptyTtlState(spark)
+    def step(batchId: Long, batch: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val (k, s) = StreamingDedup.nearDupBatchStepTtl(
+        batch, seen, batchId, ttlBatches = 2, "text", "doc_id",
+        shingleSize = 1, numHashes = 32, bandRows = 8)
+      seen = s
+      k.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(step(0, b(1L -> docA, 2L -> docB)) == Seq(1L, 2L))
+    // batch 1: dup of A arrives → dropped, and the sighting refreshes A's
+    // bands (hot-key liveness)
+    assert(step(1, b(3L -> docA)) == Seq())
+    val afterB1 = seen.count()
+    // batch 2: empty batch — docB's bands (last sighted batch 0) are still
+    // live (0 > 2-2 false at batch 2? last_batch=0, batchId-ttl=0 → evicted)
+    assert(step(2, b()) == Seq())
+    // B was last sighted at batch 0 and ttl=2 → evicted at batch 2; A was
+    // refreshed at batch 1 → still live. State shrank by B's bands.
+    assert(seen.count() < afterB1)
+    // batch 3: a copy of B arrives after expiry → RE-ADMITTED (explicit
+    // dedup horizon); a copy of A (refreshed at 1, live while
+    // last_batch > 3-2=1? 1 > 1 false → expired too) — A expired at 3
+    assert(step(3, b(4L -> docB, 5L -> docA)) == Seq(4L, 5L))
+    // sustained duplicates never re-enter within the window
+    assert(step(4, b(6L -> docB)) == Seq())
+  }
+
+  test("TTL near-dup foreachBatch wiring dedups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val step = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 100,
+      shingleSize = 1, numHashes = 32, bandRows = 8) { kept =>
+      admitted.synchronized {
+        admitted ++= kept.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    val q = sdf.writeStream.outputMode("append").foreachBatch(step).start()
+    input.addData((1L, "alpha beta gamma delta epsilon"), (2L, "totally distinct text here"))
+    q.processAllAvailable()
+    input.addData((3L, "alpha beta gamma delta epsilon"), (4L, "brand new words never seen"))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("streaming near-dup over foreachBatch admits stream-order firsts only") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingDedup
