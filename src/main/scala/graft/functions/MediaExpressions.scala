@@ -296,12 +296,13 @@ object PcmStats {
   * parse, and the end of the repo's last decode stub: PNG's only compression
   * is zlib/deflate, which ships in the JDK (`java.util.zip.Inflater`), and
   * scanline unfiltering (filter types 0–4: None/Sub/Up/Average/Paeth, PNG
-  * spec §9) is pure byte arithmetic. Supports the common web shape:
-  * bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA), non-interlaced,
-  * multi-IDAT streams. Output: image geometry plus per-channel sum/min/max
-  * over all pixels (means are left to the caller as exact `sum / (w·h)`
+  * spec §9) is pure byte arithmetic. Supports the full non-palette,
+  * non-interlaced family: bit depth 8 or 16, color types 0 (gray) /
+  * 2 (RGB) / 6 (RGBA), multi-IDAT streams. Output: image geometry plus
+  * per-channel sum/min/max over all pixels (16-bit samples are big-endian
+  * per spec; means are left to the caller as exact `sum / (w·h)`
   * rationals). NULL for anything else — unrecognized bytes, interlaced or
-  * 16-bit images, undecodable streams.
+  * palette images, undecodable streams.
   *
   * One native expression per row inside whole-stage codegen, like
   * [[PcmStats]]: a narrow projection over the binary column, no UDF
@@ -316,6 +317,7 @@ case class PngPixelStats(child: Expression) extends UnaryExpression {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
     StructField("ch_sum", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("ch_min", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("ch_max", ArrayType(IntegerType, containsNull = false), nullable = false)))
@@ -371,17 +373,20 @@ object PngPixelStats {
     val bitDepth = u8(b, 24)
     val colorType = u8(b, 25)
     // cap each DIMENSION before any multiplication: be32 values reach
-    // 2^32-1, and h*(1+w*ch) on unchecked Longs could wrap past 2^63 on a
-    // forged IHDR (w,h ≤ 2^26 bounds the product at ~2^54 — no overflow)
+    // 2^32-1, and h*(1+w*ch*bps) on unchecked Longs could wrap past 2^63
+    // on a forged IHDR (w,h ≤ 2^26 bounds the product at ~2^55 — no
+    // overflow)
     if (w <= 0 || h <= 0 || w > MaxRawBytes || h > MaxRawBytes ||
-      bitDepth != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return null
+      (bitDepth != 8 && bitDepth != 16) ||
+      u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return null
     val ch = colorType match {
       case 0 => 1
       case 2 => 3
       case 6 => 4
       case _ => return null // palette / alpha-gray not supported
     }
-    val rowBytes = w * ch
+    val bps = bitDepth / 8 // bytes per sample (16-bit samples are big-endian)
+    val rowBytes = w * ch * bps
     val rawLen = h * (1L + rowBytes)
     if (rawLen > MaxRawBytes) return null
 
@@ -422,10 +427,12 @@ object PngPixelStats {
     } finally inf.end()
 
     // unfilter in place, scanline by scanline (PNG spec §9: a/b/c are the
-    // RECONSTRUCTED left / above / upper-left bytes; out-of-frame = 0)
+    // RECONSTRUCTED left / above / upper-left bytes; out-of-frame = 0;
+    // filters operate BYTEWISE at any depth, offset by bpp = ch·bps bytes)
     val wI = w.toInt
     val hI = h.toInt
     val rb = rowBytes.toInt
+    val bpp = ch * bps
     val stride = 1 + rb
     var r = 0
     while (r < hI) {
@@ -436,9 +443,9 @@ object PngPixelStats {
       if (f != 0) {
         var x = 0
         while (x < rb) {
-          val a = if (x >= ch) u8(raw, base + x - ch) else 0
+          val a = if (x >= bpp) u8(raw, base + x - bpp) else 0
           val up = if (r > 0) u8(raw, prev + x) else 0
-          val ul = if (r > 0 && x >= ch) u8(raw, prev + x - ch) else 0
+          val ul = if (r > 0 && x >= bpp) u8(raw, prev + x - bpp) else 0
           val add = f match {
             case 1 => a
             case 2 => up
@@ -457,25 +464,28 @@ object PngPixelStats {
       r += 1
     }
 
-    // per-channel stats in one pass over the reconstructed pixels
+    // per-channel stats in one pass over the reconstructed samples
+    // (16-bit samples big-endian per spec)
     val sums = new Array[Long](ch)
-    val mins = Array.fill(ch)(255)
+    val mins = Array.fill(ch)(if (bps == 1) 255 else 65535)
     val maxs = new Array[Int](ch)
     r = 0
     while (r < hI) {
       val base = r * stride + 1
-      var x = 0
-      while (x < rb) {
-        val v = u8(raw, base + x)
-        val c = x % ch
+      var s = 0
+      val nSamples = wI * ch
+      while (s < nSamples) {
+        val at = base + s * bps
+        val v = if (bps == 1) u8(raw, at) else (u8(raw, at) << 8) | u8(raw, at + 1)
+        val c = s % ch
         sums(c) += v
         if (v < mins(c)) mins(c) = v
         if (v > maxs(c)) maxs(c) = v
-        x += 1
+        s += 1
       }
       r += 1
     }
-    InternalRow(wI, hI, ch,
+    InternalRow(wI, hI, ch, bitDepth,
       new GenericArrayData(sums), new GenericArrayData(mins), new GenericArrayData(maxs))
   }
 }

@@ -183,16 +183,18 @@ object Multimodal {
   private[multimodal] def pixelFeatures(
       px: org.apache.spark.sql.catalyst.InternalRow, dim: Int): Array[Float] = {
     val w = px.getInt(0); val h = px.getInt(1); val ch = px.getInt(2)
-    val sums = px.getArray(3); val mins = px.getArray(4); val maxs = px.getArray(5)
+    val depth = px.getInt(3)
+    val sums = px.getArray(4); val mins = px.getArray(5); val maxs = px.getArray(6)
     val n = w.toFloat * h
+    val full = ((1 << depth) - 1).toFloat // 255 or 65535: depth-correct [0,1]
     val out = new Array[Float](dim)
     var j = 0
     while (j < dim) {
       val c = (j / 3) % ch
       out(j) = (j % 3) match {
-        case 0 => (sums.getLong(c) / n) / 255.0f
-        case 1 => mins.getInt(c) / 255.0f
-        case _ => maxs.getInt(c) / 255.0f
+        case 0 => (sums.getLong(c) / n) / full
+        case 1 => mins.getInt(c) / full
+        case _ => maxs.getInt(c) / full
       }
       j += 1
     }

@@ -162,19 +162,28 @@ class MultimodalSpec extends SparkSpecBase {
     * the JDK's real Deflater, and wraps in signature/IHDR/IDAT/IEND —
     * optionally splitting the zlib stream across several IDAT chunks. */
   private def makePng(w: Int, h: Int, ch: Int, pixels: Array[Int],
-      filterOf: Int => Int, idatSplit: Int = 1): Array[Byte] = {
+      filterOf: Int => Int, idatSplit: Int = 1, depth: Int = 8): Array[Byte] = {
     require(pixels.length == w * h * ch)
-    val colorType = ch match { case 1 => 0; case 3 => 2; case 4 => 6 }
-    val rb = w * ch
+    val colorType = ch match { case 1 => 0; case 3 => 2; case 4 => 6; case c => sys.error(s"ch $c") }
+    val bps = depth / 8
+    val bpp = ch * bps
+    val rb = w * ch * bps
+    // samples → unfiltered scanline BYTES (16-bit big-endian per spec)
+    val plain = new Array[Int](h * rb)
+    for (i <- pixels.indices) {
+      if (bps == 1) plain(i) = pixels(i) & 0xff
+      else { plain(2 * i) = (pixels(i) >>> 8) & 0xff; plain(2 * i + 1) = pixels(i) & 0xff }
+    }
+    // filters operate BYTEWISE at any depth, offset by bpp bytes
     val raw = new Array[Byte](h * (1 + rb))
     for (r <- 0 until h) {
       val f = filterOf(r)
       raw(r * (1 + rb)) = f.toByte
       for (x <- 0 until rb) {
-        val cur = pixels(r * rb + x)
-        val left = if (x >= ch) pixels(r * rb + x - ch) else 0
-        val up = if (r > 0) pixels((r - 1) * rb + x) else 0
-        val ul = if (r > 0 && x >= ch) pixels((r - 1) * rb + x - ch) else 0
+        val cur = plain(r * rb + x)
+        val left = if (x >= bpp) plain(r * rb + x - bpp) else 0
+        val up = if (r > 0) plain((r - 1) * rb + x) else 0
+        val ul = if (r > 0 && x >= bpp) plain((r - 1) * rb + x - bpp) else 0
         val pred = f match {
           case 0 => 0
           case 1 => left
@@ -201,15 +210,17 @@ class MultimodalSpec extends SparkSpecBase {
       out.write(data); out.write(Array[Byte](0, 0, 0, 0)) // crc not validated
     }
     out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0))
     val per = math.max(1, (z.length + idatSplit - 1) / idatSplit)
     z.grouped(per).foreach(part => chunk("IDAT", part))
     chunk("IEND", Array[Byte]())
     out.toByteArray
   }
 
-  private def expectStats(w: Int, h: Int, ch: Int, pixels: Array[Int]) = {
-    val sums = new Array[Long](ch); val mins = Array.fill(ch)(255); val maxs = new Array[Int](ch)
+  private def expectStats(w: Int, h: Int, ch: Int, pixels: Array[Int], depth: Int = 8) = {
+    val sums = new Array[Long](ch)
+    val mins = Array.fill(ch)(if (depth == 8) 255 else 65535)
+    val maxs = new Array[Int](ch)
     for (i <- pixels.indices) {
       val c = i % ch
       sums(c) += pixels(i)
@@ -219,14 +230,15 @@ class MultimodalSpec extends SparkSpecBase {
   }
 
   private def checkDecode(w: Int, h: Int, ch: Int, pixels: Array[Int],
-      filterOf: Int => Int, idatSplit: Int = 1): Unit = {
-    val row = graft.functions.PngPixelStats.parse(makePng(w, h, ch, pixels, filterOf, idatSplit))
-    assert(row != null, s"decode failed for w=$w h=$h ch=$ch")
-    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((w, h, ch)))
-    val (es, emn, emx) = expectStats(w, h, ch, pixels)
-    assert(row.getArray(3).toLongArray.toSeq == es)
-    assert(row.getArray(4).toIntArray.toSeq == emn)
-    assert(row.getArray(5).toIntArray.toSeq == emx)
+      filterOf: Int => Int, idatSplit: Int = 1, depth: Int = 8): Unit = {
+    val row = graft.functions.PngPixelStats.parse(
+      makePng(w, h, ch, pixels, filterOf, idatSplit, depth))
+    assert(row != null, s"decode failed for w=$w h=$h ch=$ch depth=$depth")
+    assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3)) == ((w, h, ch, depth)))
+    val (es, emn, emx) = expectStats(w, h, ch, pixels, depth)
+    assert(row.getArray(4).toLongArray.toSeq == es)
+    assert(row.getArray(5).toIntArray.toSeq == emn)
+    assert(row.getArray(6).toIntArray.toSeq == emx)
   }
 
   test("PngPixelStats decodes real-deflate streams through every filter type") {
@@ -246,6 +258,20 @@ class MultimodalSpec extends SparkSpecBase {
     checkDecode(1, 1, 3, Array(12, 200, 7), _ => 4) // a/b/c all zero
   }
 
+  test("PngPixelStats decodes 16-bit samples (big-endian) through every filter") {
+    val rnd = new scala.util.Random(99)
+    for (ch <- Seq(1, 3, 4)) {
+      val (w, h) = (7, 5)
+      val pixels = Array.fill(w * h * ch)(rnd.nextInt(65536))
+      for (f <- 0 to 4) checkDecode(w, h, ch, pixels, _ => f, depth = 16)
+      checkDecode(w, h, ch, pixels, r => (r + 2) % 5, idatSplit = 3, depth = 16)
+    }
+    // bytewise Paeth at depth 16 is NOT sample-Paeth: a crafted gradient
+    // whose high/low bytes predict differently still round-trips exactly
+    val grad = Array.tabulate(4 * 3 * 1)(i => (i * 9973) % 65536)
+    checkDecode(4, 3, 1, grad, _ => 4, depth = 16)
+  }
+
   test("PngPixelStats rejects unsupported and corrupt payloads") {
     import graft.functions.PngPixelStats
     val ok = makePng(4, 3, 3, Array.fill(36)(9), _ => 1)
@@ -254,8 +280,13 @@ class MultimodalSpec extends SparkSpecBase {
     assert(PngPixelStats.parse(ok.take(40)) == null) // truncated mid-IDAT
     val interlaced = ok.clone(); interlaced(28) = 1.toByte
     assert(PngPixelStats.parse(interlaced) == null)
+    // flipping an 8-bit image's depth byte to 16 declares twice the pixel
+    // bytes the stream holds → rejected as truncated (16-bit itself is
+    // supported; a LYING header is not)
     val sixteenBit = ok.clone(); sixteenBit(24) = 16.toByte
     assert(PngPixelStats.parse(sixteenBit) == null)
+    val twelveBit = ok.clone(); twelveBit(24) = 12.toByte // invalid depth
+    assert(PngPixelStats.parse(twelveBit) == null)
     val palette = ok.clone(); palette(25) = 3.toByte
     assert(PngPixelStats.parse(palette) == null)
     // forged IHDR with absurd dims must be rejected BEFORE allocating
@@ -298,8 +329,8 @@ class MultimodalSpec extends SparkSpecBase {
       val tb = texts(id).getBytes("UTF-8")
       val pixels = (0 until need).map(i => if (i < tb.length) tb(i) & 0xff else 0x41).toArray
       val (es, emn, emx) = expectStats(w, h, 3, pixels)
-      assert(p.getSeq[Long](3) == es, s"sums for doc $id")
-      assert(p.getSeq[Int](4) == emn && p.getSeq[Int](5) == emx, s"min/max for doc $id")
+      assert(p.getSeq[Long](4) == es, s"sums for doc $id")
+      assert(p.getSeq[Int](5) == emn && p.getSeq[Int](6) == emx, s"min/max for doc $id")
     }
   }
 
@@ -316,9 +347,9 @@ class MultimodalSpec extends SparkSpecBase {
       val p = stats(f.media_id)
       val n = p.getInt(0).toFloat * p.getInt(1)
       for (c <- 0 until 3) {
-        assert(f.features(c * 3) == (p.getSeq[Long](3)(c) / n) / 255.0f)
-        assert(f.features(c * 3 + 1) == p.getSeq[Int](4)(c) / 255.0f)
-        assert(f.features(c * 3 + 2) == p.getSeq[Int](5)(c) / 255.0f)
+        assert(f.features(c * 3) == (p.getSeq[Long](4)(c) / n) / 255.0f)
+        assert(f.features(c * 3 + 1) == p.getSeq[Int](5)(c) / 255.0f)
+        assert(f.features(c * 3 + 2) == p.getSeq[Int](6)(c) / 255.0f)
       }
     }
   }
