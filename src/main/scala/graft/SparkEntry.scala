@@ -944,6 +944,25 @@ object SparkEntry {
           (col("z.cs").cast("double") / (col("w") * col("hh"))).as("c_mean"))
         .orderBy("media_id", "channel")
     }),
+    // 16-BIT grayscale decode under the oracle: one channel of big-endian
+    // 2-byte samples through the same inflate+unfilter path; DuckDB
+    // recomputes each sample as 256*b[2i] + b[2i+1] from the text hex
+    "q88_png_pixels16" -> ((s, dir) => {
+      val m = Multimodal.pngPixel16MediaFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.functions.MediaFunctions.pngPixelStats(col("payload")).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("media_id"),
+          col("p.channels").cast("long").as("channels"),
+          col("p.depth").cast("long").as("depth"),
+          (col("p.width").cast("long") * col("p.height")).as("n_px"),
+          element_at(col("p.ch_sum"), 1).as("g_sum"),
+          element_at(col("p.ch_min"), 1).cast("long").as("g_min"),
+          element_at(col("p.ch_max"), 1).cast("long").as("g_max"),
+          (element_at(col("p.ch_sum"), 1).cast("double") /
+            (col("p.width") * col("p.height"))).as("g_mean"))
+        .orderBy("media_id")
+    }),
     // cluster assignment: the q63 centroids feed back as a broadcast
     // codebook; every vector classified by cosine argmax (corpus never
     // shuffles — only the id-keyed argmax aggregate does)
@@ -1720,6 +1739,25 @@ object SparkEntry {
         |('reflexive_pairs', CAST(0 AS BIGINT)),
         |('sim_mismatch', CAST(0 AS BIGINT)))
         |AS t(property, n_bad) ORDER BY property""".stripMargin.replace("\n", " "),
+    "q88_png_pixels16" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |CAST(doc_id % 5 + 2 AS INTEGER) AS w, CAST(doc_id % 3 + 2 AS INTEGER) AS h,
+        |hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT media_id, w, h,
+        |substr(hx || repeat('41', 2*w*h), 1, 4*w*h) AS px FROM m),
+        |s AS (SELECT media_id, w, h, px, unnest(range(0, w*h)) AS i FROM p),
+        |v AS (SELECT media_id, w, h,
+        |((strpos('0123456789ABCDEF', substr(px, 4*i+1, 1)) - 1) * 4096
+        |+ (strpos('0123456789ABCDEF', substr(px, 4*i+2, 1)) - 1) * 256
+        |+ (strpos('0123456789ABCDEF', substr(px, 4*i+3, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(px, 4*i+4, 1)) - 1)) AS u FROM s)
+        |SELECT media_id, CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS depth,
+        |CAST(w*h AS BIGINT) AS n_px,
+        |CAST(sum(u) AS BIGINT) AS g_sum,
+        |CAST(min(u) AS BIGINT) AS g_min,
+        |CAST(max(u) AS BIGINT) AS g_max,
+        |CAST(sum(u) AS DOUBLE) / (w*h) AS g_mean
+        |FROM v GROUP BY media_id, w, h ORDER BY media_id""".stripMargin.replace("\n", " "),
     // pixel-level decode check: Spark DECODES the PNG (inflate + unfilter);
     // DuckDB independently re-derives each pixel byte from the document
     // text's hex (the fixture's stored-deflate blocks are byte-transparent,

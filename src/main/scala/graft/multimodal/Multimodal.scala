@@ -140,6 +140,42 @@ object Multimodal {
         col("w").as("width"), col("h").as("height"),
         unhex(col("payload_hex")).as("payload"))
 
+  /** 16-bit GRAYSCALE sibling of [[pngPixelMediaFromDocuments]]: same
+    * stored-deflate transparency, but one channel of big-endian 16-bit
+    * samples (IHDR depth 16, color type 0) — puts the decoder's 16-bit
+    * sample path under the byte-level oracle too (q88), not just the
+    * ScalaTest Deflater harness. Samples are consecutive text-byte PAIRS
+    * ('A'-padded), so the oracle recomputes each value as
+    * 256·b[2i] + b[2i+1] from the same hex. */
+  def pngPixel16MediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("w", (col("doc_id") % 5 + 2).cast("int"))
+      .withColumn("h", (col("doc_id") % 3 + 2).cast("int"))
+      .withColumn("nsb", col("w") * col("h") * lit(2)) // sample bytes
+      .withColumn("pxhex",
+        expr("substr(concat(hex(encode(text, 'UTF-8')), repeat('41', nsb)), 1, 2*nsb)"))
+      .withColumn("rawlen", col("h") * (lit(1) + col("w") * lit(2)))
+      .withColumn("slhex", expr(
+        "array_join(transform(sequence(0, h-1), r -> concat('00', substr(pxhex, r*w*4+1, w*4))), '')"))
+      .withColumn("lenle", expr(
+        "concat(lpad(hex(rawlen % 256), 2, '0'), lpad(hex(rawlen div 256), 2, '0'))"))
+      .withColumn("nlenle", expr(
+        "concat(lpad(hex((65535 - rawlen) % 256), 2, '0'), lpad(hex((65535 - rawlen) div 256), 2, '0'))"))
+      .withColumn("payload_hex", concat(
+        lit("89504E470D0A1A0A"), // signature
+        lit("0000000D49484452"), // IHDR length + type
+        expr("lpad(hex(w), 8, '0')"), expr("lpad(hex(h), 8, '0')"),
+        lit("1000000000"), // bit depth 16, grayscale, no interlace
+        lit("00000000"), // IHDR crc (not validated)
+        expr("lpad(hex(rawlen + 11), 8, '0')"), lit("49444154"), // IDAT len + type
+        lit("7801"), lit("01"), col("lenle"), col("nlenle"), // zlib + stored block
+        col("slhex"),
+        lit("00000000"), lit("00000000"), // adler + IDAT crc
+        lit("0000000049454E44AE426082"))) // IEND
+      .select(col("doc_id").as("media_id"), lit("png").as("kind"),
+        col("w").as("width"), col("h").as("height"),
+        unhex(col("payload_hex")).as("payload"))
+
   /** Little-endian fixed-width bytes of an integral column (RIFF/WAV fields
     * are little-endian, unlike PNG/JPEG's big-endian). */
   private def le(c: Column, nBytes: Int): Column =
