@@ -296,13 +296,15 @@ object PcmStats {
   * parse, and the end of the repo's last decode stub: PNG's only compression
   * is zlib/deflate, which ships in the JDK (`java.util.zip.Inflater`), and
   * scanline unfiltering (filter types 0–4: None/Sub/Up/Average/Paeth, PNG
-  * spec §9) is pure byte arithmetic. Supports the full non-palette,
-  * non-interlaced family: bit depth 8 or 16, color types 0 (gray) /
-  * 2 (RGB) / 6 (RGBA), multi-IDAT streams. Output: image geometry plus
-  * per-channel sum/min/max over all pixels (16-bit samples are big-endian
-  * per spec; means are left to the caller as exact `sum / (w·h)`
-  * rationals). NULL for anything else — unrecognized bytes, interlaced or
-  * palette images, undecodable streams.
+  * spec §9) is pure byte arithmetic. Supports the full non-palette
+  * family: bit depth 8 or 16, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+  * multi-IDAT streams, and Adam7 interlacing (each pass unfiltered as its
+  * own sub-image; the stats are position-independent, so no pixel
+  * placement pass is needed). Output: image geometry plus per-channel
+  * sum/min/max over all pixels (16-bit samples are big-endian per spec;
+  * means are left to the caller as exact `sum / (w·h)` rationals). NULL
+  * for anything else — unrecognized bytes, palette images, undecodable
+  * streams.
   *
   * One native expression per row inside whole-stage codegen, like
   * [[PcmStats]]: a narrow projection over the binary column, no UDF
@@ -353,6 +355,11 @@ object PngPixelStats {
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass, spec §8.2. */
+  private val Adam7: Array[(Long, Long, Long, Long)] = Array(
+    (0L, 0L, 8L, 8L), (4L, 0L, 8L, 8L), (0L, 4L, 4L, 8L), (2L, 0L, 4L, 4L),
+    (0L, 2L, 2L, 4L), (1L, 0L, 2L, 2L), (0L, 1L, 1L, 2L))
+
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
@@ -360,8 +367,8 @@ object PngPixelStats {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
-  /** `(width, height, channels, ch_sum[], ch_min[], ch_max[])` decoded from
-    * a supported PNG payload, or null. */
+  /** `(width, height, channels, depth, ch_sum[], ch_min[], ch_max[])`
+    * decoded from a supported PNG payload, or null. */
   def parse(b: Array[Byte]): InternalRow = {
     // signature + IHDR (required first chunk, len 13)
     if (b.length < 45) return null
@@ -376,9 +383,10 @@ object PngPixelStats {
     // 2^32-1, and h*(1+w*ch*bps) on unchecked Longs could wrap past 2^63
     // on a forged IHDR (w,h ≤ 2^26 bounds the product at ~2^55 — no
     // overflow)
+    val interlace = u8(b, 28)
     if (w <= 0 || h <= 0 || w > MaxRawBytes || h > MaxRawBytes ||
       (bitDepth != 8 && bitDepth != 16) ||
-      u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return null
+      u8(b, 26) != 0 || u8(b, 27) != 0 || interlace > 1) return null
     val ch = colorType match {
       case 0 => 1
       case 2 => 3
@@ -386,8 +394,20 @@ object PngPixelStats {
       case _ => return null // palette / alpha-gray not supported
     }
     val bps = bitDepth / 8 // bytes per sample (16-bit samples are big-endian)
-    val rowBytes = w * ch * bps
-    val rawLen = h * (1L + rowBytes)
+    val bpp = ch * bps
+    // the raw stream is a sequence of (wp, hp) sub-images: one for the
+    // whole frame, or the 7 Adam7 passes when interlaced. Per-channel
+    // stats are POSITION-independent, so deinterlacing reduces to
+    // unfiltering each pass sub-image in stream order — no pixel
+    // placement needed (each pixel appears in exactly one pass).
+    val subImages: Array[(Int, Int)] =
+      if (interlace == 0) Array((w.toInt, h.toInt))
+      else Adam7.filter { case (xs, ys, _, _) => w > xs && h > ys }
+        .map { case (xs, ys, xStep, yStep) =>
+          (((w - xs + xStep - 1) / xStep).toInt, ((h - ys + yStep - 1) / yStep).toInt)
+        }
+    var rawLen = 0L
+    subImages.foreach { case (wp, hp) => rawLen += hp * (1L + wp.toLong * bpp) }
     if (rawLen > MaxRawBytes) return null
 
     // chunk walk: concatenate every IDAT's data (the spec allows splitting
@@ -426,66 +446,65 @@ object PngPixelStats {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
 
-    // unfilter in place, scanline by scanline (PNG spec §9: a/b/c are the
+    // per sub-image: unfilter in place (PNG spec §9: a/b/c are the
     // RECONSTRUCTED left / above / upper-left bytes; out-of-frame = 0;
-    // filters operate BYTEWISE at any depth, offset by bpp = ch·bps bytes)
-    val wI = w.toInt
-    val hI = h.toInt
-    val rb = rowBytes.toInt
-    val bpp = ch * bps
-    val stride = 1 + rb
-    var r = 0
-    while (r < hI) {
-      val base = r * stride + 1
-      val prev = base - stride
-      val f = u8(raw, base - 1)
-      if (f > 4) return null
-      if (f != 0) {
-        var x = 0
-        while (x < rb) {
-          val a = if (x >= bpp) u8(raw, base + x - bpp) else 0
-          val up = if (r > 0) u8(raw, prev + x) else 0
-          val ul = if (r > 0 && x >= bpp) u8(raw, prev + x - bpp) else 0
-          val add = f match {
-            case 1 => a
-            case 2 => up
-            case 3 => (a + up) >> 1
-            case _ => // Paeth predictor
-              val p = a + up - ul
-              val pa = math.abs(p - a)
-              val pb = math.abs(p - up)
-              val pc = math.abs(p - ul)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
-          }
-          raw(base + x) = ((u8(raw, base + x) + add) & 0xff).toByte
-          x += 1
-        }
-      }
-      r += 1
-    }
-
-    // per-channel stats in one pass over the reconstructed samples
+    // filters operate BYTEWISE at any depth, offset by bpp bytes, and
+    // each interlace pass filters against ITS OWN scanlines only), then
+    // accumulate per-channel stats over the reconstructed samples
     // (16-bit samples big-endian per spec)
     val sums = new Array[Long](ch)
     val mins = Array.fill(ch)(if (bps == 1) 255 else 65535)
     val maxs = new Array[Int](ch)
-    r = 0
-    while (r < hI) {
-      val base = r * stride + 1
-      var s = 0
-      val nSamples = wI * ch
-      while (s < nSamples) {
-        val at = base + s * bps
-        val v = if (bps == 1) u8(raw, at) else (u8(raw, at) << 8) | u8(raw, at + 1)
-        val c = s % ch
-        sums(c) += v
-        if (v < mins(c)) mins(c) = v
-        if (v > maxs(c)) maxs(c) = v
-        s += 1
+    var off = 0
+    var si = 0
+    while (si < subImages.length) {
+      val (wp, hp) = subImages(si)
+      val rb = wp * bpp
+      val stride = 1 + rb
+      var r = 0
+      while (r < hp) {
+        val base = off + r * stride + 1
+        val prev = base - stride
+        val f = u8(raw, base - 1)
+        if (f > 4) return null
+        if (f != 0) {
+          var x = 0
+          while (x < rb) {
+            val a = if (x >= bpp) u8(raw, base + x - bpp) else 0
+            val up = if (r > 0) u8(raw, prev + x) else 0
+            val ul = if (r > 0 && x >= bpp) u8(raw, prev + x - bpp) else 0
+            val add = f match {
+              case 1 => a
+              case 2 => up
+              case 3 => (a + up) >> 1
+              case _ => // Paeth predictor
+                val p = a + up - ul
+                val pa = math.abs(p - a)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+            }
+            raw(base + x) = ((u8(raw, base + x) + add) & 0xff).toByte
+            x += 1
+          }
+        }
+        var s = 0
+        val nSamples = wp * ch
+        while (s < nSamples) {
+          val at = base + s * bps
+          val v = if (bps == 1) u8(raw, at) else (u8(raw, at) << 8) | u8(raw, at + 1)
+          val c = s % ch
+          sums(c) += v
+          if (v < mins(c)) mins(c) = v
+          if (v > maxs(c)) maxs(c) = v
+          s += 1
+        }
+        r += 1
       }
-      r += 1
+      off += hp * stride
+      si += 1
     }
-    InternalRow(wI, hI, ch, bitDepth,
+    InternalRow(w.toInt, h.toInt, ch, bitDepth,
       new GenericArrayData(sums), new GenericArrayData(mins), new GenericArrayData(maxs))
   }
 }

@@ -162,41 +162,58 @@ class MultimodalSpec extends SparkSpecBase {
     * the JDK's real Deflater, and wraps in signature/IHDR/IDAT/IEND —
     * optionally splitting the zlib stream across several IDAT chunks. */
   private def makePng(w: Int, h: Int, ch: Int, pixels: Array[Int],
-      filterOf: Int => Int, idatSplit: Int = 1, depth: Int = 8): Array[Byte] = {
+      filterOf: Int => Int, idatSplit: Int = 1, depth: Int = 8,
+      interlaced: Boolean = false): Array[Byte] = {
     require(pixels.length == w * h * ch)
     val colorType = ch match { case 1 => 0; case 3 => 2; case 4 => 6; case c => sys.error(s"ch $c") }
     val bps = depth / 8
     val bpp = ch * bps
-    val rb = w * ch * bps
-    // samples → unfiltered scanline BYTES (16-bit big-endian per spec)
-    val plain = new Array[Int](h * rb)
-    for (i <- pixels.indices) {
-      if (bps == 1) plain(i) = pixels(i) & 0xff
-      else { plain(2 * i) = (pixels(i) >>> 8) & 0xff; plain(2 * i + 1) = pixels(i) & 0xff }
-    }
-    // filters operate BYTEWISE at any depth, offset by bpp bytes
-    val raw = new Array[Byte](h * (1 + rb))
-    for (r <- 0 until h) {
-      val f = filterOf(r)
-      raw(r * (1 + rb)) = f.toByte
-      for (x <- 0 until rb) {
-        val cur = plain(r * rb + x)
-        val left = if (x >= bpp) plain(r * rb + x - bpp) else 0
-        val up = if (r > 0) plain((r - 1) * rb + x) else 0
-        val ul = if (r > 0 && x >= bpp) plain((r - 1) * rb + x - bpp) else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+    // sub-images: the full frame, or the 7 Adam7 pass selections
+    val passes: Seq[(Int, Int, Array[Int])] =
+      if (!interlaced) Seq((w, h, pixels))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).flatMap { case (xs, ys, dx, dy) =>
+        val xi = xs until w by dx
+        val yi = ys until h by dy
+        if (xi.isEmpty || yi.isEmpty) None
+        else Some((xi.size, yi.size,
+          (for (y <- yi; x <- xi; c <- 0 until ch)
+            yield pixels(y * w * ch + x * ch + c)).toArray))
+      }
+    // filters operate BYTEWISE at any depth, offset by bpp bytes, each
+    // pass filtered against its own scanlines only
+    val rawAll = new java.io.ByteArrayOutputStream()
+    var rowCounter = 0
+    for ((wp, hp, ps) <- passes) {
+      val rb = wp * ch * bps
+      val plain = new Array[Int](hp * rb)
+      for (i <- ps.indices) {
+        if (bps == 1) plain(i) = ps(i) & 0xff
+        else { plain(2 * i) = (ps(i) >>> 8) & 0xff; plain(2 * i + 1) = ps(i) & 0xff }
+      }
+      for (r <- 0 until hp) {
+        val f = filterOf(rowCounter); rowCounter += 1
+        rawAll.write(f)
+        for (x <- 0 until rb) {
+          val cur = plain(r * rb + x)
+          val left = if (x >= bpp) plain(r * rb + x - bpp) else 0
+          val up = if (r > 0) plain((r - 1) * rb + x) else 0
+          val ul = if (r > 0 && x >= bpp) plain((r - 1) * rb + x - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          rawAll.write((cur - pred) & 0xff)
         }
-        raw(r * (1 + rb) + 1 + x) = ((cur - pred) & 0xff).toByte
       }
     }
+    val raw = rawAll.toByteArray
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val zbuf = new Array[Byte](raw.length + 64)
@@ -210,7 +227,8 @@ class MultimodalSpec extends SparkSpecBase {
       out.write(data); out.write(Array[Byte](0, 0, 0, 0)) // crc not validated
     }
     out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0))
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
     val per = math.max(1, (z.length + idatSplit - 1) / idatSplit)
     z.grouped(per).foreach(part => chunk("IDAT", part))
     chunk("IEND", Array[Byte]())
@@ -230,10 +248,11 @@ class MultimodalSpec extends SparkSpecBase {
   }
 
   private def checkDecode(w: Int, h: Int, ch: Int, pixels: Array[Int],
-      filterOf: Int => Int, idatSplit: Int = 1, depth: Int = 8): Unit = {
+      filterOf: Int => Int, idatSplit: Int = 1, depth: Int = 8,
+      interlaced: Boolean = false): Unit = {
     val row = graft.functions.PngPixelStats.parse(
-      makePng(w, h, ch, pixels, filterOf, idatSplit, depth))
-    assert(row != null, s"decode failed for w=$w h=$h ch=$ch depth=$depth")
+      makePng(w, h, ch, pixels, filterOf, idatSplit, depth, interlaced))
+    assert(row != null, s"decode failed for w=$w h=$h ch=$ch depth=$depth interlaced=$interlaced")
     assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3)) == ((w, h, ch, depth)))
     val (es, emn, emx) = expectStats(w, h, ch, pixels, depth)
     assert(row.getArray(4).toLongArray.toSeq == es)
@@ -258,6 +277,21 @@ class MultimodalSpec extends SparkSpecBase {
     checkDecode(1, 1, 3, Array(12, 200, 7), _ => 4) // a/b/c all zero
   }
 
+  test("PngPixelStats decodes Adam7 interlaced streams (per-pass unfiltering)") {
+    val rnd = new scala.util.Random(1234)
+    for (ch <- Seq(1, 3, 4); (w, h) <- Seq((11, 7), (8, 8), (3, 2), (1, 1))) {
+      val pixels = Array.fill(w * h * ch)(rnd.nextInt(256))
+      checkDecode(w, h, ch, pixels, _ => 0, interlaced = true)
+      checkDecode(w, h, ch, pixels, r => r % 5, interlaced = true) // mixed filters
+    }
+    // 16-bit interlaced: pass sub-images with 2-byte samples, Paeth everywhere
+    val px16 = Array.fill(9 * 6 * 3)(new scala.util.Random(5).nextInt(65536))
+    checkDecode(9, 6, 3, px16, _ => 4, depth = 16, interlaced = true)
+    // dims smaller than the pass grid (w<5 skips pass 2 entirely, h<5
+    // skips pass 3) — empty passes must contribute zero stream bytes
+    checkDecode(2, 3, 1, Array(10, 250, 3, 77, 200, 1), r => (r + 1) % 5, interlaced = true)
+  }
+
   test("PngPixelStats decodes 16-bit samples (big-endian) through every filter") {
     val rnd = new scala.util.Random(99)
     for (ch <- Seq(1, 3, 4)) {
@@ -278,8 +312,13 @@ class MultimodalSpec extends SparkSpecBase {
     assert(PngPixelStats.parse(ok) != null)
     assert(PngPixelStats.parse("not a png".getBytes) == null)
     assert(PngPixelStats.parse(ok.take(40)) == null) // truncated mid-IDAT
+    // flipping a sequential stream's interlace byte declares an Adam7
+    // layout whose total pass bytes exceed the stream → rejected as
+    // truncated (Adam7 itself is supported; a LYING header is not)
     val interlaced = ok.clone(); interlaced(28) = 1.toByte
     assert(PngPixelStats.parse(interlaced) == null)
+    val badInterlace = ok.clone(); badInterlace(28) = 2.toByte // undefined method
+    assert(PngPixelStats.parse(badInterlace) == null)
     // flipping an 8-bit image's depth byte to 16 declares twice the pixel
     // bytes the stream holds → rejected as truncated (16-bit itself is
     // supported; a LYING header is not)
