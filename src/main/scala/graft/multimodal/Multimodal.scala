@@ -27,7 +27,8 @@ case class MediaFeatures(
   * frame-sample over binary payloads.
   *
   * Decode is REAL for the codec-free formats: PCM WAV samples
-  * ([[graft.functions.PcmStats]]) and 8-bit non-interlaced PNG pixels
+  * ([[graft.functions.PcmStats]]) and the full non-palette PNG family —
+  * 8/16-bit gray/RGB/RGBA, multi-IDAT, sequential or Adam7 interlaced
   * ([[graft.functions.PngPixelStats]] — JDK Inflater + scanline
   * unfiltering; see [[pngPixelMediaFromDocuments]] for decodable
   * fixtures). Only formats that genuinely need an external codec (JPEG
@@ -110,15 +111,41 @@ object Multimodal {
     * CRC/Adler fields are zeroed — neither is validated (raw inflate),
     * matching the [[ImageDims]] contract. */
   def pngPixelMediaFromDocuments(docs: DataFrame): DataFrame =
+    pngStoredFixture(docs, col("doc_id") % 6 + 2, col("doc_id") % 4 + 2,
+      bytesPerPx = 3, ihdrDepthColorHex = "0802000000") // depth 8, truecolor
+
+  /** 16-bit GRAYSCALE sibling of [[pngPixelMediaFromDocuments]]: same
+    * stored-deflate transparency, but one channel of big-endian 16-bit
+    * samples (IHDR depth 16, color type 0) — puts the decoder's 16-bit
+    * sample path under the byte-level oracle too (q88), not just the
+    * ScalaTest Deflater harness. Samples are consecutive text-byte PAIRS
+    * ('A'-padded), so the oracle recomputes each value as
+    * 256·b[2i] + b[2i+1] from the same hex. */
+  def pngPixel16MediaFromDocuments(docs: DataFrame): DataFrame =
+    pngStoredFixture(docs, col("doc_id") % 5 + 2, col("doc_id") % 3 + 2,
+      bytesPerPx = 2, ihdrDepthColorHex = "1000000000") // depth 16, grayscale
+
+  /** Shared stored-deflate PNG framing for both fixture builders (one
+    * body so the chunk layout / LEN·NLEN encoding / IDAT length
+    * arithmetic can never diverge between the 8-bit and 16-bit
+    * fixtures): `bytesPerPx` pixel bytes per image pixel, filter-0
+    * scanlines, single final stored block, zeroed CRC/Adler. */
+  private def pngStoredFixture(
+      docs: DataFrame,
+      wExpr: Column,
+      hExpr: Column,
+      bytesPerPx: Int,
+      ihdrDepthColorHex: String): DataFrame = {
+    val sl = 2 * bytesPerPx // hex chars per pixel
     docs.select(col("doc_id"), col("text"))
-      .withColumn("w", (col("doc_id") % 6 + 2).cast("int"))
-      .withColumn("h", (col("doc_id") % 4 + 2).cast("int"))
-      .withColumn("npx", col("w") * col("h") * lit(3))
+      .withColumn("w", wExpr.cast("int"))
+      .withColumn("h", hExpr.cast("int"))
+      .withColumn("npb", col("w") * col("h") * lit(bytesPerPx)) // pixel bytes
       .withColumn("pxhex",
-        expr("substr(concat(hex(encode(text, 'UTF-8')), repeat('41', npx)), 1, 2*npx)"))
-      .withColumn("rawlen", col("h") * (lit(1) + col("w") * lit(3)))
+        expr("substr(concat(hex(encode(text, 'UTF-8')), repeat('41', npb)), 1, 2*npb)"))
+      .withColumn("rawlen", col("h") * (lit(1) + col("w") * lit(bytesPerPx)))
       .withColumn("slhex", expr(
-        "array_join(transform(sequence(0, h-1), r -> concat('00', substr(pxhex, r*w*6+1, w*6))), '')"))
+        s"array_join(transform(sequence(0, h-1), r -> concat('00', substr(pxhex, r*w*$sl+1, w*$sl))), '')"))
       .withColumn("lenle", expr(
         "concat(lpad(hex(rawlen % 256), 2, '0'), lpad(hex(rawlen div 256), 2, '0'))"))
       .withColumn("nlenle", expr(
@@ -127,7 +154,7 @@ object Multimodal {
         lit("89504E470D0A1A0A"), // signature
         lit("0000000D49484452"), // IHDR length + type
         expr("lpad(hex(w), 8, '0')"), expr("lpad(hex(h), 8, '0')"),
-        lit("0802000000"), // bit depth 8, truecolor, no interlace
+        lit(ihdrDepthColorHex), // bit depth, color type, no interlace
         lit("00000000"), // IHDR crc (not validated)
         expr("lpad(hex(rawlen + 11), 8, '0')"), lit("49444154"), // IDAT len + type
         lit("7801"), // zlib header: deflate, no preset dict
@@ -139,42 +166,7 @@ object Multimodal {
       .select(col("doc_id").as("media_id"), lit("png").as("kind"),
         col("w").as("width"), col("h").as("height"),
         unhex(col("payload_hex")).as("payload"))
-
-  /** 16-bit GRAYSCALE sibling of [[pngPixelMediaFromDocuments]]: same
-    * stored-deflate transparency, but one channel of big-endian 16-bit
-    * samples (IHDR depth 16, color type 0) — puts the decoder's 16-bit
-    * sample path under the byte-level oracle too (q88), not just the
-    * ScalaTest Deflater harness. Samples are consecutive text-byte PAIRS
-    * ('A'-padded), so the oracle recomputes each value as
-    * 256·b[2i] + b[2i+1] from the same hex. */
-  def pngPixel16MediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"))
-      .withColumn("w", (col("doc_id") % 5 + 2).cast("int"))
-      .withColumn("h", (col("doc_id") % 3 + 2).cast("int"))
-      .withColumn("nsb", col("w") * col("h") * lit(2)) // sample bytes
-      .withColumn("pxhex",
-        expr("substr(concat(hex(encode(text, 'UTF-8')), repeat('41', nsb)), 1, 2*nsb)"))
-      .withColumn("rawlen", col("h") * (lit(1) + col("w") * lit(2)))
-      .withColumn("slhex", expr(
-        "array_join(transform(sequence(0, h-1), r -> concat('00', substr(pxhex, r*w*4+1, w*4))), '')"))
-      .withColumn("lenle", expr(
-        "concat(lpad(hex(rawlen % 256), 2, '0'), lpad(hex(rawlen div 256), 2, '0'))"))
-      .withColumn("nlenle", expr(
-        "concat(lpad(hex((65535 - rawlen) % 256), 2, '0'), lpad(hex((65535 - rawlen) div 256), 2, '0'))"))
-      .withColumn("payload_hex", concat(
-        lit("89504E470D0A1A0A"), // signature
-        lit("0000000D49484452"), // IHDR length + type
-        expr("lpad(hex(w), 8, '0')"), expr("lpad(hex(h), 8, '0')"),
-        lit("1000000000"), // bit depth 16, grayscale, no interlace
-        lit("00000000"), // IHDR crc (not validated)
-        expr("lpad(hex(rawlen + 11), 8, '0')"), lit("49444154"), // IDAT len + type
-        lit("7801"), lit("01"), col("lenle"), col("nlenle"), // zlib + stored block
-        col("slhex"),
-        lit("00000000"), lit("00000000"), // adler + IDAT crc
-        lit("0000000049454E44AE426082"))) // IEND
-      .select(col("doc_id").as("media_id"), lit("png").as("kind"),
-        col("w").as("width"), col("h").as("height"),
-        unhex(col("payload_hex")).as("payload"))
+  }
 
   /** Little-endian fixed-width bytes of an integral column (RIFF/WAV fields
     * are little-endian, unlike PNG/JPEG's big-endian). */

@@ -214,7 +214,12 @@ object StreamingDedup {
     * standard production tradeoff for infinite ingest.
     *
     * `seen` schema: (band INT, h LONG, last_batch LONG); start from
-    * [[emptyTtlState]]. Returns (admitted rows, updated state). */
+    * [[emptyTtlState]]. Returns (admitted rows, updated state).
+    *
+    * NOTE: like [[nearDupBatchStep]], each call persists the batch's band
+    * table and leaves it cached (the returned frames reference it
+    * lazily). For unbounded streams use [[nearDupForeachBatchTtl]], which
+    * releases each generation once the next state is materialized. */
   def nearDupBatchStepTtl(
       batch: DataFrame,
       seen: DataFrame,
@@ -279,19 +284,29 @@ object StreamingDedup {
   /** foreachBatch wiring for [[nearDupBatchStepTtl]] — the bounded-state
     * twin of [[nearDupForeachBatch]], same generation/persist/replay
     * mechanics and the same durability contract (state lives in this
-    * driver JVM; rebuild from the sink's trailing window after a restart).
-    */
+    * driver JVM). Restart recovery: pass `initialSeen` with the TTL
+    * schema (band, h, last_batch) — e.g.
+    * `referenceBands(sinkTrailingWindow, …).withColumn("last_batch",
+    * lit(resumeBatchId))` over the sink's last `ttlBatches` of admitted
+    * output — so the rebuilt state carries a liveness stamp and ages out
+    * on the same schedule the lost state would have. */
   def nearDupForeachBatchTtl(
       textCol: String,
       idCol: String,
       ttlBatches: Long,
       shingleSize: Int = 3,
       numHashes: Int = 32,
-      bandRows: Int = 8)(
+      bandRows: Int = 8,
+      initialSeen: Option[DataFrame] = None)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(ttlBatches > 0, s"ttlBatches must be positive, got $ttlBatches")
     var seen: DataFrame = null
     var seenRdd: RDD[_] = null
+    initialSeen.foreach { s =>
+      require(s.columns.toSeq == Seq("band", "h", "last_batch"),
+        s"initialSeen must have TTL schema (band, h, last_batch), got ${s.columns.mkString(", ")}")
+      val (df, rdd) = freeze(s); seen = df; seenRdd = rdd
+    }
     var lastBatchId = -1L
     var lastKept: DataFrame = null
     var lastKeptRdd: RDD[_] = null

@@ -284,8 +284,11 @@ class MultimodalSpec extends SparkSpecBase {
       checkDecode(w, h, ch, pixels, _ => 0, interlaced = true)
       checkDecode(w, h, ch, pixels, r => r % 5, interlaced = true) // mixed filters
     }
-    // 16-bit interlaced: pass sub-images with 2-byte samples, Paeth everywhere
-    val px16 = Array.fill(9 * 6 * 3)(new scala.util.Random(5).nextInt(65536))
+    // 16-bit interlaced: pass sub-images with 2-byte samples, Paeth
+    // everywhere (one shared Random — a per-element `new Random(5)` would
+    // fill the array with a single constant and make the test vacuous)
+    val rnd16 = new scala.util.Random(5)
+    val px16 = Array.fill(9 * 6 * 3)(rnd16.nextInt(65536))
     checkDecode(9, 6, 3, px16, _ => 4, depth = 16, interlaced = true)
     // dims smaller than the pass grid (w<5 skips pass 2 entirely, h<5
     // skips pass 3) — empty passes must contribute zero stream bytes
