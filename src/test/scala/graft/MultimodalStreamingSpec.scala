@@ -612,6 +612,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(admitted.sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("TTL near-dup restart recovery: initialSeen seeds state with liveness stamps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    // simulate a restart: the pre-crash admitted window rebuilt via
+    // referenceBands + a last_batch stamp at the resume point
+    val window = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val seed = StreamingDedup.referenceBands(window, "text", "doc_id",
+      shingleSize = 1, numHashes = 32, bandRows = 8)
+      .withColumn("last_batch", org.apache.spark.sql.functions.lit(0L))
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val step = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 100,
+      shingleSize = 1, numHashes = 32, bandRows = 8,
+      initialSeen = Some(seed)) { kept =>
+      admitted.synchronized {
+        admitted ++= kept.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    val q = sdf.writeStream.outputMode("append").foreachBatch(step).start()
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon"), // dup of the recovered window
+      (2L, "totally distinct text here"))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.sorted.toSeq == Seq(2L))
+    // wrong-schema seed fails fast
+    val bad = Seq((1, 2L)).toDF("band", "h")
+    val e = intercept[IllegalArgumentException](
+      StreamingDedup.nearDupForeachBatchTtl("text", "doc_id", 10,
+        initialSeen = Some(bad)) { _ => () })
+    assert(e.getMessage.contains("last_batch"))
+  }
+
   test("streaming near-dup over foreachBatch admits stream-order firsts only") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingDedup
