@@ -26,6 +26,15 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // A filtered run leaves outDir's outputs for UNSELECTED queries stale;
+    // make the skip explicit and (below) restrict oracle_sql.json to the
+    // selection so the compare step cannot green-light a stale output.
+    if (only.isDefined) {
+      val skipped = (SparkEntry.queries.keySet -- selected.keySet).toSeq.sorted
+      if (skipped.nonEmpty)
+        System.err.println(s"[verify] filtered run: SKIPPING ${skipped.size} " +
+          s"queries (stale outputs possible in $outDir): ${skipped.mkString(",")}")
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -45,7 +54,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Filtered runs dump oracle SQL for the selected queries only — the
+    // compare iterates oracle_sql.json keys, so this restricts it to the
+    // same set and stale unselected outputs surface as SKIP, not OK.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) || only.isEmpty }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -140,7 +140,12 @@ final class WeightedGroupBy private[core] (
   }
 
   private def meltedPairs: (DataFrame, Column) = {
-    requireKeysFree(Seq("__w__", "__arr__", "__x__", "__y__"))
+    // Superset of every alias either melted path introduces downstream,
+    // including the moment aliases of the grouped aggregate — a key named
+    // __sw__ would otherwise still hit the ambiguous-reference error at
+    // the agg step this guard exists to prevent.
+    requireKeysFree(Seq("__w__", "__arr__", "__x__", "__y__",
+      "__n__", "__sw__", "__sx__", "__sy__", "__sxy__", "__sxx__", "__syy__"))
     val arr = array(numericAggCols.map(c =>
       struct(lit(c).as("name"), nc(c).as("v"))): _*)
     val pairs = base

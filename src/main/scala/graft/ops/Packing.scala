@@ -95,7 +95,7 @@ object Packing {
       .where(col("n_tokens").isNotNull && col("n_tokens") > 0)
       .withColumn("__num__",
         greatest(col("n_tokens") - lit(chunkSize), lit(0L)) + lit(stride - 1L))
-      .withColumn("__nc__", chunkCountFromNum(stride))
+      .withColumn("__nc__", chunkCountFromNum(col("__num__"), stride))
       .drop("__num__")
       .select(col(idCol), col("n_tokens"),
         explode(sequence(lit(0L), col("__nc__") - 1L)).as("chunk_idx"))
@@ -103,12 +103,12 @@ object Packing {
       .withColumn("tok_end", least(col("tok_start") + lit(chunkSize), col("n_tokens")))
   }
 
-  /** Chunk count from the precomputed numerator column `__num__`
+  /** Chunk count from a precomputed numerator column
     * (= max(0, n_tokens - chunkSize) + stride - 1): integer ceil as
-    * `1 + __num__ div stride` in pure long `div`, never double division —
+    * `1 + num div stride` in pure long `div`, never double division —
     * exact past 2^53 token counts, the same rationale as `packSequences`'
     * offset arithmetic. Factored out so the >2^53 arithmetic is unit-testable
     * without exploding ~2^52 chunk rows. */
-  private[graft] def chunkCountFromNum(stride: Long): Column =
-    lit(1L) + expr(s"__num__ div CAST($stride AS BIGINT)")
+  private[graft] def chunkCountFromNum(num: Column, stride: Long): Column =
+    lit(1L) + call_function("div", num.cast("long"), lit(stride))
 }

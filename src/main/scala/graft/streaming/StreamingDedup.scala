@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Streaming exact deduplication for continuous-ingestion pipelines — the
   * Structured-Streaming counterpart of [[graft.ops.Dedup.dropExact]]
@@ -303,9 +304,18 @@ object StreamingDedup {
     var seen: DataFrame = null
     var seenRdd: RDD[_] = null
     initialSeen.foreach { s =>
-      require(s.columns.toSeq == Seq("band", "h", "last_batch"),
-        s"initialSeen must have TTL schema (band, h, last_batch), got ${s.columns.mkString(", ")}")
-      val (df, rdd) = freeze(s); seen = df; seenRdd = rdd
+      // order-insensitive name→type check, then select into canonical
+      // order: (last_batch, h, band) is a fine state frame and must not
+      // be rejected, while (band STRING, …) must fail HERE, not later
+      // inside the first batch's join.
+      val expected = Map("band" -> IntegerType, "h" -> LongType,
+        "last_batch" -> LongType)
+      val got = s.schema.fields.map(f => f.name -> f.dataType).toMap
+      require(got == expected,
+        s"initialSeen must have TTL schema (band INT, h LONG, last_batch " +
+          s"LONG) in any column order, got ${s.schema.simpleString}")
+      val (df, rdd) = freeze(s.select("band", "h", "last_batch"))
+      seen = df; seenRdd = rdd
     }
     var lastBatchId = -1L
     var lastKept: DataFrame = null

@@ -322,6 +322,16 @@ class CorrSpec extends SparkSpecBase {
       .getMessage.contains("col_x"))
     assert(intercept[IllegalArgumentException](g2.corrMelted())
       .getMessage.contains("col_x"))
+    // moment aliases the grouped aggregate introduces are reserved too —
+    // a key named __sw__ used to slip past the guard and still die with
+    // the ambiguous-reference AnalysisException downstream
+    val d3 = Seq(("a", 1.0, 2.0, 1.0), ("a", 2.0, 3.0, 1.0))
+      .toDF("__sw__", "p", "q", "weights")
+    val g3 = WeightedDataFrame.wt(d3, "weights").groupBy("__sw__")
+    assert(intercept[IllegalArgumentException](g3.corrMelted())
+      .getMessage.contains("__sw__"))
+    assert(intercept[IllegalArgumentException](g3.covMelted())
+      .getMessage.contains("__sw__"))
   }
 
   test("100-column corr plans in O(k) and computes correct cells") {

@@ -646,6 +646,43 @@ class StreamingSpec extends SparkSpecBase {
       StreamingDedup.nearDupForeachBatchTtl("text", "doc_id", 10,
         initialSeen = Some(bad)) { _ => () })
     assert(e.getMessage.contains("last_batch"))
+    // right shape but wrong TYPE fails fast too (band STRING used to pass
+    // the name-order guard and die later inside the first batch's join)
+    val badType = Seq(("x", 2L, 0L)).toDF("band", "h", "last_batch")
+    val e2 = intercept[IllegalArgumentException](
+      StreamingDedup.nearDupForeachBatchTtl("text", "doc_id", 10,
+        initialSeen = Some(badType)) { _ => () })
+    assert(e2.getMessage.contains("TTL schema"))
+  }
+
+  test("TTL initialSeen accepts any column order (validated by name→type)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val window = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // same seed as the restart test, columns deliberately scrambled
+    val seed = StreamingDedup.referenceBands(window, "text", "doc_id",
+      shingleSize = 1, numHashes = 32, bandRows = 8)
+      .withColumn("last_batch", org.apache.spark.sql.functions.lit(0L))
+      .select("last_batch", "h", "band")
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val step = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 100,
+      shingleSize = 1, numHashes = 32, bandRows = 8,
+      initialSeen = Some(seed)) { kept =>
+      admitted.synchronized {
+        admitted ++= kept.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    val q = sdf.writeStream.outputMode("append").foreachBatch(step).start()
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon"), // dup of the recovered window
+      (2L, "totally distinct text here"))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.sorted.toSeq == Seq(2L))
   }
 
   test("streaming near-dup over foreachBatch admits stream-order firsts only") {

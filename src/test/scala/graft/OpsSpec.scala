@@ -905,8 +905,8 @@ class PackingSpec extends SparkSpecBase {
     // while exact integer division gives floor((2^53+3)/2) = 2^52 + 1.
     val num = (1L << 53) + 3L
     val stride = 2L
-    val got = Seq(num).toDF("__num__")
-      .select(Packing.chunkCountFromNum(stride).as("nc"))
+    val got = Seq(num).toDF("numerator")
+      .select(Packing.chunkCountFromNum(col("numerator"), stride).as("nc"))
       .head().getLong(0)
     assert(got == 1L + num / stride) // Scala Long / == SQL div for nonnegatives
     val doubled = 1L + (num.toDouble / stride.toDouble).toLong
