@@ -963,6 +963,24 @@ object SparkEntry {
             (col("p.width") * col("p.height"))).as("g_mean"))
         .orderBy("media_id")
     }),
+    // pixel-level JPEG decode (entropy-coded, past q54's header parse):
+    // the javax.imageio codec runs inside the mapPartitions batch; the
+    // fixtures are hand-ENCODED (spec-derived JpegFixtures, independent of
+    // the decoder) uniform-block mosaics whose all-ones quantization
+    // round-trips exactly — so DuckDB recomputes every stat analytically
+    // from the same text bytes, no codec anywhere in the oracle
+    "q89_jpeg_pixels" -> ((s, dir) => {
+      val m = Multimodal.jpegMediaFromDocuments(table(s, dir, "documents"))
+      Multimodal.decodePixelStats(m).toDF()
+        .select(col("media_id"),
+          (col("width").cast("long") * col("height")).as("n_px"),
+          element_at(col("ch_sum"), 1).as("g_sum"),
+          element_at(col("ch_min"), 1).cast("long").as("g_min"),
+          element_at(col("ch_max"), 1).cast("long").as("g_max"),
+          (element_at(col("ch_sum"), 1).cast("double") /
+            (col("width") * col("height"))).as("g_mean"))
+        .orderBy("media_id")
+    }),
     // cluster assignment: the q63 centroids feed back as a broadcast
     // codebook; every vector classified by cosine argmax (corpus never
     // shuffles — only the id-keyed argmax aggregate does)
@@ -1780,6 +1798,25 @@ object SparkEntry {
         |CAST(sum(u) AS DOUBLE) / (w*h) AS c_mean
         |FROM v GROUP BY media_id, channel, w, h
         |ORDER BY media_id, channel""".stripMargin.replace("\n", " "),
+    // JPEG pixel oracle: block value i of doc = byte i of the 'A'-padded
+    // text (each uniform 8x8 block contributes 64 pixels of that value —
+    // exact round-trip by construction, see JpegFixtures)
+    "q89_jpeg_pixels" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |CAST(doc_id % 3 + 1 AS INTEGER) AS bw, CAST(doc_id % 2 + 1 AS INTEGER) AS bh,
+        |hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT media_id, bw, bh,
+        |substr(hx || repeat('41', bw*bh), 1, 2*bw*bh) AS px FROM m),
+        |s AS (SELECT media_id, bw, bh, px, unnest(range(0, bw*bh)) AS i FROM p),
+        |v AS (SELECT media_id, bw, bh,
+        |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM s)
+        |SELECT media_id, CAST(64*bw*bh AS BIGINT) AS n_px,
+        |CAST(64*sum(u) AS BIGINT) AS g_sum,
+        |CAST(min(u) AS BIGINT) AS g_min,
+        |CAST(max(u) AS BIGINT) AS g_max,
+        |CAST(sum(u) AS DOUBLE) / (bw*bh) AS g_mean
+        |FROM v GROUP BY media_id, bw, bh ORDER BY media_id""".stripMargin.replace("\n", " "),
     "q67_assign_centroids" ->
       """WITH x AS (SELECT label, unnest(embedding) AS v,
         |generate_subscripts(embedding, 1) AS p FROM embeddings),

@@ -23,40 +23,120 @@ case class MediaFeatures(
     out_height: Int,
     features: Array[Float])
 
+/** Per-channel pixel statistics of one decoded image — the common result
+  * shape of both decode paths (native PNG expression, ImageIO codec). */
+case class PixelStats(
+    width: Int,
+    height: Int,
+    channels: Int,
+    depth: Int,
+    sums: Array[Long],
+    mins: Array[Int],
+    maxs: Array[Int])
+
+/** One decoded image's stats keyed by media id — `decodePixelStats`
+  * output row (only payloads that fully decode emit one). */
+case class DecodedPixelStats(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    depth: Int,
+    ch_sum: Array[Long],
+    ch_min: Array[Int],
+    ch_max: Array[Int])
+
 /** Multimodal-column plumbing: decode / feature-extract / resize /
   * frame-sample over binary payloads.
   *
-  * Decode is REAL for the codec-free formats: PCM WAV samples
-  * ([[graft.functions.PcmStats]]) and the full non-palette PNG family —
+  * Decode is REAL everywhere: PCM WAV samples
+  * ([[graft.functions.PcmStats]]), the full non-palette PNG family —
   * 8/16-bit gray/RGB/RGBA, multi-IDAT, sequential or Adam7 interlaced
   * ([[graft.functions.PngPixelStats]] — JDK Inflater + scanline
   * unfiltering; see [[pngPixelMediaFromDocuments]] for decodable
-  * fixtures). Only formats that genuinely need an external codec (JPEG
-  * entropy decode) fall back to `fakeDecode`, a deterministic byte-driven
-  * stand-in. Everything around the decode is the real Spark shape: typed
-  * `Dataset` schema, `mapPartitions` batch iteration (one decoder
-  * instantiation per partition, the same contract a JNI/codec binding or a
-  * vectorized Pandas-UDF batch would use), and metadata-only transforms that
-  * never touch the payload (so Parquet column pruning skips the blobs).
+  * fixtures) — and entropy-coded formats (JPEG baseline + progressive)
+  * via the JDK's `javax.imageio` codec inside the per-partition batch
+  * ([[imageIoPixelStats]]; see [[jpegMediaFromDocuments]] for fixtures
+  * whose pixels an oracle can predict analytically). Payloads no decoder
+  * accepts are REJECTED explicitly (empty feature vector / no stats row)
+  * — there is no fake fallback. Everything around the decode is the real
+  * Spark shape: typed `Dataset` schema, `mapPartitions` batch iteration
+  * (one decoder instantiation per partition, the same contract a
+  * JNI/codec binding or a vectorized Pandas-UDF batch would use), and
+  * metadata-only transforms that never touch the payload (so Parquet
+  * column pruning skips the blobs).
   */
 object Multimodal {
 
-  /** Deterministic fake "decode + featurize" FALLBACK for payloads the
-    * codec-free decoders can't handle (JPEG needs an entropy decoder this
-    * container doesn't have). Keyed on payload bytes so tests can assert
-    * determinism. */
-  private[multimodal] def fakeDecode(item: MediaItem, dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L // deterministic FNV-ish fold over the payload
-    var i = 0
-    while (i < item.payload.length) { h = h * 31 + (item.payload(i) & 0xff); i += 1 }
-    var j = 0
-    while (j < dim) {
-      val v = h * (j * 2654435761L + 1)
-      out(j) = ((v >>> 40).toInt % 1000) / 1000.0f
-      j += 1
-    }
-    out
+  /** ImageIO setup for executor use: no AWT display needed, and the
+    * default disk-backed stream cache would write temp files per image —
+    * memory cache keeps the decode batch filesystem-free. Idempotent. */
+  private lazy val imageIoReady: Unit = {
+    if (!sys.props.contains("java.awt.headless"))
+      sys.props("java.awt.headless") = "true"
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Strict codec decode → per-channel stats via `javax.imageio` (the
+    * JDK's libjpeg-backed reader for JPEG; also accepts its other
+    * registered formats). Returns None for anything the codec can't
+    * FULLY decode — truncated entropy data, forged headers, or plain
+    * garbage — so callers reject rather than fabricate. `ImageIO.read`
+    * alone is NOT strict: libjpeg pads a truncated stream with filler
+    * blocks and only signals via a read WARNING, so the reader is driven
+    * directly with a warning listener and any warning rejects. One pass
+    * over the raster rows; no temp files ([[imageIoReady]]). */
+  private[graft] def imageIoPixelStats(payload: Array[Byte]): Option[PixelStats] = {
+    imageIoReady
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      val img =
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          var warned = false
+          reader.addIIOReadWarningListener(
+            new javax.imageio.event.IIOReadWarningListener {
+              override def warningOccurred(r: javax.imageio.ImageReader,
+                  w: String): Unit = { warned = true }
+            })
+          try {
+            reader.setInput(iis, true, true)
+            val decoded = reader.read(0)
+            if (warned) null else decoded // partial decode = reject
+          } finally reader.dispose()
+        }
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val w = raster.getWidth; val h = raster.getHeight
+        val ch = raster.getNumBands
+        if (w <= 0 || h <= 0 || ch <= 0) None
+        else {
+          val depth = img.getColorModel.getComponentSize(0)
+          val sums = new Array[Long](ch)
+          val mins = Array.fill(ch)(Int.MaxValue)
+          val maxs = Array.fill(ch)(Int.MinValue)
+          val row = new Array[Int](w * ch)
+          var y = 0
+          while (y < h) {
+            raster.getPixels(0, y, w, 1, row)
+            var i = 0
+            while (i < w * ch) {
+              val c = i % ch; val v = row(i)
+              sums(c) += v
+              if (v < mins(c)) mins(c) = v
+              if (v > maxs(c)) maxs(c) = v
+              i += 1
+            }
+            y += 1
+          }
+          Some(PixelStats(w, h, ch, depth, sums, mins, maxs))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Big-endian fixed-width bytes of an integral column (builder helper for
@@ -204,47 +284,60 @@ object Multimodal {
       concat(header, encode(col("text"), "UTF-8")).as("payload"))
   }
 
-  /** Pixel-statistic feature vector from a REAL decode
-    * ([[graft.functions.PngPixelStats]] result row): per-channel
+  /** [[graft.functions.PngPixelStats]] result row → [[PixelStats]] (the
+    * shared shape both decode paths feed into). */
+  private def rowStats(px: org.apache.spark.sql.catalyst.InternalRow): PixelStats =
+    PixelStats(px.getInt(0), px.getInt(1), px.getInt(2), px.getInt(3),
+      px.getArray(4).toLongArray(), px.getArray(5).toIntArray(),
+      px.getArray(6).toIntArray())
+
+  /** Pixel-statistic feature vector from a REAL decode: per-channel
     * mean/min/max normalized to [0,1], cycled to `dim`. Deterministic by
     * construction (pure function of the decoded pixels). */
-  private[multimodal] def pixelFeatures(
-      px: org.apache.spark.sql.catalyst.InternalRow, dim: Int): Array[Float] = {
-    val w = px.getInt(0); val h = px.getInt(1); val ch = px.getInt(2)
-    val depth = px.getInt(3)
-    val sums = px.getArray(4); val mins = px.getArray(5); val maxs = px.getArray(6)
-    val n = w.toFloat * h
-    val full = ((1 << depth) - 1).toFloat // 255 or 65535: depth-correct [0,1]
+  private[multimodal] def statsFeatures(st: PixelStats, dim: Int): Array[Float] = {
+    val n = st.width.toFloat * st.height
+    val full = ((1 << st.depth) - 1).toFloat // 255 or 65535: depth-correct [0,1]
     val out = new Array[Float](dim)
     var j = 0
     while (j < dim) {
-      val c = (j / 3) % ch
+      val c = (j / 3) % st.channels
       out(j) = (j % 3) match {
-        case 0 => (sums.getLong(c) / n) / full
-        case 1 => mins.getInt(c) / full
-        case _ => maxs.getInt(c) / full
+        case 0 => (st.sums(c) / n) / full
+        case 1 => st.mins(c) / full
+        case _ => st.maxs(c) / full
       }
       j += 1
     }
     out
   }
 
+  /** Full decode of one payload through whichever decoder accepts it:
+    * the native codec-free PNG path first (cheap header sniff, no codec
+    * spin-up), then the `javax.imageio` codec (JPEG). None = rejected. */
+  private[multimodal] def decodeAny(payload: Array[Byte]): Option[PixelStats] = {
+    val px = graft.functions.PngPixelStats.parse(payload)
+    if (px != null) Some(rowStats(px)) else imageIoPixelStats(payload)
+  }
+
   /** Decode + feature-extract, batched per partition. `mapPartitions` (not
-    * per-row map) so a real decoder would amortize model/codec setup once
-    * per partition — the same batch contract as `mapInPandas`. The resize
-    * dims come from PARSING the payload's container header (the codec-free
-    * part of decode — real bytes, real parser), not from the metadata
-    * columns. Decodable PNGs get REAL pixel-statistic features
-    * ([[pixelFeatures]] over the inflate+unfilter decode); only payloads
-    * needing an external codec (JPEG) fall back to [[fakeDecode]]. */
+    * per-row map) so the decoder amortizes codec setup once per partition
+    * — the same batch contract as `mapInPandas`. The resize dims come
+    * from PARSING the payload's container header (real bytes, real
+    * parser), not from the metadata columns. Features are REAL
+    * pixel statistics from whichever decoder accepts the payload
+    * ([[decodeAny]]: native PNG inflate+unfilter, or the `javax.imageio`
+    * JPEG codec); a payload no decoder accepts is rejected with an EMPTY
+    * feature vector — metadata still flows, nothing is fabricated. */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
       // real pipeline: instantiate decoder/model HERE, once per partition
       it.map { m =>
-        val px = graft.functions.PngPixelStats.parse(m.payload)
-        val feats = if (px != null) pixelFeatures(px, dim) else fakeDecode(m, dim)
+        val feats = decodeAny(m.payload) match {
+          case Some(st) => statsFeatures(st, dim)
+          case None => Array.empty[Float] // undecodable: explicit reject
+        }
         val parsed = graft.functions.ImageDims.parse(m.payload)
         val (kind, pw, ph) =
           if (parsed != null) (parsed.getString(0), parsed.getInt(1), parsed.getInt(2))
@@ -253,6 +346,48 @@ object Multimodal {
         MediaFeatures(m.media_id, kind, m.payload.length, ow, oh, feats)
       }
     }
+  }
+
+  /** Batched full decode → per-channel stats, one row per payload that
+    * decodes (rejects emit nothing): the operator behind q89's
+    * pixel-level JPEG oracle. Same `mapPartitions` batch contract as
+    * [[extractFeatures]]; embarrassingly parallel, nothing corpus-sized
+    * anywhere. */
+  def decodePixelStats(media: DataFrame): Dataset[DecodedPixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.flatMap { m =>
+        decodeAny(m.payload).map(st => DecodedPixelStats(m.media_id,
+          st.width, st.height, st.channels, st.depth,
+          st.sums, st.mins, st.maxs))
+      }
+    }
+  }
+
+  /** Build a demo media table of fully DECODABLE baseline JPEGs from the
+    * documents table: each document's text bytes ('A'-padded) become the
+    * values of uniform 8×8 blocks in a grayscale mosaic encoded by
+    * [[JpegFixtures.encodeGrayMosaic]] — a spec-derived encoder
+    * independent of the `javax.imageio` decoder that reads the payloads
+    * back. Uniform blocks + all-ones quantization round-trip EXACTLY
+    * (DC-only arithmetic, see JpegFixtures), so a DuckDB oracle can
+    * recompute every pixel statistic analytically from the same text
+    * bytes without any codec (q89). Dims vary per doc: (doc_id%3+1) ×
+    * (doc_id%2+1) blocks of 8×8. */
+  def jpegMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).where(col("text").isNotNull)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bw = (id % 3 + 1).toInt; val bh = (id % 2 + 1).toInt
+        val bytes = text.getBytes("UTF-8")
+        val vals = Array.tabulate(bw * bh)(i =>
+          if (i < bytes.length) bytes(i) & 0xff else 'A'.toInt)
+        (id, "jpeg", bw * 8, bh * 8, JpegFixtures.encodeGrayMosaic(vals, bw, bh))
+      }
+      .toDF("media_id", "kind", "width", "height", "payload")
   }
 
   /** Aspect-preserving resize metadata (shorter side → `target`). Pure

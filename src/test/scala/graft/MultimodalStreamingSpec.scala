@@ -22,7 +22,10 @@ class MultimodalSpec extends SparkSpecBase {
     val f1 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
     assert(f1.length == 40)
-    assert(f1.forall(_.features.length == 16))
+    // mediaFromDocuments payloads are header + text garbage — no decoder
+    // accepts them, so every row is an explicit reject (EMPTY features,
+    // metadata intact); nothing is fabricated
+    assert(f1.forall(_.features.isEmpty))
     assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
     // payload is utf-8 of the text → n_bytes matches byte length
     val n = media.select(col("media_id"), length(col("payload")).as("len"))
@@ -393,6 +396,116 @@ class MultimodalSpec extends SparkSpecBase {
         assert(f.features(c * 3 + 1) == p.getSeq[Int](5)(c) / 255.0f)
         assert(f.features(c * 3 + 2) == p.getSeq[Int](6)(c) / 255.0f)
       }
+    }
+  }
+
+  test("hand-encoded JPEG mosaic round-trips EXACTLY through javax.imageio") {
+    import graft.multimodal.JpegFixtures
+    // 3x2 blocks covering value extremes and adjacent diffs (DC deltas of
+    // every sign/magnitude class the fixture can hit)
+    val vals = Array(0, 255, 128, 65, 66, 1)
+    val payload = JpegFixtures.encodeGrayMosaic(vals, blocksW = 3, blocksH = 2)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "imageio must accept the hand-written baseline JPEG")
+    assert(img.getWidth == 24 && img.getHeight == 16)
+    val raster = img.getRaster
+    assert(raster.getNumBands == 1)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val expected = vals((y / 8) * 3 + (x / 8))
+      assert(raster.getSample(x, y, 0) == expected,
+        s"pixel ($x,$y): got ${raster.getSample(x, y, 0)}, want $expected")
+    }
+    // and the batch-path stats agree analytically
+    val st = Multimodal.imageIoPixelStats(payload).get
+    assert(st.width == 24 && st.height == 16 && st.channels == 1 && st.depth == 8)
+    assert(st.sums(0) == vals.map(_.toLong * 64).sum)
+    assert(st.mins(0) == 0 && st.maxs(0) == 255)
+  }
+
+  test("progressive JPEG decodes through the same codec path") {
+    // uniform gray written by the JDK's own encoder in PROGRESSIVE mode at
+    // quality 1.0 (all-ones quant tables): uniform + lossless quantization
+    // round-trips exactly, so the expected stats are analytic here too
+    val v = 77
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = img.getRaster
+    for (y <- 0 until 24; x <- 0 until 32) g.setSample(x, y, 0, v)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val payload = buf.toByteArray
+    // really progressive: frame header is SOF2 (FF C2)
+    assert(payload.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "writer must have produced a progressive (SOF2) stream")
+    val st = Multimodal.imageIoPixelStats(payload).get
+    assert(st.width == 32 && st.height == 24 && st.channels == 1)
+    assert(st.mins(0) == v && st.maxs(0) == v && st.sums(0) == v.toLong * 32 * 24)
+  }
+
+  test("corrupt and truncated payloads are rejected, not fabricated") {
+    import graft.multimodal.JpegFixtures
+    val good = JpegFixtures.encodeGrayMosaic(Array(10, 200), 2, 1)
+    assert(Multimodal.imageIoPixelStats(good).isDefined)
+    // truncated mid-entropy-data: the codec must not return fake pixels
+    assert(Multimodal.imageIoPixelStats(good.take(good.length - 6)).isEmpty)
+    // SOI magic + garbage
+    assert(Multimodal.imageIoPixelStats(
+      Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ Array.fill[Byte](64)(7)).isEmpty)
+    // plain garbage and empty
+    assert(Multimodal.imageIoPixelStats(Array.fill[Byte](32)(42)).isEmpty)
+    assert(Multimodal.imageIoPixelStats(Array.empty[Byte]).isEmpty)
+    // the q30 fixture's spec-shaped-header-plus-text payloads reject too
+    val fakes = media.limit(4).collect()
+    fakes.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(Multimodal.imageIoPixelStats(p).isEmpty,
+        s"fake payload for media ${r.getLong(0)} must be rejected")
+    }
+  }
+
+  test("decodePixelStats emits exact stats for JPEG fixtures and drops rejects") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
+    val m = Multimodal.jpegMediaFromDocuments(docs)
+    val stats = Multimodal.decodePixelStats(m).collect().map(s => s.media_id -> s).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stats.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val bw = (id % 3 + 1).toInt; val bh = (id % 2 + 1).toInt
+      val tb = text.getBytes("UTF-8")
+      val vals = Array.tabulate(bw * bh)(i => if (i < tb.length) tb(i) & 0xff else 'A'.toInt)
+      val s = stats(id)
+      assert(s.width == bw * 8 && s.height == bh * 8 && s.channels == 1 && s.depth == 8)
+      assert(s.ch_sum(0) == vals.map(_.toLong * 64).sum, s"sum for doc $id")
+      assert(s.ch_min(0) == vals.min && s.ch_max(0) == vals.max, s"min/max for doc $id")
+    }
+    // a reject row vanishes from the output rather than emitting junk
+    val withJunk = m.unionByName(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(-1L, "jpeg", 8, 8, Array.fill[Byte](16)(3))),
+      m.schema))
+    assert(!Multimodal.decodePixelStats(withJunk).collect().exists(_.media_id == -1L))
+  }
+
+  test("extractFeatures uses real pixel features for decodable JPEGs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(8)
+    val m = Multimodal.jpegMediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(m, dim = 3).collect()
+    val stats = Multimodal.decodePixelStats(m).collect().map(s => s.media_id -> s).toMap
+    assert(feats.nonEmpty && feats.forall(_.features.length == 3))
+    feats.foreach { f =>
+      val s = stats(f.media_id)
+      val n = s.width.toFloat * s.height
+      assert(f.features(0) == (s.ch_sum(0) / n) / 255.0f)
+      assert(f.features(1) == s.ch_min(0) / 255.0f)
+      assert(f.features(2) == s.ch_max(0) / 255.0f)
     }
   }
 
