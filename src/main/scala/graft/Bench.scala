@@ -5,6 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A warmup action first touches each input table so
   * JIT/classloading and OS page-cache costs don't land on the first query.
+  * Each query then runs twice; `queries`/`value` carry the per-query MIN
+  * (the comparison number — robust to one-off machine contention), with
+  * the raw pair in `queries_cold`/`queries_warm`.
   *
   * The timed action is `queryExecution.toRdd.count()`, not `df.count()`:
   * under `count(1)` Catalyst column-prunes the whole projection, so a query
@@ -41,22 +44,35 @@ object Bench {
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[bench] WARNING: unknown query '$n' in SPARK_GRAFT_QUERIES")))
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Each query runs TWICE back-to-back (cold then warm) and `queries`
+    // reports the MIN — single runs produced 4–22x phantom outliers under
+    // machine contention (round-9 driver bench); min-of-two is robust to a
+    // one-off perturbation while still a real end-to-end execution. Round
+    // records compare the min; cold/warm are kept for warmth diagnostics.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (cold, errCold) = once()
+      val (warm, err) = if (errCold.isDefined) (cold, errCold) else once()
+      (name, cold, warm, err)
     }
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ')
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def qmap(f: ((String, Double, Double, Option[String])) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = qmap(r => math.min(r._2, r._3))
+    val qsCold = qmap(_._2)
+    val qsWarm = qmap(_._3)
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(r => math.min(r._2, r._3)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_warm":$qsWarm,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // log-tail capture can truncate a long run's stdout (round 7 lost
     // q01–q19 and the total); a file copy makes the artifact durable. A
