@@ -284,13 +284,20 @@ object StreamingDedup {
 
   /** foreachBatch wiring for [[nearDupBatchStepTtl]] — the bounded-state
     * twin of [[nearDupForeachBatch]], same generation/persist/replay
-    * mechanics and the same durability contract (state lives in this
-    * driver JVM). Restart recovery: pass `initialSeen` with the TTL
-    * schema (band, h, last_batch) — e.g.
+    * mechanics.
+    *
+    * Durability: pass `stateDir` and every committed batch's state
+    * generation is persisted to parquet (`gen=<batchId>/`, `_SUCCESS` =
+    * complete, last two generations retained); a restarted closure
+    * recovers the exact lost state from there — liveness stamps included,
+    * so eviction continues on the original schedule — with NO sink
+    * rescan. Without `stateDir`, state lives in this driver JVM only and
+    * restart recovery needs `initialSeen` with the TTL schema
+    * (band, h, last_batch) — e.g.
     * `referenceBands(sinkTrailingWindow, …).withColumn("last_batch",
     * lit(resumeBatchId))` over the sink's last `ttlBatches` of admitted
-    * output — so the rebuilt state carries a liveness stamp and ages out
-    * on the same schedule the lost state would have. */
+    * output. When both are given, a recoverable `stateDir` generation
+    * wins (it is exact; `initialSeen` is a reconstruction). */
   def nearDupForeachBatchTtl(
       textCol: String,
       idCol: String,
@@ -298,7 +305,8 @@ object StreamingDedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bandRows: Int = 8,
-      initialSeen: Option[DataFrame] = None)(
+      initialSeen: Option[DataFrame] = None,
+      stateDir: Option[String] = None)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(ttlBatches > 0, s"ttlBatches must be positive, got $ttlBatches")
     var seen: DataFrame = null
@@ -317,10 +325,29 @@ object StreamingDedup {
       val (df, rdd) = freeze(s.select("band", "h", "last_batch"))
       seen = df; seenRdd = rdd
     }
+    var recoveryDone = false
     var lastBatchId = -1L
     var lastKept: DataFrame = null
     var lastKeptRdd: RDD[_] = null
     (batch: DataFrame, batchId: Long) => {
+      // Durable recovery, once, on the first batch this closure sees: the
+      // newest on-disk generation STRICTLY BELOW batchId is exactly the
+      // state batch `batchId` must be admitted against — after a graceful
+      // restart that's the previous batch's generation, and after a crash
+      // that wrote gen=batchId but never committed the checkpoint, the
+      // replayed batch correctly skips its own half-written generation.
+      // Recovered state wins over initialSeen (it is the exact lost state;
+      // initialSeen is a sink-rescan reconstruction).
+      if (!recoveryDone) {
+        recoveryDone = true
+        stateDir.foreach { d =>
+          loadTtlState(batch.sparkSession, d, batchId).foreach { recovered =>
+            if (seenRdd != null) seenRdd.unpersist(blocking = false)
+            val (df, rdd) = freeze(recovered.select("band", "h", "last_batch"))
+            seen = df; seenRdd = rdd
+          }
+        }
+      }
       if (batchId == lastBatchId && lastKept != null) {
         sink(lastKept) // replayed micro-batch: re-emit (see nearDupForeachBatch)
       } else {
@@ -331,8 +358,13 @@ object StreamingDedup {
         val (keptFrozen, keptRdd) = freeze(kept)
         val (seenFrozen, newSeenRdd) = freeze(newSeen)
         bandsRdd.unpersist(blocking = false)
-        try sink(keptFrozen)
-        catch {
+        // sink first, then persist the generation: a failure in either
+        // leaves `seen` (and the durable latest-complete generation)
+        // untouched, so the engine's retry recomputes the identical batch
+        try {
+          sink(keptFrozen)
+          stateDir.foreach(writeTtlState(_, batchId, seenFrozen))
+        } catch {
           case t: Throwable =>
             keptRdd.unpersist(blocking = false)
             newSeenRdd.unpersist(blocking = false)
@@ -348,6 +380,51 @@ object StreamingDedup {
       }
     }
   }
+
+  private def ttlGenPath(dir: String, id: Long): String = s"$dir/gen=$id"
+
+  /** Persist one durable TTL state generation (parquet + `_SUCCESS`
+    * committer marker = complete), then prune generations older than the
+    * previous one — storage stays O(2 × state) while keeping the
+    * generation a crash-replayed batch needs. Prune failures only warn:
+    * the new generation is already durable. */
+  private[streaming] def writeTtlState(dir: String, batchId: Long, state: DataFrame): Unit = {
+    state.write.mode("overwrite").parquet(ttlGenPath(dir, batchId))
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(state.sparkSession.sessionState.newHadoopConf())
+      listTtlGens(fs, p).filter(_ < batchId - 1).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(ttlGenPath(dir, old)), true)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[ttl-state] WARNING: prune failed in $dir: ${e.getMessage}")
+    }
+  }
+
+  /** Newest COMPLETE durable generation strictly below `beforeBatchId`,
+    * if any — see the recovery comment in [[nearDupForeachBatchTtl]] for
+    * why the bound is strict. */
+  private[streaming] def loadTtlState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      beforeBatchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else listTtlGens(fs, p)
+      .filter(id => id < beforeBatchId &&
+        fs.exists(new org.apache.hadoop.fs.Path(ttlGenPath(dir, id), "_SUCCESS")))
+      .sorted.lastOption
+      .map(id => spark.read.parquet(ttlGenPath(dir, id)))
+  }
+
+  private def listTtlGens(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.drop(4) }
+      .flatMap(_.toLongOption)
 
   /** The (band, h) key table of a static reference corpus — the seed state
     * for streaming ingest admission ([[nearDupForeachBatch]]'s

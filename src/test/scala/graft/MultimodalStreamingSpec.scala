@@ -768,6 +768,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("TTL schema"))
   }
 
+  test("durable TTL state: kill/restart recovers from parquet bit-identically, no sink rescan") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val dir = java.nio.file.Files.createTempDirectory("ttlstate").toString
+    def mkBatch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // ttlBatches=2 so the run CROSSES an eviction boundary: recovery must
+    // restore the liveness stamps, not just the keys
+    val batches = Seq(
+      mkBatch((1L, "alpha beta gamma delta"), (2L, "one two three four")),
+      mkBatch((3L, "alpha beta gamma delta")), // dup of 1 -> dropped, refreshes bands
+      mkBatch((4L, "unrelated fresh words here")),
+      mkBatch((5L, "one two three four")), // text-2 bands last sighted batch 0: evicted -> re-admitted
+      mkBatch((6L, "alpha beta gamma delta"))) // text-1 bands last sighted batch 1: evicted -> re-admitted
+    def admittedOf(sinkBuf: scala.collection.mutable.ArrayBuffer[Long])(kept: org.apache.spark.sql.DataFrame): Unit =
+      sinkBuf ++= kept.select("doc_id").collect().map(_.getLong(0))
+    // uninterrupted reference run (no state dir)
+    val refBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val refStep = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 2, shingleSize = 1)(admittedOf(refBuf))
+    batches.zipWithIndex.foreach { case (b, i) => refStep(b, i.toLong) }
+    // durable run killed after batch 2: a FRESH closure (new JVM stand-in)
+    // resumes at batch 3 from the parquet state only — no initialSeen
+    val aBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stepA = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 2, shingleSize = 1,
+      stateDir = Some(dir))(admittedOf(aBuf))
+    (0 to 2).foreach(i => stepA(batches(i), i.toLong))
+    // crash-AFTER-state-write: gen=2 exists on disk; a replay of batch 2 by
+    // a fresh closure must skip gen=2 and admit against gen=1, reproducing
+    // the original batch-2 output (doc 4) exactly
+    val cBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stepC = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 2, shingleSize = 1,
+      stateDir = Some(dir))(admittedOf(cBuf))
+    stepC(batches(2), 2L)
+    assert(cBuf.sorted.toSeq == Seq(4L), s"replayed batch 2 admitted ${cBuf.sorted}")
+    // graceful restart: a fresh closure resumes at batch 3 from parquet only
+    val bBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stepB = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 2, shingleSize = 1,
+      stateDir = Some(dir))(admittedOf(bBuf))
+    (3 to 4).foreach(i => stepB(batches(i), i.toLong))
+    assert((aBuf ++ bBuf).sorted.toSeq == refBuf.sorted.toSeq,
+      s"restarted run ${(aBuf ++ bBuf).sorted} != uninterrupted ${refBuf.sorted}")
+    // pruning holds storage at two complete generations
+    val gens = new java.io.File(dir).listFiles().filter(_.getName.startsWith("gen=")).map(_.getName)
+    assert(gens.length <= 2, s"expected <=2 retained generations, got ${gens.mkString(",")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("TTL initialSeen accepts any column order (validated by name→type)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
