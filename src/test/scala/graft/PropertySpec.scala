@@ -145,6 +145,74 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("TTL admission invariant: admitted ⇔ no live band in trailing window (ScalaCheck schedules)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.streaming.StreamingDedup
+    // fully-distinct word sets: with shingleSize=1 a band collision then
+    // occurs (to generator-seeded determinism) only between EQUAL texts,
+    // so the brute simulator can reason at the text level
+    val pool = Vector("alpha beta gamma", "one two three", "red green blue",
+      "cats dogs birds", "north south east", "apples pears plums")
+
+    // brute model of the documented contract: an arrival is admitted iff
+    // no sighting of its text is LIVE (strictly within the trailing
+    // ttl-batch window, eviction before matching) and no lower-id arrival
+    // in the same batch carries the same text; EVERY arrival (kept or
+    // dropped) refreshes the liveness stamp
+    def brute(ttl: Int, schedule: List[List[Int]]): Seq[Long] = {
+      val last = scala.collection.mutable.Map.empty[Int, Long]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var nextId = 0L
+      schedule.zipWithIndex.foreach { case (texts, b) =>
+        val seenThisBatch = scala.collection.mutable.Set.empty[Int]
+        texts.foreach { t =>
+          val id = nextId; nextId += 1
+          val livePrior = last.get(t).exists(lb => lb > b - ttl)
+          if (!livePrior && !seenThisBatch(t)) admitted += id
+          seenThisBatch += t
+        }
+        seenThisBatch.foreach(t => last(t) = b.toLong)
+      }
+      admitted.sorted.toSeq
+    }
+
+    def viaSpark(ttl: Int, schedule: List[List[Int]]): Seq[Long] = {
+      var seen = StreamingDedup.emptyTtlState(spark)
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var nextId = 0L
+      schedule.zipWithIndex.foreach { case (texts, b) =>
+        val rows = texts.map { t => val id = nextId; nextId += 1; (id, pool(t)) }
+        val batch = rows.toDF("doc_id", "text")
+        val (kept, newSeen) = StreamingDedup.nearDupBatchStepTtl(
+          batch, seen, b.toLong, ttl.toLong, "text", "doc_id", shingleSize = 1)
+        admitted ++= kept.select("doc_id").collect().map(_.getLong(0))
+        seen = newSeen
+      }
+      admitted.sorted.toSeq
+    }
+
+    val genCase = for {
+      ttl <- Gen.choose(1, 3)
+      nBatches <- Gen.choose(3, 5)
+      schedule <- Gen.listOfN(nBatches,
+        Gen.choose(0, 4).flatMap(sz => Gen.listOfN(sz, Gen.choose(0, pool.size - 1))))
+    } yield (ttl, schedule)
+
+    val prop = Prop.forAll(genCase) { case (ttl, schedule) =>
+      val want = brute(ttl, schedule)
+      val got = viaSpark(ttl, schedule)
+      if (got != want)
+        println(s"TTL property FALSIFIED: ttl=$ttl schedule=$schedule got=$got want=$want")
+      got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(10)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260813L)),
+      prop)
+    assert(result.passed, s"ScalaCheck: $result")
+  }
+
   test("skew/kurt on a standard normal-ish sample sit near 0 and shift with outliers") {
     val rnd = new Random(99)
     val sym = (1 to 4000).map(_ => ("g", rnd.nextGaussian(), 1.0 + rnd.nextInt(3)))
