@@ -341,6 +341,72 @@ class DedupSpec extends SparkSpecBase {
     assert(got(0) == 1.0) // identical texts
     assert(got(1) < 0.5) // different texts
   }
+
+  test("adversarial hot band: pair repartition bounds partitions; AQE skew-split engages") {
+    // one text repeated 3000x -> each of its 4 band keys holds the whole
+    // hot set, the worst case for the band self-join; 2000 distinct
+    // fillers around it. Pins the two skew defenses of the banding path:
+    // (1) the pair-keyed `distinct` spreads the quadratic candidate set
+    // evenly (no partition anywhere near the hot-band size), and (2) the
+    // band join itself is AQE-skew-splittable (sort-merge, no salting
+    // trick that would hide it from the runtime re-planner).
+    val hotN = 3000
+    val hot = (0 until hotN).map(i =>
+      (i.toLong, "the same hot duplicated document text appears again and again"))
+    val fillers = (0 until 2000).map(i =>
+      (10000L + i, s"filler doc $i with words w${i}a w${i}b w${i}c w${i * 7} unique"))
+    val corpus = (hot ++ fillers).toDF("doc_id", "text")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+      // enough reduce partitions that the filler keys spread thin and the
+      // hot band keys stand out from the median (the suite default of 4
+      // makes every partition look alike)
+      conf.set("spark.sql.shuffle.partitions", "64")
+      // test-scale thresholds: the hot band is ~hundreds of KB, not the
+      // production 256 MB default — shrink so the same mechanism trips
+      // compressed-shuffle sizes: the hot band's ids are ~24 KB post-lz4
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4096")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val t0 = System.nanoTime()
+      // the banding path's candidate pipeline, as in minhashDedup
+      val banded = Dedup.bandTable(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, r0 = 8)
+      val l = banded.select(col("band"), col("h"), col("__id__").as("doc_a"))
+      val r = banded.select(col("band"), col("h"), col("__id__").as("doc_b"))
+      val joined = l.join(r, Seq("band", "h")).where(col("doc_a") < col("doc_b"))
+      val cand = joined.select("doc_a", "doc_b").distinct()
+      // (1) pinned max-partition-rows: after the pair repartition no
+      // partition holds more than 4x the mean (the hot band alone would
+      // be ~all of the C(800,2) pairs in ONE partition without it)
+      val sizes = cand.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      val total = sizes.sum
+      assert(total >= hotN * (hotN - 1) / 2, s"expected the hot pairs, got $total")
+      val nonEmpty = sizes.count(_ > 0)
+      val mean = total.toDouble / math.max(nonEmpty, 1)
+      assert(sizes.max <= mean * 4 + 64,
+        s"skewed pair partition: max ${sizes.max} vs mean $mean over $nonEmpty partitions")
+      // (2) the executed band join shows AQE skew-split handling
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"band join should be AQE skew-split at these thresholds; plan:\n${plan.take(2000)}")
+      // (3) loose wall-clock envelope for the whole adversarial pipeline
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(elapsedSec < 120.0, s"hot-band pipeline took $elapsedSec s")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
 
 class DegenerateInputSpec extends SparkSpecBase {
