@@ -66,13 +66,27 @@ object Tables {
       table: String,
       bucketCols: Seq[String],
       numBuckets: Int,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet",
+      statsCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "writeBucketed requires at least one bucket column")
     df.write.mode("overwrite")
       .format(format)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+    // Planner fuel: file listings give a catalog parquet table a real
+    // sizeInBytes even unanalyzed, but DERIVED sizes don't exist without
+    // statistics — a filtered dim keeps its full-scan estimate, so a
+    // selective `dim WHERE …` sort-merges where it should broadcast, and
+    // join reorder has no row counts to work with. One ANALYZE pass
+    // records rowCount plus per-column NDV/min/max/null-count for the
+    // bucket (join) keys and any `statsCols`, so broadcast-vs-sortmerge
+    // and CBO selectivity ride on real numbers at PLAN time — before AQE
+    // ever sees a runtime stat. At 100 TB this is one extra scan per
+    // table build, amortized over every downstream join.
+    val cols = (bucketCols ++ statsCols).distinct
+    df.sparkSession.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS " +
+      s"FOR COLUMNS ${cols.map(c => s"`$c`").mkString(", ")}")
   }
 
   /** Training-data shard export: every row lands in a DETERMINISTIC shard
@@ -83,7 +97,12 @@ object Tables {
     * sequences). Exactly one file per shard at any scale: the repartition
     * shuffles each shard to one task — size shards via `nShards`, not file
     * splits, which is the training-loader contract (shard count = loader
-    * parallelism). Returns the shard column name for downstream joins. */
+    * parallelism). Returns the shard column name for downstream joins.
+    *
+    * No ANALYZE here by design: shards are a path export with no catalog
+    * entry, and path reads already plan on real file-listing sizes;
+    * register the path as a table (and ANALYZE it) only if shards feed
+    * further joins — [[writeBucketed]] is the stats-carrying sink. */
   def writeShards(
       df: DataFrame,
       path: String,

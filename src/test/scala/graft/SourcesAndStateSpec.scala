@@ -99,6 +99,59 @@ class SourcesSpec extends SparkSpecBase {
       s"bucketed same-key same-count join must not shuffle either side:\n$plan")
   }
 
+  test("writeBucketed records catalog stats; a filtered dim flips to broadcast from stats, not a hint") {
+    import spark.implicits._
+    for (t <- Seq("dim_stats", "dim_nostats")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    // dim big enough that its FILE size exceeds the broadcast threshold;
+    // the g=7 slice is ~1% — only a selectivity ESTIMATE (CBO + column
+    // stats) can see the filtered size at plan time
+    val dim = spark.range(200000).select(col("id").as("k"), (col("id") % 97).as("g"),
+      sha2(concat(lit("payload"), col("id").cast("string")), 256).as("payload"))
+    Tables.writeBucketed(dim, "dim_stats", Seq("k"), 4, statsCols = Seq("g"))
+    dim.write.mode("overwrite").format("parquet").saveAsTable("dim_nostats")
+    // catalog statistics exist: table-level rowCount and column NDV
+    val desc = spark.sql("DESCRIBE EXTENDED dim_stats").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Statistics").exists(_.contains("rows")),
+      s"expected analyzed table stats, got ${desc.get("Statistics")}")
+    val colDesc = spark.sql("DESCRIBE EXTENDED dim_stats g").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(colDesc.get("distinct_count").exists(v => v != null && v != "NULL"),
+      s"expected NDV for g, got ${colDesc.get("distinct_count")}")
+    val conf = spark.conf
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(kk => kk -> conf.getOption(kk)).toMap
+    try {
+      conf.set("spark.sql.cbo.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+      val fact = spark.range(500000).select((col("id") % 200000).as("k"), col("id").as("v"))
+      def staticPlan(t: String): String =
+        fact.join(spark.table(t).where(col("g") === 7), "k")
+          .queryExecution.sparkPlan.toString
+      // same query, no hints: the unanalyzed dim keeps its full file-size
+      // estimate through the filter and sort-merges...
+      assert(staticPlan("dim_nostats").contains("SortMergeJoin"),
+        s"nostats plan should sort-merge:\n${staticPlan("dim_nostats").take(1500)}")
+      // ...the analyzed dim's filter estimate (rowCount/NDV) is ~1% and
+      // flips the same join to broadcast at static plan time
+      assert(staticPlan("dim_stats").contains("BroadcastHashJoin"),
+        s"stats plan should broadcast:\n${staticPlan("dim_stats").take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("JSONL corpus read quarantines corrupt lines instead of failing") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
