@@ -681,6 +681,41 @@ object SparkEntry {
           .select(lit("has_pairs").as("property"), col("n_bad")))
         .orderBy("property")
     }),
+    // RECALL TELEMETRY under the driver grid (VERDICT r9 #6): measured
+    // recall of every approximate ANN path vs its brute truth, emitted as
+    // above-floor booleans the oracle pins to all-true (plus per-row
+    // non-vacuousness sentinels proving the truth sets weren't empty).
+    // Floors are conservative lower bounds re-measured via
+    // tools/RecallProbe (r10: lsh_top1 pair-recall 0.85 @ 500 vecs /
+    // 0.51 @ 2000; probed LSH ≥ 0.86; IVF exact at verify SFs by the q32
+    // degeneracy) — a silent recall regression past a floor flips a
+    // boolean and the driver's hash check goes red.
+    "q90_recall_report" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val bruteNN = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+        strategy = "brute").select(col("doc_a"), col("doc_b"))
+      val lshNN = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+        strategy = "lsh").select(col("doc_a"), col("doc_b"))
+      val pred = col("vec_id") < 10
+      val bruteK = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lshK = Similarity.annLsh(emb, "vec_id", "embedding", pred, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivfK = Similarity.searchIvf(ivfModel(s, dir), emb, "vec_id", "embedding",
+        pred, 5).select(col("query_id"), col("neighbor_id"))
+      def report(name: String, truth: DataFrame, got: DataFrame,
+          keys: Seq[String], floor: Double, minRows: Long): DataFrame =
+        truth.join(got.withColumn("__hit__", lit(1)), keys, "left")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("__hit__"), lit(0))).as("hits"))
+          .select(lit(name).as("operator"),
+            (col("hits").cast("double") / col("n") >= lit(floor)).as("above_floor"),
+            (col("n") >= lit(minRows)).as("nonvacuous"))
+      report("ann_ivf_k5", bruteK, ivfK, Seq("query_id", "neighbor_id"), 0.9, 40L)
+        .unionAll(report("ann_lsh_k5", bruteK, lshK, Seq("query_id", "neighbor_id"), 0.7, 40L))
+        .unionAll(report("lsh_top1", bruteNN, lshNN, Seq("doc_a", "doc_b"), 0.4, 400L))
+        .orderBy("operator")
+    }),
     // embedding near-dup corpus output: keep-first drop of vectors whose
     // nearest neighbor is an earlier near-dup (brute = oracle-checkable)
     "q40_drop_embed_neardup" -> ((s, dir) =>
@@ -1798,6 +1833,13 @@ object SparkEntry {
         |CAST(sum(u) AS DOUBLE) / (w*h) AS c_mean
         |FROM v GROUP BY media_id, channel, w, h
         |ORDER BY media_id, channel""".stripMargin.replace("\n", " "),
+    // recall telemetry: the oracle pins the all-floors-pass claim; the
+    // sentinels keep it non-vacuous (empty truth sets would go red)
+    "q90_recall_report" ->
+      """SELECT operator, above_floor, nonvacuous FROM (VALUES
+        |('ann_ivf_k5', true, true), ('ann_lsh_k5', true, true),
+        |('lsh_top1', true, true))
+        |AS t(operator, above_floor, nonvacuous) ORDER BY operator""".stripMargin.replace("\n", " "),
     // JPEG pixel oracle: block value i of doc = byte i of the 'A'-padded
     // text (each uniform 8x8 block contributes 64 pixels of that value —
     // exact round-trip by construction, see JpegFixtures)

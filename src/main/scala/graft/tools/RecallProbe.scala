@@ -15,7 +15,8 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     println(s"corpus rows = ${emb.count()}")
     val pred = col("vec_id") < 20
     val brute = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
