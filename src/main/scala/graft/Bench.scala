@@ -58,8 +58,11 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (cold, errCold) = once()
-      val (warm, err) = if (errCold.isDefined) (cold, errCold) else once()
-      (name, cold, warm, err)
+      val (warmRaw, errWarm) = if (errCold.isDefined) (cold, errCold) else once()
+      // a warm run that DIES fast must not report its tiny elapsed as the
+      // min — keep the successful cold measurement instead
+      val warm = if (errCold.isEmpty && errWarm.isDefined) cold else warmRaw
+      (name, cold, warm, errCold.orElse(errWarm))
     }
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ')

@@ -697,8 +697,10 @@ object SparkEntry {
       val lshNN = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
         strategy = "lsh").select(col("doc_a"), col("doc_b"))
       val pred = col("vec_id") < 10
+      // truth side of TWO report branches: checkpoint so the O(n·q) brute
+      // scoring runs once, not once per unionAll branch (q37b precedent)
       val bruteK = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
-        .select(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val lshK = Similarity.annLsh(emb, "vec_id", "embedding", pred, 5)
         .select(col("query_id"), col("neighbor_id"))
       val ivfK = Similarity.searchIvf(ivfModel(s, dir), emb, "vec_id", "embedding",

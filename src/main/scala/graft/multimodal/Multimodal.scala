@@ -91,23 +91,25 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
       val img =
-        if (!readers.hasNext) null
-        else {
-          val reader = readers.next()
-          var warned = false
-          reader.addIIOReadWarningListener(
-            new javax.imageio.event.IIOReadWarningListener {
-              override def warningOccurred(r: javax.imageio.ImageReader,
-                  w: String): Unit = { warned = true }
-            })
-          try {
-            reader.setInput(iis, true, true)
-            val decoded = reader.read(0)
-            if (warned) null else decoded // partial decode = reject
-          } finally reader.dispose()
-        }
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            var warned = false
+            reader.addIIOReadWarningListener(
+              new javax.imageio.event.IIOReadWarningListener {
+                override def warningOccurred(r: javax.imageio.ImageReader,
+                    w: String): Unit = { warned = true }
+              })
+            try {
+              reader.setInput(iis, true, true)
+              val decoded = reader.read(0)
+              if (warned) null else decoded // partial decode = reject
+            } finally reader.dispose()
+          }
+        } finally iis.close() // release the stream cache deterministically
       if (img == null) None
       else {
         val raster = img.getRaster

@@ -85,7 +85,10 @@ object Tables {
     // ever sees a runtime stat. At 100 TB this is one extra scan per
     // table build, amortized over every downstream join.
     val cols = (bucketCols ++ statsCols).distinct
-    df.sparkSession.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS " +
+    // backtick PART-wise: quoting "db.tbl" whole would resolve as a
+    // single dotted identifier in the default database
+    val qualified = table.split('.').map(p => s"`$p`").mkString(".")
+    df.sparkSession.sql(s"ANALYZE TABLE $qualified COMPUTE STATISTICS " +
       s"FOR COLUMNS ${cols.map(c => s"`$c`").mkString(", ")}")
   }
 

@@ -358,12 +358,17 @@ object StreamingDedup {
         val (keptFrozen, keptRdd) = freeze(kept)
         val (seenFrozen, newSeenRdd) = freeze(newSeen)
         bandsRdd.unpersist(blocking = false)
-        // sink first, then persist the generation: a failure in either
-        // leaves `seen` (and the durable latest-complete generation)
-        // untouched, so the engine's retry recomputes the identical batch
+        // persist the generation BEFORE the sink: recovery's strict-below
+        // bound already makes an orphaned own-batch generation harmless
+        // (a replay skips it), while the reverse order would turn a
+        // transient state-write failure AFTER a successful sink into a
+        // duplicate emission on retry — the failure mode this operator
+        // exists to prevent. A failure in either step leaves `seen` (and
+        // the latest COMPLETE generation the next recovery would pick)
+        // untouched, so the engine's retry recomputes the identical batch.
         try {
-          sink(keptFrozen)
           stateDir.foreach(writeTtlState(_, batchId, seenFrozen))
+          sink(keptFrozen)
         } catch {
           case t: Throwable =>
             keptRdd.unpersist(blocking = false)
@@ -390,9 +395,15 @@ object StreamingDedup {
     * the new generation is already durable. */
   private[streaming] def writeTtlState(dir: String, batchId: Long, state: DataFrame): Unit = {
     state.write.mode("overwrite").parquet(ttlGenPath(dir, batchId))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(state.sparkSession.sessionState.newHadoopConf())
+    // the recovery contract keys on _SUCCESS; write it ourselves rather
+    // than trusting the committer config (marksuccessfuljobs=false is
+    // common with cloud-store committers, and its absence would silently
+    // void every recovery)
+    val marker = new org.apache.hadoop.fs.Path(ttlGenPath(dir, batchId), "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     try {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(state.sparkSession.sessionState.newHadoopConf())
       listTtlGens(fs, p).filter(_ < batchId - 1).foreach { old =>
         fs.delete(new org.apache.hadoop.fs.Path(ttlGenPath(dir, old)), true)
       }
