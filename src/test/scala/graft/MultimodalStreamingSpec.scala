@@ -450,6 +450,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(st.mins(0) == v && st.maxs(0) == v && st.sums(0) == v.toLong * 32 * 24)
   }
 
+  test("3-channel RGB JPEG decodes with per-channel stats through the codec path") {
+    // uniform RGB at quality 1.0: luma/chroma quantization is lossless on
+    // a constant image, but the RGB→YCbCr→RGB conversion itself rounds —
+    // allow ±2 per channel while pinning channel COUNT, dims, and that
+    // the three channels carry their own (distinct) statistics
+    val (r0, g0, b0) = (200, 60, 120)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (r0 << 16) | (g0 << 8) | b0)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val st = Multimodal.imageIoPixelStats(buf.toByteArray).get
+    assert(st.width == 16 && st.height == 16 && st.channels == 3 && st.depth == 8)
+    val means = (0 until 3).map(c => st.sums(c) / 256.0)
+    for ((want, c) <- Seq(r0, g0, b0).zipWithIndex) {
+      assert(math.abs(means(c) - want) <= 2.0,
+        s"channel $c mean ${means(c)} vs $want")
+      assert(st.maxs(c) - st.mins(c) <= 4,
+        s"uniform image: channel $c spread ${st.mins(c)}..${st.maxs(c)}")
+    }
+  }
+
   test("corrupt and truncated payloads are rejected, not fabricated") {
     import graft.multimodal.JpegFixtures
     val good = JpegFixtures.encodeGrayMosaic(Array(10, 200), 2, 1)
@@ -815,6 +845,39 @@ class StreamingSpec extends SparkSpecBase {
     // pruning holds storage at two complete generations
     val gens = new java.io.File(dir).listFiles().filter(_.getName.startsWith("gen=")).map(_.getName)
     assert(gens.length <= 2, s"expected <=2 retained generations, got ${gens.mkString(",")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("durable TTL recovery ignores generations without a _SUCCESS marker") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val dir = java.nio.file.Files.createTempDirectory("ttlstate2").toString
+    val b0 = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "totally different words here")).toDF("doc_id", "text")
+    val aBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stepA = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 10, shingleSize = 1,
+      stateDir = Some(dir)) { kept =>
+      aBuf ++= kept.select("doc_id").collect().map(_.getLong(0))
+    }
+    stepA(b0, 0L); stepA(b1, 1L)
+    assert(aBuf.sorted.toSeq == Seq(1L, 2L))
+    // corrupt gen=1 (simulated half-written generation): marker gone
+    val marker = new java.io.File(s"$dir/gen=1/_SUCCESS")
+    assert(marker.exists()); assert(marker.delete())
+    // a fresh closure at batch 2 must fall back to gen=0 — a dup of doc 1
+    // is still dropped (state recovered), while doc 2's bands are NOT in
+    // gen=0, so a dup of doc 2 is re-admitted (incomplete gen=1 skipped)
+    val bBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stepB = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 10, shingleSize = 1,
+      stateDir = Some(dir)) { kept =>
+      bBuf ++= kept.select("doc_id").collect().map(_.getLong(0))
+    }
+    stepB(Seq((3L, "alpha beta gamma delta"), (4L, "totally different words here"))
+      .toDF("doc_id", "text"), 2L)
+    assert(bBuf.sorted.toSeq == Seq(4L),
+      s"expected gen=1 skipped (4 re-admitted, 3 dropped), got ${bBuf.sorted}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
