@@ -231,12 +231,14 @@ object StreamingDedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bandRows: Int = 8): (DataFrame, DataFrame) = {
-    val (kept, newSeen, _) = nearDupBatchStepTtlTracked(
+    val (kept, newSeen, _, _) = nearDupBatchStepTtlTracked(
       batch, seen, batchId, ttlBatches, textCol, idCol,
       shingleSize, numHashes, bandRows)
     (kept, newSeen)
   }
 
+  /** Tracked variant: additionally returns the batch's (frozen) band
+    * table — the durable-state DELTA — and its RDD handle for release. */
   private[streaming] def nearDupBatchStepTtlTracked(
       batch: DataFrame,
       seen: DataFrame,
@@ -246,7 +248,7 @@ object StreamingDedup {
       idCol: String,
       shingleSize: Int,
       numHashes: Int,
-      bandRows: Int): (DataFrame, DataFrame, RDD[_]) = {
+      bandRows: Int): (DataFrame, DataFrame, DataFrame, RDD[_]) = {
     require(ttlBatches > 0, s"ttlBatches must be positive, got $ttlBatches")
     import graft.ops.Dedup
     val (bands, bandsRdd) = freeze(
@@ -267,7 +269,7 @@ object StreamingDedup {
     val newSeen = live
       .unionByName(bands.select(col("band"), col("h"), lit(batchId).as("last_batch")))
       .groupBy("band", "h").agg(max(col("last_batch")).as("last_batch"))
-    (kept, newSeen, bandsRdd)
+    (kept, newSeen, bands, bandsRdd)
   }
 
   /** Empty (band, h, last_batch) state frame for [[nearDupBatchStepTtl]]. */
@@ -286,12 +288,14 @@ object StreamingDedup {
     * twin of [[nearDupForeachBatch]], same generation/persist/replay
     * mechanics.
     *
-    * Durability: pass `stateDir` and every committed batch's state
-    * generation is persisted to parquet (`gen=<batchId>/`, `_SUCCESS` =
-    * complete, last two generations retained); a restarted closure
-    * recovers the exact lost state from there — liveness stamps included,
-    * so eviction continues on the original schedule — with NO sink
-    * rescan. Without `stateDir`, state lives in this driver JVM only and
+    * Durability: pass `stateDir` and every batch appends its SIGHTINGS
+    * as a parquet delta (`delta=<batchId>/`, `_SUCCESS` = complete;
+    * deltas outside the TTL horizon pruned). A restarted closure
+    * reconstructs the exact lost state by max-merging the trailing
+    * window's deltas — liveness stamps included, so eviction continues
+    * on the original schedule — with NO sink rescan, and the per-batch
+    * write is O(batch bands), never O(live window). Without `stateDir`,
+    * state lives in this driver JVM only and
     * restart recovery needs `initialSeen` with the TTL schema
     * (band, h, last_batch) — e.g.
     * `referenceBands(sinkTrailingWindow, …).withColumn("last_batch",
@@ -330,18 +334,19 @@ object StreamingDedup {
     var lastKept: DataFrame = null
     var lastKeptRdd: RDD[_] = null
     (batch: DataFrame, batchId: Long) => {
-      // Durable recovery, once, on the first batch this closure sees: the
-      // newest on-disk generation STRICTLY BELOW batchId is exactly the
-      // state batch `batchId` must be admitted against — after a graceful
-      // restart that's the previous batch's generation, and after a crash
-      // that wrote gen=batchId but never committed the checkpoint, the
-      // replayed batch correctly skips its own half-written generation.
-      // Recovered state wins over initialSeen (it is the exact lost state;
-      // initialSeen is a sink-rescan reconstruction).
+      // Durable recovery, once, on the first batch this closure sees:
+      // replay the trailing-window DELTA LOG strictly below batchId —
+      // exactly the state batch `batchId` must be admitted against. After
+      // a graceful restart that spans the previous batches' deltas, and
+      // after a crash that wrote delta=batchId but never committed the
+      // checkpoint, the replayed batch correctly skips its own
+      // half-written delta. Recovered state wins over initialSeen (it is
+      // the exact lost state; initialSeen is a sink-rescan
+      // reconstruction).
       if (!recoveryDone) {
         recoveryDone = true
         stateDir.foreach { d =>
-          loadTtlState(batch.sparkSession, d, batchId).foreach { recovered =>
+          loadTtlState(batch.sparkSession, d, batchId, ttlBatches).foreach { recovered =>
             if (seenRdd != null) seenRdd.unpersist(blocking = false)
             val (df, rdd) = freeze(recovered.select("band", "h", "last_batch"))
             seen = df; seenRdd = rdd
@@ -352,29 +357,34 @@ object StreamingDedup {
         sink(lastKept) // replayed micro-batch: re-emit (see nearDupForeachBatch)
       } else {
         val s = if (seen != null) seen else emptyTtlState(batch.sparkSession)
-        val (kept, newSeen, bandsRdd) = nearDupBatchStepTtlTracked(
+        val (kept, newSeen, bands, bandsRdd) = nearDupBatchStepTtlTracked(
           batch, s, batchId, ttlBatches, textCol, idCol,
           shingleSize, numHashes, bandRows)
         val (keptFrozen, keptRdd) = freeze(kept)
         val (seenFrozen, newSeenRdd) = freeze(newSeen)
-        bandsRdd.unpersist(blocking = false)
-        // persist the generation BEFORE the sink: recovery's strict-below
-        // bound already makes an orphaned own-batch generation harmless
-        // (a replay skips it), while the reverse order would turn a
-        // transient state-write failure AFTER a successful sink into a
-        // duplicate emission on retry — the failure mode this operator
-        // exists to prevent. A failure in either step leaves `seen` (and
-        // the latest COMPLETE generation the next recovery would pick)
-        // untouched, so the engine's retry recomputes the identical batch.
+        // persist THIS BATCH's sightings BEFORE the sink: recovery's
+        // strict-below bound already makes an orphaned own-batch delta
+        // harmless (a replay skips it), while the reverse order would
+        // turn a transient state-write failure AFTER a successful sink
+        // into a duplicate emission on retry — the failure mode this
+        // operator exists to prevent. A failure in either step leaves
+        // `seen` (and the complete deltas the next recovery would read)
+        // untouched, so the engine's retry recomputes the identical
+        // batch. The delta is O(batch bands), NOT O(live window) — the
+        // property that keeps durable state writable at any window size.
         try {
-          stateDir.foreach(writeTtlState(_, batchId, seenFrozen))
+          stateDir.foreach(writeTtlDelta(_, batchId, ttlBatches,
+            bands.select(col("band"), col("h")).distinct()
+              .withColumn("last_batch", lit(batchId))))
           sink(keptFrozen)
         } catch {
           case t: Throwable =>
             keptRdd.unpersist(blocking = false)
             newSeenRdd.unpersist(blocking = false)
+            bandsRdd.unpersist(blocking = false)
             throw t
         }
+        bandsRdd.unpersist(blocking = false)
         if (seenRdd != null) seenRdd.unpersist(blocking = false)
         if (lastKeptRdd != null) lastKeptRdd.unpersist(blocking = false)
         seen = seenFrozen
@@ -386,26 +396,27 @@ object StreamingDedup {
     }
   }
 
-  private def ttlGenPath(dir: String, id: Long): String = s"$dir/gen=$id"
+  private def ttlDeltaPath(dir: String, id: Long): String = s"$dir/delta=$id"
 
-  /** Persist one durable TTL state generation (parquet + `_SUCCESS`
-    * committer marker = complete), then prune generations older than the
-    * previous one — storage stays O(2 × state) while keeping the
-    * generation a crash-replayed batch needs. Prune failures only warn:
-    * the new generation is already durable. */
-  private[streaming] def writeTtlState(dir: String, batchId: Long, state: DataFrame): Unit = {
-    state.write.mode("overwrite").parquet(ttlGenPath(dir, batchId))
+  /** Persist one durable TTL DELTA — this batch's (band, h, last_batch)
+    * sightings only, parquet + explicit `_SUCCESS` (the recovery contract
+    * keys on the marker; committer config like marksuccessfuljobs=false
+    * must not silently void recovery) — then prune deltas the TTL horizon
+    * can never need again (id ≤ batchId − ttlBatches: every future
+    * recovery at batch B' > batchId reads only ids > B' − ttlBatches).
+    * Storage and per-batch write are O(window deltas) and O(batch bands)
+    * respectively — never O(live state), so durability stays writable at
+    * any window size. Prune failures only warn: the delta is durable. */
+  private[streaming] def writeTtlDelta(
+      dir: String, batchId: Long, ttlBatches: Long, delta: DataFrame): Unit = {
+    delta.write.mode("overwrite").parquet(ttlDeltaPath(dir, batchId))
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(state.sparkSession.sessionState.newHadoopConf())
-    // the recovery contract keys on _SUCCESS; write it ourselves rather
-    // than trusting the committer config (marksuccessfuljobs=false is
-    // common with cloud-store committers, and its absence would silently
-    // void every recovery)
-    val marker = new org.apache.hadoop.fs.Path(ttlGenPath(dir, batchId), "_SUCCESS")
+    val fs = p.getFileSystem(delta.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(ttlDeltaPath(dir, batchId), "_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker, true).close()
     try {
-      listTtlGens(fs, p).filter(_ < batchId - 1).foreach { old =>
-        fs.delete(new org.apache.hadoop.fs.Path(ttlGenPath(dir, old)), true)
+      listTtlDeltas(fs, p).filter(_ <= batchId - ttlBatches).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(ttlDeltaPath(dir, old)), true)
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -413,28 +424,37 @@ object StreamingDedup {
     }
   }
 
-  /** Newest COMPLETE durable generation strictly below `beforeBatchId`,
-    * if any — see the recovery comment in [[nearDupForeachBatchTtl]] for
-    * why the bound is strict. */
+  /** Reconstruct the live state a batch must be admitted against from the
+    * delta log: COMPLETE deltas with id strictly below `beforeBatchId`
+    * and inside its trailing TTL window, max-merged per band key. A band
+    * whose last sighting fell out of the window has no delta in range —
+    * exactly the eviction rule — and max(last_batch) over in-window
+    * deltas equals the lost state's stamp, so recovery is bit-identical.
+    * The strict-below bound makes a crash-orphaned own-batch delta
+    * harmless (the replayed batch skips it). */
   private[streaming] def loadTtlState(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      beforeBatchId: Long): Option[DataFrame] = {
+      beforeBatchId: Long,
+      ttlBatches: Long): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else listTtlGens(fs, p)
-      .filter(id => id < beforeBatchId &&
-        fs.exists(new org.apache.hadoop.fs.Path(ttlGenPath(dir, id), "_SUCCESS")))
-      .sorted.lastOption
-      .map(id => spark.read.parquet(ttlGenPath(dir, id)))
+    if (!fs.exists(p)) return None
+    val ids = listTtlDeltas(fs, p)
+      .filter(id => id < beforeBatchId && id > beforeBatchId - 1 - ttlBatches &&
+        fs.exists(new org.apache.hadoop.fs.Path(ttlDeltaPath(dir, id), "_SUCCESS")))
+    if (ids.isEmpty) None
+    else Some(
+      ids.map(id => spark.read.parquet(ttlDeltaPath(dir, id)))
+        .reduce(_.unionByName(_))
+        .groupBy("band", "h").agg(max(col("last_batch")).as("last_batch")))
   }
 
-  private def listTtlGens(fs: org.apache.hadoop.fs.FileSystem,
+  private def listTtlDeltas(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[Long] =
     fs.listStatus(p).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("gen=") => n.drop(4) }
+      .collect { case n if n.startsWith("delta=") => n.drop(6) }
       .flatMap(_.toLongOption)
 
   /** The (band, h) key table of a static reference corpus — the seed state

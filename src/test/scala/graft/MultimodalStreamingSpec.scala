@@ -825,9 +825,9 @@ class StreamingSpec extends SparkSpecBase {
       "text", "doc_id", ttlBatches = 2, shingleSize = 1,
       stateDir = Some(dir))(admittedOf(aBuf))
     (0 to 2).foreach(i => stepA(batches(i), i.toLong))
-    // crash-AFTER-state-write: gen=2 exists on disk; a replay of batch 2 by
-    // a fresh closure must skip gen=2 and admit against gen=1, reproducing
-    // the original batch-2 output (doc 4) exactly
+    // crash-AFTER-state-write: delta=2 exists on disk; a replay of batch 2
+    // by a fresh closure must skip its own delta and admit against the
+    // window below it, reproducing the original batch-2 output (doc 4)
     val cBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
     val stepC = StreamingDedup.nearDupForeachBatchTtl(
       "text", "doc_id", ttlBatches = 2, shingleSize = 1,
@@ -842,13 +842,15 @@ class StreamingSpec extends SparkSpecBase {
     (3 to 4).foreach(i => stepB(batches(i), i.toLong))
     assert((aBuf ++ bBuf).sorted.toSeq == refBuf.sorted.toSeq,
       s"restarted run ${(aBuf ++ bBuf).sorted} != uninterrupted ${refBuf.sorted}")
-    // pruning holds storage at two complete generations
-    val gens = new java.io.File(dir).listFiles().filter(_.getName.startsWith("gen=")).map(_.getName)
-    assert(gens.length <= 2, s"expected <=2 retained generations, got ${gens.mkString(",")}")
+    // pruning bounds the delta log to the TTL horizon (ids > last - ttl)
+    val deltas = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("delta=")).map(_.getName).sorted
+    assert(deltas.toSeq == Seq("delta=3", "delta=4"),
+      s"expected the trailing-window deltas only, got ${deltas.mkString(",")}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("durable TTL recovery ignores generations without a _SUCCESS marker") {
+  test("durable TTL recovery ignores deltas without a _SUCCESS marker") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
     val dir = java.nio.file.Files.createTempDirectory("ttlstate2").toString
@@ -862,12 +864,12 @@ class StreamingSpec extends SparkSpecBase {
     }
     stepA(b0, 0L); stepA(b1, 1L)
     assert(aBuf.sorted.toSeq == Seq(1L, 2L))
-    // corrupt gen=1 (simulated half-written generation): marker gone
-    val marker = new java.io.File(s"$dir/gen=1/_SUCCESS")
+    // corrupt delta=1 (simulated half-written delta): marker gone
+    val marker = new java.io.File(s"$dir/delta=1/_SUCCESS")
     assert(marker.exists()); assert(marker.delete())
-    // a fresh closure at batch 2 must fall back to gen=0 — a dup of doc 1
-    // is still dropped (state recovered), while doc 2's bands are NOT in
-    // gen=0, so a dup of doc 2 is re-admitted (incomplete gen=1 skipped)
+    // a fresh closure at batch 2 recovers from delta=0 only — a dup of
+    // doc 1 is still dropped, while doc 2's sightings lived in the
+    // incomplete delta=1, so a dup of doc 2 is re-admitted
     val bBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
     val stepB = StreamingDedup.nearDupForeachBatchTtl(
       "text", "doc_id", ttlBatches = 10, shingleSize = 1,
@@ -877,7 +879,7 @@ class StreamingSpec extends SparkSpecBase {
     stepB(Seq((3L, "alpha beta gamma delta"), (4L, "totally different words here"))
       .toDF("doc_id", "text"), 2L)
     assert(bBuf.sorted.toSeq == Seq(4L),
-      s"expected gen=1 skipped (4 re-admitted, 3 dropped), got ${bBuf.sorted}")
+      s"expected delta=1 skipped (4 re-admitted, 3 dropped), got ${bBuf.sorted}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
