@@ -908,6 +908,31 @@ object SparkEntry {
       wdf.applyRowsFn(vs => vs.flatten.maxOption, keep = Seq("event_id"))
         .orderBy("event_id")
     }),
+    // A8 axis=1 result_type="expand": list-like row results become columns
+    // (distributed Dataset.map; same weighted-row view as q38)
+    "q91_apply_expand" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
+        .withColumn("v2", col("value") * 0.5 - 10.0)
+        .select("event_id", "value", "v2", "w")
+      val wdf = WeightedDataFrame.wt(e, "w")
+      wdf.applyRowsFnExpand(
+        vs => Seq(vs.flatten.minOption, vs.flatten.maxOption,
+          Some(vs.flatten.sum).filter(_ => vs.flatten.nonEmpty)),
+        outCols = Seq("rmin", "rmax", "rsum"), keep = Seq("event_id"))
+        .orderBy("event_id")
+    }),
+    // A8 axis=1 result_type="broadcast": a scalar row result broadcast back
+    // onto the frame's original numeric columns (original shape retained)
+    "q92_apply_broadcast" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
+        .withColumn("v2", col("value") * 0.5 - 10.0)
+        .select("event_id", "value", "v2", "w")
+      val wdf = WeightedDataFrame.wt(e, "w")
+      wdf.applyRowsFnBroadcast(vs => Seq(vs.flatten.maxOption), keep = Seq("event_id"))
+        .orderBy("event_id")
+    }),
     // multimodal plumbing: decode-stub feature extraction; metadata columns
     // are deterministic and oracle-checked (features are hash-driven)
     "q30_multimodal_meta" -> ((s, dir) =>
@@ -1721,6 +1746,19 @@ object SparkEntry {
         .replace("FROM documents", keepFirstDocsSql),
     "q38_apply_rowwise" ->
       """SELECT event_id, greatest(value * w, (value * 0.5 - 10.0) * w) AS value
+        |FROM (SELECT event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "q91_apply_expand" ->
+      """SELECT event_id,
+        |least(value * w, (value * 0.5 - 10.0) * w) AS rmin,
+        |greatest(value * w, (value * 0.5 - 10.0) * w) AS rmax,
+        |value * w + (value * 0.5 - 10.0) * w AS rsum
+        |FROM (SELECT event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "q92_apply_broadcast" ->
+      """SELECT event_id,
+        |greatest(value * w, (value * 0.5 - 10.0) * w) AS value,
+        |greatest(value * w, (value * 0.5 - 10.0) * w) AS v2
         |FROM (SELECT event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
     "q30_multimodal_meta" ->

@@ -365,6 +365,82 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Row-wise `apply` with `result_type="expand"` semantics
+    * (`frame.py:287-367` forwards `result_type` to pandas: a list-like
+    * result per row becomes columns). `f` sees the weighted numeric columns
+    * in [[numericCols]] order and returns exactly `outCols.size` values,
+    * which become columns named `outCols`; `keep` names pass-through
+    * columns prepended to the result. Distributed like [[applyRowsFn]]
+    * (a `Dataset.map`; rows never leave the executors).
+    */
+  def applyRowsFnExpand(
+      f: Seq[Option[Double]] => Seq[Option[Double]],
+      outCols: Seq[String],
+      keep: Seq[String] = Nil): DataFrame = {
+    require(outCols.nonEmpty, "result_type=expand needs at least one output column")
+    require(outCols.distinct.size == outCols.size, s"duplicate output columns: $outCols")
+    keep.foreach(k => require(!outCols.contains(k),
+      s"output column '$k' collides with a keep column"))
+    val ns = numericCols.filterNot(keep.contains)
+    require(ns.nonEmpty, "no aggregable columns (frame has no numeric value columns)")
+    val in = df.select(keep.map(col) ++ ns.map(c => (nc(c) * w).cast(DoubleType).as(c)): _*)
+    val keepFields = keep.map(c => in.schema(c))
+    val outSchema = StructType(
+      keepFields.toArray ++ outCols.map(c => StructField(c, DoubleType)))
+    val nKeep = keep.size
+    val nVals = ns.size
+    val nOut = outCols.size
+    in.map { r =>
+      val vals: Seq[Option[Double]] = (0 until nVals).map { i =>
+        if (r.isNullAt(nKeep + i)) None else Some(r.getDouble(nKeep + i))
+      }
+      val out = f(vals)
+      require(out.size == nOut,
+        s"expand function returned ${out.size} values for $nOut output columns")
+      Row.fromSeq((0 until nKeep).map(r.get) ++
+        out.map(_.map(java.lang.Double.valueOf).orNull))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Row-wise `apply` with `result_type="broadcast"` semantics
+    * (`frame.py:287-367`: the result is broadcast back to the frame's
+    * original shape — original numeric columns retained). `f` returns
+    * either ONE value (a scalar, broadcast across every numeric column of
+    * that row — pandas' scalar-result rule) or exactly one value per
+    * numeric column (element-wise); anything else fails fast, like
+    * pandas' ValueError. Distributed like [[applyRowsFn]].
+    */
+  def applyRowsFnBroadcast(
+      f: Seq[Option[Double]] => Seq[Option[Double]],
+      keep: Seq[String] = Nil): DataFrame = {
+    val ns = numericCols.filterNot(keep.contains)
+    require(ns.nonEmpty, "no aggregable columns (frame has no numeric value columns)")
+    val nVals = ns.size
+    applyRowsFnExpand(
+      vs => {
+        val out = f(vs)
+        require(out.size == 1 || out.size == nVals,
+          s"broadcast function returned ${out.size} values; " +
+            s"expected 1 (scalar) or $nVals (one per numeric column)")
+        if (out.size == 1) Seq.fill(nVals)(out.head) else out
+      },
+      outCols = ns, keep = keep)
+  }
+
+  /** Row-wise `apply`, `raw=False` analogue (`frame.py:287-367`: pandas
+    * passes each row as a labeled Series; `raw=True` passes a bare
+    * ndarray). [[applyRowsFn]] is the `raw=True` shape — positional values
+    * only; this variant hands `f` a name → value map (insertion-ordered by
+    * [[numericCols]]) so the function can address columns by label.
+    * Same distributed `Dataset.map` execution.
+    */
+  def applyRowsFnLabeled(
+      f: scala.collection.immutable.ListMap[String, Option[Double]] => Option[Double],
+      keep: Seq[String] = Nil): DataFrame = {
+    val ns = numericCols.filterNot(keep.contains)
+    applyRowsFn(vs => f(scala.collection.immutable.ListMap(ns.zip(vs): _*)), keep)
+  }
+
   /** Arbitrary-callable frame `apply` — the parity path for the reference's
     * axis=0 `apply` with a function no expression can build
     * (`frame.py:287-367`: `func` receives the full *weighted* column;

@@ -161,6 +161,66 @@ class WeightedFrameSpec extends SparkSpecBase {
     assert(gotN(0).getDouble(1) == 20.0 && gotN(1).isNullAt(1))
   }
 
+  test("applyRowsFnExpand: result_type=expand turns list results into columns (frame.py:287-367)") {
+    val d = Seq((1L, 10.0, 1.0, 2.0), (2L, 20.0, 3.0, 1.0), (3L, 30.0, 5.0, 0.5))
+      .toDF("id", "a", "b", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    val got = wdf.applyRowsFnExpand(
+      vs => Seq(Some(vs.flatten.min), Some(vs.flatten.max), Some(vs.flatten.sum)),
+      outCols = Seq("rmin", "rmax", "rsum"), keep = Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // weighted rows: (20,2), (20,3), (15,2.5)
+    assert(got == Seq((1L, 2.0, 20.0, 22.0), (2L, 3.0, 20.0, 23.0), (3L, 2.5, 15.0, 17.5)))
+    // arity mismatch fails fast like pandas' expand ValueError (at execution:
+    // the check lives inside the distributed map)
+    val bad = wdf.applyRowsFnExpand(vs => Seq(Some(1.0)), outCols = Seq("x", "y"))
+    assertThrows[org.apache.spark.SparkException](bad.collect())
+    // NULL propagates: a None element surfaces as a NULL cell
+    val dn = Seq((1L, Some(2.0), 1.0), (2L, None: Option[Double], 2.0)).toDF("id", "a", "weights")
+    val gotN = WeightedDataFrame.wt(dn, "weights")
+      .applyRowsFnExpand(vs => Seq(vs.head, vs.head.map(_ * 10)),
+        outCols = Seq("v", "v10"), keep = Seq("id"))
+      .orderBy("id").collect()
+    assert(gotN(0).getDouble(2) == 20.0 && gotN(1).isNullAt(1) && gotN(1).isNullAt(2))
+  }
+
+  test("applyRowsFnBroadcast: result_type=broadcast keeps the original columns (frame.py:287-367)") {
+    val d = Seq((1L, 10.0, 1.0, 2.0), (2L, 20.0, 3.0, 1.0), (3L, 30.0, 5.0, 0.5))
+      .toDF("id", "a", "b", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    // scalar result → broadcast across every numeric column of the row
+    val scal = wdf.applyRowsFnBroadcast(vs => Seq(Some(vs.flatten.max)), keep = Seq("id"))
+    assert(scal.columns.toSeq == Seq("id", "a", "b")) // original shape retained
+    val got = scal.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 20.0, 20.0), (2L, 20.0, 20.0), (3L, 15.0, 15.0)))
+    // element-wise result of the right arity → per-column values
+    val elem = wdf.applyRowsFnBroadcast(vs => vs.map(_.map(_ + 1.0)), keep = Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(elem == Seq((1L, 21.0, 3.0), (2L, 21.0, 4.0), (3L, 16.0, 3.5)))
+    // wrong arity fails fast (pandas raises ValueError on shape mismatch)
+    val bad = wdf.applyRowsFnBroadcast(vs => Seq(Some(1.0), Some(2.0), Some(3.0)), keep = Seq("id"))
+    assertThrows[org.apache.spark.SparkException](bad.collect())
+  }
+
+  test("applyRowsFnLabeled: raw=False analogue passes a labeled row (frame.py:287-367)") {
+    val d = Seq((1L, 10.0, 1.0, 2.0), (2L, 20.0, 3.0, 1.0))
+      .toDF("id", "a", "b", "weights")
+    val wdf = WeightedDataFrame.wt(d, "weights")
+    // address columns by name — the Series-label affordance raw=True drops
+    val got = wdf.applyRowsFnLabeled(
+      row => for { a <- row("a"); b <- row("b") } yield a - b, keep = Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 18.0), (2L, 17.0))) // (20-2), (20-3)
+    // label order is numericCols order
+    val order = wdf.applyRowsFnLabeled(row => { assert(row.keys.toSeq == Seq("a", "b")); Some(0.0) },
+      keep = Seq("id"))
+    order.collect()
+  }
+
   test("boolean columns aggregate as 1/0 (select_dtypes number+bool, frame.py:268)") {
     val d = Seq((true, 1.0), (false, 2.0), (true, 3.0)).toDF("b", "weights")
     val wdf = WeightedDataFrame.wt(d, "weights")
