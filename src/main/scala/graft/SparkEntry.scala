@@ -808,6 +808,18 @@ object SparkEntry {
         "text", "doc_id", n = 3)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
+    // the 100 TB drop path: broadcast Bloom prefilter routes definitely-
+    // clean docs scan→output with zero shuffle; bloom-hit suspects re-run
+    // the exact machinery, so the result is EXACTLY the anti-join path's.
+    // n=2 + maxShared=1 exercises the overlap threshold (q62 uses the
+    // default 0)
+    "q93_drop_contaminated_bloom" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.ops.Decontamination.dropContaminatedBloom(
+        d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 2, maxShared = 1L)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
     // token-budget mixture: first docs per (lang, source) until each
     // group's running whitespace-token total passes 500 (one window
     // shuffle; budget chosen so the cut BINDS at the oracle-checked SFs —
@@ -1677,6 +1689,19 @@ object SparkEntry {
         |i -> list_aggregate(a[i:i+2], 'string_agg', ' ')))) AS gr FROM d),
         |b AS (SELECT DISTINCT gr FROM g WHERE doc_id % 97 = 0),
         |bad AS (SELECT DISTINCT c.doc_id FROM g c JOIN b ON c.gr = b.gr WHERE c.doc_id % 97 <> 0)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // bigram variant of the q62 CTE pattern (i ranges to len-1, slice is
+    // 2 tokens, HAVING enforces maxShared=1); the Bloom prefilter cannot
+    // change the result, only which rows take the exact confirm path
+    "q93_drop_contaminated_bloom" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(a), 1)),
+        |i -> list_aggregate(a[i:i+1], 'string_agg', ' ')))) AS gr FROM d),
+        |b AS (SELECT DISTINCT gr FROM g WHERE doc_id % 97 = 0),
+        |bad AS (SELECT c.doc_id FROM g c JOIN b ON c.gr = b.gr WHERE c.doc_id % 97 <> 0
+        |GROUP BY c.doc_id HAVING count(*) > 1)
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),

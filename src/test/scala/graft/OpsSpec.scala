@@ -623,6 +623,30 @@ class DecontaminationSpec extends SparkSpecBase {
       corpus, bench, "text", "doc_id", 3, maxShared = 2L)
     assert(loose.count() == 2)
   }
+
+  test("dropContaminatedBloom is exactly dropContaminated; FPs only re-route") {
+    val corpus = Seq(
+      (1L, Some("x the quick brown fox y"), "c1"), // 2 shared grams at n=3
+      (2L, Some("clean text with no overlap at all"), "c2"),
+      (3L, Some("ab"), "c3"), // < n tokens: zero grams, fast-path keep
+      (4L, None: Option[String], "c4")).toDF("doc_id", "text", "tag")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = Decontamination.dropContaminated(corpus, bench, "text", "doc_id", 3)
+    val fast = Decontamination.dropContaminatedBloom(corpus, bench, "text", "doc_id", 3)
+    assert(fast.columns.toSeq == corpus.columns.toSeq)
+    assert(ids(fast) == ids(exact) && ids(fast) == Seq(2L, 3L, 4L))
+    // a near-saturated sketch (fpp=0.99 → minimal bits) routes ~everything
+    // down the exact confirm path — the RESULT cannot change, a bloom FP
+    // is never a drop verdict
+    val saturated = Decontamination.dropContaminatedBloom(
+      corpus, bench, "text", "doc_id", 3, fpp = 0.99)
+    assert(ids(saturated) == ids(exact))
+    // the threshold flows through: doc 1's 2 shared grams pass maxShared=2
+    val loose = Decontamination.dropContaminatedBloom(
+      corpus, bench, "text", "doc_id", 3, maxShared = 2L)
+    assert(ids(loose) == Seq(1L, 2L, 3L, 4L))
+  }
 }
 
 class AsOfJoinSpec extends SparkSpecBase {
