@@ -982,6 +982,26 @@ object SparkEntry {
           round(col("p.rms"), 6).as("rms"))
         .orderBy("media_id")
     }),
+    // video modality: ISO-BMFF (MP4) box-tree walk by the native VideoMeta
+    // expression — brand from ftyp, timescale/duration from mvhd, track
+    // count, dims (16.16 fixed) + handler from the first vide trak; the
+    // oracle reconstructs every field AND the first 36 header bytes from
+    // doc_id arithmetic (q57's byte-level pattern, video sibling)
+    "q94_video_meta" -> ((s, dir) => {
+      val v = Multimodal.videoFromDocuments(table(s, dir, "documents"))
+      v.select(col("media_id"),
+          graft.functions.MediaFunctions.videoMeta(col("payload")).as("m"),
+          col("payload"))
+        .select(col("media_id"), col("m.brand").as("brand"),
+          col("m.timescale").cast("long").as("timescale"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_tracks").cast("long").as("n_tracks"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          col("m.handler").as("handler"),
+          hex(substring(col("payload"), 1, 36)).as("hdr_hex"))
+        .orderBy("media_id")
+    }),
     // multimodal byte-level decode: dims parsed FROM the payload bytes by
     // the native ImageDims expression (PNG IHDR / JPEG SOF segment walk);
     // hdr_hex exposes the raw header so the oracle checks the byte layout
@@ -1827,6 +1847,20 @@ object SparkEntry {
         |CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sum_sq,
         |round(sqrt(CAST(sum(CAST(x AS BIGINT) * x) AS DOUBLE) / max(ns)), 6) AS rms
         |FROM w GROUP BY media_id ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // video: DuckDB reconstructs mvhd timescale/duration math, trak count,
+    // tkhd dims, and the exact first-36-byte ftyp+moov+mvhd prefix (box
+    // sizes included — 116+141·n pins the whole layout arithmetic) that
+    // Spark built and the native VideoMeta box walk parsed back
+    "q94_video_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id, 600*(doc_id%4+1) AS ts,
+        |doc_id%9000+600 AS dur, (doc_id%8)*160+320 AS w, (doc_id%6)*120+240 AS h,
+        |doc_id%2+1 AS nt FROM documents)
+        |SELECT media_id, 'isom' AS brand, CAST(ts AS BIGINT) AS timescale,
+        |CAST(dur AS BIGINT)*1000 // ts AS duration_ms, CAST(nt AS BIGINT) AS n_tracks,
+        |CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, 'vide' AS handler,
+        |'000000106674797069736F6D00000200' || lpad(hex(116+141*nt), 8, '0') ||
+        |'6D6F6F76' || '0000006C6D76686400000000' AS hdr_hex
+        |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "),
     // byte-level decode check: Spark PARSES width/height/format back out of
     // the payload's container header (native ImageDims expression); DuckDB
     // independently RECONSTRUCTS the exact header bytes from arithmetic.

@@ -509,6 +509,191 @@ object PngPixelStats {
   }
 }
 
+/** MP4 / ISO-BMFF video container metadata parsing — the video-modality
+  * sibling of [[ImageDims]]/[[AudioMeta]]: the container is a tree of boxes
+  * (`size:be32 type:4 payload` — size 1 ⇒ a 64-bit largesize follows, size 0
+  * ⇒ the box runs to EOF, per ISO/IEC 14496-12 §4.2), and the metadata a
+  * catalog needs lives in a handful of them: `ftyp`'s major brand, `mvhd`'s
+  * movie timescale/duration (version 0 and 1 layouts), the `trak` count,
+  * and — from the first VIDEO track (`mdia/hdlr` handler `vide`) — the
+  * `tkhd` presentation dims (16.16 fixed-point). Boxes may appear in any
+  * order at each level; unknown boxes are skipped by size, never assumed
+  * away. Anything malformed (truncated box, size smaller than its own
+  * header, missing moov/mvhd) yields NULL, never a throw.
+  *
+  * One native expression per row inside whole-stage codegen: only the moov
+  * subtree's bytes are touched (mdat — virtually all of a real file — is
+  * skipped by its size field), so at 100 TB this is a narrow projection
+  * whose cost is independent of payload size.
+  */
+case class VideoMeta(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true // not an ISO-BMFF payload → NULL
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("handler", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"video_meta requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VideoMeta.parse(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vmeta")
+      s"""
+         |InternalRow $r = graft.functions.VideoMeta.parse($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VideoMeta {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+  private def ascii4(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Box header at `at` within `[at, end)` → (payloadStart, boxEnd), or
+    * null when the header is truncated / the size is inconsistent. Sizes
+    * are unsigned 32-bit (Long math throughout — a forged size near 2³²
+    * must fail the bounds check, not wrap negative). */
+  private def box(b: Array[Byte], at: Long, end: Long): Array[Long] = {
+    if (at + 8 > end) return null
+    val i = at.toInt
+    var size = be32(b, i)
+    var hdr = 8L
+    if (size == 1L) {
+      if (at + 16 > end) return null
+      size = be64(b, i + 8)
+      hdr = 16L
+    } else if (size == 0L) size = end - at // last box runs to EOF
+    if (size < hdr || at + size > end) return null
+    Array(at + hdr, at + size)
+  }
+
+  private final class Track {
+    var width: Int = 0
+    var height: Int = 0
+    var handler: String = "none"
+  }
+
+  /** tkhd (v0/v1): presentation width/height, 16.16 fixed-point. */
+  private def readTkhd(b: Array[Byte], p: Long, end: Long, t: Track): Unit = {
+    if (p + 4 > end) return
+    val v = u8(b, p.toInt)
+    // v0: vf4 ctime4 mtime4 tid4 res4 dur4 res8 layer2 alt2 vol2 res2 mat36 w4 h4
+    // v1: vf4 ctime8 mtime8 tid4 res4 dur8 res8 layer2 alt2 vol2 res2 mat36 w4 h4
+    val wOff = if (v == 1) 88L else 76L
+    if (p + wOff + 8 > end) return
+    t.width = (be32(b, (p + wOff).toInt) >> 16).toInt
+    t.height = (be32(b, (p + wOff + 4).toInt) >> 16).toInt
+  }
+
+  private def readHdlr(b: Array[Byte], p: Long, end: Long, t: Track): Unit =
+    if (p + 12 <= end) t.handler = ascii4(b, (p + 8).toInt)
+
+  /** `(brand, timescale, duration_ms, n_tracks, width, height, handler)`
+    * from an ISO-BMFF (MP4/MOV) payload, or null when the bytes are not a
+    * well-formed container with a moov/mvhd. Dims/handler come from the
+    * first `vide` track, falling back to the first track of any kind. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 16) return null
+    val len = b.length.toLong
+    var brand = "unknown"
+    var moovP = -1L
+    var moovEnd = -1L
+    var i = 0L
+    var sawBox = false
+    while (i + 8 <= len) {
+      val h = box(b, i, len)
+      if (h == null) return null // truncated / inconsistent top-level box
+      sawBox = true
+      val at = i.toInt
+      if (tag(b, at + 4, "ftyp") && h(0) + 4 <= h(1)) brand = ascii4(b, h(0).toInt)
+      else if (tag(b, at + 4, "moov")) { moovP = h(0); moovEnd = h(1) }
+      i = h(1)
+    }
+    if (!sawBox || moovP < 0) return null
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var video: Track = null
+    var first: Track = null
+    var j = moovP
+    while (j + 8 <= moovEnd) {
+      val h = box(b, j, moovEnd)
+      if (h == null) return null
+      val at = j.toInt
+      if (tag(b, at + 4, "mvhd")) {
+        val p = h(0)
+        if (p + 4 <= h(1)) {
+          val v = u8(b, p.toInt)
+          if (v == 1 && p + 32 <= h(1)) {
+            timescale = be32(b, (p + 20).toInt)
+            duration = be64(b, (p + 24).toInt)
+          } else if (v == 0 && p + 20 <= h(1)) {
+            timescale = be32(b, (p + 12).toInt)
+            duration = be32(b, (p + 16).toInt)
+          }
+        }
+      } else if (tag(b, at + 4, "trak")) {
+        nTracks += 1
+        val t = new Track
+        var k = h(0)
+        while (k + 8 <= h(1)) {
+          val th = box(b, k, h(1))
+          if (th == null) return null
+          val kat = k.toInt
+          if (tag(b, kat + 4, "tkhd")) readTkhd(b, th(0), th(1), t)
+          else if (tag(b, kat + 4, "mdia")) {
+            var m = th(0)
+            while (m + 8 <= th(1)) {
+              val mh = box(b, m, th(1))
+              if (mh == null) return null
+              if (tag(b, m.toInt + 4, "hdlr")) readHdlr(b, mh(0), mh(1), t)
+              m = mh(1)
+            }
+          }
+          k = th(1)
+        }
+        if (first == null) first = t
+        if (video == null && t.handler == "vide") video = t
+      }
+      j = h(1)
+    }
+    if (timescale <= 0 || timescale > Int.MaxValue || duration < 0) return null
+    val pick = if (video != null) video else first
+    val durationMs = duration * 1000L / timescale
+    InternalRow(
+      UTF8String.fromString(brand), timescale.toInt, durationMs, nTracks,
+      if (pick != null) pick.width else 0,
+      if (pick != null) pick.height else 0,
+      UTF8String.fromString(if (pick != null) pick.handler else "none"))
+  }
+}
+
 object MediaFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -532,4 +717,10 @@ object MediaFunctions {
     * scanline unfilter); NULL for unsupported/undecodable payloads. */
   def pngPixelStats(payload: Column): Column =
     ColumnBridge.column(PngPixelStats(ColumnBridge.expression(payload)))
+
+  /** `video_meta(payload)` — struct(brand, timescale, duration_ms, n_tracks,
+    * width, height, handler) parsed from an ISO-BMFF (MP4/MOV) box tree;
+    * NULL for unrecognized payloads. */
+  def videoMeta(payload: Column): Column =
+    ColumnBridge.column(VideoMeta(ColumnBridge.expression(payload)))
 }

@@ -286,6 +286,60 @@ object Multimodal {
       concat(header, encode(col("text"), "UTF-8")).as("payload"))
   }
 
+  /** Build a demo VIDEO media table from the documents table: payloads
+    * carry a real ISO-BMFF (MP4) box tree — `ftyp` (isom), `moov` holding a
+    * spec-shaped `mvhd` (timescale/duration, unity matrix), one video
+    * `trak` (`tkhd` with 16.16 fixed-point dims + `mdia/hdlr` type `vide`),
+    * for odd doc_ids a second audio `trak` (`soun`), then an `mdat` box
+    * with the document text as stand-in sample data. Every variable field
+    * (box sizes, timescale, duration, dims, track count) is genuinely
+    * encoded big-endian in the payload bytes and
+    * [[graft.functions.VideoMeta]] parses them back; the DuckDB oracle
+    * (q94) reconstructs the same values — and the first 36 header bytes
+    * bit-for-bit — from doc_id arithmetic alone. */
+  def videoFromDocuments(docs: DataFrame): DataFrame = {
+    def bh(c: Column, nBytes: Int): Column = lpad(hex(c), nBytes * 2, "0")
+    val ts = (col("doc_id") % 4 + 1).cast("long") * 600L // ticks per second
+    val dur = (col("doc_id") % 9000 + 600).cast("long") // ticks
+    val w = (col("doc_id") % 8 * 160 + 320).cast("long")
+    val h = (col("doc_id") % 6 * 120 + 240).cast("long")
+    val nt = (col("doc_id") % 2 + 1).cast("long") // 1 video (+1 audio) trak
+    val matrix = // unity transform: diag(1.0, 1.0, 1.0) in 16.16 / 2.30
+      "000100000000000000000000" + "000000000001000000000000" +
+        "000000000000000040000000"
+    val mvhd = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      bh(ts, 4), bh(dur, 4),
+      lit("00010000" + "0100" + "0000" + "0000000000000000" + matrix + "0" * 48),
+      bh(nt + 1, 4)) // rate 1.0, volume 1.0, matrix, 24B predefined, next id
+    def trakHex(trackId: Long, handlerHex: String, wc: Column, hc: Column,
+        volHex: String): Column = concat(
+      lit("0000008D" + "7472616B" + // trak(141)
+        "0000005C" + "746B6864" + "00000007" + "00000000" + "00000000"), // tkhd v0
+      lit(f"$trackId%08X"), lit("00000000"), bh(dur, 4),
+      lit("0000000000000000" + "0000" + "0000" + volHex + "0000" + matrix),
+      bh(wc, 2), lit("0000"), bh(hc, 2), lit("0000"), // 16.16 fixed dims
+      lit("00000029" + "6D646961" + // mdia(41)
+        "00000021" + "68646C72" + "00000000" + "00000000" + // hdlr(33)
+        handlerHex + "0" * 24 + "00")) // type, 12B reserved, empty name
+    val hexAll = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200"), // ftyp(16)
+      bh(nt * 141 + 116, 4), lit("6D6F6F76"), // moov size = 8+108+141·n
+      mvhd,
+      trakHex(1, "76696465", w, h, "0000"), // 'vide'
+      when(nt === 2, trakHex(2, "736F756E", lit(0L), lit(0L), "0100"))
+        .otherwise(lit("")), // 'soun'
+      bh(length(encode(col("text"), "UTF-8")).cast("long") + 8, 4),
+      lit("6D646174")) // mdat header; text bytes follow
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("mp4").as("kind"),
+      ts.cast("int").as("timescale"),
+      w.cast("int").as("width"),
+      h.cast("int").as("height"),
+      concat(unhex(hexAll), encode(col("text"), "UTF-8")).as("payload"))
+  }
+
   /** [[graft.functions.PngPixelStats]] result row → [[PixelStats]] (the
     * shared shape both decode paths feed into). */
   private def rowStats(px: org.apache.spark.sql.catalyst.InternalRow): PixelStats =

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/sink helpers. The reference has no I/O layer of its own (pandas
@@ -10,22 +10,39 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Read one of the driver's test tables. `events.ts` arrives as parquet
-    * TIMESTAMP(NANOS), which Spark's default schema converter rejects;
-    * reading with an explicit schema (ts as raw long nanos) avoids the
-    * legacy `nanosAsLong` session conf — no session state is mutated —
-    * then ts is normalized to a microsecond timestamp via integer division
-    * (double math would corrupt epochs above 2⁵³ ns).
+  /** Read one of the driver's test tables. `events.ts` has shipped as
+    * parquet TIMESTAMP(MICROS) in some data generations and
+    * TIMESTAMP(NANOS) in others. MICROS reads natively; NANOS makes
+    * Spark's default schema converter THROW at relation resolution — and
+    * the converse trap is silent: an explicit ts-as-long schema happily
+    * reads a MICROS column's raw int64 and a blanket `div 1000` then
+    * corrupts every timestamp by 1000×. So detect by attempting the
+    * native read first, and only fall back to the explicit-schema
+    * nanos path (raw long nanos, normalized by integer division —
+    * double math would corrupt epochs above 2⁵³ ns) when the native
+    * schema conversion rejects the file. No legacy `nanosAsLong`
+    * session conf either way — no session state is mutated.
     */
   def testTable(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       import org.apache.spark.sql.types._
-      val sch = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      spark.read.schema(sch).parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val path = s"$dir/events.parquet"
+      scala.util.Try {
+        val df = spark.read.parquet(path)
+        val t = df.schema("ts").dataType.typeName
+        // MICROS arrives as TIMESTAMP_NTZ (isAdjustedToUTC=false under
+        // inferTimestampNTZ) or TIMESTAMP; normalize to TIMESTAMP — under
+        // the engine's pinned UTC session zone the cast is instant-exact
+        require(t == "timestamp" || t == "timestamp_ntz", s"events.ts is $t")
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      }.getOrElse {
+        val sch = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        spark.read.schema(sch).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Generic format read (parquet/orc/json/csv); csv/json get schema
@@ -144,6 +161,63 @@ object Tables {
     * joins/aggs on the bucket key skip their exchange). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Morton (z-order) interleave of `zCols`, each quantile-bucketed into
+    * `2^bits` ranks. The rank boundaries come from one distributed
+    * `approxQuantile` pass (never a global window — an `ntile` over an
+    * unpartitioned ORDER BY would serialize the corpus into one task), so
+    * buckets stay balanced under arbitrary skew; the interleave itself is a
+    * pure per-row bit expression inside whole-stage codegen. */
+  def zOrderValue(df: DataFrame, zCols: Seq[String], bits: Int = 4): Column = {
+    require(zCols.nonEmpty, "zOrderValue needs at least one column")
+    require(bits >= 1 && bits <= 8, s"bits must be in [1,8], got $bits")
+    require(zCols.size * bits <= 63, "interleaved width must fit a long")
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val buckets: Seq[Column] = zCols.map { c =>
+      val cuts = df.stat.approxQuantile(c, probs, 0.001)
+      // Σ [v ≥ cut] is the rank; NULL comparisons fall to otherwise(0), so
+      // nulls land in bucket 0 (lowest z region) rather than erroring
+      cuts.distinct.map(t => when(col(c) >= t, 1).otherwise(0))
+        .reduceOption(_ + _).getOrElse(lit(0))
+    }
+    (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, ci) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(lit(1)).cast("long"),
+          b * zCols.size + ci)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-ordered sink: range-partition + sort the corpus by the Morton
+    * interleave of `zCols`, so every output file's parquet min/max
+    * statistics form a TIGHT bounding box in ALL z dimensions at once.
+    *
+    * The 100 TB payoff is multi-column scan pruning: a layout sorted by one
+    * column prunes row-groups only for filters on that column — every file
+    * still spans the full range of every other column. Z-ordering bounds
+    * each file in every interleaved dimension (a contiguous Morton range is
+    * a compact hyper-rectangle of rank space), so `WHERE user_id = ?` AND
+    * `WHERE value BETWEEN ?` each skip most files, from footer stats alone,
+    * with no index structure to maintain. Layout cost is one range shuffle
+    * at write time, amortized over every downstream selective read. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      nFiles: Int,
+      bits: Int = 4,
+      format: String = "parquet"): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val zc = "__z__"
+    require(!df.columns.contains(zc), s"input already has a '$zc' column")
+    df.withColumn(zc, zOrderValue(df, zCols, bits))
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+      .write.mode("overwrite").option("maxRecordsPerFile", 0)
+      .format(format).save(path)
+  }
 
   /** Read a JSONL corpus — the de-facto interchange format for LLM training
     * data (one JSON document per line, typically .jsonl or .jsonl.gz).

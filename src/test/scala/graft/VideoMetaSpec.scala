@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MediaFunctions, VideoMeta}
+import graft.multimodal.Multimodal
+
+/** ISO-BMFF (MP4) metadata parse: fixture round-trip through the native
+  * expression (codegen path), plus handcrafted-byte coverage of the spec
+  * corners the fixture doesn't exercise — version-1 full boxes, 64-bit
+  * largesize, size-0 (to-EOF) boxes, box order, and malformed rejects. */
+class VideoMetaSpec extends SparkSpecBase {
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+  /** Box written with the 64-bit largesize escape (size field = 1). */
+  private def bigBox(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(1L) ++ tpe.getBytes("US-ASCII") ++ be64(payload.length + 16L) ++ payload
+
+  private val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200L))
+  private def mvhdV0(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur))
+  private def mvhdV1(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(ts) ++ be64(dur))
+  private def hdlr(kind: String): Array[Byte] =
+    box("hdlr", be32(0) ++ be32(0) ++ kind.getBytes("US-ASCII"))
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    box("tkhd", be32(7) ++ new Array[Byte](72) ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+  private def tkhdV1(w: Int, h: Int): Array[Byte] =
+    box("tkhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](84) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+  private def trak(tkhd: Array[Byte], kind: String): Array[Byte] =
+    box("trak", tkhd ++ box("mdia", hdlr(kind)))
+
+  private def parsed(b: Array[Byte]) = Option(VideoMeta.parse(b))
+
+  test("fixture round-trip: every field parses back; codegen path green") {
+    val v = Multimodal.videoFromDocuments(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60))
+    val rows = v.select(col("media_id"), col("timescale"), col("width"),
+        col("height"), MediaFunctions.videoMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("timescale"), col("width"), col("height"),
+        col("m.brand"), col("m.timescale").as("p_ts"), col("m.duration_ms"),
+        col("m.n_tracks"), col("m.width").as("p_w"), col("m.height").as("p_h"),
+        col("m.handler"))
+      .collect()
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(4) == "isom")
+      assert(r.getInt(5) == r.getInt(1)) // mvhd timescale ≡ metadata column
+      val ts = 600L * (id % 4 + 1)
+      val dur = id % 9000 + 600
+      assert(r.getLong(6) == dur * 1000L / ts)
+      assert(r.getInt(7) == (id % 2 + 1).toInt)
+      assert(r.getInt(8) == r.getInt(2) && r.getInt(9) == r.getInt(3))
+      assert(r.getString(10) == "vide")
+    }
+  }
+
+  test("version-1 mvhd and tkhd parse (64-bit times, shifted dim offsets)") {
+    val f = ftyp ++ box("moov", mvhdV1(90000, 900000) ++ trak(tkhdV1(1920, 1080), "vide"))
+    val m = parsed(f).get
+    assert(m.getInt(1) == 90000)
+    assert(m.getLong(2) == 10000L) // 900000 / 90000 s
+    assert(m.getInt(3) == 1 && m.getInt(4) == 1920 && m.getInt(5) == 1080)
+    assert(m.getString(6) == "vide")
+  }
+
+  test("largesize moov and size-0 trailing mdat walk correctly") {
+    val moov = bigBox("moov", mvhdV0(600, 1800) ++ trak(tkhdV0(640, 480), "vide"))
+    // size-0 final box: runs to EOF per spec
+    val mdat = be32(0L) ++ "mdat".getBytes ++ "payload-bytes".getBytes
+    val m = parsed(ftyp ++ moov ++ mdat).get
+    assert(m.getInt(1) == 600 && m.getLong(2) == 3000L)
+    assert(m.getInt(4) == 640 && m.getInt(5) == 480)
+  }
+
+  test("box order is free: moov before ftyp, mvhd after traks") {
+    val moov = box("moov",
+      trak(tkhdV0(320, 240), "soun") ++ trak(tkhdV0(800, 600), "vide") ++
+        mvhdV0(1000, 2500))
+    val m = parsed(moov ++ ftyp).get
+    assert(m.getString(0) == "isom")
+    assert(m.getLong(2) == 2500L && m.getInt(3) == 2)
+    // first VIDEO trak wins over the earlier audio trak
+    assert(m.getInt(4) == 800 && m.getInt(5) == 600 && m.getString(6) == "vide")
+  }
+
+  test("no video trak: first trak of any kind is the fallback") {
+    val f = ftyp ++ box("moov", mvhdV0(8000, 4000) ++ trak(tkhdV0(0, 0), "soun"))
+    val m = parsed(f).get
+    assert(m.getString(6) == "soun" && m.getInt(3) == 1)
+    assert(m.getInt(4) == 0 && m.getInt(5) == 0)
+  }
+
+  test("malformed payloads reject as NULL, never throw") {
+    assert(parsed("not an mp4 file at all".getBytes).isEmpty)
+    assert(parsed(Array.emptyByteArray).isEmpty)
+    // box size smaller than its own header
+    assert(parsed(be32(3L) ++ "free".getBytes ++ ftyp).isEmpty)
+    // truncated: size runs past EOF
+    assert(parsed(be32(64L) ++ "moov".getBytes ++ new Array[Byte](8)).isEmpty)
+    // well-formed boxes but no moov/mvhd
+    assert(parsed(ftyp).isEmpty)
+    assert(parsed(ftyp ++ box("moov", trak(tkhdV0(1, 1), "vide"))).isEmpty)
+    // forged largesize near 2^63 must fail bounds, not wrap
+    assert(parsed(be32(1L) ++ "moov".getBytes ++ be64(Long.MaxValue - 2) ++
+      new Array[Byte](16)).isEmpty)
+  }
+}
