@@ -50,6 +50,14 @@ object SparkEntry {
     ivfModels.computeIfAbsent(dir,
       d => Similarity.fitIvf(table(s, d, "embeddings"), "embedding"))
 
+  /** Fitted PQ codebooks per corpus dir — same train-once contract (and
+    * the same immutable-snapshot caveat) as [[ivfModel]]. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqModel]()
+  private[graft] def pqModel(s: SparkSession, dir: String): Similarity.PqModel =
+    pqModels.computeIfAbsent(dir,
+      d => Similarity.fitPq(table(s, d, "embeddings"), "embedding"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     wli(spark, "/root/testdata/sf0.001")
@@ -520,6 +528,30 @@ object SparkEntry {
       graft.core.WeightedRolling.rolling(wdf, "event_id", Seq("event_type"), 5)
         .mean().orderBy("event_type", "event_id")
     }),
+    // rolling weighted variance per key over the same 5-row frame — pins
+    // the moment-kernel window path (q33 pins mean; this pins var's
+    // nested safeDiv null semantics under the driver's grid)
+    "q95_rolling_var" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
+        .select("event_type", "event_id", "value", "w")
+      val wdf = WeightedDataFrame.wt(e, "w")
+      graft.core.WeightedRolling.rolling(wdf, "event_id", Seq("event_type"), 5)
+        .variance().orderBy("event_type", "event_id")
+    }),
+    // expanding (cumulative) weighted count per key — pins the unbounded
+    // frame path and count's empty-frame → 0.0 coalesce. Count, not sum:
+    // the integer-valued weights keep the cumulation bit-exact, where an
+    // arbitrary-double expanding sum diverges from the oracle engine's
+    // segment-tree summation order at the last ulps
+    "q96_expanding_count" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
+        .select("event_type", "event_id", "value", "w")
+      val wdf = WeightedDataFrame.wt(e, "w")
+      graft.core.WeightedRolling.expanding(wdf, "event_id", Seq("event_type"))
+        .count().orderBy("event_type", "event_id")
+    }),
     // pairwise weighted covariance, long format
     "q34_cov" -> ((s, dir) =>
       wli(s, dir).select(corrCols: _*).cov().orderBy("col_x", "col_y")),
@@ -705,6 +737,8 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val ivfK = Similarity.searchIvf(ivfModel(s, dir), emb, "vec_id", "embedding",
         pred, 5).select(col("query_id"), col("neighbor_id"))
+      val pqK = Similarity.searchIvfPq(ivfModel(s, dir), pqModel(s, dir), emb,
+        "vec_id", "embedding", pred, 5).select(col("query_id"), col("neighbor_id"))
       def report(name: String, truth: DataFrame, got: DataFrame,
           keys: Seq[String], floor: Double, minRows: Long): DataFrame =
         truth.join(got.withColumn("__hit__", lit(1)), keys, "left")
@@ -714,6 +748,7 @@ object SparkEntry {
             (col("hits").cast("double") / col("n") >= lit(floor)).as("above_floor"),
             (col("n") >= lit(minRows)).as("nonvacuous"))
       report("ann_ivf_k5", bruteK, ivfK, Seq("query_id", "neighbor_id"), 0.9, 40L)
+        .unionAll(report("ann_ivfpq_k5", bruteK, pqK, Seq("query_id", "neighbor_id"), 0.8, 40L))
         .unionAll(report("ann_lsh_k5", bruteK, lshK, Seq("query_id", "neighbor_id"), 0.7, 40L))
         .unionAll(report("lsh_top1", bruteNN, lshNN, Seq("doc_a", "doc_b"), 0.4, 400L))
         .orderBy("operator")
@@ -1441,6 +1476,27 @@ object SparkEntry {
         |FROM (SELECT event_type, event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
         |WINDOW win AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, event_id""".stripMargin.replace("\n", " "),
+    // rolling weighted var mirrors the library's nested safeDiv exactly:
+    // inner s²/n guarded by n≠0, outer divide guarded by n−ddof≠0, nulls
+    // propagating through the subtraction — no simplification, or edge
+    // frames (all-null windows) would hash-diverge
+    "q95_rolling_var" ->
+      """SELECT event_type, event_id,
+        |CASE WHEN sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) OVER win - 1 <> 0 THEN
+        |(sum(value * value * w) OVER win -
+        |CASE WHEN sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) OVER win <> 0 THEN
+        |(sum(value * w) OVER win) * (sum(value * w) OVER win)
+        |/ sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) OVER win END)
+        |/ (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) OVER win - 1) END AS value
+        |FROM (SELECT event_type, event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
+        |WINDOW win AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin.replace("\n", " "),
+    "q96_expanding_count" ->
+      """SELECT event_type, event_id,
+        |CAST(COALESCE(sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) OVER win, 0) AS DOUBLE) AS value
+        |FROM (SELECT event_type, event_id, value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events)
+        |WINDOW win AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin.replace("\n", " "),
     "q77_pct_rank" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
         |CAST(doc_id % 7 + 1 AS DOUBLE) AS w FROM documents)
@@ -1936,8 +1992,8 @@ object SparkEntry {
     // sentinels keep it non-vacuous (empty truth sets would go red)
     "q90_recall_report" ->
       """SELECT operator, above_floor, nonvacuous FROM (VALUES
-        |('ann_ivf_k5', true, true), ('ann_lsh_k5', true, true),
-        |('lsh_top1', true, true))
+        |('ann_ivf_k5', true, true), ('ann_ivfpq_k5', true, true),
+        |('ann_lsh_k5', true, true), ('lsh_top1', true, true))
         |AS t(operator, above_floor, nonvacuous) ORDER BY operator""".stripMargin.replace("\n", " "),
     // JPEG pixel oracle: block value i of doc = byte i of the 'A'-padded
     // text (each uniform 8x8 block contributes 64 pixels of that value —

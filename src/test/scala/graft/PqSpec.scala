@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** IVF-PQ: codebook shape, soundness (refined sims are EXACT cosines — the
+  * q37b discipline: approximation may only affect which candidates were
+  * considered, never reported values), and recall vs the brute truth. */
+class PqSpec extends SparkSpecBase {
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("fitPq: m codebooks of <=ksub centroids, dsub slices cover dim") {
+    val pq = Similarity.fitPq(emb, "embedding", m = 8, ksub = 16)
+    assert(pq.m == 8 && pq.dim == 64 && pq.dsub == 8)
+    assert(pq.codebooks.size == 8)
+    assert(pq.codebooks.forall(b => b.nonEmpty && b.size <= 16))
+    assert(pq.codebooks.forall(_.forall(_.size == 8)))
+    // fit is deterministic under the same seed
+    val pq2 = Similarity.fitPq(emb, "embedding", m = 8, ksub = 16)
+    assert(pq == pq2)
+  }
+
+  test("fitPq refuses non-dividing m and degenerate ksub") {
+    intercept[IllegalArgumentException] {
+      Similarity.fitPq(emb, "embedding", m = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.fitPq(emb, "embedding", ksub = 1)
+    }
+  }
+
+  test("ivfpq emits exact cosines and stays above the recall floor") {
+    val ivf = Similarity.fitIvf(emb, "embedding")
+    val pq = Similarity.fitPq(emb, "embedding")
+    val pred = col("vec_id") < 10
+    val got = Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding", pred, 5)
+      .localCheckpoint()
+    // soundness: every emitted sim IS the recomputed exact cosine, up to
+    // the search paths' shared round(sim, 6) output grid (q37b tolerance)
+    val re = got
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+      .select(col("sim"), Similarity.cosine(col("qe"), col("ne")).as("cos2"))
+    assert(re.where(abs(col("sim") - col("cos2")) > 5.01e-7).count() == 0)
+    // recall vs brute top-5 (same floor q90 pins under the driver grid)
+    val brute = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "neighbor_id")
+    val total = brute.count()
+    val hits = brute.intersect(got.select("query_id", "neighbor_id")).count()
+    assert(total >= 40, s"vacuous truth set: $total")
+    assert(hits.toDouble / total >= 0.8, s"recall ${hits.toDouble / total}")
+  }
+
+  test("refineFactor=1 narrows candidates but keeps soundness and k bound") {
+    val ivf = Similarity.fitIvf(emb, "embedding")
+    val pq = Similarity.fitPq(emb, "embedding")
+    val got = Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding",
+      col("vec_id") < 5, k = 3, refineFactor = 1)
+    val perQuery = got.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= 3))
+  }
+}
