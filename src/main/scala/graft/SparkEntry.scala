@@ -455,6 +455,17 @@ object SparkEntry {
     // §2.4 resample: 2-day buckets over events, all five aggregates
     "q16_resample" -> ((s, dir) =>
       wevents(s, dir).resample("ts", "2D", origin = "epoch").summary("value")),
+    // grouped resample (pandas groupby().resample()): per-key 2-day
+    // buckets, each group spanning its OWN empty-bucket spine — one
+    // shuffle on (key, bucket), never a per-group loop
+    "q97_grouped_resample" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
+        .select("event_type", "ts", "value", "w")
+      WeightedDataFrame.wt(e, "w")
+        .resample("ts", "2D", origin = "epoch", by = Seq("event_type"))
+        .summary("value")
+    }),
     // A8/G8 apply: weighted range per group over pre-weighted data
     "q17_grouped_apply_range" -> ((s, dir) =>
       wli(s, dir).select("l_returnflag", "l_extendedprice")
@@ -1350,6 +1361,24 @@ object SparkEntry {
          |SELECT s.bucket, coalesce(a.count_value, 0.0) AS count_value,
          |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
          |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " ")
+    },
+    "q97_grouped_resample" -> {
+      val cnt = "sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)"
+      s"""WITH b AS (SELECT event_type, CAST(floor(epoch(ts) / 172800) AS BIGINT) * 172800 AS bucket,
+         |value, CAST((user_id % 7 + 1) AS DOUBLE) AS w FROM events),
+         |a AS (SELECT event_type, bucket,
+         |$cnt AS count_value,
+         |coalesce(sum(value * w), 0.0) AS sum_value,
+         |(sum(value * w) / $cnt) AS mean_value,
+         |((sum(value * value * w) - (sum(value * w) * sum(value * w)) / $cnt) / ($cnt - 1)) AS var_value,
+         |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / $cnt) / ($cnt - 1))) AS std_value
+         |FROM b GROUP BY event_type, bucket),
+         |r AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM a GROUP BY event_type),
+         |s AS (SELECT event_type, unnest(generate_series(mn, mx, 172800)) AS bucket FROM r)
+         |SELECT s.event_type, s.bucket, coalesce(a.count_value, 0.0) AS count_value,
+         |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
+         |FROM s LEFT JOIN a ON s.event_type = a.event_type AND s.bucket = a.bucket
+         |ORDER BY s.event_type, s.bucket""".stripMargin.replace("\n", " ")
     },
     "q29_resample_monthly" -> {
       val cnt = "sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)"

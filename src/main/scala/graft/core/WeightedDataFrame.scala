@@ -315,15 +315,20 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
   def groupBy(key: String): WeightedGroupBy = groupBy(Seq(key))
 
   /** Weighted time resample — `frame.py:161-187`. `on` names a timestamp
-    * column (the explicit analogue of the pandas DatetimeIndex). */
+    * column (the explicit analogue of the pandas DatetimeIndex). `by`
+    * resamples WITHIN each key group (pandas `groupby(by).resample(rule)`):
+    * every group gets its own empty-bucket spine spanning its own time
+    * range, and one shuffle on (keys, bucket) does all groups at once —
+    * never a per-group loop. */
   def resample(
       on: String,
       rule: String,
       closed: String = "auto", // pandas default: right for W and end origins, left otherwise
       label: String = "auto", // rule-dependent pandas default: right for M/Q/Y/W, left otherwise
       origin: String = "start_day",
-      offset: Option[String] = None): WeightedResampler =
-    new WeightedResampler(this, on, rule, closed, label, origin, offset)
+      offset: Option[String] = None,
+      by: Seq[String] = Nil): WeightedResampler =
+    new WeightedResampler(this, on, rule, closed, label, origin, offset, by)
 
   /** Apply an expression builder to each weighted numeric column
     * (`frame.py:287-367` axis=0 semantics: the function sees the

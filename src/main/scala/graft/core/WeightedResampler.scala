@@ -102,7 +102,12 @@ final class WeightedResampler private[core] (
     closed: String,
     label: String,
     origin: String,
-    offset: Option[String]) {
+    offset: Option[String],
+    by: Seq[String] = Nil) {
+
+  require(by.forall(wdf.df.columns.contains),
+    s"resample by keys ${by.filterNot(wdf.df.columns.contains)} not in frame")
+  require(!by.contains(on), s"'$on' cannot be both the time column and a group key")
 
   require(closed == "auto" || closed == "left" || closed == "right",
     s"closed must be auto|left|right, got $closed")
@@ -199,9 +204,18 @@ final class WeightedResampler private[core] (
       d.cast("timestamp")
   }
 
+  // data-derived origins anchor bins at the CORPUS min/max timestamp; under
+  // `by` the pandas semantics would be per-group anchors — refuse rather
+  // than silently bin every group against the global anchor
+  require(by.isEmpty || (origin != "start" && origin != "end" && origin != "end_day"),
+    s"origin='$origin' derives bins from the data range, which is per-group under by=$by; " +
+      "use origin='epoch'/'start_day'/a timestamp, or resample groups separately")
+
   private def w: Column = wdf.w
-  private def aggCols: Seq[String] = wdf.valueCols.filterNot(_ == on)
-  private def numericAggCols: Seq[String] = wdf.numericCols.filterNot(_ == on)
+  private def aggCols: Seq[String] =
+    wdf.valueCols.filterNot(c => c == on || by.contains(c))
+  private def numericAggCols: Seq[String] =
+    wdf.numericCols.filterNot(c => c == on || by.contains(c))
 
   /** Boolean columns count as 1/0 like the other aggregate drivers —
     * Spark rejects boolean×double arithmetic outright. */
@@ -271,19 +285,22 @@ final class WeightedResampler private[core] (
     */
   private def runAgg(cols: Seq[String], expr: String => Column, fill: Option[Double]): DataFrame = {
     val b = bucketed
-    val agged = b.groupBy(col(BucketCol)).agg(expr(cols.head).as(cols.head),
-      cols.tail.map(c => expr(c).as(c)): _*)
-    val bounds = agged.agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
+    val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*)
+      .agg(expr(cols.head).as(cols.head), cols.tail.map(c => expr(c).as(c)): _*)
+    // spine: with `by`, each group spans its OWN min..max (groupBy over the
+    // group-count-sized agg output — no second pass over the data)
+    val bounds = agged.groupBy(by.map(col): _*)
+      .agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
     val spine = bounds
       .where(col("mn").isNotNull)
-      .select(explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol))
-    val joined = spine.join(agged, Seq(BucketCol), "left")
+      .select(by.map(col) :+ explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol): _*)
+    val joined = spine.join(agged, by :+ BucketCol, "left")
     val filled = cols.map { c =>
       fill.fold(col(c))(v => coalesce(col(c), lit(v)).as(c))
     }
     joined
-      .select(labelTs(col(BucketCol)).as(on) +: filled: _*)
-      .orderBy(col(on))
+      .select(by.map(col) ++ (labelTs(col(BucketCol)).as(on) +: filled): _*)
+      .orderBy(by.map(col) :+ col(on): _*)
   }
 
   /** Weighted count per bucket, all columns — `frame.py:381-405`. Empty
@@ -314,24 +331,25 @@ final class WeightedResampler private[core] (
   def summary(valueCol: String): DataFrame = {
     val b = bucketed
     val c = ncol(valueCol)
-    val agged = b.groupBy(col(BucketCol)).agg(
+    val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*).agg(
       WeightedMoments.wCount(c, w).as("count_" + valueCol),
       WeightedMoments.wSum(c, w, 0).as("sum_" + valueCol),
       WeightedMoments.meanExpr(c, w).as("mean_" + valueCol),
       WeightedMoments.varExpr(c, w).as("var_" + valueCol),
       WeightedMoments.stdExpr(c, w).as("std_" + valueCol))
-    val bounds = agged.agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
+    val bounds = agged.groupBy(by.map(col): _*)
+      .agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
     val spine = bounds
       .where(col("mn").isNotNull)
-      .select(explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol))
-    spine.join(agged, Seq(BucketCol), "left")
-      .select(
+      .select(by.map(col) :+ explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol): _*)
+    spine.join(agged, by :+ BucketCol, "left")
+      .select(by.map(col) ++ Seq(
         (unix_micros(labelTs(col(BucketCol))) / lit(1000000L)).cast("long").as("bucket"),
         coalesce(col("count_" + valueCol), lit(0.0)).as("count_" + valueCol),
         coalesce(col("sum_" + valueCol), lit(0.0)).as("sum_" + valueCol),
         col("mean_" + valueCol).cast(DoubleType).as("mean_" + valueCol),
         col("var_" + valueCol).cast(DoubleType).as("var_" + valueCol),
-        col("std_" + valueCol).cast(DoubleType).as("std_" + valueCol))
-      .orderBy(col("bucket"))
+        col("std_" + valueCol).cast(DoubleType).as("std_" + valueCol)): _*)
+      .orderBy(by.map(col) :+ col("bucket"): _*)
   }
 }

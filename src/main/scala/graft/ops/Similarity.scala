@@ -604,9 +604,16 @@ object Similarity {
       case "ivf" =>
         val m = model.getOrElse(fitIvf(df, vecCol))
         searchIvf(m, df, idCol, vecCol, lit(true), 1, smallQueries = false)
+      case "ivfpq" =>
+        // all-pairs under compression: the ADC probe join carries codes,
+        // not vectors — the shape for corpora whose raw embeddings are too
+        // big to self-join even cell-keyed
+        val m = model.getOrElse(fitIvf(df, vecCol))
+        searchIvfPq(m, fitPq(df, vecCol), df, idCol, vecCol, lit(true), 1,
+          smallQueries = false)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown near-dup strategy '$other' (expected auto|brute|lsh|ivf)")
+          s"unknown near-dup strategy '$other' (expected auto|brute|lsh|ivf|ivfpq)")
     }
     nn.select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"), col("sim"))
   }

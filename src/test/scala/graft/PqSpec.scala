@@ -53,6 +53,17 @@ class PqSpec extends SparkSpecBase {
     assert(hits.toDouble / total >= 0.8, s"recall ${hits.toDouble / total}")
   }
 
+  test("ivfpq all-pairs strategy: top-1 recall vs brute over the corpus") {
+    val brute = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+      strategy = "brute").select("doc_a", "doc_b").localCheckpoint()
+    val pq = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+      strategy = "ivfpq").select("doc_a", "doc_b")
+    val total = brute.count()
+    val hits = brute.intersect(pq).count()
+    assert(total == 500)
+    assert(hits.toDouble / total >= 0.7, s"top-1 recall ${hits.toDouble / total}")
+  }
+
   test("refineFactor=1 narrows candidates but keeps soundness and k bound") {
     val ivf = Similarity.fitIvf(emb, "embedding")
     val pq = Similarity.fitPq(emb, "embedding")

@@ -287,4 +287,39 @@ class ResampleSpec extends SparkSpecBase {
     val w = WeightedDataFrame.wt(resampleDf, "weights")
     intercept[IllegalArgumentException] { w.resample("ts", "1D", origin = "bogus").sum() }
   }
+
+  test("grouped resample: per-group spine, keys out of the agg columns") {
+    val d = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),
+      ("a", Timestamp.valueOf("2024-01-05 00:00:00"), Some(2.0), 1.0),
+      ("b", Timestamp.valueOf("2024-01-03 00:00:00"), Some(10.0), 2.0)
+    ).toDF("k", "ts", "value", "weights")
+    val r = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "1D", origin = "epoch", by = Seq("k")).sum()
+    val rows = r.collect().map(x =>
+      (x.getString(0), x.getTimestamp(1).toString.take(10), cell(x, 2)))
+    // group a spans Jan 1..5 with empty buckets filled; group b is a
+    // single-day spine — no bleed of b's range into a or vice versa
+    assert(rows.count(_._1 == "a") == 5)
+    assert(rows.count(_._1 == "b") == 1)
+    assert(rows.contains(("a", "2024-01-03", Some(0.0)))) // a's empty bucket
+    assert(rows.contains(("b", "2024-01-03", Some(20.0)))) // 10.0 × w=2
+    // the key column must not appear among aggregated value columns
+    assert(r.columns.toSeq == Seq("k", "ts", "value"))
+  }
+
+  test("grouped resample refuses data-derived origins and key collisions") {
+    val d = Seq(("a", Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0))
+      .toDF("k", "ts", "value", "weights")
+    val w = WeightedDataFrame.wt(d, "weights")
+    intercept[IllegalArgumentException] {
+      w.resample("ts", "1D", origin = "start", by = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      w.resample("ts", "1D", by = Seq("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      w.resample("ts", "1D", by = Seq("nope"))
+    }
+  }
 }
