@@ -493,6 +493,32 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Materialized IVF-PQ index for a corpus: `(idCol, cell, codes)` — one
+    * narrow codegen'd pass over the scan. Persist it (e.g.
+    * `Tables.writeBucketed(..., bucketCols = Seq("cell"))`) and pass it to
+    * [[searchIvfPq]]'s `index` so repeated query batches never re-encode
+    * the corpus: at 100 TB the encode pass reads every embedding once,
+    * while each search then reads only the ~12-byte index rows (plus the
+    * shortlist's vectors for refinement). */
+  def buildIvfPqIndex(
+      ivf: IvfModel,
+      pq: PqModel,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    require(idCol != "cell" && idCol != "codes",
+      s"idCol '$idCol' collides with an index output column")
+    val prepped = df.select(col(idCol), toDouble(col(vecCol)).as("__v__"))
+      .withColumn("__n__", norm(col("__v__")))
+    val cm = typedlit(ivf.centroids)
+    val cellScores = array(ivf.centroids.indices.map(i => dot(col("__v__"), cm.getItem(i))): _*)
+    val vhat = transform(col("__v__"),
+      x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))
+    prepped
+      .withColumn("cell", array_position(cellScores, array_max(cellScores)) - 1)
+      .select(col(idCol), col("cell"), pqCodes(pq, vhat).as("codes"))
+  }
+
   /** IVF-PQ ANN search — the memory-compression path for corpora whose raw
     * vectors are too big to shuffle: the probe join carries only
     * `(cell, id, m small codes)` per corpus row (for 64-d float64, ~50×
@@ -503,10 +529,15 @@ object Similarity {
     * candidates were considered, never the reported values. Same output
     * schema as [[bruteKnn]]/[[searchIvf]].
     *
+    * `index`: a pre-materialized [[buildIvfPqIndex]] frame (same idCol —
+    * must have been built under the SAME ivf/pq models; the models carry no
+    * fingerprint, so a mismatched index silently probes wrong cells).
+    * Omitted → the index is computed inline, one pass over the scan.
+    *
     * At 100 TB: codes + cell are a narrow projection computed in one pass
-    * over the scan; the heavy probe join never touches an embedding; the
-    * refine join is k·refineFactor·|queries| rows — driver- and
-    * shuffle-tiny. */
+    * over the scan (or read from the persisted index); the heavy probe
+    * join never touches an embedding; the refine join is
+    * k·refineFactor·|queries| rows — driver- and shuffle-tiny. */
   def searchIvfPq(
       ivf: IvfModel,
       pq: PqModel,
@@ -517,19 +548,20 @@ object Similarity {
       k: Int,
       nProbe: Int = 4,
       refineFactor: Int = 8,
-      smallQueries: Boolean = true): DataFrame = {
+      smallQueries: Boolean = true,
+      index: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && refineFactor >= 1)
+    index.foreach { ix =>
+      require(Seq(idCol, "cell", "codes").forall(ix.columns.contains),
+        s"index must have ($idCol, cell, codes) columns, got ${ix.columns.mkString(",")}")
+    }
     val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
       .withColumn("__n__", norm(col("__v__")))
     val cm = typedlit(ivf.centroids)
     def cellScores = array(ivf.centroids.indices.map(i => dot(col("__v__"), cm.getItem(i))): _*)
-    val vhat = transform(col("__v__"),
-      x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))
-    val corpus = prepped
-      .withColumn("cell", array_position(cellScores, array_max(cellScores)) - 1)
-      .select(col("cell"), col("__id__").as("neighbor_id"),
-        pqCodes(pq, vhat).as("__codes__"))
+    val corpus = index.getOrElse(buildIvfPqIndex(ivf, pq, df, idCol, vecCol))
+      .select(col("cell"), col(idCol).as("neighbor_id"), col("codes").as("__codes__"))
     val q = prepped.where(queryPred)
       .select(col("__id__").as("query_id"), col("__v__").as("qv"),
         posexplode(cellScores).as(Seq("cell", "cscore")))

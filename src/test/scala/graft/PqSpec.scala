@@ -64,6 +64,22 @@ class PqSpec extends SparkSpecBase {
     assert(hits.toDouble / total >= 0.7, s"top-1 recall ${hits.toDouble / total}")
   }
 
+  test("materialized index search is identical to inline encoding") {
+    val ivf = Similarity.fitIvf(emb, "embedding")
+    val pq = Similarity.fitPq(emb, "embedding")
+    val pred = col("vec_id") < 10
+    val ix = Similarity.buildIvfPqIndex(ivf, pq, emb, "vec_id", "embedding")
+    assert(ix.columns.toSeq == Seq("vec_id", "cell", "codes"))
+    val inline = Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding", pred, 5)
+    val indexed = Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding", pred, 5,
+      index = Some(ix))
+    assert(inline.collect().toSeq == indexed.collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding", pred, 5,
+        index = Some(ix.drop("codes")))
+    }
+  }
+
   test("refineFactor=1 narrows candidates but keeps soundness and k bound") {
     val ivf = Similarity.fitIvf(emb, "embedding")
     val pq = Similarity.fitPq(emb, "embedding")
