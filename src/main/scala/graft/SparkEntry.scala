@@ -29,11 +29,14 @@ object SparkEntry {
   private def wli(s: SparkSession, dir: String): WeightedDataFrame =
     WeightedDataFrame.wt(table(s, dir, "lineitem"), "l_quantity")
 
-  /** events with a derived deterministic weight (events has no weight col). */
-  private def wevents(s: SparkSession, dir: String): WeightedDataFrame = {
+  /** events with a derived deterministic weight (events has no weight col),
+    * keeping `cols` — the ONE place the w = user_id%7+1 scheme lives on the
+    * Spark side (every events oracle mirrors the same formula in SQL). */
+  private def wevents(s: SparkSession, dir: String, cols: String*): WeightedDataFrame = {
+    val keep = if (cols.nonEmpty) cols else Seq("ts", "value")
     val e = events(s, dir)
       .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
-      .select("ts", "value", "w")
+      .select((keep :+ "w").map(col): _*)
     WeightedDataFrame.wt(e, "w")
   }
 
@@ -458,14 +461,10 @@ object SparkEntry {
     // grouped resample (pandas groupby().resample()): per-key 2-day
     // buckets, each group spanning its OWN empty-bucket spine — one
     // shuffle on (key, bucket), never a per-group loop
-    "q97_grouped_resample" -> ((s, dir) => {
-      val e = events(s, dir)
-        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
-        .select("event_type", "ts", "value", "w")
-      WeightedDataFrame.wt(e, "w")
+    "q97_grouped_resample" -> ((s, dir) =>
+      wevents(s, dir, "event_type", "ts", "value")
         .resample("ts", "2D", origin = "epoch", by = Seq("event_type"))
-        .summary("value")
-    }),
+        .summary("value")),
     // A8/G8 apply: weighted range per group over pre-weighted data
     "q17_grouped_apply_range" -> ((s, dir) =>
       wli(s, dir).select("l_returnflag", "l_extendedprice")
@@ -531,38 +530,29 @@ object SparkEntry {
       wli(s, dir).select("l_returnflag", "l_extendedprice")
         .groupBy("l_returnflag").quantile("l_extendedprice", 0.5)),
     // rolling weighted mean per key over an ordered 5-row frame
-    "q33_rolling_mean" -> ((s, dir) => {
-      val e = events(s, dir)
-        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
-        .select("event_type", "event_id", "value", "w")
-      val wdf = WeightedDataFrame.wt(e, "w")
-      graft.core.WeightedRolling.rolling(wdf, "event_id", Seq("event_type"), 5)
-        .mean().orderBy("event_type", "event_id")
-    }),
+    "q33_rolling_mean" -> ((s, dir) =>
+      graft.core.WeightedRolling.rolling(
+          wevents(s, dir, "event_type", "event_id", "value"),
+          "event_id", Seq("event_type"), 5)
+        .mean().orderBy("event_type", "event_id")),
     // rolling weighted variance per key over the same 5-row frame — pins
     // the moment-kernel window path (q33 pins mean; this pins var's
     // nested safeDiv null semantics under the driver's grid)
-    "q95_rolling_var" -> ((s, dir) => {
-      val e = events(s, dir)
-        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
-        .select("event_type", "event_id", "value", "w")
-      val wdf = WeightedDataFrame.wt(e, "w")
-      graft.core.WeightedRolling.rolling(wdf, "event_id", Seq("event_type"), 5)
-        .variance().orderBy("event_type", "event_id")
-    }),
+    "q95_rolling_var" -> ((s, dir) =>
+      graft.core.WeightedRolling.rolling(
+          wevents(s, dir, "event_type", "event_id", "value"),
+          "event_id", Seq("event_type"), 5)
+        .variance().orderBy("event_type", "event_id")),
     // expanding (cumulative) weighted count per key — pins the unbounded
     // frame path and count's empty-frame → 0.0 coalesce. Count, not sum:
     // the integer-valued weights keep the cumulation bit-exact, where an
     // arbitrary-double expanding sum diverges from the oracle engine's
     // segment-tree summation order at the last ulps
-    "q96_expanding_count" -> ((s, dir) => {
-      val e = events(s, dir)
-        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
-        .select("event_type", "event_id", "value", "w")
-      val wdf = WeightedDataFrame.wt(e, "w")
-      graft.core.WeightedRolling.expanding(wdf, "event_id", Seq("event_type"))
-        .count().orderBy("event_type", "event_id")
-    }),
+    "q96_expanding_count" -> ((s, dir) =>
+      graft.core.WeightedRolling.expanding(
+          wevents(s, dir, "event_type", "event_id", "value"),
+          "event_id", Seq("event_type"))
+        .count().orderBy("event_type", "event_id")),
     // pairwise weighted covariance, long format
     "q34_cov" -> ((s, dir) =>
       wli(s, dir).select(corrCols: _*).cov().orderBy("col_x", "col_y")),
@@ -1240,15 +1230,12 @@ object SparkEntry {
     // (pandas ewm.mean(adjust=True) truncated at 16 rows — β¹⁶ ≈ 1.5e-5
     // tail; the truncation is the distributed-scale design, see
     // WeightedRolling.ewmMean)
-    "q76_ewm_mean" -> ((s, dir) => {
-      val e = events(s, dir)
-        .withColumn("w", (col("user_id") % 7 + 1).cast("double"))
-        .select("event_type", "event_id", "value", "w")
-      val wdf = WeightedDataFrame.wt(e, "w")
-      graft.core.WeightedRolling.expanding(wdf, "event_id", Seq("event_type"))
+    "q76_ewm_mean" -> ((s, dir) =>
+      graft.core.WeightedRolling.expanding(
+          wevents(s, dir, "event_type", "event_id", "value"),
+          "event_id", Seq("event_type"))
         .ewmMean(alpha = 0.5, memory = 16)
-        .orderBy("event_type", "event_id")
-    }),
+        .orderBy("event_type", "event_id")),
     // canonicalization: token-set near-dup pairs → transitive clusters →
     // keep the longest doc per cluster (ties → smallest id)
     "q75_canonicalize" -> ((s, dir) => {

@@ -204,12 +204,26 @@ final class WeightedResampler private[core] (
       d.cast("timestamp")
   }
 
-  // data-derived origins anchor bins at the CORPUS min/max timestamp; under
-  // `by` the pandas semantics would be per-group anchors — refuse rather
-  // than silently bin every group against the global anchor
-  require(by.isEmpty || (origin != "start" && origin != "end" && origin != "end_day"),
-    s"origin='$origin' derives bins from the data range, which is per-group under by=$by; " +
-      "use origin='epoch'/'start_day'/a timestamp, or resample groups separately")
+  // data-derived origins (INCLUDING the start_day default) anchor bins at
+  // the CORPUS min/max timestamp; under `by` the pandas groupby().resample()
+  // semantics would be per-group anchors — refuse rather than silently bin
+  // every group against the global anchor. Calendar and weekly rules are
+  // absolutely anchored (period membership / weekday grid), so `by`
+  // composes with them under any accepted origin.
+  parsed match {
+    case _: FixedRule =>
+      require(by.isEmpty || origin == "epoch" ||
+          (origin.nonEmpty && origin.head.isDigit),
+        s"origin='$origin' anchors bins at the data range, which is per-group " +
+          s"under by=${by.mkString(",")}; use origin='epoch' or an explicit " +
+          "timestamp (calendar/weekly rules are absolutely anchored and compose freely)")
+    case _ =>
+  }
+
+  /** pandas groupby(dropna=True) default: rows whose group key is NULL are
+    * dropped — also what keeps the spine join (equi, not null-safe) sound. */
+  private def dropNullKeys(b: DataFrame): DataFrame =
+    by.foldLeft(b)((d, k) => d.where(col(k).isNotNull))
 
   private def w: Column = wdf.w
   private def aggCols: Seq[String] =
@@ -284,7 +298,7 @@ final class WeightedResampler private[core] (
     * `fill` gives the value for empty buckets (None → NULL).
     */
   private def runAgg(cols: Seq[String], expr: String => Column, fill: Option[Double]): DataFrame = {
-    val b = bucketed
+    val b = dropNullKeys(bucketed)
     val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*)
       .agg(expr(cols.head).as(cols.head), cols.tail.map(c => expr(c).as(c)): _*)
     // spine: with `by`, each group spans its OWN min..max (groupBy over the
@@ -329,7 +343,7 @@ final class WeightedResampler private[core] (
   /** All five aggregates for one value column in a single pass, bucket key
     * emitted as epoch seconds — the shape used by the oracle queries. */
   def summary(valueCol: String): DataFrame = {
-    val b = bucketed
+    val b = dropNullKeys(bucketed)
     val c = ncol(valueCol)
     val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*).agg(
       WeightedMoments.wCount(c, w).as("count_" + valueCol),

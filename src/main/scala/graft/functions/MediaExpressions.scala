@@ -589,7 +589,10 @@ object VideoMeta {
       size = be64(b, i + 8)
       hdr = 16L
     } else if (size == 0L) size = end - at // last box runs to EOF
-    if (size < hdr || at + size > end) return null
+    // `size > end - at`, NOT `at + size > end`: a forged largesize near
+    // 2^63 at a nonzero offset would overflow the addition negative and
+    // slip past the bound (negative boxEnd → runaway walk / AIOOBE)
+    if (size < hdr || size > end - at) return null
     Array(at + hdr, at + size)
   }
 
@@ -683,7 +686,9 @@ object VideoMeta {
       }
       j = h(1)
     }
-    if (timescale <= 0 || timescale > Int.MaxValue || duration < 0) return null
+    // duration > MaxValue/1000 would overflow the ms conversion negative
+    if (timescale <= 0 || timescale > Int.MaxValue ||
+      duration < 0 || duration > Long.MaxValue / 1000L) return null
     val pick = if (video != null) video else first
     val durationMs = duration * 1000L / timescale
     InternalRow(

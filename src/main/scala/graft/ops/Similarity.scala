@@ -454,7 +454,10 @@ object Similarity {
       .where(!col("__vh__").getItem(0).isNull) // zero vectors train nothing
       .coalesce(math.max(1, maxTrainRows / 8192)).cache()
     val trainN = trainDf.count() // materialize ONCE for all m fits
-    require(trainN > 0, "fitPq: no nonzero vectors to train on")
+    // KMeans requires k >= 2, and kk below clamps to trainN — a 1-vector
+    // corpus would otherwise crash inside setK(1) with an opaque ML error
+    require(trainN >= 2,
+      s"fitPq needs >= 2 nonzero vectors to train on, got $trainN")
     val books = (0 until m).map { j =>
       val sub = trainDf.select(
         array_to_vector(slice(col("__vh__"), j * dsub + 1, dsub)).as("features"))

@@ -27,21 +27,34 @@ object Tables {
     if (name == "events") {
       import org.apache.spark.sql.types._
       val path = s"$dir/events.parquet"
-      scala.util.Try {
-        val df = spark.read.parquet(path)
-        val t = df.schema("ts").dataType.typeName
-        // MICROS arrives as TIMESTAMP_NTZ (isAdjustedToUTC=false under
-        // inferTimestampNTZ) or TIMESTAMP; normalize to TIMESTAMP — under
-        // the engine's pinned UTC session zone the cast is instant-exact
-        require(t == "timestamp" || t == "timestamp_ntz", s"events.ts is $t")
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      }.getOrElse {
+      def nanosFallback: DataFrame = {
         val sch = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
         spark.read.schema(sch).parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      }
+      scala.util.Try(spark.read.parquet(path)) match {
+        case scala.util.Success(df) =>
+          df.schema("ts").dataType.typeName match {
+            // MICROS arrives as TIMESTAMP_NTZ (isAdjustedToUTC=false under
+            // inferTimestampNTZ) or TIMESTAMP; normalize to TIMESTAMP —
+            // under the pinned UTC session zone the cast is instant-exact
+            case "timestamp" | "timestamp_ntz" =>
+              df.withColumn("ts", col("ts").cast("timestamp"))
+            // the legacy nanosAsLong session conf surfaces NANOS as long
+            case "long" => nanosFallback
+            case t => throw new IllegalArgumentException(
+              s"events.ts has unexpected type $t — refusing to guess a conversion")
+          }
+        // ONLY the NANOS schema-conversion rejection falls back: any other
+        // read failure (corrupt file, some OTHER unsupported column) must
+        // surface, or a MICROS ts would be silently divided by 1000 again
+        case scala.util.Failure(e)
+            if Option(e.getMessage).exists(_.toUpperCase.contains("NANOS")) =>
+          nanosFallback
+        case scala.util.Failure(e) => throw e
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
@@ -174,8 +187,10 @@ object Tables {
     require(zCols.size * bits <= 63, "interleaved width must fit a long")
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val buckets: Seq[Column] = zCols.map { c =>
-      val cuts = df.stat.approxQuantile(c, probs, 0.001)
+    // multi-column overload: ALL columns' boundaries in one distributed
+    // pass (per-column calls would re-scan the corpus zCols.size times)
+    val allCuts = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    val buckets: Seq[Column] = zCols.zip(allCuts).map { case (c, cuts) =>
       // Σ [v ≥ cut] is the rank; NULL comparisons fall to otherwise(0), so
       // nulls land in bucket 0 (lowest z region) rather than erroring
       cuts.distinct.map(t => when(col(c) >= t, 1).otherwise(0))

@@ -315,11 +315,31 @@ class ResampleSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       w.resample("ts", "1D", origin = "start", by = Seq("k"))
     }
+    // the DEFAULT origin (start_day) is data-derived too — refused under by
+    intercept[IllegalArgumentException] {
+      w.resample("ts", "1D", by = Seq("k"))
+    }
     intercept[IllegalArgumentException] {
       w.resample("ts", "1D", by = Seq("ts"))
     }
     intercept[IllegalArgumentException] {
       w.resample("ts", "1D", by = Seq("nope"))
     }
+    // absolutely anchored rules compose with by under the default origin
+    w.resample("ts", "MS", by = Seq("k")).sum()
+    w.resample("ts", "W", by = Seq("k")).sum()
+  }
+
+  test("grouped resample drops NULL group keys (pandas dropna default)") {
+    val d = Seq(
+      (Option("a"), Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),
+      (Option.empty[String], Timestamp.valueOf("2024-01-01 00:00:00"), Some(99.0), 1.0)
+    ).toDF("k", "ts", "value", "weights")
+    val r = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "1D", origin = "epoch", by = Seq("k")).sum()
+    val rows = r.collect()
+    // the null-key row vanishes entirely — never a zero-filled ghost row
+    assert(rows.length == 1 && rows(0).getString(0) == "a")
+    assert(cell(rows(0), 2) == Some(1.0))
   }
 }

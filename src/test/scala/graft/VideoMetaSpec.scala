@@ -111,5 +111,13 @@ class VideoMetaSpec extends SparkSpecBase {
     // forged largesize near 2^63 must fail bounds, not wrap
     assert(parsed(be32(1L) ++ "moov".getBytes ++ be64(Long.MaxValue - 2) ++
       new Array[Byte](16)).isEmpty)
+    // ...including at a NONZERO offset, where `at + size` would overflow
+    // negative and slip past an addition-based bounds check
+    assert(parsed(ftyp ++ be32(1L) ++ "moov".getBytes ++
+      be64(Long.MaxValue - 8) ++ new Array[Byte](16)).isEmpty)
+    // v1 mvhd duration past MaxValue/1000 must reject, not emit negative ms
+    val huge = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(Long.MaxValue / 500))
+    assert(parsed(ftyp ++ box("moov", huge ++ trak(tkhdV0(1, 1), "vide"))).isEmpty)
   }
 }
