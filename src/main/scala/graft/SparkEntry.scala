@@ -768,6 +768,17 @@ object SparkEntry {
     "q28_text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // Gopher-rule quality battery: word-count bounds, mean word length,
+    // symbol/bullet/ellipsis ratios, alphabetic-word ratio, required
+    // stopwords — each signal + per-doc pass flag, all regexp_count
+    // arithmetic in one codegen'd projection
+    // thresholds loosened vs the Gopher defaults (minWords 40, one required
+    // stopword) so the pass flag DISCRIMINATES on the synthetic corpus —
+    // all-false would verify nothing about the rule conjunction
+    "q98_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(table(s, dir, "documents"), "text", "doc_id",
+        TextAnalysis.GopherThresholds(minWords = 40, minStopwords = 1))
+        .orderBy("doc_id")),
     // duplicate clustering: pairwise near-dup hits → connected components
     // (min-label propagation + pointer jumping). The edge criterion here
     // (same lang, |Δn_chars| ≤ 1) is SQL-expressible so DuckDB can verify
@@ -1692,6 +1703,38 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT doc_a FROM d)
         |ORDER BY vec_id""".stripMargin.replace("\n", " "),
     "q28_text_analyze" -> s"$textAnalyzeSql ORDER BY doc_id",
+    // Gopher rules: DuckDB re-derives every signal from token/line LISTS
+    // (RE2 has no lookarounds — list_filter/list_contains give the same
+    // whole-token and per-line semantics as Spark's anchored regexes)
+    "q98_gopher_quality" -> {
+      val stops = TextAnalysis.GopherStopwords
+        .map(wd => s"CASE WHEN list_contains(toks, '$wd') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH f AS (SELECT doc_id, text,
+         |regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |regexp_split_to_array(text, '\\n') AS lns FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |CAST(len(toks) AS DOUBLE) AS w,
+         |CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+         |CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) AS sym,
+         |CAST(len(lns) AS DOUBLE) AS nl,
+         |CAST(len(list_filter(lns, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS DOUBLE) AS bl,
+         |CAST(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.[ \\t]*$$'))) AS DOUBLE) AS el,
+         |CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))) AS DOUBLE) AS aw,
+         |($stops) AS ns FROM f)
+         |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+         |CASE WHEN w <> 0 THEN round(nws / w, 6) END AS mean_word_len,
+         |CASE WHEN w <> 0 THEN round(sym / w, 6) END AS symbol_ratio,
+         |CASE WHEN nl <> 0 THEN round(bl / nl, 6) END AS bullet_ratio,
+         |CASE WHEN nl <> 0 THEN round(el / nl, 6) END AS ellipsis_ratio,
+         |CASE WHEN w <> 0 THEN round(aw / w, 6) END AS alpha_word_ratio,
+         |CAST(ns AS BIGINT) AS n_stopwords,
+         |coalesce(w >= 40 AND w <= 100000
+         |AND nws / w >= 3.0 AND nws / w <= 10.0
+         |AND sym / w <= 0.1 AND bl / nl <= 0.9 AND el / nl <= 0.3
+         |AND aw / w >= 0.8 AND ns >= 1, false) AS passes
+         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
     // transitive closure via recursive CTE; cluster id = min reachable id
     "q49_dup_clusters" ->
       """WITH RECURSIVE e AS (SELECT a.doc_id AS s, b.doc_id AS t

@@ -84,6 +84,77 @@ object TextAnalysis {
       lit(0.3) * alphaRatio(c) +
       lit(0.3) * least(lit(1.0), stopwordRatio(c) * 5.0)
 
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1 defaults) — every rule
+    * an independent boolean so pipelines can loosen one without losing the
+    * others. */
+  final case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwords: Int = 2)
+
+  /** The required-stopword list of the Gopher repetition filter. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules: word-count bounds, mean word
+    * length, symbol-to-word ratio (# and ellipses), bullet-line and
+    * ellipsis-line ratios, alphabetic-word ratio, required-stopword
+    * presence — the standard cheap pre-filter battery for web-scraped LLM
+    * corpora. Emits each signal (ratios rounded to 6 for cross-engine
+    * comparability) plus per-rule booleans folded into `passes`.
+    *
+    * All signals are `regexp_count`/arithmetic over the text column — one
+    * codegen'd narrow projection, no HOF lambdas (CodegenFallback), no
+    * explode; at 100 TB this filters at scan speed. */
+  def gopherQuality(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      t: GopherThresholds = GopherThresholds()): DataFrame = {
+    import graft.core.WeightedMoments.safeDiv
+    val c = col(textCol)
+    val words = wsTokenCount(c).cast("double")
+    val meanLen = safeDiv(length(regexp_replace(c, "\\s", "")).cast("double"), words)
+    val symbolRatio = safeDiv(
+      (regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\."))).cast("double"), words)
+    // line counts: split with limit -1 keeps trailing empty lines, matching
+    // the oracle engine's split semantics exactly
+    val lines = size(split(c, "\n", -1)).cast("double")
+    val bulletRatio = safeDiv(
+      regexp_count(c, lit("(?m)^[ \\t]*[-*\u2022]")).cast("double"), lines)
+    val ellipsisRatio = safeDiv(
+      regexp_count(c, lit("(?m)\\.\\.\\.[ \\t]*$")).cast("double"), lines)
+    val alphaWordRatio = safeDiv(
+      regexp_count(c, lit("(?<!\\S)\\S*[A-Za-z]\\S*(?!\\S)")).cast("double"), words)
+    val nStop = GopherStopwords.map(wd =>
+      when(regexp_count(c, lit("(?<!\\S)" + java.util.regex.Pattern.quote(wd) + "(?!\\S)")) > 0, 1)
+        .otherwise(0)).reduce(_ + _)
+    val passes =
+      words >= t.minWords && words <= t.maxWords &&
+        meanLen >= t.minMeanWordLen && meanLen <= t.maxMeanWordLen &&
+        symbolRatio <= t.maxSymbolRatio &&
+        bulletRatio <= t.maxBulletRatio &&
+        ellipsisRatio <= t.maxEllipsisRatio &&
+        alphaWordRatio >= t.minAlphaWordRatio &&
+        nStop >= t.minStopwords
+    df.select(
+      col(idCol),
+      words.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletRatio, 6).as("bullet_ratio"),
+      round(ellipsisRatio, 6).as("ellipsis_ratio"),
+      round(alphaWordRatio, 6).as("alpha_word_ratio"),
+      nStop.cast("long").as("n_stopwords"),
+      coalesce(passes, lit(false)).as("passes")) // empty text → null ratios → fail
+  }
+
   /** Content fingerprint (md5 hex) — stable across engines. */
   def fingerprintMd5(c: Column): Column = md5(c)
 

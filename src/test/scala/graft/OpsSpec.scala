@@ -63,6 +63,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(1).getAs[Long]("bpe_tokens") == 7L)
   }
 
+  test("gopher rules: each signal computed per doc, pass flag is the conjunction") {
+    val good = ("the data points to a result and we have more words here " * 5).trim
+    val df = Seq(
+      (1L, good), // long, alphabetic, stopword-bearing → passes
+      (2L, "short text"), // under minWords
+      (3L, "- a\n- b\n- c\n- d"), // all-bullet lines
+      (4L, "to be continued...\nand then...\nmore..."), // every line ellipsis-ended
+      (5L, "#### #### " + good), // symbol-heavy prefix still diluted by length
+      (6L, "")) // empty → null ratios → fail, never a crash
+      .toDF("id", "text")
+    val t = TextAnalysis.GopherThresholds(minWords = 20, minStopwords = 1)
+    val got = TextAnalysis.gopherQuality(df, "text", "id", t).orderBy("id").collect()
+    assert(got(0).getAs[Boolean]("passes"))
+    assert(!got(1).getAs[Boolean]("passes"))
+    assert(got(2).getAs[Double]("bullet_ratio") == 1.0 && !got(2).getAs[Boolean]("passes"))
+    assert(got(3).getAs[Double]("ellipsis_ratio") == 1.0 && !got(3).getAs[Boolean]("passes"))
+    assert(got(4).getAs[Double]("symbol_ratio") > 0.0)
+    assert(!got(5).getAs[Boolean]("passes"))
+    // stopword count is DISTINCT stopwords present, not occurrences
+    assert(got(0).getAs[Long]("n_stopwords") >= 4) // the, to, and, have
+  }
+
   test("language id picks the max-marker language; no markers → unknown") {
     val df = Seq(
       (1L, "the cat is of the mat and the dog"),
