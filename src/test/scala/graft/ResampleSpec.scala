@@ -330,6 +330,49 @@ class ResampleSpec extends SparkSpecBase {
     w.resample("ts", "W", by = Seq("k")).sum()
   }
 
+  test("ScalaCheck: grouped resample ≡ ungrouped resample of each group's slice") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRow = for {
+      k <- Gen.oneOf("a", "b", "c")
+      day <- Gen.choose(0, 20)
+      hour <- Gen.choose(0, 23)
+      v <- Gen.oneOf(Gen.const(Option.empty[Double]), Gen.choose(-50.0, 50.0).map(Some(_)))
+      w <- Gen.choose(1, 5)
+    } yield (k, Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:00:00"), v, w.toDouble)
+    val genCase = for {
+      n <- Gen.choose(3, 25)
+      rows <- Gen.listOfN(n, genRow)
+      rule <- Gen.oneOf("1D", "2D", "3D", "12H")
+    } yield (rows, rule)
+
+    def collect(df: org.apache.spark.sql.DataFrame, grouped: Boolean): Map[(String, String), Option[Double]] =
+      df.collect().map { r =>
+        if (grouped) (r.getString(0), r.getTimestamp(1).toString) -> cell(r, 2)
+        else ("", r.getTimestamp(0).toString) -> cell(r, 1)
+      }.toMap
+
+    val prop = Prop.forAll(genCase) { case (rows, rule) =>
+      val df = rows.toDF("k", "ts", "value", "weights")
+      val wdf = WeightedDataFrame.wt(df, "weights")
+      val grouped = collect(
+        wdf.resample("ts", rule, origin = "epoch", by = Seq("k")).mean(), grouped = true)
+      val sliced = rows.map(_._1).distinct.sorted.flatMap { key =>
+        val slice = WeightedDataFrame.wt(df.where(df("k") === key).drop("k"), "weights")
+        collect(slice.resample("ts", rule, origin = "epoch").mean(), grouped = false)
+          .map { case ((_, b), v) => (key, b) -> v }
+      }.toMap
+      if (grouped != sliced)
+        println(s"grouped-resample FALSIFIED: rule=$rule rows=$rows\n got=$grouped\nwant=$sliced")
+      grouped == sliced
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(10)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260813L)),
+      prop)
+    assert(result.passed, s"ScalaCheck: $result")
+  }
+
   test("grouped resample drops NULL group keys (pandas dropna default)") {
     val d = Seq(
       (Option("a"), Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),

@@ -98,6 +98,57 @@ class VideoMetaSpec extends SparkSpecBase {
     assert(m.getInt(4) == 0 && m.getInt(5) == 0)
   }
 
+  test("ScalaCheck: random box trees round-trip every advertised field") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genTrack = for {
+      kind <- Gen.oneOf("vide", "soun", "hint")
+      w <- Gen.choose(0, 4000)
+      h <- Gen.choose(0, 4000)
+      v1 <- Gen.oneOf(true, false)
+    } yield (kind, w, h, v1)
+    val genCase = for {
+      ts <- Gen.choose(1, 1000000)
+      dur <- Gen.choose(0L, 3000000000L)
+      mvhdIsV1 <- Gen.oneOf(true, false)
+      moovIsBig <- Gen.oneOf(true, false)
+      tracks <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, genTrack))
+      mvhdPos <- Gen.choose(0, tracks.size) // mvhd anywhere among the traks
+      withJunk <- Gen.oneOf(true, false) // unknown boxes must be skipped
+      withMdat <- Gen.oneOf(true, false) // trailing size-0 box
+    } yield (ts, dur, mvhdIsV1, moovIsBig, tracks, mvhdPos, withJunk, withMdat)
+
+    val prop = Prop.forAll(genCase) {
+      case (ts, dur, mvhdIsV1, moovIsBig, tracks, mvhdPos, withJunk, withMdat) =>
+        val mvhd = if (mvhdIsV1) mvhdV1(ts, dur) else mvhdV0(ts, dur)
+        val trakBoxes = tracks.map { case (kind, w, h, v1) =>
+          trak(if (v1) tkhdV1(w, h) else tkhdV0(w, h), kind)
+        }
+        val junk = if (withJunk) box("free", "junkdata".getBytes) else Array.emptyByteArray
+        val (pre, post) = trakBoxes.splitAt(mvhdPos)
+        val moovPayload = junk ++ pre.flatten ++ mvhd ++ post.flatten
+        val moov = if (moovIsBig) bigBox("moov", moovPayload) else box("moov", moovPayload)
+        val mdat = if (withMdat) be32(0L) ++ "mdat".getBytes ++ "xyz".getBytes
+                   else Array.emptyByteArray
+        val m = parsed(ftyp ++ moov ++ mdat)
+        val expVideo = tracks.find(_._1 == "vide").orElse(tracks.headOption)
+        m.exists { r =>
+          r.getString(0) == "isom" &&
+            r.getInt(1) == ts &&
+            r.getLong(2) == dur * 1000L / ts &&
+            r.getInt(3) == tracks.size &&
+            r.getInt(4) == expVideo.map(_._2).getOrElse(0) &&
+            r.getInt(5) == expVideo.map(_._3).getOrElse(0) &&
+            r.getString(6) == expVideo.map(_._1).getOrElse("none")
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(200)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260813L)),
+      prop)
+    assert(result.passed, s"ScalaCheck: $result")
+  }
+
   test("malformed payloads reject as NULL, never throw") {
     assert(parsed("not an mp4 file at all".getBytes).isEmpty)
     assert(parsed(Array.emptyByteArray).isEmpty)
