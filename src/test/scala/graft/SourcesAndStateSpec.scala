@@ -10,13 +10,31 @@ import graft.streaming.StreamingWeighted
 
 class SourcesSpec extends SparkSpecBase {
 
-  test("testTable reads every driver table incl. nanos-timestamp events") {
+  test("testTable reads every driver table; events.ts normalizes to timestamp") {
     val dir = "/root/testdata/sf0.001"
     for (t <- Seq("lineitem", "orders", "documents", "embeddings", "events")) {
       assert(Tables.testTable(spark, dir, t).count() > 0, t)
     }
     val events = Tables.testTable(spark, dir, "events")
     assert(events.schema("ts").dataType.typeName == "timestamp")
+    // the values must be REAL 2024-epoch instants — the silent failure
+    // mode of a wrong physical-type branch is a 1000x-shrunk epoch, so pin
+    // the actual year, not just the column type
+    val yr = events.select(org.apache.spark.sql.functions.year(
+      org.apache.spark.sql.functions.col("ts"))).distinct().collect().map(_.getInt(0))
+    assert(yr.forall(y => y >= 2023 && y <= 2025), s"bogus ts years: ${yr.toSeq}")
+  }
+
+  test("testTable refuses an events.ts type it can't classify") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-badevents").toString
+    Seq((1L, "2024-01-01", 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.testTable(spark, dir, "events").count()
+    }
+    assert(e.getMessage.contains("unexpected type"))
   }
 
   test("writeShards: deterministic membership, one file per shard, sorted within") {
