@@ -1710,28 +1710,35 @@ object SparkEntry {
       val stops = TextAnalysis.GopherStopwords
         .map(wd => s"CASE WHEN list_contains(toks, '$wd') THEN 1 ELSE 0 END")
         .mkString(" + ")
+      val ell = "\u2026"
+      // RE2's \s IS the Spark side's explicit [ \t\n\f\r] class; line
+      // signals are per-\n-line filters matching Spark's consume-based
+      // counts; blank docs have ZERO words on both sides
       s"""WITH f AS (SELECT doc_id, text,
          |regexp_split_to_array(trim(text), '\\s+') AS toks,
          |regexp_split_to_array(text, '\\n') AS lns FROM documents),
-         |s AS (SELECT doc_id, toks,
-         |CAST(len(toks) AS DOUBLE) AS w,
+         |s AS (SELECT doc_id, text, toks,
+         |CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS DOUBLE) AS w,
          |CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
-         |CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) AS sym,
+         |CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) AS hsh,
+         |CAST(len(regexp_extract_all(text, '(\\.\\.\\.|$ell)')) AS DOUBLE) AS esym,
          |CAST(len(lns) AS DOUBLE) AS nl,
          |CAST(len(list_filter(lns, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS DOUBLE) AS bl,
-         |CAST(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.[ \\t]*$$'))) AS DOUBLE) AS el,
+         |CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|$ell)[ \\t]*$$'))) AS DOUBLE) AS el,
          |CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))) AS DOUBLE) AS aw,
-         |($stops) AS ns FROM f)
+         |CASE WHEN text IS NULL THEN NULL ELSE ($stops) END AS ns FROM f)
          |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
          |CASE WHEN w <> 0 THEN round(nws / w, 6) END AS mean_word_len,
-         |CASE WHEN w <> 0 THEN round(sym / w, 6) END AS symbol_ratio,
+         |CASE WHEN w <> 0 THEN round(hsh / w, 6) END AS hash_ratio,
+         |CASE WHEN w <> 0 THEN round(esym / w, 6) END AS ellipsis_sym_ratio,
          |CASE WHEN nl <> 0 THEN round(bl / nl, 6) END AS bullet_ratio,
          |CASE WHEN nl <> 0 THEN round(el / nl, 6) END AS ellipsis_ratio,
          |CASE WHEN w <> 0 THEN round(aw / w, 6) END AS alpha_word_ratio,
          |CAST(ns AS BIGINT) AS n_stopwords,
          |coalesce(w >= 40 AND w <= 100000
          |AND nws / w >= 3.0 AND nws / w <= 10.0
-         |AND sym / w <= 0.1 AND bl / nl <= 0.9 AND el / nl <= 0.3
+         |AND hsh / w <= 0.1 AND esym / w <= 0.1
+         |AND bl / nl <= 0.9 AND el / nl <= 0.3
          |AND aw / w >= 0.8 AND ns >= 1, false) AS passes
          |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },

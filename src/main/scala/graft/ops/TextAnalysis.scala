@@ -84,9 +84,11 @@ object TextAnalysis {
       lit(0.3) * alphaRatio(c) +
       lit(0.3) * least(lit(1.0), stopwordRatio(c) * 5.0)
 
-  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1 defaults) — every rule
-    * an independent boolean so pipelines can loosen one without losing the
-    * others. */
+  /** Gopher-rule thresholds (after Rae et al. 2021 §A1.1) — every rule an
+    * independent boolean so pipelines can loosen one without losing the
+    * others. The hash and ellipsis symbol ratios are thresholded
+    * SEPARATELY, as in the paper (summing them would be strictly
+    * tighter). */
   final case class GopherThresholds(
       minWords: Int = 50,
       maxWords: Int = 100000,
@@ -102,12 +104,27 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Whitespace class spelled out as RE2's `\s` ([ \t\n\f\r]): Java's `\s`
+    * additionally matches U+000B, so every gopher regex uses THIS class and
+    * any RE2-based oracle can mirror it verbatim (the SentenceSplitPattern
+    * trap, avoided the same way). */
+  private val GWs = " \\t\\n\\f\\r"
+
   /** Gopher-style document quality rules: word-count bounds, mean word
-    * length, symbol-to-word ratio (# and ellipses), bullet-line and
-    * ellipsis-line ratios, alphabetic-word ratio, required-stopword
-    * presence — the standard cheap pre-filter battery for web-scraped LLM
-    * corpora. Emits each signal (ratios rounded to 6 for cross-engine
-    * comparability) plus per-rule booleans folded into `passes`.
+    * length, hash/ellipsis symbol ratios, bullet-line and ellipsis-line
+    * ratios, alphabetic-word ratio, required-stopword presence — the
+    * standard cheap pre-filter battery for web-scraped LLM corpora. Emits
+    * each signal (ratios rounded to 6 for cross-engine comparability) plus
+    * the per-rule conjunction `passes` (NULL text → every signal NULL,
+    * passes false).
+    *
+    * Cross-engine discipline: word boundaries use the explicit [[GWs]]
+    * class (RE2-identical), line signals are defined against `\n`
+    * separators ONLY (the multiline `(?m)` anchors would additionally
+    * honor `\r`/U+2028/…, silently disagreeing with any split-on-\n
+    * denominator or oracle), `…` (U+2026) counts as an ellipsis alongside
+    * `...`, and an empty-or-blank document has ZERO words (a raw split
+    * would yield [""] → 1).
     *
     * All signals are `regexp_count`/arithmetic over the text column — one
     * codegen'd narrow projection, no HOF lambdas (CodegenFallback), no
@@ -119,40 +136,48 @@ object TextAnalysis {
       t: GopherThresholds = GopherThresholds()): DataFrame = {
     import graft.core.WeightedMoments.safeDiv
     val c = col(textCol)
-    val words = wsTokenCount(c).cast("double")
-    val meanLen = safeDiv(length(regexp_replace(c, "\\s", "")).cast("double"), words)
-    val symbolRatio = safeDiv(
-      (regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\."))).cast("double"), words)
-    // line counts: split with limit -1 keeps trailing empty lines, matching
-    // the oracle engine's split semantics exactly
+    val words = when(length(trim(c)) === 0, 0)
+      .otherwise(size(split(trim(c), s"[$GWs]+"))).cast("double")
+    val meanLen = safeDiv(length(regexp_replace(c, s"[$GWs]", "")).cast("double"), words)
+    val hashRatio = safeDiv(regexp_count(c, lit("#")).cast("double"), words)
+    val ellipsisSymRatio = safeDiv(
+      regexp_count(c, lit("(\\.\\.\\.|\u2026)")).cast("double"), words)
+    // line counts: split with limit -1 keeps trailing empty lines; the
+    // bullet/ellipsis matches consume their own \n (or anchor at the text
+    // edges), so each line contributes at most one match — exactly the
+    // per-line filter an oracle computes over split-on-\n lines
     val lines = size(split(c, "\n", -1)).cast("double")
     val bulletRatio = safeDiv(
-      regexp_count(c, lit("(?m)^[ \\t]*[-*\u2022]")).cast("double"), lines)
-    val ellipsisRatio = safeDiv(
-      regexp_count(c, lit("(?m)\\.\\.\\.[ \\t]*$")).cast("double"), lines)
+      regexp_count(c, lit("(\\A|\n)[ \\t]*[-*\u2022]")).cast("double"), lines)
+    val ellipsisLineRatio = safeDiv(
+      regexp_count(c, lit("(\\.\\.\\.|\u2026)[ \\t]*(\n|\\z)")).cast("double"), lines)
+    def wholeToken(body: String): String =
+      s"(?<![^$GWs])$body(?![^$GWs])"
     val alphaWordRatio = safeDiv(
-      regexp_count(c, lit("(?<!\\S)\\S*[A-Za-z]\\S*(?!\\S)")).cast("double"), words)
-    val nStop = GopherStopwords.map(wd =>
-      when(regexp_count(c, lit("(?<!\\S)" + java.util.regex.Pattern.quote(wd) + "(?!\\S)")) > 0, 1)
-        .otherwise(0)).reduce(_ + _)
+      regexp_count(c, lit(wholeToken(s"[^$GWs]*[A-Za-z][^$GWs]*"))).cast("double"), words)
+    val nStop = when(c.isNotNull, GopherStopwords.map(wd =>
+      when(regexp_count(c, lit(wholeToken(java.util.regex.Pattern.quote(wd)))) > 0, 1)
+        .otherwise(0)).reduce(_ + _))
     val passes =
       words >= t.minWords && words <= t.maxWords &&
         meanLen >= t.minMeanWordLen && meanLen <= t.maxMeanWordLen &&
-        symbolRatio <= t.maxSymbolRatio &&
+        hashRatio <= t.maxSymbolRatio &&
+        ellipsisSymRatio <= t.maxSymbolRatio &&
         bulletRatio <= t.maxBulletRatio &&
-        ellipsisRatio <= t.maxEllipsisRatio &&
+        ellipsisLineRatio <= t.maxEllipsisRatio &&
         alphaWordRatio >= t.minAlphaWordRatio &&
         nStop >= t.minStopwords
     df.select(
       col(idCol),
       words.cast("long").as("n_words"),
       round(meanLen, 6).as("mean_word_len"),
-      round(symbolRatio, 6).as("symbol_ratio"),
+      round(hashRatio, 6).as("hash_ratio"),
+      round(ellipsisSymRatio, 6).as("ellipsis_sym_ratio"),
       round(bulletRatio, 6).as("bullet_ratio"),
-      round(ellipsisRatio, 6).as("ellipsis_ratio"),
+      round(ellipsisLineRatio, 6).as("ellipsis_ratio"),
       round(alphaWordRatio, 6).as("alpha_word_ratio"),
       nStop.cast("long").as("n_stopwords"),
-      coalesce(passes, lit(false)).as("passes")) // empty text → null ratios → fail
+      coalesce(passes, lit(false)).as("passes")) // blank/NULL text → fail
   }
 
   /** Content fingerprint (md5 hex) — stable across engines. */

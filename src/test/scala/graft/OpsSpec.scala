@@ -69,9 +69,9 @@ class TextAnalysisSpec extends SparkSpecBase {
       (1L, good), // long, alphabetic, stopword-bearing → passes
       (2L, "short text"), // under minWords
       (3L, "- a\n- b\n- c\n- d"), // all-bullet lines
-      (4L, "to be continued...\nand then...\nmore..."), // every line ellipsis-ended
-      (5L, "#### #### " + good), // symbol-heavy prefix still diluted by length
-      (6L, "")) // empty → null ratios → fail, never a crash
+      (4L, "to be continued...\nand then…\nmore..."), // ellipsis-ended (incl. U+2026)
+      (5L, "#### #### " + good), // hash-heavy prefix still diluted by length
+      (6L, "")) // blank → ZERO words, null ratios, fail — never a crash
       .toDF("id", "text")
     val t = TextAnalysis.GopherThresholds(minWords = 20, minStopwords = 1)
     val got = TextAnalysis.gopherQuality(df, "text", "id", t).orderBy("id").collect()
@@ -79,10 +79,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!got(1).getAs[Boolean]("passes"))
     assert(got(2).getAs[Double]("bullet_ratio") == 1.0 && !got(2).getAs[Boolean]("passes"))
     assert(got(3).getAs[Double]("ellipsis_ratio") == 1.0 && !got(3).getAs[Boolean]("passes"))
-    assert(got(4).getAs[Double]("symbol_ratio") > 0.0)
+    assert(got(4).getAs[Double]("hash_ratio") > 0.0)
     assert(!got(5).getAs[Boolean]("passes"))
     // stopword count is DISTINCT stopwords present, not occurrences
     assert(got(0).getAs[Long]("n_stopwords") >= 4) // the, to, and, have
+    // blank doc: zero words (raw split would say 1), everything null/fail
+    assert(got(5).getAs[Long]("n_words") == 0L)
+    assert(got(5).isNullAt(got(5).fieldIndex("mean_word_len")))
+  }
+
+  test("gopher rules: CR is NOT a line break; ratios stay in [0,1]") {
+    // a CR-separated pseudo-list is ONE line under the \n-only contract —
+    // the (?m) anchors would have counted 3 bullets over 1 line (ratio 3.0)
+    val df = Seq((1L, "- a\r- b\r- c"), (2L, "...\r\n")).toDF("id", "text")
+    val got = TextAnalysis.gopherQuality(df, "text", "id").orderBy("id").collect()
+    assert(got(0).getAs[Double]("bullet_ratio") == 1.0) // first line only
+    // "...\r" line: the \r sits between ... and the \n → NOT ellipsis-ended
+    assert(got(1).getAs[Double]("ellipsis_ratio") == 0.0)
   }
 
   test("language id picks the max-marker language; no markers → unknown") {
