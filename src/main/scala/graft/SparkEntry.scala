@@ -768,6 +768,23 @@ object SparkEntry {
     "q28_text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // CROSS-document boilerplate-line removal: lines repeated in >= 40% of
+    // docs (footers, subscribe prompts) dropped from every doc; fixture
+    // builds 4-line docs from the documents table (the corpus itself is
+    // single-line) with two injected boilerplate lines at different
+    // frequencies — 100% and 50% are dropped, ~33% stays below threshold
+    "q99_drop_boilerplate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val multi = d.select(col("doc_id"), concat_ws("\n",
+        when(col("doc_id") % 2 === 0, lit("SUBSCRIBE to our newsletter"))
+          .otherwise(substring(col("text"), 1, 40)),
+        substring(col("text"), 1, 80),
+        when(col("doc_id") % 3 === 0, lit("Cookie policy applies"))
+          .otherwise(substring(col("text"), 41, 40)),
+        lit("All rights reserved")).as("text"))
+      graft.ops.Scrub.dropBoilerplateLines(multi, "text", "doc_id", minDocFrac = 0.4)
+        .orderBy("doc_id")
+    }),
     // Gopher-rule quality battery: word-count bounds, mean word length,
     // symbol/bullet/ellipsis ratios, alphabetic-word ratio, required
     // stopwords — each signal + per-doc pass flag, all regexp_count
@@ -1706,6 +1723,25 @@ object SparkEntry {
     // Gopher rules: DuckDB re-derives every signal from token/line LISTS
     // (RE2 has no lookarounds — list_filter/list_contains give the same
     // whole-token and per-line semantics as Spark's anchored regexes)
+    // boilerplate removal: DuckDB rebuilds the same 4 lines per doc from
+    // arithmetic, counts distinct docs per line TEXT (Spark counts XXH64
+    // keys — identical absent collisions), and reassembles kept lines in
+    // position order; all-boiler docs come back as ''
+    "q99_drop_boilerplate" ->
+      """WITH l AS (
+        |SELECT doc_id, 0 AS pos, CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE to our newsletter'
+        |ELSE substr(text, 1, 40) END AS ln FROM documents
+        |UNION ALL SELECT doc_id, 1, substr(text, 1, 80) FROM documents
+        |UNION ALL SELECT doc_id, 2, CASE WHEN doc_id % 3 = 0 THEN 'Cookie policy applies'
+        |ELSE substr(text, 41, 40) END FROM documents
+        |UNION ALL SELECT doc_id, 3, 'All rights reserved' FROM documents),
+        |b AS (SELECT ln FROM l GROUP BY ln
+        |HAVING count(DISTINCT doc_id) >= CAST(ceil(0.4 * (SELECT count(*) FROM documents)) AS BIGINT)),
+        |k AS (SELECT doc_id, pos, ln FROM l WHERE ln NOT IN (SELECT ln FROM b)),
+        |a AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS tc FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.tc, '') AS text_clean
+        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "q98_gopher_quality" -> {
       val stops = TextAnalysis.GopherStopwords
         .map(wd => s"CASE WHEN list_contains(toks, '$wd') THEN 1 ELSE 0 END")

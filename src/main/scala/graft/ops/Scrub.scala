@@ -73,4 +73,51 @@ object Scrub {
     })
     array_join(kept, "\n")
   }
+
+  /** CROSS-document boilerplate-line removal (the C4-style global line
+    * filter [[cleanLines]] can't express: it sees one document at a time):
+    * a line is boilerplate iff it appears in at least
+    * `max(minDocsFloor, ceil(minDocFrac · corpusSize))` DISTINCT documents
+    * — cookie banners, "all rights reserved" footers, subscribe prompts —
+    * and every occurrence is dropped, preserving the remaining lines'
+    * order. Documents whose every line is boilerplate come back as the
+    * empty string (never silently vanish).
+    *
+    * Scale shape: the distinct-(line, doc) pass and the per-line doc count
+    * shuffle 8-byte XXH64 line keys, never the line text; the boilerplate
+    * key set (tiny by definition — these are the corpus' most repeated
+    * lines) broadcasts back onto the exploded lines; reassembly is one
+    * groupBy(doc) with an in-group array_sort. A 64-bit key collision
+    * could misclassify a line (p ≈ distinctLines²/2⁶⁵ — negligible for a
+    * scrubbing pass; use content keys if bit-exactness against an
+    * adversary matters). */
+  def dropBoilerplateLines(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocFrac: Double = 0.05,
+      minDocsFloor: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      s"minDocFrac must be in (0,1], got $minDocFrac")
+    require(minDocsFloor >= 2, s"minDocsFloor must be >= 2, got $minDocsFloor")
+    val n = df.count()
+    val thresh = math.max(minDocsFloor.toLong, math.ceil(minDocFrac * n).toLong)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos__", "__line__")))
+    val boiler = lines
+      .select(xxhash64(col("__line__")).as("__lh__"), col(idCol)).distinct()
+      .groupBy("__lh__").agg(count(lit(1)).as("__docs__"))
+      .where(col("__docs__") >= thresh)
+      .select(col("__lh__"), lit(1).as("__bp__"))
+    val kept = lines
+      .withColumn("__lh__", xxhash64(col("__line__")))
+      .join(broadcast(boiler), Seq("__lh__"), "left")
+      .where(col("__bp__").isNull)
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos__"), col("__line__")))),
+        x => x.getField("__line__")), "\n").as("text_clean"))
+    df.select(col(idCol)).join(reassembled, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
 }

@@ -8,6 +8,29 @@ class ScrubSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.ops.Scrub
 
+  test("dropBoilerplateLines: cross-doc repeated lines vanish, order survives") {
+    val docs = (1L to 10L).map { i =>
+      (i, s"unique opener $i\nAll rights reserved\nbody text $i here\n" +
+        (if (i <= 3) "rare footer" else s"tail $i"))
+    }.toDF("doc_id", "text")
+    // threshold = max(2, ceil(0.5*10)) = 5: 'All rights reserved' (10 docs)
+    // drops, 'rare footer' (3 docs) stays
+    val got = graft.ops.Scrub.dropBoilerplateLines(docs, "text", "doc_id", minDocFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(got.length == 10)
+    assert(got.forall(!_.getString(1).contains("All rights reserved")))
+    assert(got(0).getString(1) == "unique opener 1\nbody text 1 here\nrare footer")
+    assert(got(9).getString(1) == "unique opener 10\nbody text 10 here\ntail 10")
+    // a doc that is ALL boilerplate returns '' rather than vanishing
+    val allBoiler = (1L to 6L).map(i => (i, "same line\nsame line two")).toDF("doc_id", "text")
+    val cleaned = graft.ops.Scrub.dropBoilerplateLines(allBoiler, "text", "doc_id", minDocFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(cleaned.length == 6 && cleaned.forall(_.getString(1) == ""))
+    intercept[IllegalArgumentException] {
+      graft.ops.Scrub.dropBoilerplateLines(docs, "text", "doc_id", minDocFrac = 0.0)
+    }
+  }
+
   test("redactPii replaces emails, phones, IPs with typed placeholders") {
     val df = Seq(
       (1L, "mail me at jo.do+x@sub.ex.org or call 555-123-4567 now"),
