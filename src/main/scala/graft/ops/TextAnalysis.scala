@@ -155,8 +155,10 @@ object TextAnalysis {
       s"(?<![^$GWs])$body(?![^$GWs])"
     val alphaWordRatio = safeDiv(
       regexp_count(c, lit(wholeToken(s"[^$GWs]*[A-Za-z][^$GWs]*"))).cast("double"), words)
+    // rlike, not regexp_count: presence needs the FIRST match, not a full
+    // scan of the document per stopword
     val nStop = when(c.isNotNull, GopherStopwords.map(wd =>
-      when(regexp_count(c, lit(wholeToken(java.util.regex.Pattern.quote(wd)))) > 0, 1)
+      when(c.rlike(wholeToken(java.util.regex.Pattern.quote(wd))), 1)
         .otherwise(0)).reduce(_ + _))
     val passes =
       words >= t.minWords && words <= t.maxWords &&
