@@ -1751,10 +1751,10 @@ object SparkEntry {
       // signals are per-\n-line filters matching Spark's consume-based
       // counts; blank docs have ZERO words on both sides
       s"""WITH f AS (SELECT doc_id, text,
-         |regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |regexp_extract_all(text, '\\S+') AS toks,
          |regexp_split_to_array(text, '\\n') AS lns FROM documents),
          |s AS (SELECT doc_id, text, toks,
-         |CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS DOUBLE) AS w,
+         |CAST(len(toks) AS DOUBLE) AS w,
          |CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
          |CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) AS hsh,
          |CAST(len(regexp_extract_all(text, '(\\.\\.\\.|$ell)')) AS DOUBLE) AS esym,

@@ -104,12 +104,6 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Whitespace class spelled out as RE2's `\s` ([ \t\n\f\r]): Java's `\s`
-    * additionally matches U+000B, so every gopher regex uses THIS class and
-    * any RE2-based oracle can mirror it verbatim (the SentenceSplitPattern
-    * trap, avoided the same way). */
-  private val GWs = " \\t\\n\\f\\r"
-
   /** Gopher-style document quality rules: word-count bounds, mean word
     * length, hash/ellipsis symbol ratios, bullet-line and ellipsis-line
     * ratios, alphabetic-word ratio, required-stopword presence — the
@@ -118,48 +112,43 @@ object TextAnalysis {
     * the per-rule conjunction `passes` (NULL text → every signal NULL,
     * passes false).
     *
-    * Cross-engine discipline: word boundaries use the explicit [[GWs]]
-    * class (RE2-identical), line signals are defined against `\n`
-    * separators ONLY (the multiline `(?m)` anchors would additionally
-    * honor `\r`/U+2028/…, silently disagreeing with any split-on-\n
-    * denominator or oracle), `…` (U+2026) counts as an ellipsis alongside
-    * `...`, and an empty-or-blank document has ZERO words (a raw split
-    * would yield [""] → 1).
+    * Cross-engine discipline: whitespace is exactly `[ \t\n\f\r]` (RE2's
+    * `\s`; Java's `\s` would additionally match U+000B), line signals are
+    * defined against `\n` separators ONLY (the multiline `(?m)` anchors
+    * would additionally honor `\r`/U+2028/…, silently disagreeing with any
+    * split-on-\n denominator or oracle), and `…` (U+2026) counts as an
+    * ellipsis alongside `...`.
     *
-    * All signals are `regexp_count`/arithmetic over the text column — one
-    * codegen'd narrow projection, no HOF lambdas (CodegenFallback), no
-    * explode; at 100 TB this filters at scan speed. */
+    * All signals derive from [[graft.functions.GopherSignals]] — ONE native
+    * codegen'd character scan per document (no regex passes, no HOF lambdas,
+    * no explode); at 100 TB this filters at scan speed. The counter
+    * definitions (word = maximal `\S+` run, per-\n-line bullet/ellipsis
+    * checks, exact-token stopword presence) are RE2-expressible so the
+    * oracle mirrors them verbatim; word counting follows the Gopher-paper
+    * semantics of non-whitespace runs, so a document that is blank under
+    * ANY whitespace (tabs/newlines included, not just spaces) has ZERO
+    * words. */
   def gopherQuality(
       df: DataFrame,
       textCol: String,
       idCol: String,
       t: GopherThresholds = GopherThresholds()): DataFrame = {
     import graft.core.WeightedMoments.safeDiv
-    val c = col(textCol)
-    val words = when(length(trim(c)) === 0, 0)
-      .otherwise(size(split(trim(c), s"[$GWs]+"))).cast("double")
-    val meanLen = safeDiv(length(regexp_replace(c, s"[$GWs]", "")).cast("double"), words)
-    val hashRatio = safeDiv(regexp_count(c, lit("#")).cast("double"), words)
-    val ellipsisSymRatio = safeDiv(
-      regexp_count(c, lit("(\\.\\.\\.|\u2026)")).cast("double"), words)
-    // line counts: split with limit -1 keeps trailing empty lines; the
-    // bullet/ellipsis matches consume their own \n (or anchor at the text
-    // edges), so each line contributes at most one match — exactly the
-    // per-line filter an oracle computes over split-on-\n lines
-    val lines = size(split(c, "\n", -1)).cast("double")
-    val bulletRatio = safeDiv(
-      regexp_count(c, lit("(\\A|\n)[ \\t]*[-*\u2022]")).cast("double"), lines)
-    val ellipsisLineRatio = safeDiv(
-      regexp_count(c, lit("(\\.\\.\\.|\u2026)[ \\t]*(\n|\\z)")).cast("double"), lines)
-    def wholeToken(body: String): String =
-      s"(?<![^$GWs])$body(?![^$GWs])"
-    val alphaWordRatio = safeDiv(
-      regexp_count(c, lit(wholeToken(s"[^$GWs]*[A-Za-z][^$GWs]*"))).cast("double"), words)
-    // rlike, not regexp_count: presence needs the FIRST match, not a full
-    // scan of the document per stopword
-    val nStop = when(c.isNotNull, GopherStopwords.map(wd =>
-      when(c.rlike(wholeToken(java.util.regex.Pattern.quote(wd))), 1)
-        .otherwise(0)).reduce(_ + _))
+    // materialize the struct under an alias FIRST: every ratio reads from
+    // the one scan (CollapseProject will not inline a non-cheap expression
+    // into its nine consumers, and the plan audit pins that)
+    val withSig = df.select(col(idCol), col(textCol),
+      graft.functions.TextFunctions.gopherSignals(col(textCol)).as("__g__"))
+    def g(f: String) = col("__g__").getField(f).cast("double")
+    val words = g("n_words")
+    val meanLen = safeDiv(g("n_nonws_chars"), words)
+    val hashRatio = safeDiv(g("n_hash"), words)
+    val ellipsisSymRatio = safeDiv(g("n_ellipsis_sym"), words)
+    val lines = g("n_lines")
+    val bulletRatio = safeDiv(g("n_bullet_lines"), lines)
+    val ellipsisLineRatio = safeDiv(g("n_ellipsis_lines"), lines)
+    val alphaWordRatio = safeDiv(g("n_alpha_words"), words)
+    val nStop = col("__g__").getField("n_stopwords")
     val passes =
       words >= t.minWords && words <= t.maxWords &&
         meanLen >= t.minMeanWordLen && meanLen <= t.maxMeanWordLen &&
@@ -169,7 +158,7 @@ object TextAnalysis {
         ellipsisLineRatio <= t.maxEllipsisRatio &&
         alphaWordRatio >= t.minAlphaWordRatio &&
         nStop >= t.minStopwords
-    df.select(
+    withSig.select(
       col(idCol),
       words.cast("long").as("n_words"),
       round(meanLen, 6).as("mean_word_len"),
