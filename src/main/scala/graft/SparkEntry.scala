@@ -1380,7 +1380,8 @@ object SparkEntry {
     "q97_grouped_resample" -> {
       val cnt = "sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)"
       s"""WITH b AS (SELECT event_type, CAST(floor(epoch(ts) / 172800) AS BIGINT) * 172800 AS bucket,
-         |value, CAST((user_id % 7 + 1) AS DOUBLE) AS w FROM events),
+         |value, CAST((user_id % 7 + 1) AS DOUBLE) AS w FROM events
+         |WHERE event_type IS NOT NULL),
          |a AS (SELECT event_type, bucket,
          |$cnt AS count_value,
          |coalesce(sum(value * w), 0.0) AS sum_value,

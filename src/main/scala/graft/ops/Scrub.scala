@@ -83,6 +83,12 @@ object Scrub {
     * order. Documents whose every line is boilerplate come back as the
     * empty string (never silently vanish).
     *
+    * NULL text is NOT a document: it is excluded from the threshold
+    * denominator (it contributes no lines, so counting it would only
+    * dilute the doc-frequency threshold) and comes back as NULL
+    * `text_clean` — distinct from the empty string an all-boilerplate
+    * document produces.
+    *
     * Scale shape: the distinct-(line, doc) pass and the per-line doc count
     * shuffle 8-byte XXH64 line keys, never the line text; the boilerplate
     * key set (tiny by definition — these are the corpus' most repeated
@@ -90,17 +96,31 @@ object Scrub {
     * groupBy(doc) with an in-group array_sort. A 64-bit key collision
     * could misclassify a line (p ≈ distinctLines²/2⁶⁵ — negligible for a
     * scrubbing pass; use content keys if bit-exactness against an
-    * adversary matters). */
+    * adversary matters).
+    *
+    * The boiler set is bounded BY CONSTRUCTION at
+    * `Σ_docs distinctLinesPerDoc / thresh ≤ avgDistinctLinesPerDoc /
+    * minDocFrac` entries — corpus-size-INDEPENDENT for any fixed
+    * `minDocFrac`. But the bound degrades when `thresh` collapses to
+    * `minDocsFloor` (a tiny corpus, or a degenerate `minDocFrac`), where
+    * an adversarial many-tiny-docs corpus can make it corpus-sized; the
+    * broadcast is therefore guarded by an ACTUAL count (the set is
+    * `localCheckpoint`ed first, so the count and the join reuse one
+    * materialization) and falls back to a shuffled join past
+    * `maxBroadcastLines` keys — degraded shape, never a driver OOM. */
   def dropBoilerplateLines(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       idCol: String,
       minDocFrac: Double = 0.05,
-      minDocsFloor: Int = 2): org.apache.spark.sql.DataFrame = {
+      minDocsFloor: Int = 2,
+      maxBroadcastLines: Long = 4L << 20): org.apache.spark.sql.DataFrame = {
     require(minDocFrac > 0.0 && minDocFrac <= 1.0,
       s"minDocFrac must be in (0,1], got $minDocFrac")
     require(minDocsFloor >= 2, s"minDocsFloor must be >= 2, got $minDocsFloor")
-    val n = df.count()
+    require(maxBroadcastLines >= 1,
+      s"maxBroadcastLines must be positive, got $maxBroadcastLines")
+    val n = df.where(col(textCol).isNotNull).count()
     val thresh = math.max(minDocsFloor.toLong, math.ceil(minDocFrac * n).toLong)
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos__", "__line__")))
@@ -109,15 +129,21 @@ object Scrub {
       .groupBy("__lh__").agg(count(lit(1)).as("__docs__"))
       .where(col("__docs__") >= thresh)
       .select(col("__lh__"), lit(1).as("__bp__"))
+      .localCheckpoint() // one materialization for the count AND the join
+    val boilerSide =
+      if (boiler.count() <= maxBroadcastLines) broadcast(boiler) else boiler
     val kept = lines
       .withColumn("__lh__", xxhash64(col("__line__")))
-      .join(broadcast(boiler), Seq("__lh__"), "left")
+      .join(boilerSide, Seq("__lh__"), "left")
       .where(col("__bp__").isNull)
     val reassembled = kept.groupBy(col(idCol)).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("__pos__"), col("__line__")))),
         x => x.getField("__line__")), "\n").as("text_clean"))
-    df.select(col(idCol)).join(reassembled, Seq(idCol), "left")
-      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+    df.select(col(idCol), col(textCol).isNotNull.as("__has__"))
+      .join(reassembled, Seq(idCol), "left")
+      .withColumn("text_clean",
+        when(col("__has__"), coalesce(col("text_clean"), lit(""))))
+      .drop("__has__")
   }
 }

@@ -496,20 +496,39 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Materialized IVF-PQ index for a corpus: `(idCol, cell, codes)` — one
-    * narrow codegen'd pass over the scan. Persist it (e.g.
-    * `Tables.writeBucketed(..., bucketCols = Seq("cell"))`) and pass it to
-    * [[searchIvfPq]]'s `index` so repeated query batches never re-encode
-    * the corpus: at 100 TB the encode pass reads every embedding once,
-    * while each search then reads only the ~12-byte index rows (plus the
-    * shortlist's vectors for refinement). */
+  /** Deterministic 64-bit fingerprint of an (ivf, pq) model pair — bitwise
+    * over every centroid/codebook coordinate, so any retrain (new seed, new
+    * sample, new k) changes it. Stamped into each index row by
+    * [[buildIvfPqIndex]] and REQUIRED to match by [[searchIvfPq]]: an index
+    * built under different models would otherwise silently probe wrong
+    * cells and decode with wrong codebooks, degrading recall with no error
+    * anywhere. */
+  def modelSig(ivf: IvfModel, pq: PqModel): Long = {
+    var h = 1125899906842597L // large prime seed, FNV-style fold
+    def mix(d: Double): Unit = {
+      h = h * 31L + java.lang.Double.doubleToLongBits(d)
+    }
+    ivf.centroids.foreach(_.foreach(mix))
+    h = h * 31L + pq.dim; h = h * 31L + pq.m
+    pq.codebooks.foreach(_.foreach(_.foreach(mix)))
+    h
+  }
+
+  /** Materialized IVF-PQ index for a corpus: `(idCol, cell, codes,
+    * model_sig)` — one narrow codegen'd pass over the scan (`model_sig` is
+    * the constant [[modelSig]] fingerprint; it RLE-compresses to nothing in
+    * parquet). Persist it (e.g. `Tables.writeBucketed(..., bucketCols =
+    * Seq("cell"))`) and pass it to [[searchIvfPq]]'s `index` so repeated
+    * query batches never re-encode the corpus: at 100 TB the encode pass
+    * reads every embedding once, while each search then reads only the
+    * ~12-byte index rows (plus the shortlist's vectors for refinement). */
   def buildIvfPqIndex(
       ivf: IvfModel,
       pq: PqModel,
       df: DataFrame,
       idCol: String,
       vecCol: String): DataFrame = {
-    require(idCol != "cell" && idCol != "codes",
+    require(idCol != "cell" && idCol != "codes" && idCol != "model_sig",
       s"idCol '$idCol' collides with an index output column")
     val prepped = df.select(col(idCol), toDouble(col(vecCol)).as("__v__"))
       .withColumn("__n__", norm(col("__v__")))
@@ -519,7 +538,8 @@ object Similarity {
       x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))
     prepped
       .withColumn("cell", array_position(cellScores, array_max(cellScores)) - 1)
-      .select(col(idCol), col("cell"), pqCodes(pq, vhat).as("codes"))
+      .select(col(idCol), col("cell"), pqCodes(pq, vhat).as("codes"),
+        lit(modelSig(ivf, pq)).as("model_sig"))
   }
 
   /** IVF-PQ ANN search — the memory-compression path for corpora whose raw
@@ -532,10 +552,12 @@ object Similarity {
     * candidates were considered, never the reported values. Same output
     * schema as [[bruteKnn]]/[[searchIvf]].
     *
-    * `index`: a pre-materialized [[buildIvfPqIndex]] frame (same idCol —
-    * must have been built under the SAME ivf/pq models; the models carry no
-    * fingerprint, so a mismatched index silently probes wrong cells).
-    * Omitted → the index is computed inline, one pass over the scan.
+    * `index`: a pre-materialized [[buildIvfPqIndex]] frame (same idCol).
+    * Its `model_sig` column is checked against [[modelSig]] of the models
+    * passed here — one single-row job at planning time — and a mismatch
+    * (an index built under retrained models) fails fast instead of
+    * silently probing wrong cells. Omitted → the index is computed inline,
+    * one pass over the scan.
     *
     * At 100 TB: codes + cell are a narrow projection computed in one pass
     * over the scan (or read from the persisted index); the heavy probe
@@ -556,8 +578,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && refineFactor >= 1)
     index.foreach { ix =>
-      require(Seq(idCol, "cell", "codes").forall(ix.columns.contains),
-        s"index must have ($idCol, cell, codes) columns, got ${ix.columns.mkString(",")}")
+      require(Seq(idCol, "cell", "codes", "model_sig").forall(ix.columns.contains),
+        s"index must have ($idCol, cell, codes, model_sig) columns, got ${ix.columns.mkString(",")}")
+      // the column is constant by construction, so ONE row decides; a
+      // 1-row limit job touches a single file of a persisted index
+      val expected = modelSig(ivf, pq)
+      ix.select("model_sig").limit(1).collect().foreach { r =>
+        require(r.getLong(0) == expected,
+          s"index model_sig ${r.getLong(0)} != $expected for the ivf/pq models " +
+            "passed to searchIvfPq — the index was built under different " +
+            "(e.g. retrained) models; rebuild it with buildIvfPqIndex")
+      }
     }
     val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
       .withColumn("__n__", norm(col("__v__")))

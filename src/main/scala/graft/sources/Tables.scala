@@ -180,7 +180,18 @@ object Tables {
     * `approxQuantile` pass (never a global window — an `ntile` over an
     * unpartitioned ORDER BY would serialize the corpus into one task), so
     * buckets stay balanced under arbitrary skew; the interleave itself is a
-    * pure per-row bit expression inside whole-stage codegen. */
+    * pure per-row bit expression inside whole-stage codegen.
+    *
+    * EAGER: the `approxQuantile` pass runs a job over `df` at CALL time —
+    * using the returned Column means `df`'s lineage is computed (at least)
+    * twice, once for the boundaries and once wherever the Column is
+    * evaluated. Deliberately not mitigated with `cache()` here: pinning a
+    * corpus-sized input to executor storage to save one narrow pass is the
+    * wrong trade at 100 TB (callers with an expensive upstream lineage
+    * should checkpoint/persist it themselves before calling). The returned
+    * Column is BOUND to the quantiles of THIS `df` argument — applying it
+    * to a different frame interleaves that frame's values against these
+    * boundaries. */
   def zOrderValue(df: DataFrame, zCols: Seq[String], bits: Int = 4): Column = {
     require(zCols.nonEmpty, "zOrderValue needs at least one column")
     require(bits >= 1 && bits <= 8, s"bits must be in [1,8], got $bits")
@@ -214,8 +225,10 @@ object Tables {
     * each file in every interleaved dimension (a contiguous Morton range is
     * a compact hyper-rectangle of rank space), so `WHERE user_id = ?` AND
     * `WHERE value BETWEEN ?` each skip most files, from footer stats alone,
-    * with no index structure to maintain. Layout cost is one range shuffle
-    * at write time, amortized over every downstream selective read. */
+    * with no index structure to maintain. Layout cost is TWO passes over
+    * `df` (the eager [[zOrderValue]] quantile job, then the range-shuffled
+    * write) — persist an expensive upstream lineage before calling —
+    * amortized over every downstream selective read. */
   def writeZOrdered(
       df: DataFrame,
       path: String,

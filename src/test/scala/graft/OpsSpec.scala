@@ -31,6 +31,60 @@ class ScrubSpec extends SparkSpecBase {
     }
   }
 
+  test("dropBoilerplateLines: NULL text is not a document — excluded from " +
+    "the threshold denominator and returned as NULL, not ''") {
+    // 4 non-null docs + 2 NULLs; frac 0.5 over the NON-NULL count → thresh
+    // max(2, ceil(0.5*4)) = 2, so 'shared' (2 docs) drops. Counting NULLs
+    // in the denominator would give thresh 3 and keep it.
+    val docs = Seq(
+      (1L, "shared\nown 1"), (2L, "shared\nown 2"),
+      (3L, "own 3"), (4L, "own 4"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Scrub.dropBoilerplateLines(docs, "text", "doc_id", minDocFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(got.length == 6)
+    assert(got(0).getString(1) == "own 1" && got(1).getString(1) == "own 2")
+    assert(got(4).isNullAt(1) && got(5).isNullAt(1)) // NULL stays NULL, not ''
+  }
+
+  test("dropBoilerplateLines: adversarial tiny-doc corpus — boiler set hits " +
+    "the broadcast cap and the shuffled fallback gives identical output") {
+    // every doc is ONE line shared by exactly minDocsFloor docs: thresh
+    // collapses to the floor and EVERY line is boilerplate — the worst
+    // case for the broadcast set (corpus-sized, one key per line pair)
+    val docs = (0L until 200L).map(i => (i, s"pair line ${i / 2}"))
+      .toDF("doc_id", "text")
+    val viaBroadcast = graft.ops.Scrub.dropBoilerplateLines(
+      docs, "text", "doc_id", minDocFrac = 0.001)
+      .orderBy("doc_id").collect()
+    val viaShuffle = graft.ops.Scrub.dropBoilerplateLines(
+      docs, "text", "doc_id", minDocFrac = 0.001, maxBroadcastLines = 10L)
+      .orderBy("doc_id").collect()
+    assert(viaBroadcast.toSeq == viaShuffle.toSeq)
+    assert(viaBroadcast.forall(_.getString(1) == "")) // all-boiler docs → ''
+    // and the BY-CONSTRUCTION bound holds in the expected regime: with a
+    // sane minDocFrac the boiler set is ≤ avgDistinctLinesPerDoc/frac,
+    // independent of corpus size — measured here, not asserted on faith
+    // (2 lines/doc, frac 0.05 → ≤ 40; actual set is just {common})
+    val sane = (0L until 500L).map(i => (i, s"u${i}\ncommon"))
+      .toDF("doc_id", "text")
+    val nDocs = sane.count()
+    val pairs = sane.select(col("doc_id"),
+      explode(split(col("text"), "\n", -1)).as("ln")).distinct()
+    val avgDistinctLines = pairs.count().toDouble / nDocs
+    val boilerSize = pairs.groupBy("ln").count()
+      .where(col("count") >= math.max(2L, math.ceil(0.05 * nDocs).toLong))
+      .count()
+    assert(boilerSize <= math.ceil(avgDistinctLines / 0.05).toLong,
+      s"boiler set $boilerSize exceeds avgLines/frac bound")
+    assert(boilerSize == 1L)
+    val cleaned = graft.ops.Scrub.dropBoilerplateLines(
+      sane, "text", "doc_id", minDocFrac = 0.05)
+      .orderBy("doc_id").collect()
+    assert(cleaned.forall(r => r.getString(1) == s"u${r.getLong(0)}"))
+  }
+
   test("redactPii replaces emails, phones, IPs with typed placeholders") {
     val df = Seq(
       (1L, "mail me at jo.do+x@sub.ex.org or call 555-123-4567 now"),

@@ -69,7 +69,7 @@ class PqSpec extends SparkSpecBase {
     val pq = Similarity.fitPq(emb, "embedding")
     val pred = col("vec_id") < 10
     val ix = Similarity.buildIvfPqIndex(ivf, pq, emb, "vec_id", "embedding")
-    assert(ix.columns.toSeq == Seq("vec_id", "cell", "codes"))
+    assert(ix.columns.toSeq == Seq("vec_id", "cell", "codes", "model_sig"))
     val inline = Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding", pred, 5)
     val indexed = Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding", pred, 5,
       index = Some(ix))
@@ -77,6 +77,15 @@ class PqSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding", pred, 5,
         index = Some(ix.drop("codes")))
+    }
+    // an index built under RETRAINED models must fail fast, not silently
+    // probe wrong cells (the model_sig fingerprint check)
+    val ivf2 = Similarity.fitIvf(emb, "embedding", seed = 99L)
+    val pq2 = Similarity.fitPq(emb, "embedding", seed = 99L)
+    assert(Similarity.modelSig(ivf2, pq2) != Similarity.modelSig(ivf, pq))
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPq(ivf2, pq2, emb, "vec_id", "embedding", pred, 5,
+        index = Some(ix))
     }
   }
 
