@@ -414,8 +414,27 @@ object Similarity {
 
   /** Product-quantization codebooks: `m` subspaces × `ksub` sub-centroids
     * of `dsub = dim/m` dims each. Fit once with [[fitPq]]; encode/search
-    * any number of times. */
-  final case class PqModel(dim: Int, m: Int, codebooks: Seq[Seq[Seq[Double]]]) {
+    * any number of times.
+    *
+    * `residual = true` means the codebooks quantize `x̂ − offsets(cell)`
+    * instead of `x̂` itself — the IVFADC refinement: the cell id already
+    * encodes coarse position, so the code budget is spent on the offset
+    * from it. `offsets` is the per-IVF-cell MEAN of the training vectors,
+    * NOT the unit-normalized IvfModel centroid: `E|x̂ − μ_cell|² =
+    * 1 − |μ_cell|² ≤ E|x̂|²`, so the mean offset never inflates the
+    * residual, while subtracting a UNIT centroid from a weakly-aligned
+    * unit vector yields |x̂ − c| up to √2 — residuals LARGER than the
+    * inputs, measurably worse codes (the gain over raw encoding therefore
+    * scales with how clustered the corpus is: ≈ |μ_cell|²). A residual
+    * model is bound to the IvfModel it was trained against — [[modelSig]]
+    * covers both plus this flag and the offsets, so a mismatched index
+    * fails fast. */
+  final case class PqModel(
+      dim: Int,
+      m: Int,
+      codebooks: Seq[Seq[Seq[Double]]],
+      residual: Boolean = false,
+      offsets: Seq[Seq[Double]] = Nil) {
     def ksub: Int = codebooks.head.size
     def dsub: Int = dim / m
   }
@@ -429,30 +448,70 @@ object Similarity {
     * than 64-d float64) are sized for the random-gaussian WORST case:
     * measured top-5 recall 0.98 with the default refineFactor=8 (m=8/
     * ksub=16 decays to 0.46 there); clusterable real embeddings do
-    * better at every setting. */
+    * better at every setting.
+    *
+    * `residualOf = Some(ivf)`: train on `x̂ − μ_cell` (the cell's training
+    * MEAN — see [[PqModel.residual]] for why the mean and not the unit
+    * centroid) — the code budget then targets a strictly lower-energy
+    * signal, by exactly `|μ_cell|²`: a large win on clustered corpora,
+    * marginal on isotropic ones. The returned model is bound to THAT
+    * IvfModel and must be searched with it. */
   def fitPq(
       df: DataFrame,
       vecCol: String,
       m: Int = 16,
       ksub: Int = 32,
       seed: Long = 42L,
-      maxTrainRows: Int = 20000): PqModel = {
+      maxTrainRows: Int = 20000,
+      residualOf: Option[IvfModel] = None): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val dim = inferDim(df, vecCol)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    residualOf.foreach(ivf => require(ivf.centroids.head.size == dim,
+      s"residualOf centroids have dim ${ivf.centroids.head.size}, corpus has $dim"))
     val dsub = dim / m
     val n = df.count()
     require(n > 0, "fitPq: empty corpus")
     val frac = math.min(1.0, maxTrainRows.toDouble / n)
     val v = toDouble(col(vecCol)).as("__v__")
     val sampled = if (frac < 1.0) df.select(v).sample(frac, seed) else df.select(v)
-    val trainDf = sampled.withColumn("__n__", norm(col("__v__")))
+    val normed = sampled.withColumn("__n__", norm(col("__v__")))
       .select(transform(col("__v__"),
         x => graft.core.WeightedMoments.safeDiv(x, col("__n__"))).as("__vh__"))
       .where(!col("__vh__").getItem(0).isNull) // zero vectors train nothing
-      .coalesce(math.max(1, maxTrainRows / 8192)).cache()
+    // residual mode: assign cells (same codegen'd argmax the index build
+    // uses), estimate each cell's MEAN from the sample (coalesce(1) keeps
+    // the float accumulation order — and therefore the model — bit-exactly
+    // deterministic; the sample is ≤ maxTrainRows rows), then train on
+    // x̂ − μ_cell
+    var offsets: Seq[Seq[Double]] = Nil
+    val trainDf = residualOf match {
+      case None => normed.coalesce(math.max(1, maxTrainRows / 8192)).cache()
+      case Some(ivf) =>
+        val cm = typedlit(ivf.centroids)
+        val scores = array(ivf.centroids.indices.map(i =>
+          dot(col("__vh__"), cm.getItem(i))): _*)
+        val assigned = normed
+          .withColumn("__cell__", array_position(scores, array_max(scores)) - 1)
+          .coalesce(1).cache()
+        val meanExprs = (0 until dim).map(i => avg(col("__vh__").getItem(i)))
+        val byCell = assigned.groupBy("__cell__")
+          .agg(meanExprs.head, meanExprs.tail: _*).collect()
+        val offArr = Array.fill(ivf.centroids.size)(Seq.fill(dim)(0.0))
+        byCell.foreach { r => // cells unseen in the sample keep offset 0
+          offArr(r.getLong(0).toInt) = (1 to dim).map(r.getDouble)
+        }
+        offsets = offArr.toSeq
+        val om = typedlit(offsets)
+        val out = assigned.select(zip_with(col("__vh__"),
+          element_at(om, (col("__cell__") + 1).cast("int")),
+          (a, b) => a - b).as("__vh__")).cache()
+        out.count() // materialize before dropping the assignment cache
+        assigned.unpersist()
+        out
+    }
     val trainN = trainDf.count() // materialize ONCE for all m fits
     // KMeans requires k >= 2, and kk below clamps to trainN — a 1-vector
     // corpus would otherwise crash inside setK(1) with an opaque ML error
@@ -466,7 +525,7 @@ object Similarity {
       model.clusterCenters.map(_.toArray.toSeq).toSeq
     }
     trainDf.unpersist()
-    PqModel(dim, m, books)
+    PqModel(dim, m, books, residual = residualOf.isDefined, offsets = offsets)
   }
 
   /** PQ code assignment of a unit-normalized vector column: per subspace,
@@ -510,6 +569,8 @@ object Similarity {
     }
     ivf.centroids.foreach(_.foreach(mix))
     h = h * 31L + pq.dim; h = h * 31L + pq.m
+    h = h * 31L + (if (pq.residual) 1L else 0L)
+    pq.offsets.foreach(_.foreach(mix))
     pq.codebooks.foreach(_.foreach(_.foreach(mix)))
     h
   }
@@ -530,15 +591,24 @@ object Similarity {
       vecCol: String): DataFrame = {
     require(idCol != "cell" && idCol != "codes" && idCol != "model_sig",
       s"idCol '$idCol' collides with an index output column")
+    require(!pq.residual || pq.offsets.size == ivf.centroids.size,
+      s"residual PqModel carries ${pq.offsets.size} cell offsets but the " +
+        s"IvfModel has ${ivf.centroids.size} cells — models from different fits")
     val prepped = df.select(col(idCol), toDouble(col(vecCol)).as("__v__"))
       .withColumn("__n__", norm(col("__v__")))
     val cm = typedlit(ivf.centroids)
     val cellScores = array(ivf.centroids.indices.map(i => dot(col("__v__"), cm.getItem(i))): _*)
     val vhat = transform(col("__v__"),
       x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))
+    // residual model: encode x̂ − μ_cell, not x̂ (PqModel.residual)
+    val encoded =
+      if (pq.residual)
+        zip_with(vhat, element_at(typedlit(pq.offsets), (col("cell") + 1).cast("int")),
+          (a, b) => a - b)
+      else vhat
     prepped
       .withColumn("cell", array_position(cellScores, array_max(cellScores)) - 1)
-      .select(col(idCol), col("cell"), pqCodes(pq, vhat).as("codes"),
+      .select(col(idCol), col("cell"), pqCodes(pq, encoded).as("codes"),
         lit(modelSig(ivf, pq)).as("model_sig"))
   }
 
@@ -577,6 +647,9 @@ object Similarity {
       index: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && refineFactor >= 1)
+    require(!pq.residual || pq.offsets.size == ivf.centroids.size,
+      s"residual PqModel carries ${pq.offsets.size} cell offsets but the " +
+        s"IvfModel has ${ivf.centroids.size} cells — models from different fits")
     index.foreach { ix =>
       require(Seq(idCol, "cell", "codes", "model_sig").forall(ix.columns.contains),
         s"index must have ($idCol, cell, codes, model_sig) columns, got ${ix.columns.mkString(",")}")
@@ -605,10 +678,16 @@ object Similarity {
       .where(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
     val probeSide = if (smallQueries) broadcast(qProbes) else qProbes
+    // residual model: x̂ ≈ μ_cell + decoded residual, so the ADC ranking
+    // score gains the q·μ_cell term (cell rides the join key; constant
+    // |q| per query keeps the ranking cosine-consistent)
+    val adc = adcScore(pq, col("qv"), col("__codes__")) + (
+      if (pq.residual)
+        dot(col("qv"), element_at(typedlit(pq.offsets), (col("cell") + 1).cast("int")))
+      else lit(0.0))
     val cand = probeSide.join(corpus, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        adcScore(pq, col("qv"), col("__codes__")).as("__adc__"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("__adc__"))
       .withColumn("__r__", row_number().over(
         Window.partitionBy("query_id").orderBy(col("__adc__").desc, col("neighbor_id"))))
       .where(col("__r__") <= k.toLong * refineFactor)

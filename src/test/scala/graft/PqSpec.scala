@@ -89,6 +89,66 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("residual encoding: mean offsets reduce reconstruction error, " +
+    "recall holds the floor, model is deterministic and sig-distinct") {
+    // WHY no "residual rescues low-m recall" assertion: the fixture is
+    // near-isotropic (pair cosine ≈ 0), so cell means have norm ≈ 0.2 and
+    // residual's guaranteed energy reduction is only |μ_cell|² ≈ 4% —
+    // invisible under recall measurement noise. What residual DOES
+    // guarantee — E|x̂ − μ_cell|² = 1 − |μ_cell|² ≤ E|x̂|², i.e. a strictly
+    // better code-budget target — is asserted directly on reconstruction
+    // quality below. (Subtracting the UNIT IVF centroid instead, the naive
+    // reading of "residual", yields |x̂ − c| up to √2 and measurably WORSE
+    // codes: recon cosine 0.58 vs 0.68 raw at m=8/ksub=16 — the offsets
+    // field exists precisely because of that trap.)
+    val ivf = Similarity.fitIvf(emb, "embedding")
+    val raw = Similarity.fitPq(emb, "embedding", m = 8, ksub = 16)
+    val res = Similarity.fitPq(emb, "embedding", m = 8, ksub = 16,
+      residualOf = Some(ivf))
+    assert(!raw.residual && res.residual)
+    assert(res.offsets.size == ivf.centroids.size)
+    // mean offsets live strictly inside the unit ball on isotropic data
+    assert(res.offsets.forall(o => math.sqrt(o.map(x => x * x).sum) < 0.9))
+    // the flag and offsets participate in the index fingerprint: a raw
+    // index can't be searched with a residual model of identical shape
+    assert(Similarity.modelSig(ivf, raw) != Similarity.modelSig(ivf, res))
+    // reconstruction: decode(code) [+ μ_cell] vs the true unit vector —
+    // residual must beat raw (deterministic: fixed seeds, fixed corpus)
+    def reconCosine(pq: Similarity.PqModel): Double = {
+      val ix = Similarity.buildIvfPqIndex(ivf, pq, emb, "vec_id", "embedding")
+      val cb = typedlit(pq.codebooks)
+      val decoded = (0 until pq.m).map { j =>
+        element_at(cb.getItem(j), element_at(col("codes"), j + 1) + 1)
+      }.reduce(concat(_, _))
+      val full =
+        if (pq.residual)
+          zip_with(decoded,
+            element_at(typedlit(pq.offsets), (col("cell") + 1).cast("int")),
+            (a, b) => a + b)
+        else decoded
+      ix.join(emb, "vec_id")
+        .agg(avg(Similarity.cosine(col("embedding"), full))).head().getDouble(0)
+    }
+    val rcRes = reconCosine(res)
+    val rcRaw = reconCosine(raw)
+    assert(rcRes > rcRaw,
+      s"residual recon cosine $rcRes should beat raw $rcRaw at m=8/ksub=16")
+    // end-to-end: the default-setting residual path holds the q90 floor
+    val resDefault = Similarity.fitPq(emb, "embedding", residualOf = Some(ivf))
+    val pred = col("vec_id") < 10
+    val brute = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val total = brute.count()
+    assert(total >= 40, s"vacuous truth set: $total")
+    val got = Similarity.searchIvfPq(ivf, resDefault, emb, "vec_id", "embedding",
+      pred, 5).select("query_id", "neighbor_id")
+    val recall = brute.intersect(got).count().toDouble / total
+    assert(recall >= 0.8, s"default residual recall $recall < 0.8")
+    // determinism: same seed, same corpus → identical offsets + codebooks
+    assert(res == Similarity.fitPq(emb, "embedding", m = 8, ksub = 16,
+      residualOf = Some(ivf)))
+  }
+
   test("refineFactor=1 narrows candidates but keeps soundness and k bound") {
     val ivf = Similarity.fitIvf(emb, "embedding")
     val pq = Similarity.fitPq(emb, "embedding")
