@@ -301,7 +301,16 @@ object StreamingDedup {
     * `referenceBands(sinkTrailingWindow, …).withColumn("last_batch",
     * lit(resumeBatchId))` over the sink's last `ttlBatches` of admitted
     * output. When both are given, a recoverable `stateDir` generation
-    * wins (it is exact; `initialSeen` is a reconstruction). */
+    * wins (it is exact; `initialSeen` is a reconstruction).
+    *
+    * Multi-writer fencing: each closure stamps an epoch fence
+    * (`_fence` file) into `stateDir` at its first batch and re-verifies
+    * it before every delta write. Newest writer wins — a fresh closure
+    * on the same dir (the restart path) takes over by bumping the
+    * epoch, and a still-live predecessor then FAILS FAST at its next
+    * delta write instead of silently interleaving deltas (see
+    * [[acquireTtlFence]] for why takeover, not mutual exclusion, is the
+    * only semantics compatible with crash recovery). */
   def nearDupForeachBatchTtl(
       textCol: String,
       idCol: String,
@@ -333,6 +342,8 @@ object StreamingDedup {
     var lastBatchId = -1L
     var lastKept: DataFrame = null
     var lastKeptRdd: RDD[_] = null
+    val writerId = java.util.UUID.randomUUID().toString
+    var fenceEpoch = -1L
     (batch: DataFrame, batchId: Long) => {
       // Durable recovery, once, on the first batch this closure sees:
       // replay the trailing-window DELTA LOG strictly below batchId —
@@ -346,6 +357,9 @@ object StreamingDedup {
       if (!recoveryDone) {
         recoveryDone = true
         stateDir.foreach { d =>
+          // take the writer fence FIRST: any still-live predecessor is
+          // fenced out at its next delta write (see acquireTtlFence)
+          fenceEpoch = acquireTtlFence(batch.sparkSession, d, writerId)
           loadTtlState(batch.sparkSession, d, batchId, ttlBatches).foreach { recovered =>
             if (seenRdd != null) seenRdd.unpersist(blocking = false)
             val (df, rdd) = freeze(recovered.select("band", "h", "last_batch"))
@@ -373,9 +387,12 @@ object StreamingDedup {
         // batch. The delta is O(batch bands), NOT O(live window) — the
         // property that keeps durable state writable at any window size.
         try {
-          stateDir.foreach(writeTtlDelta(_, batchId, ttlBatches,
-            bands.select(col("band"), col("h")).distinct()
-              .withColumn("last_batch", lit(batchId))))
+          stateDir.foreach { d =>
+            checkTtlFence(batch.sparkSession, d, writerId, fenceEpoch)
+            writeTtlDelta(d, batchId, ttlBatches,
+              bands.select(col("band"), col("h")).distinct()
+                .withColumn("last_batch", lit(batchId)))
+          }
           sink(keptFrozen)
         } catch {
           case t: Throwable =>
@@ -397,6 +414,71 @@ object StreamingDedup {
   }
 
   private def ttlDeltaPath(dir: String, id: Long): String = s"$dir/delta=$id"
+
+  private def fencePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_fence")
+
+  private def stateFs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readTtlFence(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Long, String)] = {
+    val p = fencePath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val txt = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        txt.split("\\s+", 2) match {
+          case Array(e, id) => e.toLongOption.map(_ -> id)
+          case _ => None
+        }
+      } finally in.close()
+    }
+  }
+
+  /** Take the writer fence for a durable TTL state dir: bump the fence
+    * epoch and stamp this writer's id. Newest-writer-wins BY DESIGN — a
+    * crashed predecessor can never release a lock, so restart recovery
+    * requires that a successor always be able to take over; the
+    * predecessor, if it is in fact still alive, is fenced out at its next
+    * delta write by [[checkTtlFence]]. This is epoch fencing in the
+    * HDFS-lease-recovery / ZooKeeper mold, not a mutual-exclusion lock:
+    * it cannot serialize two writers racing the same instant (plain
+    * filesystems have no atomic compare-and-swap), but it guarantees the
+    * conflict is DETECTED — at most one writer survives its next write —
+    * so two drivers pointed at one stateDir fail fast instead of
+    * silently interleaving deltas. */
+  private[streaming] def acquireTtlFence(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, writerId: String): Long = {
+    val fs = stateFs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val epoch = readTtlFence(fs, dir).map(_._1).getOrElse(0L) + 1L
+    val out = fs.create(fencePath(dir), true)
+    try out.write(s"$epoch $writerId".getBytes("UTF-8")) finally out.close()
+    epoch
+  }
+
+  /** Fail fast if this writer no longer holds the fence for `dir` (a
+    * newer writer ran [[acquireTtlFence]] since). Called before every
+    * delta write; throwing here aborts the batch BEFORE the sink emits,
+    * so a fenced-out driver stops cleanly with no half-emitted batch. */
+  private[streaming] def checkTtlFence(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, writerId: String, epoch: Long): Unit = {
+    val fs = stateFs(spark, dir)
+    readTtlFence(fs, dir) match {
+      case Some((e, id)) if e == epoch && id == writerId => ()
+      case other => throw new IllegalStateException(
+        s"TTL state dir $dir fenced: this writer holds epoch $epoch " +
+          s"($writerId) but the fence is now $other — another driver took " +
+          "over this stateDir; refusing to write a delta")
+    }
+  }
 
   /** Persist one durable TTL DELTA — this batch's (band, h, last_batch)
     * sightings only, parquet + explicit `_SUCCESS` (the recovery contract

@@ -850,6 +850,44 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("durable TTL fencing: a takeover fences the old writer out before it can write") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val dir = java.nio.file.Files.createTempDirectory("ttlfence").toString
+    def mkBatch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def sinkInto(buf: scala.collection.mutable.ArrayBuffer[Long])(kept: org.apache.spark.sql.DataFrame): Unit =
+      buf ++= kept.select("doc_id").collect().map(_.getLong(0))
+    val aBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stepA = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 10, shingleSize = 1,
+      stateDir = Some(dir))(sinkInto(aBuf))
+    stepA(mkBatch((1L, "alpha beta gamma delta")), 0L)
+    stepA(mkBatch((2L, "one two three four")), 1L)
+    assert(aBuf.sorted.toSeq == Seq(1L, 2L))
+    // a second driver (fresh closure, same stateDir) takes over at batch 2
+    val bBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stepB = StreamingDedup.nearDupForeachBatchTtl(
+      "text", "doc_id", ttlBatches = 10, shingleSize = 1,
+      stateDir = Some(dir))(sinkInto(bBuf))
+    stepB(mkBatch((3L, "unrelated fresh words here")), 2L)
+    assert(bBuf.sorted.toSeq == Seq(3L))
+    // the fenced-out first writer fails fast at its next delta write —
+    // BEFORE its sink emits, so nothing interleaves
+    val aEmittedBefore = aBuf.size
+    val ex = intercept[IllegalStateException] {
+      stepA(mkBatch((4L, "would interleave if unfenced")), 3L)
+    }
+    assert(ex.getMessage.contains("fenced"), ex.getMessage)
+    assert(aBuf.size == aEmittedBefore, "fenced writer must not reach its sink")
+    // ...and its aborted batch left no delta behind
+    assert(!new java.io.File(s"$dir/delta=3").exists(),
+      "fenced writer must not write a delta")
+    // the new fence holder continues unaffected, including over batch 3
+    stepB(mkBatch((5L, "alpha beta gamma delta"), (6L, "more new words appear")), 3L)
+    assert(bBuf.sorted.toSeq == Seq(3L, 6L), s"got ${bBuf.sorted}") // 5 = dup of 1 via recovered state
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("durable TTL recovery ignores deltas without a _SUCCESS marker") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
