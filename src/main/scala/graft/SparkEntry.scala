@@ -19,6 +19,11 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** q100 fixture: the cross-document syndicated paragraph (one string, used
+    * verbatim in the Spark fixture AND the DuckDB oracle). */
+  private val SyndicatedParagraph =
+    "This syndicated paragraph repeats verbatim across the corpus and should be deduplicated."
+
   /** events.parquet carries a TIMESTAMP(NANOS) column Spark's schema
     * converter rejects by default; `Tables.testTable` owns the ONE explicit
     * schema + ns→µs conversion (no session conf, no duplicated schema). */
@@ -790,6 +795,24 @@ object SparkEntry {
     // builds 4-line docs from the documents table (the corpus itself is
     // single-line) with two injected boilerplate lines at different
     // frequencies — 100% and 50% are dropped, ~33% stays below threshold
+    // CORPUS-level exact paragraph dedup (RefinedWeb-style): repeated
+    // paragraphs removed everywhere except their first (doc_id, pos)
+    // occurrence; paragraphs under 20 chars exempt (headings legitimately
+    // repeat). Fixture builds 3-paragraph docs: a per-doc lead, a
+    // syndicated paragraph injected into every 5th doc (removed except in
+    // its first carrier), and a short "Share" footer (exempt, survives
+    // everywhere). NULL text coalesced to '' on both engines so the
+    // fixture never concat-skips.
+    "q100_dedup_paragraphs" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val multi = d.select(col("doc_id"), concat_ws("\n\n",
+        substring(coalesce(col("text"), lit("")), 1, 60),
+        when(col("doc_id") % 5 === 0, lit(SyndicatedParagraph))
+          .otherwise(substring(coalesce(col("text"), lit("")), 61, 60)),
+        lit("Share")).as("text"))
+      graft.ops.Dedup.dedupParagraphs(multi, "text", "doc_id", minChars = 20)
+        .orderBy("doc_id")
+    }),
     "q99_drop_boilerplate" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val multi = d.select(col("doc_id"), concat_ws("\n",
@@ -1745,6 +1768,26 @@ object SparkEntry {
     // arithmetic, counts distinct docs per line TEXT (Spark counts XXH64
     // keys — identical absent collisions), and reassembles kept lines in
     // position order; all-boiler docs come back as ''
+    // paragraph dedup: DuckDB rebuilds the same 3 paragraphs per doc,
+    // keeps a paragraph iff it is short-exempt (< 20 chars) or the FIRST
+    // (doc_id, pos) occurrence of its TEXT (Spark partitions on XXH64 keys
+    // — identical absent collisions), and reassembles in position order
+    "q100_dedup_paragraphs" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |p AS (
+         |SELECT doc_id, 0 AS pos, substr(text, 1, 60) AS para FROM d
+         |UNION ALL SELECT doc_id, 1, CASE WHEN doc_id % 5 = 0
+         |THEN '$SyndicatedParagraph'
+         |ELSE substr(text, 61, 60) END FROM d
+         |UNION ALL SELECT doc_id, 2, 'Share' FROM d),
+         |k AS (SELECT doc_id, pos, para,
+         |(length(para) < 20) OR
+         |(row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1) AS keep FROM p),
+         |a AS (SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS tc
+         |FROM k WHERE keep GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.tc, '') AS text_clean
+         |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "q99_drop_boilerplate" ->
       """WITH l AS (
         |SELECT doc_id, 0 AS pos, CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE to our newsletter'

@@ -707,4 +707,73 @@ object Dedup {
     * pairwise keep-first. */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     connectedComponents(pairs, "doc_a", "doc_b", docs.select(idCol), idCol)
+
+  /** CORPUS-level exact paragraph dedup (the sub-document granularity the
+    * document-level ops above can't reach): split every document on `sep`,
+    * remove each repeated paragraph everywhere EXCEPT its first occurrence
+    * in global (`idCol`, position) order, and reassemble the survivors in
+    * their original order. This is the RefinedWeb / MassiveText
+    * "duplicated passages repeat across pages that are not themselves
+    * duplicates" pass — syndicated quotes, shared footers longer than one
+    * line, boilerplate sections — which document-level dedup never fires
+    * on and [[graft.ops.Scrub.dropBoilerplateLines]] only catches at
+    * single-line granularity above a frequency threshold.
+    *
+    * Paragraphs shorter than `minChars` characters are EXEMPT (always
+    * kept, every occurrence): headings like "Introduction" or "Share"
+    * legitimately repeat across a corpus, and removing all but one
+    * occurrence would mutilate unrelated documents. Exemption is by
+    * character length, the standard span-length guard.
+    *
+    * Output: (`idCol`, `text_clean`). NULL text stays NULL; a document
+    * whose every paragraph was removed becomes the empty string (distinct
+    * from NULL, same contract as [[Scrub.dropBoilerplateLines]]).
+    *
+    * Scale shape: the dedup decision runs entirely on a NARROW
+    * (id, pos, xxhash64(para), length) table — one shuffle of 8-byte
+    * paragraph keys for the min-occurrence aggregate, one narrow
+    * self-join on those keys, one (id → kept positions) aggregate. The
+    * paragraph text is never EXPLODED into the shuffle (the groupBy-
+    * reassembly alternative shuffles every paragraph as its own row):
+    * the original text moves exactly once, in the final id-keyed join
+    * against the kept-position arrays, and survivors are rebuilt
+    * doc-locally by re-splitting it and filtering by kept position
+    * (O(paragraphs²) per doc in the membership test — fine for the
+    * tens-of-paragraphs documents this targets). First-occurrence keys
+    * cannot broadcast (one per distinct paragraph, corpus-sized), so the
+    * narrow join shuffles — but 24-byte rows, never text. A 64-bit key
+    * collision merges two distinct paragraphs (p ≈ n²/2⁶⁵) — acceptable
+    * for a scrubbing pass, same tradeoff as [[Scrub.dropBoilerplateLines]].
+    */
+  def dedupParagraphs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n\n",
+      minChars: Int = 0): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = df.where(col(textCol).isNotNull).select(col(idCol),
+      posexplode(split(col(textCol), sepRe, -1)).as(Seq("__pos__", "__para__")))
+    val occ = paras.select(col(idCol), col("__pos__"),
+      xxhash64(col("__para__")).as("__ph__"),
+      length(col("__para__")).as("__len__"))
+    val firstOcc = occ.groupBy("__ph__")
+      .agg(min(struct(col(idCol), col("__pos__"))).as("__first__"))
+    val keptPos = occ.join(firstOcc, Seq("__ph__"))
+      .where(col("__len__") < minChars ||
+        (col(idCol) === col("__first__")(idCol) &&
+          col("__pos__") === col("__first__")("__pos__")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos__"))).as("__kept__"))
+    df.select(col(idCol), col(textCol))
+      .join(keptPos, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(textCol).isNotNull,
+          array_join(
+            filter(split(col(textCol), sepRe, -1),
+              (_, i) => coalesce(array_contains(col("__kept__"), i), lit(false))),
+            sep)).as("text_clean"))
+  }
 }

@@ -54,10 +54,19 @@ object ScaleSynth {
       else {
         val dim = 64
         val rot = i % dim
+        // rotation alone wraps at i = dim (copy 64 would be vector-identical
+        // to copy 0, faking K² near-dup work at factors > 64); each wrap
+        // flips the sign — also norm-preserving, and rot+flip gives 2·dim
+        // distinct transforms. i < dim is byte-identical to the pre-flip
+        // corpora, so x1..x30 artifacts stay comparable.
+        val flip = if ((i / dim) % 2 == 1) -1.0f else 1.0f
+        val rotated = concat(
+          slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
         d.withColumn("vec_id", col("vec_id") + lit(i * IdStride))
-          .withColumn("embedding", concat(
-            slice(col("embedding"), rot + 1, dim - rot),
-            slice(col("embedding"), 1, rot)))
+          .withColumn("embedding",
+            if (flip == 1.0f) rotated
+            else transform(rotated, x => x * lit(flip)))
       }
     }
 

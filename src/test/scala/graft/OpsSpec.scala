@@ -228,6 +228,39 @@ class DedupSpec extends SparkSpecBase {
     (3L, "completely different words here"),
     (4L, "another unrelated document text")).toDF("doc_id", "text")
 
+  test("dedupParagraphs: keep-first across docs, short-paragraph exemption, " +
+    "NULL and all-dup contracts, custom separator") {
+    val corpus = Seq(
+      (1L, "alpha opening paragraph one\n\nSYNDICATED BLOCK REPEATED EVERYWHERE\n\nShare"),
+      (2L, "beta opening paragraph two\n\nSYNDICATED BLOCK REPEATED EVERYWHERE\n\nShare"),
+      (3L, "SYNDICATED BLOCK REPEATED EVERYWHERE"), // all-dup once deduped
+      (4L, null.asInstanceOf[String]),
+      (5L, "gamma closer\n\nShare")).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(corpus, "text", "doc_id", minChars = 10)
+      .orderBy("doc_id").collect()
+    // doc 1 carries the first (doc_id, pos) occurrence of the syndicated
+    // block; docs 2 and 3 lose it. 'Share' (5 chars < 10) is exempt.
+    assert(got(0).getString(1) ==
+      "alpha opening paragraph one\n\nSYNDICATED BLOCK REPEATED EVERYWHERE\n\nShare")
+    assert(got(1).getString(1) == "beta opening paragraph two\n\nShare")
+    assert(got(2).getString(1) == "") // every paragraph removed → '', not NULL
+    assert(got(3).isNullAt(1))        // NULL text stays NULL
+    assert(got(4).getString(1) == "gamma closer\n\nShare")
+    // within-doc repetition also dedups (second occurrence dropped)
+    val self = Seq((1L, "again and again and again|again and again and again|tail paragraph"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.dedupParagraphs(self, "text", "doc_id", sep = "|").collect()
+    assert(got2(0).getString(1) == "again and again and again|tail paragraph")
+    // minChars = 0 exempts nothing; empty paragraphs dedup like any other
+    val empt = Seq((1L, "a||b"), (2L, "c||d")).toDF("doc_id", "text")
+    val got3 = Dedup.dedupParagraphs(empt, "text", "doc_id", sep = "|")
+      .orderBy("doc_id").collect()
+    assert(got3(0).getString(1) == "a||b" && got3(1).getString(1) == "c|d")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphs(corpus, "text", "doc_id", sep = "")
+    }
+  }
+
   test("exact dedup groups byte-identical texts") {
     val got = Dedup.exact(docs, "text", "doc_id").orderBy("keep_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
