@@ -213,6 +213,58 @@ class PropertySpec extends SparkSpecBase {
     assert(result.passed, s"ScalaCheck: $result")
   }
 
+  test("dedupParagraphs ≡ brute global keep-first over random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // paragraph pool mixes short (exemption-eligible) and long strings,
+    // drawn with replacement so cross-doc and within-doc repeats are common
+    val pool: Vector[String] = Vector(
+      "Hi", "Share", "x", "",
+      "this paragraph is long enough to dedup one",
+      "this paragraph is long enough to dedup two",
+      "a third long paragraph that repeats across documents",
+      "fourth distinct long paragraph body text here")
+
+    def brute(docs: Seq[(Long, Option[String])], minChars: Int): Map[Long, Option[String]] = {
+      val seen = scala.collection.mutable.Set[String]()
+      docs.sortBy(_._1).map { case (id, textOpt) =>
+        id -> textOpt.map { text =>
+          val paras = text.split(java.util.regex.Pattern.quote("\n\n"), -1)
+          paras.filter { p =>
+            if (p.length < minChars) { seen += p; true } // exempt paras still REGISTER
+            else if (seen.add(p)) true
+            else false
+          }.mkString("\n\n")
+        }
+      }.toMap
+    }
+
+    val genCase = for {
+      nDocs <- Gen.choose(2, 7)
+      minChars <- Gen.oneOf(0, 8, 30)
+      texts <- Gen.listOfN(nDocs, Gen.frequency(
+        1 -> Gen.const(Option.empty[String]),
+        9 -> Gen.choose(0, 5).flatMap(k =>
+          Gen.listOfN(k, Gen.oneOf(pool)).map(ps => Some(ps.mkString("\n\n"))))))
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, minChars)
+
+    val prop = Prop.forAll(genCase) { case (docs, minChars) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ops.Dedup.dedupParagraphs(df, "text", "doc_id", minChars = minChars)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+      val want = brute(docs, minChars)
+      if (got != want)
+        println(s"dedupParagraphs FALSIFIED: minChars=$minChars docs=$docs got=$got want=$want")
+      got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(30)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260814L)),
+      prop)
+    assert(result.passed, s"ScalaCheck: $result")
+  }
+
   test("skew/kurt on a standard normal-ish sample sit near 0 and shift with outliers") {
     val rnd = new Random(99)
     val sym = (1 to 4000).map(_ => ("g", rnd.nextGaussian(), 1.0 + rnd.nextInt(3)))
