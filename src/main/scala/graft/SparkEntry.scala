@@ -24,6 +24,14 @@ object SparkEntry {
   private val SyndicatedParagraph =
     "This syndicated paragraph repeats verbatim across the corpus and should be deduplicated."
 
+  /** q101 fixture: injected duplicated token spans (12 and 10 tokens — both
+    * longer than the 8-token window, so coverage of the whole span is
+    * exercised). Same strings verbatim in the Spark fixture AND the oracle. */
+  private val SpanSlogan =
+    "limited time offer please subscribe to our premium newsletter for exclusive content"
+  private val SpanPromo =
+    "all rights reserved by the original author of this work"
+
   /** events.parquet carries a TIMESTAMP(NANOS) column Spark's schema
     * converter rejects by default; `Tables.testTable` owns the ONE explicit
     * schema + ns→µs conversion (no session conf, no duplicated schema). */
@@ -803,6 +811,21 @@ object SparkEntry {
     // its first carrier), and a short "Share" footer (exempt, survives
     // everywhere). NULL text coalesced to '' on both engines so the
     // fixture never concat-skips.
+    // EXACT duplicated-span removal (Lee et al. ExactSubstr at 8-token
+    // window granularity): a 12-token slogan injected into every 4th doc
+    // and a 10-token promo into every 6th are removed from every carrier
+    // except the globally-first; the corpus's own exact-dup clusters also
+    // collapse (later dup docs reduce toward ''). Token-level rebuild —
+    // whitespace runs normalize on both engines.
+    "q101_dedup_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val multi = d.select(col("doc_id"), concat_ws(" ",
+        when(col("doc_id") % 4 === 0, lit(SpanSlogan)),
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 6 === 0, lit(SpanPromo))).as("text"))
+      graft.ops.Dedup.dedupSpans(multi, "text", "doc_id", windowTokens = 8)
+        .orderBy("doc_id")
+    }),
     "q100_dedup_paragraphs" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val multi = d.select(col("doc_id"), concat_ws("\n\n",
@@ -1772,6 +1795,33 @@ object SparkEntry {
     // keeps a paragraph iff it is short-exempt (< 20 chars) or the FIRST
     // (doc_id, pos) occurrence of its TEXT (Spark partitions on XXH64 keys
     // — identical absent collisions), and reassembles in position order
+    // span dedup: DuckDB rebuilds the same fixture, enumerates every
+    // 8-token window with its 0-based start, marks an occurrence dup iff
+    // its window TEXT repeats and it is not the first (doc_id, pos)
+    // occurrence (Spark partitions on XXH64 — identical absent
+    // collisions), expands dup windows to covered token indices, and
+    // rejoins the surviving tokens in order
+    "q101_dedup_spans" ->
+      s"""WITH d AS (SELECT doc_id, concat_ws(' ',
+         |CASE WHEN doc_id % 4 = 0 THEN '$SpanSlogan' END,
+         |coalesce(text, ''),
+         |CASE WHEN doc_id % 6 = 0 THEN '$SpanPromo' END) AS text FROM documents),
+         |t AS (SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks FROM d),
+         |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS win
+         |FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+         |k AS (SELECT doc_id, pos,
+         |(count(*) OVER (PARTITION BY win) > 1) AND
+         |(row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) > 1) AS dup FROM w),
+         |rem AS (SELECT DISTINCT k.doc_id, g.j FROM k,
+         |unnest(generate_series(k.pos, k.pos + 7)) AS g(j) WHERE k.dup),
+         |tok AS (SELECT doc_id, j - 1 AS j, toks[j] AS tok FROM t,
+         |unnest(generate_series(1, len(toks))) AS g(j)),
+         |a AS (SELECT tok.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.j) AS tc
+         |FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.j = rem.j
+         |WHERE rem.j IS NULL GROUP BY tok.doc_id)
+         |SELECT d.doc_id, coalesce(a.tc, '') AS text_clean
+         |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "q100_dedup_paragraphs" ->
       s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
          |p AS (

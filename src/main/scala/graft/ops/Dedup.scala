@@ -745,6 +745,80 @@ object Dedup {
     * collision merges two distinct paragraphs (p ≈ n²/2⁶⁵) — acceptable
     * for a scrubbing pass, same tradeoff as [[Scrub.dropBoilerplateLines]].
     */
+  /** EXACT duplicated-SPAN removal (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", §ExactSubstr) at
+    * token-window granularity: any `windowTokens`-token window whose text
+    * repeats anywhere in the corpus is removed from every occurrence
+    * EXCEPT the globally-first (`idCol`, token position) one; overlapping
+    * duplicated windows merge into spans naturally (every covered token
+    * goes). This is the granularity between [[dedupParagraphs]] (needs a
+    * separator the duplicate respects) and document dedup (needs the
+    * whole doc to match) — the reference ExactSubstr uses a corpus
+    * suffix array, which is inherently sequential; fixed-width window
+    * hashing is the standard distributed re-expression, trading
+    * sub-window matches (shorter than `windowTokens` tokens are never
+    * removed) for an embarrassingly parallel shuffle shape. Duplicated
+    * spans LONGER than the window are covered exactly: every window
+    * inside the span repeats, so the union of window ranges is the span.
+    *
+    * Output (`idCol`, `text_clean`): surviving tokens rejoined with
+    * single spaces — a TOKEN-level rebuild, so original whitespace runs
+    * normalize (the standard contract for token-window scrubbing; the
+    * token list, not the byte stream, is what training pipelines feed
+    * on). NULL text stays NULL; a fully-duplicated document becomes ''.
+    * Documents shorter than `windowTokens` tokens have no windows and
+    * pass through (modulo whitespace normalization).
+    *
+    * Scale shape: one narrow (id, pos, xxhash64(window)) table — ~one row
+    * per corpus TOKEN, the same row count every shingle pipeline here
+    * explodes to — shuffled on the 8-byte window hash for the
+    * first-occurrence aggregate, joined back narrow, then one per-doc
+    * aggregate of duplicated window starts and one id-keyed join against
+    * the original text (text moves once, never exploded). Window hashing
+    * is an O(tokens × windowTokens) HOF per document; the rebuild
+    * membership test is O(tokens × dup-windows) per document —
+    * acceptable because dup windows are duplicate-sized, not
+    * corpus-sized. 64-bit collisions merge distinct windows
+    * (p ≈ n²/2⁶⁵), same documented tradeoff as the other hash-keyed
+    * scrub passes. */
+  def dedupSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val w = windowTokens
+    // explicit whitespace class, not \S: Java \s ≠ RE2 \s on U+000B (the
+    // q98 lesson) — this exact class runs identically in external engines
+    val tokRe = "[^ \\t\\n\\f\\r]+"
+    def toks(c: Column) = regexp_extract_all(c, lit(tokRe), lit(0))
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), toks(col(textCol)).as("__toks__"))
+      .withColumn("__nw__", size(col("__toks__")) - (w - 1))
+    val wins = base.where(col("__nw__") > 0).select(col(idCol),
+      posexplode(transform(sequence(lit(0), col("__nw__") - 1),
+        i => xxhash64(array_join(slice(col("__toks__"), i + 1, lit(w)), " "))))
+        .as(Seq("__pos__", "__wh__")))
+    val firstOcc = wins.groupBy("__wh__").agg(
+      min(struct(col(idCol), col("__pos__"))).as("__first__"),
+      count(lit(1)).as("__n__"))
+    val dupStarts = wins.join(firstOcc, Seq("__wh__"))
+      .where(col("__n__") > 1 &&
+        !(col(idCol) === col("__first__")(idCol) &&
+          col("__pos__") === col("__first__")("__pos__")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos__"))).as("__dups__"))
+    df.select(col(idCol), col(textCol))
+      .join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(textCol).isNotNull,
+          array_join(
+            filter(toks(col(textCol)), (_, j) =>
+              coalesce(!exists(col("__dups__"),
+                d => d <= j && j < d + w), lit(true))),
+            " ")).as("text_clean"))
+  }
+
   def dedupParagraphs(
       df: DataFrame,
       textCol: String,

@@ -261,6 +261,41 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("dedupSpans: duplicated token windows removed except first occurrence; " +
+    "long spans covered; short docs pass; NULL and full-dup contracts") {
+    val slogan = "one two three four five six seven eight nine ten" // 10 tokens
+    val corpus = Seq(
+      (1L, s"alpha opens pre $slogan alpha outro"),
+      (2L, s"beta starts now $slogan beta close"), // loses all 10 slogan tokens
+      (3L, s"gamma text with no duplicates at all"),
+      (4L, s"gamma text with no duplicates at all"), // exact dup doc → ''
+      (5L, "tiny doc"),                          // < windowTokens: no windows
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(corpus, "text", "doc_id", windowTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == s"alpha opens pre $slogan alpha outro")
+    // doc 2: windows fully inside the slogan repeat doc 1's; windows
+    // crossing into beta-specific tokens are unique (the lead-in/outro
+    // tokens differ), so exactly the 10 slogan tokens go (span longer
+    // than the window, covered exactly)
+    assert(got(1).getString(1) == "beta starts now beta close")
+    assert(got(2).getString(1) == "gamma text with no duplicates at all")
+    assert(got(3).getString(1) == "")  // fully duplicated → '', not NULL
+    assert(got(4).getString(1) == "tiny doc")
+    assert(got(5).isNullAt(1))
+    // within-doc repetition: second occurrence of a repeated window goes
+    val self = Seq((1L, "a b c d X a b c d")).toDF("doc_id", "text")
+    val got2 = Dedup.dedupSpans(self, "text", "doc_id", windowTokens = 4).collect()
+    assert(got2(0).getString(1) == "a b c d X")
+    // whitespace runs normalize (token-level rebuild contract)
+    val ws = Seq((1L, "only   two\ttokens")).toDF("doc_id", "text")
+    assert(Dedup.dedupSpans(ws, "text", "doc_id").collect()(0).getString(1)
+      == "only two tokens")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSpans(corpus, "text", "doc_id", windowTokens = 1)
+    }
+  }
+
   test("exact dedup groups byte-identical texts") {
     val got = Dedup.exact(docs, "text", "doc_id").orderBy("keep_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
