@@ -265,6 +265,53 @@ class PropertySpec extends SparkSpecBase {
     assert(result.passed, s"ScalaCheck: $result")
   }
 
+  test("dedupSpans ≡ brute global keep-first window simulator (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny token alphabet so windows collide constantly — the hard case
+    val alphabet = Vector("a", "b", "c")
+
+    def brute(docs: Seq[(Long, Option[String])], w: Int): Map[Long, Option[String]] = {
+      val seen = scala.collection.mutable.Set[Seq[String]]()
+      docs.sortBy(_._1).map { case (id, textOpt) =>
+        id -> textOpt.map { text =>
+          val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+          val removed = Array.fill(toks.length)(false)
+          for (p <- 0 to toks.length - w) {
+            val win = toks.slice(p, p + w)
+            if (!seen.add(win)) (p until p + w).foreach(removed(_) = true)
+          }
+          toks.zipWithIndex.collect { case (t, j) if !removed(j) => t }.mkString(" ")
+        }
+      }.toMap
+    }
+
+    val genCase = for {
+      w <- Gen.choose(2, 4)
+      nDocs <- Gen.choose(2, 6)
+      texts <- Gen.listOfN(nDocs, Gen.frequency(
+        1 -> Gen.const(Option.empty[String]),
+        9 -> Gen.choose(0, 12).flatMap(k =>
+          Gen.listOfN(k, Gen.oneOf(alphabet)).map(ts => Some(ts.mkString(" "))))))
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, w)
+
+    val prop = Prop.forAll(genCase) { case (docs, w) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ops.Dedup.dedupSpans(df, "text", "doc_id", windowTokens = w)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+      val want = brute(docs, w)
+      if (got != want)
+        println(s"dedupSpans FALSIFIED: w=$w docs=$docs got=$got want=$want")
+      got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(30)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260815L)),
+      prop)
+    assert(result.passed, s"ScalaCheck: $result")
+  }
+
   test("skew/kurt on a standard normal-ish sample sit near 0 and shift with outliers") {
     val rnd = new Random(99)
     val sym = (1 to 4000).map(_ => ("g", rnd.nextGaussian(), 1.0 + rnd.nextInt(3)))
