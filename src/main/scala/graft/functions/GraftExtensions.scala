@@ -53,6 +53,18 @@ object GraftFunctions {
             s"word_ngrams: n must be an integer literal, got $other")
         }
         WordNGrams(exprs.head, n)
+      }),
+    (
+      FunctionIdentifier("word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "word_ngram_hashes expects (text, n)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngram_hashes: n must be an integer literal, got $other")
+        }
+        WordNGramHashes(exprs.head, n)
       }))
 
   /** Register the engine functions into a live session. */

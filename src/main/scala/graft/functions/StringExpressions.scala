@@ -129,6 +129,88 @@ object WordNGrams {
   }
 }
 
+/** Native POSITIONAL word n-gram XXH64 hashes — the window kernel for
+  * duplicated-span removal ([[graft.ops.Dedup.dedupSpans]]): one 64-bit
+  * hash per window start, in order, NON-distinct (positions matter there,
+  * which is why [[WordNGrams]] — distinct, first-occurrence order — cannot
+  * serve).
+  *
+  * Value-compatible BY CONSTRUCTION with the expression composition it
+  * replaces, `transform(sequence(0, nTok-n), i -> xxhash64(array_join(
+  * slice(tokens, i+1, n), " ")))` where `tokens =
+  * regexp_extract_all(text, "[^ \t\n\f\r]+")`: tokens are maximal runs of
+  * non-{space, \t, \n, \f, \r} characters (the engine's RE2-exact
+  * whitespace class — never empty, unlike [[WordNGrams]]' split
+  * semantics), each window is its tokens joined with single spaces, and
+  * the hash is Spark's `xxhash64` (XXH64 over the UTF-8 bytes, seed 42).
+  * The HOF form evaluates interpreted per window — a Column-tree dispatch
+  * plus a sliced array and a joined string allocation per position; this
+  * walks the text once inside whole-stage codegen. Fewer than n tokens →
+  * empty array; NULL → NULL. */
+case class WordNGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngram_hashes requires n >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"word_ngram_hashes requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    WordNGramHashes.compute(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNGramHashes.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNGramHashes {
+  private def isDelim(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** Shared by the interpreted and generated paths. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val raw = s.toString
+    // maximal runs of non-delimiter chars — RE2/Java-identical for this
+    // ASCII delimiter set, and never-empty tokens (regexp_extract_all
+    // semantics, NOT split's)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = raw.length
+    while (i < len) {
+      while (i < len && isDelim(raw.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isDelim(raw.charAt(i))) i += 1
+      if (i > start) toks.add(raw.substring(start, i))
+    }
+    val nt = toks.size
+    if (nt < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nt - n + 1)
+    val sb = new java.lang.StringBuilder
+    var p = 0
+    while (p <= nt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(p + j))
+        j += 1
+      }
+      val win = UTF8String.fromString(sb.toString)
+      out(p) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(win, StringType, 42L)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object StringFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -140,4 +222,9 @@ object StringFunctions {
     * n-gram shingles. */
   def wordNGrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNGrams(ColumnBridge.expression(text), n))
+
+  /** `word_ngram_hashes(text, n)` as a Column — positional window XXH64
+    * hashes (one per window start, non-distinct). */
+  def wordNGramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNGramHashes(ColumnBridge.expression(text), n))
 }

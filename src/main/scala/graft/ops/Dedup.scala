@@ -792,12 +792,13 @@ object Dedup {
     // q98 lesson) — this exact class runs identically in external engines
     val tokRe = "[^ \\t\\n\\f\\r]+"
     def toks(c: Column) = regexp_extract_all(c, lit(tokRe), lit(0))
-    val base = df.where(col(textCol).isNotNull)
-      .select(col(idCol), toks(col(textCol)).as("__toks__"))
-      .withColumn("__nw__", size(col("__toks__")) - (w - 1))
-    val wins = base.where(col("__nw__") > 0).select(col(idCol),
-      posexplode(transform(sequence(lit(0), col("__nw__") - 1),
-        i => xxhash64(array_join(slice(col("__toks__"), i + 1, lit(w)), " "))))
+    // window hashing is the native one-pass codegen'd kernel
+    // ([[graft.functions.WordNGramHashes]]); the HOF composition it
+    // replaced (transform + slice + array_join + xxhash64 per position)
+    // evaluated interpreted inside the Generate — same values by
+    // construction, pinned in GraftExpressionsSpec
+    val wins = df.where(col(textCol).isNotNull).select(col(idCol),
+      posexplode(graft.functions.StringFunctions.wordNGramHashes(col(textCol), w))
         .as(Seq("__pos__", "__wh__")))
     val firstOcc = wins.groupBy("__wh__").agg(
       min(struct(col(idCol), col("__pos__"))).as("__first__"),

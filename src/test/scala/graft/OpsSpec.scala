@@ -479,6 +479,35 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("native word_ngram_hashes matches the HOF xxhash64 composition, " +
+    "positional and non-distinct") {
+    val rnd = new scala.util.Random(47)
+    val words = Seq("alpha", "beta", "g", "dd", "x")
+    val texts = (1 to 60).map { _ =>
+      (1 to rnd.nextInt(10)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    } ++ Seq("", " ", "\t\n", "a", "a b", " a  b\tc ", "x y x y x y")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(2, 4, 8)) {
+      val toks = regexp_extract_all(col("text"), lit("[^ \\t\\n\\f\\r]+"), lit(0))
+      val hof = when(size(toks) < n, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+      val got = df.select(col("id"),
+        graft.functions.StringFunctions.wordNGramHashes(col("text"), n).as("native"),
+        hof.as("ref")).orderBy("id").collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n id=${r.getLong(0)} text='${texts(r.getLong(0).toInt)}'")
+      }
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT word_ngram_hashes('a b c', 2) = array(xxhash64('a b'), xxhash64('b c')) AS ok")
+      .head().getBoolean(0)
+    assert(viaSql)
+  }
+
   test("native char_ngrams matches the HOF composition on every edge") {
     val n = 3
     val df = Seq("", "ab", "abc", "abcd", "banana", "aaaa", "héllo wörld")
