@@ -171,8 +171,9 @@ case class WordNGramHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordNGramHashes {
-  private def isDelim(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+  // the ONE engine whitespace contract — must match the regexp rebuild
+  // path in Dedup.dedupSpans exactly (same tokens hashed and filtered)
+  private def isDelim(c: Char): Boolean = EngineWhitespace.isWs(c)
 
   /** Shared by the interpreted and generated paths. */
   def compute(s: UTF8String, n: Int): ArrayData = {

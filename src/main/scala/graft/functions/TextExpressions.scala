@@ -8,6 +8,24 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** THE engine whitespace contract — one definition for every kernel and
+  * regex that must agree on tokenization: whitespace is exactly
+  * `[ \t\n\f\r]` (RE2's `\s`). Java's `\s` additionally matches U+000B,
+  * so hand-spelling the class anywhere risks silently desynchronizing a
+  * native kernel from a regexp path that must hash/filter the SAME
+  * tokens (the q98 lesson). Consumers: [[GopherSignals]] (word/line
+  * counters), [[WordNGramHashes]] (span-dedup window kernel),
+  * [[graft.ops.Dedup.dedupSpans]] (rebuild regex), and every oracle that
+  * transcribes [[TokenRe]] verbatim. */
+object EngineWhitespace {
+  /** Regex (Java ∩ RE2) matching one maximal token: a run of
+    * non-whitespace characters under this contract. */
+  val TokenRe: String = "[^ \\t\\n\\f\\r]+"
+
+  @inline def isWs(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\f' || ch == '\r'
+}
+
 /** Native single-scan computation of every Gopher-quality raw counter
   * (see [[graft.ops.TextAnalysis.gopherQuality]]). The regexp formulation
   * needed ~12 independent passes over each document (two of them with
@@ -83,8 +101,7 @@ object GopherSignals {
     Array("the", "be", "to", "of", "and", "that", "have", "with")
   private val MaxStopLen = Stopwords.map(_.length).max
 
-  private def isWs(ch: Char): Boolean =
-    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\f' || ch == '\r'
+  private def isWs(ch: Char): Boolean = EngineWhitespace.isWs(ch)
 
   /** One forward scan producing the nine counters; never returns null (null
     * input is handled by the nullSafeEval/nullSafeCodeGen wrapper). */

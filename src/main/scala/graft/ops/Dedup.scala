@@ -708,43 +708,6 @@ object Dedup {
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     connectedComponents(pairs, "doc_a", "doc_b", docs.select(idCol), idCol)
 
-  /** CORPUS-level exact paragraph dedup (the sub-document granularity the
-    * document-level ops above can't reach): split every document on `sep`,
-    * remove each repeated paragraph everywhere EXCEPT its first occurrence
-    * in global (`idCol`, position) order, and reassemble the survivors in
-    * their original order. This is the RefinedWeb / MassiveText
-    * "duplicated passages repeat across pages that are not themselves
-    * duplicates" pass — syndicated quotes, shared footers longer than one
-    * line, boilerplate sections — which document-level dedup never fires
-    * on and [[graft.ops.Scrub.dropBoilerplateLines]] only catches at
-    * single-line granularity above a frequency threshold.
-    *
-    * Paragraphs shorter than `minChars` characters are EXEMPT (always
-    * kept, every occurrence): headings like "Introduction" or "Share"
-    * legitimately repeat across a corpus, and removing all but one
-    * occurrence would mutilate unrelated documents. Exemption is by
-    * character length, the standard span-length guard.
-    *
-    * Output: (`idCol`, `text_clean`). NULL text stays NULL; a document
-    * whose every paragraph was removed becomes the empty string (distinct
-    * from NULL, same contract as [[Scrub.dropBoilerplateLines]]).
-    *
-    * Scale shape: the dedup decision runs entirely on a NARROW
-    * (id, pos, xxhash64(para), length) table — one shuffle of 8-byte
-    * paragraph keys for the min-occurrence aggregate, one narrow
-    * self-join on those keys, one (id → kept positions) aggregate. The
-    * paragraph text is never EXPLODED into the shuffle (the groupBy-
-    * reassembly alternative shuffles every paragraph as its own row):
-    * the original text moves exactly once, in the final id-keyed join
-    * against the kept-position arrays, and survivors are rebuilt
-    * doc-locally by re-splitting it and filtering by kept position
-    * (O(paragraphs²) per doc in the membership test — fine for the
-    * tens-of-paragraphs documents this targets). First-occurrence keys
-    * cannot broadcast (one per distinct paragraph, corpus-sized), so the
-    * narrow join shuffles — but 24-byte rows, never text. A 64-bit key
-    * collision merges two distinct paragraphs (p ≈ n²/2⁶⁵) — acceptable
-    * for a scrubbing pass, same tradeoff as [[Scrub.dropBoilerplateLines]].
-    */
   /** EXACT duplicated-SPAN removal (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", §ExactSubstr) at
     * token-window granularity: any `windowTokens`-token window whose text
@@ -760,6 +723,10 @@ object Dedup {
     * removed) for an embarrassingly parallel shuffle shape. Duplicated
     * spans LONGER than the window are covered exactly: every window
     * inside the span repeats, so the union of window ranges is the span.
+    *
+    * PRECONDITION: `idCol` must be unique (see [[dedupParagraphs]] — same
+    * kept/removed-position join-back, same corruption mode on duplicate
+    * ids). Run document-level dedup or assign fresh ids first.
     *
     * Output (`idCol`, `text_clean`): surviving tokens rejoined with
     * single spaces — a TOKEN-level rebuild, so original whitespace runs
@@ -788,9 +755,10 @@ object Dedup {
       windowTokens: Int = 8): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
     val w = windowTokens
-    // explicit whitespace class, not \S: Java \s ≠ RE2 \s on U+000B (the
-    // q98 lesson) — this exact class runs identically in external engines
-    val tokRe = "[^ \\t\\n\\f\\r]+"
+    // THE engine whitespace contract (not \S: Java \s ≠ RE2 \s on U+000B)
+    // — one shared definition with the native window kernel, so the hash
+    // path and this rebuild path cannot desynchronize
+    val tokRe = graft.functions.EngineWhitespace.TokenRe
     def toks(c: Column) = regexp_extract_all(c, lit(tokRe), lit(0))
     // window hashing is the native one-pass codegen'd kernel
     // ([[graft.functions.WordNGramHashes]]); the HOF composition it
@@ -820,6 +788,49 @@ object Dedup {
             " ")).as("text_clean"))
   }
 
+  /** CORPUS-level exact paragraph dedup (the sub-document granularity the
+    * document-level ops above can't reach): split every document on `sep`,
+    * remove each repeated paragraph everywhere EXCEPT its first occurrence
+    * in global (`idCol`, position) order, and reassemble the survivors in
+    * their original order. This is the RefinedWeb / MassiveText
+    * "duplicated passages repeat across pages that are not themselves
+    * duplicates" pass — syndicated quotes, shared footers longer than one
+    * line, boilerplate sections — which document-level dedup never fires
+    * on and [[graft.ops.Scrub.dropBoilerplateLines]] only catches at
+    * single-line granularity above a frequency threshold.
+    *
+    * PRECONDITION (shared with [[dedupSpans]]): `idCol` must be unique —
+    * it is the document identity the kept-position arrays join back on,
+    * so two rows sharing an id would have their positions merged and each
+    * other's duplicates removed from both. Run document-level dedup (or
+    * assign fresh ids) first.
+    *
+    * Paragraphs shorter than `minChars` characters are EXEMPT (always
+    * kept, every occurrence): headings like "Introduction" or "Share"
+    * legitimately repeat across a corpus, and removing all but one
+    * occurrence would mutilate unrelated documents. Exemption is by
+    * character length, the standard span-length guard.
+    *
+    * Output: (`idCol`, `text_clean`). NULL text stays NULL; a document
+    * whose every paragraph was removed becomes the empty string (distinct
+    * from NULL, same contract as [[Scrub.dropBoilerplateLines]]).
+    *
+    * Scale shape: the dedup decision runs entirely on a NARROW
+    * (id, pos, xxhash64(para), length) table — one shuffle of 8-byte
+    * paragraph keys for the min-occurrence aggregate, one narrow
+    * self-join on those keys, one (id → kept positions) aggregate. The
+    * paragraph text is never EXPLODED into the shuffle (the groupBy-
+    * reassembly alternative shuffles every paragraph as its own row):
+    * the original text moves exactly once, in the final id-keyed join
+    * against the kept-position arrays, and survivors are rebuilt
+    * doc-locally by re-splitting it and filtering by kept position
+    * (O(paragraphs²) per doc in the membership test — fine for the
+    * tens-of-paragraphs documents this targets). First-occurrence keys
+    * cannot broadcast (one per distinct paragraph, corpus-sized), so the
+    * narrow join shuffles — but 24-byte rows, never text. A 64-bit key
+    * collision merges two distinct paragraphs (p ≈ n²/2⁶⁵) — acceptable
+    * for a scrubbing pass, same tradeoff as [[Scrub.dropBoilerplateLines]].
+    */
   def dedupParagraphs(
       df: DataFrame,
       textCol: String,

@@ -129,7 +129,12 @@ object Scrub {
       .groupBy("__lh__").agg(count(lit(1)).as("__docs__"))
       .where(col("__docs__") >= thresh)
       .select(col("__lh__"), lit(1).as("__bp__"))
-      .localCheckpoint() // one materialization for the count AND the join
+      // cache + eager count: one materialization serves the size guard AND
+      // the join, with LINEAGE KEPT — localCheckpoint would also dedup the
+      // computation but truncates lineage, so losing an executor that held
+      // boiler partitions (spot/preemption/dynamic allocation at cluster
+      // scale) kills the job instead of recomputing
+      .cache()
     val boilerSide =
       if (boiler.count() <= maxBroadcastLines) broadcast(boiler) else boiler
     val kept = lines

@@ -653,15 +653,21 @@ object Similarity {
     index.foreach { ix =>
       require(Seq(idCol, "cell", "codes", "model_sig").forall(ix.columns.contains),
         s"index must have ($idCol, cell, codes, model_sig) columns, got ${ix.columns.mkString(",")}")
-      // the column is constant by construction, so ONE row decides; a
-      // 1-row limit job touches a single file of a persisted index
+      // min AND max over the narrow sig column: constant-by-construction
+      // only holds for a single buildIvfPqIndex generation — an appended
+      // or partially-rebuilt index dir MIXES generations, and a 1-row
+      // sample would pass on whichever row it happened to read while the
+      // stale rows silently probe wrong cells. One column-pruned agg scan
+      // decides for every row.
       val expected = modelSig(ivf, pq)
-      ix.select("model_sig").limit(1).collect().foreach { r =>
-        require(r.getLong(0) == expected,
-          s"index model_sig ${r.getLong(0)} != $expected for the ivf/pq models " +
-            "passed to searchIvfPq — the index was built under different " +
-            "(e.g. retrained) models; rebuild it with buildIvfPqIndex")
-      }
+      ix.agg(min(col("model_sig")), max(col("model_sig"))).collect()
+        .foreach { r =>
+          require(!r.isNullAt(0) && r.getLong(0) == expected && r.getLong(1) == expected,
+            s"index model_sig range [${r.get(0)}, ${r.get(1)}] != $expected for " +
+              "the ivf/pq models passed to searchIvfPq — the index was built " +
+              "under different (e.g. retrained) models, or mixes generations " +
+              "(appended/partial rebuild); rebuild it with buildIvfPqIndex")
+        }
     }
     val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
       .withColumn("__n__", norm(col("__v__")))

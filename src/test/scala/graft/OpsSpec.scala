@@ -486,7 +486,10 @@ class DedupSpec extends SparkSpecBase {
     val texts = (1 to 60).map { _ =>
       (1 to rnd.nextInt(10)).map(_ => words(rnd.nextInt(words.size)))
         .mkString(if (rnd.nextBoolean()) " " else "  ")
-    } ++ Seq("", " ", "\t\n", "a", "a b", " a  b\tc ", "x y x y x y")
+    } ++ Seq("", " ", "\t\n", "a", "a b", " a  b\tc ", "x y x y x y",
+      // U+000B is NOT engine whitespace (Java \s would say otherwise) —
+      // it must stay inside tokens on both the native and regexp paths
+      "ab c d e", "p q r s")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     for (n <- Seq(2, 4, 8)) {
       val toks = regexp_extract_all(col("text"), lit("[^ \\t\\n\\f\\r]+"), lit(0))

@@ -87,6 +87,19 @@ class PqSpec extends SparkSpecBase {
       Similarity.searchIvfPq(ivf2, pq2, emb, "vec_id", "embedding", pred, 5,
         index = Some(ix))
     }
+    // a MIXED-generation index (append/partial rebuild leaves rows from
+    // two fits) must also fail — under either model pair — not pass on
+    // whichever generation's row a 1-row sample happens to read
+    val ix2 = Similarity.buildIvfPqIndex(ivf2, pq2, emb, "vec_id", "embedding")
+    val mixed = ix.unionByName(ix2)
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPq(ivf, pq, emb, "vec_id", "embedding", pred, 5,
+        index = Some(mixed))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPq(ivf2, pq2, emb, "vec_id", "embedding", pred, 5,
+        index = Some(mixed))
+    }
   }
 
   test("residual encoding: mean offsets reduce reconstruction error, " +

@@ -24,9 +24,18 @@ for path in sys.argv[1:]:
             cur[q] = min(cur[q], v) if q in cur else v
 
 factors = sorted(merged, key=int)
-queries = list(merged[factors[0]])
+base = factors[0]  # ratios are vs the SMALLEST MEASURED factor, labeled as such
+queries = []
+for f in factors:  # union across factors — a query measured only at later
+    for q in merged[f]:  # factors must not silently vanish from the table
+        if q not in queries:
+            queries.append(q)
+for f in factors:
+    missing = [q for q in queries if q not in merged[f]]
+    if missing:
+        print(f"<!-- x{f}: no measurement for {', '.join(missing)} -->")
 print("| query | " + " | ".join(f"x{f} (s)" for f in factors) +
-      " | " + " | ".join(f"x{f}/x1" for f in factors[1:]) + " |")
+      " | " + " | ".join(f"x{f}/x{base}" for f in factors[1:]) + " |")
 print("|---|" + "---|" * (2 * len(factors) - 1))
 for q in queries:
     t = [merged[f].get(q) for f in factors]
