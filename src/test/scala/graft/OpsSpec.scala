@@ -261,6 +261,41 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("sub-document scrub stack composes: boilerplate lines → paragraphs → " +
+    "spans, with NULL and empty-string contracts chaining") {
+    // every doc: a short unique header line, a 100%-boilerplate line, and
+    // a body line; doc 3 duplicates doc 1's body verbatim (paragraph-stage
+    // target), docs 2/4 share only a 7-token suffix (span-stage target).
+    // Line-level paragraphs (sep = "\n"): the line stage drops any
+    // corpus-wide line INCLUDING the empty line a "\n\n" separator would
+    // need, so chaining onto its output means newline-separated units.
+    val sharedPara = "this whole paragraph body is syndicated everywhere"
+    val corpus = Seq(
+      (1L, s"unique one\nEVERY DOC HAS THIS LINE\n$sharedPara"),
+      (2L, s"unique two\nEVERY DOC HAS THIS LINE\nsecond body with shared span inside here okay"),
+      (3L, s"unique three\nEVERY DOC HAS THIS LINE\n$sharedPara"),
+      (4L, s"unique four\nEVERY DOC HAS THIS LINE\nfourth body with shared span inside here okay"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val afterLines = graft.ops.Scrub.dropBoilerplateLines(
+      corpus, "text", "doc_id", minDocFrac = 0.9)
+      .withColumnRenamed("text_clean", "text")
+    val afterParas = Dedup.dedupParagraphs(afterLines, "text", "doc_id",
+      sep = "\n", minChars = 15)
+      .withColumnRenamed("text_clean", "text")
+    val out = Dedup.dedupSpans(afterParas, "text", "doc_id", windowTokens = 4)
+      .orderBy("doc_id").collect()
+    // boilerplate line gone everywhere; doc 1 keeps the shared body (first
+    // carrier), doc 3 loses it at the paragraph stage (headers are
+    // sub-minChars exempt); docs 2/4 share the 7-token suffix "body with
+    // shared span inside here okay" — doc 2 keeps it, doc 4 loses the
+    // window-covered tokens at the span stage; NULL chains to NULL
+    assert(out(0).getString(1) == s"unique one $sharedPara")
+    assert(out(1).getString(1) == "unique two second body with shared span inside here okay")
+    assert(out(2).getString(1) == "unique three")
+    assert(out(3).getString(1) == "unique four fourth")
+    assert(out(4).isNullAt(1))
+  }
+
   test("dedupSpans: duplicated token windows removed except first occurrence; " +
     "long spans covered; short docs pass; NULL and full-dup contracts") {
     val slogan = "one two three four five six seven eight nine ten" // 10 tokens
