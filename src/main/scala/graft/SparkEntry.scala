@@ -387,6 +387,44 @@ object SparkEntry {
        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
   }
 
+  /** CTEs recomputing the q102/q103 DSIR model AND scores end-to-end in
+    * DuckDB: positional unigram+bigram stream per doc (the
+    * `word_ngram_hashes` window semantics — [[EngineWhitespace.TokenRe]]
+    * runs joined with single spaces), XXH64 per gram via
+    * [[xxhashStringCtes]], bucket = `hash % 1024` (a power of two, so the
+    * unsigned mod equals Spark's signed `pmod`), smoothed target/raw
+    * bucket log-ratios with the SAME IEEE expression tree as
+    * [[graft.ops.Dsir.fitImportanceModel]], and per-doc score sums.
+    * Final CTE `dsir_out(doc_id, lang, s)` covers every document (zero
+    * grams → 0.0). `dsir_bk` is AS MATERIALIZED: five downstream
+    * references (tc×2, rc×2, sc) would otherwise each re-inline the
+    * ~40-step hash chain — DuckDB evaluates the duplicated pipelines
+    * concurrently and the copies OOM'd the default-config oracle even at
+    * sf0.001; materializing the narrow (doc_id, b) relation makes the
+    * chain run once. */
+  private def dsirScoreCtes: String = {
+    val (ctes, last) = xxhashStringCtes("dsir_tok", "xq2_")
+    val a = dbl(1.0)
+    s"""dsir_d AS (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents),
+       |dsir_t AS (SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks FROM dsir_d),
+       |dsir_tok AS (
+       |SELECT doc_id, toks[i] AS tok FROM dsir_t, unnest(generate_series(1, len(toks))) AS g(i)
+       |UNION ALL
+       |SELECT doc_id, toks[i] || ' ' || toks[i+1] AS tok FROM dsir_t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+       |$ctes,
+       |dsir_bk AS MATERIALIZED (SELECT doc_id, CAST(hash % 1024 AS BIGINT) AS b FROM $last),
+       |dsir_tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |dsir_tc AS (SELECT b, count(*) AS c FROM dsir_bk JOIN dsir_tgt USING (doc_id) GROUP BY b),
+       |dsir_rc AS (SELECT b, count(*) AS c FROM dsir_bk GROUP BY b),
+       |dsir_lam AS (SELECT r.b AS b,
+       |ln((coalesce(tc.c, 0) + $a) / ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM dsir_tc) + $a * 1024))
+       |- ln((coalesce(rc.c, 0) + $a) / ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM dsir_rc) + $a * 1024)) AS l
+       |FROM range(0, 1024) r(b) LEFT JOIN dsir_tc tc ON tc.b = r.b LEFT JOIN dsir_rc rc ON rc.b = r.b),
+       |dsir_sc AS (SELECT bk.doc_id, sum(lam.l) AS s FROM dsir_bk bk JOIN dsir_lam lam ON bk.b = lam.b GROUP BY bk.doc_id),
+       |dsir_out AS (SELECT d.doc_id, d.lang, coalesce(sc.s, CAST(0 AS DOUBLE)) AS s
+       |FROM dsir_d d LEFT JOIN dsir_sc sc ON d.doc_id = sc.doc_id)""".stripMargin.replace("\n", " ")
+  }
+
   /** The q64/q83 language-mix config — ONE definition so the Spark queries
     * and the oracle's inlined share literals cannot drift. Order matters:
     * `Map(...).values.sum` iterates insertion order on a 4-entry map, and
@@ -817,6 +855,37 @@ object SparkEntry {
     // except the globally-first; the corpus's own exact-dup clusters also
     // collapse (later dup docs reduce toward ''). Token-level rebuild —
     // whitespace runs normalize on both engines.
+    // DSIR importance scoring (Xie et al. 2023): hashed 1+2-gram bucket
+    // model fit with target = English docs vs raw = the whole corpus, then
+    // every doc scored with the codegen'd kernel — the score is the
+    // naive-Bayes log-odds of target vs raw, fully recomputed by the
+    // oracle (model fit included) via the XXH64 HUGEINT CTEs. m=1024 is a
+    // power of two so unsigned-mod == Spark's signed pmod in the oracle.
+    "q102_dsir_score" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = graft.ops.Dsir.fitImportanceModel(
+        d.where(col("lang") === "en"), d, "text", nBuckets = 1024, alpha = 1.0)
+      d.select(col("doc_id"), col("lang"),
+        round(graft.ops.Dsir.importanceScore(model,
+          coalesce(col("text"), lit(""))), 6).as("dsir_score"))
+        .orderBy("doc_id")
+    }),
+    // DSIR selection: Gumbel top-k without replacement ∝ exp(score) — the
+    // seeded hash-uniform noise makes the draw itself exact-checkable
+    // (same XXH64 unif CTEs as q84/q85). n=120 of ~500 docs at sf0.01 so
+    // the cut binds; the en share of the selection rises vs the corpus
+    // (pinned in DsirSpec, not here — the oracle checks the exact rows).
+    "q103_dsir_resample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = graft.ops.Dsir.fitImportanceModel(
+        d.where(col("lang") === "en"), d, "text", nBuckets = 1024, alpha = 1.0)
+      graft.ops.Dsir.resampleByImportance(d, model, "text", Seq("doc_id"),
+        n = 120, temperature = 1.0, seed = 17L)
+        .select(col("doc_id"), col("lang"),
+          round(graft.ops.Dsir.importanceScore(model,
+            coalesce(col("text"), lit(""))), 6).as("dsir_score"))
+        .orderBy("doc_id")
+    }),
     "q101_dedup_spans" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val multi = d.select(col("doc_id"), concat_ws(" ",
@@ -1801,6 +1870,24 @@ object SparkEntry {
     // occurrence (Spark partitions on XXH64 — identical absent
     // collisions), expands dup windows to covered token indices, and
     // rejoins the surviving tokens in order
+    // the full DSIR pipeline recomputed in SQL — model fit (bucket counts,
+    // smoothing, log-ratios) and scoring both, so the score VALUES are
+    // exact-checked, not just the selection's shape
+    "q102_dsir_score" ->
+      s"""WITH $dsirScoreCtes
+         |SELECT doc_id, lang, round(s, 6) AS dsir_score
+         |FROM dsir_out ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // Gumbel top-k draw on the recomputed scores: noise from the SAME
+    // XXH64 unif chain the Spark side seeds (seed 17), key = s/τ −
+    // ln(−ln(u)), top 120 by key then doc_id order for the compare
+    "q103_dsir_resample" -> {
+      val (uctes, ulast) = xxhashUnifCtes("dsir_out", "doc_id", 17L, "xq3_")
+      s"""WITH $dsirScoreCtes, $uctes,
+         |xq3_g AS (SELECT doc_id, lang, s, s / ${dbl(1.0)} - ln(-ln(u)) AS gk FROM $ulast),
+         |xq3_sel AS (SELECT doc_id, lang, s FROM xq3_g ORDER BY gk DESC, doc_id LIMIT 120)
+         |SELECT doc_id, lang, round(s, 6) AS dsir_score
+         |FROM xq3_sel ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
     "q101_dedup_spans" ->
       s"""WITH d AS (SELECT doc_id, concat_ws(' ',
          |CASE WHEN doc_id % 4 = 0 THEN '$SpanSlogan' END,

@@ -212,6 +212,90 @@ object WordNGramHashes {
   }
 }
 
+/** Native DSIR importance score — the sum, over a document's hashed word
+  * 1- and 2-gram OCCURRENCES, of a per-bucket log-probability-ratio table
+  * (the scoring kernel of [[graft.ops.Dsir]]; Xie et al. 2023,
+  * arXiv:2302.03169 §3: importance weight of hashed n-gram features).
+  *
+  * Value-compatible BY CONSTRUCTION with the expression composition
+  * `aggregate(concat(word_ngram_hashes(text, 1), word_ngram_hashes(text,
+  * 2)), 0.0D, (acc, h) -> acc + logRatio[pmod(h, m)])` where
+  * `m = logRatio.length`: tokens are maximal [[EngineWhitespace.TokenRe]]
+  * runs, each window is its tokens joined with single spaces, hashes are
+  * Spark's `xxhash64` (XXH64 over UTF-8 bytes, seed 42), and the doubles
+  * accumulate SEQUENTIALLY in that same order — every unigram in position
+  * order, then every bigram. Floating-point addition order is part of the
+  * contract (pinned against the HOF form in DsirSpec), because the DuckDB
+  * oracle and this kernel must round-trip through `round(_, 6)`
+  * identically. The HOF form interprets its lambda per gram
+  * (`ArrayAggregate` is CodegenFallback) and allocates two hash arrays
+  * plus their concat per row; this walks the text once inside whole-stage
+  * codegen with no intermediate arrays. Fewer than 2 tokens → no bigram
+  * terms; empty or all-whitespace text → 0.0; NULL → NULL. */
+case class HashedGramScore(child: Expression, logRatio: Seq[Double]) extends UnaryExpression {
+  require(logRatio.nonEmpty, "hashed_gram_score requires a non-empty logRatio table")
+
+  @transient private lazy val lrArr: Array[Double] = logRatio.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"hashed_gram_score requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashedGramScore.compute(s.asInstanceOf[UTF8String], lrArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("logRatio", lrArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedGramScore.compute($c, $arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedGramScore {
+  private def bucketOf(gram: String, m: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(UTF8String.fromString(gram), StringType, 42L)
+    (((h % m) + m) % m).toInt
+  }
+
+  /** Shared by the interpreted and generated paths. */
+  def compute(s: UTF8String, lr: Array[Double]): Double = {
+    val raw = s.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = raw.length
+    while (i < len) {
+      while (i < len && EngineWhitespace.isWs(raw.charAt(i))) i += 1
+      val start = i
+      while (i < len && !EngineWhitespace.isWs(raw.charAt(i))) i += 1
+      if (i > start) toks.add(raw.substring(start, i))
+    }
+    val nt = toks.size
+    val m = lr.length
+    var acc = 0.0
+    // all unigrams in position order, then all bigrams — the exact fold
+    // order of aggregate(concat(h1, h2), ...), so the fp sum is identical
+    var p = 0
+    while (p < nt) { acc += lr(bucketOf(toks.get(p), m)); p += 1 }
+    val sb = new java.lang.StringBuilder
+    p = 0
+    while (p <= nt - 2) {
+      sb.setLength(0)
+      sb.append(toks.get(p)).append(' ').append(toks.get(p + 1))
+      acc += lr(bucketOf(sb.toString, m))
+      p += 1
+    }
+    acc
+  }
+}
+
 object StringFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -228,4 +312,10 @@ object StringFunctions {
     * hashes (one per window start, non-distinct). */
   def wordNGramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(WordNGramHashes(ColumnBridge.expression(text), n))
+
+  /** `hashed_gram_score(text)` as a Column — the DSIR importance
+    * log-weight of the document under a fitted per-bucket log-ratio table
+    * (see [[graft.ops.Dsir]]). */
+  def hashedGramScore(text: Column, logRatio: Seq[Double]): Column =
+    ColumnBridge.column(HashedGramScore(ColumnBridge.expression(text), logRatio))
 }

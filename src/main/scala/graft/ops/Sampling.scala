@@ -16,7 +16,7 @@ object Sampling {
   private val M = 1000000007L
 
   /** Uniform (0,1) from the row's id hash. */
-  private def unif(idCols: Seq[String], seed: Long): Column =
+  private[graft] def unif(idCols: Seq[String], seed: Long): Column =
     (pmod(xxhash64((idCols.map(col) :+ lit(seed)): _*), lit(M)).cast("double") + lit(0.5)) / M
 
   /** Weighted sample WITHOUT replacement of `n` rows
