@@ -986,6 +986,13 @@ object SparkEntry {
     "q59_unigram_ppl" -> ((s, dir) =>
       TextAnalysis.unigramPerplexity(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // bigram-LM step of the same filter family: conditional-probability
+    // perplexity under the corpus's own bigram counts — hash-keyed narrow
+    // shuffles on the Spark side, string-keyed counts in the oracle (a
+    // 64-bit collision would FAIL the compare, not hide)
+    "q104_bigram_ppl" -> ((s, dir) =>
+      TextAnalysis.bigramPerplexity(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
     // benchmark decontamination: per-doc distinct-3-gram overlap vs a
     // held-out benchmark slice (bench gram set broadcasts; corpus never
     // shuffles for the join — real pipelines use n≈13)
@@ -2040,6 +2047,21 @@ object SparkEntry {
         |SELECT doc_id, round(exp(-avg(ln(CAST(tc AS DOUBLE) / tot))), 6) AS ppl
         |FROM t2 JOIN c USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // bigram stream by position (never-empty regexp tokens == the filtered
+    // split tokens), MLE conditional = bigram count / context count (both
+    // derived from the SAME bigram relation, so probabilities condition
+    // correctly — a doc's last token is no context)
+    "q104_bigram_ppl" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\f\r]+') AS toks
+        |FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS w2g
+        |FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+        |c2 AS (SELECT w2g, count(*) AS cb FROM bg GROUP BY w2g),
+        |c1 AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1),
+        |sc AS (SELECT doc_id, round(exp(-avg(ln(CAST(cb AS DOUBLE) / cc))), 6) AS ppl2
+        |FROM bg JOIN c2 USING (w2g) JOIN c1 USING (w1) GROUP BY doc_id)
+        |SELECT d.doc_id, sc.ppl2 FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     // distinct word 3-grams per doc (list_distinct mirrors WordNGrams);
     // bench = doc_id % 97 = 0 slice, corpus = the rest
     // outer-joined from the full corpus id set so a < n-token or NULL-text

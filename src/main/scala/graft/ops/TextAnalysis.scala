@@ -283,6 +283,53 @@ object TextAnalysis {
       .join(scored.select(col("__id__").as(idCol), col("ppl")), Seq(idCol), "left")
   }
 
+  /** Bigram-LM perplexity of each document under the corpus's own bigram
+    * distribution — the next step up from [[unigramPerplexity]] toward the
+    * KenLM-style filters CCNet/Gopher pipelines run: a document full of
+    * common words in IMPROBABLE order (shuffled text, keyword stuffing)
+    * scores near-uniform under unigrams but high here.
+    *
+    * Model: MLE conditional `p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} ·)`
+    * where the context count `c(w · )` is the number of bigrams starting
+    * with `w` (so probabilities per context sum to exactly 1 and every
+    * scored bigram is in the model — the model IS the corpus, no smoothing
+    * branch, same contract as [[unigramPerplexity]]).
+    * `ppl2 = exp(−avg ln p)` over the doc's bigram occurrences; docs with
+    * fewer than 2 tokens (incl. NULL/empty text) surface with NULL ppl2
+    * rather than vanishing.
+    *
+    * Scale shape: unlike [[unigramPerplexity]] (term-string join keys),
+    * both count tables and the per-occurrence join are keyed by the 8-byte
+    * positional XXH64s of the [[graft.functions.WordNGramHashes]] kernel —
+    * the shuffles carry (id, hash) rows only, text never leaves the scan
+    * projection. Count tables are vocab²-bounded (map-side combine), the
+    * two count joins broadcast when small and AQE-shuffle otherwise. A
+    * 64-bit key collision would merge two bigrams' counts
+    * (p ≈ distinctBigrams²/2⁶⁵ — negligible; the DuckDB oracle keys by the
+    * bigram STRING, so a collision would surface as a hash mismatch, not
+    * hide). */
+  def bigramPerplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.StringFunctions.wordNGramHashes
+    val arrs = df.select(col(idCol).as("__id__"),
+      wordNGramHashes(col(textCol), 1).as("__h1s__"),
+      wordNGramHashes(col(textCol), 2).as("__h2s__"))
+    // one row per bigram occurrence: the window hash + its context's
+    // (position-aligned) unigram hash
+    val g = arrs
+      .select(col("__id__"), col("__h1s__"),
+        posexplode(col("__h2s__")).as(Seq("__pos__", "__h2__")))
+      .select(col("__id__"), col("__h2__"),
+        element_at(col("__h1s__"), col("__pos__") + 1).as("__h1__"))
+    val cb = g.groupBy(col("__h2__")).agg(count(lit(1)).as("__cb__"))
+    val cc = g.groupBy(col("__h1__")).agg(count(lit(1)).as("__cc__"))
+    val scored = g.join(cb, Seq("__h2__")).join(cc, Seq("__h1__"))
+      .groupBy(col("__id__"))
+      .agg(round(exp(-avg(log(col("__cb__").cast("double") / col("__cc__")))), 6)
+        .as("ppl2"))
+    df.select(col(idCol))
+      .join(scored.select(col("__id__").as(idCol), col("ppl2")), Seq(idCol), "left")
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with their total and
     * document frequencies — the counting step a tokenizer/BPE trainer or a
     * stopword-list builder runs first.

@@ -1280,6 +1280,46 @@ class PackingSpec extends SparkSpecBase {
     assert(got(3L) > got(1L)) // rarer tokens -> higher perplexity
   }
 
+  test("bigram perplexity: matches brute MLE conditionals; word-order sensitivity; " +
+    "sub-2-token docs NULL") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "mat the on sat cat the"), // same words as 1, scrambled order
+      (4L, "solo"), (5L, ""), (6L, null: String))
+    val d = docs.toDF("doc_id", "text")
+    // brute: string-keyed counts over the same corpus
+    def toks(s: String): Seq[String] =
+      Option(s).map(_.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val allBg = docs.flatMap { case (_, t) => toks(t).sliding(2).filter(_.size == 2) }
+    val cb = allBg.groupBy(identity).view.mapValues(_.size).toMap
+    val cc = allBg.groupBy(_.head).view.mapValues(_.size).toMap
+    def brute(t: String): Option[Double] = {
+      val bs = toks(t).sliding(2).filter(_.size == 2).toSeq
+      if (bs.isEmpty) None
+      else Some(math.exp(-bs.map(b => math.log(cb(b).toDouble / cc(b.head))).sum / bs.size))
+    }
+    val got = graft.ops.TextAnalysis.bigramPerplexity(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    docs.foreach { case (id, t) =>
+      (got(id), brute(t)) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-6, s"doc $id: $g vs $w")
+        case (a, b)             => assert(a == b, s"doc $id: $a vs $b")
+      }
+    }
+    // word-order sensitivity — the signal unigram ppl is blind to: docs 1
+    // and 3 are permutations of the same words, so their unigram ppls tie
+    // while their bigram ppls differ
+    val uni = graft.ops.TextAnalysis.unigramPerplexity(d, "text", "doc_id")
+      .where(col("doc_id").isin(1L, 3L))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uni(1L) - uni(3L)) < 1e-9, "unigram ppl cannot separate permutations")
+    assert(math.abs(got(1L).get - got(3L).get) > 1e-3,
+      s"bigram ppl must separate permutations: ${got(1L)} vs ${got(3L)}")
+    assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty)
+  }
+
   test("vocabulary counts total and document frequency with a deterministic cut") {
     val d = Seq(
       (1L, "a b b c"), (2L, "b c c d"), (3L, "c d  d"), (4L, "")).toDF("doc_id", "text")
