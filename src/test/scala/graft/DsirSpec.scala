@@ -159,6 +159,30 @@ class DsirSpec extends SparkSpecBase {
     assert(all.count() == corpus.size)
   }
 
+  test("streaming ingest filter: scoring is a stateless projection usable under " +
+    "Structured Streaming, scores identical to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val model = Dsir.fitImportanceModel(targetDf, corpusDf, "text", nBuckets = 128)
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .withColumn("s", Dsir.importanceScore(model, col("text")))
+      .where(col("s") > 0) // admit target-style docs at ingest time
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("sdsir").start()
+    input.addData(corpus.take(3): _*)            // target-style
+    input.addData(corpus.drop(targetDocs.size).take(3): _*) // background
+    q.processAllAvailable()
+    val got = spark.table("sdsir").orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q.stop()
+    assert(got.keySet == Set(0L, 1L, 2L), s"only target-style docs admitted: $got")
+    val batch = corpusDf.select(col("doc_id"),
+      Dsir.importanceScore(model, col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => assert(s == batch(id), s"doc $id stream==batch") }
+  }
+
   test("fit/resample argument validation") {
     val model = Dsir.fitImportanceModel(targetDf, corpusDf, "text", nBuckets = 16)
     intercept[IllegalArgumentException] {
