@@ -387,43 +387,49 @@ object SparkEntry {
        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
   }
 
-  /** CTEs recomputing the q102/q103 DSIR model AND scores end-to-end in
-    * DuckDB: positional unigram+bigram stream per doc (the
-    * `word_ngram_hashes` window semantics — [[EngineWhitespace.TokenRe]]
-    * runs joined with single spaces), XXH64 per gram via
-    * [[xxhashStringCtes]], bucket = `hash % 1024` (a power of two, so the
-    * unsigned mod equals Spark's signed `pmod`), smoothed target/raw
-    * bucket log-ratios with the SAME IEEE expression tree as
-    * [[graft.ops.Dsir.fitImportanceModel]], and per-doc score sums.
-    * Final CTE `dsir_out(doc_id, lang, s)` covers every document (zero
-    * grams → 0.0). `dsir_bk` is AS MATERIALIZED: five downstream
-    * references (tc×2, rc×2, sc) would otherwise each re-inline the
-    * ~40-step hash chain — DuckDB evaluates the duplicated pipelines
-    * concurrently and the copies OOM'd the default-config oracle even at
-    * sf0.001; materializing the narrow (doc_id, b) relation makes the
-    * chain run once. */
-  private def dsirScoreCtes: String = {
+  /** CTEs recomputing a DSIR model AND scores end-to-end in DuckDB over an
+    * arbitrary (pool, target) pair — shared by q102/q103 (pool =
+    * `documents`) and q105 (pool = the canonicalized corpus). `poolRel` and
+    * `tgtRel` must expose (doc_id, text). The stream is the tagged union
+    * the Spark fit unions too: positional unigram+bigram grams per doc
+    * (the `word_ngram_hashes` window semantics —
+    * [[EngineWhitespace.TokenRe]] runs joined with single spaces), XXH64
+    * per gram via [[xxhashStringCtes]], bucket = `hash % 1024` (a power of
+    * two, so the unsigned mod equals Spark's signed `pmod`), smoothed
+    * target/raw bucket log-ratios with the SAME IEEE expression tree as
+    * [[graft.ops.Dsir.fitImportanceModel]], and per-doc score sums over
+    * the pool side. Final CTE `dsir_out(doc_id, s)` covers every pool
+    * document (zero grams → 0.0). `dsir_bk` is AS MATERIALIZED: five
+    * downstream references would otherwise each re-inline the ~40-step
+    * hash chain — DuckDB evaluates the duplicated pipelines concurrently
+    * and the copies OOM'd the default-config oracle even at sf0.001;
+    * materializing the narrow (doc_id, tg, b) relation makes the chain
+    * run once. */
+  private def dsirScoreCtesFrom(poolRel: String, tgtRel: String): String = {
     val (ctes, last) = xxhashStringCtes("dsir_tok", "xq2_")
     val a = dbl(1.0)
-    s"""dsir_d AS (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents),
-       |dsir_t AS (SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks FROM dsir_d),
+    s"""dsir_src AS (SELECT doc_id, 0 AS tg, coalesce(text, '') AS text FROM $poolRel
+       |UNION ALL SELECT doc_id, 1 AS tg, coalesce(text, '') AS text FROM $tgtRel),
+       |dsir_t AS (SELECT doc_id, tg, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks FROM dsir_src),
        |dsir_tok AS (
-       |SELECT doc_id, toks[i] AS tok FROM dsir_t, unnest(generate_series(1, len(toks))) AS g(i)
+       |SELECT doc_id, tg, toks[i] AS tok FROM dsir_t, unnest(generate_series(1, len(toks))) AS g(i)
        |UNION ALL
-       |SELECT doc_id, toks[i] || ' ' || toks[i+1] AS tok FROM dsir_t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+       |SELECT doc_id, tg, toks[i] || ' ' || toks[i+1] AS tok FROM dsir_t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
        |$ctes,
-       |dsir_bk AS MATERIALIZED (SELECT doc_id, CAST(hash % 1024 AS BIGINT) AS b FROM $last),
-       |dsir_tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
-       |dsir_tc AS (SELECT b, count(*) AS c FROM dsir_bk JOIN dsir_tgt USING (doc_id) GROUP BY b),
-       |dsir_rc AS (SELECT b, count(*) AS c FROM dsir_bk GROUP BY b),
+       |dsir_bk AS MATERIALIZED (SELECT doc_id, tg, CAST(hash % 1024 AS BIGINT) AS b FROM $last),
+       |dsir_tc AS (SELECT b, count(*) AS c FROM dsir_bk WHERE tg = 1 GROUP BY b),
+       |dsir_rc AS (SELECT b, count(*) AS c FROM dsir_bk WHERE tg = 0 GROUP BY b),
        |dsir_lam AS (SELECT r.b AS b,
        |ln((coalesce(tc.c, 0) + $a) / ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM dsir_tc) + $a * 1024))
        |- ln((coalesce(rc.c, 0) + $a) / ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM dsir_rc) + $a * 1024)) AS l
        |FROM range(0, 1024) r(b) LEFT JOIN dsir_tc tc ON tc.b = r.b LEFT JOIN dsir_rc rc ON rc.b = r.b),
-       |dsir_sc AS (SELECT bk.doc_id, sum(lam.l) AS s FROM dsir_bk bk JOIN dsir_lam lam ON bk.b = lam.b GROUP BY bk.doc_id),
-       |dsir_out AS (SELECT d.doc_id, d.lang, coalesce(sc.s, CAST(0 AS DOUBLE)) AS s
-       |FROM dsir_d d LEFT JOIN dsir_sc sc ON d.doc_id = sc.doc_id)""".stripMargin.replace("\n", " ")
+       |dsir_sc AS (SELECT bk.doc_id, sum(lam.l) AS s FROM dsir_bk bk JOIN dsir_lam lam ON bk.b = lam.b
+       |WHERE bk.tg = 0 GROUP BY bk.doc_id),
+       |dsir_out AS (SELECT p.doc_id, coalesce(sc.s, CAST(0 AS DOUBLE)) AS s
+       |FROM $poolRel p LEFT JOIN dsir_sc sc ON p.doc_id = sc.doc_id)""".stripMargin.replace("\n", " ")
   }
+
+  private val dsirEnTarget = "(SELECT doc_id, text FROM documents WHERE lang = 'en')"
 
   /** The q64/q83 language-mix config — ONE definition so the Spark queries
     * and the oracle's inlined share literals cannot drift. Order matters:
@@ -1442,7 +1448,26 @@ object SparkEntry {
         capacity = 2048L, nStreams = 8, seed = 11L)
         .select("doc_id", "cluster_id", "quality_score", "n_tokens",
           "stream", "pack", "pack_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // the flagship with the DSIR selection stage: clean → canonicalize →
+    // importance-resample 150 docs toward the English target distribution
+    // (model refit on the POST-canonicalization pool, the faithful DSIR
+    // raw) → packing. The oracle chains q81's core CTEs into the q102/q103
+    // machinery — model fit, scores, AND the Gumbel draw all exact
+    "q105_prepare_dsir" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.ops.Pipeline.prepareTrainingDataDsir(
+        d, "text", "doc_id",
+        target = d.where(col("lang") === "en").select("doc_id", "text"),
+        nSelect = 150,
+        minQuality = 0.5, minTokens = 20L,
+        nearDupThreshold = 1.0, shingleSize = 1,
+        nBuckets = 1024, alpha = 1.0, temperature = 1.0,
+        capacity = 2048L, nStreams = 8, seed = 23L)
+        .select("doc_id", "cluster_id", "quality_score", "n_tokens",
+          "stream", "pack", "pack_id")
+        .orderBy("doc_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1881,15 +1906,18 @@ object SparkEntry {
     // smoothing, log-ratios) and scoring both, so the score VALUES are
     // exact-checked, not just the selection's shape
     "q102_dsir_score" ->
-      s"""WITH $dsirScoreCtes
-         |SELECT doc_id, lang, round(s, 6) AS dsir_score
-         |FROM dsir_out ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      s"""WITH ${dsirScoreCtesFrom("documents", dsirEnTarget)}
+         |SELECT o.doc_id, d.lang, round(o.s, 6) AS dsir_score
+         |FROM dsir_out o JOIN documents d ON o.doc_id = d.doc_id
+         |ORDER BY o.doc_id""".stripMargin.replace("\n", " "),
     // Gumbel top-k draw on the recomputed scores: noise from the SAME
     // XXH64 unif chain the Spark side seeds (seed 17), key = s/τ −
     // ln(−ln(u)), top 120 by key then doc_id order for the compare
     "q103_dsir_resample" -> {
-      val (uctes, ulast) = xxhashUnifCtes("dsir_out", "doc_id", 17L, "xq3_")
-      s"""WITH $dsirScoreCtes, $uctes,
+      val (uctes, ulast) = xxhashUnifCtes("xq3_src", "doc_id", 17L, "xq3_")
+      s"""WITH ${dsirScoreCtesFrom("documents", dsirEnTarget)},
+         |xq3_src AS (SELECT o.doc_id, d.lang, o.s FROM dsir_out o
+         |JOIN documents d ON o.doc_id = d.doc_id), $uctes,
          |xq3_g AS (SELECT doc_id, lang, s, s / ${dbl(1.0)} - ln(-ln(u)) AS gk FROM $ulast),
          |xq3_sel AS (SELECT doc_id, lang, s FROM xq3_g ORDER BY gk DESC, doc_id LIMIT 120)
          |SELECT doc_id, lang, round(s, 6) AS dsir_score
@@ -2531,6 +2559,26 @@ object SparkEntry {
          |surv AS (SELECT doc_id, cluster_id, quality_score,
          |CAST(bpe_tokens AS BIGINT) AS n_tokens,
          |CAST(doc_id % 8 AS BIGINT) AS stream FROM bal WHERE bpe_tokens > 0),
+         |$q81PackTail""".stripMargin.replace("\n", " ")
+    },
+    // q81's core chain feeding the q102/q103 DSIR machinery: the pool is
+    // the canonical corpus (tg=0 side of the tagged gram union — the model
+    // REFITS on post-canonicalization counts, exactly like the Spark
+    // side), target stays the raw English slice, then the seeded Gumbel
+    // draw and q50's packing tail
+    "q105_prepare_dsir" -> {
+      val (uctes, ulast) = xxhashUnifCtes("dsir_out", "doc_id", 23L, "xq5_")
+      s"""WITH RECURSIVE $q81CoreCtes,
+         |canon AS (SELECT rk.doc_id, rk.cluster_id, rk.quality_score,
+         |rk.bpe_tokens, d.text FROM rk JOIN documents d ON d.doc_id = rk.doc_id
+         |WHERE rk.rn = 1),
+         |${dsirScoreCtesFrom("canon", dsirEnTarget)}, $uctes,
+         |xq5_g AS (SELECT doc_id, s / ${dbl(1.0)} - ln(-ln(u)) AS gk FROM $ulast),
+         |xq5_sel AS (SELECT doc_id FROM xq5_g ORDER BY gk DESC, doc_id LIMIT 150),
+         |surv AS (SELECT c.doc_id, c.cluster_id, c.quality_score,
+         |CAST(c.bpe_tokens AS BIGINT) AS n_tokens,
+         |CAST(c.doc_id % 8 AS BIGINT) AS stream FROM canon c
+         |JOIN xq5_sel ON c.doc_id = xq5_sel.doc_id WHERE c.bpe_tokens > 0),
          |$q81PackTail""".stripMargin.replace("\n", " ")
     }
   )

@@ -131,4 +131,52 @@ object Pipeline {
     // a second regexp_count pass over the full text payload
     Packing.packSequences(balanced, idCol, col("bpe_tokens"), capacity, nStreams)
   }
+
+  /** The flagship flow with a DSIR selection stage in place of the
+    * stratum rebalance — pick the `nSelect` documents whose hashed-n-gram
+    * distribution best matches a `target` corpus (Xie et al. 2023),
+    * sampled without replacement ∝ exp(score/τ):
+    *
+    *   1. quality gate + exact dedup       — [[cleanCorpus]]
+    *   2. near-dup clusters → best doc     — [[canonicalize]]
+    *   3. DSIR importance resampling       — [[Dsir.fitImportanceModel]]
+    *      (raw distribution = the canonical pool itself, the faithful
+    *      DSIR setup) + [[Dsir.resampleByImportance]]
+    *   4. token-budget sequence packing    — [[Packing.packSequences]]
+    *
+    * The model fit is EAGER (one bounded count job over target ∪ pool), so
+    * the canonical pool is frozen first — same rationale as the
+    * matchDistribution freeze in [[prepareTrainingData]]: without it the
+    * whole clean→cluster subtree would run once for the fit and again for
+    * the draw. Output schema matches [[prepareTrainingData]]. */
+  def prepareTrainingDataDsir(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      target: DataFrame,
+      nSelect: Int,
+      minQuality: Double = 0.5,
+      minTokens: Long = 20L,
+      nearDupThreshold: Double = 1.0,
+      shingleSize: Int = 3,
+      nBuckets: Int = 8192,
+      alpha: Double = 1.0,
+      temperature: Double = 1.0,
+      capacity: Long = 2048L,
+      nStreams: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val base = docs.drop("quality_score", "bpe_tokens")
+    val quality = cleanCorpus(base, textCol, idCol, minQuality, minTokens)
+      .select(col(idCol), col("quality_score"), col("bpe_tokens"))
+    val kept = base.join(quality, Seq(idCol))
+    val pairs = Dedup.minhashDedup(kept, textCol, idCol,
+      shingleSize = shingleSize, threshold = nearDupThreshold)
+    val canon = canonicalize(kept, idCol, col("quality_score"), pairs)
+    val frozen = org.apache.spark.sql.graftbridge.DatasetBridge
+      .fromInternalRdd(canon.localCheckpoint())
+    val model = Dsir.fitImportanceModel(target, frozen, textCol, nBuckets, alpha)
+    val picked = Dsir.resampleByImportance(
+      frozen, model, textCol, Seq(idCol), nSelect, temperature, seed)
+    Packing.packSequences(picked, idCol, col("bpe_tokens"), capacity, nStreams)
+  }
 }

@@ -343,6 +343,32 @@ class PrepareTrainingDataSpec extends SparkSpecBase {
     assert(packs.forall { case (t, m) => t - m < 512L })
   }
 
+  test("prepareTrainingDataDsir selects toward the target distribution and packs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 100
+    val out = graft.ops.Pipeline.prepareTrainingDataDsir(docs, "text", "doc_id",
+      target = docs.where(col("lang") === "en").select("doc_id", "text"),
+      nSelect = n, minQuality = 0.0, minTokens = 5L,
+      nBuckets = 512, capacity = 512L, nStreams = 8, seed = 7L)
+    assert(out.count() == n)
+    // survivors are canonical (one per cluster) and the pack contract holds
+    assert(out.select("cluster_id").distinct().count() == n)
+    val packs = out.groupBy("stream", "pack")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .select("t", "m").as[(Long, Long)].collect()
+    assert(packs.forall { case (t, m) => t - m < 512L })
+    // the draw leans toward the target language vs the pool's own mix: a
+    // sharp temperature makes the lean strict enough to assert robustly
+    val sharp = graft.ops.Pipeline.prepareTrainingDataDsir(docs, "text", "doc_id",
+      target = docs.where(col("lang") === "en").select("doc_id", "text"),
+      nSelect = n, minQuality = 0.0, minTokens = 5L,
+      nBuckets = 512, temperature = 0.05, capacity = 512L, nStreams = 8, seed = 7L)
+    val enShare = sharp.where(col("lang") === "en").count().toDouble / n
+    val poolShare = docs.where(col("lang") === "en").count().toDouble / docs.count()
+    assert(enShare > poolShare,
+      s"sharp DSIR draw must overrepresent the target language: $enShare vs pool $poolShare")
+  }
+
   test("prepareTrainingData with strata targets rebalances the language mix") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.ops.Pipeline.prepareTrainingData(docs, "text", "doc_id",
