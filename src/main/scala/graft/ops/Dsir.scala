@@ -121,6 +121,61 @@ object Dsir {
         (pmod(h, lit(m)) + lit(1)).cast("int")))
   }
 
+  /** Deterministic 64-bit fingerprint of a fitted model — bitwise over the
+    * log-ratio table and the fit configuration, so two models agree on the
+    * sig iff they score identically. Stamped into [[saveModel]] output and
+    * re-checked by [[loadModel]] (a truncated or hand-edited model file
+    * fails fast instead of silently mis-scoring). */
+  def modelSig(model: DsirModel): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    def mix(v: Long): Unit = {
+      h ^= v; h *= 0xC2B2AE3D27D4EB4FL; h = java.lang.Long.rotateLeft(h, 31)
+    }
+    mix(model.nBuckets.toLong)
+    mix(java.lang.Double.doubleToLongBits(model.alpha))
+    mix(model.nTargetGrams); mix(model.nRawGrams)
+    model.logRatio.foreach(d => mix(java.lang.Double.doubleToLongBits(d)))
+    h
+  }
+
+  /** Persist a fitted model as a tiny self-contained parquet (one row per
+    * bucket, fit config + sig repeated — m rows total). The 100 TB usage
+    * is fit-once-reuse: the model is fit in one bounded job over the big
+    * corpora, saved, and every downstream ingest/scoring job reloads it
+    * instead of re-counting. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: DsirModel, path: String): Unit = {
+    import spark.implicits._
+    val sig = modelSig(model)
+    model.logRatio.zipWithIndex
+      .map { case (lr, b) =>
+        (b, lr, model.alpha, model.nTargetGrams, model.nRawGrams, sig)
+      }
+      .toDF("b", "log_ratio", "alpha", "n_target_grams", "n_raw_grams", "model_sig")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveModel]] model, verifying bucket contiguity and the
+    * embedded content sig. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): DsirModel = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty DSIR model at $path")
+    val m = rows.length
+    val lr = new Array[Double](m)
+    var alpha = 0.0; var nT = 0L; var nR = 0L; var sig = 0L
+    rows.foreach { r =>
+      val b = r.getAs[Int]("b")
+      require(b >= 0 && b < m, s"bucket id $b outside [0, $m) — truncated model?")
+      lr(b) = r.getAs[Double]("log_ratio")
+      alpha = r.getAs[Double]("alpha")
+      nT = r.getAs[Long]("n_target_grams"); nR = r.getAs[Long]("n_raw_grams")
+      sig = r.getAs[Long]("model_sig")
+    }
+    val model = DsirModel(scala.collection.immutable.ArraySeq.unsafeWrapArray(lr), alpha, nT, nR)
+    require(modelSig(model) == sig,
+      s"DSIR model at $path fails its content sig — corrupt or edited file")
+    model
+  }
+
   /** Importance-resample `n` documents without replacement, inclusion
     * probability ∝ exp(score/temperature). Deterministic: the Gumbel
     * noise comes from the seeded row-id hash, so the same (corpus, model,

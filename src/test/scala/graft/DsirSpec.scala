@@ -183,6 +183,29 @@ class DsirSpec extends SparkSpecBase {
     got.foreach { case (id, s) => assert(s == batch(id), s"doc $id stream==batch") }
   }
 
+  test("model save/load round-trips bit-exactly; tampered file fails the sig") {
+    val model = Dsir.fitImportanceModel(targetDf, corpusDf, "text", nBuckets = 64, alpha = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("dsir-model").toString
+    val path = s"$dir/model.parquet"
+    Dsir.saveModel(spark, model, path)
+    val back = Dsir.loadModel(spark, path)
+    assert(back.logRatio == model.logRatio)
+    assert(back.alpha == model.alpha)
+    assert(back.nTargetGrams == model.nTargetGrams && back.nRawGrams == model.nRawGrams)
+    // scoring under the reloaded model is identical
+    val a = corpusDf.select(Dsir.importanceScore(model, col("text"))).collect().map(_.getDouble(0))
+    val b = corpusDf.select(Dsir.importanceScore(back, col("text"))).collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq)
+    // tamper: flip one log-ratio value -> sig check trips
+    val edited = s"$dir/edited.parquet"
+    spark.read.parquet(path)
+      .withColumn("log_ratio",
+        when(col("b") === 3, col("log_ratio") + 1.0).otherwise(col("log_ratio")))
+      .write.mode("overwrite").parquet(edited)
+    val e = intercept[IllegalArgumentException](Dsir.loadModel(spark, edited))
+    assert(e.getMessage.contains("sig"))
+  }
+
   test("fit/resample argument validation") {
     val model = Dsir.fitImportanceModel(targetDf, corpusDf, "text", nBuckets = 16)
     intercept[IllegalArgumentException] {
