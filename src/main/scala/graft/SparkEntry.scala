@@ -394,8 +394,8 @@ object SparkEntry {
     * the Spark fit unions too: positional unigram+bigram grams per doc
     * (the `word_ngram_hashes` window semantics —
     * [[EngineWhitespace.TokenRe]] runs joined with single spaces), XXH64
-    * per gram via [[xxhashStringCtes]], bucket = `hash % 1024` (a power of
-    * two, so the unsigned mod equals Spark's signed `pmod`), smoothed
+    * per gram via [[xxhashStringCtes]], bucket = `hash % DsirBuckets` (a power
+    * of two, so the unsigned mod equals Spark's signed `pmod`), smoothed
     * target/raw bucket log-ratios with the SAME IEEE expression tree as
     * [[graft.ops.Dsir.fitImportanceModel]], and per-doc score sums over
     * the pool side. Final CTE `dsir_out(doc_id, s)` covers every pool
@@ -405,9 +405,20 @@ object SparkEntry {
     * and the copies OOM'd the default-config oracle even at sf0.001;
     * materializing the narrow (doc_id, tg, b) relation makes the chain
     * run once. */
+  /** The q102/q103/q105 DSIR fit config — ONE definition (same anti-drift
+    * discipline as [[mixTargets]]) consumed by the Spark queries AND baked
+    * into the oracle CTEs below. `DsirBuckets` MUST stay a power of two:
+    * the oracle's `hash % m` (unsigned) equals Spark's signed `pmod` only
+    * when m divides 2⁶⁴. */
+  private val DsirBuckets = 1024
+  private val DsirAlpha = 1.0
+
   private def dsirScoreCtesFrom(poolRel: String, tgtRel: String): String = {
+    require((DsirBuckets & (DsirBuckets - 1)) == 0 && DsirBuckets > 0,
+      s"DsirBuckets must be a power of two for the unsigned-mod oracle, got $DsirBuckets")
+    val m = DsirBuckets
     val (ctes, last) = xxhashStringCtes("dsir_tok", "xq2_")
-    val a = dbl(1.0)
+    val a = dbl(DsirAlpha)
     s"""dsir_src AS (SELECT doc_id, 0 AS tg, coalesce(text, '') AS text FROM $poolRel
        |UNION ALL SELECT doc_id, 1 AS tg, coalesce(text, '') AS text FROM $tgtRel),
        |dsir_t AS (SELECT doc_id, tg, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks FROM dsir_src),
@@ -416,13 +427,13 @@ object SparkEntry {
        |UNION ALL
        |SELECT doc_id, tg, toks[i] || ' ' || toks[i+1] AS tok FROM dsir_t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
        |$ctes,
-       |dsir_bk AS MATERIALIZED (SELECT doc_id, tg, CAST(hash % 1024 AS BIGINT) AS b FROM $last),
+       |dsir_bk AS MATERIALIZED (SELECT doc_id, tg, CAST(hash % $m AS BIGINT) AS b FROM $last),
        |dsir_tc AS (SELECT b, count(*) AS c FROM dsir_bk WHERE tg = 1 GROUP BY b),
        |dsir_rc AS (SELECT b, count(*) AS c FROM dsir_bk WHERE tg = 0 GROUP BY b),
        |dsir_lam AS (SELECT r.b AS b,
-       |ln((coalesce(tc.c, 0) + $a) / ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM dsir_tc) + $a * 1024))
-       |- ln((coalesce(rc.c, 0) + $a) / ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM dsir_rc) + $a * 1024)) AS l
-       |FROM range(0, 1024) r(b) LEFT JOIN dsir_tc tc ON tc.b = r.b LEFT JOIN dsir_rc rc ON rc.b = r.b),
+       |ln((coalesce(tc.c, 0) + $a) / ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM dsir_tc) + $a * $m))
+       |- ln((coalesce(rc.c, 0) + $a) / ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM dsir_rc) + $a * $m)) AS l
+       |FROM range(0, $m) r(b) LEFT JOIN dsir_tc tc ON tc.b = r.b LEFT JOIN dsir_rc rc ON rc.b = r.b),
        |dsir_sc AS (SELECT bk.doc_id, sum(lam.l) AS s FROM dsir_bk bk JOIN dsir_lam lam ON bk.b = lam.b
        |WHERE bk.tg = 0 GROUP BY bk.doc_id),
        |dsir_out AS (SELECT p.doc_id, coalesce(sc.s, CAST(0 AS DOUBLE)) AS s
@@ -870,7 +881,7 @@ object SparkEntry {
     "q102_dsir_score" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val model = graft.ops.Dsir.fitImportanceModel(
-        d.where(col("lang") === "en"), d, "text", nBuckets = 1024, alpha = 1.0)
+        d.where(col("lang") === "en"), d, "text", DsirBuckets, DsirAlpha)
       d.select(col("doc_id"), col("lang"),
         round(graft.ops.Dsir.importanceScore(model,
           coalesce(col("text"), lit(""))), 6).as("dsir_score"))
@@ -884,7 +895,7 @@ object SparkEntry {
     "q103_dsir_resample" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val model = graft.ops.Dsir.fitImportanceModel(
-        d.where(col("lang") === "en"), d, "text", nBuckets = 1024, alpha = 1.0)
+        d.where(col("lang") === "en"), d, "text", DsirBuckets, DsirAlpha)
       graft.ops.Dsir.resampleByImportance(d, model, "text", Seq("doc_id"),
         n = 120, temperature = 1.0, seed = 17L)
         .select(col("doc_id"), col("lang"),
@@ -1462,7 +1473,7 @@ object SparkEntry {
         nSelect = 150,
         minQuality = 0.5, minTokens = 20L,
         nearDupThreshold = 1.0, shingleSize = 1,
-        nBuckets = 1024, alpha = 1.0, temperature = 1.0,
+        nBuckets = DsirBuckets, alpha = DsirAlpha, temperature = 1.0,
         capacity = 2048L, nStreams = 8, seed = 23L)
         .select("doc_id", "cluster_id", "quality_score", "n_tokens",
           "stream", "pack", "pack_id")

@@ -225,9 +225,12 @@ object WordNGramHashes {
   * Spark's `xxhash64` (XXH64 over UTF-8 bytes, seed 42), and the doubles
   * accumulate SEQUENTIALLY in that same order — every unigram in position
   * order, then every bigram. Floating-point addition order is part of the
-  * contract (pinned against the HOF form in DsirSpec), because the DuckDB
-  * oracle and this kernel must round-trip through `round(_, 6)`
-  * identically. The HOF form interprets its lambda per gram
+  * kernel == HOF contract (pinned in DsirSpec); the DuckDB oracle's
+  * per-doc score is an UNORDERED SQL sum, so the cross-engine match is
+  * tolerance-by-rounding through `round(_, 6)` — ulp-level fold-order
+  * differences vanish in the rounding except on measure-zero boundaries,
+  * the same footing as every other float-producing oracle (q59, q104).
+  * The HOF form interprets its lambda per gram
   * (`ArrayAggregate` is CodegenFallback) and allocates two hash arrays
   * plus their concat per row; this walks the text once inside whole-stage
   * codegen with no intermediate arrays. Fewer than 2 tokens → no bigram

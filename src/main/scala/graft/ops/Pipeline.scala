@@ -89,19 +89,17 @@ object Pipeline {
     * Output: surviving docs with `quality_score`, `cluster_id`, `n_tokens`,
     * `stream`, `pack`, `pack_id` — ready for [[graft.sources.Tables.writeShards]]
     * keyed on `pack_id`. */
-  def prepareTrainingData(
+  /** Shared clean → exact-dedup → near-dup-canonicalize prefix of the
+    * flagship flows. Returns the canonical corpus (LAZY — callers with an
+    * eager downstream stage must freeze it themselves). */
+  private def canonicalCorpus(
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      minQuality: Double = 0.5,
-      minTokens: Long = 20L,
-      nearDupThreshold: Double = 1.0,
-      shingleSize: Int = 3,
-      strataCol: Option[String] = None,
-      strataTargets: Map[String, Double] = Map.empty,
-      capacity: Long = 2048L,
-      nStreams: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      minQuality: Double,
+      minTokens: Long,
+      nearDupThreshold: Double,
+      shingleSize: Int): DataFrame = {
     // the pipeline's computed quality_score/bpe_tokens govern; a pre-scored
     // corpus's same-named columns would make the join ambiguous
     val base = docs.drop("quality_score", "bpe_tokens")
@@ -115,16 +113,38 @@ object Pipeline {
     // identity semantics at threshold 1.0.
     val pairs = Dedup.minhashDedup(kept, textCol, idCol,
       shingleSize = shingleSize, threshold = nearDupThreshold)
-    val canon = canonicalize(kept, idCol, col("quality_score"), pairs)
+    canonicalize(kept, idCol, col("quality_score"), pairs)
+  }
+
+  /** Freeze a lazy plan before an EAGER consumer (a driver-side count or
+    * model-fit job) so the upstream subtree runs once, not once per
+    * consumer. */
+  private def freeze(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.DatasetBridge
+      .fromInternalRdd(df.localCheckpoint())
+
+  def prepareTrainingData(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minQuality: Double = 0.5,
+      minTokens: Long = 20L,
+      nearDupThreshold: Double = 1.0,
+      shingleSize: Int = 3,
+      strataCol: Option[String] = None,
+      strataTargets: Map[String, Double] = Map.empty,
+      capacity: Long = 2048L,
+      nStreams: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val canon = canonicalCorpus(docs, textCol, idCol,
+      minQuality, minTokens, nearDupThreshold, shingleSize)
     val balanced = strataCol match {
       case Some(sc) =>
         require(strataTargets.nonEmpty, "strataCol given without strataTargets")
         // matchDistribution counts strata EAGERLY (one driver collect);
         // freeze first or the whole clean→cluster→cut subtree runs twice —
         // once for the counts, again when the result is consumed
-        val frozen = org.apache.spark.sql.graftbridge.DatasetBridge
-          .fromInternalRdd(canon.localCheckpoint())
-        Sampling.matchDistribution(frozen, Seq(idCol), sc, strataTargets, seed)
+        Sampling.matchDistribution(freeze(canon), Seq(idCol), sc, strataTargets, seed)
       case None => canon
     }
     // bpe_tokens rides along from analyze — the packing stage must not pay
@@ -165,15 +185,10 @@ object Pipeline {
       capacity: Long = 2048L,
       nStreams: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val base = docs.drop("quality_score", "bpe_tokens")
-    val quality = cleanCorpus(base, textCol, idCol, minQuality, minTokens)
-      .select(col(idCol), col("quality_score"), col("bpe_tokens"))
-    val kept = base.join(quality, Seq(idCol))
-    val pairs = Dedup.minhashDedup(kept, textCol, idCol,
-      shingleSize = shingleSize, threshold = nearDupThreshold)
-    val canon = canonicalize(kept, idCol, col("quality_score"), pairs)
-    val frozen = org.apache.spark.sql.graftbridge.DatasetBridge
-      .fromInternalRdd(canon.localCheckpoint())
+    // the fit below is EAGER — freeze the canonical pool so the
+    // clean→cluster subtree runs once, not once per consumer
+    val frozen = freeze(canonicalCorpus(docs, textCol, idCol,
+      minQuality, minTokens, nearDupThreshold, shingleSize))
     val model = Dsir.fitImportanceModel(target, frozen, textCol, nBuckets, alpha)
     val picked = Dsir.resampleByImportance(
       frozen, model, textCol, Seq(idCol), nSelect, temperature, seed)
