@@ -146,6 +146,11 @@ class DsirSpec extends SparkSpecBase {
     val again = Dsir.resampleByImportance(big, model, "text", Seq("doc_id"), n = 80)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(ids.sorted == again.sorted, "same seed -> same draw")
+    // hash-seeded noise, not rand(): the draw is invariant under
+    // repartitioning — the property that makes it reproducible on a cluster
+    val repart = Dsir.resampleByImportance(big.repartition(13), model, "text",
+      Seq("doc_id"), n = 80).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == repart.sorted, "draw must not depend on partitioning")
     val other = Dsir.resampleByImportance(big, model, "text", Seq("doc_id"), n = 80,
       seed = 99L).select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(ids.sorted != other.sorted, "different seed -> different draw")
