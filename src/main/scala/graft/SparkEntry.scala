@@ -1207,6 +1207,24 @@ object SparkEntry {
     // count, dims (16.16 fixed) + handler from the first vide trak; the
     // oracle reconstructs every field AND the first 36 header bytes from
     // doc_id arithmetic (q57's byte-level pattern, video sibling)
+    // raw-crawl ingest: WARC files parsed by the native record walker —
+    // request AND response records, HTTP framing split, byte-level header
+    // pin (hdr_hex); the fixture is pure arithmetic so the oracle rebuilds
+    // every parsed field and the raw bytes (q94's pattern for ISO 28500)
+    "q106_warc_ingest" -> ((s, dir) => {
+      val w = Multimodal.warcFromDocuments(table(s, dir, "documents"))
+      w.select(col("media_id"), col("payload"),
+          posexplode(graft.functions.WarcFunctions.warcRecords(col("payload")))
+            .as(Seq("rec_idx", "r")))
+        .select(col("media_id"), col("rec_idx").cast("long").as("rec_idx"),
+          col("r.rec_type").as("rec_type"), col("r.url").as("url"),
+          col("r.warc_date").as("warc_date"),
+          col("r.http_status").cast("long").as("http_status"),
+          col("r.content_type").as("content_type"),
+          col("r.body").cast("string").as("body"),
+          hex(substring(col("payload"), 1, 40)).as("hdr_hex"))
+        .orderBy("media_id", "rec_idx")
+    }),
     "q94_video_meta" -> ((s, dir) => {
       val v = Multimodal.videoFromDocuments(table(s, dir, "documents"))
       v.select(col("media_id"),
@@ -2268,6 +2286,28 @@ object SparkEntry {
     // tkhd dims, and the exact first-36-byte ftyp+moov+mvhd prefix (box
     // sizes included — 116+141·n pins the whole layout arithmetic) that
     // Spark built and the native VideoMeta box walk parsed back
+    // the WARC fixture rebuilt arithmetically: parsed fields per record
+    // (request: no status/type, empty body; response: 200/text-plain/the
+    // text prefix) + the hex of the first 40 raw header bytes
+    "q106_warc_ingest" ->
+      """WITH k AS (SELECT chr(13)||chr(10) AS nl),
+        |b AS (SELECT doc_id, substr(coalesce(text,''),1,60) AS body,
+        |'http://ex.com/doc/' || doc_id AS url,
+        |'2026-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR),2,'0') || 'T00:00:00Z' AS dt,
+        |nl FROM documents, k),
+        |r AS (SELECT doc_id, body, url, dt,
+        |'WARC/1.0' || nl || 'WARC-Type: request' || nl || 'WARC-Target-URI: ' || url
+        ||| nl || 'WARC-Date: ' || dt AS reqhdr FROM b)
+        |SELECT media_id, rec_idx, rec_type, url, warc_date, http_status, content_type, body, hdr_hex
+        |FROM (
+        |SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS rec_idx, 'request' AS rec_type,
+        |url, dt AS warc_date, CAST(NULL AS BIGINT) AS http_status,
+        |CAST(NULL AS VARCHAR) AS content_type, '' AS body,
+        |hex(encode(substr(reqhdr,1,40))) AS hdr_hex FROM r
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), 'response', url, dt, CAST(200 AS BIGINT),
+        |'text/plain', body, hex(encode(substr(reqhdr,1,40))) FROM r)
+        |ORDER BY media_id, rec_idx""".stripMargin.replace("\n", " "),
     "q94_video_meta" ->
       """WITH m AS (SELECT doc_id AS media_id, 600*(doc_id%4+1) AS ts,
         |doc_id%9000+600 AS dur, (doc_id%8)*160+320 AS w, (doc_id%6)*120+240 AS h,

@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native WARC (ISO 28500 / WARC-1.x) record parser — the ingest kernel
+  * for raw web-crawl corpora, the canonical 100 TB input of a training
+  * pipeline. One binary payload (a WARC file, plain or gzip — including
+  * the standard record-per-member multi-member gzip layout) → the array
+  * of its records, in file order:
+  *
+  *   `array<struct<rec_type, url, warc_date, http_status, content_type,
+  *   body>>`
+  *
+  * Parse contract (spec-derived, written against the WARC/1.1 format
+  * description and RFC 9112's message framing — no parser library):
+  *   - version line `WARC/…`, CRLF named headers (case-insensitive keys)
+  *     up to the empty line; `Content-Length` frames the record block,
+  *     which must be followed by the spec's CRLFCRLF record separator.
+  *   - a block whose WARC `Content-Type` is `application/http…` is split
+  *     at its own CRLFCRLF into HTTP headers and body: `http_status` from
+  *     a `HTTP/x.y NNN` status line (NULL for requests), `content_type`
+  *     from the HTTP `Content-Type` header; any other block is returned
+  *     whole as `body` with the record-level `content_type`.
+  *   - NULL in → NULL out; anything malformed (bad framing, missing
+  *     Content-Length, truncation, gzip errors, decompressed size over
+  *     [[WarcRecords.MaxDecompressed]]) → NULL for the whole payload —
+  *     reject explicitly, never fabricate partial records.
+  *
+  * Scale shape: a narrow per-row projection inside whole-stage codegen
+  * (one static call, the [[ImageDims]] pattern) — typically fed by
+  * Spark's `binaryFile` source, then `posexplode`. The expression touches
+  * each payload once; nothing corpus-sized leaves the scan until the
+  * caller projects the fields it wants. */
+case class WarcRecords(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true // malformed payload → NULL
+
+  override def dataType: DataType = ArrayType(WarcRecords.recordType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"warc_records requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    WarcRecords.parse(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("warc")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.WarcRecords.parse($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WarcRecords {
+
+  val recordType: StructType = StructType(Seq(
+    StructField("rec_type", StringType, nullable = false),
+    StructField("url", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false)))
+
+  /** Decompression cap: a gzip member claiming more than this is rejected
+    * (NULL) rather than ballooning executor memory — crawl data is
+    * adversarial input. */
+  val MaxDecompressed: Int = 1 << 26 // 64 MiB per payload
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Inflate a (possibly multi-member) gzip stream, or null on any error.
+    * JDK's GZIPInputStream reads concatenated members natively — the
+    * standard seekable-WARC layout of one member per record. */
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > MaxDecompressed) return null
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+
+  /** All records of one WARC payload, or null if any part is malformed. */
+  def parse(bytes: Array[Byte]): ArrayData = {
+    val data =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        gunzip(bytes)
+      else bytes
+    if (data == null || data.length == 0) return null
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var pos = 0
+    while (pos < data.length) {
+      val hdrEnd = indexOfCrlfCrlf(data, pos)
+      if (hdrEnd < 0) return null
+      val headerText =
+        new String(data, pos, hdrEnd - pos, java.nio.charset.StandardCharsets.UTF_8)
+      val lines = headerText.split("\r\n", -1)
+      if (!lines(0).startsWith("WARC/")) return null
+      val headers = new java.util.HashMap[String, String]()
+      var li = 1
+      while (li < lines.length) {
+        val colon = lines(li).indexOf(':')
+        if (colon < 0) return null
+        headers.put(lines(li).substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT),
+          lines(li).substring(colon + 1).trim)
+        li += 1
+      }
+      val clStr = headers.get("content-length")
+      if (clStr == null) return null
+      val cl =
+        try java.lang.Long.parseLong(clStr)
+        catch { case _: NumberFormatException => return null }
+      val blockStart = hdrEnd + 4
+      val afterBlock = blockStart + cl
+      if (cl < 0 || afterBlock + 4 > data.length) return null
+      if (!(data(afterBlock.toInt) == '\r' && data(afterBlock.toInt + 1) == '\n' &&
+          data(afterBlock.toInt + 2) == '\r' && data(afterBlock.toInt + 3) == '\n'))
+        return null
+      val recType = headers.get("warc-type")
+      if (recType == null) return null
+      val warcCt = headers.get("content-type")
+
+      var status: Any = null
+      var outCt: String = null
+      var bodyStart = blockStart
+      var bodyLen = cl.toInt
+      if (warcCt != null &&
+          warcCt.toLowerCase(java.util.Locale.ROOT).startsWith("application/http")) {
+        val hEnd = indexOfCrlfCrlf(data, blockStart)
+        if (hEnd >= 0 && hEnd + 4 <= afterBlock) {
+          val httpHdr =
+            new String(data, blockStart, hEnd - blockStart, java.nio.charset.StandardCharsets.UTF_8)
+          val hLines = httpHdr.split("\r\n", -1)
+          if (hLines(0).startsWith("HTTP/")) {
+            val parts = hLines(0).split(" ")
+            if (parts.length >= 2)
+              try status = Integer.parseInt(parts(1))
+              catch { case _: NumberFormatException => () }
+          }
+          var hi = 1
+          while (hi < hLines.length) {
+            val c2 = hLines(hi).indexOf(':')
+            if (c2 > 0 && hLines(hi).substring(0, c2).trim
+                .equalsIgnoreCase("Content-Type"))
+              outCt = hLines(hi).substring(c2 + 1).trim
+            hi += 1
+          }
+          bodyStart = hEnd + 4
+          bodyLen = (afterBlock - bodyStart).toInt
+        }
+      } else {
+        outCt = warcCt
+      }
+      val body = java.util.Arrays.copyOfRange(data, bodyStart, bodyStart + bodyLen)
+      def u(s: String): Any = if (s == null) null else UTF8String.fromString(s)
+      out += InternalRow(
+        UTF8String.fromString(recType),
+        u(headers.get("warc-target-uri")),
+        u(headers.get("warc-date")),
+        status,
+        u(outCt),
+        body)
+      pos = (afterBlock + 4).toInt
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+object WarcFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** `warc_records(payload)` as a Column. */
+  def warcRecords(payload: Column): Column =
+    ColumnBridge.column(WarcRecords(ColumnBridge.expression(payload)))
+}

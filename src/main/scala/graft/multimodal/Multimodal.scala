@@ -468,4 +468,31 @@ object Multimodal {
         .as("frame_index"))
       .withColumn("frame_ts_ms", col("frame_index") * lit(1000 * stride) / fps)
   }
+
+  /** Deterministic WARC-file fixture (ISO 28500 text framing, no
+    * compression): per document, a two-record WARC payload — an HTTP
+    * `request` record, then the `response` record whose body is the doc's
+    * text prefix. Every byte is arithmetic over the documents row (the
+    * [[videoFromDocuments]] pattern), so the DuckDB oracle can rebuild
+    * the exact parsed fields AND the raw header bytes. The gzip path of
+    * [[graft.functions.WarcRecords]] is pinned separately in WarcSpec
+    * (compressed bytes are codec-dependent, not oracle arithmetic). */
+  def warcFromDocuments(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val body = substring(coalesce(col("text"), lit("")), 1, 60)
+    val url = concat(lit("http://ex.com/doc/"), id)
+    val date = concat(lit("2026-01-"),
+      lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"), lit("T00:00:00Z"))
+    val reqBlock = concat(lit("GET /doc/"), id, lit(" HTTP/1.1\r\nHost: ex.com\r\n\r\n"))
+    val respBlock = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"), body)
+    def rec(rtype: String, msgtype: String, blk: Column): Column = concat(
+      lit(s"WARC/1.0\r\nWARC-Type: $rtype\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: "), date,
+      lit(s"\r\nContent-Type: application/http; msgtype=$msgtype\r\nContent-Length: "),
+      length(encode(blk, "UTF-8")).cast("string"),
+      lit("\r\n\r\n"), blk, lit("\r\n\r\n"))
+    docs.select(col("doc_id").as("media_id"),
+      encode(concat(rec("request", "request", reqBlock),
+        rec("response", "response", respBlock)), "UTF-8").as("payload"))
+  }
 }

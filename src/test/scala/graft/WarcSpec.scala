@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WarcFunctions
+
+/** The WARC ingest kernel: framing, HTTP splitting, gzip members,
+  * rejection, and the binaryFile ingest path. */
+class WarcSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val crlf = "\r\n"
+
+  private def record(
+      rtype: String,
+      uri: String,
+      block: String,
+      ct: String = "application/http; msgtype=response"): String = {
+    val blockBytes = block.getBytes("UTF-8").length
+    s"WARC/1.0${crlf}WARC-Type: $rtype${crlf}WARC-Target-URI: $uri$crlf" +
+      s"WARC-Date: 2026-02-01T00:00:00Z${crlf}Content-Type: $ct$crlf" +
+      s"Content-Length: $blockBytes$crlf$crlf$block$crlf$crlf"
+  }
+
+  private val respBlock = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf<p>hi</p>"
+  private val plainWarc =
+    (record("request", "http://a/1", s"GET /1 HTTP/1.1${crlf}Host: a$crlf$crlf",
+      "application/http; msgtype=request") +
+      record("response", "http://a/1", respBlock) +
+      record("metadata", "http://a/1", "via: crawler", "application/warc-fields"))
+      .getBytes("UTF-8")
+
+  private def gz(parts: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach { p =>
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(p); g.finish()
+    }
+    out.toByteArray
+  }
+
+  private def parseOne(payload: Array[Byte]) =
+    Seq(Tuple1(payload)).toDF("payload")
+      .select(WarcFunctions.warcRecords(col("payload")).as("rs"))
+      .selectExpr("explode(rs) AS r")
+      .select(col("r.rec_type"), col("r.url"), col("r.http_status"),
+        col("r.content_type"), col("r.body").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        Option(r.getString(3)), r.getString(4)))
+
+  test("plain WARC: all records in order, HTTP framing split, non-http block whole") {
+    val got = parseOne(plainWarc).toSeq
+    assert(got == Seq(
+      ("request", "http://a/1", None, None, ""),
+      ("response", "http://a/1", Some(200), Some("text/html"), "<p>hi</p>"),
+      ("metadata", "http://a/1", None, Some("application/warc-fields"), "via: crawler")))
+  }
+
+  test("gzip payloads parse identically: whole-file single member AND record-per-member") {
+    val want = parseOne(plainWarc).toSeq
+    assert(parseOne(gz(plainWarc)).toSeq == want, "single-member gzip")
+    val r1 = record("request", "http://a/1",
+      s"GET /1 HTTP/1.1${crlf}Host: a$crlf$crlf",
+      "application/http; msgtype=request").getBytes("UTF-8")
+    val r2 = record("response", "http://a/1", respBlock).getBytes("UTF-8")
+    val r3 = record("metadata", "http://a/1", "via: crawler",
+      "application/warc-fields").getBytes("UTF-8")
+    assert(parseOne(gz(r1, r2, r3)).toSeq == want,
+      "multi-member gzip (the standard seekable-WARC layout)")
+  }
+
+  test("malformed payloads reject as NULL, never partial records") {
+    def isNull(payload: Array[Byte]): Boolean =
+      Seq(Tuple1(payload)).toDF("payload")
+        .select(WarcFunctions.warcRecords(col("payload")).as("rs"))
+        .collect()(0).isNullAt(0)
+    assert(isNull("not a warc file at all".getBytes("UTF-8")))
+    assert(isNull(plainWarc.dropRight(3)), "truncated record separator")
+    val noLen = (s"WARC/1.0${crlf}WARC-Type: response$crlf$crlf" + "body").getBytes("UTF-8")
+    assert(isNull(noLen), "missing Content-Length")
+    assert(isNull(Array[Byte](0x1f, 0x8b.toByte, 0, 0)), "corrupt gzip")
+    // a valid prefix followed by garbage poisons the WHOLE payload
+    assert(isNull(plainWarc ++ "tail garbage".getBytes("UTF-8")))
+    // NULL in -> NULL out
+    val r = Seq(Tuple1(null: Array[Byte])).toDF("payload")
+      .select(WarcFunctions.warcRecords(col("payload"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("binaryFile ingest path: .warc.gz files on disk -> parsed records") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-ingest")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), gz(plainWarc))
+    java.nio.file.Files.write(dir.resolve("b.warc"), plainWarc)
+    val got = spark.read.format("binaryFile").load(dir.toString)
+      .select(col("path"), explode(WarcFunctions.warcRecords(col("content"))).as("r"))
+      .where(col("r.rec_type") === "response")
+      .select(col("r.url"), col("r.http_status"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("http://a/1", 200), ("http://a/1", 200)))
+  }
+
+  test("fixture round-trip matches the documents source") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val parsed = graft.multimodal.Multimodal.warcFromDocuments(docs)
+      .select(col("media_id"),
+        explode(WarcFunctions.warcRecords(col("payload"))).as("r"))
+      .where(col("r.rec_type") === "response")
+      .select(col("media_id"), col("r.body").cast("string").as("body"))
+    val joined = parsed.join(docs, col("media_id") === col("doc_id"))
+      .select(col("body"), substring(coalesce(col("text"), lit("")), 1, 60).as("want"))
+      .collect()
+    assert(joined.length == 20)
+    joined.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+}
