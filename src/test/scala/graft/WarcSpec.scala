@@ -101,6 +101,63 @@ class WarcSpec extends SparkSpecBase {
     assert(got == Seq(("http://a/1", 200), ("http://a/1", 200)))
   }
 
+  test("property: random WARC files round-trip through the parser (incl. " +
+    "CRLFCRLF-bearing bodies, unicode, status codes, gzip)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    case class R(rtype: String, uri: Option[String], ct: Option[String],
+        status: Option[Int], httpCt: Option[String], body: String)
+    val genBody = Gen.listOf(Gen.oneOf(
+      "x", "word", "\r", "\n", "\r\n", "\r\n\r\n", "é世", "", ": ")).map(_.mkString)
+    val genRec = for {
+      rtype <- Gen.oneOf("response", "request", "metadata", "resource")
+      uri <- Gen.option(Gen.choose(1, 999).map(n => s"http://h/$n"))
+      body <- genBody
+      httpish <- Gen.oneOf(true, false)
+      status <- Gen.choose(100, 599)
+      httpCt <- Gen.option(Gen.oneOf("text/html", "text/plain; charset=utf-8"))
+      warcCt <- Gen.option(Gen.const("application/warc-fields"))
+    } yield
+      if (httpish) R(rtype, uri, Some("application/http; msgtype=x"), Some(status), httpCt, body)
+      else R(rtype, uri, warcCt, None, None, body)
+    def serialize(rs: List[R]): Array[Byte] = {
+      val sb = new StringBuilder
+      rs.foreach { r =>
+        val block = r.status match {
+          case Some(st) =>
+            s"HTTP/1.1 $st OK$crlf" +
+              r.httpCt.map(c => s"Content-Type: $c$crlf").getOrElse("") +
+              crlf + r.body
+          case None => r.body
+        }
+        sb.append(s"WARC/1.0${crlf}WARC-Type: ${r.rtype}$crlf")
+        r.uri.foreach(u => sb.append(s"WARC-Target-URI: $u$crlf"))
+        r.ct.foreach(c => sb.append(s"Content-Type: $c$crlf"))
+        sb.append(s"Content-Length: ${block.getBytes("UTF-8").length}$crlf$crlf")
+        sb.append(block).append(crlf).append(crlf)
+      }
+      sb.toString.getBytes("UTF-8")
+    }
+    val genCase = for {
+      n <- Gen.choose(1, 4)
+      rs <- Gen.listOfN(n, genRec)
+      gzip <- Gen.oneOf(true, false)
+    } yield (rs, gzip)
+    val prop = Prop.forAll(genCase) { case (rs, gzip) =>
+      val bytes = serialize(rs)
+      val got = parseOne(if (gzip) gz(bytes) else bytes).toSeq
+      val want = rs.map(r => (r.rtype, r.uri.orNull, r.status,
+        if (r.status.isDefined) r.httpCt else r.ct, r.body))
+      if (got != want) println(s"WARC property FALSIFIED: got=$got want=$want gzip=$gzip")
+      got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(40)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260814L)),
+      prop)
+    assert(result.passed, s"ScalaCheck: $result")
+  }
+
   test("fixture round-trip matches the documents source") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     val parsed = graft.multimodal.Multimodal.warcFromDocuments(docs)
