@@ -65,6 +65,13 @@ object GraftFunctions {
             s"word_ngram_hashes: n must be an integer literal, got $other")
         }
         WordNGramHashes(exprs.head, n)
+      }),
+    (
+      FunctionIdentifier("warc_records"),
+      new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "warc_records expects (payload)")
+        WarcRecords(exprs.head)
       }))
 
   /** Register the engine functions into a live session. */

@@ -158,6 +158,16 @@ class WarcSpec extends SparkSpecBase {
     assert(result.passed, s"ScalaCheck: $result")
   }
 
+  test("warc_records registers for SQL use (SparkSessionExtensions path)") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(Tuple1(plainWarc)).toDF("payload").createOrReplaceTempView("warc_files")
+    val got = spark.sql(
+      """SELECT r.rec_type, r.http_status FROM warc_files
+        |LATERAL VIEW explode(warc_records(payload)) t AS r
+        |WHERE r.rec_type = 'response'""".stripMargin).head()
+    assert(got.getString(0) == "response" && got.getInt(1) == 200)
+  }
+
   test("fixture round-trip matches the documents source") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     val parsed = graft.multimodal.Multimodal.warcFromDocuments(docs)
