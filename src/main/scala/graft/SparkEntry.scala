@@ -1207,6 +1207,34 @@ object SparkEntry {
     // count, dims (16.16 fixed) + handler from the first vide trak; the
     // oracle reconstructs every field AND the first 36 header bytes from
     // doc_id arithmetic (q57's byte-level pattern, video sibling)
+    // per-domain curation: URL decomposition (scheme/host/path, userinfo +
+    // port stripped, registered domain via the two-level-suffix subset)
+    // then a 3-doc cap per registered domain — the C4/Dolma URL stage.
+    // Fixture URLs exercise uppercase schemes, userinfo, ports, www/sub
+    // prefixes, and .com vs .co.uk registries
+    "q107_domain_caps" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val id = col("doc_id")
+      val withUrl = d.select(id, col("n_chars"),
+        concat(lit("HTTPS://u:p@"),
+          when(id % 3 === 0, lit("www."))
+            .when(id % 3 === 1, concat(lit("sub"), (id % 5).cast("string"), lit(".")))
+            .otherwise(lit("")),
+          lit("site"), (id % 17).cast("string"), lit("."),
+          when(id % 4 === 0, lit("co.uk")).otherwise(lit("com")),
+          when(id % 6 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/p/"), id.cast("string"),
+          when(id % 2 === 0, lit("?q=1")).otherwise(lit(""))).as("url"))
+      val parts = withUrl.select(id, col("n_chars"),
+          graft.ops.Urls.scheme(col("url")).as("scheme"),
+          graft.ops.Urls.host(col("url")).as("host"),
+          graft.ops.Urls.path(col("url")).as("path"))
+        .withColumn("domain", graft.ops.Urls.registeredDomain(col("host")))
+      graft.ops.Selection.topKPerGroup(parts, Seq("domain"), col("n_chars"), 3, Seq("doc_id"))
+        .select(id, col("scheme"), col("host"), col("domain"), col("path"),
+          col("n_chars"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id")
+    }),
     // raw-crawl ingest: WARC files parsed by the native record walker —
     // request AND response records, HTTP framing split, byte-level header
     // pin (hdr_hex); the fixture is pure arithmetic so the oracle rebuilds
@@ -2286,6 +2314,36 @@ object SparkEntry {
     // tkhd dims, and the exact first-36-byte ftyp+moov+mvhd prefix (box
     // sizes included — 116+141·n pins the whole layout arithmetic) that
     // Spark built and the native VideoMeta box walk parsed back
+    // same URL arithmetic, same RE2 patterns (group indices included), the
+    // suffix subset inlined from the ONE Scala constant, row_number cap
+    "q107_domain_caps" -> {
+      val sfx = graft.ops.Urls.TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id, n_chars,
+         |'HTTPS://u:p@' ||
+         |CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'sub' || (doc_id % 5) || '.' ELSE '' END ||
+         |'site' || (doc_id % 17) || '.' ||
+         |CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END ||
+         |CASE WHEN doc_id % 6 = 0 THEN ':8080' ELSE '' END ||
+         |'/p/' || doc_id ||
+         |CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END AS url
+         |FROM documents),
+         |p AS (SELECT doc_id, n_chars,
+         |lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |lower(regexp_replace(regexp_replace(
+         |regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+         |'^[^@]*@', ''), ':[0-9]*$$', '')) AS host,
+         |regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)([^?#]*)', 2) AS path
+         |FROM u),
+         |d AS (SELECT *, string_split(host, '.') AS ls FROM p),
+         |g AS (SELECT doc_id, n_chars, scheme, host, path,
+         |CASE WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ($sfx)
+         |THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1] ELSE host END AS domain FROM d),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY domain
+         |ORDER BY n_chars DESC, doc_id) AS rank FROM g)
+         |SELECT doc_id, scheme, host, domain, path, n_chars, CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 3 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
     // the WARC fixture rebuilt arithmetically: parsed fields per record
     // (request: no status/type, empty body; response: 200/text-plain/the
     // text prefix) + the hex of the first 40 raw header bytes

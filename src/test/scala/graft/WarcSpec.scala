@@ -168,6 +168,26 @@ class WarcSpec extends SparkSpecBase {
     assert(got.getString(0) == "response" && got.getInt(1) == 200)
   }
 
+  test("Urls: scheme/host/path decomposition and registered-domain reduction") {
+    import graft.ops.Urls
+    val cases = Seq(
+      ("HTTPS://u:p@www.Site.co.uk:8080/a/b?q=1#f",
+        ("https", "www.site.co.uk", "site.co.uk", "/a/b")),
+      ("http://example.com", ("http", "example.com", "example.com", "")),
+      ("ftp://a.b.c.example.org/x", ("ftp", "a.b.c.example.org", "example.org", "/x")),
+      ("https://sub.shop.com.au/", ("https", "sub.shop.com.au", "shop.com.au", "/")),
+      ("https://localhost:9/x", ("https", "localhost", "localhost", "/x")),
+      ("not a url", ("", "", "", "")))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), Urls.scheme(col("url")).as("s"), Urls.host(col("url")).as("h"),
+        Urls.registeredDomain(Urls.host(col("url"))).as("d"),
+        Urls.path(col("url")).as("p"))
+      .orderBy("i").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
   test("fixture round-trip matches the documents source") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     val parsed = graft.multimodal.Multimodal.warcFromDocuments(docs)
