@@ -31,7 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - NULL in → NULL out; anything malformed (bad framing, missing
   *     Content-Length, truncation, gzip errors, decompressed size over
   *     [[WarcRecords.MaxDecompressed]]) → NULL for the whole payload —
-  *     reject explicitly, never fabricate partial records.
+  *     reject explicitly, never fabricate partial records. Known strict
+  *     spot: obs-fold (LWS-continuation) WARC header lines — spec-legal
+  *     but deprecated since WARC/1.1 and absent from modern crawls — have
+  *     no `:` on the continuation line and reject the payload.
   *
   * Scale shape: a narrow per-row projection inside whole-stage codegen
   * (one static call, the [[ImageDims]] pattern) — typically fed by
@@ -97,7 +100,11 @@ object WarcRecords {
   private def gunzip(b: Array[Byte]): Array[Byte] = {
     try {
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      // initial capacity via Long arithmetic: `b.length * 4` overflows Int
+      // past 512 MiB compressed and a negative capacity THROWS, escaping
+      // the reject-as-NULL contract
+      val cap = math.min(math.max(b.length.toLong, 16L), 1L << 16).toInt
+      val out = new java.io.ByteArrayOutputStream(cap)
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) {
@@ -106,7 +113,7 @@ object WarcRecords {
         n = in.read(buf)
       }
       out.toByteArray
-    } catch { case _: java.io.IOException => null }
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** All records of one WARC payload, or null if any part is malformed. */
@@ -155,8 +162,13 @@ object WarcRecords {
       var bodyLen = cl.toInt
       if (warcCt != null &&
           warcCt.toLowerCase(java.util.Locale.ROOT).startsWith("application/http")) {
+        // if the block has no CRLFCRLF header/body boundary (a truncated or
+        // header-less capture), it is returned whole with the RECORD-level
+        // content_type — same contract as non-HTTP blocks
+        outCt = warcCt
         val hEnd = indexOfCrlfCrlf(data, blockStart)
         if (hEnd >= 0 && hEnd + 4 <= afterBlock) {
+          outCt = null // split succeeded: content_type is the HTTP header's, or NULL
           val httpHdr =
             new String(data, blockStart, hEnd - blockStart, java.nio.charset.StandardCharsets.UTF_8)
           val hLines = httpHdr.split("\r\n", -1)

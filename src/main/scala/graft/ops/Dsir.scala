@@ -198,6 +198,8 @@ object Dsir {
         "hash-cut (assignSplit pattern) for huge samples")
     require(idCols.nonEmpty, "resampleByImportance needs id columns to hash")
     require(temperature > 0.0, s"temperature must be positive, got $temperature")
+    require(!df.columns.contains("__g__"),
+      "resampleByImportance uses '__g__' as its Gumbel-key temp column; rename the input column")
     val g = importanceScore(model, coalesce(col(textCol), lit(""))) / lit(temperature) -
       log(-log(Sampling.unif(idCols, seed)))
     df.withColumn("__g__", g)

@@ -48,7 +48,14 @@ object Urls {
 
   /** The registered (pay-level) domain of a hostname: the last two labels,
     * or the last three when the last two are a known two-level suffix
-    * (`sub.site.co.uk` → `site.co.uk`); a label-less host passes through. */
+    * (`sub.site.co.uk` → `site.co.uk`); a label-less host passes through,
+    * as do IP literals (IPv4 dotted quads, bracketed IPv6) — an address is
+    * not a domain, and reducing `192.0.2.1` to `2.1` would merge unrelated
+    * IP hosts into one bogus cap bucket on IP-heavy crawl data.
+    *
+    * For real crawls use [[registeredDomainPsl]], which applies the full
+    * Public Suffix List algorithm (wildcards, exceptions, arbitrary-depth
+    * suffixes) from a vendored rule file. */
   def registeredDomain(
       hostCol: Column,
       twoLevelSuffixes: Seq[String] = TwoLevelSuffixes): Column = {
@@ -56,8 +63,22 @@ object Urls {
     val n = size(ls)
     val last2 = concat_ws(".", element_at(ls, -2), element_at(ls, -1))
     val last3 = concat_ws(".", element_at(ls, -3), element_at(ls, -2), element_at(ls, -1))
-    when(n >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
+    when(hostCol.rlike("^(\\[|([0-9]{1,3}\\.){3}[0-9]{1,3}$)"), hostCol)
+      .when(n >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
       .when(n >= 2, last2)
       .otherwise(hostCol)
   }
+
+  /** The registered domain under a full Public Suffix List rule set —
+    * wildcard (`*.ck`) and exception (`!www.ck`) semantics included, per
+    * the publicsuffix.org algorithm. A host that IS a public suffix, an
+    * IP literal, or label-less passes through unchanged (same scrubbing
+    * convention as [[registeredDomain]]). Load a vendored list with
+    * [[graft.functions.PslRules.fromFile]]; `PslRules.Builtin` is a
+    * documented sample for tests. Native codegen'd expression — per-row
+    * hash probes, no join, no shuffle. */
+  def registeredDomainPsl(
+      hostCol: Column,
+      rules: graft.functions.PslRules = graft.functions.PslRules.Builtin): Column =
+    graft.functions.UrlFunctions.pslRegisteredDomain(hostCol, rules)
 }

@@ -188,6 +188,69 @@ class WarcSpec extends SparkSpecBase {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("PslRules: publicsuffix.org algorithm on the canonical test vectors") {
+    import graft.functions.PslRules
+    val psl = PslRules.Builtin
+    // subset of the published checkPublicSuffix vectors covered by Builtin;
+    // null registrable domains map to host passthrough (the engine's
+    // scrubbing convention)
+    val cases = Seq(
+      "com" -> "com",
+      "example.com" -> "example.com",
+      "www.example.com" -> "example.com",
+      "example.co.uk" -> "example.co.uk",
+      "www.example.co.uk" -> "example.co.uk",
+      "github.io" -> "github.io",
+      "foo.github.io" -> "foo.github.io",
+      "bar.foo.github.io" -> "foo.github.io",
+      "test.ck" -> "test.ck", // wildcard *.ck: test.ck IS a public suffix
+      "b.test.ck" -> "b.test.ck",
+      "a.b.test.ck" -> "b.test.ck",
+      "www.ck" -> "www.ck", // exception !www.ck
+      "www.www.ck" -> "www.ck",
+      "example.com.sg" -> "example.com.sg",
+      "sub.example.com.sg" -> "example.com.sg",
+      "192.0.2.1" -> "192.0.2.1", // IP literals pass through
+      "[2001:db8::1]" -> "[2001:db8::1]",
+      "localhost" -> "localhost")
+    cases.foreach { case (host, want) =>
+      assert(psl.registeredDomain(host) == want, s"host=$host")
+    }
+    // same answers through the native expression (eval + codegen paths)
+    val got = cases.map(_._1).zipWithIndex.map { case (h, i) => (i, h) }
+      .toDF("i", "host")
+      .select(col("i"), graft.ops.Urls.registeredDomainPsl(col("host")).as("d"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("PslRules.fromLines parses the published file format") {
+    import graft.functions.PslRules
+    val psl = PslRules.fromLines(Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "com",
+      "  co.uk  trailing junk",
+      ".jp", // leading-dot variant some vendored copies carry
+      "*.ck",
+      "!www.ck",
+      "// ===END ICANN DOMAINS==="))
+    assert(psl.nRules == 5)
+    assert(psl.registeredDomain("a.b.co.uk") == "b.co.uk")
+    assert(psl.registeredDomain("x.jp") == "x.jp")
+    assert(psl.registeredDomain("www.www.ck") == "www.ck")
+  }
+
+  test("registeredDomain (two-level subset path) passes IP literals through") {
+    import graft.ops.Urls
+    val got = Seq((0, "192.0.2.1"), (1, "[2001:db8::1]"), (2, "www.example.com"),
+        (3, "10.1.2.3.example.com"))
+      .toDF("i", "h")
+      .select(col("i"), Urls.registeredDomain(col("h")).as("d"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("192.0.2.1", "[2001:db8::1]", "example.com", "example.com"))
+  }
+
   test("fixture round-trip matches the documents source") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     val parsed = graft.multimodal.Multimodal.warcFromDocuments(docs)
