@@ -606,6 +606,13 @@ object SparkEntry {
     // closed/label defaults flip to right (pandas origin="end")
     "q48_resample_origin_end" -> ((s, dir) =>
       wevents(s, dir).resample("ts", "3D", origin = "end").summary("value")),
+    // multi-week anchored rule (pandas "2W-MON"): 14-day bins ending on a
+    // Monday, the every-2nd-Monday grid PHASED from the data start the way
+    // pandas' non-Tick range-edge derivation does (rollforward(min)−2w for
+    // the right-closed default) — one tiny broadcast agg, then pure
+    // integer-µs modulo arithmetic
+    "q110_resample_biweekly" -> ((s, dir) =>
+      wevents(s, dir).resample("ts", "2W-MON").summary("value")),
     // weighted median (beyond-reference extension; reference README lists
     // weighted quantiles as future work)
     "q31_weighted_median" -> ((s, dir) =>
@@ -1754,6 +1761,29 @@ object SparkEntry {
         |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1))) AS std_value
         |FROM b GROUP BY bucket),
         |s AS (SELECT unnest(generate_series((SELECT min(bucket) FROM a), (SELECT max(bucket) FROM a), 259200)) AS bucket)
+        |SELECT s.bucket, coalesce(a.count_value, 0.0) AS count_value,
+        |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
+        |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " "),
+    // pandas "2W-MON": the same data-start phase derivation in integer µs —
+    // md = midnight of min(ts); the grid's first bin starts the day after
+    // the first on-or-after Monday of md (the −2w shift is a no-op modulo
+    // the 14-day width); label = the bin's own end Monday (start + 13d)
+    "q110_resample_biweekly" ->
+      """WITH md AS (SELECT epoch_us(date_trunc('day', min(CAST(ts AS TIMESTAMP)))) AS m FROM events),
+        |anc AS (SELECT m + ((0 - ((m + 259200000000) % 604800000000)) % 604800000000
+        |+ 604800000000) % 604800000000 + 86400000000 AS a FROM md),
+        |b AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) -
+        |((epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT a FROM anc)) % 1209600000000
+        |+ 1209600000000) % 1209600000000 + 1123200000000) // 1000000 AS bucket,
+        |value, CAST((user_id % 7 + 1) AS DOUBLE) AS w FROM events),
+        |a AS (SELECT bucket,
+        |sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) AS count_value,
+        |coalesce(sum(value * w), 0.0) AS sum_value,
+        |(sum(value * w) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) AS mean_value,
+        |((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1)) AS var_value,
+        |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1))) AS std_value
+        |FROM b GROUP BY bucket),
+        |s AS (SELECT unnest(generate_series((SELECT min(bucket) FROM a), (SELECT max(bucket) FROM a), 1209600)) AS bucket)
         |SELECT s.bucket, coalesce(a.count_value, 0.0) AS count_value,
         |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
         |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " "),

@@ -16,10 +16,16 @@ final case class FixedRule(micros: Long) extends ResampleRule
 /** `months` per bin (3 for quarters, 12 for years), anchored at Jan 1970;
   * `labelEnd` = the pandas end-labeled spellings (`"M"`, `"Q"`, `"Y"`). */
 final case class CalendarRule(months: Int, labelEnd: Boolean) extends ResampleRule
-/** Anchored weekly rule (`"W"`, `"W-SUN"`, `"W-MON"`…): 7-day bins ENDING on
-  * `endDow` (pandas weekday: 0=Mon … 6=Sun). Not a plain fixed rule — the
-  * grid is pinned to the weekday, not to `origin`. */
-final case class WeeklyRule(endDow: Int) extends ResampleRule
+/** Anchored weekly rule (`"W"`, `"W-SUN"`, `"2W-MON"`…): `n`·7-day bins
+  * ENDING on `endDow` (pandas weekday: 0=Mon … 6=Sun). Not a plain fixed
+  * rule — the grid is pinned to the weekday, not to `origin`. For `n == 1`
+  * every anchor weekday is a bin edge, so the grid is ABSOLUTE; for
+  * `n > 1` only every n-th anchor weekday is, and pandas phases that grid
+  * from the DATA start (right-closed: the first on-or-after anchor day of
+  * `min(ts).normalize()` minus n weeks; left-closed: the previous
+  * on-or-before anchor day — `_get_timestamp_range_edges`' non-Tick
+  * branch), which this engine reproduces with one tiny broadcast agg. */
+final case class WeeklyRule(endDow: Int, n: Int = 1) extends ResampleRule
 
 /** Pandas offset-alias parser. Case matters exactly as in pandas: `"MS"` is
   * month-start but `"ms"` is milliseconds; `"M"` is month-end but `"min"`
@@ -34,17 +40,16 @@ object RuleParser {
     case Pattern(num, unit, anchor) =>
       val n = Option(num).map(_.toInt).getOrElse(1)
       if (anchor != null || unit.equalsIgnoreCase("w")) {
-        // anchored weekly: "W" (= W-SUN), "W-MON" … — pandas treats these as
-        // anchored offsets, NOT 7-day ticks (to_offset("w") is Week(SUN))
+        // anchored weekly: "W" (= W-SUN), "W-MON", "2W-MON" … — pandas
+        // treats these as anchored offsets, NOT 7-day ticks (to_offset("w")
+        // is Week(SUN)); multiples keep the weekday anchor and phase the
+        // every-n-weeks grid from the data start (see WeeklyRule)
         require(unit.equalsIgnoreCase("w"),
-          s"anchored rule '$rule' not supported (only W-<weekday>)")
-        require(n == 1,
-          s"'$rule': multi-week anchored rules are not supported (pandas anchors " +
-            "them to the end of the data; use an explicit '14d' grid instead)")
+          s"anchored rule '$rule' not supported (only [n]W-<weekday>)")
         val dow = Option(anchor).map(_.toUpperCase(Locale.ROOT)).getOrElse("SUN")
         val endDow = Weekdays.getOrElse(dow,
           throw new IllegalArgumentException(s"unknown weekday anchor '$anchor' in '$rule'"))
-        WeeklyRule(endDow)
+        WeeklyRule(endDow, n)
       } else unit match {
         // calendar aliases are case-sensitive (pandas: MS≠ms, M≠min)
         case "M" | "ME"        => CalendarRule(n, labelEnd = true)
@@ -167,23 +172,24 @@ final class WeightedResampler private[core] (
   private def spineStep: Long = parsed match {
     case FixedRule(us)        => us
     case CalendarRule(m, _)   => m.toLong
-    case _: WeeklyRule        => WeekUs
+    case WeeklyRule(_, n)     => n * WeekUs
   }
 
   /** Bucket key → the bin's label timestamp. */
   private def labelTs(b: Column): Column = parsed match {
     case FixedRule(us) =>
       timestamp_micros(if (resolvedLabel == "left") b else b + lit(us))
-    case _: WeeklyRule =>
+    case WeeklyRule(_, n) =>
       // pandas labels weekly bins with the anchor WEEKDAY's date. Right-
-      // closed bins [Mon, next Mon) (the W-SUN default — pandas pushes the
-      // Sunday-midnight edges to end-of-day): right label = the bin's own
-      // Sunday (start+6d), left label = the previous Sunday (start−1d).
-      // Left-closed bins start ON the anchor day: left label = the start
-      // Sunday, right label = the next one (the next bin edge).
+      // closed bins [Mon, +n·7d) (the W-SUN default — pandas pushes the
+      // anchor-midnight edges to end-of-day): right label = the bin's own
+      // last anchor day (start + (7n−1)d), left label = the anchor day
+      // before the bin (start − 1d). Left-closed bins start ON the anchor
+      // day: left label = the start day, right label = the next bin edge.
       val d =
-        if (resolvedClosed == "right") { if (resolvedLabel == "left") -DayUs else 6L * DayUs }
-        else { if (resolvedLabel == "left") 0L else WeekUs }
+        if (resolvedClosed == "right") {
+          if (resolvedLabel == "left") -DayUs else (7L * n - 1) * DayUs
+        } else { if (resolvedLabel == "left") 0L else n * WeekUs }
       timestamp_micros(b + lit(d))
     case CalendarRule(months, labelEnd) =>
       val yr = ((b - pmod(b, lit(12L))) / lit(12L)).cast("int") + 1970
@@ -217,6 +223,14 @@ final class WeightedResampler private[core] (
         s"origin='$origin' anchors bins at the data range, which is per-group " +
           s"under by=${by.mkString(",")}; use origin='epoch' or an explicit " +
           "timestamp (calendar/weekly rules are absolutely anchored and compose freely)")
+    case WeeklyRule(_, n) =>
+      // the n>1 grid is phased from the corpus min (pandas data-start
+      // anchoring); per-group phasing under `by` would need per-group
+      // anchors — refuse rather than bin every group against the global one
+      require(n == 1 || by.isEmpty,
+        s"'$rule' phases its every-$n-weeks grid from the data start, which is " +
+          s"per-group under by=${by.mkString(",")}; use 'W-…' (absolute grid) or " +
+          "a fixed '" + (7 * n) + "d' rule with origin='epoch'")
     case _ =>
   }
 
@@ -274,17 +288,42 @@ final class WeightedResampler private[core] (
         if (resolvedClosed == "left") tsUs - pmod(delta, lit(ruleUs))
         else tsUs + pmod(-delta, lit(ruleUs)) - lit(ruleUs) // (start, start+rule]
       df1.withColumn(BucketCol, startUs).drop("__origin_us__")
-    case WeeklyRule(endDow) =>
-      // right-closed (the pandas W default): pandas draws Sunday-midnight
+    case WeeklyRule(endDow, n) =>
+      // right-closed (the pandas W default): pandas draws anchor-midnight
       // edges then pushes them to end-of-day, so the bin is exactly
-      // [Mon 00:00, next Mon 00:00) at any sub-day resolution — grid
-      // anchored at the day AFTER the end weekday. Left-closed bins start
-      // ON the anchor weekday. 1970-01-01 is a Thursday (pandas weekday 3).
+      // [Mon 00:00, +n·7d) at any sub-day resolution — grid anchored at
+      // the day AFTER the end weekday. Left-closed bins start ON the
+      // anchor weekday. 1970-01-01 is a Thursday (pandas weekday 3).
       val df0 = wdf.df.where(col(on).isNotNull)
-      val startDow = if (resolvedClosed == "right") (endDow + 1) % 7 else endDow
-      val anchorUs = (((startDow - 3) % 7 + 7) % 7).toLong * DayUs
       val tsUs = unix_micros(col(on))
-      df0.withColumn(BucketCol, tsUs - pmod(tsUs - lit(anchorUs), lit(WeekUs)))
+      val binUs = n * WeekUs
+      if (n == 1) {
+        // every anchor day is an edge — the grid is absolute
+        val startDow = if (resolvedClosed == "right") (endDow + 1) % 7 else endDow
+        val anchorUs = (((startDow - 3) % 7 + 7) % 7).toLong * DayUs
+        df0.withColumn(BucketCol, tsUs - pmod(tsUs - lit(anchorUs), lit(binUs)))
+      } else {
+        // pandas phases the every-n-weeks grid from the data start: one
+        // tiny agg (midnight of min(ts)) broadcast onto every row, pure
+        // integer-µs arithmetic after that. Right-closed: bins begin the
+        // day after the first on-or-after anchor day (the −n·7d shift in
+        // pandas' `first - freq` is a no-op modulo the bin width).
+        // Left-closed: bins begin ON the previous on-or-before anchor day.
+        val mins = df0.agg(
+          unix_micros(date_trunc("DAY", min(col(on)))).as("__min_day_us__"))
+        val minDay = col("__min_day_us__")
+        // minDay's weekday, scaled to µs (pandas numbering ×DayUs): all-
+        // integer pmod, no division — exact for any representable timestamp
+        val minDowUs = pmod(minDay + lit(3L * DayUs), lit(WeekUs))
+        val endDowUs = lit(endDow.toLong * DayUs)
+        val anchor =
+          if (resolvedClosed == "right")
+            minDay + pmod(endDowUs - minDowUs, lit(WeekUs)) + lit(DayUs)
+          else minDay - pmod(minDowUs - endDowUs, lit(WeekUs))
+        df0.crossJoin(broadcast(mins))
+          .withColumn(BucketCol, tsUs - pmod(tsUs - anchor, lit(binUs)))
+          .drop("__min_day_us__")
+      }
     case CalendarRule(months, _) =>
       // period membership: a row belongs to its calendar month's bin,
       // multi-month bins anchored at Jan 1970 (pandas QS/YS anchoring);

@@ -194,14 +194,61 @@ class ResampleSpec extends SparkSpecBase {
     assert(m("2024-01-02").contains(2.0))
   }
 
-  test("weekly rule parsing: W anchors to Sunday, W-<day> to that day, multi-week refused") {
+  test("weekly rule parsing: W anchors to Sunday, W-<day> to that day, multiples kept") {
     assert(RuleParser.parse("W") == WeeklyRule(6))
     assert(RuleParser.parse("w") == WeeklyRule(6)) // pandas to_offset("w") = Week(SUN)
     assert(RuleParser.parse("W-MON") == WeeklyRule(0))
     assert(RuleParser.parse("W-WED") == WeeklyRule(2))
-    intercept[IllegalArgumentException] { RuleParser.parse("2W") }
+    assert(RuleParser.parse("2W") == WeeklyRule(6, 2))
+    assert(RuleParser.parse("2W-MON") == WeeklyRule(0, 2))
+    assert(RuleParser.parse("3W-FRI") == WeeklyRule(4, 3))
     intercept[IllegalArgumentException] { RuleParser.parse("W-XXX") }
     intercept[IllegalArgumentException] { RuleParser.toMicros("W") }
+  }
+
+  test("multi-week anchored rules phase the grid from the data start (pandas goldens)") {
+    // pandas 2.x goldens (generated from this exact fixture):
+    //   s.resample(rule, ...).sum() — min 2024-01-03 (Wed), max 2024-02-20
+    val d = Seq(
+      (Timestamp.valueOf("2024-01-03 10:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-08 00:00:00"), Some(2.0), 1.0),
+      (Timestamp.valueOf("2024-01-09 05:30:00"), Some(3.0), 1.0),
+      (Timestamp.valueOf("2024-01-15 23:59:00"), Some(4.0), 1.0),
+      (Timestamp.valueOf("2024-01-22 00:00:00"), Some(5.0), 1.0),
+      (Timestamp.valueOf("2024-02-05 12:00:00"), Some(6.0), 1.0),
+      (Timestamp.valueOf("2024-02-20 07:00:00"), Some(7.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val w = WeightedDataFrame.wt(d, "weights")
+    // default closed=right: grid from rollforward(min)−2w; includes an
+    // EMPTY mid-span bin (2024-02-19) and a Mon-00:00 edge row (Jan 22)
+    assert(byBucket(w.resample("ts", "2W-MON").sum()) == Map(
+      "2024-01-08" -> Some(3.0), "2024-01-22" -> Some(12.0),
+      "2024-02-05" -> Some(6.0), "2024-02-19" -> Some(0.0),
+      "2024-03-04" -> Some(7.0)))
+    assert(byBucket(w.resample("ts", "2W-MON", closed = "left").sum()) == Map(
+      "2024-01-15" -> Some(6.0), "2024-01-29" -> Some(9.0),
+      "2024-02-12" -> Some(6.0), "2024-02-26" -> Some(7.0)))
+    assert(byBucket(w.resample("ts", "2W-MON", closed = "right", label = "left").sum()) == Map(
+      "2023-12-25" -> Some(3.0), "2024-01-08" -> Some(12.0),
+      "2024-01-22" -> Some(6.0), "2024-02-05" -> Some(0.0),
+      "2024-02-19" -> Some(7.0)))
+    assert(byBucket(w.resample("ts", "3W-FRI").sum()) == Map(
+      "2024-01-05" -> Some(1.0), "2024-01-26" -> Some(14.0),
+      "2024-02-16" -> Some(6.0), "2024-03-08" -> Some(7.0)))
+    assert(byBucket(w.resample("ts", "2W").sum()) == Map(
+      "2024-01-07" -> Some(1.0), "2024-01-21" -> Some(9.0),
+      "2024-02-04" -> Some(5.0), "2024-02-18" -> Some(6.0),
+      "2024-03-03" -> Some(7.0)))
+  }
+
+  test("multi-week rules refuse `by` (data-start grid phase is per-group)") {
+    val d = resampleDf.withColumn("k", org.apache.spark.sql.functions.lit("a"))
+    val w = WeightedDataFrame.wt(d, "weights")
+    intercept[IllegalArgumentException] {
+      w.resample("ts", "2W-MON", by = Seq("k")).sum()
+    }
+    // single-week stays absolutely anchored and composes with by
+    w.resample("ts", "W-MON", by = Seq("k")).sum().collect()
   }
 
   test("W bins end on Sunday with right label (pandas default)") {
