@@ -587,12 +587,13 @@ object Dedup {
     * still churning after 50 rounds; contraction finishes it in 5). Every
     * shuffle carries 16-byte (node, label) or (src, dst) rows, never
     * payloads, and the edge table SHRINKS each round, so later rounds are
-    * nearly free. Iteration state is truncated with `localCheckpoint` plus
-    * a statistics reset (see `DatasetBridge` — checkpointing alone carries
-    * Catalyst size estimates that SQUARE per self-join round and melt the
-    * driver in BigInteger arithmetic); on a production cluster with a
-    * configured checkpoint dir, reliable `checkpoint` is the
-    * fault-tolerant equivalent.
+    * nearly free. Iteration state is frozen with a statistics reset (see
+    * `DatasetBridge` — checkpointing alone carries Catalyst size estimates
+    * that SQUARE per self-join round and melt the driver in BigInteger
+    * arithmetic); the freeze follows the session's checkpoint
+    * configuration — RELIABLE `checkpoint` (survives executor loss) when
+    * `sparkContext.setCheckpointDir` is set, `localCheckpoint` in
+    * single-JVM sessions — with bit-identical results either way.
     *
     * `nodes` supplies the full node universe (isolated nodes never appear
     * in the edge list); pass e.g. `docs.select(idCol)`. Throws if the fix
@@ -622,9 +623,12 @@ object Dedup {
     // and iterated self-joins square sizeInBytes each round — the BigInt
     // doubles in bit-length per step and the driver ends up spending
     // minutes in BigInteger.multiply planning 16-byte-row joins (measured:
-    // 124 s for one 5 000-row jump by round 5). See DatasetBridge scaladoc.
+    // 124 s for one 5 000-row jump by round 5). On a cluster with a
+    // configured checkpoint dir the materialization is a RELIABLE
+    // checkpoint (survives executor loss); single-JVM sessions fall back
+    // to localCheckpoint. See DatasetBridge.freezeStatsFree.
     def freeze(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRdd(df.localCheckpoint())
+      org.apache.spark.sql.graftbridge.DatasetBridge.freezeStatsFree(df)
     def jumpOnce(t: DataFrame): DataFrame = t
       .join(t.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
       .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))

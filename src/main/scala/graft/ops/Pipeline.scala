@@ -118,10 +118,10 @@ object Pipeline {
 
   /** Freeze a lazy plan before an EAGER consumer (a driver-side count or
     * model-fit job) so the upstream subtree runs once, not once per
-    * consumer. */
+    * consumer. Reliable checkpoint when the session has a checkpoint dir,
+    * localCheckpoint otherwise (DatasetBridge.freezeStatsFree). */
   private def freeze(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graftbridge.DatasetBridge
-      .fromInternalRdd(df.localCheckpoint())
+    org.apache.spark.sql.graftbridge.DatasetBridge.freezeStatsFree(df)
 
   def prepareTrainingData(
       docs: DataFrame,

@@ -33,6 +33,25 @@ object DatasetBridge {
     Dataset.ofRows(spark, LogicalRDD(DataTypeUtils.toAttributes(schema), rdd)(spark))
   }
 
+  /** Materialize `df` and truncate BOTH lineage and statistics — the
+    * freeze primitive for iterative self-join algorithms (see the class
+    * scaladoc for why the stats reset is load-bearing).
+    *
+    * Fault-tolerance follows the session's checkpoint configuration: with
+    * `sparkContext.setCheckpointDir` set (the production-cluster setup),
+    * the materialization is a RELIABLE `checkpoint()` — blocks live in the
+    * checkpoint dir's fault-tolerant storage and survive executor loss,
+    * which `localCheckpoint()` blocks do not (losing one mid-iteration
+    * kills the job: the truncated lineage leaves no recomputation path).
+    * Without a checkpoint dir it falls back to `localCheckpoint()`, the
+    * right single-JVM default (no serialization round-trip through a
+    * directory). Both modes produce bit-identical results
+    * (ConnectedComponentsSpec pins this on the worst-case path graph). */
+  def freezeStatsFree(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    fromInternalRdd(if (reliable) df.checkpoint() else df.localCheckpoint())
+  }
+
   /** Materialize `df` into an explicitly persisted internal RDD and re-wrap
     * it stats-free, returning the RDD handle so the holder of generational
     * state (streaming dedup's seen-band table) can `unpersist` the PREVIOUS

@@ -1176,6 +1176,46 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("reliable-checkpoint mode ≡ localCheckpoint mode, bit-identical (cluster fault-tolerance path)") {
+    // with a checkpoint dir configured, freezeStatsFree switches every
+    // iteration freeze to reliable checkpoint() — the mode a real cluster
+    // runs (localCheckpoint blocks die with their executor). Pin both
+    // modes' outputs identical on the worst-case path graph, plus a
+    // multi-component graph with isolated nodes and out-of-universe relays.
+    val n = 5000
+    val pathEdges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val pathNodes = spark.range(n).toDF("id")
+    val mixedEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("src", "dst")
+    val mixedNodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 22L, 99L).toDF("id") // 21 relays only
+    def run(): (Seq[(Long, Long)], Seq[(Long, Long)]) = (
+      Dedup.connectedComponents(pathEdges, "src", "dst", pathNodes, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+      Dedup.connectedComponents(mixedEdges, "src", "dst", mixedNodes, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    org.apache.spark.TestCheckpointDir.clear(spark.sparkContext)
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val reliable = run()
+      assert(reliable == local)
+      // the reliable path actually wrote checkpoint state (not a silent
+      // fallback to localCheckpoint)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint mode wrote nothing to the checkpoint dir")
+    } finally {
+      // restore the suite's single-JVM default for every later test
+      org.apache.spark.TestCheckpointDir.clear(spark.sparkContext)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("duplicateClusters: minhash pairs cluster transitively over the corpus") {
     val docs = Seq(
       (0L, "the quick brown fox jumps"),
