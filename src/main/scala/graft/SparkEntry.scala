@@ -442,6 +442,61 @@ object SparkEntry {
 
   private val dsirEnTarget = "(SELECT doc_id, text FROM documents WHERE lang = 'en')"
 
+  /** The Gopher-battery oracle over any `(doc_id, text)` relation —
+    * shared by q98 (raw documents) and q109 (the WARC → html_text
+    * extraction pipeline), so the signal definitions cannot drift between
+    * the raw and the composed check. RE2's \s IS the Spark side's
+    * explicit [ \t\n\f\r] class; line signals are per-\n-line filters
+    * matching Spark's consume-based counts; blank docs have ZERO words on
+    * both sides. `rel` may be a table name or a parenthesized subquery
+    * with alias. */
+  private def gopherOracleSql(rel: String, minWords: Int, minStopwords: Int = 1): String = {
+    val stops = TextAnalysis.GopherStopwords
+      .map(wd => s"CASE WHEN list_contains(toks, '$wd') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val ell = "\u2026"
+    s"""WITH f AS (SELECT doc_id, text,
+       |regexp_extract_all(text, '\\S+') AS toks,
+       |regexp_split_to_array(text, '\\n') AS lns FROM $rel),
+       |s AS (SELECT doc_id, text, toks,
+       |CAST(len(toks) AS DOUBLE) AS w,
+       |CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+       |CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) AS hsh,
+       |CAST(len(regexp_extract_all(text, '(\\.\\.\\.|$ell)')) AS DOUBLE) AS esym,
+       |CAST(len(lns) AS DOUBLE) AS nl,
+       |CAST(len(list_filter(lns, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS DOUBLE) AS bl,
+       |CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|$ell)[ \\t]*$$'))) AS DOUBLE) AS el,
+       |CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))) AS DOUBLE) AS aw,
+       |CASE WHEN text IS NULL THEN NULL ELSE ($stops) END AS ns FROM f)
+       |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       |CASE WHEN w <> 0 THEN round(nws / w, 6) END AS mean_word_len,
+       |CASE WHEN w <> 0 THEN round(hsh / w, 6) END AS hash_ratio,
+       |CASE WHEN w <> 0 THEN round(esym / w, 6) END AS ellipsis_sym_ratio,
+       |CASE WHEN nl <> 0 THEN round(bl / nl, 6) END AS bullet_ratio,
+       |CASE WHEN nl <> 0 THEN round(el / nl, 6) END AS ellipsis_ratio,
+       |CASE WHEN w <> 0 THEN round(aw / w, 6) END AS alpha_word_ratio,
+       |CAST(ns AS BIGINT) AS n_stopwords,
+       |coalesce(w >= $minWords AND w <= 100000
+       |AND nws / w >= 3.0 AND nws / w <= 10.0
+       |AND hsh / w <= 0.1 AND esym / w <= 0.1
+       |AND bl / nl <= 0.9 AND el / nl <= 0.3
+       |AND aw / w >= 0.8 AND ns >= $minStopwords, false) AS passes
+       |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** The EXPECTED [[graft.functions.HtmlText]] extraction of the
+    * [[graft.multimodal.Multimodal.htmlFromDocuments]] fixture, rebuilt
+    * per doc_id in SQL — title line, decoded-entity heading, trimmed text
+    * prefix, conditional list/div lines, the br-split tail with the
+    * literal-& and literal-< spans. Shared by q108 (direct) and q109
+    * (through WARC framing). */
+  private val htmlExpectedTextSql: String =
+    """('T' || doc_id || chr(10) || 'Doc & No. ' || doc_id || chr(10) ||
+      |trim(substr(coalesce(text, ''), 1, 60)) ||
+      |CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'item A' || doc_id || chr(10) || 'item <B>' ELSE '' END ||
+      |CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'tail ' || (doc_id % 7) ELSE '' END ||
+      |chr(10) || 'end' || chr(10) || 'line &unknown; 1 < 2')""".stripMargin.replace("\n", " ")
+
   /** The q64/q83 language-mix config — ONE definition so the Spark queries
     * and the oracle's inlined share literals cannot drift. Order matters:
     * `Map(...).values.sum` iterates insertion order on a 4-entry map, and
@@ -1272,6 +1327,37 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("doc_id")
     }),
+    // HTML → text extraction: the native html_text expression over an
+    // arithmetic HTML fixture (comments, style/script with a decoy
+    // close-tag in the script body, named/numeric/unknown entities,
+    // block-vs-inline tags, <br>, a literal '<') — the oracle rebuilds
+    // the EXPECTED extracted text per doc_id (q106's fixture-arithmetic
+    // pattern), so tag stripping, entity decoding, block line breaks and
+    // whitespace normalization are all pinned hash-exact
+    "q108_html_extract" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+          Multimodal.htmlFromDocuments(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"),
+          graft.ops.Extract.textFromHtml(col("html")).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+    // the crawl-to-corpus composition the engine exists for: WARC payload
+    // -> native record walk -> http body -> html_text extraction ->
+    // Gopher quality battery, all in ONE scan-shaped plan (no joins);
+    // the oracle rebuilds the expected extracted text arithmetically and
+    // runs the same battery SQL as q98 over it
+    "q109_warc_extract_gopher" -> ((s, dir) => {
+      val w = Multimodal.warcHtmlFromDocuments(table(s, dir, "documents"))
+      val recs = w.select(col("media_id").as("doc_id"),
+          explode(graft.functions.WarcFunctions.warcRecords(col("payload"))).as("r"))
+        .where(col("r.rec_type") === "response")
+        .select(col("doc_id"),
+          graft.ops.Extract.textFromHtmlBytes(col("r.body")).as("text"))
+      TextAnalysis.gopherQuality(recs, "text", "doc_id",
+        TextAnalysis.GopherThresholds(minWords = 10, minStopwords = 1))
+        .orderBy("doc_id")
+    }),
     // raw-crawl ingest: WARC files parsed by the native record walker —
     // request AND response records, HTTP framing split, byte-level header
     // pin (hdr_hex); the fixture is pure arithmetic so the oracle rebuilds
@@ -2099,42 +2185,15 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(a.tc, '') AS text_clean
         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
-    "q98_gopher_quality" -> {
-      val stops = TextAnalysis.GopherStopwords
-        .map(wd => s"CASE WHEN list_contains(toks, '$wd') THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      val ell = "\u2026"
-      // RE2's \s IS the Spark side's explicit [ \t\n\f\r] class; line
-      // signals are per-\n-line filters matching Spark's consume-based
-      // counts; blank docs have ZERO words on both sides
-      s"""WITH f AS (SELECT doc_id, text,
-         |regexp_extract_all(text, '\\S+') AS toks,
-         |regexp_split_to_array(text, '\\n') AS lns FROM documents),
-         |s AS (SELECT doc_id, text, toks,
-         |CAST(len(toks) AS DOUBLE) AS w,
-         |CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
-         |CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) AS hsh,
-         |CAST(len(regexp_extract_all(text, '(\\.\\.\\.|$ell)')) AS DOUBLE) AS esym,
-         |CAST(len(lns) AS DOUBLE) AS nl,
-         |CAST(len(list_filter(lns, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS DOUBLE) AS bl,
-         |CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|$ell)[ \\t]*$$'))) AS DOUBLE) AS el,
-         |CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))) AS DOUBLE) AS aw,
-         |CASE WHEN text IS NULL THEN NULL ELSE ($stops) END AS ns FROM f)
-         |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
-         |CASE WHEN w <> 0 THEN round(nws / w, 6) END AS mean_word_len,
-         |CASE WHEN w <> 0 THEN round(hsh / w, 6) END AS hash_ratio,
-         |CASE WHEN w <> 0 THEN round(esym / w, 6) END AS ellipsis_sym_ratio,
-         |CASE WHEN nl <> 0 THEN round(bl / nl, 6) END AS bullet_ratio,
-         |CASE WHEN nl <> 0 THEN round(el / nl, 6) END AS ellipsis_ratio,
-         |CASE WHEN w <> 0 THEN round(aw / w, 6) END AS alpha_word_ratio,
-         |CAST(ns AS BIGINT) AS n_stopwords,
-         |coalesce(w >= 40 AND w <= 100000
-         |AND nws / w >= 3.0 AND nws / w <= 10.0
-         |AND hsh / w <= 0.1 AND esym / w <= 0.1
-         |AND bl / nl <= 0.9 AND el / nl <= 0.3
-         |AND aw / w >= 0.8 AND ns >= 1, false) AS passes
-         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")
-    },
+    "q98_gopher_quality" -> gopherOracleSql("documents", minWords = 40),
+    // the expected extraction rebuilt from the fixture arithmetic
+    "q108_html_extract" ->
+      s"""SELECT doc_id, $htmlExpectedTextSql AS text_clean
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // same battery as q98, over the expected extracted text
+    "q109_warc_extract_gopher" -> gopherOracleSql(
+      s"(SELECT doc_id, $htmlExpectedTextSql AS text FROM documents) x",
+      minWords = 10),
     // transitive closure via recursive CTE; cluster id = min reachable id
     "q49_dup_clusters" ->
       """WITH RECURSIVE e AS (SELECT a.doc_id AS s, b.doc_id AS t

@@ -72,6 +72,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "warc_records expects (payload)")
         WarcRecords(exprs.head)
+      }),
+    (
+      FunctionIdentifier("html_text"),
+      new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "html_text expects (html)")
+        HtmlText(exprs.head)
       }))
 
   /** Register the engine functions into a live session. */

@@ -477,6 +477,48 @@ object Multimodal {
     * the exact parsed fields AND the raw header bytes. The gzip path of
     * [[graft.functions.WarcRecords]] is pinned separately in WarcSpec
     * (compressed bytes are codec-dependent, not oracle arithmetic). */
+  /** Arithmetic HTML page for a documents row — the extraction fixture:
+    * head cruft (title, style, script whose BODY contains a decoy
+    * `</div>`), a comment, entities (named, numeric, nbsp, unknown-stays-
+    * literal), inline `<br>`, conditional list/div blocks, and a literal
+    * `<` that is NOT a tag. Every byte is doc_id arithmetic plus the
+    * text prefix, so the oracle can rebuild the EXPECTED extracted text
+    * per row (the [[warcFromDocuments]] pattern). */
+  def htmlFromDocuments(id: Column, text: Column): Column = {
+    val ids = id.cast("string")
+    val text60 = substring(coalesce(text, lit("")), 1, 60)
+    concat(
+      lit("<html><head><title>T"), ids, lit("</title>"),
+      lit("<style type=\"text/css\">p { color: red; }</style>"),
+      lit("<script>if (1<2) { x = \"</div>\"; }</script></head>"),
+      lit("<body><!-- hidden "), ids, lit(" --><h1>Doc &amp; &#78;o. "), ids,
+      lit("</h1><p>  "), text60, lit("  </p>"),
+      when(id % 3 === 0, concat(lit("<ul><li>item&nbsp;A"), ids,
+        lit("</li><li>item &lt;B&gt;</li></ul>"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit("<div class=\"x\">tail "),
+        (id % 7).cast("string"), lit("</div>"))).otherwise(lit("")),
+      lit("<p>end<br>line &unknown; 1 < 2</p></body></html>"))
+  }
+
+  /** [[warcFromDocuments]] with `text/html` response bodies built by
+    * [[htmlFromDocuments]] — the crawl-shaped input for the WARC →
+    * html_text → quality pipeline composition. */
+  def warcHtmlFromDocuments(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val body = htmlFromDocuments(col("doc_id"), col("text"))
+    val url = concat(lit("http://ex.com/page/"), id)
+    val date = concat(lit("2026-02-"),
+      lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"), lit("T00:00:00Z"))
+    val respBlock = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"), body)
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+      length(encode(respBlock, "UTF-8")).cast("string"),
+      lit("\r\n\r\n"), respBlock, lit("\r\n\r\n"))
+    docs.select(col("doc_id").as("media_id"), encode(rec, "UTF-8").as("payload"))
+  }
+
   def warcFromDocuments(docs: DataFrame): DataFrame = {
     val id = col("doc_id").cast("string")
     val body = substring(coalesce(col("text"), lit("")), 1, 60)

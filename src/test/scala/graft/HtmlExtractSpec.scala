@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HtmlTextParser
+import graft.ops.Extract
+
+/** The html_text extraction contract, case by case — the deterministic
+  * behavior the q108/q109 oracles rebuild arithmetically. */
+class HtmlExtractSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def x(html: String): String = HtmlTextParser.extract(html)
+
+  test("tags strip; block elements break lines; inline elements vanish") {
+    assert(x("<p>hello</p><p>world</p>") == "hello\nworld")
+    assert(x("a<span>b</span>c") == "abc")
+    assert(x("<div>a</div><div>b</div>") == "a\nb")
+    assert(x("one<br>two<br/>three<br />four") == "one\ntwo\nthree\nfour")
+    assert(x("<ul><li>x</li><li>y</li></ul>") == "x\ny")
+    assert(x("<table><tr><td>a</td><td>b</td></tr></table>") == "a\nb")
+    assert(x("<h1>Title</h1>body") == "Title\nbody")
+    // attributes, uppercase names, self-closing
+    assert(x("""<DIV CLASS="x">a</DIV>""") == "a")
+    assert(x("""<a href="http://e.com/?q=1">link</a> text""") == "link text")
+  }
+
+  test("script/style/noscript/template drop WITH content; decoys stay dropped") {
+    assert(x("a<script>var x = '</div>' + 1;</script>b") == "ab")
+    assert(x("a<style>p { color: red }</style>b") == "ab")
+    assert(x("a<SCRIPT TYPE='text/javascript'>if (1<2) x=1;</SCRIPT>b") == "ab")
+    assert(x("a<noscript>enable js</noscript>b") == "ab")
+    // unterminated: drops to end of input
+    assert(x("a<script>never closed") == "a")
+    // <scripty> is an ordinary (inline, unknown) tag, not a script
+    assert(x("a<scripty>b</scripty>c") == "abc")
+  }
+
+  test("comments drop; unterminated comment drops to end") {
+    assert(x("a<!-- hidden <p>not text</p> -->b") == "ab")
+    assert(x("a<!-- never closed") == "a")
+  }
+
+  test("character references: named, decimal, hex; malformed stays literal") {
+    assert(x("&amp; &lt;tag&gt; &quot;q&quot;") == "& <tag> \"q\"")
+    assert(x("A&#66;C") == "ABC")
+    assert(x("A&#x42;C") == "ABC")
+    assert(x("caf&#233;") == "café")
+    assert(x("a&nbsp;b") == "a b") // nbsp -> plain space (word-count safe)
+    assert(x("&unknown; stays") == "&unknown; stays")
+    assert(x("&#xZZ; &#; & alone") == "&#xZZ; &#; & alone")
+    assert(x("&#1114112;") == "&#1114112;") // beyond U+10FFFF: literal
+  }
+
+  test("a '<' that opens no tag is literal text") {
+    assert(x("1 < 2 and 3<4? <p>yes</p>") == "1 < 2 and 3<4?\nyes")
+  }
+
+  test("whitespace: source newlines are spaces; block breaks are the only newlines") {
+    assert(x("<p>a\nb</p>") == "a b")
+    assert(x("<p>  a \t b  </p>\n\n<p>c</p>") == "a b\nc")
+    // markup-only and empty input
+    assert(x("<html><head></head><body></body></html>") == "")
+    assert(x("") == "")
+    // CRLF and tabs collapse
+    assert(x("a\r\n\tb") == "a b")
+  }
+
+  test("NULL in, NULL out; works through Column API and codegen") {
+    val got = Seq((0, Some("<p>x &amp; y</p>")), (1, None))
+      .toDF("i", "h")
+      .select(col("i"), Extract.textFromHtml(col("h")).as("t"))
+      .orderBy("i").collect()
+    assert(got(0).getString(1) == "x & y")
+    assert(got(1).isNullAt(1))
+  }
+
+  test("html_text registers for SQL (SparkSessionExtensions path)") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT html_text('<h1>A</h1><script>x</script><p>b &#66;</p>') AS t").head.getString(0)
+    assert(got == "A\nb B")
+  }
+
+  test("bytes path: http_body binary -> utf-8 -> extraction") {
+    val got = Seq(Tuple1("<p>déjà&nbsp;vu</p>".getBytes("UTF-8")))
+      .toDF("b")
+      .select(Extract.textFromHtmlBytes(col("b")).as("t")).head.getString(0)
+    assert(got == "déjà vu")
+  }
+}
