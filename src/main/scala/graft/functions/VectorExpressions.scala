@@ -76,10 +76,164 @@ object DotProduct {
   }
 }
 
+/** A centroid matrix flattened for tight scoring loops — the broadcast-by-
+  * reference codebook behind [[CentroidArgmax]]/[[CentroidTopN]]. One
+  * instance is shipped to executors inside the serialized expression (and
+  * referenced, not re-generated, in codegen), so the per-centroid cost is
+  * a fused multiply-add, NOT one unrolled Catalyst expression per centroid
+  * — the unrolled spelling hits the codegen method-size ceiling near 1k
+  * centroids and capped the IVF cell count there. */
+final class CentroidMatrix(val k: Int, val dim: Int, val flat: Array[Double])
+    extends Serializable {
+
+  private def checkDim(n: Int): Unit =
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"centroid kernel: vector dim $n != centroid dim $dim")
+
+  /** Index of the max-dot centroid; ties resolve to the LOWEST index
+    * (the `array_position(scores, array_max(scores)) - 1` convention the
+    * unrolled spelling had). */
+  def argmax(v: ArrayData): Int = {
+    val n = v.numElements(); checkDim(n)
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0; var off = 0
+    while (c < k) {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += flat(off + j) * v.getDouble(j); j += 1 }
+      if (acc > bestScore) { bestScore = acc; best = c }
+      c += 1; off += dim
+    }
+    best
+  }
+
+  /** Indices of the `n` largest-dot centroids, ordered by (dot desc,
+    * index asc) — the row_number-over-(cscore desc, cell asc) convention
+    * of the old windowed probe ranking. Insertion into a size-n buffer:
+    * O(k·dim + k·n), n is nProbe-small. */
+  def topN(v: ArrayData, n: Int): ArrayData = {
+    val m = v.numElements(); checkDim(m)
+    val take = math.min(n, k)
+    val scores = new Array[Double](take)
+    val idx = new Array[Int](take)
+    var filled = 0
+    var c = 0; var off = 0
+    while (c < k) {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += flat(off + j) * v.getDouble(j); j += 1 }
+      // find insertion point from the back (strictly-greater keeps the
+      // first-seen centroid ahead on ties = lowest index wins)
+      var p = filled
+      while (p > 0 && scores(p - 1) < acc) p -= 1
+      if (p < take) {
+        val last = math.min(filled, take - 1)
+        var q = last
+        while (q > p) { scores(q) = scores(q - 1); idx(q) = idx(q - 1); q -= 1 }
+        scores(p) = acc; idx(p) = c
+        if (filled < take) filled += 1
+      }
+      c += 1; off += dim
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(idx, filled))
+  }
+}
+
+object CentroidMatrix {
+  def apply(centroids: Seq[Seq[Double]]): CentroidMatrix = {
+    require(centroids.nonEmpty, "empty centroid matrix")
+    val dim = centroids.head.size
+    require(centroids.forall(_.size == dim), "ragged centroid matrix")
+    val flat = new Array[Double](centroids.size * dim)
+    var c = 0
+    centroids.foreach { row =>
+      var j = 0
+      row.foreach { x => flat(c * dim + j) = x; j += 1 }
+      c += 1
+    }
+    new CentroidMatrix(centroids.size, dim, flat)
+  }
+}
+
+/** Nearest-centroid assignment (`argmax` of centroid dot products) as ONE
+  * native expression looping a referenced [[CentroidMatrix]] — constant
+  * codegen size at ANY centroid count, replacing the per-centroid unrolled
+  * expression that capped IVF at 1024 cells. NULL vector → NULL. */
+case class CentroidArgmax(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val matrix = CentroidMatrix(centroids)
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_argmax requires array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    matrix.argmax(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidMatrix", matrix, classOf[CentroidMatrix].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.argmax($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The `n` nearest centroids (by dot, ties to the lowest index) as an
+  * `array<int>` — the probe-cell selection of IVF search in one native
+  * loop, replacing posexplode-all-cells + a per-query row_number window
+  * (which shuffled |queries|·k rows to rank them). NULL vector → NULL. */
+case class CentroidTopN(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n >= 1, s"centroid_topn needs n >= 1, got $n")
+
+  @transient private lazy val matrix = CentroidMatrix(centroids)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_topn requires array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    matrix.topN(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidMatrix", matrix, classOf[CentroidMatrix].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.topN($v, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** `dot_product(a, b)` as a Column (arrays must be `array<double>`). */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Nearest-centroid index as a Column. */
+  def centroidArgmax(v: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CentroidArgmax(ColumnBridge.expression(v), centroids))
+
+  /** `n` nearest centroid indices as a Column. */
+  def centroidTopN(v: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    ColumnBridge.column(CentroidTopN(ColumnBridge.expression(v), centroids, n))
 }

@@ -301,16 +301,23 @@ object Similarity {
     * stays ≈ `targetCellRows` — the IVF analogue of [[planesFor]]: a
     * constant list count keeps the probe join Θ(n²) as the corpus grows.
     *
-    * Capped at 1024: (a) [[searchIvf]] unrolls one dot-product expression
-    * per centroid plus a k×d literal, which must stay within codegen
-    * limits; (b) the KMeans fit cost grows with k × sample. Past the cap,
-    * cell population grows linearly again — corpora that large should use
-    * the LSH path (plane count scales to 2⁶²) or bring an externally
-    * trained quantizer via an explicit [[IvfModel]]. */
+    * Capped at 8192 (formerly 1024). The old ceiling was the CODEGEN
+    * method-size limit of the per-centroid unrolled assignment expression;
+    * assignment now runs through the native [[graft.functions
+    * .CentroidArgmax]]/[[graft.functions.CentroidTopN]] kernel (one loop
+    * over a referenced flat matrix — constant codegen size at any k), so
+    * the binding constraints are the KMeans FIT cost (sample grows as
+    * 32·k rows, work as k × sample — ~10⁸ row·cells at the cap, a
+    * one-off per corpus) and the k×d matrix each task references
+    * (8192 × 64 doubles = 4 MiB — broadcast-class, not literal-class).
+    * Past the cap (n ≈ 1M vectors at the default target), raise
+    * `targetCellRows`, bring an externally trained quantizer via an
+    * explicit [[IvfModel]], or use the LSH path (plane count scales to
+    * 2⁶²). */
   private[graft] def listsFor(n: Long, targetCellRows: Int = 128): Int = {
     require(targetCellRows >= 1, s"targetCellRows must be >= 1, got $targetCellRows")
     val k = math.ceil(n.toDouble / targetCellRows).toInt
-    math.max(2, math.min(1024, k))
+    math.max(2, math.min(8192, k))
   }
 
   /** Train the IVF coarse quantizer: KMeans over a bounded random sample of
@@ -364,11 +371,13 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN search under a fitted [[IvfModel]]: every
-    * corpus vector is assigned to its nearest centroid cell (codegen'd
-    * argmax of centroid dot products over a `typedlit` centroid matrix);
-    * queries score only the vectors in their `nProbe` closest cells, so the
-    * probe join shuffles cell keys rather than the cross product. Same
-    * output schema as [[bruteKnn]].
+    * corpus vector is assigned to its nearest centroid cell (the native
+    * [[graft.functions.CentroidArgmax]] kernel — one codegen'd loop over a
+    * referenced flat centroid matrix, constant code size at any cell
+    * count); queries probe their `nProbe` closest cells (native
+    * [[graft.functions.CentroidTopN]], no all-cells explode, no ranking
+    * window), so the probe join shuffles cell keys rather than the cross
+    * product. Same output schema as [[bruteKnn]].
     *
     * `smallQueries = true` (the default ANN contract: few queries, huge
     * corpus) broadcasts the probe side; pass `false` when the query set is
@@ -383,28 +392,24 @@ object Similarity {
       k: Int,
       nProbe: Int = 4,
       smallQueries: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // raw vectors + norm scalar; centroid ARGMAX is norm-invariant per row,
     // so assignment/probing use raw dots and only the final sim divides
     val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
       .withColumn("__n__", norm(col("__v__")))
     val centroids = model.centroids
-    val cm = typedlit(centroids)
-
-    // per-row centroid scores; corpus keeps argmax cell, queries keep nProbe
-    def cellScores = array(centroids.indices.map(i => dot(col("__v__"), cm.getItem(i))): _*)
+    // ONE native loop over a referenced centroid matrix per row (constant
+    // codegen size at any cell count — the unrolled per-centroid dots
+    // capped the quantizer at 1024 cells); probe cells come from the same
+    // kernel's top-n, replacing posexplode-all-cells + a per-query
+    // row_number window (and its |queries|·k-row shuffle)
     val corpus = prepped
-      .withColumn("cell", array_position(cellScores, array_max(cellScores)) - 1)
+      .withColumn("cell", graft.functions.VectorFunctions.centroidArgmax(col("__v__"), centroids))
       .select(col("cell"), col("__id__").as("neighbor_id"),
         col("__v__").as("nv"), col("__n__").as("nn"))
-    val q = prepped.where(queryPred)
+    val qProbes = prepped.where(queryPred)
       .select(col("__id__").as("query_id"), col("__v__").as("qv"), col("__n__").as("qn"),
-        posexplode(cellScores).as(Seq("cell", "cscore")))
-    val qProbes = q
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))))
-      .where(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+        explode(graft.functions.VectorFunctions.centroidTopN(col("__v__"), centroids, nProbe))
+          .as("cell"))
     val probeSide = if (smallQueries) broadcast(qProbes) else qProbes
     val scored = probeSide.join(corpus, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -490,18 +495,16 @@ object Similarity {
     val trainDf = residualOf match {
       case None => normed.coalesce(math.max(1, maxTrainRows / 8192)).cache()
       case Some(ivf) =>
-        val cm = typedlit(ivf.centroids)
-        val scores = array(ivf.centroids.indices.map(i =>
-          dot(col("__vh__"), cm.getItem(i))): _*)
         val assigned = normed
-          .withColumn("__cell__", array_position(scores, array_max(scores)) - 1)
+          .withColumn("__cell__",
+            graft.functions.VectorFunctions.centroidArgmax(col("__vh__"), ivf.centroids))
           .coalesce(1).cache()
         val meanExprs = (0 until dim).map(i => avg(col("__vh__").getItem(i)))
         val byCell = assigned.groupBy("__cell__")
           .agg(meanExprs.head, meanExprs.tail: _*).collect()
         val offArr = Array.fill(ivf.centroids.size)(Seq.fill(dim)(0.0))
         byCell.foreach { r => // cells unseen in the sample keep offset 0
-          offArr(r.getLong(0).toInt) = (1 to dim).map(r.getDouble)
+          offArr(r.getInt(0)) = (1 to dim).map(r.getDouble)
         }
         offsets = offArr.toSeq
         val om = typedlit(offsets)
@@ -596,8 +599,6 @@ object Similarity {
         s"IvfModel has ${ivf.centroids.size} cells — models from different fits")
     val prepped = df.select(col(idCol), toDouble(col(vecCol)).as("__v__"))
       .withColumn("__n__", norm(col("__v__")))
-    val cm = typedlit(ivf.centroids)
-    val cellScores = array(ivf.centroids.indices.map(i => dot(col("__v__"), cm.getItem(i))): _*)
     val vhat = transform(col("__v__"),
       x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))
     // residual model: encode x̂ − μ_cell, not x̂ (PqModel.residual)
@@ -607,7 +608,11 @@ object Similarity {
           (a, b) => a - b)
       else vhat
     prepped
-      .withColumn("cell", array_position(cellScores, array_max(cellScores)) - 1)
+      // cell stays LONG in the persisted index schema (pre-kernel indexes
+      // stay readable); the native argmax replaces the unrolled dots
+      .withColumn("cell",
+        graft.functions.VectorFunctions.centroidArgmax(col("__v__"), ivf.centroids)
+          .cast("long"))
       .select(col(idCol), col("cell"), pqCodes(pq, encoded).as("codes"),
         lit(modelSig(ivf, pq)).as("model_sig"))
   }
@@ -671,18 +676,15 @@ object Similarity {
     }
     val prepped = df.select(col(idCol).as("__id__"), toDouble(col(vecCol)).as("__v__"))
       .withColumn("__n__", norm(col("__v__")))
-    val cm = typedlit(ivf.centroids)
-    def cellScores = array(ivf.centroids.indices.map(i => dot(col("__v__"), cm.getItem(i))): _*)
     val corpus = index.getOrElse(buildIvfPqIndex(ivf, pq, df, idCol, vecCol))
       .select(col("cell"), col(idCol).as("neighbor_id"), col("codes").as("__codes__"))
-    val q = prepped.where(queryPred)
+    // probe cells from the native top-n kernel (no posexplode-all-cells,
+    // no per-query ranking window); cast long to match the index schema
+    val qProbes = prepped.where(queryPred)
       .select(col("__id__").as("query_id"), col("__v__").as("qv"),
-        posexplode(cellScores).as(Seq("cell", "cscore")))
-    val qProbes = q
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))))
-      .where(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+        explode(graft.functions.VectorFunctions.centroidTopN(col("__v__"), ivf.centroids, nProbe))
+          .as("__cell_i__"))
+      .select(col("query_id"), col("qv"), col("__cell_i__").cast("long").as("cell"))
     val probeSide = if (smallQueries) broadcast(qProbes) else qProbes
     // residual model: x̂ ≈ μ_cell + decoded residual, so the ADC ranking
     // score gains the q·μ_cell term (cell rides the join key; constant

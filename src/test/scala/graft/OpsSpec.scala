@@ -1038,9 +1038,10 @@ class SimilaritySpec extends SparkSpecBase {
       val meanBucket = n.toDouble / (1L << Similarity.planesFor(n, 128))
       assert(meanBucket <= 128.0, s"n=$n: mean LSH bucket $meanBucket exceeds target")
       val meanCell = n.toDouble / Similarity.listsFor(n, 128)
-      // listsFor caps at 1024 (codegen limit on the unrolled centroid
-      // scorer); past the cap cell population grows again by design
-      assert(meanCell <= 129.0 || Similarity.listsFor(n, 128) == 1024,
+      // listsFor caps at 8192 (KMeans fit cost + centroid-matrix size —
+      // the native argmax kernel removed the old 1024 codegen ceiling);
+      // past the cap cell population grows again by design
+      assert(meanCell <= 129.0 || Similarity.listsFor(n, 128) == 8192,
         s"n=$n: mean IVF cell $meanCell exceeds target")
     }
     assert(Similarity.planesFor(10L) >= 1)   // tiny corpora stay valid

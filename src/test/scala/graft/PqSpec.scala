@@ -8,6 +8,7 @@ import graft.ops.Similarity
   * q37b discipline: approximation may only affect which candidates were
   * considered, never reported values), and recall vs the brute truth. */
 class PqSpec extends SparkSpecBase {
+  import spark.implicits._
 
   private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
@@ -169,5 +170,55 @@ class PqSpec extends SparkSpecBase {
       col("vec_id") < 5, k = 3, refineFactor = 1)
     val perQuery = got.groupBy("query_id").count().collect()
     assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= 3))
+  }
+
+  test("centroid kernel: argmax/topN match brute dots with lowest-index ties (any cell count)") {
+    // the native loop must reproduce the old unrolled convention exactly:
+    // argmax = first index of the max dot; topN ordered (dot desc, idx asc)
+    val rnd = new scala.util.Random(7)
+    val k = 1500 // above the OLD 1024 codegen cap on purpose
+    val dim = 16
+    val cm = Seq.tabulate(k, dim)((_, _) => rnd.nextGaussian())
+    val vecs = Seq.tabulate(40, dim)((_, _) => rnd.nextGaussian())
+    def dots(v: Seq[Double]): Seq[Double] =
+      cm.map(c => c.zip(v).map { case (a, b) => a * b }.sum)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      .select(col("i"),
+        graft.functions.VectorFunctions.centroidArgmax(col("v"), cm).as("am"),
+        graft.functions.VectorFunctions.centroidTopN(col("v"), cm, 5).as("t5"))
+      .orderBy("i").collect()
+    df.foreach { r =>
+      val v = vecs(r.getInt(0))
+      val d = dots(v)
+      val wantArg = d.indexOf(d.max)
+      assert(r.getInt(1) == wantArg)
+      val wantTop = d.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(5).map(_._2)
+      assert(r.getSeq[Int](2) == wantTop)
+    }
+    // exact ties resolve to the lowest centroid index
+    val tied = Seq((0, Seq(1.0, 0.0))).toDF("i", "v")
+      .select(
+        graft.functions.VectorFunctions.centroidArgmax(col("v"),
+          Seq(Seq(0.5, 0.0), Seq(0.5, 0.0), Seq(0.2, 0.0))).as("am"),
+        graft.functions.VectorFunctions.centroidTopN(col("v"),
+          Seq(Seq(0.5, 0.0), Seq(0.5, 0.0), Seq(0.2, 0.0)), 3).as("t"))
+      .head()
+    assert(tied.getInt(0) == 0)
+    assert(tied.getSeq[Int](1) == Seq(0, 1, 2))
+    // n beyond k truncates; NULL vector -> NULL out
+    val edge = Seq((0, Some(Seq(1.0, 0.0))), (1, None)).toDF("i", "v")
+      .select(col("i"),
+        graft.functions.VectorFunctions.centroidTopN(col("v"),
+          Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), 9).as("t"))
+      .orderBy("i").collect()
+    assert(edge(0).getSeq[Int](1) == Seq(0, 1))
+    assert(edge(1).isNullAt(1))
+  }
+
+  test("listsFor tracks corpus size past the old 1024-cell cap") {
+    import graft.ops.Similarity.listsFor
+    assert(listsFor(200000) == 1563) // the x100 rehearsal size
+    assert(listsFor(1000000) == 7813)
+    assert(listsFor(100000000) == 8192) // new cap
   }
 }
