@@ -222,12 +222,164 @@ case class CentroidTopN(child: Expression, centroids: Seq[Seq[Double]], n: Int)
     copy(child = newChild)
 }
 
+/** Product-quantization codebooks flattened for tight encode/score loops
+  * — `m` subspaces × `ksub` sub-centroids of `dsub` dims, plus the
+  * precomputed −|c|²/2 terms the L2-argmin-as-argmax encode needs. The
+  * same referenced-object pattern as [[CentroidMatrix]]: constant codegen
+  * size regardless of m × ksub, no per-subspace `slice()` array
+  * allocations (the unrolled spelling built m·ksub temporary arrays per
+  * encoded row). */
+final class PqCodebook(
+    val m: Int, val ksub: Int, val dsub: Int,
+    flat: Array[Double], halfSq: Array[Double]) extends Serializable {
+
+  private def checkDim(n: Int): Unit =
+    if (n != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq kernel: vector dim $n != m*dsub = ${m * dsub}")
+
+  /** Per-subspace L2-argmin code (via argmax of `v·c − |c|²/2`; ties to
+    * the lowest sub-centroid index — the array_position convention). */
+  def encode(v: ArrayData): ArrayData = {
+    checkDim(v.numElements())
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var t = 0
+      while (t < ksub) {
+        val off = (j * ksub + t) * dsub
+        var acc = -halfSq(j * ksub + t)
+        var d = 0
+        while (d < dsub) { acc += flat(off + d) * v.getDouble(base + d); d += 1 }
+        if (acc > bestScore) { bestScore = acc; best = t }
+        t += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance score `Σⱼ q_subⱼ · cbⱼ[codeⱼ]` — the query exact,
+    * the corpus side its reconstruction. */
+  def adc(q: ArrayData, codes: ArrayData): Double = {
+    checkDim(q.numElements())
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq kernel: ${codes.numElements()} codes for m=$m subspaces")
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val off = (j * ksub + codes.getInt(j)) * dsub
+      val base = j * dsub
+      var d = 0
+      while (d < dsub) { acc += flat(off + d) * q.getDouble(base + d); d += 1 }
+      j += 1
+    }
+    acc
+  }
+}
+
+object PqCodebook {
+  def apply(codebooks: Seq[Seq[Seq[Double]]]): PqCodebook = {
+    require(codebooks.nonEmpty && codebooks.head.nonEmpty, "empty PQ codebooks")
+    val m = codebooks.size
+    val ksubMax = codebooks.map(_.size).max
+    val dsub = codebooks.head.head.size
+    require(codebooks.forall(_.forall(_.size == dsub)), "ragged PQ codebooks")
+    // a degenerate fit can return fewer than ksub centers in a subspace;
+    // pad with -inf-score phantoms (never selected: |c|²/2 = +inf)
+    val flat = new Array[Double](m * ksubMax * dsub)
+    val halfSq = Array.fill(m * ksubMax)(Double.PositiveInfinity)
+    for (j <- 0 until m; t <- codebooks(j).indices) {
+      val c = codebooks(j)(t)
+      var s = 0.0
+      var d = 0
+      while (d < dsub) { flat((j * ksubMax + t) * dsub + d) = c(d); s += c(d) * c(d); d += 1 }
+      halfSq(j * ksubMax + t) = s / 2.0
+    }
+    new PqCodebook(m, ksubMax, dsub, flat, halfSq)
+  }
+}
+
+/** PQ encode as ONE native loop (array<int> of per-subspace codes) —
+  * replaces m·ksub unrolled sliced-dot expressions. NULL vector → NULL. */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val book = PqCodebook(codebooks)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    book.encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", book, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.encode($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score of (query vector, code array) under a referenced codebook —
+  * replaces m unrolled sliced dots per candidate row. NULL → NULL. */
+case class PqAdcScore(left: Expression, right: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression {
+
+  @transient private lazy val book = PqCodebook(codebooks)
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires (array<double>, array<int>), got $other")
+    }
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    book.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", book, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$ref.adc($q, $c)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** `dot_product(a, b)` as a Column (arrays must be `array<double>`). */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ code assignment as a Column. */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
+
+  /** ADC score as a Column. */
+  def pqAdc(q: Column, codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqAdcScore(
+      ColumnBridge.expression(q), ColumnBridge.expression(codes), codebooks))
 
   /** Nearest-centroid index as a Column. */
   def centroidArgmax(v: Column, centroids: Seq[Seq[Double]]): Column =

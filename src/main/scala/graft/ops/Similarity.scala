@@ -533,30 +533,18 @@ object Similarity {
 
   /** PQ code assignment of a unit-normalized vector column: per subspace,
     * the L2-argmin sub-centroid via the argmax of `v·c − |c|²/2` (the |v|²
-    * term is constant per row) — pure codegen arithmetic over a literal
-    * codebook, no UDF. Zero vectors (null after normalization) code NULL. */
-  private def pqCodes(pq: PqModel, vhat: Column): Column = {
-    val cb = typedlit(pq.codebooks)
-    array((0 until pq.m).map { j =>
-      val sub = slice(vhat, j * pq.dsub + 1, pq.dsub)
-      val scores = array(pq.codebooks(j).indices.map { t =>
-        dot(sub, cb.getItem(j).getItem(t)) -
-          lit(pq.codebooks(j)(t).map(x => x * x).sum / 2.0)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }: _*)
-  }
+    * term is constant per row) — the native [[graft.functions.PqEncode]]
+    * kernel (one loop over a referenced flat codebook; the old unrolled
+    * spelling allocated m·ksub `slice()` temporaries per encoded row). */
+  private def pqCodes(pq: PqModel, vhat: Column): Column =
+    graft.functions.VectorFunctions.pqEncode(vhat, pq.codebooks)
 
   /** Asymmetric-distance score: `q · x̂ ≈ Σⱼ q_subⱼ · codebookⱼ[codeⱼ]` —
     * the query stays exact, the corpus side is its reconstruction. Constant
-    * |q| per query makes the ranking cosine-consistent without dividing. */
-  private def adcScore(pq: PqModel, qv: Column, codes: Column): Column = {
-    val cb = typedlit(pq.codebooks)
-    (0 until pq.m).map { j =>
-      dot(slice(qv, j * pq.dsub + 1, pq.dsub),
-        element_at(cb.getItem(j), element_at(codes, j + 1) + 1))
-    }.reduce(_ + _)
-  }
+    * |q| per query makes the ranking cosine-consistent without dividing.
+    * Native [[graft.functions.PqAdcScore]] kernel. */
+  private def adcScore(pq: PqModel, qv: Column, codes: Column): Column =
+    graft.functions.VectorFunctions.pqAdc(qv, codes, pq.codebooks)
 
   /** Deterministic 64-bit fingerprint of an (ivf, pq) model pair — bitwise
     * over every centroid/codebook coordinate, so any retrain (new seed, new

@@ -215,6 +215,35 @@ class PqSpec extends SparkSpecBase {
     assert(edge(1).isNullAt(1))
   }
 
+  test("pq kernel: encode/adc match brute per-subspace math (lowest-index ties)") {
+    val rnd = new scala.util.Random(11)
+    val m = 4; val ksub = 8; val dsub = 3
+    val books = Seq.tabulate(m, ksub, dsub)((_, _, _) => rnd.nextGaussian())
+    val vecs = Seq.tabulate(25, m * dsub)((_, _) => rnd.nextGaussian())
+    def bruteCodes(v: Seq[Double]): Seq[Int] = (0 until m).map { j =>
+      val sub = v.slice(j * dsub, (j + 1) * dsub)
+      val scores = books(j).map(c =>
+        c.zip(sub).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2)
+      scores.indexOf(scores.max)
+    }
+    def bruteAdc(v: Seq[Double], codes: Seq[Int]): Double = (0 until m).map { j =>
+      books(j)(codes(j)).zip(v.slice(j * dsub, (j + 1) * dsub))
+        .map { case (a, b) => a * b }.sum
+    }.sum
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      .select(col("i"), col("v"),
+        graft.functions.VectorFunctions.pqEncode(col("v"), books).as("codes"))
+      .select(col("i"), col("codes"),
+        graft.functions.VectorFunctions.pqAdc(col("v"), col("codes"), books).as("adc"))
+      .orderBy("i").collect()
+    rows.foreach { r =>
+      val v = vecs(r.getInt(0))
+      val wantCodes = bruteCodes(v)
+      assert(r.getSeq[Int](1) == wantCodes)
+      assert(math.abs(r.getDouble(2) - bruteAdc(v, wantCodes)) < 1e-12)
+    }
+  }
+
   test("listsFor tracks corpus size past the old 1024-cell cap") {
     import graft.ops.Similarity.listsFor
     assert(listsFor(200000) == 1563) // the x100 rehearsal size
