@@ -81,6 +81,45 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(got == "A\nb B")
   }
 
+  test("streaming: html_text is a stateless projection — works in readStream pipelines") {
+    // the crawl pipeline's streaming spelling: micro-batches of raw HTML →
+    // extraction → quality battery, no state, no watermark needed
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "html")
+      .select(col("doc_id"), Extract.textFromHtml(col("html")).as("text"))
+    val out = graft.ops.TextAnalysis.gopherQuality(sdf, "text", "doc_id",
+      graft.ops.TextAnalysis.GopherThresholds(minWords = 2, minStopwords = 0))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("shtml").start()
+    input.addData((1L, "<p>the quick fox</p><script>x</script>"),
+      (2L, "<h1>one</h1><p>of the words</p>"))
+    q.processAllAvailable()
+    input.addData((3L, "<ul><li>to bees</li><li>for honey</li></ul>"))
+    q.processAllAvailable()
+    val got = spark.table("shtml").orderBy("doc_id").collect()
+    q.stop()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Long]("n_words")).toSeq == Seq(3L, 4L, 4L))
+    assert(got.forall(_.getAs[Boolean]("passes")))
+  }
+
+  test("PslRules.fromFile loads a vendored public_suffix_list.dat") {
+    val f = java.nio.file.Files.createTempFile("psl-", ".dat")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "// ===BEGIN ICANN DOMAINS===",
+      "com", "uk", "co.uk", "*.ck", "!www.ck",
+      "// ===BEGIN PRIVATE DOMAINS===",
+      "github.io"))
+    try {
+      val psl = graft.functions.PslRules.fromFile(f.toString)
+      assert(psl.nRules == 6)
+      assert(psl.registeredDomain("a.b.co.uk") == "b.co.uk")
+      assert(psl.registeredDomain("x.foo.github.io") == "foo.github.io")
+      assert(psl.registeredDomain("www.www.ck") == "www.ck")
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("bytes path: http_body binary -> utf-8 -> extraction") {
     val got = Seq(Tuple1("<p>déjà&nbsp;vu</p>".getBytes("UTF-8")))
       .toDF("b")
