@@ -120,6 +120,44 @@ class HtmlExtractSpec extends SparkSpecBase {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("fuzz: extraction never throws and always emits normalized output (adversarial crawl bytes)") {
+    // crawl HTML is adversarial input: truncated tags, stray '&'/'<',
+    // unterminated script/comment, NULs, surrogate-free unicode. The
+    // invariants: no exception, no NULs out, no empty lines, no
+    // leading/trailing intra-line whitespace, no un-collapsed runs.
+    val rnd = new scala.util.Random(20260814L)
+    val atoms = Array("<p>", "</p>", "<script>", "</script>", "<!--", "-->",
+      "<div", ">", "<", "&", "&amp;", "&#", "&#x41;", ";", "word", "1 < 2",
+      " ", "\n", "\t", "\u0000", "é", "日本", "<br/>", "<style>", "</style>",
+      "<li>", "x=\"</div>\"", "&unknown;", "&#999999999;", "<a href='y'>")
+    (0 until 3000).foreach { _ =>
+      val html = Seq.fill(rnd.nextInt(40))(atoms(rnd.nextInt(atoms.length))).mkString
+      val out = x(html)
+      assert(!out.contains('\u0000'), s"NUL survived for input ${html.take(80)}")
+      // the empty OUTPUT (markup-only input) is legal; otherwise no line
+      // may be empty, untrimmed, or carry an uncollapsed whitespace run
+      if (out.nonEmpty) out.split("\n", -1).foreach { line =>
+        assert(line.nonEmpty, s"empty line for input ${html.take(80)}")
+        assert(line == line.trim, s"untrimmed line '$line'")
+        assert(!line.contains("  ") && !line.contains("\t"),
+          s"uncollapsed whitespace in '$line'")
+      }
+    }
+  }
+
+  test("fuzz: PslRules.registeredDomain output is always the host or one of its suffixes") {
+    val psl = graft.functions.PslRules.Builtin
+    val rnd = new scala.util.Random(42)
+    val labels = Array("a", "bb", "www", "co", "uk", "ck", "com", "github",
+      "io", "sg", "x1", "192", "0", "2", "", "é")
+    (0 until 3000).foreach { _ =>
+      val host = Seq.fill(rnd.nextInt(6) + 1)(labels(rnd.nextInt(labels.length))).mkString(".")
+      val d = psl.registeredDomain(host)
+      assert(d == host || host.endsWith("." + d),
+        s"'$d' is not host-or-suffix of '$host'")
+    }
+  }
+
   test("bytes path: http_body binary -> utf-8 -> extraction") {
     val got = Seq(Tuple1("<p>déjà&nbsp;vu</p>".getBytes("UTF-8")))
       .toDF("b")
