@@ -413,12 +413,17 @@ object SparkEntry {
   private val DsirBuckets = 1024
   private val DsirAlpha = 1.0
 
-  private def dsirScoreCtesFrom(poolRel: String, tgtRel: String): String = {
+  /** The shared hashed-gram feature CTEs over a tagged (pool tg=0, target
+    * tg=1) union — everything up to the materialized per-occurrence
+    * bucket relation `dsir_bk(doc_id, tg, b)`. Factored so the DSIR
+    * oracle (q102/q103/q105) and the quality-classifier oracle (q111)
+    * consume the IDENTICAL feature definition — the Spark sides share
+    * [[graft.ops.Dsir.gramHashes]] the same way. */
+  private def hashedGramBucketCtes(poolRel: String, tgtRel: String): String = {
     require((DsirBuckets & (DsirBuckets - 1)) == 0 && DsirBuckets > 0,
       s"DsirBuckets must be a power of two for the unsigned-mod oracle, got $DsirBuckets")
     val m = DsirBuckets
     val (ctes, last) = xxhashStringCtes("dsir_tok", "xq2_")
-    val a = dbl(DsirAlpha)
     s"""dsir_src AS (SELECT doc_id, 0 AS tg, coalesce(text, '') AS text FROM $poolRel
        |UNION ALL SELECT doc_id, 1 AS tg, coalesce(text, '') AS text FROM $tgtRel),
        |dsir_t AS (SELECT doc_id, tg, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS toks FROM dsir_src),
@@ -427,7 +432,13 @@ object SparkEntry {
        |UNION ALL
        |SELECT doc_id, tg, toks[i] || ' ' || toks[i+1] AS tok FROM dsir_t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
        |$ctes,
-       |dsir_bk AS MATERIALIZED (SELECT doc_id, tg, CAST(hash % $m AS BIGINT) AS b FROM $last),
+       |dsir_bk AS MATERIALIZED (SELECT doc_id, tg, CAST(hash % $m AS BIGINT) AS b FROM $last)""".stripMargin
+  }
+
+  private def dsirScoreCtesFrom(poolRel: String, tgtRel: String): String = {
+    val m = DsirBuckets
+    val a = dbl(DsirAlpha)
+    s"""${hashedGramBucketCtes(poolRel, tgtRel)},
        |dsir_tc AS (SELECT b, count(*) AS c FROM dsir_bk WHERE tg = 1 GROUP BY b),
        |dsir_rc AS (SELECT b, count(*) AS c FROM dsir_bk WHERE tg = 0 GROUP BY b),
        |dsir_lam AS (SELECT r.b AS b,
@@ -441,6 +452,60 @@ object SparkEntry {
   }
 
   private val dsirEnTarget = "(SELECT doc_id, text FROM documents WHERE lang = 'en')"
+
+  /** The q111 quality-classifier fit config — ONE definition consumed by
+    * the Spark query AND baked into the oracle CTEs (same anti-drift
+    * discipline as [[DsirBuckets]]). Bucket count inherits the
+    * power-of-two requirement through [[hashedGramBucketCtes]]. */
+  private val QcEpochs = 3
+  private val QcLr = 0.5
+
+  /** CTEs recomputing the [[graft.ops.QualityClassifier]] fit AND scores
+    * end-to-end in DuckDB: the full-batch logistic gradient descent is
+    * UNROLLED — one CTE trio (margins → per-doc gradient → weight/bias
+    * update) per epoch — over the same hashed-gram occurrence relation
+    * the DSIR oracle consumes. Every update mirrors the Scala driver's
+    * IEEE expression tree (`w − lr·(grad/N)`, `σ = 1/(1+exp(−m))`,
+    * mean-normalized features `g/n` summed per occurrence), so the final
+    * scores agree to fp-summation-order ulps and the queries compare
+    * under round(…, 6). Final CTE `qc_out(doc_id, s)` covers every pool
+    * document (zero grams → the bias-only margin). */
+  private def qcScoreCtes(poolRel: String, tgtRel: String): String = {
+    val m = DsirBuckets
+    val lrL = dbl(QcLr)
+    val zero = dbl(0.0)
+    val one = dbl(1.0)
+    val sb = new StringBuilder(hashedGramBucketCtes(poolRel, tgtRel))
+    sb.append(s""",
+      |qc_nc AS (SELECT doc_id, tg, count(*) AS c FROM dsir_bk GROUP BY doc_id, tg),
+      |qc_doc AS (SELECT s.doc_id, s.tg, CAST(coalesce(c.c, 0) AS DOUBLE) AS n
+      |FROM dsir_src s LEFT JOIN qc_nc c ON c.doc_id = s.doc_id AND c.tg = s.tg),
+      |qc_nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM dsir_src),
+      |qc_w0 AS (SELECT r.b AS b, CAST(0 AS DOUBLE) AS w FROM range(0, $m) r(b))""".stripMargin)
+    def marginSql(wRel: String, biasExpr: String): String =
+      s"""SELECT d.doc_id, d.tg, d.n,
+         |$biasExpr + CASE WHEN d.n = $zero THEN $zero ELSE coalesce(s.sv, $zero) / d.n END AS mg
+         |FROM qc_doc d LEFT JOIN (SELECT bk.doc_id, bk.tg, sum(w.w) AS sv
+         |FROM dsir_bk bk JOIN $wRel w ON w.b = bk.b GROUP BY bk.doc_id, bk.tg) s
+         |ON s.doc_id = d.doc_id AND s.tg = d.tg""".stripMargin
+    var e = 1
+    while (e <= QcEpochs) {
+      val biasPrev = if (e == 1) zero else s"(SELECT bv FROM qc_b${e - 1})"
+      sb.append(s""",
+        |qc_m$e AS (${marginSql(s"qc_w${e - 1}", biasPrev)}),
+        |qc_g$e AS (SELECT doc_id, tg, n, $one / ($one + exp(-mg)) - CAST(tg AS DOUBLE) AS g FROM qc_m$e),
+        |qc_gb$e AS (SELECT bk.b AS b, sum(g.g / g.n) AS gs FROM dsir_bk bk
+        |JOIN qc_g$e g ON g.doc_id = bk.doc_id AND g.tg = bk.tg GROUP BY bk.b),
+        |qc_w$e AS (SELECT pw.b AS b, pw.w - $lrL * (coalesce(gb.gs, $zero) / (SELECT nd FROM qc_nd)) AS w
+        |FROM qc_w${e - 1} pw LEFT JOIN qc_gb$e gb ON gb.b = pw.b),
+        |qc_b$e AS (SELECT $biasPrev - $lrL * ((SELECT coalesce(sum(g), $zero) FROM qc_g$e) / (SELECT nd FROM qc_nd)) AS bv)""".stripMargin)
+      e += 1
+    }
+    sb.append(s""",
+      |qc_sc AS (${marginSql(s"qc_w$QcEpochs", s"(SELECT bv FROM qc_b$QcEpochs)")}),
+      |qc_out AS (SELECT doc_id, $one / ($one + exp(-mg)) AS s FROM qc_sc WHERE tg = 0)""".stripMargin)
+    sb.toString.replace("\n", " ")
+  }
 
   /** The Gopher-battery oracle over any `(doc_id, text)` relation —
     * shared by q98 (raw documents) and q109 (the WARC → html_text
@@ -947,6 +1012,23 @@ object SparkEntry {
       d.select(col("doc_id"), col("lang"),
         round(graft.ops.Dsir.importanceScore(model,
           coalesce(col("text"), lit(""))), 6).as("dsir_score"))
+        .orderBy("doc_id")
+    }),
+    // fastText-style quality classifier (Joulin et al. 2016): logistic
+    // weights over the SAME hashed 1+2-gram buckets as q102, trained
+    // target = English docs vs raw = the whole corpus by 3 epochs of
+    // full-batch GD (driver-side updates, one bounded-reduce job per
+    // epoch), then every doc scored σ(bias + w·grams/n) with the
+    // codegen'd kernel. The oracle UNROLLS the same 3 epochs in SQL —
+    // fit and scores both exact-checked, not just the ranking.
+    "q111_quality_score" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = graft.ops.QualityClassifier.fitQualityClassifier(
+        d.where(col("lang") === "en"), d, "text",
+        nBuckets = DsirBuckets, epochs = QcEpochs, lr = QcLr)
+      d.select(col("doc_id"), col("lang"),
+        round(graft.ops.QualityClassifier.classifierScore(model, col("text")), 6)
+          .as("quality_score"))
         .orderBy("doc_id")
     }),
     // DSIR selection: Gumbel top-k without replacement ∝ exp(score) — the
@@ -2112,6 +2194,14 @@ object SparkEntry {
       s"""WITH ${dsirScoreCtesFrom("documents", dsirEnTarget)}
          |SELECT o.doc_id, d.lang, round(o.s, 6) AS dsir_score
          |FROM dsir_out o JOIN documents d ON o.doc_id = d.doc_id
+         |ORDER BY o.doc_id""".stripMargin.replace("\n", " "),
+    // the full classifier pipeline recomputed in SQL — the 3 GD epochs
+    // unrolled as CTE trios over the same gram-occurrence relation, so
+    // the fitted weights AND the final sigmoid scores are exact-checked
+    "q111_quality_score" ->
+      s"""WITH ${qcScoreCtes("documents", dsirEnTarget)}
+         |SELECT o.doc_id, d.lang, round(o.s, 6) AS quality_score
+         |FROM qc_out o JOIN documents d ON o.doc_id = d.doc_id
          |ORDER BY o.doc_id""".stripMargin.replace("\n", " "),
     // Gumbel top-k draw on the recomputed scores: noise from the SAME
     // XXH64 unif chain the Spark side seeds (seed 17), key = s/τ −
