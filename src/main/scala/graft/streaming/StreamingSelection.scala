@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dsir, QualityClassifier}
+
+/** Model-scored admission gates for streaming ingest — the fit-once,
+  * score-forever composition of the persisted selection models
+  * ([[graft.ops.Dsir.saveModel]] / [[graft.ops.QualityClassifier.saveModel]])
+  * into a Structured Streaming pipeline.
+  *
+  * Both scores are pure codegen'd projections (the
+  * [[graft.functions.HashedGramScore]] kernel over broadcast-able model
+  * weights), so admission is STATELESS: no state store, no watermark
+  * requirement, per-batch cost linear in batch size and flat in stream
+  * age. That is the correct 100 TB ingest shape — the model is fit in one
+  * bounded offline job (reduce side ≤ nBuckets rows regardless of corpus
+  * size), saved as an m-row parquet, and every ingest executor scores at
+  * read throughput with zero shuffle. Compose BEFORE the stateful dedup
+  * stages ([[StreamingDedup]]) so rejected documents never enter the
+  * dedup state store.
+  *
+  * Batch/stream parity: the returned plan is the same Column tree on a
+  * batch frame, so `dsirAdmission(batchDf, …)` is the exact batch
+  * equivalent — StreamingSelectionSpec pins stream ≡ batch admission on
+  * the same corpus, model reloaded from disk on both paths.
+  */
+object StreamingSelection {
+
+  /** Gate a (streaming or batch) DataFrame on the DSIR importance
+    * log-weight: keep documents scoring ≥ `threshold` under the model at
+    * `modelPath`, with the score exposed as `scoreCol` for downstream
+    * mixing/telemetry. NULL text scores as the empty document (0.0 — no
+    * grams), matching [[Dsir.resampleByImportance]]'s coalesce. */
+  def dsirAdmission(
+      spark: SparkSession,
+      df: DataFrame,
+      modelPath: String,
+      textCol: String,
+      threshold: Double,
+      scoreCol: String = "dsir_score"): DataFrame =
+    admit(df, Dsir.importanceScore(Dsir.loadModel(spark, modelPath),
+      coalesce(col(textCol), lit(""))), threshold, scoreCol)
+
+  /** Same gate under an in-memory model (fit in the same job, or loaded
+    * once and reused across many streams). */
+  def dsirAdmission(
+      df: DataFrame,
+      model: Dsir.DsirModel,
+      textCol: String,
+      threshold: Double): DataFrame =
+    admit(df, Dsir.importanceScore(model, coalesce(col(textCol), lit(""))),
+      threshold, "dsir_score")
+
+  /** Gate on the trained quality-classifier probability σ(margin) ≥
+    * `threshold` — the fastText-filter ingest stage (threshold 0.5 is the
+    * decision boundary; corpus-mix targets usually gate higher). */
+  def classifierAdmission(
+      spark: SparkSession,
+      df: DataFrame,
+      modelPath: String,
+      textCol: String,
+      threshold: Double,
+      scoreCol: String = "quality_score"): DataFrame =
+    admit(df, QualityClassifier.classifierScore(
+      QualityClassifier.loadModel(spark, modelPath), col(textCol)),
+      threshold, scoreCol)
+
+  /** Same gate under an in-memory classifier model. */
+  def classifierAdmission(
+      df: DataFrame,
+      model: QualityClassifier.QualityModel,
+      textCol: String,
+      threshold: Double): DataFrame =
+    admit(df, QualityClassifier.classifierScore(model, col(textCol)),
+      threshold, "quality_score")
+
+  private def admit(
+      df: DataFrame,
+      score: Column,
+      threshold: Double,
+      scoreCol: String): DataFrame = {
+    require(!df.columns.contains(scoreCol),
+      s"admission writes '$scoreCol'; rename the input column or pass a different scoreCol")
+    df.withColumn(scoreCol, score).where(col(scoreCol) >= lit(threshold))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.{Dsir, QualityClassifier}
+import graft.streaming.StreamingSelection
+
+/** Model-scored streaming admission: the persisted DSIR / classifier
+  * models gate a MemoryStream exactly as they gate the same corpus in
+  * batch, statelessly, across multiple triggers. */
+class StreamingSelectionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val targetDocs = Seq(
+    "alpha beta gamma delta", "alpha gamma beta", "beta delta alpha alpha",
+    "gamma gamma alpha beta", "delta alpha beta")
+  private val backgroundDocs = Seq(
+    "omega psi chi phi", "psi omega phi", "chi chi omega psi",
+    "phi psi omega omega", "omega chi psi", "alpha omega chi psi phi")
+  private val corpus: Seq[(Long, String)] =
+    (targetDocs ++ backgroundDocs).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private lazy val corpusDf = corpus.toDF("doc_id", "text")
+  private lazy val targetDf = corpusDf.where(col("doc_id") < targetDocs.size)
+
+  test("DSIR admission: persisted model gates a stream exactly like batch, " +
+    "statelessly, across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dsir-admit").toString
+    val path = s"$dir/model.parquet"
+    Dsir.saveModel(spark,
+      Dsir.fitImportanceModel(targetDf, corpusDf, "text", nBuckets = 128), path)
+
+    // batch admission under the RELOADED model — the parity reference
+    val batch = StreamingSelection.dsirAdmission(
+      spark, corpusDf, path, "text", threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty && batch.size < corpus.size,
+      s"threshold must bind on the fixture: $batch")
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingSelection.dsirAdmission(
+      spark, input.toDF().toDF("doc_id", "text"), path, "text", threshold = 0.0)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("sadmit").start()
+    // three triggers, arrivals interleaving target-like and background docs
+    corpus.grouped(4).foreach { chunk =>
+      input.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    val got = spark.table("sadmit").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q.stop()
+    assert(got == batch, s"stream == batch admission: $got vs $batch")
+    // stateless: the streaming plan runs no stateful operators
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "admission must not create a state store")
+  }
+
+  test("classifier admission: persisted quality model gates a stream " +
+    "exactly like batch at a separating threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("qc-admit").toString
+    val path = s"$dir/model.parquet"
+    val model = QualityClassifier.fitQualityClassifier(
+      targetDf, corpusDf, "text", nBuckets = 128, epochs = 4, lr = 0.5)
+    QualityClassifier.saveModel(spark, model, path)
+    // the fixture's base rate is 5/16, so the calibrated probabilities sit
+    // below 1/2 after a few epochs — gate at the midpoint between the two
+    // classes' scores (how a real pipeline picks an operating point: from
+    // the score distribution, not the nominal 0.5 boundary)
+    val scores = corpusDf.select(col("doc_id"),
+      QualityClassifier.classifierScore(model, col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val (tgt, bg) = scores.partition(_._1 < targetDocs.size)
+    val threshold = (tgt.map(_._2).min + bg.map(_._2).max) / 2.0
+    val batch = StreamingSelection.classifierAdmission(
+      spark, corpusDf, path, "text", threshold)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty && batch.size < corpus.size,
+      s"threshold must bind on the fixture: $batch")
+    // target-like docs are admitted; the pure-background docs are not
+    assert(batch.keySet == (0L until targetDocs.size.toLong).toSet)
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingSelection.classifierAdmission(
+      spark, input.toDF().toDF("doc_id", "text"), path, "text", threshold)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("sqcadmit").start()
+    corpus.grouped(3).foreach { chunk =>
+      input.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    val got = spark.table("sqcadmit").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q.stop()
+    assert(got == batch, s"stream == batch admission: $got vs $batch")
+  }
+
+  test("admission refuses a score-column collision") {
+    val model = Dsir.fitImportanceModel(targetDf, corpusDf, "text", nBuckets = 64)
+    val clash = corpusDf.withColumn("dsir_score", lit(1.0))
+    val e = intercept[IllegalArgumentException](
+      StreamingSelection.dsirAdmission(clash, model, "text", 0.0))
+    assert(e.getMessage.contains("dsir_score"))
+  }
+}
