@@ -297,6 +297,74 @@ object HashedGramScore {
     }
     acc
   }
+
+  /** The mean-normalized variant: `compute / (2·tokens − 1)` (the gram
+    * count), 0.0 for a zero-gram document — the
+    * [[graft.ops.QualityClassifier]] margin term, one byte pass with no
+    * intermediate arrays. Bit-identical to `hashedGramScore(t, w) / n`
+    * composed from the separate kernels: identical fold order, identical
+    * final division operands. */
+  def computeMean(s: UTF8String, lr: Array[Double]): Double = {
+    val raw = s.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = raw.length
+    while (i < len) {
+      while (i < len && EngineWhitespace.isWs(raw.charAt(i))) i += 1
+      val start = i
+      while (i < len && !EngineWhitespace.isWs(raw.charAt(i))) i += 1
+      if (i > start) toks.add(raw.substring(start, i))
+    }
+    val nt = toks.size
+    if (nt == 0) return 0.0
+    val m = lr.length
+    var acc = 0.0
+    var p = 0
+    while (p < nt) { acc += lr(bucketOf(toks.get(p), m)); p += 1 }
+    val sb = new java.lang.StringBuilder
+    p = 0
+    while (p <= nt - 2) {
+      sb.setLength(0)
+      sb.append(toks.get(p)).append(' ').append(toks.get(p + 1))
+      acc += lr(bucketOf(sb.toString, m))
+      p += 1
+    }
+    acc / (2 * nt - 1).toDouble
+  }
+}
+
+/** `hashed_gram_mean_score(text)` — [[HashedGramScore]]'s sum divided by
+  * the document's gram count (`2·words − 1`), 0.0 for a zero-gram
+  * document, NULL → NULL. One byte pass; the fused form of
+  * `hashed_gram_score(t) / size(word_ngram_hashes(t, 1))`-style
+  * compositions, which materialize the unigram hash array (and re-walk
+  * the text) once per `size` reference. Fp contract: the division's
+  * operands are exactly the composed form's, so values are bit-identical
+  * (pinned in QualityClassifierSpec). */
+case class HashedGramMeanScore(child: Expression, weights: Seq[Double]) extends UnaryExpression {
+  require(weights.nonEmpty, "hashed_gram_mean_score requires a non-empty weight table")
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"hashed_gram_mean_score requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashedGramScore.computeMean(s.asInstanceOf[UTF8String], wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("weights", wArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedGramScore.computeMean($c, $arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object StringFunctions {
@@ -321,4 +389,9 @@ object StringFunctions {
     * (see [[graft.ops.Dsir]]). */
   def hashedGramScore(text: Column, logRatio: Seq[Double]): Column =
     ColumnBridge.column(HashedGramScore(ColumnBridge.expression(text), logRatio))
+
+  /** `hashed_gram_mean_score(text)` as a Column — the gram-count-mean of
+    * the weight sum (see [[graft.ops.QualityClassifier]]). */
+  def hashedGramMeanScore(text: Column, weights: Seq[Double]): Column =
+    ColumnBridge.column(HashedGramMeanScore(ColumnBridge.expression(text), weights))
 }

@@ -73,10 +73,20 @@ object QualityClassifier {
 
   /** The linear margin `bias + (w·grams)/n` — shared verbatim by every
     * fit epoch and by [[classifierScore]], so the final scores are
-    * bit-identical to the last epoch's internal forward pass. */
-  private def marginCol(weights: Seq[Double], bias: Double, text: Column): Column = {
+    * bit-identical to the last epoch's internal forward pass. The fused
+    * [[graft.functions.HashedGramMeanScore]] kernel computes the
+    * mean-normalized sum in ONE byte pass (no gram-array
+    * materialization); its value contract is bit-identical to the
+    * `hashedGramScore(t, w) / gramCount(t)` composition (pinned in
+    * QualityClassifierSpec). */
+  private def marginCol(weights: Seq[Double], bias: Double, text: Column): Column =
+    lit(bias) + StringFunctions.hashedGramMeanScore(text, weights)
+
+  /** The composed form of [[marginCol]]'s mean term — kept as the
+    * executable statement of the fused kernel's value contract. */
+  private[graft] def meanScoreComposed(weights: Seq[Double], text: Column): Column = {
     val n = gramCount(text)
-    lit(bias) + when(n === lit(0.0), lit(0.0))
+    when(n === lit(0.0), lit(0.0))
       .otherwise(StringFunctions.hashedGramScore(text, weights) / n)
   }
 

@@ -181,6 +181,27 @@ class QualityClassifierSpec extends SparkSpecBase {
     assert(e.getMessage.contains("sig"))
   }
 
+  test("fused mean-score kernel == composed hashedGramScore/gramCount, bit-exact, " +
+    "on adversarial whitespace") {
+    val weights = (0 until 64).map(b => math.sin(b.toDouble) / 7.0)
+    val docs = Seq(
+      "alpha beta gamma", " \t leading and trailing \n ", "", "   \t\n\f\r  ",
+      "one", "a  b c", "tab\tsep\ttoks", "x\ny\fz\rw", "dup dup dup dup")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.functions.StringFunctions.hashedGramMeanScore(col("text"), weights).as("k"),
+      graft.ops.QualityClassifier.meanScoreComposed(weights, col("text")).as("c"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"doc ${r.getLong(0)}: kernel ${r.getDouble(1)} vs composed ${r.getDouble(2)}"))
+    // NULL text → NULL from the kernel (callers coalesce upstream)
+    val n = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(graft.functions.StringFunctions.hashedGramMeanScore(col("text"), weights))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("fit rejects bad configs") {
     intercept[IllegalArgumentException](QualityClassifier.fitQualityClassifier(
       targetDf, corpusDf, "text", nBuckets = 0))
