@@ -27,6 +27,120 @@ final case class CalendarRule(months: Int, labelEnd: Boolean) extends ResampleRu
   * branch), which this engine reproduces with one tiny broadcast agg. */
 final case class WeeklyRule(endDow: Int, n: Int = 1) extends ResampleRule
 
+/** Business-calendar rule (`"B"`, `"BME"`/`"BM"`, `"SME"`/`"SM"`,
+  * `"BQE"`/`"BQ"`): bins between consecutive points of an ABSOLUTE
+  * non-uniform date grid — weekdays, last-business-days of months,
+  * 15th + month-end, last-business-days of quarter-end months. The bucket
+  * key is the grid-point INDEX (weekday index / month / half-month /
+  * quarter), so the empty-bin spine is still a unit-step `sequence`. */
+final case class BusinessRule(grid: BusinessGrid) extends ResampleRule
+
+/** A business-calendar bin-edge grid, as pure integer/date Column algebra
+  * on `d` = days since 1970-01-01 (so it distributes and codegens — no
+  * driver-side calendars). `eodAdjust` mirrors pandas'
+  * `_adjust_bin_edges`: end-of-period rules (BME/BQE — like W/ME/QE/YE)
+  * push right-closed edges from midnight to end-of-day, so a timestamp
+  * anywhere ON an edge day still belongs to that edge's bin; B and SME
+  * keep midnight edges. `defaultRight` = pandas' end-anchored
+  * closed/label default. */
+sealed abstract class BusinessGrid(val eodAdjust: Boolean, val defaultRight: Boolean) {
+  /** Index of the last grid point ≤ day `d`. */
+  def prevOrSameKey(d: Column): Column
+  /** Index of the first grid point ≥ day `d`. */
+  def nextOrSameKey(d: Column): Column
+  /** Grid-point index → its DATE. */
+  def edgeDate(key: Column): Column
+}
+
+private[core] object BizDate {
+  val Epoch: java.sql.Date = java.sql.Date.valueOf("1970-01-01")
+  val DayUs: Long = 86400L * 1000000L
+  /** Floor division, exact for any long (pmod keeps it sign-safe). */
+  def floorDiv(a: Column, b: Long): Column = ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+  def dateOf(d: Column): Column = date_add(lit(Epoch), d.cast("int"))
+  def dayInt(dt: Column): Column = datediff(dt, lit(Epoch)).cast("long")
+  /** Previous-or-same weekday (Sat/Sun roll back to Fri); 1970-01-01 is a
+    * Thursday → pandas weekday = pmod(d+3, 7), 0 = Monday. */
+  def rollbackBday(d: Column): Column = {
+    val wd = pmod(d + lit(3L), lit(7L))
+    when(wd >= 5L, d - (wd - lit(4L))).otherwise(d)
+  }
+  def monthIdx(d: Column): Column = {
+    val dt = dateOf(d)
+    (year(dt).cast("long") - lit(1970L)) * lit(12L) + month(dt).cast("long") - lit(1L)
+  }
+  def monthStart(m: Column): Column =
+    make_date((floorDiv(m, 12L) + lit(1970L)).cast("int"), (pmod(m, lit(12L)) + lit(1L)).cast("int"), lit(1))
+  /** Day-int of month `m`'s last BUSINESS day. */
+  def bmeDay(m: Column): Column = rollbackBday(dayInt(last_day(monthStart(m))))
+}
+
+/** Weekdays; key = business-day index since epoch (5 per week). */
+case object BDayGrid extends BusinessGrid(eodAdjust = false, defaultRight = false) {
+  private def key(bd: Column): Column =
+    lit(5L) * BizDate.floorDiv(bd + lit(3L), 7L) + pmod(bd + lit(3L), lit(7L))
+  def prevOrSameKey(d: Column): Column = key(BizDate.rollbackBday(d))
+  def nextOrSameKey(d: Column): Column = {
+    val wd = pmod(d + lit(3L), lit(7L))
+    key(when(wd >= 5L, d + (lit(7L) - wd)).otherwise(d))
+  }
+  def edgeDate(k: Column): Column =
+    BizDate.dateOf(lit(7L) * BizDate.floorDiv(k, 5L) - lit(3L) + pmod(k, lit(5L)))
+}
+
+/** Last business day of each month; key = months since Jan 1970. */
+case object BMonthEndGrid extends BusinessGrid(eodAdjust = true, defaultRight = true) {
+  def prevOrSameKey(d: Column): Column = {
+    val m = BizDate.monthIdx(d)
+    when(d >= BizDate.bmeDay(m), m).otherwise(m - lit(1L))
+  }
+  def nextOrSameKey(d: Column): Column = {
+    val m = BizDate.monthIdx(d)
+    when(d <= BizDate.bmeDay(m), m).otherwise(m + lit(1L))
+  }
+  def edgeDate(k: Column): Column = BizDate.dateOf(BizDate.bmeDay(k))
+}
+
+/** 15th and last CALENDAR day of each month; key = half-months since Jan
+  * 1970 (even = the 15th, odd = month end). */
+case object SemiMonthEndGrid extends BusinessGrid(eodAdjust = false, defaultRight = false) {
+  def prevOrSameKey(d: Column): Column = {
+    val dt = BizDate.dateOf(d)
+    val m = BizDate.monthIdx(d)
+    val dom = dayofmonth(dt).cast("long")
+    val ld = dayofmonth(last_day(dt)).cast("long")
+    when(dom === ld, m * 2L + lit(1L))
+      .when(dom >= 15L, m * 2L)
+      .otherwise(m * 2L - lit(1L))
+  }
+  def nextOrSameKey(d: Column): Column = {
+    val dt = BizDate.dateOf(d)
+    val m = BizDate.monthIdx(d)
+    val dom = dayofmonth(dt).cast("long")
+    when(dom <= 15L, m * 2L).otherwise(m * 2L + lit(1L))
+  }
+  def edgeDate(k: Column): Column = {
+    val ms = BizDate.monthStart(BizDate.floorDiv(k, 2L))
+    when(pmod(k, lit(2L)) === 0L, make_date(year(ms), month(ms), lit(15)))
+      .otherwise(last_day(ms))
+  }
+}
+
+/** Last business day of each quarter-end month (Mar/Jun/Sep/Dec — the
+  * pandas BQ-DEC default); key = quarters since Q1 1970. */
+case object BQuarterEndGrid extends BusinessGrid(eodAdjust = true, defaultRight = true) {
+  private def bqe(q: Column): Column = BizDate.bmeDay(q * lit(3L) + lit(2L))
+  def prevOrSameKey(d: Column): Column = {
+    val q = BizDate.floorDiv(BizDate.monthIdx(d), 3L)
+    when(d >= bqe(q), q).otherwise(q - lit(1L))
+  }
+  def nextOrSameKey(d: Column): Column = {
+    val q = BizDate.floorDiv(BizDate.monthIdx(d), 3L)
+    when(d <= bqe(q), q).otherwise(q + lit(1L))
+  }
+  def edgeDate(k: Column): Column = BizDate.dateOf(bqe(k))
+}
+
 /** Pandas offset-alias parser. Case matters exactly as in pandas: `"MS"` is
   * month-start but `"ms"` is milliseconds; `"M"` is month-end but `"min"`
   * is minutes. */
@@ -51,6 +165,18 @@ object RuleParser {
           throw new IllegalArgumentException(s"unknown weekday anchor '$anchor' in '$rule'"))
         WeeklyRule(endDow, n)
       } else unit match {
+        // business-calendar aliases (case-sensitive like the calendar
+        // ones): pandas phases n>1 business grids from the data start —
+        // not supported, refuse rather than silently bin n=1
+        case "B" | "BM" | "BME" | "SM" | "SME" | "BQ" | "BQE" =>
+          require(n == 1,
+            s"business rule '$rule' supports only n=1 (pandas phases multiples from the data start)")
+          BusinessRule(unit match {
+            case "B"          => BDayGrid
+            case "BM" | "BME" => BMonthEndGrid
+            case "SM" | "SME" => SemiMonthEndGrid
+            case _            => BQuarterEndGrid
+          })
         // calendar aliases are case-sensitive (pandas: MS≠ms, M≠min)
         case "M" | "ME"        => CalendarRule(n, labelEnd = true)
         case "MS"              => CalendarRule(n, labelEnd = false)
@@ -128,8 +254,10 @@ final class WeightedResampler private[core] (
   private val resolvedClosed: String =
     if (closed != "auto") closed
     else parsed match {
-      case _: WeeklyRule => "right"
-      case _             => if (endOrigin) "right" else "left"
+      case _: WeeklyRule                    => "right"
+      case BusinessRule(g) if g.defaultRight => "right"
+      case _: BusinessRule                   => "left"
+      case _                                 => if (endOrigin) "right" else "left"
     }
   /** pandas' label default is RULE-dependent: end-anchored calendar rules
     * (M/Q/Y) and weekly rules default to right labels — as do end-anchored
@@ -139,9 +267,11 @@ final class WeightedResampler private[core] (
   private val resolvedLabel: String =
     if (label != "auto") label
     else parsed match {
-      case CalendarRule(_, true) => "right"
-      case _: WeeklyRule         => "right"
-      case _                     => if (endOrigin) "right" else "left"
+      case CalendarRule(_, true)             => "right"
+      case _: WeeklyRule                     => "right"
+      case BusinessRule(g) if g.defaultRight => "right"
+      case _: BusinessRule                   => "left"
+      case _                                 => if (endOrigin) "right" else "left"
     }
   // calendar rules bin by period membership — closed/origin/offset have no
   // effect on which period a timestamp belongs to, so accepting them would
@@ -158,6 +288,10 @@ final class WeightedResampler private[core] (
       require(origin == "start_day" && offset.isEmpty,
         s"weekly rule '$rule' is anchored to its weekday; origin/offset do not apply " +
           s"(got origin=$origin, offset=$offset)")
+    case _: BusinessRule =>
+      require(origin == "start_day" && offset.isEmpty,
+        s"business rule '$rule' is anchored to its calendar grid; origin/offset do not apply " +
+          s"(got origin=$origin, offset=$offset)")
     case _ =>
   }
   private val offsetUs: Long = offset.map(RuleParser.toMicros).getOrElse(0L)
@@ -173,6 +307,7 @@ final class WeightedResampler private[core] (
     case FixedRule(us)        => us
     case CalendarRule(m, _)   => m.toLong
     case WeeklyRule(_, n)     => n * WeekUs
+    case _: BusinessRule      => 1L // bucket keys are grid-point indexes
   }
 
   /** Bucket key → the bin's label timestamp. */
@@ -191,6 +326,15 @@ final class WeightedResampler private[core] (
           if (resolvedLabel == "left") -DayUs else (7L * n - 1) * DayUs
         } else { if (resolvedLabel == "left") 0L else n * WeekUs }
       timestamp_micros(b + lit(d))
+    case BusinessRule(grid) =>
+      // right-closed bins carry their RIGHT edge's index as the key,
+      // left-closed their LEFT edge's — so label=default is the key's own
+      // edge and the other label is one grid step away (in INDEX space,
+      // which skips weekends/mid-month days correctly by construction)
+      val edgeKey =
+        if (resolvedClosed == "right") { if (resolvedLabel == "right") b else b - lit(1L) }
+        else { if (resolvedLabel == "left") b else b + lit(1L) }
+      grid.edgeDate(edgeKey).cast("timestamp")
     case CalendarRule(months, labelEnd) =>
       val yr = ((b - pmod(b, lit(12L))) / lit(12L)).cast("int") + 1970
       val mo = pmod(b, lit(12L)).cast("int") + 1
@@ -331,6 +475,23 @@ final class WeightedResampler private[core] (
       val df0 = wdf.df.where(col(on).isNotNull)
       val mIdx = (year(col(on)).cast("long") - 1970L) * 12L + month(col(on)).cast("long") - 1L
       df0.withColumn(BucketCol, mIdx - pmod(mIdx, lit(months.toLong)))
+    case BusinessRule(grid) =>
+      // the grid is absolute, so the key is computable per-row (no range
+      // scan): right-closed bins are keyed by their RIGHT edge's index,
+      // left-closed by their LEFT edge's. Pandas' `_adjust_bin_edges`
+      // pushes right-closed edges to end-of-day ONLY for the end-of-
+      // super-daily-period rules (BME/BQE, like W/ME/QE/YE) — B and SME
+      // keep midnight edges, where only a timestamp exactly AT edge
+      // midnight still belongs to the edge's own bin.
+      val df0 = wdf.df.where(col(on).isNotNull)
+      val d = BizDate.dayInt(col(on))
+      val key =
+        if (resolvedClosed == "right") {
+          if (grid.eodAdjust) grid.nextOrSameKey(d)
+          else when(pmod(unix_micros(col(on)), lit(DayUs)) === 0L, grid.nextOrSameKey(d))
+            .otherwise(grid.nextOrSameKey(d + lit(1L)))
+        } else grid.prevOrSameKey(d)
+      df0.withColumn(BucketCol, key)
   }
 
   /** Aggregate per bucket, then left-join onto the full bucket spine.
