@@ -298,6 +298,24 @@ final class WeightedResampler private[core] (
   /** Fixed rules: bucket start in epoch µs. Calendar rules: bucket start as
     * a months-since-1970 index (bins aren't equal-width in µs). */
   private val BucketCol = "__bucket__"
+  /** Right-closed non-eod business grids only (B, SME): pandas phases the
+    * spine from `min(ts).normalize() - freq` and `max(ts).normalize() + freq`
+    * (`_get_timestamp_range_edges`' non-Tick `closed != "left"` branch —
+    * the eod-adjusted families W/ME/BME/QE/BQE/YE instead TRIM the trailing
+    * bin in `_adjust_bin_edges`, and left-closed spines always start and end
+    * on data bins). That emits one leading/trailing empty bin whenever the
+    * first/last timestamp is not exactly at an edge midnight. In grid-index
+    * space those phase keys are `prevOrSameKey(minday - 1) + 1` and
+    * `nextOrSameKey(maxday + 1)` — both monotone in the day, so each row
+    * carries its own candidates and the group min/max IS the value at the
+    * group's min/max timestamp (no second pass over the data; verified
+    * against pandas 2.2.2 incl. weekend and month-end endpoints). */
+  private val SpineStartCol = "__spine_start__"
+  private val SpineEndCol = "__spine_end__"
+  private def hasSpinePhase: Boolean = parsed match {
+    case BusinessRule(g) => resolvedClosed == "right" && !g.eodAdjust
+    case _               => false
+  }
 
   private val DayUs = 86400L * 1000000L
   private val WeekUs = 7L * DayUs
@@ -491,7 +509,12 @@ final class WeightedResampler private[core] (
           else when(pmod(unix_micros(col(on)), lit(DayUs)) === 0L, grid.nextOrSameKey(d))
             .otherwise(grid.nextOrSameKey(d + lit(1L)))
         } else grid.prevOrSameKey(d)
-      df0.withColumn(BucketCol, key)
+      val keyed = df0.withColumn(BucketCol, key)
+      if (hasSpinePhase)
+        keyed
+          .withColumn(SpineStartCol, grid.prevOrSameKey(d - lit(1L)) + lit(1L))
+          .withColumn(SpineEndCol, grid.nextOrSameKey(d + lit(1L)))
+      else keyed
   }
 
   /** Aggregate per bucket, then left-join onto the full bucket spine.
@@ -499,12 +522,22 @@ final class WeightedResampler private[core] (
     */
   private def runAgg(cols: Seq[String], expr: String => Column, fill: Option[Double]): DataFrame = {
     val b = dropNullKeys(bucketed)
+    // the pandas spine-phase candidates (see SpineStartCol) ride through the
+    // per-bucket agg so the bounds pass still runs over agg-sized data
+    val extraAggs =
+      if (hasSpinePhase)
+        Seq(min(SpineStartCol).as(SpineStartCol), max(SpineEndCol).as(SpineEndCol))
+      else Nil
     val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*)
-      .agg(expr(cols.head).as(cols.head), cols.tail.map(c => expr(c).as(c)): _*)
+      .agg(expr(cols.head).as(cols.head),
+        (cols.tail.map(c => expr(c).as(c)) ++ extraAggs): _*)
     // spine: with `by`, each group spans its OWN min..max (groupBy over the
     // group-count-sized agg output — no second pass over the data)
+    val (mnExpr, mxExpr) =
+      if (hasSpinePhase) (min(SpineStartCol).as("mn"), max(SpineEndCol).as("mx"))
+      else (min(BucketCol).as("mn"), max(BucketCol).as("mx"))
     val bounds = agged.groupBy(by.map(col): _*)
-      .agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
+      .agg(mnExpr, mxExpr)
     val spine = bounds
       .where(col("mn").isNotNull)
       .select(by.map(col) :+ explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol): _*)
@@ -545,14 +578,22 @@ final class WeightedResampler private[core] (
   def summary(valueCol: String): DataFrame = {
     val b = dropNullKeys(bucketed)
     val c = ncol(valueCol)
-    val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*).agg(
+    val summaryAggs = Seq(
       WeightedMoments.wCount(c, w).as("count_" + valueCol),
       WeightedMoments.wSum(c, w, 0).as("sum_" + valueCol),
       WeightedMoments.meanExpr(c, w).as("mean_" + valueCol),
       WeightedMoments.varExpr(c, w).as("var_" + valueCol),
-      WeightedMoments.stdExpr(c, w).as("std_" + valueCol))
+      WeightedMoments.stdExpr(c, w).as("std_" + valueCol)) ++
+      (if (hasSpinePhase)
+        Seq(min(SpineStartCol).as(SpineStartCol), max(SpineEndCol).as(SpineEndCol))
+      else Nil)
+    val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*)
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
+    val (mnExpr, mxExpr) =
+      if (hasSpinePhase) (min(SpineStartCol).as("mn"), max(SpineEndCol).as("mx"))
+      else (min(BucketCol).as("mn"), max(BucketCol).as("mx"))
     val bounds = agged.groupBy(by.map(col): _*)
-      .agg(min(BucketCol).as("mn"), max(BucketCol).as("mx"))
+      .agg(mnExpr, mxExpr)
     val spine = bounds
       .where(col("mn").isNotNull)
       .select(by.map(col) :+ explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol): _*)

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.core.{CalendarRule, FixedRule, RuleParser, WeeklyRule, WeightedDataFrame}
+import graft.core.{BDayGrid, BMonthEndGrid, BQuarterEndGrid, BusinessRule, CalendarRule, FixedRule, RuleParser, SemiMonthEndGrid, WeeklyRule, WeightedDataFrame}
 
 /** Resample goldens — /root/reference/tests/test_frame.py:305-362 and
   * test_series.py:320-375.
@@ -418,6 +418,208 @@ class ResampleSpec extends SparkSpecBase {
         .withInitialSeed(org.scalacheck.rng.Seed(20260813L)),
       prop)
     assert(result.passed, s"ScalaCheck: $result")
+  }
+
+  // ── Business-calendar grids (B / BME / SME / BQE) ─────────────────────
+  // pandas 2.2.2 goldens generated from this exact fixture by
+  // tools/bizgrid_goldens.py: midnight edges, weekend timestamps, a leap
+  // month-end, quarter ends, 15ths, sub-day times. Weights are all 1 so
+  // the weighted sum equals pandas' plain resample(...).sum().
+  private def bizDf = Seq(
+    (Timestamp.valueOf("2023-12-29 00:00:00"), Some(1.0), 1.0), // Fri BME/BQE day, midnight
+    (Timestamp.valueOf("2023-12-31 15:00:00"), Some(2.0), 1.0), // Sun, month/quarter end day
+    (Timestamp.valueOf("2024-01-02 10:30:00"), Some(3.0), 1.0), // Tue
+    (Timestamp.valueOf("2024-01-15 00:00:00"), Some(4.0), 1.0), // Mon the 15th, midnight
+    (Timestamp.valueOf("2024-01-20 08:00:00"), Some(5.0), 1.0), // Sat
+    (Timestamp.valueOf("2024-01-31 23:59:59"), Some(6.0), 1.0), // Wed month-end, end of day
+    (Timestamp.valueOf("2024-02-15 12:00:00"), Some(7.0), 1.0), // Thu the 15th
+    (Timestamp.valueOf("2024-02-29 00:00:00"), Some(8.0), 1.0), // leap-day Thu BME day, midnight
+    (Timestamp.valueOf("2024-03-29 17:45:00"), Some(9.0), 1.0), // Fri BME/BQE day
+    (Timestamp.valueOf("2024-04-01 00:00:00"), Some(10.0), 1.0) // Mon quarter start, midnight
+  ).toDF("ts", "Value", "weights")
+  private def bizW = WeightedDataFrame.wt(bizDf, "weights")
+
+  /** Non-zero buckets + total spine size — the B spines have ~67 mostly-
+    * empty weekday bins, so assert the full spine by its zero/non-zero
+    * decomposition instead of a 67-entry literal. */
+  private def nonZero(df: org.apache.spark.sql.DataFrame): (Map[String, Option[Double]], Int) = {
+    val m = byBucket(df)
+    (m.filter(_._2 != Some(0.0)), m.size)
+  }
+
+  test("business alias parsing (B/BM/BME/SM/SME/BQ/BQE; n>1 refused)") {
+    assert(RuleParser.parse("B") == BusinessRule(BDayGrid))
+    assert(RuleParser.parse("BM") == BusinessRule(BMonthEndGrid))
+    assert(RuleParser.parse("BME") == BusinessRule(BMonthEndGrid))
+    assert(RuleParser.parse("SM") == BusinessRule(SemiMonthEndGrid))
+    assert(RuleParser.parse("SME") == BusinessRule(SemiMonthEndGrid))
+    assert(RuleParser.parse("BQ") == BusinessRule(BQuarterEndGrid))
+    assert(RuleParser.parse("BQE") == BusinessRule(BQuarterEndGrid))
+    intercept[IllegalArgumentException] { RuleParser.parse("2B") }
+    intercept[IllegalArgumentException] { RuleParser.parse("3BME") }
+    intercept[IllegalArgumentException] { RuleParser.toMicros("B") }
+  }
+
+  test("business rules refuse origin/offset (anchored to the calendar grid)") {
+    intercept[IllegalArgumentException] { bizW.resample("ts", "B", origin = "epoch").sum() }
+    intercept[IllegalArgumentException] { bizW.resample("ts", "BME", offset = Some("1h")).sum() }
+  }
+
+  test("B bins to weekdays, weekend rows roll into Friday's bin (pandas goldens)") {
+    // default closed=left label=left; Sun Dec 31 → Fri Dec 29 bin, Sat
+    // Jan 20 → Fri Jan 19 bin; spine emits every weekday Dec 29..Apr 1
+    val (nz, n) = nonZero(bizW.resample("ts", "B").sum())
+    assert(n == 67)
+    assert(nz == Map(
+      "2023-12-29" -> Some(3.0), "2024-01-02" -> Some(3.0),
+      "2024-01-15" -> Some(4.0), "2024-01-19" -> Some(5.0),
+      "2024-01-31" -> Some(6.0), "2024-02-15" -> Some(7.0),
+      "2024-02-29" -> Some(8.0), "2024-03-29" -> Some(9.0),
+      "2024-04-01" -> Some(10.0)))
+    // label=right labels each bin with the NEXT weekday
+    val (nzR, nR) = nonZero(bizW.resample("ts", "B", label = "right").sum())
+    assert(nR == 67)
+    assert(nzR == Map(
+      "2024-01-01" -> Some(3.0), "2024-01-03" -> Some(3.0),
+      "2024-01-16" -> Some(4.0), "2024-01-22" -> Some(5.0),
+      "2024-02-01" -> Some(6.0), "2024-02-16" -> Some(7.0),
+      "2024-03-01" -> Some(8.0), "2024-04-01" -> Some(9.0),
+      "2024-04-02" -> Some(10.0)))
+  }
+
+  test("B closed=right phases the spine from the data edges (pandas goldens)") {
+    // midnight rows sit ON their edge (Dec 29 00:00 ∈ (Dec 28, Dec 29]);
+    // the spine gains pandas' leading (Dec 28) and trailing (Apr 1) bins
+    val (nz, n) = nonZero(bizW.resample("ts", "B", closed = "right").sum())
+    assert(n == 68)
+    assert(nz == Map(
+      "2023-12-28" -> Some(1.0), "2023-12-29" -> Some(2.0),
+      "2024-01-02" -> Some(3.0), "2024-01-12" -> Some(4.0),
+      "2024-01-19" -> Some(5.0), "2024-01-31" -> Some(6.0),
+      "2024-02-15" -> Some(7.0), "2024-02-28" -> Some(8.0),
+      "2024-03-29" -> Some(19.0)))
+    // the trailing bin (Apr 1, Apr 2] is emitted empty (max is exactly at
+    // the Apr 1 edge midnight) — pandas' `last.normalize() + freq` phase
+    val all = byBucket(bizW.resample("ts", "B", closed = "right").sum())
+    assert(all("2024-04-01") == Some(0.0))
+    val (nzRR, nRR) = nonZero(bizW.resample("ts", "B", closed = "right", label = "right").sum())
+    assert(nRR == 68)
+    assert(nzRR == Map(
+      "2023-12-29" -> Some(1.0), "2024-01-01" -> Some(2.0),
+      "2024-01-03" -> Some(3.0), "2024-01-15" -> Some(4.0),
+      "2024-01-22" -> Some(5.0), "2024-02-01" -> Some(6.0),
+      "2024-02-16" -> Some(7.0), "2024-02-29" -> Some(8.0),
+      "2024-04-01" -> Some(19.0)))
+  }
+
+  test("B/SME closed=right leading empty bin when min is off the edge (pandas)") {
+    // pandas phases the spine from min.normalize() - freq: an empty
+    // (Dec 28, Dec 29] bin precedes the first data point at Dec 29 10:00
+    val d1 = Seq(
+      (Timestamp.valueOf("2023-12-29 10:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-03 09:00:00"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val m1 = byBucket(WeightedDataFrame.wt(d1, "weights").resample("ts", "B", closed = "right").sum())
+    assert(m1 == Map(
+      "2023-12-28" -> Some(0.0), "2023-12-29" -> Some(1.0),
+      "2024-01-01" -> Some(0.0), "2024-01-02" -> Some(0.0),
+      "2024-01-03" -> Some(2.0)))
+    // SME: min at noon ON the Feb 29 edge day → its bin (Feb 15, Feb 29]
+    // is emitted empty, the data lands in (Feb 29, Mar 15]
+    val d2 = Seq(
+      (Timestamp.valueOf("2024-02-29 12:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-03-05 10:00:00"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val m2 = byBucket(WeightedDataFrame.wt(d2, "weights").resample("ts", "SME", closed = "right").sum())
+    assert(m2 == Map("2024-02-15" -> Some(0.0), "2024-02-29" -> Some(3.0)))
+    // trailing: max exactly at the Jan 15 edge midnight → empty (Jan 15, Jan 16]
+    val d3 = Seq(
+      (Timestamp.valueOf("2024-01-05 00:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-15 00:00:00"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val m3 = byBucket(WeightedDataFrame.wt(d3, "weights").resample("ts", "B", closed = "right").sum())
+    assert(m3 == Map(
+      "2024-01-04" -> Some(1.0), "2024-01-05" -> Some(0.0),
+      "2024-01-08" -> Some(0.0), "2024-01-09" -> Some(0.0),
+      "2024-01-10" -> Some(0.0), "2024-01-11" -> Some(0.0),
+      "2024-01-12" -> Some(2.0), "2024-01-15" -> Some(0.0)))
+  }
+
+  test("BME bins to last business days of months (pandas goldens)") {
+    // default closed=right label=right with end-of-day edges: any time on
+    // the BME day belongs to that month's bin (Jan 31 23:59:59 → Jan 31)
+    assert(byBucket(bizW.resample("ts", "BME").sum()) == Map(
+      "2023-12-29" -> Some(1.0), "2024-01-31" -> Some(20.0),
+      "2024-02-29" -> Some(15.0), "2024-03-29" -> Some(9.0),
+      "2024-04-30" -> Some(10.0)))
+    assert(byBucket(bizW.resample("ts", "BME", label = "left").sum()) == Map(
+      "2023-11-30" -> Some(1.0), "2023-12-29" -> Some(20.0),
+      "2024-01-31" -> Some(15.0), "2024-02-29" -> Some(9.0),
+      "2024-03-29" -> Some(10.0)))
+    // closed=left drops the end-of-day adjustment: edges at BME midnight,
+    // so Jan 31 23:59:59 moves FORWARD into the [Jan 31, Feb 29) bin
+    assert(byBucket(bizW.resample("ts", "BME", closed = "left", label = "left").sum()) == Map(
+      "2023-12-29" -> Some(15.0), "2024-01-31" -> Some(13.0),
+      "2024-02-29" -> Some(8.0), "2024-03-29" -> Some(19.0)))
+    assert(byBucket(bizW.resample("ts", "BME", closed = "left").sum()) == Map(
+      "2024-01-31" -> Some(15.0), "2024-02-29" -> Some(13.0),
+      "2024-03-29" -> Some(8.0), "2024-04-30" -> Some(19.0)))
+  }
+
+  test("SME bins to 15th + calendar month end (pandas goldens)") {
+    // default closed=left label=left, midnight edges (no eod adjustment)
+    assert(byBucket(bizW.resample("ts", "SME").sum()) == Map(
+      "2023-12-15" -> Some(1.0), "2023-12-31" -> Some(5.0),
+      "2024-01-15" -> Some(9.0), "2024-01-31" -> Some(6.0),
+      "2024-02-15" -> Some(7.0), "2024-02-29" -> Some(8.0),
+      "2024-03-15" -> Some(9.0), "2024-03-31" -> Some(10.0)))
+    assert(byBucket(bizW.resample("ts", "SME", label = "right").sum()) == Map(
+      "2023-12-31" -> Some(1.0), "2024-01-15" -> Some(5.0),
+      "2024-01-31" -> Some(9.0), "2024-02-15" -> Some(6.0),
+      "2024-02-29" -> Some(7.0), "2024-03-15" -> Some(8.0),
+      "2024-03-31" -> Some(9.0), "2024-04-15" -> Some(10.0)))
+    // closed=right: midnight rows sit on their edge (Jan 15 00:00 ∈
+    // (Dec 31, Jan 15]); both Feb rows roll into the bin ending Feb 29,
+    // leaving (Feb 29, Mar 15] empty (labeled Feb 29 under label=left)
+    assert(byBucket(bizW.resample("ts", "SME", closed = "right").sum()) == Map(
+      "2023-12-15" -> Some(1.0), "2023-12-31" -> Some(9.0),
+      "2024-01-15" -> Some(5.0), "2024-01-31" -> Some(6.0),
+      "2024-02-15" -> Some(15.0), "2024-02-29" -> Some(0.0),
+      "2024-03-15" -> Some(9.0), "2024-03-31" -> Some(10.0)))
+    assert(byBucket(bizW.resample("ts", "SME", closed = "right", label = "right").sum()) == Map(
+      "2023-12-31" -> Some(1.0), "2024-01-15" -> Some(9.0),
+      "2024-01-31" -> Some(5.0), "2024-02-15" -> Some(6.0),
+      "2024-02-29" -> Some(15.0), "2024-03-15" -> Some(0.0),
+      "2024-03-31" -> Some(9.0), "2024-04-15" -> Some(10.0)))
+  }
+
+  test("BQE bins to last business days of quarters (pandas goldens)") {
+    assert(byBucket(bizW.resample("ts", "BQE").sum()) == Map(
+      "2023-12-29" -> Some(1.0), "2024-03-29" -> Some(44.0),
+      "2024-06-28" -> Some(10.0)))
+    assert(byBucket(bizW.resample("ts", "BQE", label = "left").sum()) == Map(
+      "2023-09-29" -> Some(1.0), "2023-12-29" -> Some(44.0),
+      "2024-03-29" -> Some(10.0)))
+    assert(byBucket(bizW.resample("ts", "BQE", closed = "left").sum()) == Map(
+      "2024-03-29" -> Some(36.0), "2024-06-28" -> Some(19.0)))
+    assert(byBucket(bizW.resample("ts", "BQE", closed = "left", label = "left").sum()) == Map(
+      "2023-12-29" -> Some(36.0), "2024-03-29" -> Some(19.0)))
+  }
+
+  test("business grids are absolute and compose with by") {
+    val d = bizDf.withColumn("k",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("Value") < 6.0, "a").otherwise("b"))
+    val r = WeightedDataFrame.wt(d, "weights").resample("ts", "BME", by = Seq("k")).sum()
+    val byKey = r.collect().map(row =>
+      (row.getString(0), row.getTimestamp(1).toString.take(10)) -> cell(row, 2)).toMap
+    // group a: rows 1..5 (Dec 29 .. Jan 20); group b: rows 6..10
+    assert(byKey(("a", "2023-12-29")) == Some(1.0))
+    assert(byKey(("a", "2024-01-31")) == Some(14.0)) // 2+3+4+5
+    assert(byKey(("b", "2024-01-31")) == Some(6.0))
+    assert(byKey(("b", "2024-02-29")) == Some(15.0))
+    assert(byKey(("b", "2024-03-29")) == Some(9.0))
+    assert(byKey(("b", "2024-04-30")) == Some(10.0))
   }
 
   test("grouped resample drops NULL group keys (pandas dropna default)") {
