@@ -47,9 +47,17 @@ final class PslRules private (
     * scrubbing convention (filter rather than throw on crawl junk). */
   def registeredDomain(host: String): String = {
     if (host.isEmpty || host.charAt(0) == '[' || PslRules.isIpv4(host)) return host
-    val labels = host.split("\\.", -1)
+    // canonicalize a single trailing dot (FQDN form, valid and present in
+    // crawl URLs): rules are stored without it, so "example.com." would
+    // otherwise match nothing and fall to the default rule, merging every
+    // trailing-dot host of a TLD into one bogus "com." domain bucket
+    val canon =
+      if (host.length > 1 && host.charAt(host.length - 1) == '.')
+        host.substring(0, host.length - 1)
+      else host
+    val labels = canon.split("\\.", -1)
     val k = labels.length
-    if (k < 2) return host
+    if (k < 2) return canon
     // exceptions first, longest suffix first: an exception rule is itself
     // the registrable domain
     var i = 0
@@ -77,7 +85,7 @@ final class PslRules private (
         best = (k - i - 1) + 1
       i += 1
     }
-    if (k > best) suffixFrom(k - best - 1) else host
+    if (k > best) suffixFrom(k - best - 1) else canon
   }
 }
 

@@ -212,7 +212,14 @@ class WarcSpec extends SparkSpecBase {
       "sub.example.com.sg" -> "example.com.sg",
       "192.0.2.1" -> "192.0.2.1", // IP literals pass through
       "[2001:db8::1]" -> "[2001:db8::1]",
-      "localhost" -> "localhost")
+      "localhost" -> "localhost",
+      // FQDN form (single trailing dot) canonicalizes before rule matching
+      // — NOT a fall-through to the default rule's "com." bucket
+      "example.com." -> "example.com",
+      "www.example.co.uk." -> "example.co.uk",
+      "a.b.test.ck." -> "b.test.ck",
+      "com." -> "com",
+      "." -> ".") // lone dot: no labels, passes through
     cases.foreach { case (host, want) =>
       assert(psl.registeredDomain(host) == want, s"host=$host")
     }
