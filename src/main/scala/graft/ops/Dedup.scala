@@ -627,8 +627,14 @@ object Dedup {
     // configured checkpoint dir the materialization is a RELIABLE
     // checkpoint (survives executor loss); single-JVM sessions fall back
     // to localCheckpoint. See DatasetBridge.freezeStatsFree.
-    def freeze(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.DatasetBridge.freezeStatsFree(df)
+    // chain-tracked freezes: each round's frames supersede the previous
+    // round's, whose checkpoint files / localCheckpoint blocks are
+    // released immediately (freezing is eager, so a superseded input is
+    // safe to drop the moment its successor's freeze returns) — without
+    // this a CC run accumulates O(rounds) checkpoint copies for the life
+    // of the application (cleanCheckpoints is off by default)
+    val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+    def freeze(df: DataFrame): DataFrame = chain.freeze(df)
     def jumpOnce(t: DataFrame): DataFrame = t
       .join(t.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
       .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
@@ -661,22 +667,26 @@ object Dedup {
       // min over: own label, neighbor REGION roots' labels
       val nbr = e.join(labels.select(col("id").as("t"), col("lbl")), Seq("t"))
         .select(col("s").as("id"), col("lbl"))
-      var cur = freeze(labels.select("id", "lbl").union(nbr)
+      val cur0 = freeze(labels.select("id", "lbl").union(nbr)
         .groupBy("id").agg(min("lbl").as("lbl")))
+      chain.release(labels) // folded into cur0
       // path compression: follow the label's own label (labels are node
       // ids, so the table doubles as the jump table)
-      cur = jump(cur, innerJumps)
+      val cur = jump(cur0, innerJumps)
+      chain.release(cur0) // superseded by its own jumped image
       // CONTRACT: rewrite the surviving edges through the new labels —
       // adjacent label regions merge pairwise, so the edge set (and the
       // active graph) shrinks geometrically and the loop terminates in
       // O(log n) rounds when NO inter-region edge remains (label-jumping
       // alone is O(diameter): information crosses local-minimum regions
       // one edge hop per round — measured 50+ stalled rounds at sf0.1)
-      e = freeze(e
+      val eNew = freeze(e
         .join(cur.select(col("id").as("s"), col("lbl").as("__ls__")), Seq("s"))
         .join(cur.select(col("id").as("t"), col("lbl").as("__lt__")), Seq("t"))
         .select(col("__ls__").as("s"), col("__lt__").as("t"))
         .where(col("s") =!= col("t")).distinct())
+      chain.release(e) // contracted edges supersede the old edge table
+      e = eNew
       labels = cur
       converged = e.isEmpty
       iter += 1
@@ -684,6 +694,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
+    chain.release(e) // the result below reads only `labels`
     // flush stale chains: members that lost their edges in an early
     // contraction stop receiving root updates, so their labels can lag the
     // root's final value by a pointer chain — jump to the fixpoint (chains
@@ -694,10 +705,14 @@ object Dedup {
       val j = jump(labels, 1)
       stable = j.join(labels.select(col("id"), col("lbl").as("__old__")), Seq("id"))
         .where(col("lbl") =!= col("__old__")).isEmpty
+      chain.release(labels) // the stability probe above already ran
       labels = j
       flushes += 1
     }
     require(stable, s"label flush did not stabilize within $maxIter jumps")
+    // `labels` itself is NOT released: the returned plan reads it lazily —
+    // its one checkpoint copy lives until application exit (O(1), not
+    // O(rounds))
     (labels.join(nodeIds, Seq("id"), "left_semi")
       .select(col("id").as(nodeCol), col("lbl").as("cluster_id")), iter)
   }

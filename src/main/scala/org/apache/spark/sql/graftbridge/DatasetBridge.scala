@@ -52,6 +52,57 @@ object DatasetBridge {
     fromInternalRdd(if (reliable) df.checkpoint() else df.localCheckpoint())
   }
 
+  /** A freeze chain for iterative algorithms: freezes like
+    * [[freezeStatsFree]] but remembers the storage behind each frozen
+    * frame so the caller can [[FreezeChain.release]] a SUPERSEDED
+    * generation — deleting its reliable-checkpoint files (or unpersisting
+    * its localCheckpoint blocks) instead of accumulating O(rounds) copies
+    * for the life of the application
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` is off by
+    * default, and even on, GC-driven cleanup is too lazy for a tight
+    * contraction loop). Only release frames nothing will reference again:
+    * checkpoint files back the frozen RDD lazily, so releasing a frame a
+    * downstream plan still needs fails that plan at materialization time.
+    * Frames never released (e.g. the final labels a caller returns) keep
+    * their files until application exit — O(1) leftovers, not O(rounds).
+    */
+  final class FreezeChain {
+    private val backing =
+      new java.util.IdentityHashMap[DataFrame, RDD[InternalRow]]()
+
+    /** [[freezeStatsFree]], with the checkpointed RDD tracked for
+      * [[release]]. Freezing is EAGER (the checkpoint materializes before
+      * this returns), so inputs of this freeze may be released as soon as
+      * it returns. */
+    def freeze(df: DataFrame): DataFrame = {
+      val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+      val ck = if (reliable) df.checkpoint() else df.localCheckpoint()
+      val out = fromInternalRdd(ck)
+      ck.queryExecution.analyzed match {
+        case lr: LogicalRDD => backing.put(out, lr.rdd): Unit
+        case _              => // unexpected plan shape: leave untracked
+      }
+      out
+    }
+
+    /** Drop the storage behind a frame this chain froze: reliable
+      * checkpoint files are deleted, localCheckpoint blocks unpersisted.
+      * No-op for frames the chain does not know. */
+    def release(df: DataFrame): Unit = {
+      val rdd = backing.remove(df)
+      if (rdd != null) {
+        rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(rdd.sparkContext.hadoopConfiguration)
+            .delete(p, true): Unit
+          catch { case _: java.io.IOException => } // best-effort cleanup
+        }
+        if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          rdd.unpersist(blocking = false): Unit
+      }
+    }
+  }
+
   /** Materialize `df` into an explicitly persisted internal RDD and re-wrap
     * it stats-free, returning the RDD handle so the holder of generational
     * state (streaming dedup's seen-band table) can `unpersist` the PREVIOUS

@@ -1207,6 +1207,14 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "reliable checkpoint mode wrote nothing to the checkpoint dir")
+      // superseded generations were RELEASED as the contraction advanced:
+      // only each run's final labels checkpoint survives (2 CC invocations
+      // → 2 rdd-* dirs), not O(rounds) copies accumulating until app exit
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs == 2, s"expected 2 surviving checkpoint dirs, found $rddDirs")
     } finally {
       // restore the suite's single-JVM default for every later test
       org.apache.spark.TestCheckpointDir.clear(spark.sparkContext)
