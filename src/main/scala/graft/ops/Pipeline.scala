@@ -46,6 +46,35 @@ object Pipeline {
     feats.join(drops, col(idCol) === drops("__id__"), "left_anti")
   }
 
+  /** [[cleanCorpus]] with a TRAINED language gate — the [[LangId]] hook:
+    * only docs whose model-predicted language is in `keepLangs` enter the
+    * flow, and the output's `pred_lang` column is the model's prediction
+    * (not the stopword heuristic). The gate is a zero-shuffle codegen
+    * predicate (K fused byte passes), evaluated at the scan BEFORE the
+    * dedup shuffle and the quality regex battery — at 100 TB the
+    * off-language bulk (often the majority of raw crawl) never reaches
+    * either. */
+  def cleanCorpus(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minQuality: Double,
+      minTokens: Long,
+      langModel: LangId.LangIdModel,
+      keepLangs: Set[String]): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    val unknown = keepLangs.diff(langModel.classes.toSet)
+    require(unknown.isEmpty,
+      s"keepLangs ${unknown.mkString(",")} not among the model's classes " +
+        langModel.classes.mkString(","))
+    val gated = df.where(
+      LangId.predictLanguage(langModel, col(textCol)).isin(keepLangs.toSeq.sorted: _*))
+    val feats = TextAnalysis.analyze(gated, textCol, idCol, Some(langModel))
+      .where(col("ws_tokens") >= minTokens && col("quality_score") >= minQuality)
+    val drops = Dedup.duplicateIds(gated, col(textCol), idCol)
+    feats.join(drops, col(idCol) === drops("__id__"), "left_anti")
+  }
+
   /** Canonicalization: collapse every near-duplicate CLUSTER to its single
     * best representative — the transitively-correct keep policy (pairwise
     * keep-first can drop every member of a chain a→b→c where only the

@@ -59,14 +59,14 @@ object QualityClassifier {
   /** Per-gram bucket ids in stream order (unigrams then bigrams) — the
     * gradient-side view of the same feature extraction the score kernel
     * folds over. */
-  private def gramBuckets(text: Column, m: Int): Column =
+  private[ops] def gramBuckets(text: Column, m: Int): Column =
     transform(Dsir.gramHashes(text), h => pmod(h, lit(m.toLong)))
 
   /** Total gram count `2·words − 1` (0 for an empty doc) as a double —
     * the mean-normalization denominator. Tokenization is the kernel's
     * (engine whitespace class), NOT a regex split, so fit/score/count
     * agree on adversarial whitespace. */
-  private def gramCount(text: Column): Column = {
+  private[ops] def gramCount(text: Column): Column = {
     val nt = size(StringFunctions.wordNGramHashes(text, 1))
     when(nt === 0, lit(0.0)).otherwise((nt * 2 - 1).cast("double"))
   }
@@ -79,7 +79,7 @@ object QualityClassifier {
     * materialization); its value contract is bit-identical to the
     * `hashedGramScore(t, w) / gramCount(t)` composition (pinned in
     * QualityClassifierSpec). */
-  private def marginCol(weights: Seq[Double], bias: Double, text: Column): Column =
+  private[ops] def marginCol(weights: Seq[Double], bias: Double, text: Column): Column =
     lit(bias) + StringFunctions.hashedGramMeanScore(text, weights)
 
   /** The composed form of [[marginCol]]'s mean term — kept as the
@@ -90,7 +90,7 @@ object QualityClassifier {
       .otherwise(StringFunctions.hashedGramScore(text, weights) / n)
   }
 
-  private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
+  private[ops] def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
 
   /** Fit target-vs-raw logistic weights over hashed gram buckets.
     * `target` docs are labeled 1, `raw` docs 0 (a raw pool that CONTAINS

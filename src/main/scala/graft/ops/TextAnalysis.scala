@@ -183,15 +183,30 @@ object TextAnalysis {
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
 
   /** Full per-document analysis projection. */
-  def analyze(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def analyze(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    analyze(df, textCol, idCol, None)
+
+  /** [[analyze]] with an optional TRAINED language model: when given,
+    * `pred_lang` comes from the fitted one-vs-rest [[LangId]] classifier
+    * (the CCNet/RedPajama-style langid stage) instead of the stopword
+    * heuristic. Still one zero-shuffle projection — the model adds K
+    * fused byte passes per doc, no joins. */
+  def analyze(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      langModel: Option[LangId.LangIdModel]): DataFrame = {
     val c = col(textCol)
+    val predLang = langModel
+      .map(m => LangId.predictLanguage(m, c))
+      .getOrElse(langId(c))
     df.select(
       col(idCol),
       wsTokenCount(c).cast("long").as("ws_tokens"),
       bpeTokenCount(c).cast("long").as("bpe_tokens"),
       round(alphaRatio(c), 6).as("alpha_ratio"),
       round(stopwordRatio(c), 6).as("stopword_ratio"),
-      langId(c).as("pred_lang"),
+      predLang.as("pred_lang"),
       round(qualityScore(c), 6).as("quality_score"),
       fingerprintMd5(c).as("fingerprint"))
   }
