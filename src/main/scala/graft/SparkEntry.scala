@@ -460,6 +460,12 @@ object SparkEntry {
   private val QcEpochs = 3
   private val QcLr = 0.5
 
+  /** q113 langid fit config. 2 epochs (not 3): the oracle unrolls the GD
+    * chain PER CLASS, so epochs multiply by the 5 fixture languages — 2
+    * is the cheapest config that still moves every class's weights twice
+    * (one update would not exercise the margin-feedback loop). */
+  private val LiEpochs = 2
+
   /** CTEs recomputing the [[graft.ops.QualityClassifier]] fit AND scores
     * end-to-end in DuckDB: the full-batch logistic gradient descent is
     * UNROLLED — one CTE trio (margins → per-doc gradient → weight/bias
@@ -504,6 +510,77 @@ object SparkEntry {
     sb.append(s""",
       |qc_sc AS (${marginSql(s"qc_w$QcEpochs", s"(SELECT bv FROM qc_b$QcEpochs)")}),
       |qc_out AS (SELECT doc_id, $one / ($one + exp(-mg)) AS s FROM qc_sc WHERE tg = 0)""".stripMargin)
+    sb.toString.replace("\n", " ")
+  }
+
+  /** CTEs recomputing the [[graft.ops.LangId]] one-vs-rest fit AND
+    * argmax predictions in DuckDB — the [[qcScoreCtes]] GD-unrolling
+    * pattern PER CLASS: each of the `classes` gets its own unrolled
+    * weight/bias chain (`y_k = (lang = class_k)`), then the per-class
+    * final margins union and the argmax (ties → smallest class index)
+    * picks `pred_lang` and the winning sigmoid. Every update mirrors the
+    * Scala driver's IEEE tree, so scores agree to fp-summation-order
+    * ulps (compared under round(…, 6)); the argmax itself is exact
+    * except for measure-zero cross-class margin ties. Classes are baked
+    * in sorted order — the same order [[graft.ops.LangId.fitLangId]]
+    * derives from the data. Final CTE: `li_out(doc_id, pred, s)`. */
+  private def langIdCtes(poolRel: String, classes: Seq[String]): String = {
+    val m = DsirBuckets
+    val lrL = dbl(QcLr)
+    val zero = dbl(0.0)
+    val one = dbl(1.0)
+    // reuse the QC gram machinery with an EMPTY target side: dsir_bk's
+    // tg=0 slice is exactly the pool's gram-occurrence relation
+    val sb = new StringBuilder(hashedGramBucketCtes(poolRel,
+      s"(SELECT doc_id, text FROM $poolRel WHERE FALSE)"))
+    sb.append(s""",
+      |li_bk AS (SELECT doc_id, b FROM dsir_bk WHERE tg = 0),
+      |li_nc AS (SELECT doc_id, count(*) AS c FROM li_bk GROUP BY doc_id),
+      |li_doc AS (SELECT s.doc_id, p.lang, CAST(coalesce(c.c, 0) AS DOUBLE) AS n
+      |FROM (SELECT doc_id FROM dsir_src WHERE tg = 0) s
+      |JOIN $poolRel p ON p.doc_id = s.doc_id
+      |LEFT JOIN li_nc c ON c.doc_id = s.doc_id),
+      |li_nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM li_doc),
+      |li_w0 AS (SELECT r.b AS b, CAST(0 AS DOUBLE) AS w FROM range(0, $m) r(b))""".stripMargin)
+    def marginSql(wRel: String, biasExpr: String): String =
+      s"""SELECT d.doc_id, d.lang, d.n,
+         |$biasExpr + CASE WHEN d.n = $zero THEN $zero ELSE coalesce(s.sv, $zero) / d.n END AS mg
+         |FROM li_doc d LEFT JOIN (SELECT bk.doc_id, sum(w.w) AS sv
+         |FROM li_bk bk JOIN $wRel w ON w.b = bk.b GROUP BY bk.doc_id) s
+         |ON s.doc_id = d.doc_id""".stripMargin
+    classes.indices.foreach { i =>
+      val cls = classes(i).replace("'", "''")
+      var e = 1
+      while (e <= LiEpochs) {
+        val wPrev = if (e == 1) "li_w0" else s"li_w${e - 1}_$i"
+        val biasPrev = if (e == 1) zero else s"(SELECT bv FROM li_b${e - 1}_$i)"
+        sb.append(s""",
+          |li_m${e}_$i AS (${marginSql(wPrev, biasPrev)}),
+          |li_g${e}_$i AS (SELECT doc_id, n,
+          |$one / ($one + exp(-mg)) - CASE WHEN lang = '$cls' THEN $one ELSE $zero END AS g
+          |FROM li_m${e}_$i),
+          |li_gb${e}_$i AS (SELECT bk.b AS b, sum(g.g / g.n) AS gs FROM li_bk bk
+          |JOIN li_g${e}_$i g ON g.doc_id = bk.doc_id GROUP BY bk.b),
+          |li_w${e}_$i AS (SELECT pw.b AS b, pw.w - $lrL * (coalesce(gb.gs, $zero) / (SELECT nd FROM li_nd)) AS w
+          |FROM $wPrev pw LEFT JOIN li_gb${e}_$i gb ON gb.b = pw.b),
+          |li_b${e}_$i AS (SELECT $biasPrev - $lrL * ((SELECT coalesce(sum(g), $zero) FROM li_g${e}_$i) / (SELECT nd FROM li_nd)) AS bv)""".stripMargin)
+        e += 1
+      }
+      sb.append(s""",
+        |li_f_$i AS (SELECT doc_id, $i AS ki, mg
+        |FROM (${marginSql(s"li_w${LiEpochs}_$i", s"(SELECT bv FROM li_b${LiEpochs}_$i)")}))""".stripMargin)
+    }
+    val union = classes.indices
+      .map(i => s"SELECT doc_id, ki, mg FROM li_f_$i").mkString(" UNION ALL ")
+    val predCase = classes.indices
+      .map(i => s"WHEN $i THEN '${classes(i).replace("'", "''")}'")
+      .mkString("CASE ki ", " ", " END")
+    sb.append(s""",
+      |li_sc AS ($union),
+      |li_best AS (SELECT doc_id, ki, mg,
+      |row_number() OVER (PARTITION BY doc_id ORDER BY mg DESC, ki) AS rk FROM li_sc),
+      |li_out AS (SELECT doc_id, $predCase AS pred, $one / ($one + exp(-mg)) AS s
+      |FROM li_best WHERE rk = 1)""".stripMargin)
     sb.toString.replace("\n", " ")
   }
 
@@ -733,6 +810,19 @@ object SparkEntry {
     // integer-µs modulo arithmetic
     "q110_resample_biweekly" -> ((s, dir) =>
       wevents(s, dir).resample("ts", "2W-MON").summary("value")),
+    // business-day resample (pandas "B"): bins between consecutive
+    // WEEKDAYS, weekend rows rolling back into Friday's bin (left-closed
+    // default); the empty-bin spine is a unit-step sequence in
+    // business-day-index space, so weekends never appear as ghost bins
+    "q112_resample_bday" -> ((s, dir) =>
+      wevents(s, dir).resample("ts", "B").summary("value")),
+    // business-month-end resample (pandas "BME") over lineitem's 7-year
+    // shipdate span (~80 buckets): right-closed bins with END-OF-DAY edges
+    // on each month's last business day — any timestamp anywhere on the
+    // BME day still belongs to that month's bin
+    "q112b_resample_bmonth" -> ((s, dir) =>
+      wli(s, dir).select("l_shipdate", "l_extendedprice")
+        .resample("l_shipdate", "BME").summary("l_extendedprice")),
     // weighted median (beyond-reference extension; reference README lists
     // weighted quantiles as future work)
     "q31_weighted_median" -> ((s, dir) =>
@@ -1029,6 +1119,22 @@ object SparkEntry {
       d.select(col("doc_id"), col("lang"),
         round(graft.ops.QualityClassifier.classifierScore(model, col("text")), 6)
           .as("quality_score"))
+        .orderBy("doc_id")
+    }),
+    // trained language ID (one-vs-rest fastText-style, CCNet/RedPajama's
+    // langid stage): 5 per-class logistic models over the q102/q111 gram
+    // buckets, fit in ONE bounded-reduce job per epoch (the K gradient
+    // sums ride one explode), predicted lang = argmax margin. The oracle
+    // unrolls the per-class GD chains in SQL — fitted weights, argmax,
+    // AND the winning sigmoid all exact-checked.
+    "q113_langid_score" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = graft.ops.LangId.fitLangId(
+        d, "text", "lang", nBuckets = DsirBuckets, epochs = LiEpochs, lr = QcLr)
+      d.select(col("doc_id"), col("lang"),
+        graft.ops.LangId.predictLanguage(model, col("text")).as("pred_lang"),
+        round(graft.ops.LangId.languageConfidence(model, col("text")), 6)
+          .as("lang_score"))
         .orderBy("doc_id")
     }),
     // DSIR selection: Gumbel top-k without replacement ∝ exp(score) — the
@@ -1955,6 +2061,56 @@ object SparkEntry {
         |SELECT s.bucket, coalesce(a.count_value, 0.0) AS count_value,
         |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
         |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " "),
+    // pandas "B": the same weekday-rollback arithmetic in SQL — d = days
+    // since 1970-01-01 (a Thursday, so pandas weekday = (d+3)%7), weekend
+    // days roll back to Friday, the bucket key is the business-day INDEX
+    // (5 per week) so the spine is a unit-step generate_series, and the
+    // label maps the index back to its weekday's date
+    "q112_resample_bday" ->
+      """WITH b0 AS (SELECT date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d,
+        |value, CAST(user_id % 7 + 1 AS DOUBLE) AS w FROM events),
+        |b1 AS (SELECT CASE WHEN (d + 3) % 7 >= 5 THEN d - ((d + 3) % 7 - 4) ELSE d END AS bd, value, w FROM b0),
+        |b AS (SELECT 5 * ((bd + 3) // 7) + (bd + 3) % 7 AS k, value, w FROM b1),
+        |a AS (SELECT k,
+        |sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) AS count_value,
+        |coalesce(sum(value * w), 0.0) AS sum_value,
+        |(sum(value * w) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) AS mean_value,
+        |((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1)) AS var_value,
+        |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1))) AS std_value
+        |FROM b GROUP BY k),
+        |s AS (SELECT unnest(generate_series((SELECT min(k) FROM a), (SELECT max(k) FROM a), 1)) AS k)
+        |SELECT (7 * (s.k // 5) - 3 + s.k % 5) * 86400 AS bucket,
+        |coalesce(a.count_value, 0.0) AS count_value,
+        |coalesce(a.sum_value, 0.0) AS sum_value, a.mean_value, a.var_value, a.std_value
+        |FROM s LEFT JOIN a ON s.k = a.k ORDER BY bucket""".stripMargin.replace("\n", " "),
+    // pandas "BME": bucket key = months since Jan 1970 of the bin's
+    // last-business-day edge (right-closed with end-of-day edges, so a
+    // row on the BME day at any time stays in that month: d <= bme(m));
+    // the spine regenerates each month-index's BME date for the label
+    "q112b_resample_bmonth" ->
+      """WITH b0 AS (SELECT l_shipdate AS dt,
+        |date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+        |l_extendedprice AS value, l_quantity AS w FROM lineitem WHERE l_shipdate IS NOT NULL),
+        |b1 AS (SELECT d, (year(dt) - 1970) * 12 + month(dt) - 1 AS m,
+        |date_diff('day', DATE '1970-01-01', last_day(CAST(dt AS DATE))) AS ldd, value, w FROM b0),
+        |b2 AS (SELECT d, m, CASE WHEN (ldd + 3) % 7 >= 5 THEN ldd - ((ldd + 3) % 7 - 4) ELSE ldd END AS bme, value, w FROM b1),
+        |b AS (SELECT CASE WHEN d <= bme THEN m ELSE m + 1 END AS k, value, w FROM b2),
+        |a AS (SELECT k,
+        |sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) AS count_l_extendedprice,
+        |coalesce(sum(value * w), 0.0) AS sum_l_extendedprice,
+        |(sum(value * w) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) AS mean_l_extendedprice,
+        |((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1)) AS var_l_extendedprice,
+        |sqrt(((sum(value * value * w) - (sum(value * w) * sum(value * w)) / sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END)) / (sum(CASE WHEN value IS NOT NULL THEN w ELSE 0 END) - 1))) AS std_l_extendedprice
+        |FROM b GROUP BY k),
+        |s AS (SELECT unnest(generate_series((SELECT min(k) FROM a), (SELECT max(k) FROM a), 1)) AS k),
+        |l1 AS (SELECT k, date_diff('day', DATE '1970-01-01',
+        |last_day(make_date(CAST(1970 + k // 12 AS INT), CAST(k % 12 + 1 AS INT), 1))) AS ldd FROM s),
+        |l2 AS (SELECT k, CASE WHEN (ldd + 3) % 7 >= 5 THEN ldd - ((ldd + 3) % 7 - 4) ELSE ldd END AS ed FROM l1)
+        |SELECT l2.ed * 86400 AS bucket,
+        |coalesce(a.count_l_extendedprice, 0.0) AS count_l_extendedprice,
+        |coalesce(a.sum_l_extendedprice, 0.0) AS sum_l_extendedprice,
+        |a.mean_l_extendedprice, a.var_l_extendedprice, a.std_l_extendedprice
+        |FROM l2 LEFT JOIN a ON l2.k = a.k ORDER BY bucket""".stripMargin.replace("\n", " "),
     "q31_weighted_median" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w FROM lineitem
         |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
@@ -2202,6 +2358,13 @@ object SparkEntry {
       s"""WITH ${qcScoreCtes("documents", dsirEnTarget)}
          |SELECT o.doc_id, d.lang, round(o.s, 6) AS quality_score
          |FROM qc_out o JOIN documents d ON o.doc_id = d.doc_id
+         |ORDER BY o.doc_id""".stripMargin.replace("\n", " "),
+    // the one-vs-rest langid fit recomputed per class in SQL — 5 unrolled
+    // GD chains over the shared gram relation, argmax + winning sigmoid
+    "q113_langid_score" ->
+      s"""WITH ${langIdCtes("documents", Seq("de", "en", "es", "fr", "zh"))}
+         |SELECT o.doc_id, d.lang, o.pred AS pred_lang, round(o.s, 6) AS lang_score
+         |FROM li_out o JOIN documents d ON o.doc_id = d.doc_id
          |ORDER BY o.doc_id""".stripMargin.replace("\n", " "),
     // Gumbel top-k draw on the recomputed scores: noise from the SAME
     // XXH64 unif chain the Spark side seeds (seed 17), key = s/τ −
