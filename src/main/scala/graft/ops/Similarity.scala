@@ -339,17 +339,35 @@ object Similarity {
       nLists: Int = 0,
       seed: Long = 42L,
       maxTrainRows: Int = 20000,
-      targetCellRows: Int = 128): IvfModel = {
+      targetCellRows: Int = 128,
+      maxIter: Int = 10,
+      initMode: String = "auto",
+      trainRowsPerCell: Int = 32): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(trainRowsPerCell >= 1, s"trainRowsPerCell must be >= 1, got $trainRowsPerCell")
+    require(Set("auto", "random", "k-means||").contains(initMode),
+      s"initMode must be auto|random|k-means||, got $initMode")
     val n = df.count()
     require(n > 0, "fitIvf: empty corpus")
     val derived = if (nLists > 0) nLists.toLong else listsFor(n, targetCellRows).toLong
     // k can never exceed the TRAINING sample (KMeans with more clusters
     // than points degenerates), and the sample grows with k so each cell
-    // sees enough points to place its centroid (≥ ~32/cell)
-    val trainRows = math.min(n, math.max(maxTrainRows.toLong, 32L * derived))
+    // sees enough points to place its centroid (≥ ~trainRowsPerCell/cell —
+    // the cold-fit budget knob: 16 halves the fit, recall floor permitting)
+    val trainRows = math.min(n, math.max(maxTrainRows.toLong, trainRowsPerCell.toLong * derived))
     val k = math.min(math.min(n, trainRows), derived).toInt
+    // k-means|| seeding adds ~initSteps full passes with per-candidate
+    // cost ∝ k — at thousands of cells it DOMINATES the fit, while cell
+    // assignment quality (validated by the q90 recall floor) does not
+    // need careful seeding there. "auto" keeps the classic init for
+    // small quantizers (bit-compatible with every pre-existing fit at
+    // the test scales) and flips to seeded-random above 256 cells.
+    val resolvedInit = initMode match {
+      case "auto" => if (k > 256) "random" else "k-means||"
+      case other  => other
+    }
     val frac = math.min(1.0, trainRows.toDouble / n)
     val v = toDouble(col(vecCol)).as("__v__")
     val sampled = if (frac < 1.0) df.select(v).sample(frac, seed) else df.select(v)
@@ -361,7 +379,8 @@ object Similarity {
       .select(array_to_vector(transform(col("__v__"),
         x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))).as("features"))
       .coalesce(trainParts).cache()
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(trainDf)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode(resolvedInit).fit(trainDf)
     trainDf.unpersist()
     IvfModel(model.clusterCenters.map { c =>
       val arr = c.toArray
@@ -468,9 +487,11 @@ object Similarity {
       ksub: Int = 32,
       seed: Long = 42L,
       maxTrainRows: Int = 20000,
-      residualOf: Option[IvfModel] = None): PqModel = {
+      residualOf: Option[IvfModel] = None,
+      maxIter: Int = 10): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val dim = inferDim(df, vecCol)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
@@ -524,7 +545,7 @@ object Similarity {
       val sub = trainDf.select(
         array_to_vector(slice(col("__vh__"), j * dsub + 1, dsub)).as("features"))
       val kk = math.min(ksub.toLong, trainN).toInt
-      val model = new KMeans().setK(kk).setSeed(seed + j).setMaxIter(10).fit(sub)
+      val model = new KMeans().setK(kk).setSeed(seed + j).setMaxIter(maxIter).fit(sub)
       model.clusterCenters.map(_.toArray.toSeq).toSeq
     }
     trainDf.unpersist()
