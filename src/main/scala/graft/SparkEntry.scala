@@ -453,6 +453,50 @@ object SparkEntry {
 
   private val dsirEnTarget = "(SELECT doc_id, text FROM documents WHERE lang = 'en')"
 
+  /** CTEs recomputing EXACT BPE token counts per document in DuckDB —
+    * the oracle twin of [[graft.functions.BpeCount]]. The vendored
+    * merges ride as a VALUES literal of hex byte-strings; the recursion
+    * applies each merge once IN RANK ORDER (provably ≡ the engine's
+    * lowest-rank-first loop — BpeExpressions scaladoc); symbols live in
+    * a '.'-delimited hex string folded by `list_reduce` (a plain-VARCHAR
+    * accumulator — DuckDB 1.0's struct accumulators mis-fold), and the
+    * recursion runs over DISTINCT pre-tokens, re-joined per doc, so its
+    * size is vocabulary × merges, not corpus × merges. Requires the
+    * query to open with `WITH RECURSIVE`. Final CTE:
+    * `bpe_cnt(doc_id, bpe_exact)` over every `poolRel` row (NULL text →
+    * 0). */
+  private def bpeCountCtes(poolRel: String): String = {
+    val merges = graft.functions.BpeVocab.Builtin.mergesInOrder
+    def hx(s: String): String = s.map(c => f"${c.toInt}%02X").mkString
+    val mVals = merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '${hx(l)}', '${hx(r)}')" }.mkString(", ")
+    val M = merges.size
+    s"""bpe_m(rank, l, r) AS (VALUES $mVals),
+       |bpe_d AS (SELECT doc_id, coalesce(text, '') AS text FROM $poolRel),
+       |bpe_t AS (SELECT doc_id, regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS toks FROM bpe_d),
+       |bpe_p AS (SELECT doc_id, toks[i] AS tok FROM bpe_t, unnest(generate_series(1, len(toks))) AS g(i)),
+       |bpe_u AS (SELECT DISTINCT tok FROM bpe_p),
+       |bpe_uh AS (SELECT tok, hex(encode(tok)) AS hxs FROM bpe_u),
+       |bpe_init AS (SELECT tok, array_to_string(list_transform(range(0, length(hxs) // 2),
+       |i -> substr(hxs, CAST(2*i + 1 AS INT), 2)), '.') AS sy FROM bpe_uh),
+       |bpe_rec AS (
+       |SELECT tok, 0 AS step, sy FROM bpe_init
+       |UNION ALL
+       |SELECT q.tok, q.step + 1,
+       |list_reduce(list_concat([''], string_split(q.sy, '.')),
+       |(a, x) -> CASE
+       |WHEN a = '' THEN x
+       |WHEN (a = m.l OR ends_with(a, '.' || m.l)) AND x = m.r
+       |THEN substr(a, 1, length(a) - length(m.l)) || m.l || m.r
+       |ELSE a || '.' || x END)
+       |FROM bpe_rec q JOIN bpe_m m ON m.rank = q.step WHERE q.step < $M),
+       |bpe_tc AS (SELECT tok, CAST(len(string_split(sy, '.')) AS BIGINT) AS n FROM bpe_rec WHERE step = $M),
+       |bpe_cnt AS (SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS bpe_exact
+       |FROM bpe_d d LEFT JOIN (SELECT p.doc_id, sum(tc.n) AS n
+       |FROM bpe_p p JOIN bpe_tc tc ON p.tok = tc.tok GROUP BY p.doc_id) s
+       |ON s.doc_id = d.doc_id)""".stripMargin.replace("\n", " ")
+  }
+
   /** The q111 quality-classifier fit config — ONE definition consumed by
     * the Spark query AND baked into the oracle CTEs (same anti-drift
     * discipline as [[DsirBuckets]]). Bucket count inherits the
@@ -1229,6 +1273,24 @@ object SparkEntry {
       graft.ops.Packing.packSequences(
         table(s, dir, "documents").select("doc_id", "text"), "doc_id",
         TextAnalysis.bpeTokenCount(col("text")), capacity = 2048L, nStreams = 8)
+        .select("doc_id", "n_tokens", "stream", "pack", "pack_id")
+        .orderBy("doc_id")),
+    // EXACT BPE token counts (vendored demo merges): the trainer-token
+    // counts that make packing/budget math exact — the oracle re-derives
+    // every count by applying the same merges in rank order in SQL
+    "q114_bpe_exact" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCountExact(coalesce(col("text"), lit("")),
+            graft.functions.BpeVocab.Builtin).as("bpe_exact"))
+        .orderBy("doc_id")),
+    // q50's packing with EXACT trainer-token counts instead of the
+    // pre-tokenizer approximation — budgets now bind in real tokens
+    "q115_pack_exact_bpe" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        table(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        TextAnalysis.bpeTokenCountExact(col("text"),
+          graft.functions.BpeVocab.Builtin), capacity = 2048L, nStreams = 8)
         .select("doc_id", "n_tokens", "stream", "pack", "pack_id")
         .orderBy("doc_id")),
     // context-window chunking: split each doc into fixed token windows
@@ -2482,6 +2544,24 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, stream, CAST(off // 2048 AS BIGINT) AS pack,
         |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // exact BPE counts: the engine's merge loop replayed in SQL (rank-
+    // order unrolled recursion over distinct pre-tokens — see bpeCountCtes)
+    "q114_bpe_exact" ->
+      s"""WITH RECURSIVE ${bpeCountCtes("documents")}
+         |SELECT doc_id, bpe_exact FROM bpe_cnt ORDER BY doc_id""".stripMargin
+        .replace("\n", " "),
+    // q50's packing arithmetic over the exact counts
+    "q115_pack_exact_bpe" ->
+      s"""WITH RECURSIVE ${bpeCountCtes("documents")},
+         |t AS (SELECT doc_id, bpe_exact AS n_tokens,
+         |CAST(doc_id % 8 AS BIGINT) AS stream FROM bpe_cnt),
+         |c AS (SELECT doc_id, n_tokens, stream,
+         |sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+         |FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, stream, CAST(off // 2048 AS BIGINT) AS pack,
+         |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // chunking: stride 224 = 256 - 32; integer ceil via (x + 223) // 224
     "q55_chunk_docs" ->
       """WITH t AS (SELECT doc_id,

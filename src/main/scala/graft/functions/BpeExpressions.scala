@@ -1,0 +1,296 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exact byte-level BPE token counting (Sennrich et al. 2016; the GPT-2
+  * tokenizer construction, Radford et al. 2019) — replaces the
+  * pre-tokenizer-only approximation ([[graft.ops.TextAnalysis
+  * .bpeTokenCount]]) wherever a token budget must be exact in TRAINER
+  * tokens: sequence packing capacities, corpus token budgets, mixture
+  * weights.
+  *
+  * '''Vocabulary''': a vendored merges file in the published `merges.txt`
+  * format — one space-separated symbol pair per line, rank = line order,
+  * symbols over the GPT-2 byte-to-unicode alphabet (the printable-proxy
+  * encoding that makes raw bytes file-safe). [[BpeVocab.fromFile]] /
+  * [[BpeVocab.fromLines]] parse it on the DRIVER (the [[PslRules]]
+  * loader pattern); the decoded rank table ships to executors inside the
+  * expression as a reference object. [[BpeVocab.Builtin]] is a small
+  * demo vocabulary trained by `tools/train_bpe.py` (deterministic,
+  * re-runnable) — tests and fixtures only; vendor your trainer's real
+  * merges for production budgets.
+  *
+  * '''Pre-tokenizer''' (the documented simplification of GPT-2's): the
+  * ordered-alternation regex `' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'`
+  * — optional single leading space glued to a letter/number/other run,
+  * else a whitespace run — implemented as a codepoint scanner (no regex
+  * engine in the hot path). Deviations from GPT-2's exact pattern, by
+  * design: no English-contraction alternates (`'s`, `'t`, …) and no
+  * trailing-space lookahead `\s+(?!\S)` (RE2-based oracle engines cannot
+  * express lookahead; both engines implement THIS spec instead).
+  * `\s` is ASCII whitespace (Java and RE2 default); letter/number are
+  * Unicode categories L and N (Nd+Nl+No).
+  *
+  * '''Merge loop''': per pre-token, UTF-8 bytes become single-byte
+  * symbols and the lowest-rank adjacent pair merges (all occurrences,
+  * left to right, overlaps skipped) until no ranked pair remains — the
+  * reference algorithm. Equivalent formulation used by the SQL oracle:
+  * applying every merge once in ascending rank order gives the SAME
+  * result, because a merge's constituent symbols are always created by
+  * strictly earlier merges, so applying rank r can never surface a
+  * not-yet-applied pair of rank < r. (BpeSpec pins the two against each
+  * other.)
+  *
+  * Scale shape: counting is a per-row codegen'd kernel — zero shuffle,
+  * zero joins, the vocabulary broadcast once per executor; exactly the
+  * [[HashedGramScore]] deployment shape.
+  */
+final class BpeVocab private (
+    private val ranks: java.util.HashMap[String, Integer],
+    val nMerges: Int) extends Serializable {
+
+  /** Rank of the (left, right) symbol pair, or -1. Symbols are raw-byte
+    * strings (one char per byte); the key is length-prefixed so
+    * (`"ab"`, `"c"`) and (`"a"`, `"bc"`) cannot collide. */
+  def rankOf(left: String, right: String): Int = {
+    val r = ranks.get(BpeVocab.key(left, right))
+    if (r == null) -1 else r.intValue()
+  }
+
+  /** Merge pairs in rank order, as raw-byte strings — the oracle-side
+    * view (and the [[BpeSpec]] rank-order reference implementation). */
+  def mergesInOrder: IndexedSeq[(String, String)] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(pairArr)
+
+  @transient private lazy val pairArr: Array[(String, String)] = {
+    val out = new Array[(String, String)](nMerges)
+    ranks.forEach { (k, v) =>
+      val cut = k.indexOf(':')
+      val ll = k.substring(0, cut).toInt
+      out(v.intValue()) = (k.substring(cut + 1, cut + 1 + ll), k.substring(cut + 1 + ll))
+    }
+    out
+  }
+
+  /** The pair at `rank` (0-based). */
+  def mergePair(rank: Int): (String, String) = pairArr(rank)
+}
+
+object BpeVocab {
+  private def key(l: String, r: String): String = l.length + ":" + l + r
+
+  /** GPT-2's byte-to-unicode table: printable latin-1 bytes map to
+    * themselves, the rest to 256+i — published construction. */
+  private[functions] val ByteToUnicode: Array[Char] = {
+    val direct = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var shift = 0
+    (0 until 256).foreach { b =>
+      if (direct(b)) out(b) = b.toChar
+      else { out(b) = (256 + shift).toChar; shift += 1 }
+    }
+    out
+  }
+  private[functions] val UnicodeToByte: Map[Char, Byte] =
+    ByteToUnicode.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** Decode one merges.txt symbol (byte-unicode alphabet) to a raw-byte
+    * string (one char per byte value 0–255). */
+  private def decodeSymbol(s: String, line: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      val b = UnicodeToByte.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"merges line '$line': symbol char '\\u${c.toInt.toHexString}' is not in the GPT-2 byte alphabet"))
+      sb.append((b & 0xff).toChar)
+    }
+    sb.toString
+  }
+
+  /** Parse the published merges.txt format: `#`-prefixed header/comment
+    * lines and blanks ignored, each remaining line a space-separated
+    * symbol pair, rank = order of appearance. */
+  def fromLines(lines: IterableOnce[String]): BpeVocab = {
+    val ranks = new java.util.HashMap[String, Integer]()
+    var rank = 0
+    lines.iterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        line.split(" ", -1) match {
+          case Array(l, r) if l.nonEmpty && r.nonEmpty =>
+            val k = key(decodeSymbol(l, line), decodeSymbol(r, line))
+            require(!ranks.containsKey(k), s"duplicate merge pair '$line'")
+            ranks.put(k, Integer.valueOf(rank))
+            rank += 1
+          case _ =>
+            throw new IllegalArgumentException(
+              s"merges line '$line' is not a space-separated symbol pair")
+        }
+      }
+    }
+    require(rank > 0, "merges file contains no merge pairs")
+    new BpeVocab(ranks, rank)
+  }
+
+  /** Load a vendored merges file from the DRIVER's filesystem. */
+  def fromFile(path: String): BpeVocab = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try fromLines(src.getLines()) finally src.close()
+  }
+
+  /** Demo vocabulary (96 merges) trained by `tools/train_bpe.py` on its
+    * fixed English corpus — deterministic, regenerate with the script.
+    * Tests and fixture corpora only. */
+  lazy val Builtin: BpeVocab = fromLines(Seq(
+    "Ġ t", "h e", "Ġt he", "a n", "i n", "Ġ d",
+    "a t", "Ġ o", "r e", "Ġ .", "an d", "e r",
+    "Ġ and", "in g", "Ġ p", "a r", "e d", "e s",
+    "l i", "r o", "t s", "u m", "v er", "Ġ a",
+    "Ġd o", "Ġo ver", "Ġ s", "Ġ w", "c at", "e n",
+    "i l", "n e", "t ed", "Ġ b", "Ġ f", "Ġ m",
+    "a in", "ain ing", "at a", "cat e", "c o", "c um",
+    "cum en", "cumen ts", "e i", "ei g", "eig h", "eigh ted",
+    "e l", "e x", "h il", "h o", "i o", "io n",
+    "i r", "l e", "li cate", "p licate", "p s", "q u",
+    "s e", "u n", "u plicate", "Ġa re", "Ġd ata", "Ġdo cuments",
+    "Ġdo g", "Ġ in", "Ġ l", "Ġ ne", "Ġo n", "Ġ qu",
+    "Ġt ex", "Ġt o", "Ġ v", "Ġw eighted", "0 2", "02 4",
+    "1 2", "12 3", "2 024", "a g", "ag e", "a li",
+    "ali t", "alit y", "a l", "al u", "alu es", "a m",
+    "am ing", "an c", "anc e", "an g", "ang u", "angu age"))
+}
+
+/** `bpe_count(text)` — exact BPE token count under a vendored merges
+  * vocabulary, as a native codegen'd expression. NULL in → NULL out;
+  * empty string → 0. */
+case class BpeCount(child: Expression, vocab: BpeVocab) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"bpe_count requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    BpeCount.compute(s.asInstanceOf[UTF8String], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.addReferenceObj("bpeVocab", vocab, classOf[BpeVocab].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeCount.compute($c, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeCount {
+
+  private def isWs(cp: Int): Boolean = // regex \s (ASCII, Java/RE2 default)
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+  private def isL(cp: Int): Boolean = Character.isLetter(cp)
+  private def isN(cp: Int): Boolean = { // \p{N} = Nd + Nl + No
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+  private def isOther(cp: Int): Boolean = !isWs(cp) && !isL(cp) && !isN(cp)
+
+  /** Shared by the interpreted and generated paths. */
+  def compute(s: UTF8String, vocab: BpeVocab): Long = {
+    val raw = s.toString
+    val len = raw.length
+    var count = 0L
+    var i = 0
+    while (i < len) {
+      // the ordered-alternation pre-tokenizer (see class scaladoc):
+      // ' ?L+' | ' ?N+' | ' ?other+' | '\s+', first match wins
+      val start = i
+      val cp0 = raw.codePointAt(i)
+      var cls = -1 // 0=L 1=N 2=other, -1 = whitespace-run fallback
+      var j = i // start of the run body (past the optional leading space)
+      if (cp0 == ' ' && i + 1 < len) {
+        val cp1 = raw.codePointAt(i + 1)
+        if (isL(cp1)) { cls = 0; j = i + 1 }
+        else if (isN(cp1)) { cls = 1; j = i + 1 }
+        else if (isOther(cp1)) { cls = 2; j = i + 1 }
+      }
+      if (cls < 0 && !isWs(cp0)) {
+        cls = if (isL(cp0)) 0 else if (isN(cp0)) 1 else 2
+        j = i
+      }
+      var k = j
+      if (cls >= 0) {
+        var go = true
+        while (go && k < len) {
+          val cp = raw.codePointAt(k)
+          val in = cls match {
+            case 0 => isL(cp)
+            case 1 => isN(cp)
+            case _ => isOther(cp)
+          }
+          if (in) k += Character.charCount(cp) else go = false
+        }
+      } else {
+        // whitespace run (all ws chars are single-unit ASCII)
+        while (k < len && isWs(raw.charAt(k).toInt)) k += 1
+      }
+      count += countToken(raw.substring(start, k), vocab)
+      i = k
+    }
+    count
+  }
+
+  /** Token count of ONE pre-token: bytes → single-byte symbols → greedy
+    * lowest-rank merges until none applies. */
+  private def countToken(tok: String, vocab: BpeVocab): Long = {
+    val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var n = bytes.length
+    if (n <= 1) return n.toLong
+    val syms = new java.util.ArrayList[String](n)
+    var i = 0
+    while (i < n) { syms.add(String.valueOf((bytes(i) & 0xff).toChar)); i += 1 }
+    var done = false
+    while (!done && syms.size() >= 2) {
+      // lowest-rank adjacent pair
+      var best = Int.MaxValue
+      var p = 0
+      while (p < syms.size() - 1) {
+        val r = vocab.rankOf(syms.get(p), syms.get(p + 1))
+        if (r >= 0 && r < best) best = r
+        p += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge all occurrences left to right, overlaps skipped
+        val (l, r) = vocab.mergePair(best)
+        var q = 0
+        while (q < syms.size() - 1) {
+          if (syms.get(q) == l && syms.get(q + 1) == r) {
+            syms.set(q, l + r)
+            syms.remove(q + 1)
+          }
+          q += 1
+        }
+      }
+    }
+    n = syms.size()
+    n.toLong
+  }
+}
+
+object BpeFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Exact BPE token count of `text` under `vocab` — a zero-shuffle
+    * codegen'd projection. */
+  def bpeCount(text: Column, vocab: BpeVocab): Column =
+    ColumnBridge.column(BpeCount(ColumnBridge.expression(text), vocab))
+}

@@ -31,6 +31,13 @@ object TextAnalysis {
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpeTokenPattern))
 
+  /** EXACT BPE token count under a vendored merges vocabulary — the
+    * trainer-token twin of [[bpeTokenCount]]'s approximation; use it
+    * wherever a packing capacity or corpus token budget must be exact in
+    * the trainer's tokens (see [[graft.functions.BpeVocab]]). */
+  def bpeTokenCountExact(c: Column, vocab: graft.functions.BpeVocab): Column =
+    graft.functions.BpeFunctions.bpeCount(c, vocab)
+
   // safeDiv: an empty document would otherwise divide by zero (ANSI throws)
   def alphaRatio(c: Column): Column =
     graft.core.WeightedMoments.safeDiv(

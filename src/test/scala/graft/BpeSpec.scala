@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BpeFunctions, BpeVocab}
+
+/** Exact BPE token counting: the native kernel vs an independent
+  * rank-order reference implementation (the equivalence the oracle's SQL
+  * recursion relies on), merges.txt parsing, pre-tokenizer edges, and
+  * the NULL/empty contracts. */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- independent reference: apply merges once each, in rank order ----
+
+  private def prepat = """ ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+""".r
+
+  private def refCount(text: String, vocab: BpeVocab): Long = {
+    val merges = vocab.mergesInOrder
+    prepat.findAllIn(text).map { tok =>
+      var syms: Vector[String] =
+        tok.getBytes("UTF-8").toVector.map(b => String.valueOf((b & 0xff).toChar))
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }.sum
+  }
+
+  private def kernelCount(text: String, vocab: BpeVocab): Long =
+    Seq(Tuple1(text)).toDF("t")
+      .select(BpeFunctions.bpeCount(col("t"), vocab).as("n"))
+      .head.getLong(0)
+
+  test("kernel ≡ rank-order reference on fixture texts") {
+    val v = BpeVocab.Builtin
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog .",
+      "the theme of the data is weighted documents",
+      "numbers 123 and 2024 , punctuation ! ? ; :",
+      "    leading spaces", "trailing spaces    ",
+      "tabs\tand\nnewlines\r\nmixed   runs",
+      "ünïcödé lëttérs are bytes überall",
+      "中文字符 also 混合 text", // multi-byte letters
+      "a", " ", "", ".", "!!!", "...---...",
+      "x1y2z3", "CamelCaseWords and UPPER lower")
+    cases.foreach { t =>
+      assert(kernelCount(t, v) == refCount(t, v), s"mismatch on '$t'")
+    }
+  }
+
+  test("merged counts are exact on hand-checked examples") {
+    val v = BpeVocab.fromLines(Seq(
+      "#version: demo",
+      "t h", "th e", "Ġ the")) // Ġ = byte 0x20 in the GPT-2 alphabet
+    // "the the" → pre-tokens ["the", " the"]:
+    //   "the": t+h → th; th+e → the          = 1 token
+    //   " the": space stays (no ' t' merge); t h e → the; ' '+the → ' the' = 1
+    assert(kernelCount("the the", v) == 2L)
+    // "tthe" → t, t+h→th… : [t, th, e] → th+e → [t, the] = 2
+    assert(kernelCount("tthe", v) == 2L)
+    // unknown text falls back to one token per byte (plus pre-token splits)
+    assert(kernelCount("xyz", v) == 3L)
+    assert(kernelCount("xyz 12", v) == 3L + 3L) // " 12" = space+1+2 unmerged
+  }
+
+  test("pre-tokenizer: ordered alternation with optional leading space") {
+    val v = BpeVocab.fromLines(Seq("x x")) // no merges that ever apply
+    // with no applicable merges the count = total BYTES (1 symbol/byte)
+    assert(kernelCount("ab cd", v) == 5L)
+    // "  a": ws run of 2 would be [" ", " a"] — ' ?L+' wins only for the
+    // space DIRECTLY before the letter; the regex grabs "  " greedily
+    // first? No: ordered alternation at pos 0 tries ' ?L+' (fails — two
+    // spaces), then '\s+' takes BOTH spaces, then "a" alone: 3 bytes
+    assert(kernelCount("  a", v) == 3L)
+    // NULL → NULL, empty → 0
+    val r = Seq((1L, Option("ab")), (2L, None: Option[String]), (3L, Some("")))
+      .toDF("id", "t")
+      .select(col("id"), BpeFunctions.bpeCount(col("t"), v).as("n"))
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == 2L)
+    assert(r(1).isNullAt(1))
+    assert(r(2).getLong(1) == 0L)
+  }
+
+  test("merges.txt parsing: headers, blanks, byte alphabet, failures") {
+    val v = BpeVocab.fromLines(Seq(
+      "#version: 0.2", "", "  ", "Ġ t", "h e"))
+    assert(v.nMerges == 2)
+    // Ġ decodes to the raw space byte through the GPT-2 alphabet
+    assert(v.mergesInOrder == Vector((" ", "t"), ("h", "e")))
+    assert(v.rankOf(" ", "t") == 0 && v.rankOf("h", "e") == 1)
+    assert(v.rankOf("t", "h") == -1)
+    intercept[IllegalArgumentException] { BpeVocab.fromLines(Seq("a b c")) }
+    intercept[IllegalArgumentException] { BpeVocab.fromLines(Seq("Ġ t", "Ġ t")) }
+    intercept[IllegalArgumentException] { BpeVocab.fromLines(Seq.empty[String]) }
+  }
+
+  test("length-prefixed rank keys cannot alias across pair splits") {
+    // ("ab","c") vs ("a","bc"): same concatenation, must be distinct ranks
+    val v = BpeVocab.fromLines(Seq("ab c", "a bc"))
+    assert(v.rankOf("ab", "c") == 0)
+    assert(v.rankOf("a", "bc") == 1)
+  }
+}
