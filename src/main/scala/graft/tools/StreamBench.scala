@@ -69,21 +69,22 @@ object StreamBench {
         batchSec: Seq[Double], admitted: Long)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def run(name: String)(mkQuery: MemoryStream[(Long, String)] =>
+    def runFeed[T: org.apache.spark.sql.Encoder](name: String,
+        batches: Seq[Seq[T]])(mkQuery: MemoryStream[T] =>
         (org.apache.spark.sql.streaming.StreamingQuery, () => Long)): Result = {
-      val input = MemoryStream[(Long, String)]
+      val input = MemoryStream[T]
       val (q, admittedCount) = mkQuery(input)
       try {
         // untimed warmup micro-batch
-        input.addData(allBatches.head)
+        input.addData(batches.head)
         q.processAllAvailable()
-        val times = allBatches.tail.map { b =>
+        val times = batches.tail.map { b =>
           input.addData(b)
           val t0 = System.nanoTime()
           q.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         }
-        val docs = allBatches.tail.map(_.size.toLong).sum
+        val docs = batches.tail.map(_.size.toLong).sum
         val r = Result(name, docs, times.sum, times, admittedCount())
         println(f"[stream-bench] $name%-12s ${r.docs / r.totalSec}%9.0f docs/s  " +
           f"first=${times.head}%6.3f s  last3=${times.takeRight(3).sum / 3}%6.3f s  " +
@@ -91,6 +92,9 @@ object StreamBench {
         r
       } finally q.stop()
     }
+    def run(name: String)(mkQuery: MemoryStream[(Long, String)] =>
+        (org.apache.spark.sql.streaming.StreamingQuery, () => Long)): Result =
+      runFeed(name, allBatches)(mkQuery)
 
     val results = Seq(
       run("exact") { input =>
@@ -120,8 +124,34 @@ object StreamBench {
         (q, () => admitted)
       })
 
+    // vector path: embeddings cycled with fresh ids (cycles 1+ are exact
+    // duplicates), through the TTL IVF-PQ admission gate — the row that
+    // verifies per-batch vector-dedup cost is flat in stream age. The
+    // IVF/PQ fit is the offline fit-once step, outside the timed loop.
+    val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val vecCorpus: Array[(Long, Seq[Double])] =
+      embDf.as[(Long, Seq[Double])].collect()
+    val vecBatches: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until cycles).iterator.flatMap(c => vecCorpus.iterator.map {
+        case (id, v) => (id + c * 100000000L, v)
+      }).grouped(batchSize).toSeq
+    val ivf = graft.ops.Similarity.fitIvf(embDf, "embedding")
+    val pq = graft.ops.Similarity.fitPq(embDf, "embedding")
+    val vecResult = runFeed("vector_ttl", vecBatches) { input =>
+      var admitted = 0L
+      val step = graft.streaming.StreamingVectorDedup.vectorDedupForeachBatchTtl(
+        ivf, pq, "vec_id", "embedding", threshold = 0.95, ttlBatches = 8) { kept =>
+        admitted += kept.count()
+      }
+      val q = input.toDF().toDF("vec_id", "embedding")
+        .writeStream.outputMode("append").foreachBatch(step).start()
+      (q, () => admitted)
+    }
+
     def fmt(d: Double) = f"$d%.3f"
-    val json = results.map { r =>
+    val json = (results :+ vecResult).map { r =>
       "\"" + r.name + "\":{" +
         s""""docs":${r.docs},"docs_per_sec":${fmt(r.docs / r.totalSec)},""" +
         s""""batch_sec_first":${fmt(r.batchSec.head)},""" +
