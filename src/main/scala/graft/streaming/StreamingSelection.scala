@@ -76,6 +76,39 @@ object StreamingSelection {
     admit(df, QualityClassifier.classifierScore(model, col(textCol)),
       threshold, "quality_score")
 
+  /** Gate on the trained one-vs-rest language classifier: keep documents
+    * whose argmax-margin language is in `keepLangs`, exposing the
+    * prediction as `langCol` — the CCNet-style langid ingest stage. Like
+    * the other gates this is a STATELESS codegen projection (K fused byte
+    * passes per doc), so it composes before the dedup state stores and
+    * its per-batch cost is flat in stream age. */
+  def languageAdmission(
+      spark: SparkSession,
+      df: DataFrame,
+      modelPath: String,
+      textCol: String,
+      keepLangs: Set[String]): DataFrame =
+    languageAdmission(df, graft.ops.LangId.loadModel(spark, modelPath),
+      textCol, keepLangs)
+
+  /** Same gate under an in-memory langid model. */
+  def languageAdmission(
+      df: DataFrame,
+      model: graft.ops.LangId.LangIdModel,
+      textCol: String,
+      keepLangs: Set[String],
+      langCol: String = "pred_lang"): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    val unknown = keepLangs.diff(model.classes.toSet)
+    require(unknown.isEmpty,
+      s"keepLangs ${unknown.mkString(",")} not among the model's classes " +
+        model.classes.mkString(","))
+    require(!df.columns.contains(langCol),
+      s"admission writes '$langCol'; rename the input column or pass a different langCol")
+    df.withColumn(langCol, graft.ops.LangId.predictLanguage(model, col(textCol)))
+      .where(col(langCol).isin(keepLangs.toSeq.sorted: _*))
+  }
+
   private def admit(
       df: DataFrame,
       score: Column,

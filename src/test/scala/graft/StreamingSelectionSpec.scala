@@ -106,4 +106,51 @@ class StreamingSelectionSpec extends SparkSpecBase {
       StreamingSelection.dsirAdmission(clash, model, "text", 0.0))
     assert(e.getMessage.contains("dsir_score"))
   }
+
+  test("language admission: persisted langid model gates a stream exactly " +
+    "like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LangId
+    val labeled = Seq(
+      (0L, "en", "the cat sat on the mat"), (1L, "en", "the dog ran in the park"),
+      (2L, "de", "die katze sass auf der matte"), (3L, "de", "der hund lief im garten"),
+      (4L, "fr", "le chat dormait sur le tapis"), (5L, "fr", "le chien courait dans le parc")
+    ).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lang-admit").toString
+    val path = s"$dir/model.parquet"
+    LangId.saveModel(spark,
+      LangId.fitLangId(labeled, "text", "lang", nBuckets = 1024, epochs = 15, lr = 1.0), path)
+
+    val feed = Seq(
+      (10L, "the cat ran in the house"), (11L, "der hund auf der matte"),
+      (12L, "le chat dans la maison"), (13L, "die sonne ueber dem garten"))
+    val feedDf = feed.toDF("doc_id", "text")
+    val batch = StreamingSelection.languageAdmission(
+      spark, feedDf, path, "text", keepLangs = Set("en", "fr"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(batch.keySet == Set(10L, 12L)) // de arrivals gated out
+    assert(batch(10L) == "en" && batch(12L) == "fr")
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingSelection.languageAdmission(
+      spark, input.toDF().toDF("doc_id", "text"), path, "text", Set("en", "fr"))
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("sladmit").start()
+    feed.grouped(2).foreach { chunk =>
+      input.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    val got = spark.table("sladmit").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    q.stop()
+    assert(got == batch, s"stream == batch admission: $got vs $batch")
+    // unknown language and column collision both fail fast
+    val model = LangId.loadModel(spark, path)
+    intercept[IllegalArgumentException](
+      StreamingSelection.languageAdmission(feedDf, model, "text", Set("xx")))
+    intercept[IllegalArgumentException](
+      StreamingSelection.languageAdmission(
+        feedDf.withColumn("pred_lang", lit("en")), model, "text", Set("en")))
+  }
 }
