@@ -340,12 +340,12 @@ object Similarity {
       seed: Long = 42L,
       maxTrainRows: Int = 20000,
       targetCellRows: Int = 128,
-      maxIter: Int = 10,
+      maxIter: Int = 0,
       initMode: String = "auto",
       trainRowsPerCell: Int = 32): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(maxIter >= 0, s"maxIter must be >= 1 (0 = auto), got $maxIter")
     require(trainRowsPerCell >= 1, s"trainRowsPerCell must be >= 1, got $trainRowsPerCell")
     require(Set("auto", "random", "k-means||").contains(initMode),
       s"initMode must be auto|random|k-means||, got $initMode")
@@ -368,6 +368,13 @@ object Similarity {
       case "auto" => if (k > 256) "random" else "k-means||"
       case other  => other
     }
+    // auto iteration budget: small quantizers keep the classic 10 (bit-
+    // compatible with every pre-existing fit at the test scales); large
+    // ones cap refinement at 5 — per-iteration cost is k × sample and
+    // cell-assignment quality is governed by the measured recall floor,
+    // not centroid convergence precision
+    val resolvedIter =
+      if (maxIter > 0) maxIter else if (k > 256) 5 else 10
     val frac = math.min(1.0, trainRows.toDouble / n)
     val v = toDouble(col(vecCol)).as("__v__")
     val sampled = if (frac < 1.0) df.select(v).sample(frac, seed) else df.select(v)
@@ -379,7 +386,7 @@ object Similarity {
       .select(array_to_vector(transform(col("__v__"),
         x => graft.core.WeightedMoments.safeDiv(x, col("__n__")))).as("features"))
       .coalesce(trainParts).cache()
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(resolvedIter)
       .setInitMode(resolvedInit).fit(trainDf)
     trainDf.unpersist()
     IvfModel(model.clusterCenters.map { c =>
@@ -541,13 +548,29 @@ object Similarity {
     // corpus would otherwise crash inside setK(1) with an opaque ML error
     require(trainN >= 2,
       s"fitPq needs >= 2 nonzero vectors to train on, got $trainN")
-    val books = (0 until m).map { j =>
-      val sub = trainDf.select(
-        array_to_vector(slice(col("__vh__"), j * dsub + 1, dsub)).as("features"))
-      val kk = math.min(ksub.toLong, trainN).toInt
-      val model = new KMeans().setK(kk).setSeed(seed + j).setMaxIter(maxIter).fit(sub)
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
-    }
+    // the m sub-fits are INDEPENDENT problems over the same cached sample
+    // — run them as concurrent driver jobs (sequential submission left
+    // ~19 s of pure per-job overhead on the scale rehearsal, constant in
+    // corpus size because the sample is capped). Each fit is seeded and
+    // self-contained, so results are bit-identical to the sequential
+    // order; the pool is bounded to keep scheduler pressure sane.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val books =
+      try {
+        val futures = (0 until m).map { j =>
+          scala.concurrent.Future {
+            val sub = trainDf.select(
+              array_to_vector(slice(col("__vh__"), j * dsub + 1, dsub)).as("features"))
+            val kk = math.min(ksub.toLong, trainN).toInt
+            val model = new KMeans().setK(kk).setSeed(seed + j).setMaxIter(maxIter).fit(sub)
+            model.clusterCenters.map(_.toArray.toSeq).toSeq
+          }
+        }
+        futures.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     trainDf.unpersist()
     PqModel(dim, m, books, residual = residualOf.isDefined, offsets = offsets)
   }

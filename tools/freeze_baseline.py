@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Regenerate BASELINE-LOCAL.md from the committed quiet-machine bench runs.
+
+Usage: python3 tools/freeze_baseline.py <this_round_run.json> [more.json ...]
+
+Reads bench/r10.json and bench/r11.json (the previous quiet-run records,
+same testdata epoch) plus the runs given on the command line (this
+round's quiet min-of-two Bench outputs), min-merges per query, and
+rewrites BASELINE-LOCAL.md with a per-query epoch tag naming the run
+that produced each frozen minimum. Queries absent from the historical
+records adopt at this round's epoch.
+"""
+import json, sys, os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)["queries"]
+
+sources = [("r10", load(os.path.join(ROOT, "bench/r10.json"))),
+           ("r11", load(os.path.join(ROOT, "bench/r11.json")))]
+for p in sys.argv[1:]:
+    sources.append(("r13", load(p)))
+
+mins = {}
+for tag, qs in sources:
+    for q, t in qs.items():
+        if q not in mins or t < mins[q][0]:
+            mins[q] = (t, tag)
+
+total = sum(t for t, _ in mins.values())
+lines = []
+lines.append("# BASELINE-LOCAL — frozen per-query bench minimums (re-frozen r13)")
+lines.append("")
+lines.append("""The reference (`nachomaiz/pandas-weights`) publishes **no performance
+numbers** — performance is explicitly a non-goal of the reference
+(`/root/reference/README.md:11`) — so `BASELINE.md`'s "within 2x of
+BASELINE at the same SF" gate had nothing numeric to be within 2x OF.
+This file makes the gate concrete: per-query minimums over every
+committed QUIET-machine bench record of the current testdata epoch
+(`bench/r10.json`, `bench/r11.json`, `bench/r13.json` — each itself
+min-of-two back-to-back runs per query, sf0.1, local[32], 128 GiB JVM).
+
+**Gate:** in every later round, a query whose min-of-two time exceeds
+**2x its frozen minimum below** (and is above a 1.0 s absolute floor, to
+ignore sub-second timer noise) must be flagged in the round records
+(`PROGRESS.md`) with either a fix or a written diagnosis.
+New queries enter the gate at the first round that benches them (the
+`epoch` column names the run that produced each frozen min).
+
+**Epoch:** testdata epoch r10 (the driver's `events.ts` NANOS→MICROS
+regeneration). Numbers from r1–r9 artifacts are NOT comparable. If the
+driver regenerates data again, re-freeze and bump the epoch here rather
+than comparing across epochs.
+
+**Contended-run adjudication (r12):** the driver's BENCH_r12 carried 7
+apparent 2x-gate flags (q32, q37b, q49, q73, q87, q88, q99); the judge
+re-benched all seven on a quiet machine and adjudicated **all seven as
+machine-contention phantoms** (VERDICT r12 — the bench ran minutes after
+a 15,770 s build session). None is a real regression; their frozen mins
+below reflect quiet-machine behavior. This re-freeze (r13) exists so
+later gates compare against coherent quiet-run minimums instead of
+mixed-epoch ad-hoc adoption notes.""")
+lines.append("")
+lines.append(f"Total (sum of per-query mins): **{total:.1f} s / {len(mins)} queries** at sf0.1.")
+lines.append("")
+lines.append("| query | min (s) | 2x gate (s) | epoch |")
+lines.append("|---|---|---|---|")
+for q in sorted(mins):
+    t, tag = mins[q]
+    lines.append(f"| {q} | {t:.3f} | {2*t:.3f} | {tag} |")
+lines.append("")
+
+with open(os.path.join(ROOT, "BASELINE-LOCAL.md"), "w") as f:
+    f.write("\n".join(lines))
+print(f"BASELINE-LOCAL.md: {len(mins)} queries, total {total:.1f} s")
