@@ -1361,6 +1361,14 @@ object SparkEntry {
         table(s, dir, "documents"), Seq("lang", "source"),
         TextAnalysis.wsTokenCount(col("text")), budget = 500L, Seq("doc_id"))
         .select("doc_id", "lang", "source", "cum_tokens").orderBy("doc_id")),
+    // q61's per-group token budget with EXACT trainer-token counts — the
+    // budget now binds in the tokens the trainer will actually see
+    "q116_budget_exact_bpe" -> ((s, dir) =>
+      graft.ops.Sampling.takeTokenBudget(
+        table(s, dir, "documents"), Seq("lang", "source"),
+        TextAnalysis.bpeTokenCountExact(coalesce(col("text"), lit("")),
+          graft.functions.BpeVocab.Builtin), budget = 1500L, Seq("doc_id"))
+        .select("doc_id", "lang", "source", "cum_tokens").orderBy("doc_id")),
     // per-label mean-pooled embedding (class prototypes): exploded to
     // (label, dim, value) rows for the oracle — the dim shuffle carries
     // map-side partial avgs, never the vector table
@@ -2693,6 +2701,15 @@ object SparkEntry {
         |(PARTITION BY lang, source ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, lang, source, cum_tokens FROM c
         |WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // q61's running cut over the exact BPE counts (shared recursion CTEs)
+    "q116_budget_exact_bpe" ->
+      s"""WITH RECURSIVE ${bpeCountCtes("documents")},
+         |t AS (SELECT d.doc_id, d.lang, d.source, c.bpe_exact AS ntok
+         |FROM documents d JOIN bpe_cnt c ON c.doc_id = d.doc_id),
+         |cc AS (SELECT doc_id, lang, source, CAST(sum(ntok) OVER
+         |(PARTITION BY lang, source ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM t)
+         |SELECT doc_id, lang, source, cum_tokens FROM cc
+         |WHERE cum_tokens <= 1500 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // bigrams with multiplicity via a 1-indexed lambda over the token list
     "q58_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),

@@ -622,6 +622,55 @@ class ResampleSpec extends SparkSpecBase {
     assert(byKey(("b", "2024-04-30")) == Some(10.0))
   }
 
+  test("ScalaCheck: grouped BUSINESS resample ≡ ungrouped per-group slices") {
+    // business grids are absolutely anchored, so `by` composes under the
+    // default origin — the grouped result must equal resampling each
+    // group's slice independently (sum: exact integer-weighted values)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRow = for {
+      k <- Gen.oneOf("a", "b")
+      day <- Gen.choose(0, 119) // Dec 2023 .. Mar 2024: month+quarter ends
+      hour <- Gen.choose(0, 23)
+      v <- Gen.oneOf(Gen.const(Option.empty[Double]), Gen.choose(-9, 9).map(x => Some(x.toDouble)))
+      w <- Gen.choose(1, 5)
+    } yield (k,
+      new Timestamp(Timestamp.valueOf("2023-12-01 00:00:00").getTime +
+        day * 86400000L + hour * 3600000L), v, w.toDouble)
+    val genCase = for {
+      n <- Gen.choose(3, 20)
+      rows <- Gen.listOfN(n, genRow)
+      rule <- Gen.oneOf("B", "BME", "SME", "BQE")
+      closed <- Gen.oneOf("auto", "left", "right")
+    } yield (rows, rule, closed)
+
+    def collect(df: org.apache.spark.sql.DataFrame, grouped: Boolean): Map[(String, String), Option[Double]] =
+      df.collect().map { r =>
+        if (grouped) (r.getString(0), r.getTimestamp(1).toString) -> cell(r, 2)
+        else ("", r.getTimestamp(0).toString) -> cell(r, 1)
+      }.toMap
+
+    val prop = Prop.forAll(genCase) { case (rows, rule, closed) =>
+      val df = rows.toDF("k", "ts", "value", "weights")
+      val wdf = WeightedDataFrame.wt(df, "weights")
+      val grouped = collect(
+        wdf.resample("ts", rule, closed = closed, by = Seq("k")).sum(), grouped = true)
+      val sliced = rows.map(_._1).distinct.sorted.flatMap { key =>
+        val slice = WeightedDataFrame.wt(df.where(df("k") === key).drop("k"), "weights")
+        collect(slice.resample("ts", rule, closed = closed).sum(), grouped = false)
+          .map { case ((_, b), v) => (key, b) -> v }
+      }.toMap
+      if (grouped != sliced)
+        println(s"grouped-business FALSIFIED: rule=$rule closed=$closed rows=$rows\n got=$grouped\nwant=$sliced")
+      grouped == sliced
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(10)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260815L)),
+      prop)
+    assert(result.passed, s"ScalaCheck: $result")
+  }
+
   test("grouped resample drops NULL group keys (pandas dropna default)") {
     val d = Seq(
       (Option("a"), Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),
