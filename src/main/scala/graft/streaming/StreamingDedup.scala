@@ -518,6 +518,19 @@ object StreamingDedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       beforeBatchId: Long,
+      ttlBatches: Long): Option[DataFrame] =
+    loadTtlDeltasRaw(spark, dir, beforeBatchId, ttlBatches)
+      .map(_.groupBy("band", "h").agg(max(col("last_batch")).as("last_batch")))
+
+  /** The UNMERGED union of the complete in-window deltas strictly below
+    * `beforeBatchId` — the schema-agnostic half of [[loadTtlState]], so
+    * state tables with other key/payload shapes (e.g.
+    * [[StreamingVectorDedup]]'s) can reuse the same delta-log contract
+    * and apply their own max-merge. */
+  private[streaming] def loadTtlDeltasRaw(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      beforeBatchId: Long,
       ttlBatches: Long): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -526,10 +539,8 @@ object StreamingDedup {
       .filter(id => id < beforeBatchId && id > beforeBatchId - 1 - ttlBatches &&
         fs.exists(new org.apache.hadoop.fs.Path(ttlDeltaPath(dir, id), "_SUCCESS")))
     if (ids.isEmpty) None
-    else Some(
-      ids.map(id => spark.read.parquet(ttlDeltaPath(dir, id)))
-        .reduce(_.unionByName(_))
-        .groupBy("band", "h").agg(max(col("last_batch")).as("last_batch")))
+    else Some(ids.map(id => spark.read.parquet(ttlDeltaPath(dir, id)))
+      .reduce(_.unionByName(_)))
   }
 
   private def listTtlDeltas(fs: org.apache.hadoop.fs.FileSystem,

@@ -196,11 +196,23 @@ object StreamingVectorDedup {
     (kept, newSeen, encRdd)
   }
 
-  /** foreachBatch wiring — generation/persist/replay mechanics identical
-    * to [[StreamingDedup.nearDupForeachBatchTtl]] minus the delta log
-    * (vectors are retained by any admitting sink, so restart recovery is
-    * `initialSeen = vectorState(sinkTrailingWindow, …)` — exact, no
-    * separate durable state needed). */
+  /** foreachBatch wiring — generation/persist/replay/durability mechanics
+    * identical to [[StreamingDedup.nearDupForeachBatchTtl]]:
+    *
+    * Durability: pass `stateDir` and every batch appends its stamped
+    * state rows (new arrivals AND refresh-on-veto updates, full payload)
+    * as a parquet delta (`delta=<batchId>/`, `_SUCCESS` = complete;
+    * out-of-horizon deltas pruned; epoch-fenced against concurrent
+    * writers). A restarted closure reconstructs the exact lost state by
+    * max-merging the trailing window's deltas per `__vid__` — liveness
+    * stamps included, so eviction continues on the original schedule —
+    * with no sink rescan; the strict-below replay bound makes a
+    * crash-orphaned own-batch delta harmless. Each delta is O(batch +
+    * refreshed vids), never O(live window). Without `stateDir`, state
+    * lives in this driver JVM and restart recovery is
+    * `initialSeen = vectorState(sinkTrailingWindow, …)` (approximate:
+    * sink rows carry admitted vectors only, and refresh stamps are
+    * lost — the delta log is the exact path). */
   def vectorDedupForeachBatchTtl(
       ivf: IvfModel,
       pq: PqModel,
@@ -210,7 +222,8 @@ object StreamingVectorDedup {
       ttlBatches: Long,
       nProbe: Int = 4,
       adcMargin: Double = 0.2,
-      initialSeen: Option[DataFrame] = None)(
+      initialSeen: Option[DataFrame] = None,
+      stateDir: Option[String] = None)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(ttlBatches > 0, s"ttlBatches must be positive, got $ttlBatches")
     var seen: DataFrame = null
@@ -226,10 +239,24 @@ object StreamingVectorDedup {
       val (df, rdd) = freeze(s.select("__vid__", "cell", "codes", "vhat", "last_batch"))
       seen = df; seenRdd = rdd
     }
+    var recoveryDone = false
     var lastBatchId = -1L
     var lastKept: DataFrame = null
     var lastKeptRdd: RDD[_] = null
+    val writerId = java.util.UUID.randomUUID().toString
+    var fenceEpoch = -1L
     (batch: DataFrame, batchId: Long) => {
+      if (!recoveryDone) {
+        recoveryDone = true
+        stateDir.foreach { d =>
+          fenceEpoch = StreamingDedup.acquireTtlFence(batch.sparkSession, d, writerId)
+          loadVectorTtlState(batch.sparkSession, d, batchId, ttlBatches).foreach { recovered =>
+            if (seenRdd != null) seenRdd.unpersist(blocking = false)
+            val (df, rdd) = freeze(recovered)
+            seen = df; seenRdd = rdd
+          }
+        }
+      }
       if (batchId == lastBatchId && lastKept != null) {
         sink(lastKept) // replayed micro-batch: re-emit (see StreamingDedup)
       } else {
@@ -240,8 +267,17 @@ object StreamingVectorDedup {
         val (keptFrozen, keptRdd) = freeze(kept)
         val (seenFrozen, newSeenRdd) = freeze(newSeen)
         encRdd.unpersist(blocking = false)
-        try sink(keptFrozen)
-        catch {
+        // delta BEFORE sink (the StreamingDedup ordering argument): the
+        // stamped slice of the new state = this batch's arrivals plus the
+        // vids its drops refreshed, payload included
+        try {
+          stateDir.foreach { d =>
+            StreamingDedup.checkTtlFence(batch.sparkSession, d, writerId, fenceEpoch)
+            StreamingDedup.writeTtlDelta(d, batchId, ttlBatches,
+              seenFrozen.where(col("last_batch") === lit(batchId)))
+          }
+          sink(keptFrozen)
+        } catch {
           case t: Throwable =>
             keptRdd.unpersist(blocking = false)
             newSeenRdd.unpersist(blocking = false)
@@ -257,6 +293,23 @@ object StreamingVectorDedup {
       }
     }
   }
+
+  /** Reconstruct the live vector state from the delta log (the
+    * [[StreamingDedup.loadTtlState]] contract, keyed by `__vid__`): the
+    * in-window row with the max stamp per vid carries the full payload
+    * (payload is constant per vid — stamps alone change on refresh). */
+  private def loadVectorTtlState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      beforeBatchId: Long,
+      ttlBatches: Long): Option[DataFrame] =
+    StreamingDedup.loadTtlDeltasRaw(spark, dir, beforeBatchId, ttlBatches).map { raw =>
+      raw.groupBy("__vid__")
+        .agg(max(struct(col("last_batch"), col("cell"), col("codes"), col("vhat"))).as("__s__"))
+        .select(col("__vid__"), col("__s__.cell").as("cell"),
+          col("__s__.codes").as("codes"), col("__s__.vhat").as("vhat"),
+          col("__s__.last_batch").as("last_batch"))
+    }
 
   private def freeze(df: DataFrame): (DataFrame, RDD[_]) =
     org.apache.spark.sql.graftbridge.DatasetBridge.freezeTracked(df)

@@ -155,6 +155,52 @@ class StreamingVectorDedupSpec extends SparkSpecBase {
     assert(k1.count() == 0L) // dropped THROUGH the default ADC margin
   }
 
+  test("durable TTL state: kill/restart recovers bit-identically, refresh stamps included") {
+    val df = fixtureRows.toDF("vec_id", "embedding")
+    val (ivf, pq) = fitModels(df)
+    val dir = java.nio.file.Files.createTempDirectory("vecttl").toString
+    // ttl=2 and batches crossing an eviction boundary AND a refresh: the
+    // recovery must restore the veto-refreshed stamp, which NO sink
+    // rescan could reconstruct (refreshes are invisible in admitted rows)
+    def b(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    val batches = Seq(
+      b(1L -> e(0), 3L -> e(1)),
+      b(7L -> mix(e(0), e(1), 0.05)), // dup of 1 → dropped, refreshes v1
+      b(8L -> e(1), 9L -> mix(e(0), e(1), 0.04)), // v3 expired → 8 in; v1 refreshed → 9 out
+      b(10L -> e(0))) // v1's refresh (batch 2 via veto of 9) keeps it live → 10 out
+    def run(step: (org.apache.spark.sql.DataFrame, Long) => Unit,
+        from: Int, to: Int, buf: scala.collection.mutable.ArrayBuffer[Long]): Unit =
+      (from to to).foreach(i => step(batches(i), i.toLong))
+    def mkStep(buf: scala.collection.mutable.ArrayBuffer[Long], d: Option[String]) =
+      StreamingVectorDedup.vectorDedupForeachBatchTtl(
+        ivf, pq, "vec_id", "embedding", threshold = 0.9, ttlBatches = 2,
+        nProbe = 2, adcMargin = 2.0, stateDir = d) { kept =>
+        buf ++= kept.select("vec_id").collect().map(_.getLong(0))
+      }
+    // uninterrupted reference run (no state dir)
+    val ref = scala.collection.mutable.ArrayBuffer.empty[Long]
+    run(mkStep(ref, None), 0, 3, ref)
+    // durable run killed after batch 1; a FRESH closure resumes at 2
+    val aBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    run(mkStep(aBuf, Some(dir)), 0, 1, aBuf)
+    val bBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    run(mkStep(bBuf, Some(dir)), 2, 3, bBuf)
+    assert((aBuf ++ bBuf).sorted.toSeq == ref.sorted.toSeq,
+      s"recovered run ${(aBuf ++ bBuf).sorted} != reference ${ref.sorted}")
+    // crash-AFTER-state-write: delta=3 exists; a fresh closure replaying
+    // batch 3 must skip its own orphaned delta and reproduce the output
+    val cBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    mkStep(cBuf, Some(dir))(batches(3), 3L)
+    // the reference's batch-3 output: v10 dropped (v1 kept alive through
+    // the batch-2 veto refresh, which only the delta log can restore) —
+    // the replay must skip its own orphaned delta=3 and emit nothing
+    assert(cBuf.isEmpty, s"replayed batch 3 admitted $cBuf, expected none")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("zero-norm and NULL vectors are always admitted and leave no state") {
     val df = fixtureRows.toDF("vec_id", "embedding")
     val (ivf, pq) = fitModels(df)
