@@ -1170,7 +1170,11 @@ object SparkEntry {
     // buckets, fit in ONE bounded-reduce job per epoch (the K gradient
     // sums ride one explode), predicted lang = argmax margin. The oracle
     // unrolls the per-class GD chains in SQL — fitted weights, argmax,
-    // AND the winning sigmoid all exact-checked.
+    // AND the winning sigmoid all exact-checked. NOTE the fixture's text
+    // carries NO language signal (every lang label shares the same
+    // synthetic vocabulary), so the argmax collapses to the majority
+    // class — this query pins fit/score EXACTNESS; real multilingual
+    // separation is pinned by LangIdSpec's crafted fixtures.
     "q113_langid_score" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val model = graft.ops.LangId.fitLangId(
