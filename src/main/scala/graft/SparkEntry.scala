@@ -1620,6 +1620,30 @@ object SparkEntry {
         TextAnalysis.GopherThresholds(minWords = 10, minStopwords = 1))
         .orderBy("doc_id")
     }),
+    // the crawl-to-training-tokens FLAGSHIP: WARC record walk →
+    // html_text extraction → Gopher quality gate → exact keep-first
+    // dedup → sequence packing under EXACT BPE token budgets — the whole
+    // 100 TB ingest composition in one declarative plan, every stage an
+    // individually-oracled operator and the composition itself
+    // end-to-end exact (the oracle chains the q109 battery, keep-first
+    // windows, the rank-order BPE recursion, and the q50 packing
+    // arithmetic over the REBUILT extracted text)
+    "q117_crawl_to_pack" -> ((s, dir) => {
+      val w = Multimodal.warcHtmlFromDocuments(table(s, dir, "documents"))
+      val recs = w.select(col("media_id").as("doc_id"),
+          explode(graft.functions.WarcFunctions.warcRecords(col("payload"))).as("r"))
+        .where(col("r.rec_type") === "response")
+        .select(col("doc_id"),
+          graft.ops.Extract.textFromHtmlBytes(col("r.body")).as("text"))
+      val kept = recs.where(TextAnalysis.gopherPasses(col("text"),
+        TextAnalysis.GopherThresholds(minWords = 10, minStopwords = 1)))
+      val deduped = graft.ops.Dedup.dropExact(kept, "text", "doc_id")
+      graft.ops.Packing.packSequences(deduped, "doc_id",
+          TextAnalysis.bpeTokenCountExact(col("text"),
+            graft.functions.BpeVocab.Builtin), capacity = 512L, nStreams = 4)
+        .select("doc_id", "n_tokens", "stream", "pack", "pack_id")
+        .orderBy("doc_id")
+    }),
     // raw-crawl ingest: WARC files parsed by the native record walker —
     // request AND response records, HTTP framing split, byte-level header
     // pin (hdr_hex); the fixture is pure arithmetic so the oracle rebuilds
@@ -2521,6 +2545,26 @@ object SparkEntry {
     "q109_warc_extract_gopher" -> gopherOracleSql(
       s"(SELECT doc_id, $htmlExpectedTextSql AS text FROM documents) x",
       minWords = 10),
+    // the flagship chain: rebuilt extracted text → battery pass-filter
+    // (the q109 oracle as a subquery) → keep-first window → the shared
+    // BPE recursion → q50's packing arithmetic at capacity 512 / 4 streams
+    "q117_crawl_to_pack" ->
+      s"""WITH RECURSIVE
+         |x117 AS (SELECT doc_id, $htmlExpectedTextSql AS text FROM documents),
+         |g117 AS (SELECT doc_id FROM (${gopherOracleSql("x117", minWords = 10)}) WHERE passes),
+         |k117 AS (SELECT x117.doc_id, x117.text FROM x117 JOIN g117 USING (doc_id)),
+         |ded117 AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+         |row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM k117) WHERE rn = 1),
+         |${bpeCountCtes("ded117")},
+         |t117 AS (SELECT doc_id, bpe_exact AS n_tokens,
+         |CAST(doc_id % 4 AS BIGINT) AS stream FROM bpe_cnt),
+         |c117 AS (SELECT doc_id, n_tokens, stream,
+         |sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+         |FROM t117 WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, stream, CAST(off // 512 AS BIGINT) AS pack,
+         |CAST(stream * 4294967296 + off // 512 AS BIGINT) AS pack_id
+         |FROM c117 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // transitive closure via recursive CTE; cluster id = min reachable id
     "q49_dup_clusters" ->
       """WITH RECURSIVE e AS (SELECT a.doc_id AS s, b.doc_id AS t

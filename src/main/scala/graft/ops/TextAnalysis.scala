@@ -135,6 +135,38 @@ object TextAnalysis {
     * semantics of non-whitespace runs, so a document that is blank under
     * ANY whitespace (tabs/newlines included, not just spaces) has ZERO
     * words. */
+  /** The battery conjunction over a [[graft.functions.TextFunctions
+    * .gopherSignals]] struct — shared by [[gopherQuality]]'s `passes`
+    * column and [[gopherPasses]], so the reported battery and the
+    * scan-time gate cannot drift. NULL signals (NULL text) → NULL;
+    * callers coalesce to false. */
+  private def passesFromSignals(sig: Column, t: GopherThresholds): Column = {
+    import graft.core.WeightedMoments.safeDiv
+    def g(f: String) = sig.getField(f).cast("double")
+    val words = g("n_words")
+    val meanLen = safeDiv(g("n_nonws_chars"), words)
+    val lines = g("n_lines")
+    words >= t.minWords && words <= t.maxWords &&
+      meanLen >= t.minMeanWordLen && meanLen <= t.maxMeanWordLen &&
+      safeDiv(g("n_hash"), words) <= t.maxSymbolRatio &&
+      safeDiv(g("n_ellipsis_sym"), words) <= t.maxSymbolRatio &&
+      safeDiv(g("n_bullet_lines"), lines) <= t.maxBulletRatio &&
+      safeDiv(g("n_ellipsis_lines"), lines) <= t.maxEllipsisRatio &&
+      safeDiv(g("n_alpha_words"), words) >= t.minAlphaWordRatio &&
+      sig.getField("n_stopwords") >= t.minStopwords
+  }
+
+  /** The Gopher battery as a standalone scan-time PREDICATE: one native
+    * signal scan per row, no battery frame, no join-back — the shape a
+    * 100 TB ingest filter wants (`df.where(gopherPasses(col(text), t))`
+    * keeps the whole chain one scan, where filtering through
+    * [[gopherQuality]]'s output costs a second text pass + a semi-join).
+    * NULL/blank text → false, exactly [[gopherQuality]]'s `passes`. */
+  def gopherPasses(text: Column, t: GopherThresholds = GopherThresholds()): Column =
+    coalesce(
+      passesFromSignals(graft.functions.TextFunctions.gopherSignals(text), t),
+      lit(false))
+
   def gopherQuality(
       df: DataFrame,
       textCol: String,
@@ -156,15 +188,7 @@ object TextAnalysis {
     val ellipsisLineRatio = safeDiv(g("n_ellipsis_lines"), lines)
     val alphaWordRatio = safeDiv(g("n_alpha_words"), words)
     val nStop = col("__g__").getField("n_stopwords")
-    val passes =
-      words >= t.minWords && words <= t.maxWords &&
-        meanLen >= t.minMeanWordLen && meanLen <= t.maxMeanWordLen &&
-        hashRatio <= t.maxSymbolRatio &&
-        ellipsisSymRatio <= t.maxSymbolRatio &&
-        bulletRatio <= t.maxBulletRatio &&
-        ellipsisLineRatio <= t.maxEllipsisRatio &&
-        alphaWordRatio >= t.minAlphaWordRatio &&
-        nStop >= t.minStopwords
+    val passes = passesFromSignals(col("__g__"), t)
     withSig.select(
       col(idCol),
       words.cast("long").as("n_words"),
