@@ -1620,6 +1620,16 @@ object SparkEntry {
         TextAnalysis.GopherThresholds(minWords = 10, minStopwords = 1))
         .orderBy("doc_id")
     }),
+    // Gopher REPETITION battery (Rae et al. 2021 Table A1): duplicate
+    // line/paragraph fractions (+char variants), top 2/3/4-gram char
+    // fractions, duplicate 5..10-gram char coverage — the within-doc
+    // half of the Gopher filter suite. The fixture corpus carries real
+    // repetition (generated docs repeat vocabulary), so the signals and
+    // the paper-threshold conjunction both bind.
+    "q118_gopher_repetition" -> ((s, dir) =>
+      graft.ops.GopherRepetition.gopherRepetition(
+          table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
     // the crawl-to-training-tokens FLAGSHIP: WARC record walk →
     // html_text extraction → Gopher quality gate → exact keep-first
     // dedup → sequence packing under EXACT BPE token budgets — the whole
@@ -2545,6 +2555,90 @@ object SparkEntry {
     "q109_warc_extract_gopher" -> gopherOracleSql(
       s"(SELECT doc_id, $htmlExpectedTextSql AS text FROM documents) x",
       minWords = 10),
+    // the repetition battery re-derived over list ops: segment counts per
+    // (doc, text), one gram relation for all 9 sizes, window argmax for
+    // the top fractions, distinct position coverage for the dup fractions
+    "q118_gopher_repetition" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |ln0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS s FROM d),
+        |lnc AS (SELECT doc_id, s, count(*) AS c, length(s) AS l FROM ln0 GROUP BY doc_id, s),
+        |lns AS (SELECT doc_id, sum(c) AS n, count(*) AS dd,
+        |sum((c - 1) * l) AS dupch, sum(c * l) AS totch FROM lnc GROUP BY doc_id),
+        |pg0 AS (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS s FROM d),
+        |pgc AS (SELECT doc_id, s, count(*) AS c, length(s) AS l FROM pg0 GROUP BY doc_id, s),
+        |pgs AS (SELECT doc_id, sum(c) AS n, count(*) AS dd,
+        |sum((c - 1) * l) AS dupch, sum(c * l) AS totch FROM pgc GROUP BY doc_id),
+        |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM d),
+        |tl AS (SELECT doc_id, tk, list_transform(tk, x -> CAST(length(x) AS BIGINT)) AS lens,
+        |CAST(coalesce(list_aggregate(list_transform(tk, x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS BIGINT) AS totc FROM tk),
+        |ns(n) AS (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)),
+        |g AS (SELECT doc_id, n, i - 1 AS pos, array_to_string(tk[i:i+n-1], ' ') AS gram,
+        |CAST(list_aggregate(lens[i:i+n-1], 'sum') AS BIGINT) AS chars
+        |FROM tl, ns, unnest(generate_series(1, len(tk) - n + 1)) AS sq(i) WHERE len(tk) >= n),
+        |gc AS (SELECT doc_id, n, gram, count(*) AS c, min(chars) AS gch FROM g GROUP BY doc_id, n, gram),
+        |top AS (SELECT doc_id, n, c * gch AS topch,
+        |row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rk FROM gc WHERE n IN (2,3,4)),
+        |topw AS (SELECT doc_id,
+        |max(CASE WHEN n = 2 THEN topch END) AS t2,
+        |max(CASE WHEN n = 3 THEN topch END) AS t3,
+        |max(CASE WHEN n = 4 THEN topch END) AS t4 FROM top WHERE rk = 1 GROUP BY doc_id),
+        |dupp AS (SELECT DISTINCT g.doc_id, g.n, g.pos + j.j AS tp
+        |FROM g JOIN gc ON gc.doc_id = g.doc_id AND gc.n = g.n AND gc.gram = g.gram,
+        |unnest(generate_series(0, g.n - 1)) AS j(j)
+        |WHERE gc.c >= 2 AND g.n IN (5,6,7,8,9,10)),
+        |tlp AS (SELECT doc_id, i - 1 AS tp, lens[i] AS l FROM tl,
+        |unnest(generate_series(1, len(tk))) AS sq(i)),
+        |dupc AS (SELECT dupp.doc_id, dupp.n, sum(tlp.l) AS dch
+        |FROM dupp JOIN tlp ON tlp.doc_id = dupp.doc_id AND tlp.tp = dupp.tp
+        |GROUP BY dupp.doc_id, dupp.n),
+        |dupw AS (SELECT doc_id,
+        |max(CASE WHEN n = 5 THEN dch END) AS d5, max(CASE WHEN n = 6 THEN dch END) AS d6,
+        |max(CASE WHEN n = 7 THEN dch END) AS d7, max(CASE WHEN n = 8 THEN dch END) AS d8,
+        |max(CASE WHEN n = 9 THEN dch END) AS d9, max(CASE WHEN n = 10 THEN dch END) AS d10
+        |FROM dupc GROUP BY doc_id),
+        |j AS (SELECT a.doc_id, lns.n AS ln_n, lns.dd AS ln_d, lns.dupch AS ln_dup, lns.totch AS ln_tot,
+        |pgs.n AS pg_n, pgs.dd AS pg_d, pgs.dupch AS pg_dup, pgs.totch AS pg_tot,
+        |tl.totc, topw.t2, topw.t3, topw.t4, dupw.d5, dupw.d6, dupw.d7, dupw.d8, dupw.d9, dupw.d10
+        |FROM documents a LEFT JOIN lns ON lns.doc_id = a.doc_id
+        |LEFT JOIN pgs ON pgs.doc_id = a.doc_id LEFT JOIN tl ON tl.doc_id = a.doc_id
+        |LEFT JOIN topw ON topw.doc_id = a.doc_id LEFT JOIN dupw ON dupw.doc_id = a.doc_id),
+        |r AS (SELECT doc_id,
+        |CASE WHEN ln_n <> 0 THEN round((ln_n - ln_d) / CAST(ln_n AS DOUBLE), 6) END AS dup_line_frac,
+        |CASE WHEN pg_n <> 0 THEN round((pg_n - pg_d) / CAST(pg_n AS DOUBLE), 6) END AS dup_para_frac,
+        |CASE WHEN ln_tot <> 0 THEN round(ln_dup / CAST(ln_tot AS DOUBLE), 6) END AS dup_line_char_frac,
+        |CASE WHEN pg_tot <> 0 THEN round(pg_dup / CAST(pg_tot AS DOUBLE), 6) END AS dup_para_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(t2, 0) / CAST(totc AS DOUBLE), 6) END AS top2gram_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(t3, 0) / CAST(totc AS DOUBLE), 6) END AS top3gram_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(t4, 0) / CAST(totc AS DOUBLE), 6) END AS top4gram_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(d5, 0) / CAST(totc AS DOUBLE), 6) END AS dup5gram_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(d6, 0) / CAST(totc AS DOUBLE), 6) END AS dup6gram_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(d7, 0) / CAST(totc AS DOUBLE), 6) END AS dup7gram_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(d8, 0) / CAST(totc AS DOUBLE), 6) END AS dup8gram_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(d9, 0) / CAST(totc AS DOUBLE), 6) END AS dup9gram_char_frac,
+        |CASE WHEN totc > 0 THEN round(coalesce(d10, 0) / CAST(totc AS DOUBLE), 6) END AS dup10gram_char_frac,
+        |(ln_n - ln_d) / CAST(ln_n AS DOUBLE) AS rl, (pg_n - pg_d) / CAST(pg_n AS DOUBLE) AS rp,
+        |ln_dup / CAST(ln_tot AS DOUBLE) AS rlc, pg_dup / CAST(pg_tot AS DOUBLE) AS rpc,
+        |coalesce(t2, 0) / CAST(totc AS DOUBLE) AS x2, coalesce(t3, 0) / CAST(totc AS DOUBLE) AS x3,
+        |coalesce(t4, 0) / CAST(totc AS DOUBLE) AS x4,
+        |coalesce(d5, 0) / CAST(totc AS DOUBLE) AS y5, coalesce(d6, 0) / CAST(totc AS DOUBLE) AS y6,
+        |coalesce(d7, 0) / CAST(totc AS DOUBLE) AS y7, coalesce(d8, 0) / CAST(totc AS DOUBLE) AS y8,
+        |coalesce(d9, 0) / CAST(totc AS DOUBLE) AS y9, coalesce(d10, 0) / CAST(totc AS DOUBLE) AS y10,
+        |totc FROM j)
+        |SELECT doc_id, dup_line_frac, dup_para_frac, dup_line_char_frac, dup_para_char_frac,
+        |top2gram_char_frac, top3gram_char_frac, top4gram_char_frac,
+        |dup5gram_char_frac, dup6gram_char_frac, dup7gram_char_frac, dup8gram_char_frac,
+        |dup9gram_char_frac, dup10gram_char_frac,
+        |coalesce(rl <= 0.30 AND rp <= 0.30 AND rlc <= 0.20 AND rpc <= 0.20
+        |AND CASE WHEN totc > 0 THEN x2 END <= 0.20
+        |AND CASE WHEN totc > 0 THEN x3 END <= 0.18
+        |AND CASE WHEN totc > 0 THEN x4 END <= 0.16
+        |AND CASE WHEN totc > 0 THEN y5 END <= 0.15
+        |AND CASE WHEN totc > 0 THEN y6 END <= 0.14
+        |AND CASE WHEN totc > 0 THEN y7 END <= 0.13
+        |AND CASE WHEN totc > 0 THEN y8 END <= 0.12
+        |AND CASE WHEN totc > 0 THEN y9 END <= 0.11
+        |AND CASE WHEN totc > 0 THEN y10 END <= 0.10, false) AS passes
+        |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // the flagship chain: rebuilt extracted text → battery pass-filter
     // (the q109 oracle as a subquery) → keep-first window → the shared
     // BPE recursion → q50's packing arithmetic at capacity 512 / 4 streams
