@@ -68,6 +68,21 @@ object GopherRepetition {
   private val TopNs = Seq(2, 3, 4)
   private val DupNs = Seq(5, 6, 7, 8, 9, 10)
 
+  /** Corpus filter: keep documents passing the repetition battery. One
+    * left-semi join against the battery's passing-id set — the signals
+    * need per-document aggregations, so unlike
+    * [[TextAnalysis.gopherPasses]] this cannot be a pure scan predicate;
+    * the join side collapses to ids only (8 bytes/doc). */
+  def dropRepetitive(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      t: RepetitionThresholds = RepetitionThresholds()): DataFrame =
+    df.join(
+      gopherRepetition(df, textCol, idCol, t)
+        .where(col("passes")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Segment-duplication aggregates over `df` split by `sep` (regex):
     * (id, n_seg, n_distinct, dup chars, total chars). */
   private def segmentStats(

@@ -107,6 +107,10 @@ class GopherRepetitionSpec extends SparkSpecBase {
     val got = GopherRepetition.gopherRepetition(df, "text", "doc_id")
       .orderBy("doc_id").select("passes").collect().map(_.getBoolean(0)).toSeq
     assert(got == Seq(true, false, false, false))
+    // the corpus-filter wrapper keeps exactly the passing set
+    val kept = GopherRepetition.dropRepetitive(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L))
   }
 
   test("zero-token and NULL docs surface with NULL gram signals") {
