@@ -387,6 +387,56 @@ object SparkEntry {
        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
   }
 
+  /** The q119 oracle: replay the ENTIRE SemDeDup recursion in SQL — unit
+    * normalization, seeded-hash init (the [[xxhashUnifCtes]] chain, exactly
+    * `Sampling.unif`), [[SemDedupIters]] Lloyd rounds (grid-quantized
+    * argmax with ties to the lowest cluster; per-dimension means
+    * re-normalized in dimension order; empty clusters carry forward), the
+    * final assignment, and the cluster-bounded pairwise drop test under the
+    * centroid-far priority. Every comparison runs on the same 1e-6 integer
+    * grid as the engine ([[graft.functions.CentroidBest]]), so assignment
+    * and drop decisions are reproducible across engines; output sims are
+    * `round(..., 6)` per the repo-wide convention. */
+  private def semDedupOracleSql: String = {
+    val th6 = math.floor(SemDedupThreshold * 1e6 + 0.5).toLong
+    val (hashCtes, hashLast) = xxhashUnifCtes("eu", "vec_id", SemDedupSeed, "sdh")
+    def assignCte(name: String, centCte: String): String =
+      s"""$name AS (SELECT vec_id, uv, cluster, dot FROM (
+         |SELECT e.vec_id, e.uv, i.cluster, list_dot_product(e.uv, i.c) AS dot,
+         |row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |CAST(floor(list_dot_product(e.uv, i.c) * 1e6 + 0.5) AS BIGINT) DESC, i.cluster) AS rk
+         |FROM eu e CROSS JOIN $centCte i) WHERE rk = 1)""".stripMargin
+    def updateCtes(i: Int): String =
+      s"""m${i}p AS (SELECT cluster, generate_subscripts(uv, 1) AS p, unnest(uv) AS x FROM a$i),
+         |m${i}a AS (SELECT cluster, p, avg(x) AS m FROM m${i}p GROUP BY cluster, p),
+         |m${i}l AS (SELECT cluster, list(m ORDER BY p) AS mv FROM m${i}a GROUP BY cluster),
+         |c$i AS (SELECT i.cluster, CASE WHEN m.mv IS NULL THEN i.c
+         |WHEN sqrt(list_dot_product(m.mv, m.mv)) > 0
+         |THEN list_transform(m.mv, x -> x / sqrt(list_dot_product(m.mv, m.mv)))
+         |ELSE i.c END AS c FROM c${i - 1} i LEFT JOIN m${i}l m USING (cluster))""".stripMargin
+    val rounds = (1 to SemDedupIters)
+      .map(i => s"${assignCte(s"a$i", s"c${i - 1}")}, ${updateCtes(i)}")
+      .mkString(", ")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e0 WHERE v IS NOT NULL),
+       |eu AS (SELECT vec_id, list_transform(v, x -> x / nv) AS uv FROM en WHERE nv > 0),
+       |$hashCtes,
+       |c0 AS (SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cluster, uv AS c
+       |FROM $hashLast ORDER BY u, vec_id LIMIT $SemDedupK),
+       |$rounds,
+       |${assignCte("af", s"c$SemDedupIters")},
+       |pr AS (SELECT vec_id, uv, cluster, dot,
+       |CAST(floor(dot * 1e6 + 0.5) AS BIGINT) AS g FROM af),
+       |dr AS (SELECT DISTINCT x.vec_id FROM pr x JOIN pr y ON x.cluster = y.cluster
+       |AND (y.g < x.g OR (y.g = x.g AND y.vec_id < x.vec_id))
+       |AND CAST(floor(list_dot_product(x.uv, y.uv) * 1e6 + 0.5) AS BIGINT) >= $th6)
+       |SELECT e.vec_id, CAST(p.cluster AS INTEGER) AS cluster, round(p.dot, 6) AS sim,
+       |(d.vec_id IS NULL) AS kept
+       |FROM (SELECT vec_id FROM embeddings) e
+       |LEFT JOIN pr p USING (vec_id) LEFT JOIN dr d USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin.replace("\n", " ")
+  }
+
   /** CTEs recomputing a DSIR model AND scores end-to-end in DuckDB over an
     * arbitrary (pool, target) pair — shared by q102/q103 (pool =
     * `documents`) and q105 (pool = the canonicalized corpus). `poolRel` and
@@ -411,6 +461,16 @@ object SparkEntry {
     * the oracle's `hash % m` (unsigned) equals Spark's signed `pmod` only
     * when m divides 2⁶⁴. */
   private val DsirBuckets = 1024
+
+  /** The q119 SemDeDup config — ONE definition consumed by the Spark query
+    * AND baked into [[semDedupOracleSql]] (the [[DsirBuckets]] anti-drift
+    * discipline). The embeddings fixture is 500 random-gaussian vectors at
+    * every SF; k=8 / 2 Lloyd iterations / threshold 0.30 makes the drop set
+    * non-empty without knife-edge pairs. */
+  private val SemDedupK = 8
+  private val SemDedupIters = 2
+  private val SemDedupSeed = 7L
+  private val SemDedupThreshold = 0.30
   private val DsirAlpha = 1.0
 
   /** The shared hashed-gram feature CTEs over a tagged (pool tg=0, target
@@ -1106,6 +1166,19 @@ object SparkEntry {
       Similarity.dropNearDuplicateVectors(table(s, dir, "embeddings"),
         "vec_id", "embedding", simThreshold = 0.45, strategy = "brute")
         .select("vec_id").orderBy("vec_id")),
+    // SemDeDup (Abbas et al. 2023): deterministic Lloyd spherical k-means,
+    // then near-dup drops bounded to each cluster under the paper's
+    // keep-the-centroid-farthest rule. Every stage — seeded-hash init,
+    // grid-quantized argmax assignment, per-dimension mean updates, the
+    // pairwise drop test — is exact public arithmetic, so the oracle
+    // replays the entire recursion (unlike the ML-KMeans-backed IVF fit).
+    "q119_semdedup" -> ((s, dir) =>
+      Similarity.semDedupReport(table(s, dir, "embeddings"), "vec_id",
+        "embedding", SemDedupThreshold, k = SemDedupK, iters = SemDedupIters,
+        seed = SemDedupSeed, keep = "centroid_far")
+        .select(col("vec_id"), col("cluster"),
+          round(col("sim"), 6).as("sim"), col("kept"))
+        .orderBy("vec_id")),
     // §2.4 calendar resample: monthly buckets over lineitem ship dates
     "q29_resample_monthly" -> ((s, dir) =>
       wli(s, dir).select("l_shipdate", "l_extendedprice")
@@ -2433,6 +2506,7 @@ object SparkEntry {
         |d AS (SELECT doc_a FROM r WHERE rk = 1 AND round(sim, 6) >= 0.45 AND doc_b < doc_a)
         |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT doc_a FROM d)
         |ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "q119_semdedup" -> semDedupOracleSql,
     "q28_text_analyze" -> s"$textAnalyzeSql ORDER BY doc_id",
     // Gopher rules: DuckDB re-derives every signal from token/line LISTS
     // (RE2 has no lookarounds — list_filter/list_contains give the same

@@ -107,6 +107,30 @@ final class CentroidMatrix(val k: Int, val dim: Int, val flat: Array[Double])
     best
   }
 
+  /** Best centroid under the GRID-QUANTIZED compare of
+    * [[graft.ops.Similarity.assignNearestCentroid]]: the comparison key is
+    * `floor(dot·1e6 + 0.5)` as a long — centroids whose dots agree within
+    * 1e-6 are ties and break toward the LOWEST index, so the assignment is
+    * reproducible across engines / float summation orders (the same
+    * contract the cross-engine oracles rely on). Inputs are expected
+    * unit-norm on BOTH sides so the dot IS the cosine. Returns
+    * `(bestIndex, fullPrecisionDotOfWinner)` packed in an
+    * [[org.apache.spark.sql.catalyst.InternalRow]]. */
+  def bestGrid(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements(); checkDim(n)
+    var best = 0; var bestKey = Long.MinValue; var bestDot = Double.NegativeInfinity
+    var c = 0; var off = 0
+    while (c < k) {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += flat(off + j) * v.getDouble(j); j += 1 }
+      val key = math.floor(acc * 1e6 + 0.5).toLong
+      if (key > bestKey) { bestKey = key; bestDot = acc; best = c }
+      c += 1; off += dim
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestDot))
+  }
+
   /** Indices of the `n` largest-dot centroids, ordered by (dot desc,
     * index asc) — the row_number-over-(cscore desc, cell asc) convention
     * of the old windowed probe ranking. Insertion into a size-n buffer:
@@ -216,6 +240,43 @@ case class CentroidTopN(child: Expression, centroids: Seq[Seq[Double]], n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroidMatrix", matrix, classOf[CentroidMatrix].getName)
     defineCodeGen(ctx, ev, v => s"$ref.topN($v, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid assignment under the grid-quantized tie-break of
+  * [[CentroidMatrix.bestGrid]], returning `struct(cluster int, dot
+  * double)` in ONE native loop per row — the scale shape for SemDeDup /
+  * Lloyd assignment: constant codegen size at any cluster count and no
+  * n×k broadcast-join intermediate (which `assignNearestCentroid`'s
+  * cross-join spelling materializes). NULL vector → NULL struct. */
+case class CentroidBest(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val matrix = CentroidMatrix(centroids)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dot", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_best requires array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    matrix.bestGrid(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidMatrix", matrix, classOf[CentroidMatrix].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.bestGrid($v)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -388,4 +449,8 @@ object VectorFunctions {
   /** `n` nearest centroid indices as a Column. */
   def centroidTopN(v: Column, centroids: Seq[Seq[Double]], n: Int): Column =
     ColumnBridge.column(CentroidTopN(ColumnBridge.expression(v), centroids, n))
+
+  /** Grid-quantized best centroid as a `struct(cluster, dot)` Column. */
+  def centroidBest(v: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CentroidBest(ColumnBridge.expression(v), centroids))
 }

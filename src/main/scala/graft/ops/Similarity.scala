@@ -912,4 +912,207 @@ object Similarity {
               col("__l__")))).as("__b__"))
       .select(col(idCol), col(s"__b__.$labelCol"), col("__b__.sim"))
   }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** Deterministic spherical-k-means model behind [[semDedup]]: unit-norm
+    * centroids produced by [[fitLloyd]]'s grid-pinned Lloyd iterations.
+    * Unlike [[IvfModel]] (Spark-ML KMeans, sample-trained, seeding
+    * engine-private) every step of this fit is exact public arithmetic —
+    * seeded-hash init, quantized-argmax assignment, per-dimension means —
+    * so a cross-engine oracle can replay the whole recursion. */
+  final case class LloydModel(centroids: Seq[Seq[Double]]) {
+    def k: Int = centroids.size
+  }
+
+  /** Unit-normalized clusterable vectors: `(idCol, __u__ array<double>)`.
+    * NULL and zero-norm vectors are excluded (they carry no direction —
+    * [[semDedup]] passes them through as survivors). */
+  private def unitVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = toDouble(col(vecCol))
+    val n = norm(vd)
+    df.select(col(idCol), when(n > lit(0.0), transform(vd, x => x / n)).as("__u__"))
+      .where(col("__u__").isNotNull)
+  }
+
+  /** Deterministic distributed Lloyd (spherical k-means) fit.
+    *
+    * Every step is engine-reproducible, which the ML-KMeans-backed
+    * [[fitIvf]] is not:
+    *   - init: the `k` vectors with the smallest seeded uniforms
+    *     (`Sampling.unif` — `xxhash64(id, seed)` arithmetic), labelled
+    *     0..k−1 in (uniform, id) order;
+    *   - assignment: [[graft.functions.CentroidBest]] — dot-product argmax
+    *     under the 1e-6 GRID key with ties to the lowest cluster (the
+    *     [[assignNearestCentroid]] contract), one native kernel call per
+    *     row, constant codegen size at any k;
+    *   - update: per-dimension mean of assigned unit vectors,
+    *     re-normalized; empty clusters carry their previous centroid.
+    *
+    * Scale shape: per iteration ONE corpus scan + a shuffle of ≤ k·dim
+    * partial-aggregated `(cluster, dim, mean)` rows; the driver holds only
+    * the k×dim centroid matrix (same bound as the IVF codebook — referenced
+    * object, broadcast-class). `k = 0` derives k from the corpus size so
+    * clusters hold ≈ `targetClusterRows` vectors at any scale (the
+    * [[listsFor]] policy — within-cluster pairwise work stays Σc², never
+    * n²). */
+  def fitLloyd(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 0,
+      iters: Int = 2,
+      seed: Long = 42L,
+      targetClusterRows: Int = 128): LloydModel = {
+    require(k >= 0, s"fitLloyd: k must be >= 0 (0 = derive), got $k")
+    require(iters >= 0, s"fitLloyd: iters must be >= 0, got $iters")
+    val unit = unitVectors(df, idCol, vecCol).cache()
+    try {
+      val kUse =
+        if (k > 0) k else listsFor(unit.count(), targetClusterRows)
+      val initRows = unit
+        .select(col("__u__"), Sampling.unif(Seq(idCol), seed).as("__r__"), col(idCol))
+        .orderBy(col("__r__"), col(idCol))
+        .limit(kUse)
+        .select("__u__")
+        .collect() // ≤ k rows — bounded by construction
+      require(initRows.nonEmpty, "fitLloyd: no clusterable vectors")
+      var cent: Seq[Seq[Double]] =
+        initRows.map(_.getSeq[Double](0).toSeq).toSeq
+      val dim = cent.head.size
+      var it = 0
+      while (it < iters) {
+        // (cluster, dim) means: partial-aggregated map-side, so the one
+        // shuffle carries ≤ k·dim rows per partition, never the corpus
+        val sums = unit
+          .select(
+            graft.functions.VectorFunctions.centroidBest(col("__u__"), cent)
+              .getField("cluster").as("__c__"),
+            posexplode(col("__u__")).as(Seq("__p__", "__x__")))
+          .groupBy("__c__", "__p__")
+          .agg(avg(col("__x__")).as("__m__"))
+          .collect() // ≤ k·dim rows — the centroid matrix itself
+        val acc = Array.fill(cent.size)(new Array[Double](dim))
+        val seen = Array.fill(cent.size)(false)
+        sums.foreach { r =>
+          val c = r.getInt(0)
+          acc(c)(r.getInt(1)) = r.getDouble(2)
+          seen(c) = true
+        }
+        cent = cent.indices.map { c =>
+          if (!seen(c)) cent(c) // empty cluster: carry the previous centroid
+          else {
+            // re-normalize in dimension order — the oracle folds the same way
+            var sq = 0.0
+            var j = 0
+            while (j < dim) { sq += acc(c)(j) * acc(c)(j); j += 1 }
+            val nrm = math.sqrt(sq)
+            if (nrm > 0) acc(c).map(_ / nrm).toSeq else cent(c)
+          }
+        }
+        it += 1
+      }
+      LloydModel(cent)
+    } finally unit.unpersist()
+  }
+
+  /** Internal assignment keeping the unit vector for downstream pairwise
+    * scoring: `(idCol, cluster, sim, __u__)` — `sim` is the full-precision
+    * cosine to the winning centroid (unit·unit dot). */
+  private def assignLloydWithUnit(
+      model: LloydModel, df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    unitVectors(df, idCol, vecCol)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.centroidBest(col("__u__"), model.centroids)
+          .as("__b__"),
+        col("__u__"))
+      .select(col(idCol), col("__b__.cluster").as("cluster"),
+        col("__b__.dot").as("sim"), col("__u__"))
+
+  /** Cluster assignment under a fitted [[LloydModel]]: `(idCol, cluster,
+    * sim)`, one row per clusterable vector. One kernel call per row — the
+    * corpus never joins or shuffles. */
+  def assignLloyd(
+      model: LloydModel, df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    assignLloydWithUnit(model, df, idCol, vecCol).drop("__u__")
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) decision report:
+    * `(idCol, cluster, sim, kept)` for EVERY input row.
+    *
+    * Semantic near-duplicates are detected only WITHIN a cluster of the
+    * deterministic [[fitLloyd]] spherical k-means — the paper's trade: no
+    * cross-cluster recall, in exchange for Σ(cluster²) pairwise work
+    * instead of n². A vector is dropped iff some same-cluster vector with
+    * higher keep-priority scores `cosine ≥ simThreshold`; both the
+    * pairwise test and the priority compare run on the 1e-6 integer grid
+    * (ties to the smaller id), so the decision set is reproducible across
+    * engines and partitionings.
+    *
+    * `keep` picks the priority order inside a duplicate group:
+    *   - `"centroid_far"` (paper's rule): the member LEAST similar to its
+    *     centroid wins — keeps edge/diverse examples;
+    *   - `"first"`: smallest id wins — the keep-first convention of
+    *     [[dropNearDuplicateVectors]] / `Dedup.dropExact`.
+    *
+    * Non-clusterable vectors (NULL / zero-norm) report NULL cluster/sim
+    * and `kept = true`. Scale shape: the self-join shuffles `(cluster,
+    * priority, unit-vector)` rows on the cluster key — Σc² dot products,
+    * each a codegen'd [[graft.functions.DotProduct]] loop. */
+  def semDedupReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      simThreshold: Double,
+      k: Int = 0,
+      iters: Int = 2,
+      seed: Long = 42L,
+      keep: String = "centroid_far",
+      model: Option[LloydModel] = None,
+      targetClusterRows: Int = 128): DataFrame = {
+    require(Set("first", "centroid_far").contains(keep),
+      s"semDedup: keep must be first|centroid_far, got '$keep'")
+    val m = model.getOrElse(fitLloyd(df, idCol, vecCol, k, iters, seed, targetClusterRows))
+    val th6 = math.floor(simThreshold * 1e6 + 0.5).toLong
+    val af = assignLloydWithUnit(m, df, idCol, vecCol)
+    val gridSim = floor(col("sim") * lit(1e6) + lit(0.5)).cast("long")
+    val pri = keep match {
+      case "first"        => struct(col(idCol))
+      case "centroid_far" => struct(gridSim, col(idCol))
+    }
+    val ranked = af.withColumn("__pri__", pri)
+    val x = ranked.select(col(idCol).as("__xid__"), col("cluster"),
+      col("__pri__").as("__xp__"), col("__u__").as("__xu__"))
+    val y = ranked.select(col(idCol).as("__yid__"), col("cluster").as("__yc__"),
+      col("__pri__").as("__yp__"), col("__u__").as("__yu__"))
+    val dropped = x
+      .join(y,
+        col("cluster") === col("__yc__") && col("__yp__") < col("__xp__") &&
+          floor(dot(col("__xu__"), col("__yu__")) * lit(1e6) + lit(0.5))
+            .cast("long") >= lit(th6),
+        "left_semi")
+      .select(col("__xid__").as(idCol), lit(true).as("__drop__"))
+    df.select(col(idCol))
+      .join(af.drop("__u__"), Seq(idCol), "left")
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("sim"),
+        coalesce(!col("__drop__"), lit(true)).as("kept"))
+  }
+
+  /** The SemDeDup'd corpus: [[semDedupReport]]'s dropped ids anti-joined
+    * away; all original columns (and non-clusterable rows) survive. */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      simThreshold: Double,
+      k: Int = 0,
+      iters: Int = 2,
+      seed: Long = 42L,
+      keep: String = "centroid_far",
+      model: Option[LloydModel] = None,
+      targetClusterRows: Int = 128): DataFrame = {
+    val rep = semDedupReport(df, idCol, vecCol, simThreshold, k, iters, seed,
+      keep, model, targetClusterRows)
+    df.join(rep.where(!col("kept")).select(col(idCol)), Seq(idCol), "left_anti")
+  }
 }
