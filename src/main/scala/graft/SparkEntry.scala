@@ -534,7 +534,7 @@ object SparkEntry {
     s"""bpe_m(rank, l, r) AS (VALUES $mVals),
        |bpe_d AS (SELECT doc_id, coalesce(text, '') AS text FROM $poolRel),
        |bpe_t AS (SELECT doc_id, regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS toks FROM bpe_d),
-       |bpe_p AS (SELECT doc_id, toks[i] AS tok FROM bpe_t, unnest(generate_series(1, len(toks))) AS g(i)),
+       |bpe_p AS (SELECT doc_id, i, toks[i] AS tok FROM bpe_t, unnest(generate_series(1, len(toks))) AS g(i)),
        |bpe_u AS (SELECT DISTINCT tok FROM bpe_p),
        |bpe_uh AS (SELECT tok, hex(encode(tok)) AS hxs FROM bpe_u),
        |bpe_init AS (SELECT tok, array_to_string(list_transform(range(0, length(hxs) // 2),
@@ -555,6 +555,40 @@ object SparkEntry {
        |FROM bpe_d d LEFT JOIN (SELECT p.doc_id, sum(tc.n) AS n
        |FROM bpe_p p JOIN bpe_tc tc ON p.tok = tc.tok GROUP BY p.doc_id) s
        |ON s.doc_id = d.doc_id)""".stripMargin.replace("\n", " ")
+  }
+
+  /** CTEs extending [[bpeCountCtes]] to full token-ID sequences — the
+    * oracle twin of [[graft.functions.BpeEncode]]. The derived-id table
+    * (`bpe_vm`): 256 single-byte symbols → their byte value, each merge
+    * RESULT (first producer wins on duplicates) → 256 + rank — exactly
+    * [[graft.functions.BpeVocab.idOf]]. Per pre-token, the final
+    * '.'-delimited symbol string maps to an id list in symbol order;
+    * per doc, token lists concatenate in pre-token position order (the
+    * `i` carried by `bpe_p`). Final CTE: `bpe_ids(doc_id, token_ids
+    * VARCHAR comma-joined, n_tokens BIGINT)` over every `poolRel` row
+    * (NULL/empty text → '', 0). */
+  private def bpeIdsCtes(poolRel: String): String = {
+    val merges = graft.functions.BpeVocab.Builtin.mergesInOrder
+    def hx(s: String): String = s.map(c => f"${c.toInt}%02X").mkString
+    val seen = scala.collection.mutable.HashSet[String]()
+    val mergeIds = merges.zipWithIndex.flatMap { case ((l, r), i) =>
+      val res = hx(l) + hx(r)
+      if (seen.add(res)) Some(s"('$res', ${256 + i})") else None
+    }
+    val byteIds = (0 until 256).map(b => s"('${f"$b%02X"}', $b)")
+    val vVals = (byteIds ++ mergeIds).mkString(", ")
+    s"""${bpeCountCtes(poolRel)},
+       |bpe_vm(sym, id) AS (VALUES $vVals),
+       |bpe_ss AS (SELECT tok, string_split(sy, '.') AS ss FROM bpe_rec WHERE step = ${merges.size}),
+       |bpe_sx AS (SELECT tok, generate_subscripts(ss, 1) AS j, unnest(ss) AS sym FROM bpe_ss),
+       |bpe_tid AS (SELECT x.tok, list(vm.id ORDER BY x.j) AS ids
+       |FROM bpe_sx x JOIN bpe_vm vm ON vm.sym = x.sym GROUP BY x.tok),
+       |bpe_dl AS (SELECT p.doc_id, flatten(list(t.ids ORDER BY p.i)) AS idl
+       |FROM bpe_p p JOIN bpe_tid t ON t.tok = p.tok GROUP BY p.doc_id),
+       |bpe_ids AS (SELECT d.doc_id,
+       |coalesce(array_to_string(l.idl, ','), '') AS token_ids,
+       |CAST(coalesce(len(l.idl), 0) AS BIGINT) AS n_tokens
+       |FROM bpe_d d LEFT JOIN bpe_dl l ON l.doc_id = d.doc_id)""".stripMargin.replace("\n", " ")
   }
 
   /** The q111 quality-classifier fit config — ONE definition consumed by
@@ -1370,6 +1404,28 @@ object SparkEntry {
           graft.functions.BpeVocab.Builtin), capacity = 2048L, nStreams = 8)
         .select("doc_id", "n_tokens", "stream", "pack", "pack_id")
         .orderBy("doc_id")),
+    // the FULL token-ID sequence per document (derived ids: bytes 0-255,
+    // merge results 256+rank) — ids joined to a comma string so the
+    // compare is dtype-exact on both engines; n_tokens = the id count,
+    // pinning encode ≡ count
+    "q120_bpe_encode" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeEncodeExact(coalesce(col("text"), lit("")),
+          graft.functions.BpeVocab.Builtin).as("__ids__"))
+        .select(col("doc_id"),
+          array_join(col("__ids__").cast("array<string>"), ",").as("token_ids"),
+          size(col("__ids__")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+    // training-ready packed token streams: q115's assignment with the
+    // per-pack id concatenation materialized — the trainer artifact
+    "q121_pack_token_streams" -> ((s, dir) =>
+      graft.ops.Packing.packTokenStreams(
+        table(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+        graft.functions.BpeVocab.Builtin, capacity = 2048L, nStreams = 8)
+        .select(col("pack_id"), col("stream"), col("pack"), col("n_docs"),
+          col("n_tokens"),
+          array_join(col("token_ids").cast("array<string>"), ",").as("token_ids"))
+        .orderBy("pack_id")),
     // context-window chunking: split each doc into fixed token windows
     // with overlap (pure per-row integer arithmetic + explode, no shuffle)
     "q55_chunk_docs" -> ((s, dir) =>
@@ -2786,6 +2842,29 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, stream, CAST(off // 2048 AS BIGINT) AS pack,
          |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // full id sequences: symbol→id mapping over the shared recursion
+    "q120_bpe_encode" ->
+      s"""WITH RECURSIVE ${bpeIdsCtes("documents")}
+         |SELECT doc_id, token_ids, n_tokens FROM bpe_ids ORDER BY doc_id""".stripMargin
+        .replace("\n", " "),
+    // q115's assignment + per-pack id concatenation in doc order
+    "q121_pack_token_streams" ->
+      s"""WITH RECURSIVE ${bpeIdsCtes("documents")},
+         |t AS (SELECT b.doc_id, b.bpe_exact AS n_tokens,
+         |CAST(b.doc_id % 8 AS BIGINT) AS stream, x.token_ids
+         |FROM bpe_cnt b JOIN bpe_ids x ON x.doc_id = b.doc_id),
+         |c AS (SELECT doc_id, n_tokens, stream, token_ids,
+         |sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+         |FROM t WHERE n_tokens > 0),
+         |p AS (SELECT doc_id, n_tokens, stream, token_ids,
+         |CAST(off // 2048 AS BIGINT) AS pack,
+         |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id FROM c)
+         |SELECT pack_id, stream, pack, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |string_agg(token_ids, ',' ORDER BY doc_id) AS token_ids
+         |FROM p GROUP BY pack_id, stream, pack ORDER BY pack_id""".stripMargin
+        .replace("\n", " "),
     // chunking: stride 224 = 256 - 32; integer ceil via (x + 223) // 224
     "q55_chunk_docs" ->
       """WITH t AS (SELECT doc_id,

@@ -79,6 +79,33 @@ final class BpeVocab private (
 
   /** The pair at `rank` (0-based). */
   def mergePair(rank: Int): (String, String) = pairArr(rank)
+
+  /** Token id of a FINAL symbol under the derived-id convention of
+    * from-scratch byte-level BPE trainers: single-byte symbols get their
+    * byte value (ids 0–255), a merged symbol gets `256 + rank` of the
+    * merge that first produces its string (trainer invariant: each merge
+    * result is a new symbol, so ranks and result strings are 1:1 in real
+    * vocabs; a hand-written duplicate result shares the earliest id —
+    * same string, same token). Deterministic from the merges file alone —
+    * no second vocab.json needed, and SQL-oracle-able. */
+  def idOf(sym: String): Int =
+    if (sym.length == 1) sym.charAt(0).toInt
+    else resultIds.get(sym).intValue() // every multi-byte symbol the merge
+                                       // loop can build has a producer
+
+  @transient private lazy val resultIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](nMerges * 2)
+    var r = 0
+    while (r < nMerges) {
+      val (l, rt) = pairArr(r)
+      m.putIfAbsent(l + rt, Integer.valueOf(256 + r))
+      r += 1
+    }
+    m
+  }
+
+  /** 256 byte symbols + one id per merge. */
+  def vocabSize: Int = 256 + nMerges
 }
 
 object BpeVocab {
@@ -205,9 +232,16 @@ object BpeCount {
 
   /** Shared by the interpreted and generated paths. */
   def compute(s: UTF8String, vocab: BpeVocab): Long = {
+    var count = 0L
+    forEachPreToken(s, tok => count += countToken(tok, vocab))
+    count
+  }
+
+  /** Run `f` over every pre-token of `s` in order — the ordered-alternation
+    * pre-tokenizer shared by [[compute]] and [[BpeEncode]]. */
+  private[functions] def forEachPreToken(s: UTF8String, f: String => Unit): Unit = {
     val raw = s.toString
     val len = raw.length
-    var count = 0L
     var i = 0
     while (i < len) {
       // the ordered-alternation pre-tokenizer (see class scaladoc):
@@ -242,21 +276,25 @@ object BpeCount {
         // whitespace run (all ws chars are single-unit ASCII)
         while (k < len && isWs(raw.charAt(k).toInt)) k += 1
       }
-      count += countToken(raw.substring(start, k), vocab)
+      f(raw.substring(start, k))
       i = k
     }
-    count
   }
 
   /** Token count of ONE pre-token: bytes → single-byte symbols → greedy
     * lowest-rank merges until none applies. */
-  private def countToken(tok: String, vocab: BpeVocab): Long = {
+  private def countToken(tok: String, vocab: BpeVocab): Long =
+    mergeToken(tok, vocab).size().toLong
+
+  /** The final symbol list of ONE pre-token under the reference merge
+    * loop — shared by [[countToken]] and [[BpeEncode]]'s id emission. */
+  private[functions] def mergeToken(tok: String, vocab: BpeVocab): java.util.ArrayList[String] = {
     val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var n = bytes.length
-    if (n <= 1) return n.toLong
+    val n = bytes.length
     val syms = new java.util.ArrayList[String](n)
     var i = 0
     while (i < n) { syms.add(String.valueOf((bytes(i) & 0xff).toChar)); i += 1 }
+    if (n <= 1) return syms
     var done = false
     while (!done && syms.size() >= 2) {
       // lowest-rank adjacent pair
@@ -281,8 +319,56 @@ object BpeCount {
         }
       }
     }
-    n = syms.size()
-    n.toLong
+    syms
+  }
+}
+
+/** `bpe_encode(text)` — the full token-ID sequence under a vendored merges
+  * vocabulary ([[BpeVocab.idOf]] derived ids: bytes 0–255, then 256+rank).
+  * The artifact a trainer actually consumes — [[BpeCount]] is `size` of
+  * this. Same pre-tokenizer and merge loop, same deployment shape: a
+  * per-row codegen'd kernel, zero shuffle, vocabulary broadcast once per
+  * executor inside the expression. NULL in → NULL; empty string → empty
+  * array. */
+case class BpeEncode(child: Expression, vocab: BpeVocab) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"bpe_encode requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    BpeEncode.compute(s.asInstanceOf[UTF8String], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.addReferenceObj("bpeVocab", vocab, classOf[BpeVocab].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode.compute($c, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  /** Shared by the interpreted and generated paths. */
+  def compute(s: UTF8String, vocab: BpeVocab):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val ids = new java.util.ArrayList[Integer]()
+    BpeCount.forEachPreToken(s, { tok =>
+      val syms = BpeCount.mergeToken(tok, vocab)
+      var i = 0
+      while (i < syms.size()) { ids.add(Integer.valueOf(vocab.idOf(syms.get(i)))); i += 1 }
+    })
+    val out = new Array[Int](ids.size())
+    var i = 0
+    while (i < out.length) { out(i) = ids.get(i).intValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -293,4 +379,8 @@ object BpeFunctions {
     * codegen'd projection. */
   def bpeCount(text: Column, vocab: BpeVocab): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(text), vocab))
+
+  /** Exact BPE token-ID sequence of `text` under `vocab` (`array<int>`). */
+  def bpeEncode(text: Column, vocab: BpeVocab): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), vocab))
 }

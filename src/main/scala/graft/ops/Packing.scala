@@ -54,6 +54,44 @@ object Packing {
       .withColumn("pack_id", col("stream") * lit(1L << 32) + col("pack"))
   }
 
+  /** Training-ready packed token STREAMS: [[packSequences]]'s stream/pack
+    * assignment over EXACT BPE counts, with the per-pack token ids
+    * concatenated in document order — the artifact a trainer actually
+    * loads, not just the assignment bookkeeping.
+    *
+    * Output: `(pack_id, stream, pack, n_docs, n_tokens, token_ids
+    * array<int>)`; `n_tokens == size(token_ids)` by construction. Docs
+    * stay whole (the [[packSequences]] contract — no cross-pack splits);
+    * concatenation order within a pack is ascending `idCol`, the same
+    * order the offset window assigned them by.
+    *
+    * Scale shape: each document is encoded ONCE ([[graft.functions
+    * .BpeEncode]], a per-row codegen'd kernel); the id arrays (≈4 B/token)
+    * ride the same stream-keyed window exchange the assignment already
+    * needs, then one pack-keyed aggregation assembles each pack — the
+    * bytes that move are the bytes a pack file must contain anyway. The
+    * per-group `array_sort(collect_list(struct(...)))` is bounded by
+    * `capacity` tokens per pack, not by the corpus. */
+  def packTokenStreams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: graft.functions.BpeVocab,
+      capacity: Long,
+      nStreams: Int = 64): DataFrame = {
+    val withIds = df.withColumn("__ids__",
+      graft.functions.BpeFunctions.bpeEncode(col(textCol), vocab))
+    packSequences(withIds, idCol, size(col("__ids__")).cast("long"),
+      capacity, nStreams)
+      .groupBy("pack_id", "stream", "pack")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col(idCol), col("__ids__")))),
+          s => s.getField("__ids__"))).as("token_ids"))
+  }
+
   /** Per-pack summary: document count, token total, fill ratio vs
     * `capacity`. The overrun contract means `fill` can exceed 1 by at most
     * `(max doc tokens − 1) / capacity`. */

@@ -38,6 +38,13 @@ object TextAnalysis {
   def bpeTokenCountExact(c: Column, vocab: graft.functions.BpeVocab): Column =
     graft.functions.BpeFunctions.bpeCount(c, vocab)
 
+  /** EXACT BPE token-ID sequence (`array<int>`) under a vendored merges
+    * vocabulary — what a trainer actually loads; [[bpeTokenCountExact]]
+    * is its `size`. Derived ids: bytes 0–255, merge results 256+rank
+    * ([[graft.functions.BpeVocab.idOf]]). */
+  def bpeEncodeExact(c: Column, vocab: graft.functions.BpeVocab): Column =
+    graft.functions.BpeFunctions.bpeEncode(c, vocab)
+
   // safeDiv: an empty document would otherwise divide by zero (ANSI throws)
   def alphaRatio(c: Column): Column =
     graft.core.WeightedMoments.safeDiv(

@@ -71,6 +71,107 @@ class BpeSpec extends SparkSpecBase {
     assert(kernelCount("xyz 12", v) == 3L + 3L) // " 12" = space+1+2 unmerged
   }
 
+  // ---- encode: full id sequences --------------------------------------
+
+  /** Rank-order reference EMITTING ids — the SQL oracle's formulation of
+    * [[graft.functions.BpeEncode]]. */
+  private def refEncode(text: String, vocab: BpeVocab): Vector[Int] = {
+    val merges = vocab.mergesInOrder
+    prepat.findAllIn(text).flatMap { tok =>
+      var syms: Vector[String] =
+        tok.getBytes("UTF-8").toVector.map(b => String.valueOf((b & 0xff).toChar))
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.map(vocab.idOf)
+    }.toVector
+  }
+
+  private def kernelEncode(text: String, vocab: BpeVocab): Vector[Int] =
+    Seq(Tuple1(text)).toDF("t")
+      .select(BpeFunctions.bpeEncode(col("t"), vocab).as("ids"))
+      .head.getSeq[Int](0).toVector
+
+  test("encode kernel ≡ rank-order reference; size(encode) == count") {
+    val v = BpeVocab.Builtin
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog .",
+      "the theme of the data is weighted documents",
+      "numbers 123 and 2024 , punctuation ! ? ; :",
+      "ünïcödé lëttérs are bytes überall",
+      "中文字符 also 混合 text",
+      "a", " ", "", ".", "!!!", "x1y2z3")
+    cases.foreach { t =>
+      val ids = kernelEncode(t, v)
+      assert(ids == refEncode(t, v), s"encode mismatch on '$t'")
+      assert(ids.length.toLong == kernelCount(t, v), s"size≠count on '$t'")
+    }
+  }
+
+  test("encode round-trips: id → symbol bytes reassemble the original text") {
+    val v = BpeVocab.Builtin
+    // reverse id table: byte ids map to their byte, merge ids to their
+    // result string (raw-byte chars) — concatenation must equal the input
+    val idToSym: Map[Int, String] =
+      (0 until 256).map(b => b -> String.valueOf((b & 0xff).toChar)).toMap ++
+        v.mergesInOrder.zipWithIndex.map { case ((l, r), i) => (256 + i) -> (l + r) }
+          .reverseIterator.toMap // first producer wins = LAST in reversed fold
+    Seq("the weighted documents are over the dog .",
+      "mixed 123 , ünïcödé and 中文", "").foreach { t =>
+      val bytes = kernelEncode(t, v).flatMap(id => idToSym(id).map(_.toByte))
+      assert(new String(bytes.toArray, "UTF-8") == t, s"round-trip failed on '$t'")
+    }
+  }
+
+  test("encode contracts: NULL → NULL; ids are stable token ids across docs") {
+    val v = BpeVocab.Builtin
+    val got = Seq(Tuple1(null.asInstanceOf[String]))
+      .toDF("t").select(BpeFunctions.bpeEncode(col("t"), v).as("ids")).head
+    assert(got.isNullAt(0))
+    // the same pre-token gets the same ids wherever it appears
+    val dog = kernelEncode(" dog", v)
+    assert(kernelEncode("the dog", v).endsWith(dog))
+    assert(kernelEncode("over the dog", v).endsWith(dog))
+  }
+
+  test("duplicate merge RESULTS share the earliest id (same string = same token)") {
+    // both ("ab","c") and ("a","bc") produce "abc": ids must collapse to
+    // the first producer's 256+rank
+    val v = BpeVocab.fromLines(Seq("a b", "b c", "ab c", "a bc"))
+    assert(v.idOf("abc") == 256 + 2)
+    assert(v.vocabSize == 256 + 4)
+  }
+
+  test("packTokenStreams: per-pack ids are the doc-order concatenation, n_tokens exact") {
+    val v = BpeVocab.Builtin
+    val docs = Seq(
+      (1L, "the dog"), (2L, "weighted documents"), (3L, "over the data"),
+      (4L, ""), (5L, "numbers 123")).toDF("doc_id", "text")
+    val packs = graft.ops.Packing.packTokenStreams(
+      docs, "doc_id", "text", v, capacity = 6L, nStreams = 1).collect()
+    val perDoc = Seq(1L, 2L, 3L, 5L)
+      .map(id => id -> kernelEncode(Seq((id)).map(i => Map(
+        1L -> "the dog", 2L -> "weighted documents", 3L -> "over the data",
+        5L -> "numbers 123")(i)).head, v)).toMap
+    // doc 4 (empty) is excluded by the packSequences n_tokens > 0 contract
+    val gotAll = packs.sortBy(_.getLong(0)).flatMap(_.getSeq[Int](5)).toVector
+    assert(gotAll == Seq(1L, 2L, 3L, 5L).flatMap(perDoc))
+    packs.foreach { r =>
+      assert(r.getLong(4) == r.getSeq[Int](5).length.toLong) // n_tokens = len
+      assert(r.getLong(3) >= 1L)                             // n_docs
+    }
+    // capacity 6: packs split whenever the running offset crosses 6 tokens
+    val total = perDoc.values.map(_.length).sum
+    assert(packs.map(_.getLong(4)).sum == total.toLong)
+  }
+
   test("pre-tokenizer: ordered alternation with optional leading space") {
     val v = BpeVocab.fromLines(Seq("x x")) // no merges that ever apply
     // with no applicable merges the count = total BYTES (1 symbol/byte)
