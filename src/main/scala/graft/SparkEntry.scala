@@ -1455,6 +1455,21 @@ object SparkEntry {
     "q104_bigram_ppl" -> ((s, dir) =>
       TextAnalysis.bigramPerplexity(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // CCNet head/middle/tail: per-language perplexity thirds cut by
+    // WEIGHT MASS (weight = doc length — the paper cuts bytes, not doc
+    // counts); composes the bigram LM with the weighted-qcut kernel
+    "q122_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(table(s, dir, "documents"), "text", "doc_id",
+        by = Seq("lang"), buckets = 3)
+        .orderBy("doc_id")),
+    // temperature-flattened language mix (XLM/mT5 convention): shares
+    // ∝ p^0.5 over the natural lang distribution, drawn through the same
+    // hash-seeded admission filter as q64
+    "q123_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        Seq("doc_id"), "lang", alpha = 0.5, seed = 13L)
+        .orderBy("doc_id")),
     // benchmark decontamination: per-doc distinct-3-gram overlap vs a
     // held-out benchmark slice (bench gram set broadcasts; corpus never
     // shuffles for the join — real pipelines use n≈13)
@@ -2909,6 +2924,49 @@ object SparkEntry {
         |FROM bg JOIN c2 USING (w2g) JOIN c1 USING (w1) GROUP BY doc_id)
         |SELECT d.doc_id, sc.ppl2 FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    // CCNet buckets: q104's ppl CTEs + q79's mass-cumulative qcut
+    // arithmetic, weight = length(text), partition by lang
+    "q122_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\f\r]+') AS toks
+        |FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS w2g
+        |FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+        |c2 AS (SELECT w2g, count(*) AS cb FROM bg GROUP BY w2g),
+        |c1 AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1),
+        |sc AS (SELECT doc_id, round(exp(-avg(ln(CAST(cb AS DOUBLE) / cc))), 6) AS ppl2
+        |FROM bg JOIN c2 USING (w2g) JOIN c1 USING (w1) GROUP BY doc_id),
+        |d2 AS (SELECT d.doc_id, d.lang, CAST(length(coalesce(d.text, '')) AS DOUBLE) AS w, sc.ppl2
+        |FROM documents d LEFT JOIN sc USING (doc_id)),
+        |p AS (SELECT doc_id, lang, ppl2,
+        |sum(CASE WHEN ppl2 IS NOT NULL THEN w ELSE 0 END)
+        |OVER (PARTITION BY lang ORDER BY ppl2
+        |RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |/ sum(CASE WHEN ppl2 IS NOT NULL THEN w ELSE 0 END)
+        |OVER (PARTITION BY lang) AS pr FROM d2),
+        |b AS (SELECT doc_id, lang, ppl2,
+        |CASE WHEN ppl2 IS NULL THEN NULL ELSE
+        |CAST(least(greatest(ceil(round(pr * 3, 9)) - 1, 0), 2) AS BIGINT) END AS bucket
+        |FROM p)
+        |SELECT doc_id, lang, ppl2, bucket,
+        |CASE WHEN bucket IS NULL THEN NULL WHEN bucket = 0 THEN 'head'
+        |WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_label
+        |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // temperature mix: shares recomputed from the data (pow(p, 0.5),
+    // normalized), then the q64 min-k fraction + hash admission
+    "q123_temperature_mix" -> {
+      val (ctes, last) = xxhashUnifCtes("src", "doc_id", 13L, "xtm_")
+      s"""WITH src AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+         |cnt AS (SELECT lang, count(*) AS c FROM src GROUP BY lang),
+         |tot AS (SELECT sum(c) AS n FROM cnt),
+         |pw AS (SELECT lang, c, pow(CAST(c AS DOUBLE) / (SELECT n FROM tot), 0.5) AS p FROM cnt),
+         |zz AS (SELECT sum(p) AS z FROM pw),
+         |shr AS (SELECT lang, c, p / (SELECT z FROM zz) AS share FROM pw),
+         |kk AS (SELECT min(c / share) AS k FROM shr),
+         |fr AS (SELECT lang, c, least(CAST(1 AS DOUBLE), (SELECT k FROM kk) * share / c) AS f FROM shr),
+         |$ctes
+         |SELECT t.doc_id, t.lang FROM $last t JOIN fr ON t.lang = fr.lang
+         |WHERE t.u < fr.f ORDER BY t.doc_id""".stripMargin.replace("\n", " ")
+    },
     // distinct word 3-grams per doc (list_distinct mirrors WordNGrams);
     // bench = doc_id % 97 = 0 slice, corpus = the rest
     // outer-joined from the full corpus id set so a < n-token or NULL-text

@@ -154,6 +154,44 @@ object Sampling {
     * One counting aggregate collects #strata rows to the driver to derive
     * the fractions — strata are languages/domains, tiny by construction —
     * then the filter is a pure per-row predicate (no further shuffle). */
+  /** Temperature-flattened sampling shares over the strata of
+    * `strataCol` — the multilingual-pretraining mixing rule (XLM,
+    * Conneau & Lample 2019; the mT5/GPT-3 data-mix convention):
+    * `share_g ∝ p_g^alpha` with `p_g` the stratum's natural row
+    * fraction. `alpha = 1` reproduces the natural mix; `alpha → 0`
+    * approaches uniform — flattening the head so low-resource strata are
+    * upsampled relative to their natural share.
+    *
+    * Deterministic across engines: strata counts collect to the driver
+    * (bounded — one row per stratum, the matchDistribution contract) and
+    * the normalizer folds in SORTED stratum order, so the share doubles
+    * are a pure function of the counts. */
+  def temperatureShares(
+      df: DataFrame, strataCol: String, alpha: Double): Map[String, Double] = {
+    require(alpha > 0, s"temperature alpha must be > 0, got $alpha")
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureShares: no non-null strata")
+    val n = counts.map(_._2).sum.toDouble
+    val pows = counts.sortBy(_._1).map { case (s, c) => s -> math.pow(c / n, alpha) }
+    val z = pows.foldLeft(0.0) { case (acc, (_, p)) => acc + p }
+    pows.map { case (s, p) => s -> p / z }.toMap
+  }
+
+  /** Draw the temperature-flattened mixture: [[temperatureShares]] fed to
+    * [[matchDistribution]] — the binding stratum keeps everything, the
+    * rest downsample to the flattened proportions via the same
+    * hash-seeded pushdown-able admission filter. */
+  def temperatureMix(
+      df: DataFrame,
+      idCols: Seq[String],
+      strataCol: String,
+      alpha: Double,
+      seed: Long = 42L): DataFrame =
+    matchDistribution(df, idCols, strataCol,
+      temperatureShares(df, strataCol, alpha), seed)
+
   def matchDistribution(
       df: DataFrame,
       idCols: Seq[String],

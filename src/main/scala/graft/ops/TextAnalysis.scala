@@ -361,6 +361,44 @@ object TextAnalysis {
     * (p ≈ distinctBigrams²/2⁶⁵ — negligible; the DuckDB oracle keys by the
     * bigram STRING, so a collision would surface as a hash mismatch, not
     * hide). */
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per `by`
+    * group (typically language), documents split into head/middle/tail by
+    * LM perplexity — head = the LOWEST-perplexity slice. The split is by
+    * WEIGHT MASS with weight = document character length (CCNet cuts the
+    * corpus into equal thirds of bytes, not equal document counts), so a
+    * few long clean documents fill head as fast as many short ones.
+    * Composes the self-trained bigram LM ([[bigramPerplexity]]) with the
+    * weighted-qcut kernel ([[graft.core.WeightedNormalize.qcut]] — one
+    * window shuffle per group, no join-back); `buckets` generalizes the
+    * paper's 3.
+    *
+    * Output: `(idCol, by…, ppl2, bucket, bucket_label)`; sub-2-token and
+    * NULL-text docs have NULL ppl2 → NULL bucket/label. Labels are
+    * head/middle/tail at `buckets = 3`, `b<k>` otherwise. */
+  def pplBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      by: Seq[String] = Seq.empty,
+      buckets: Int = 3): DataFrame = {
+    val ppl = bigramPerplexity(df, textCol, idCol)
+    val base = df
+      .select((col(idCol) +: by.map(col)) :+
+        length(coalesce(col(textCol), lit(""))).cast("double").as("__w__"): _*)
+      .join(ppl, Seq(idCol))
+    val wdf = graft.core.WeightedDataFrame.wt(base, "__w__")
+    val cut = graft.core.WeightedNormalize.qcut(wdf, "ppl2", by, buckets, "bucket")
+    val label =
+      if (buckets == 3)
+        when(col("bucket") === 0, lit("head"))
+          .when(col("bucket") === 1, lit("middle"))
+          .otherwise(lit("tail"))
+      else concat(lit("b"), col("bucket"))
+    cut.withColumn("bucket_label", when(col("bucket").isNotNull, label))
+      .select((col(idCol) +: by.map(col)) ++
+        Seq(col("ppl2"), col("bucket"), col("bucket_label")): _*)
+  }
+
   def bigramPerplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     import graft.functions.StringFunctions.wordNGramHashes
     val arrs = df.select(col(idCol).as("__id__"),

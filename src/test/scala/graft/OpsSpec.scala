@@ -749,6 +749,44 @@ class SamplingSpec extends SparkSpecBase {
     assert(heavy > 0.75, s"heavy-class share $heavy not weight-proportional")
   }
 
+  test("temperatureShares: alpha=1 is the natural mix; alpha→0 flattens toward uniform") {
+    val df = ((1 to 800).map(i => (i.toLong, "en")) ++
+      (1 to 150).map(i => (i.toLong + 1000, "de")) ++
+      (1 to 50).map(i => (i.toLong + 2000, "fr"))).toDF("id", "lang")
+    val nat = Sampling.temperatureShares(df, "lang", alpha = 1.0)
+    assert(math.abs(nat("en") - 0.8) < 1e-12)
+    assert(math.abs(nat("de") - 0.15) < 1e-12)
+    assert(math.abs(nat("fr") - 0.05) < 1e-12)
+    assert(math.abs(nat.values.sum - 1.0) < 1e-12)
+    val flat = Sampling.temperatureShares(df, "lang", alpha = 0.01)
+    assert(flat.values.forall(s => math.abs(s - 1.0 / 3) < 0.02),
+      s"alpha→0 should be ~uniform, got $flat")
+    // flattening is monotone: the smallest stratum's share only grows as
+    // alpha drops, the largest only shrinks
+    val mid = Sampling.temperatureShares(df, "lang", alpha = 0.5)
+    assert(nat("fr") < mid("fr") && mid("fr") < flat("fr"))
+    assert(nat("en") > mid("en") && mid("en") > flat("en"))
+  }
+
+  test("temperatureMix: deterministic draw; binding stratum keeps everything") {
+    val df = ((1 to 800).map(i => (i.toLong, "en")) ++
+      (1 to 50).map(i => (i.toLong + 2000, "fr"))).toDF("id", "lang")
+    val a = Sampling.temperatureMix(df, Seq("id"), "lang", alpha = 0.5, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df.repartition(7), Seq("id"), "lang", 0.5, 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "draw must not depend on partitioning")
+    // fr is the binding (most-upsampled) stratum: matchDistribution keeps
+    // all of it and downsamples en to restore the flattened ratio
+    val frKept = a.count(_ > 2000)
+    assert(frKept == 50, s"binding stratum must keep all rows, kept $frKept")
+    val enKept = a.size - frKept
+    // target en share = p^0.5-normalized ≈ 0.8 → en/fr ≈ 4:1 at alpha=.5
+    val want = math.sqrt(800.0 / 850) / (math.sqrt(800.0 / 850) + math.sqrt(50.0 / 850))
+    val ratio = enKept.toDouble / (enKept + 50)
+    assert(math.abs(ratio - want) < 0.06, s"en share $ratio, want ≈ $want")
+  }
+
   test("assignSplit: deterministic covering split with ~requested fractions") {
     val df = (1 to 5000).map(i => Tuple1(i.toLong)).toDF("id")
     val out = Sampling.assignSplit(df, Seq("id"),
@@ -1367,6 +1405,45 @@ class PackingSpec extends SparkSpecBase {
     assert(math.abs(got(1L).get - got(3L).get) > 1e-3,
       s"bigram ppl must separate permutations: ${got(1L)} vs ${got(3L)}")
     assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty)
+  }
+
+  test("pplBuckets: mass-weighted head/middle/tail per group, NULL ppl → NULL bucket") {
+    // real corpus slice so the self-trained LM has signal
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis.pplBuckets(d, "text", "doc_id",
+      by = Seq("lang"), buckets = 3).cache()
+    try {
+      assert(got.count() == d.count())
+      val labels = got.where(col("bucket").isNotNull)
+        .select("bucket_label").distinct().collect().map(_.getString(0)).toSet
+      assert(labels == Set("head", "middle", "tail"))
+      // head = LOWEST perplexity: per language, max(head ppl) <= min(tail ppl)
+      val byLang = got.where(col("bucket").isNotNull)
+        .groupBy("lang").agg(
+          max(when(col("bucket") === 0, col("ppl2"))).as("maxHead"),
+          min(when(col("bucket") === 2, col("ppl2"))).as("minTail"))
+        .collect()
+      byLang.foreach { r =>
+        if (!r.isNullAt(1) && !r.isNullAt(2))
+          assert(r.getDouble(1) <= r.getDouble(2),
+            s"lang ${r.getString(0)}: head ppl above tail")
+      }
+      // NULL ppl (sub-2-token) rows keep NULL bucket AND label
+      val nulls = got.where(col("ppl2").isNull)
+      assert(nulls.where(col("bucket").isNotNull || col("bucket_label").isNotNull).count() == 0)
+      // mass split: each lang's head holds ~1/3 of its total char mass
+      val mass = got.join(d.select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("double").as("w")), Seq("doc_id"))
+        .where(col("bucket").isNotNull)
+        .groupBy("lang").agg(
+          (sum(when(col("bucket") === 0, col("w")).otherwise(0.0)) / sum(col("w"))).as("hs"))
+        .collect()
+      mass.foreach { r =>
+        assert(math.abs(r.getDouble(1) - 1.0 / 3) < 0.15,
+          s"lang ${r.getString(0)} head mass share ${r.getDouble(1)}")
+      }
+    } finally got.unpersist()
   }
 
   test("vocabulary counts total and document frequency with a deterministic cut") {
