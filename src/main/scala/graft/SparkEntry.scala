@@ -1213,6 +1213,96 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"),
           round(col("sim"), 6).as("sim"), col("kept"))
         .orderBy("vec_id")),
+    // SemDeDup SCALE-path soundness (q37b pattern): the two-level routed
+    // assignment (fitLloydTwoLevel / groupForRouting — O(√k·dim) per row
+    // instead of exact Lloyd's O(k·dim), the shape that survives 10⁹-vector
+    // corpora) cannot be SQL-oracled without unrolling a second recursion,
+    // so this query pins its invariants as property counters the oracle
+    // fixes at constants: the probe-all route IS the global argmax (a
+    // mathematical identity of the kernel), the drop set equals the exact
+    // pairwise rule under the routed model (both directions), coverage,
+    // NULL contracts, non-vacuousness, and a routed-vs-exact decision
+    // agreement floor under the SAME centroid set (groupForRouting wraps
+    // the q119 model, so disagreement is coarse-boundary misrouting only —
+    // measured 0.73+ at nProbe=1 on the near-isotropic fixture, the worst
+    // case for routing; floor 0.65).
+    "q119b_semdedup_twolevel" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val emb = table(s, dir, "embeddings")
+      val lloyd = Similarity.fitLloyd(emb, "vec_id", "embedding",
+        k = SemDedupK, iters = SemDedupIters, seed = SemDedupSeed)
+      val routed = Similarity.groupForRouting(lloyd)
+      val rep = Similarity.semDedupTwoLevelReport(emb, "vec_id", "embedding",
+        SemDedupThreshold, seed = SemDedupSeed, keep = "centroid_far",
+        model = Some(routed)).localCheckpoint()
+      val exact = Similarity.semDedupReport(emb, "vec_id", "embedding",
+        SemDedupThreshold, keep = "centroid_far", model = Some(lloyd))
+        .localCheckpoint()
+      val th6 = math.floor(SemDedupThreshold * 1e6 + 0.5).toLong
+      def cnt(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n_bad"))
+          .select(lit(name).as("property"), col("n_bad"))
+      // unit vectors for the witness recompute
+      val vd = col("embedding").cast("array<double>")
+      val nrm = sqrt(VectorFunctions.dotProduct(vd, vd))
+      val units = emb.select(col("vec_id"),
+        when(nrm > 0, transform(vd, x => x / nrm)).as("u"))
+        .where(col("u").isNotNull)
+      // kernel identity: probing EVERY coarse cell must reproduce the
+      // global grid-argmax over the same (cell-major) centroid list
+      val identity = units.select(
+        VectorFunctions.twoLevelBest(col("u"), routed.coarse,
+          routed.fineByCell, routed.kCoarse).getField("cluster").as("c1"),
+        VectorFunctions.centroidBest(col("u"), routed.globalCentroids)
+          .getField("cluster").as("c2")).where(col("c1") =!= col("c2"))
+      // the drop set must equal the pairwise rule under the routed model:
+      // witness = same-cluster member with lower (gridSim, id) priority
+      // within the cosine threshold — recomputed here from the units
+      val gsim = floor(col("sim") * lit(1e6) + lit(0.5)).cast("long")
+      val rx = rep.join(units, "vec_id").select(col("vec_id").as("xid"),
+        col("cluster").as("xc"), gsim.as("xg"), col("kept").as("xkept"),
+        col("u").as("xu"))
+      val ry = rep.join(units, "vec_id").select(col("vec_id").as("yid"),
+        col("cluster").as("yc"), gsim.as("yg"), col("u").as("yu"))
+      val witnessed = rx.join(ry,
+          col("xc") === col("yc") &&
+            (col("yg") < col("xg") ||
+              (col("yg") === col("xg") && col("yid") < col("xid"))) &&
+            floor(VectorFunctions.dotProduct(col("xu"), col("yu")) * lit(1e6)
+              + lit(0.5)).cast("long") >= lit(th6),
+          "left_semi")
+        .select(col("xid"), col("xkept"))
+      val droppedNoWitness = rx.where(!col("xkept"))
+        .join(witnessed.select("xid"), Seq("xid"), "left_anti")
+      val keptWithWitness = witnessed.where(col("xkept"))
+      // coverage + NULL contracts
+      val missing = emb.select(col("vec_id"))
+        .join(rep.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      val dupes = rep.groupBy("vec_id").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+      val badNulls = rep.where(col("cluster").isNull &&
+        (!col("kept") || col("sim").isNotNull))
+      // decision agreement vs the exact path under the same centroid set
+      val joined = rep.select(col("vec_id"), col("kept"))
+        .join(exact.select(col("vec_id"), col("kept").as("kept_e")), "vec_id")
+      val floorBroken = joined
+        .agg((sum(when(col("kept") =!= col("kept_e"), 1L).otherwise(0L)) >
+          count(lit(1)) * lit(0.35)).as("broken"))
+        .select(lit("agreement_below_floor").as("property"),
+          when(col("broken"), 1L).otherwise(0L).as("n_bad"))
+      val hasDrops = rep.where(!col("kept"))
+        .agg(least(count(lit(1)), lit(1L)).as("n_bad"))
+        .select(lit("has_drops").as("property"), col("n_bad"))
+      cnt("probe_all_vs_global", identity)
+        .unionAll(cnt("dropped_without_witness", droppedNoWitness))
+        .unionAll(cnt("kept_with_witness", keptWithWitness))
+        .unionAll(cnt("missing_rows", missing))
+        .unionAll(cnt("multi_reports", dupes))
+        .unionAll(cnt("null_contract_broken", badNulls))
+        .unionAll(floorBroken)
+        .unionAll(hasDrops)
+        .orderBy("property")
+    }),
     // §2.4 calendar resample: monthly buckets over lineitem ship dates
     "q29_resample_monthly" -> ((s, dir) =>
       wli(s, dir).select("l_shipdate", "l_extendedprice")
@@ -2578,6 +2668,20 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT doc_a FROM d)
         |ORDER BY vec_id""".stripMargin.replace("\n", " "),
     "q119_semdedup" -> semDedupOracleSql,
+    // two-level scale path: DuckDB cannot see the routed assignment without
+    // a second full recursion unroll; it pins that no soundness property
+    // can be violated and that the drop test was not vacuous (q37b pattern)
+    "q119b_semdedup_twolevel" ->
+      """SELECT * FROM (VALUES
+        |('agreement_below_floor', CAST(0 AS BIGINT)),
+        |('dropped_without_witness', CAST(0 AS BIGINT)),
+        |('has_drops', CAST(1 AS BIGINT)),
+        |('kept_with_witness', CAST(0 AS BIGINT)),
+        |('missing_rows', CAST(0 AS BIGINT)),
+        |('multi_reports', CAST(0 AS BIGINT)),
+        |('null_contract_broken', CAST(0 AS BIGINT)),
+        |('probe_all_vs_global', CAST(0 AS BIGINT)))
+        |AS t(property, n_bad) ORDER BY property""".stripMargin.replace("\n", " "),
     "q28_text_analyze" -> s"$textAnalyzeSql ORDER BY doc_id",
     // Gopher rules: DuckDB re-derives every signal from token/line LISTS
     // (RE2 has no lookarounds — list_filter/list_contains give the same

@@ -426,6 +426,159 @@ case class PqAdcScore(left: Expression, right: Expression, codebooks: Seq[Seq[Se
     copy(left = newLeft, right = newRight)
 }
 
+/** Two-level (coarse → fine) centroid routing for SemDeDup at scale.
+  *
+  * Exact Lloyd assignment is O(k·dim) per row with k = n/targetClusterRows
+  * — quadratic in corpus size, infeasible at 10⁹+ vectors on any engine
+  * (the SemDeDup paper runs its k-means on GPUs via approximate search for
+  * the same reason). This matrix holds √k-ish COARSE routing centroids
+  * plus, per coarse cell, that cell's FINE centroids; a row probes its
+  * `nProbe` best coarse cells (grid key, ties to the lowest cell) and
+  * arg-maxes only over those cells' fine centroids — O((kCoarse +
+  * nProbe·maxFine)·dim) per row, O(√k·dim) at balanced sizing.
+  *
+  * Determinism contract (the [[CentroidMatrix.bestGrid]] conventions):
+  * every compare runs on the `floor(dot·1e6 + 0.5)` grid; coarse probe
+  * ties break to the lowest cell index; the fine argmax iterates probed
+  * cells in ASCENDING cell order, so first-seen-wins = lowest GLOBAL fine
+  * id (ids are cell-major: cell c's fine centroids are numbered
+  * `offset(c) .. offset(c)+size(c)-1`). Cells may be ragged; empty cells
+  * are disallowed (drop them — and reindex — at model build). */
+final class TwoLevelMatrix(
+    val kCoarse: Int, val dim: Int,
+    coarseFlat: Array[Double],
+    cellOffset: Array[Int], // length kCoarse+1, prefix sums into fineFlat
+    fineFlat: Array[Double]) extends Serializable {
+
+  def kFineTotal: Int = cellOffset(kCoarse)
+
+  private def checkDim(n: Int): Unit =
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"two-level kernel: vector dim $n != matrix dim $dim")
+
+  /** `(globalFineId, fullPrecisionDotOfWinner)` under the two-level route. */
+  def bestTwoLevel(v: ArrayData, nProbe: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements(); checkDim(n)
+    val vv = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { vv(j) = v.getDouble(j); j += 1 }
+    // probe: top-nProbe coarse cells by (gridKey desc, cell asc)
+    val take = math.min(nProbe, kCoarse)
+    val pKeys = new Array[Long](take)
+    val pIdx = new Array[Int](take)
+    var filled = 0
+    var c = 0; var off = 0
+    while (c < kCoarse) {
+      var acc = 0.0
+      j = 0
+      while (j < dim) { acc += coarseFlat(off + j) * vv(j); j += 1 }
+      val key = math.floor(acc * 1e6 + 0.5).toLong
+      // strictly-greater insertion keeps the first-seen (lowest) cell on ties
+      var p = filled
+      while (p > 0 && pKeys(p - 1) < key) p -= 1
+      if (p < take) {
+        val last = math.min(filled, take - 1)
+        var q = last
+        while (q > p) { pKeys(q) = pKeys(q - 1); pIdx(q) = pIdx(q - 1); q -= 1 }
+        pKeys(p) = key; pIdx(p) = c
+        if (filled < take) filled += 1
+      }
+      c += 1; off += dim
+    }
+    // fine argmax over probed cells, visited in ASCENDING cell order so
+    // grid ties break to the lowest global fine id
+    java.util.Arrays.sort(pIdx, 0, filled)
+    var best = -1; var bestKey = Long.MinValue; var bestDot = Double.NegativeInfinity
+    var pi = 0
+    while (pi < filled) {
+      val cell = pIdx(pi)
+      var g = cellOffset(cell)
+      val end = cellOffset(cell + 1)
+      var foff = g * dim
+      while (g < end) {
+        var acc = 0.0
+        j = 0
+        while (j < dim) { acc += fineFlat(foff + j) * vv(j); j += 1 }
+        val key = math.floor(acc * 1e6 + 0.5).toLong
+        if (key > bestKey) { bestKey = key; bestDot = acc; best = g }
+        g += 1; foff += dim
+      }
+      pi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestDot))
+  }
+}
+
+object TwoLevelMatrix {
+  def apply(coarse: Seq[Seq[Double]], fineByCell: Seq[Seq[Seq[Double]]]): TwoLevelMatrix = {
+    require(coarse.nonEmpty, "two-level matrix: empty coarse set")
+    require(coarse.size == fineByCell.size,
+      s"two-level matrix: ${coarse.size} coarse cells vs ${fineByCell.size} fine groups")
+    require(fineByCell.forall(_.nonEmpty),
+      "two-level matrix: empty coarse cell — drop and reindex before building")
+    val dim = coarse.head.size
+    require(coarse.forall(_.size == dim) && fineByCell.forall(_.forall(_.size == dim)),
+      "two-level matrix: ragged vectors")
+    val kCoarse = coarse.size
+    val coarseFlat = new Array[Double](kCoarse * dim)
+    coarse.zipWithIndex.foreach { case (row, c) =>
+      var j = 0; row.foreach { x => coarseFlat(c * dim + j) = x; j += 1 }
+    }
+    val cellOffset = new Array[Int](kCoarse + 1)
+    fineByCell.zipWithIndex.foreach { case (g, c) => cellOffset(c + 1) = cellOffset(c) + g.size }
+    val fineFlat = new Array[Double](cellOffset(kCoarse) * dim)
+    var g = 0
+    fineByCell.foreach(_.foreach { row =>
+      var j = 0; row.foreach { x => fineFlat(g * dim + j) = x; j += 1 }
+      g += 1
+    })
+    new TwoLevelMatrix(kCoarse, dim, coarseFlat, cellOffset, fineFlat)
+  }
+}
+
+/** Two-level best-centroid assignment as one native expression:
+  * `struct(cluster int, dot double)` where `cluster` is the GLOBAL fine
+  * centroid id (cell-major). Same reference-object pattern as
+  * [[CentroidBest]] — constant codegen size at any k. NULL vector → NULL. */
+case class TwoLevelBest(
+    child: Expression,
+    coarse: Seq[Seq[Double]],
+    fineByCell: Seq[Seq[Seq[Double]]],
+    nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nProbe >= 1, s"two_level_best needs nProbe >= 1, got $nProbe")
+
+  @transient private lazy val matrix = TwoLevelMatrix(coarse, fineByCell)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dot", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"two_level_best requires array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    matrix.bestTwoLevel(v.asInstanceOf[ArrayData], nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("twoLevelMatrix", matrix, classOf[TwoLevelMatrix].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.bestTwoLevel($v, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -453,4 +606,10 @@ object VectorFunctions {
   /** Grid-quantized best centroid as a `struct(cluster, dot)` Column. */
   def centroidBest(v: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(CentroidBest(ColumnBridge.expression(v), centroids))
+
+  /** Two-level (coarse-probe → fine-argmax) best centroid as a
+    * `struct(cluster, dot)` Column; `cluster` is the global fine id. */
+  def twoLevelBest(v: Column, coarse: Seq[Seq[Double]],
+      fineByCell: Seq[Seq[Seq[Double]]], nProbe: Int): Column =
+    ColumnBridge.column(TwoLevelBest(ColumnBridge.expression(v), coarse, fineByCell, nProbe))
 }

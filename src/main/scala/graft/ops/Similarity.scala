@@ -1072,8 +1072,22 @@ object Similarity {
     require(Set("first", "centroid_far").contains(keep),
       s"semDedup: keep must be first|centroid_far, got '$keep'")
     val m = model.getOrElse(fitLloyd(df, idCol, vecCol, k, iters, seed, targetClusterRows))
-    val th6 = math.floor(simThreshold * 1e6 + 0.5).toLong
     val af = assignLloydWithUnit(m, df, idCol, vecCol)
+    pairwiseDropReport(df, idCol, af, simThreshold, keep)
+  }
+
+  /** The within-cluster pairwise drop stage shared by [[semDedupReport]]
+    * and [[semDedupTwoLevelReport]]: `af` is the assigned frame `(idCol,
+    * cluster, sim, __u__)`; returns `(idCol, cluster, sim, kept)` for
+    * every row of `df`. The self-join shuffles on the cluster key only —
+    * Σc² dot products, never n². */
+  private def pairwiseDropReport(
+      df: DataFrame,
+      idCol: String,
+      af: DataFrame,
+      simThreshold: Double,
+      keep: String): DataFrame = {
+    val th6 = math.floor(simThreshold * 1e6 + 0.5).toLong
     val gridSim = floor(col("sim") * lit(1e6) + lit(0.5)).cast("long")
     val pri = keep match {
       case "first"        => struct(col(idCol))
@@ -1113,6 +1127,266 @@ object Similarity {
       targetClusterRows: Int = 128): DataFrame = {
     val rep = semDedupReport(df, idCol, vecCol, simThreshold, k, iters, seed,
       keep, model, targetClusterRows)
+    df.join(rep.where(!col("kept")).select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** Two-level (coarse → fine) spherical k-means: `coarse` routes,
+    * `fineByCell(c)` holds cell c's fine centroids; the global cluster id
+    * is cell-major (cell 0's fine clusters first). Bounded like
+    * [[LloydModel]]: ≈ (kCoarse + kFineTotal)·dim doubles. */
+  final case class TwoLevelModel(
+      coarse: Seq[Seq[Double]], fineByCell: Seq[Seq[Seq[Double]]]) {
+    def kCoarse: Int = coarse.size
+    def kFineTotal: Int = fineByCell.iterator.map(_.size).sum
+    /** Fine centroids flattened in global-id order. */
+    def globalCentroids: Seq[Seq[Double]] = fineByCell.flatten
+  }
+
+  /** Deterministic two-level Lloyd fit — the SCALE path for [[semDedup]].
+    *
+    * [[fitLloyd]]'s exact assignment is O(k·dim) per row with
+    * k = n/targetClusterRows, i.e. O(n²·dim/targetClusterRows) per
+    * iteration — quadratic in corpus size. Here assignment is routed:
+    * ≈√k coarse centroids pick a cell (grid key, lowest-cell ties), then
+    * only that cell's ≈√k fine centroids compete — O(√k·dim) per row,
+    * O(n·√k·dim) per iteration, while the total fine-cluster count (and
+    * hence the Σc² pairwise dedup bound) matches the single-level k.
+    *
+    * Construction, every step engine-deterministic:
+    *   1. coarse = [[fitLloyd]] at kCoarse ≈ √k (itersCoarse iterations);
+    *   2. fine INIT: per coarse cell, the kFinePerCell member rows with
+    *      the smallest seeded uniforms (cell-keyed window; the collect is
+    *      ≤ kCoarse·kFinePerCell rows — the model itself). Coarse cells
+    *      with NO clusterable members are dropped and the cell list
+    *      reindexed (cells exist only to route);
+    *   3. itersFine rounds of per-cell Lloyd: assign with
+    *      [[graft.functions.TwoLevelBest]] at nProbe=1 (a row updates only
+    *      its own cell's fine centroids), per-dimension means renormalized
+    *      in dimension order, empty fine clusters carry forward.
+    *
+    * The trade vs exact Lloyd: a row near a coarse boundary may route to a
+    * cell whose best fine centroid is globally second-best, so cluster
+    * memberships — and therefore which near-dup pairs are VISIBLE to the
+    * pairwise stage — can differ from [[fitLloyd]]'s. SemDeDup already
+    * accepts exactly this trade (no cross-cluster recall); q119b pins the
+    * agreement floor against the exact path and SemDedupSpec pins the
+    * probe-all ≡ global-argmax identity. */
+  def fitLloydTwoLevel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCoarse: Int = 0,
+      kFinePerCell: Int = 0,
+      itersCoarse: Int = 2,
+      itersFine: Int = 2,
+      seed: Long = 42L,
+      targetClusterRows: Int = 128): TwoLevelModel = {
+    import org.apache.spark.sql.expressions.Window
+    require(kCoarse >= 0 && kFinePerCell >= 0,
+      "fitLloydTwoLevel: kCoarse/kFinePerCell must be >= 0 (0 = derive)")
+    require(itersCoarse >= 0 && itersFine >= 0,
+      "fitLloydTwoLevel: iteration counts must be >= 0")
+    val unit = unitVectors(df, idCol, vecCol).cache()
+    try {
+      val (kc, kf) =
+        if (kCoarse > 0 && kFinePerCell > 0) (kCoarse, kFinePerCell)
+        else {
+          val kTotal = listsFor(unit.count(), targetClusterRows)
+          val c = if (kCoarse > 0) kCoarse
+            else math.max(1, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
+          val f = if (kFinePerCell > 0) kFinePerCell
+            else math.max(1, math.ceil(kTotal.toDouble / c).toInt)
+          (c, f)
+        }
+      val coarseAll = fitLloyd(df, idCol, vecCol, kc, itersCoarse, seed,
+        targetClusterRows).centroids
+      // fine init: per-cell smallest seeded uniforms (seed+1 so the init
+      // draw is independent of the coarse init's)
+      val cellW = Window.partitionBy(col("__c__"))
+        .orderBy(col("__r__"), col(idCol))
+      val initRows = unit
+        .select(col(idCol),
+          graft.functions.VectorFunctions.centroidBest(col("__u__"), coarseAll)
+            .getField("cluster").as("__c__"),
+          Sampling.unif(Seq(idCol), seed + 1).as("__r__"), col("__u__"))
+        .withColumn("__rn__", row_number().over(cellW))
+        .where(col("__rn__") <= kf)
+        .select(col("__c__"), col("__rn__"), col("__u__"))
+        .collect() // ≤ kc·kf rows — the model itself
+      require(initRows.nonEmpty, "fitLloydTwoLevel: no clusterable vectors")
+      val byCell = initRows
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .groupBy(_._1)
+      val liveCells = byCell.keys.toSeq.sorted
+      val coarse = liveCells.map(coarseAll(_))
+      var fine: Seq[Seq[Seq[Double]]] =
+        liveCells.map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
+      val dim = coarse.head.size
+      var it = 0
+      while (it < itersFine) {
+        val offsets = fine.scanLeft(0)(_ + _.size)
+        val sums = unit
+          .select(
+            graft.functions.VectorFunctions.twoLevelBest(col("__u__"), coarse, fine, 1)
+              .getField("cluster").as("__g__"),
+            posexplode(col("__u__")).as(Seq("__p__", "__x__")))
+          .groupBy("__g__", "__p__")
+          .agg(avg(col("__x__")).as("__m__"))
+          .collect() // ≤ kFineTotal·dim rows — the fine matrix itself
+        val kTot = offsets.last
+        val acc = Array.fill(kTot)(new Array[Double](dim))
+        val seen = Array.fill(kTot)(false)
+        sums.foreach { r =>
+          val g = r.getInt(0)
+          acc(g)(r.getInt(1)) = r.getDouble(2)
+          seen(g) = true
+        }
+        fine = fine.zipWithIndex.map { case (group, c) =>
+          group.zipWithIndex.map { case (prev, j) =>
+            val g = offsets(c) + j
+            if (!seen(g)) prev // empty fine cluster: carry forward
+            else {
+              var sq = 0.0
+              var d = 0
+              while (d < dim) { sq += acc(g)(d) * acc(g)(d); d += 1 }
+              val nrm = math.sqrt(sq)
+              if (nrm > 0) acc(g).map(_ / nrm).toSeq else prev
+            }
+          }
+        }
+        it += 1
+      }
+      TwoLevelModel(coarse, fine)
+    } finally unit.unpersist()
+  }
+
+  /** Wrap a fitted single-level [[LloydModel]] for two-level routing: a
+    * driver-side Lloyd over the k FINE CENTROIDS themselves (k rows — no
+    * cluster job) groups them under ≈√k coarse routers; the returned
+    * model's `globalCentroids` is a permutation of `m.centroids` (global
+    * ids are relabelled cell-major), so routed assignment differs from the
+    * exact argmax ONLY for rows whose best centroid sits outside their
+    * probed coarse cells. This is the production answer when an exact
+    * model already exists (the `buildIvfPqIndex` pattern): fit once at
+    * whatever cost, route every later corpus pass at O(√k·dim) per row.
+    *
+    * Deterministic by the same conventions as the cluster fits: init =
+    * index-strided picks `floor(i·k/kCoarse)`, grid-key argmax with
+    * lowest-index ties, dimension-order mean renormalization,
+    * empty-cluster carry-forward; empty coarse cells drop at the end. */
+  def groupForRouting(
+      m: LloydModel, kCoarse: Int = 0, iters: Int = 4): TwoLevelModel = {
+    require(iters >= 0, s"groupForRouting: iters must be >= 0, got $iters")
+    val fine = m.centroids.map(_.toArray)
+    val k = fine.size
+    val kc0 = if (kCoarse > 0) kCoarse
+      else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kc = math.min(kc0, k)
+    val dim = fine.head.length
+    var coarse: IndexedSeq[Array[Double]] =
+      (0 until kc).map(i => fine((i.toLong * k / kc).toInt).clone())
+    def assign(): Array[Int] = fine.map { f =>
+      var best = 0; var bestKey = Long.MinValue
+      var c = 0
+      while (c < kc) {
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += coarse(c)(j) * f(j); j += 1 }
+        val key = math.floor(acc * 1e6 + 0.5).toLong
+        if (key > bestKey) { bestKey = key; best = c }
+        c += 1
+      }
+      best
+    }.toArray
+    var it = 0
+    while (it < iters) {
+      val a = assign()
+      coarse = (0 until kc).map { c =>
+        val members = fine.indices.filter(a(_) == c)
+        if (members.isEmpty) coarse(c)
+        else {
+          val mean = Array.tabulate(dim)(j => members.map(fine(_)(j)).sum / members.size)
+          var sq = 0.0; var j = 0
+          while (j < dim) { sq += mean(j) * mean(j); j += 1 }
+          val nrm = math.sqrt(sq)
+          if (nrm > 0) mean.map(_ / nrm) else coarse(c)
+        }
+      }
+      it += 1
+    }
+    val a = assign()
+    val live = (0 until kc).filter(c => a.contains(c))
+    TwoLevelModel(
+      live.map(coarse(_).toSeq),
+      live.map(c => fine.indices.filter(a(_) == c).map(m.centroids(_)).toSeq))
+  }
+
+  /** Two-level assignment keeping the unit vector: `(idCol, cluster, sim,
+    * __u__)` — `cluster` is the global fine id, `sim` the full-precision
+    * dot to the winning fine centroid. One kernel call per row. */
+  private def assignTwoLevelWithUnit(
+      model: TwoLevelModel, df: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int): DataFrame =
+    unitVectors(df, idCol, vecCol)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.twoLevelBest(
+          col("__u__"), model.coarse, model.fineByCell, nProbe).as("__b__"),
+        col("__u__"))
+      .select(col(idCol), col("__b__.cluster").as("cluster"),
+        col("__b__.dot").as("sim"), col("__u__"))
+
+  /** Cluster assignment under a fitted [[TwoLevelModel]]: `(idCol,
+    * cluster, sim)`, one row per clusterable vector, O(√k·dim) per row. */
+  def assignTwoLevel(
+      model: TwoLevelModel, df: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int = 1): DataFrame =
+    assignTwoLevelWithUnit(model, df, idCol, vecCol, nProbe).drop("__u__")
+
+  /** [[semDedupReport]] under the two-level fit/assignment — the shape
+    * that survives 10⁹-vector corpora. Same report contract and the same
+    * Σc² pairwise stage; only cluster MEMBERSHIP is routed (see
+    * [[fitLloydTwoLevel]] for the boundary trade). `nProbe` widens the
+    * final assignment's coarse probe (fit always routes at nProbe=1). */
+  def semDedupTwoLevelReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      simThreshold: Double,
+      kCoarse: Int = 0,
+      kFinePerCell: Int = 0,
+      itersCoarse: Int = 2,
+      itersFine: Int = 2,
+      seed: Long = 42L,
+      keep: String = "centroid_far",
+      nProbe: Int = 1,
+      model: Option[TwoLevelModel] = None,
+      targetClusterRows: Int = 128): DataFrame = {
+    require(Set("first", "centroid_far").contains(keep),
+      s"semDedupTwoLevel: keep must be first|centroid_far, got '$keep'")
+    val m = model.getOrElse(fitLloydTwoLevel(df, idCol, vecCol, kCoarse,
+      kFinePerCell, itersCoarse, itersFine, seed, targetClusterRows))
+    val af = assignTwoLevelWithUnit(m, df, idCol, vecCol, nProbe)
+    pairwiseDropReport(df, idCol, af, simThreshold, keep)
+  }
+
+  /** The two-level SemDeDup'd corpus ([[semDedup]]'s contract under
+    * [[semDedupTwoLevelReport]]). */
+  def semDedupTwoLevel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      simThreshold: Double,
+      kCoarse: Int = 0,
+      kFinePerCell: Int = 0,
+      itersCoarse: Int = 2,
+      itersFine: Int = 2,
+      seed: Long = 42L,
+      keep: String = "centroid_far",
+      nProbe: Int = 1,
+      model: Option[TwoLevelModel] = None,
+      targetClusterRows: Int = 128): DataFrame = {
+    val rep = semDedupTwoLevelReport(df, idCol, vecCol, simThreshold, kCoarse,
+      kFinePerCell, itersCoarse, itersFine, seed, keep, nProbe, model,
+      targetClusterRows)
     df.join(rep.where(!col("kept")).select(col(idCol)), Seq(idCol), "left_anti")
   }
 }

@@ -44,9 +44,27 @@ object ScaleBench {
         graft.sources.Tables.testTable(s, dir, "embeddings"),
         "vec_id", "embedding", col("vec_id") < 10, 5)
     }
+    // SemDeDup at DERIVED k (= n/128, the production sizing — the q119
+    // oracle pins k=8, which would measure constant-k): exact Lloyd
+    // assignment is O(n·k·dim) per pass and quadratic overall; the
+    // two-level route is O(n·√k·dim). Benched only when requested by name.
+    def semExactDerived(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Similarity.semDedupReport(
+        graft.sources.Tables.testTable(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.30, k = 0, iters = 2, seed = 7L)
+    def semTwoLevelDerived(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Similarity.semDedupTwoLevelReport(
+        graft.sources.Tables.testTable(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.30, itersCoarse = 2, itersFine = 2, seed = 7L)
+    val custom: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ann_ivfpq" -> (ivfPq _),
+      "semdedup_exact_kderived" -> (semExactDerived _),
+      "semdedup_twolevel_kderived" -> (semTwoLevelDerived _))
     val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
-      queryNames.map(n => n -> SparkEntry.queries(n)) :+
-        ("ann_ivfpq" -> (ivfPq _))
+      queryNames.map(n =>
+        n -> custom.getOrElse(n, SparkEntry.queries(n))) ++
+        (if (queryNames.exists(custom.contains)) Nil
+         else Seq("ann_ivfpq" -> (ivfPq _)))
 
     // untimed full pass at the smallest factor first: JIT/codegen/
     // classloader warmup for EVERY query's code path, so the smallest
