@@ -1823,6 +1823,34 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("doc_id")
     }),
+    // URL-keyed crawl dedup, keep-newest (the CCNet/RefinedWeb snapshot
+    // stage): two captures per doc — an OLDER messy form (uppercase
+    // scheme/host, userinfo, default :80 port, trailing path slash,
+    // unsorted params + a utm_ tracking param, fragment, and a trailing
+    // FQDN host dot on every 5th doc) and a NEWER clean form. Both
+    // normalize to the same key, so keep-newest retains the clean capture;
+    // every 7th doc's newer record is a NON-URL that must pass through
+    // (NULL key) alongside its older URL (now a singleton group).
+    "q124_url_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id")
+      val m = (id % 17).cast("string")
+      val oldUrl = concat(lit("HTTP://u:p@WWW.Site"), m, lit(".COM"),
+        when(id % 5 === 0, lit(".")).otherwise(lit("")),
+        lit(":80/p/"), id.cast("string"), lit("/?b=2&utm_source=x&a=1#frag"))
+      val newUrl = when(id % 7 === 0,
+          concat(lit("not a url "), id.cast("string")))
+        .otherwise(concat(lit("http://www.site"), m, lit(".com/p/"),
+          id.cast("string"), lit("?a=1&b=2")))
+      val recs = d.select(explode(array(
+          struct((id * 2).as("rec_id"), oldUrl.as("url"), (id * 2).as("ts")),
+          struct((id * 2 + 1).as("rec_id"), newUrl.as("url"),
+            (id * 2 + 1).as("ts")))).as("r"))
+        .select(col("r.rec_id"), col("r.url"), col("r.ts"))
+      graft.ops.Dedup.dropByUrl(recs, "url", "ts", "rec_id")
+        .withColumn("url_norm", graft.ops.Urls.normalizeUrl(col("url")))
+        .orderBy("rec_id")
+    }),
     // HTML → text extraction: the native html_text expression over an
     // arithmetic HTML fixture (comments, style/script with a decoy
     // close-tag in the script body, named/numeric/unknown entities,
@@ -3305,6 +3333,50 @@ object SparkEntry {
         |ORDER BY n_chars DESC, doc_id) AS rank FROM u)
         |SELECT doc_id, host, domain, n_chars, CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 3 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the normalization algebra transcribed verbatim (RFC 3986 §6 subset +
+    // tracking-param strip), then keep-newest per normalized key with
+    // NULL-key rows passing through as their own groups
+    "q124_url_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |recs AS (
+        |SELECT doc_id*2 AS rec_id,
+        |'HTTP://u:p@WWW.Site' || (doc_id % 17) || '.COM' ||
+        |CASE WHEN doc_id % 5 = 0 THEN '.' ELSE '' END ||
+        |':80/p/' || doc_id || '/?b=2&utm_source=x&a=1#frag' AS url,
+        |doc_id*2 AS ts FROM d
+        |UNION ALL
+        |SELECT doc_id*2+1,
+        |CASE WHEN doc_id % 7 = 0 THEN 'not a url ' || doc_id
+        |ELSE 'http://www.site' || (doc_id % 17) || '.com/p/' || doc_id || '?a=1&b=2' END,
+        |doc_id*2+1 FROM d),
+        |parts AS (SELECT rec_id, url, ts,
+        |lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+        |regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        |'^[^@]*@', '') AS nouser,
+        |regexp_replace(regexp_extract(url,
+        |'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)([^?#]*)', 2), '/+$', '') AS p,
+        |regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\?(.*)$', 1) AS q
+        |FROM recs),
+        |parts2 AS (SELECT rec_id, url, ts, sch, p,
+        |regexp_replace(lower(regexp_replace(nouser, ':[0-9]*$', '')), '\.$', '') AS h,
+        |regexp_extract(nouser, ':([0-9]+)$', 1) AS port,
+        |array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |x -> len(x) > 0 AND NOT regexp_matches(x,
+        |'^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&') AS qs
+        |FROM parts),
+        |norm AS (SELECT rec_id, url, ts,
+        |CASE WHEN sch = '' OR h = '' THEN NULL
+        |ELSE sch || '://' || h ||
+        |CASE WHEN port = '' OR (sch = 'http' AND port = '80')
+        |OR (sch = 'https' AND port = '443') THEN '' ELSE ':' || port END ||
+        |p || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END END AS url_norm
+        |FROM parts2),
+        |ranked AS (SELECT *,
+        |CASE WHEN url_norm IS NULL THEN 1
+        |ELSE row_number() OVER (PARTITION BY url_norm ORDER BY ts DESC, rec_id) END AS rn
+        |FROM norm)
+        |SELECT CAST(rec_id AS BIGINT) AS rec_id, url, CAST(ts AS BIGINT) AS ts, url_norm
+        |FROM ranked WHERE rn = 1 ORDER BY rec_id""".stripMargin.replace("\n", " "),
     // the WARC fixture rebuilt arithmetically: parsed fields per record
     // (request: no status/type, empty body; response: 200/text-plain/the
     // text prefix) + the hex of the first 40 raw header bytes

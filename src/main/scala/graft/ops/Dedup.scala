@@ -127,6 +127,49 @@ object Dedup {
     df.join(drops, col(idCol) === drops("__id__"), "left_anti")
   }
 
+  /** Ids a keep-NEWEST URL dedup removes: for every group of rows sharing
+    * a [[Urls.normalizeUrl]] key, all but the row with the greatest
+    * `tsCol` (ties to the LOWEST id; NULL timestamps lose to any
+    * timestamped row, ties among them again to the lowest id).
+    *
+    * Same scale shape as [[duplicateIds]]: the corpus-wide exchange
+    * carries the 128-bit key hash (24-byte rows, never the URL), only
+    * hash-dup candidates re-key on the full normalized URL, and the
+    * timestamps join back by id over the candidate-sized list (AQE
+    * broadcasts it). Rows whose URL does not normalize (NULL key) are
+    * never candidates. */
+  def urlDuplicateIds(
+      df: DataFrame, urlCol: String, tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NULL keys (un-normalizable URLs) are excluded HERE, not just by
+    // documentation: xxhash64(NULL, seed) is the seed hash, so every
+    // NULL-key row would otherwise share one hash bucket and keep-newest
+    // would collapse all non-URL rows to a single survivor
+    val cand = dupKeyed(df, Urls.normalizeUrl(col(urlCol)), idCol)
+      .where(col("__key__").isNotNull)
+    val withTs = cand.join(
+      df.select(col(idCol).as("__tid__"), col(tsCol).as("__ts__")),
+      col("__id__") === col("__tid__"))
+    val w = Window.partitionBy(col("__key__"))
+      .orderBy(col("__ts__").desc_nulls_last, col("__id__"))
+    withTs.withColumn("__rn__", row_number().over(w))
+      .where(col("__rn__") > 1)
+      .select("__id__")
+  }
+
+  /** URL-keyed crawl dedup, keep-newest (the CCNet/RefinedWeb snapshot
+    * stage: the same page fetched across crawls — tracking params, port
+    * and slash variants, fragments — keeps only its freshest capture).
+    * Key = [[Urls.normalizeUrl]]; rows that do not normalize (no scheme /
+    * no host) pass through unchanged, as do null-id rows. Planned as
+    * `df ANTI JOIN urlDuplicateIds` — the drop list is duplicate-sized,
+    * so the corpus streams through a broadcast anti-join. */
+  def dropByUrl(
+      df: DataFrame, urlCol: String, tsCol: String, idCol: String): DataFrame = {
+    val drops = urlDuplicateIds(df, urlCol, tsCol, idCol)
+    df.join(drops, col(idCol) === drops("__id__"), "left_anti")
+  }
+
   /** Drop byte-identical duplicate texts (keep lowest id). */
   def dropExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     dropDuplicatesByKey(df, col(textCol), idCol)

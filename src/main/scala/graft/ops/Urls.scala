@@ -69,6 +69,53 @@ object Urls {
       .otherwise(hostCol)
   }
 
+  /** Query parameters dropped by [[normalizeUrl]] — the cross-site
+    * tracking params every crawl-dedup normalizer strips (they vary per
+    * click, not per document): `utm_*` campaign tags and the common
+    * click-id params. Anchored prefix-of-param match (`name=` or bare
+    * `name`). */
+  val TrackingParamRe: String = "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+  /** Canonical form of an absolute URL for URL-keyed crawl dedup — the
+    * RFC 3986 §6 normalizations that preserve the resource identity, plus
+    * the tracking-param strip every production crawl pipeline applies:
+    *
+    *   - scheme and host lowercased; userinfo dropped; ONE trailing host
+    *     dot stripped (`example.com.` ≡ `example.com`, the FQDN form);
+    *   - default ports dropped (`:80` for http, `:443` for https); other
+    *     ports kept;
+    *   - trailing path slashes stripped (`/a/` ≡ `/a`, `/` ≡ '');
+    *   - fragment dropped (client-side only — never reaches the server);
+    *   - query params split on `&`, empties and [[TrackingParamRe]]
+    *     matches dropped, the rest SORTED lexicographically and rejoined
+    *     (param order is transport noise);
+    *   - a string with no scheme or no host yields NULL (not a URL — the
+    *     [[graft.ops.Dedup.dropByUrl]] contract passes such rows through).
+    *
+    * Pure codegen'd Column algebra (RE2-safe patterns + array HOFs),
+    * transcribed verbatim into the DuckDB oracle. Zero shuffle — a 100 TB
+    * crawl normalizes inside its scan projection. */
+  def normalizeUrl(url: Column): Column = {
+    val sch = scheme(url)
+    val noUser = regexp_replace(regexp_extract(url, AuthorityRe, 1), "^[^@]*@", "")
+    val h = regexp_replace(lower(regexp_replace(noUser, ":[0-9]*$", "")), "\\.$", "")
+    val port = regexp_extract(noUser, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (sch === "http" && port === "80") ||
+        (sch === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val p = regexp_replace(path(url), "/+$", "")
+    // fragment strips FIRST so a '?' inside the fragment is never a query
+    val preFrag = regexp_extract(url, "^([^#]*)", 1)
+    val q = regexp_extract(preFrag, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"),
+      x => length(x) > 0 && !x.rlike(TrackingParamRe))
+    val qs = array_join(array_sort(params), "&")
+    when(sch === "" || h === "", lit(null).cast("string"))
+      .otherwise(concat(sch, lit("://"), h, portPart, p,
+        when(qs =!= "", concat(lit("?"), qs)).otherwise(lit(""))))
+  }
+
   /** The registered domain under a full Public Suffix List rule set —
     * wildcard (`*.ck`) and exception (`!www.ck`) semantics included, per
     * the publicsuffix.org algorithm. A host that IS a public suffix, an

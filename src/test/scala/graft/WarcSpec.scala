@@ -271,4 +271,55 @@ class WarcSpec extends SparkSpecBase {
     assert(joined.length == 20)
     joined.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("normalizeUrl: RFC 3986 case/port/slash/fragment + tracking-param strip") {
+    import graft.ops.Urls
+    val cases = Seq(
+      // case folding + userinfo + default port + trailing slash + fragment
+      "HTTP://u:p@WWW.Ex.COM:80/A/b/?b=2&utm_source=x&a=1#f" -> "http://www.ex.com/A/b?a=1&b=2",
+      // https default port; param already sorted; path case PRESERVED
+      "https://Ex.com:443/Path" -> "https://ex.com/Path",
+      // non-default port kept
+      "http://ex.com:8080/p" -> "http://ex.com:8080/p",
+      // root path and bare host both normalize to no path
+      "http://ex.com/" -> "http://ex.com",
+      "http://ex.com" -> "http://ex.com",
+      // empty query; lone '?'; tracking-only query
+      "http://ex.com/p?" -> "http://ex.com/p",
+      "http://ex.com/p?utm_campaign=z&fbclid=1" -> "http://ex.com/p",
+      // bare tracking param without '='; 'ref' exact (refresh=1 is NOT stripped)
+      "http://ex.com/p?ref&x=1&refresh=1" -> "http://ex.com/p?refresh=1&x=1",
+      // FQDN trailing dot; '?' inside the fragment is NOT a query
+      "http://ex.com./p" -> "http://ex.com/p",
+      "http://ex.com/p#frag?notaquery=1" -> "http://ex.com/p")
+    val got = cases.map(_._1).toDF("url")
+      .select(Urls.normalizeUrl(col("url")).as("n")).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"want $w") }
+    // not-a-URL contracts → NULL
+    val nulls = Seq("no scheme here", "http://", "relative/path", "")
+      .toDF("url").select(Urls.normalizeUrl(col("url")).as("n")).collect()
+    nulls.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("dropByUrl: keep-newest per normalized key; NULL keys and ids pass through") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "http://ex.com/p?utm_source=a", 10L),  // same key as 2,3
+      (2L, "HTTP://EX.com:80/p/", 30L),           // newest → kept
+      (3L, "http://ex.com/p#x", 30L),             // ts tie with 2 → higher id drops
+      (4L, "http://ex.com/q", 5L),                // singleton → kept
+      (5L, "not a url", 1L),                      // NULL key → passes
+      (6L, "also not a url", 1L)                  // NULL key → passes (NOT deduped together)
+    ).toDF("rec_id", "url", "ts")
+    val kept = Dedup.dropByUrl(df, "url", "ts", "rec_id")
+      .select("rec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L, 6L))
+    // NULL ts loses to any timestamped capture
+    val df2 = Seq(
+      (1L, "http://ex.com/p", Some(1L)),
+      (2L, "http://ex.com/p", None: Option[Long])).toDF("rec_id", "url", "ts")
+    val kept2 = Dedup.dropByUrl(df2, "url", "ts", "rec_id")
+      .select("rec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L))
+  }
 }
