@@ -1545,6 +1545,18 @@ object SparkEntry {
     "q104_bigram_ppl" -> ((s, dir) =>
       TextAnalysis.bigramPerplexity(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // trigram stupid-backoff perplexity (Brants et al. 2007) in the CCNet
+    // deployment shape: LM fit on a REFERENCE slice (every 3rd doc), the
+    // whole corpus scored against it — so the backoff chain genuinely
+    // fires (unseen trigrams → α·bigram, unseen bigrams → α²·unigram,
+    // OOV → α²/N)
+    "q125_backoff_ppl" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val lm = TextAnalysis.fitStupidBackoffLm(
+        d.where(col("doc_id") % 3 === 0), "text")
+      TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lm)
+        .orderBy("doc_id")
+    }),
     // CCNet head/middle/tail: per-language perplexity thirds cut by
     // WEIGHT MASS (weight = doc length — the paper cuts bytes, not doc
     // counts); composes the bigram LM with the weighted-qcut kernel
@@ -3055,6 +3067,43 @@ object SparkEntry {
         |sc AS (SELECT doc_id, round(exp(-avg(ln(CAST(cb AS DOUBLE) / cc))), 6) AS ppl2
         |FROM bg JOIN c2 USING (w2g) JOIN c1 USING (w1) GROUP BY doc_id)
         |SELECT d.doc_id, sc.ppl2 FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    // stupid backoff: reference counts by gram STRING (== the engine's
+    // XXH64 keys absent collisions), trigram windows with the backoff
+    // CASE chain, OOV = alpha^2/N, full doc coverage via LEFT JOIN
+    "q125_backoff_ppl" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\f\r]+') AS toks
+        |FROM documents),
+        |ref AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+        |r1 AS (SELECT toks[i] AS g FROM ref, unnest(generate_series(1, len(toks))) AS u(i)),
+        |c1 AS (SELECT g, count(*) AS c FROM r1 GROUP BY g),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM r1),
+        |r2 AS (SELECT toks[i] || ' ' || toks[i+1] AS g
+        |FROM ref, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |c2 AS (SELECT g, count(*) AS c FROM r2 GROUP BY g),
+        |r3 AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |FROM ref, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+        |c3 AS (SELECT g, count(*) AS c FROM r3 GROUP BY g),
+        |pos AS (SELECT doc_id,
+        |toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
+        |toks[i] || ' ' || toks[i+1] AS cx2,
+        |toks[i+1] || ' ' || toks[i+2] AS bg,
+        |toks[i+1] AS cx1, toks[i+2] AS ug
+        |FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+        |j AS (SELECT doc_id,
+        |CASE WHEN tc.c IS NOT NULL THEN ln(CAST(tc.c AS DOUBLE) / cx2c.c)
+        |WHEN bc.c IS NOT NULL THEN ln(0.4) + ln(CAST(bc.c AS DOUBLE) / cx1c.c)
+        |WHEN uc.c IS NOT NULL THEN 2*ln(0.4) + ln(CAST(uc.c AS DOUBLE) / total)
+        |ELSE 2*ln(0.4) + ln(1.0 / total) END AS s
+        |FROM pos
+        |LEFT JOIN c3 tc ON pos.tg = tc.g
+        |LEFT JOIN c2 cx2c ON pos.cx2 = cx2c.g
+        |LEFT JOIN c2 bc ON pos.bg = bc.g
+        |LEFT JOIN c1 cx1c ON pos.cx1 = cx1c.g
+        |LEFT JOIN c1 uc ON pos.ug = uc.g
+        |CROSS JOIN n),
+        |sc AS (SELECT doc_id, round(exp(-avg(s)), 6) AS ppl3 FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, sc.ppl3 FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     // CCNet buckets: q104's ppl CTEs + q79's mass-cumulative qcut
     // arithmetic, weight = length(text), partition by lang

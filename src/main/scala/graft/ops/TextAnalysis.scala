@@ -421,6 +421,99 @@ object TextAnalysis {
       .join(scored.select(col("__id__").as(idCol), col("ppl2")), Seq(idCol), "left")
   }
 
+  /** A fitted stupid-backoff n-gram LM (order 3): hash-keyed count
+    * DataFrames per order plus the reference corpus's token total. The
+    * tables stay DISTRIBUTED (vocab-sized, never collected) — this is the
+    * Brants et al. 2007 design point: the LM that works at corpus scale is
+    * count tables + a score-time backoff, not a normalized ARPA file. */
+  final case class StupidBackoffLm(
+      uni: DataFrame, bi: DataFrame, tri: DataFrame, total: Long)
+
+  /** Fit a trigram stupid-backoff LM on a REFERENCE corpus (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * MapReduce-native LM): three n-gram count aggregates keyed by the
+    * 8-byte positional XXH64s of [[graft.functions.WordNGramHashes]]
+    * (map-side combine; the shuffles carry hash+count rows, text never
+    * leaves the scan). `total` derives from the unigram table — no extra
+    * corpus pass. */
+  def fitStupidBackoffLm(ref: DataFrame, textCol: String): StupidBackoffLm = {
+    import graft.functions.StringFunctions.wordNGramHashes
+    def counts(n: Int, key: String, cnt: String): DataFrame = ref
+      .select(explode(wordNGramHashes(col(textCol), n)).as(key))
+      .groupBy(col(key)).agg(count(lit(1)).as(cnt))
+    val uni = counts(1, "__u__", "__c1__")
+    val total = uni.agg(sum(col("__c1__"))).head().getLong(0)
+    StupidBackoffLm(uni, counts(2, "__b__", "__c2__"),
+      counts(3, "__t__", "__c3__"), total)
+  }
+
+  /** Score a corpus under a REFERENCE-fitted [[StupidBackoffLm]] — the
+    * CCNet deployment shape (LM fit on a clean reference, crawl docs
+    * scored against it), where backoff genuinely fires: unlike the
+    * self-trained [[bigramPerplexity]], a scored trigram may be absent
+    * from the model.
+    *
+    * Per trigram window (w₁ w₂ w₃):
+    * `S = c₃(w₁w₂w₃)/c₂(w₁w₂)` when the trigram is in the model (its
+    * prefix bigram then necessarily is too), else `α·c₂(w₂w₃)/c₁(w₂)`,
+    * else `α²·c₁(w₃)/N`, else `α²/N` (out-of-vocabulary proxy: count 1 —
+    * the paper leaves OOV unspecified; this choice is deterministic and
+    * engine-reproducible). α = 0.4, the paper's constant; scores are
+    * relative frequencies, not probabilities — exactly the stupid-backoff
+    * trade. `ppl3 = exp(−avg ln S)` over the doc's trigram windows; docs
+    * with fewer than 3 tokens surface with NULL ppl3.
+    *
+    * Scale shape: one posexplode of the trigram-hash array with the four
+    * context hashes read POSITIONALLY from the already-computed lower-order
+    * arrays (no re-tokenization), then five 8-byte-keyed count joins
+    * (broadcast when the model is small, AQE-shuffle otherwise) and one
+    * (id)-keyed aggregate. The corpus crosses exchanges as (id, hash)
+    * rows only. */
+  def stupidBackoffPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lm: StupidBackoffLm,
+      alpha: Double = 0.4): DataFrame = {
+    import graft.functions.StringFunctions.wordNGramHashes
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val arrs = df.select(col(idCol).as("__id__"),
+      wordNGramHashes(col(textCol), 1).as("__h1s__"),
+      wordNGramHashes(col(textCol), 2).as("__h2s__"),
+      wordNGramHashes(col(textCol), 3).as("__h3s__"))
+    // window at 0-based pos covers tokens (p, p+1, p+2); element_at is
+    // 1-based: prefix bigram h2s[p], suffix bigram h2s[p+1], context
+    // unigram h1s[p+1], scored unigram h1s[p+2]
+    val pos = arrs
+      .select(col("__id__"), col("__h1s__"), col("__h2s__"),
+        posexplode(col("__h3s__")).as(Seq("__pos__", "__t__")))
+      .select(col("__id__"), col("__t__"),
+        element_at(col("__h2s__"), col("__pos__") + 1).as("__cx2__"),
+        element_at(col("__h2s__"), col("__pos__") + 2).as("__b__"),
+        element_at(col("__h1s__"), col("__pos__") + 2).as("__cx1__"),
+        element_at(col("__h1s__"), col("__pos__") + 3).as("__u__"))
+    val joined = pos
+      .join(lm.tri, Seq("__t__"), "left")
+      .join(lm.bi.select(col("__b__").as("__cx2__"), col("__c2__").as("__cc2__")),
+        Seq("__cx2__"), "left")
+      .join(lm.bi, Seq("__b__"), "left")
+      .join(lm.uni.select(col("__u__").as("__cx1__"), col("__c1__").as("__cc1__")),
+        Seq("__cx1__"), "left")
+      .join(lm.uni, Seq("__u__"), "left")
+    val la = math.log(alpha)
+    val logS = when(col("__c3__").isNotNull,
+        log(col("__c3__").cast("double") / col("__cc2__")))
+      .when(col("__c2__").isNotNull,
+        lit(la) + log(col("__c2__").cast("double") / col("__cc1__")))
+      .when(col("__c1__").isNotNull,
+        lit(2 * la) + log(col("__c1__").cast("double") / lit(lm.total.toDouble)))
+      .otherwise(lit(2 * la) + log(lit(1.0) / lit(lm.total.toDouble)))
+    val scored = joined.groupBy(col("__id__"))
+      .agg(round(exp(-avg(logS)), 6).as("ppl3"))
+    df.select(col(idCol))
+      .join(scored.select(col("__id__").as(idCol), col("ppl3")), Seq(idCol), "left")
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with their total and
     * document frequencies — the counting step a tokenizer/BPE trainer or a
     * stopword-list builder runs first.

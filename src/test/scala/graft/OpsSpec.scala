@@ -1466,4 +1466,77 @@ class PackingSpec extends SparkSpecBase {
     assert(s.length == 1 && s.head.getAs[Long]("tokens") == 12L)
     assert(math.abs(s.head.getAs[Double]("fill") - 1.5) < 1e-12)
   }
+
+  /** Brute stupid-backoff reference over token STRINGS (independent of the
+    * engine's hash keying). */
+  private def bruteBackoffPpl(
+      ref: Seq[String], doc: String, alpha: Double = 0.4): Option[Double] = {
+    def toks(s: String): Seq[String] =
+      Option(s).map(_.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def grams(ts: Seq[String], n: Int): Seq[String] =
+      if (ts.size < n) Nil else ts.sliding(n).map(_.mkString(" ")).toSeq
+    val refToks = ref.map(toks)
+    val c1 = refToks.flatMap(grams(_, 1)).groupBy(identity).view.mapValues(_.size).toMap
+    val c2 = refToks.flatMap(grams(_, 2)).groupBy(identity).view.mapValues(_.size).toMap
+    val c3 = refToks.flatMap(grams(_, 3)).groupBy(identity).view.mapValues(_.size).toMap
+    val n = c1.values.sum.toDouble
+    val ts = toks(doc)
+    if (ts.size < 3) None
+    else {
+      val la = math.log(alpha)
+      val logs = ts.sliding(3).map { w =>
+        val (tg, cx2, bg, cx1, ug) =
+          (w.mkString(" "), s"${w(0)} ${w(1)}", s"${w(1)} ${w(2)}", w(1), w(2))
+        if (c3.contains(tg)) math.log(c3(tg).toDouble / c2(cx2))
+        else if (c2.contains(bg)) la + math.log(c2(bg).toDouble / c1(cx1))
+        else if (c1.contains(ug)) 2 * la + math.log(c1(ug) / n)
+        else 2 * la + math.log(1.0 / n)
+      }.toSeq
+      Some(math.exp(-logs.sum / logs.size))
+    }
+  }
+
+  test("stupidBackoffPerplexity: every backoff branch matches the brute reference") {
+    import graft.ops.TextAnalysis
+    val ref = Seq("the cat sat on the mat", "the dog sat on a rug", "a cat ran")
+    // docs exercising: all-trigrams-known, unseen trigram / known bigram,
+    // unseen bigram / known unigram, full OOV, short (NULL)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),  // every trigram in ref
+      (2L, "the dog sat on the mat"),  // 'dog sat on' known; 'sat on the' known; crossover grams back off
+      (3L, "rug the dog zebra ran"),   // zebra OOV, odd orders back off deep
+      (4L, "zz yy xx"),                // full OOV
+      (5L, "one two"),                 // < 3 tokens → NULL
+      (6L, null.asInstanceOf[String])) // NULL text → NULL
+    val refDf = ref.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val lm = TextAnalysis.fitStupidBackoffLm(refDf, "text")
+    assert(lm.total == ref.map(_.split(" ").length).sum)
+    val got = TextAnalysis.stupidBackoffPerplexity(
+      docs.toDF("doc_id", "text"), "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    docs.foreach { case (id, text) =>
+      val want = bruteBackoffPpl(ref, text).map(p => math.rint(p * 1e6) / 1e6)
+      assert(got(id).map(p => math.rint(p * 1e6) / 1e6) == want, s"doc $id")
+    }
+    // full OOV pins the α²/N proxy exactly: every window scores α²/N
+    val n = lm.total.toDouble
+    assert(math.abs(got(4L).get - 1.0 / (0.16 / n)) < 1e-3)
+  }
+
+  test("stupidBackoffPerplexity: self-scored corpus never backs off (pure trigram MLE)") {
+    import graft.ops.TextAnalysis
+    val corpus = Seq(
+      (1L, "a b c a b d"), (2L, "a b c d e"), (3L, "b c a b c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.fitStupidBackoffLm(corpus, "text")
+    val got = TextAnalysis.stupidBackoffPerplexity(corpus, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = Seq("a b c a b d", "a b c d e", "b c a b c")
+    ref.zipWithIndex.foreach { case (t, i) =>
+      val want = bruteBackoffPpl(ref, t).get
+      assert(math.abs(got(i + 1L) - want) < 1e-5)
+      // self-scored: every trigram is in the model, so ppl is bounded by
+      // the worst single conditional (no α penalty can appear)
+      assert(got(i + 1L) <= 1.0 / (1.0 / lm.total) + 1e-9)
+    }
+  }
 }
