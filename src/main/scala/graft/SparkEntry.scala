@@ -1564,6 +1564,18 @@ object SparkEntry {
       TextAnalysis.pplBuckets(table(s, dir, "documents"), "text", "doc_id",
         by = Seq("lang"), buckets = 3)
         .orderBy("doc_id")),
+    // the FULL CCNet configuration: head/middle/tail per language under a
+    // REFERENCE-fitted backoff LM (the paper buckets crawl text under a
+    // Wikipedia-trained KenLM — here the %3 slice plays the reference),
+    // cut by weight mass
+    "q126_ccnet_buckets" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val lm = TextAnalysis.fitStupidBackoffLm(
+        d.where(col("doc_id") % 3 === 0), "text")
+      TextAnalysis.pplBuckets(d, "text", "doc_id", by = Seq("lang"),
+        buckets = 3, lm = Some(lm))
+        .orderBy("doc_id")
+    }),
     // temperature-flattened language mix (XLM/mT5 convention): shares
     // ∝ p^0.5 over the natural lang distribution, drawn through the same
     // hash-seeded admission filter as q64
@@ -3129,6 +3141,55 @@ object SparkEntry {
         |CAST(least(greatest(ceil(round(pr * 3, 9)) - 1, 0), 2) AS BIGINT) END AS bucket
         |FROM p)
         |SELECT doc_id, lang, ppl2, bucket,
+        |CASE WHEN bucket IS NULL THEN NULL WHEN bucket = 0 THEN 'head'
+        |WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_label
+        |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // q125's backoff-scored sc CTE chained into q122's weight-mass qcut
+    "q126_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\f\r]+') AS toks
+        |FROM documents),
+        |ref AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+        |r1 AS (SELECT toks[i] AS g FROM ref, unnest(generate_series(1, len(toks))) AS u(i)),
+        |c1 AS (SELECT g, count(*) AS c FROM r1 GROUP BY g),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM r1),
+        |r2 AS (SELECT toks[i] || ' ' || toks[i+1] AS g
+        |FROM ref, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |c2 AS (SELECT g, count(*) AS c FROM r2 GROUP BY g),
+        |r3 AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |FROM ref, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+        |c3 AS (SELECT g, count(*) AS c FROM r3 GROUP BY g),
+        |pos AS (SELECT doc_id,
+        |toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
+        |toks[i] || ' ' || toks[i+1] AS cx2,
+        |toks[i+1] || ' ' || toks[i+2] AS bg,
+        |toks[i+1] AS cx1, toks[i+2] AS ug
+        |FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+        |j AS (SELECT doc_id,
+        |CASE WHEN tc.c IS NOT NULL THEN ln(CAST(tc.c AS DOUBLE) / cx2c.c)
+        |WHEN bc.c IS NOT NULL THEN ln(0.4) + ln(CAST(bc.c AS DOUBLE) / cx1c.c)
+        |WHEN uc.c IS NOT NULL THEN 2*ln(0.4) + ln(CAST(uc.c AS DOUBLE) / total)
+        |ELSE 2*ln(0.4) + ln(1.0 / total) END AS s
+        |FROM pos
+        |LEFT JOIN c3 tc ON pos.tg = tc.g
+        |LEFT JOIN c2 cx2c ON pos.cx2 = cx2c.g
+        |LEFT JOIN c2 bc ON pos.bg = bc.g
+        |LEFT JOIN c1 cx1c ON pos.cx1 = cx1c.g
+        |LEFT JOIN c1 uc ON pos.ug = uc.g
+        |CROSS JOIN n),
+        |sc AS (SELECT doc_id, round(exp(-avg(s)), 6) AS ppl3 FROM j GROUP BY doc_id),
+        |d2 AS (SELECT d.doc_id, d.lang, CAST(length(coalesce(d.text, '')) AS DOUBLE) AS w, sc.ppl3
+        |FROM documents d LEFT JOIN sc USING (doc_id)),
+        |p AS (SELECT doc_id, lang, ppl3,
+        |sum(CASE WHEN ppl3 IS NOT NULL THEN w ELSE 0 END)
+        |OVER (PARTITION BY lang ORDER BY ppl3
+        |RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |/ sum(CASE WHEN ppl3 IS NOT NULL THEN w ELSE 0 END)
+        |OVER (PARTITION BY lang) AS pr FROM d2),
+        |b AS (SELECT doc_id, lang, ppl3,
+        |CASE WHEN ppl3 IS NULL THEN NULL ELSE
+        |CAST(least(greatest(ceil(round(pr * 3, 9)) - 1, 0), 2) AS BIGINT) END AS bucket
+        |FROM p)
+        |SELECT doc_id, lang, ppl3, bucket,
         |CASE WHEN bucket IS NULL THEN NULL WHEN bucket = 0 THEN 'head'
         |WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_label
         |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),

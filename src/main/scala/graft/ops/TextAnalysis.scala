@@ -372,22 +372,33 @@ object TextAnalysis {
     * window shuffle per group, no join-back); `buckets` generalizes the
     * paper's 3.
     *
-    * Output: `(idCol, by…, ppl2, bucket, bucket_label)`; sub-2-token and
-    * NULL-text docs have NULL ppl2 → NULL bucket/label. Labels are
-    * head/middle/tail at `buckets = 3`, `b<k>` otherwise. */
+    * Output: `(idCol, by…, <ppl2|ppl3>, bucket, bucket_label)`; docs the
+    * LM cannot score (NULL/too-short text) have NULL ppl → NULL
+    * bucket/label. Labels are head/middle/tail at `buckets = 3`, `b<k>`
+    * otherwise.
+    *
+    * `lm`: the paper's actual configuration — a REFERENCE-fitted
+    * [[StupidBackoffLm]] (CCNet buckets crawl text under a Wikipedia-
+    * trained KenLM, not a self-trained one). When given, documents are
+    * scored by [[stupidBackoffPerplexity]] (`ppl3` column); default stays
+    * the self-trained bigram LM (`ppl2`). */
   def pplBuckets(
       df: DataFrame,
       textCol: String,
       idCol: String,
       by: Seq[String] = Seq.empty,
-      buckets: Int = 3): DataFrame = {
-    val ppl = bigramPerplexity(df, textCol, idCol)
+      buckets: Int = 3,
+      lm: Option[StupidBackoffLm] = None): DataFrame = {
+    val (ppl, pplCol) = lm match {
+      case Some(m) => (stupidBackoffPerplexity(df, textCol, idCol, m), "ppl3")
+      case None    => (bigramPerplexity(df, textCol, idCol), "ppl2")
+    }
     val base = df
       .select((col(idCol) +: by.map(col)) :+
         length(coalesce(col(textCol), lit(""))).cast("double").as("__w__"): _*)
       .join(ppl, Seq(idCol))
     val wdf = graft.core.WeightedDataFrame.wt(base, "__w__")
-    val cut = graft.core.WeightedNormalize.qcut(wdf, "ppl2", by, buckets, "bucket")
+    val cut = graft.core.WeightedNormalize.qcut(wdf, pplCol, by, buckets, "bucket")
     val label =
       if (buckets == 3)
         when(col("bucket") === 0, lit("head"))
@@ -396,7 +407,7 @@ object TextAnalysis {
       else concat(lit("b"), col("bucket"))
     cut.withColumn("bucket_label", when(col("bucket").isNotNull, label))
       .select((col(idCol) +: by.map(col)) ++
-        Seq(col("ppl2"), col("bucket"), col("bucket_label")): _*)
+        Seq(col(pplCol), col("bucket"), col("bucket_label")): _*)
   }
 
   def bigramPerplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -1523,6 +1523,29 @@ class PackingSpec extends SparkSpecBase {
     assert(math.abs(got(4L).get - 1.0 / (0.16 / n)) < 1e-3)
   }
 
+  test("pplBuckets(lm): buckets by the reference-fitted backoff ppl, ppl3 column") {
+    import graft.ops.TextAnalysis
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = TextAnalysis.fitStupidBackoffLm(
+      d.where(col("doc_id") % 3 === 0), "text")
+    val got = TextAnalysis.pplBuckets(d, "text", "doc_id",
+      by = Seq("lang"), buckets = 3, lm = Some(lm))
+    assert(got.columns.toSeq == Seq("doc_id", "lang", "ppl3", "bucket", "bucket_label"))
+    val rows = got.collect()
+    assert(rows.length == d.count())
+    // bucketing must follow the backoff scorer exactly: for each language,
+    // every head ppl ≤ every tail ppl
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val byB = rs.filter(!_.isNullAt(3)).groupBy(_.getLong(3))
+      for (h <- byB.getOrElse(0L, Array.empty); t <- byB.getOrElse(2L, Array.empty))
+        assert(h.getDouble(2) <= t.getDouble(2))
+    }
+    // the scored column IS stupidBackoffPerplexity's output
+    val direct = TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    rows.foreach(r => assert(Option(r.get(2)) == direct(r.getLong(0))))
+  }
+
   test("stupidBackoffPerplexity: self-scored corpus never backs off (pure trigram MLE)") {
     import graft.ops.TextAnalysis
     val corpus = Seq(
