@@ -458,6 +458,63 @@ object TextAnalysis {
       counts(3, "__t__", "__c3__"), total)
   }
 
+  /** Order-independent content sig of one LM count table: XOR of
+    * `xxhash64(key, count)` over its rows (keys are unique post-aggregate,
+    * so no pair can self-cancel; XOR is partitioning- and order-blind and
+    * cannot overflow). */
+  private def lmTableSig(df: DataFrame, key: String, cnt: String): Long = {
+    val r = df.agg(expr(s"bit_xor(xxhash64($key, $cnt))")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Persist a [[StupidBackoffLm]]: the three count tables as parquet
+    * (`<path>/uni|bi|tri`) plus a one-row `<path>/meta` carrying the token
+    * total and a content sig over all three tables — the DSIR/classifier
+    * persisted-model convention, for the LM's production life-cycle: fit
+    * ONCE on the reference corpus, reload for every later scoring run.
+    * Unlike those models the tables are corpus-vocabulary-sized, so they
+    * stay distributed parquet, never driver rows. */
+  def saveLm(spark: org.apache.spark.sql.SparkSession,
+      lm: StupidBackoffLm, path: String): Unit = {
+    import spark.implicits._
+    lm.uni.write.mode("overwrite").parquet(s"$path/uni")
+    lm.bi.write.mode("overwrite").parquet(s"$path/bi")
+    lm.tri.write.mode("overwrite").parquet(s"$path/tri")
+    // sig over the WRITTEN files, so a partial/corrupt write cannot pass
+    val u = spark.read.parquet(s"$path/uni")
+    val b = spark.read.parquet(s"$path/bi")
+    val t = spark.read.parquet(s"$path/tri")
+    val sig = lmSig(u, b, t, lm.total)
+    Seq((lm.total, sig)).toDF("total", "model_sig")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def lmSig(uni: DataFrame, bi: DataFrame, tri: DataFrame, total: Long): Long = {
+    var h = total * 0x9E3779B97F4A7C15L
+    Seq(lmTableSig(uni, "__u__", "__c1__"),
+        lmTableSig(bi, "__b__", "__c2__"),
+        lmTableSig(tri, "__t__", "__c3__")).foreach { s =>
+      h ^= s + 0x9E3779B97F4A7C15L + (h << 6) + (h >>> 2)
+    }
+    h
+  }
+
+  /** Reload a [[saveLm]] model, re-deriving the content sig from the
+    * loaded tables and refusing a mismatch (corrupt/partial/edited model
+    * directories must fail loudly, not skew every downstream score). */
+  def loadLm(spark: org.apache.spark.sql.SparkSession, path: String): StupidBackoffLm = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"LM meta at $path/meta must be one row, got ${meta.length}")
+    val total = meta(0).getAs[Long]("total")
+    val sig = meta(0).getAs[Long]("model_sig")
+    val uni = spark.read.parquet(s"$path/uni")
+    val bi = spark.read.parquet(s"$path/bi")
+    val tri = spark.read.parquet(s"$path/tri")
+    require(lmSig(uni, bi, tri, total) == sig,
+      s"stupid-backoff LM at $path fails its content sig — corrupt or edited files")
+    StupidBackoffLm(uni, bi, tri, total)
+  }
+
   /** Score a corpus under a REFERENCE-fitted [[StupidBackoffLm]] — the
     * CCNet deployment shape (LM fit on a clean reference, crawl docs
     * scored against it), where backoff genuinely fires: unlike the

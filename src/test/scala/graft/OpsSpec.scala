@@ -1523,6 +1523,29 @@ class PackingSpec extends SparkSpecBase {
     assert(math.abs(got(4L).get - 1.0 / (0.16 / n)) < 1e-3)
   }
 
+  test("saveLm/loadLm: round-trip scores bit-identically; tamper fails the sig") {
+    import graft.ops.TextAnalysis
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = TextAnalysis.fitStupidBackoffLm(d.where(col("doc_id") % 3 === 0), "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    TextAnalysis.saveLm(spark, lm, dir)
+    val lm2 = TextAnalysis.loadLm(spark, dir)
+    assert(lm2.total == lm.total)
+    val a = TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val b = TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lm2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a == b)
+    // tampering with a count table must fail the load loudly
+    import spark.implicits._
+    val tampered = lm2.tri.limit(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1)).toSeq
+      .toDF("__t__", "__c3__")
+    tampered.write.mode("overwrite").parquet(s"$dir/tri")
+    val e = intercept[IllegalArgumentException](TextAnalysis.loadLm(spark, dir))
+    assert(e.getMessage.contains("content sig"))
+  }
+
   test("pplBuckets(lm): buckets by the reference-fitted backoff ppl, ppl3 column") {
     import graft.ops.TextAnalysis
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
