@@ -499,6 +499,38 @@ object TextAnalysis {
     h
   }
 
+  /** Materialize a fitted LM as a per-worker scoring kernel
+    * ([[graft.functions.BackoffLmKernel]]) — the CCNet deployment shape:
+    * the model ships to every executor once (16 B per distinct n-gram)
+    * and text scores per row with ZERO shuffle, which is what lets
+    * perplexity gate a STREAM statelessly
+    * ([[graft.streaming.StreamingSelection.perplexityAdmission]]).
+    * `maxEntries` bounds the driver collect explicitly — a model too big
+    * to broadcast must fail at build time, not OOM mid-job; past the cap,
+    * score with the join-based [[stupidBackoffPerplexity]] instead. */
+  def lmKernel(
+      lm: StupidBackoffLm,
+      alpha: Double = 0.4,
+      maxEntries: Long = 10000000L): graft.functions.BackoffLmKernel = {
+    def pairs(df: DataFrame, k: String, c: String): Array[(Long, Long)] =
+      df.select(col(k), col(c)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = Seq(lm.uni.count(), lm.bi.count(), lm.tri.count())
+    require(sizes.sum <= maxEntries,
+      s"lmKernel: model has ${sizes.sum} n-gram entries (> cap $maxEntries); " +
+        "raise maxEntries deliberately or use the join-based scorer")
+    graft.functions.BackoffLmKernel.fromPairs(
+      pairs(lm.uni, "__u__", "__c1__"),
+      pairs(lm.bi, "__b__", "__c2__"),
+      pairs(lm.tri, "__t__", "__c3__"),
+      lm.total, alpha)
+  }
+
+  /** Per-row backoff perplexity under a kernel (NULL for NULL/short
+    * text) — scores inside the scan projection. */
+  def backoffPerplexityScore(
+      text: Column, kernel: graft.functions.BackoffLmKernel): Column =
+    graft.functions.BackoffLmFunctions.backoffPpl(text, kernel)
+
   /** Reload a [[saveLm]] model, re-deriving the content sig from the
     * loaded tables and refusing a mismatch (corrupt/partial/edited model
     * directories must fail loudly, not skew every downstream score). */

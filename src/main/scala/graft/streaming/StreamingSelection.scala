@@ -109,6 +109,43 @@ object StreamingSelection {
       .where(col(langCol).isin(keepLangs.toSeq.sorted: _*))
   }
 
+  /** Gate on reference-LM perplexity: keep documents scoring ppl ≤
+    * `maxPpl` under a [[graft.ops.TextAnalysis.StupidBackoffLm]] kernel —
+    * the CCNet ingest rule (LOW perplexity ≈ reference-like text). The
+    * kernel ships the whole model per worker (the paper's own KenLM
+    * deployment), so the gate stays a stateless codegen projection like
+    * every other admission here. Documents the LM cannot score (< 3
+    * tokens / NULL text) are REJECTED by default — an unscorable doc
+    * cannot certify itself; pass `keepUnscored = true` to let them
+    * through with a NULL score. */
+  def perplexityAdmission(
+      df: DataFrame,
+      kernel: graft.functions.BackoffLmKernel,
+      textCol: String,
+      maxPpl: Double,
+      keepUnscored: Boolean = false,
+      scoreCol: String = "ppl3"): DataFrame = {
+    require(!df.columns.contains(scoreCol),
+      s"admission writes '$scoreCol'; rename the input column or pass a different scoreCol")
+    val scored = df.withColumn(scoreCol,
+      graft.ops.TextAnalysis.backoffPerplexityScore(col(textCol), kernel))
+    if (keepUnscored)
+      scored.where(col(scoreCol).isNull || col(scoreCol) <= lit(maxPpl))
+    else scored.where(col(scoreCol) <= lit(maxPpl))
+  }
+
+  /** Same gate from a persisted [[graft.ops.TextAnalysis.saveLm]] model
+    * directory (sig-verified load, then one kernel build). */
+  def perplexityAdmission(
+      spark: SparkSession,
+      df: DataFrame,
+      modelPath: String,
+      textCol: String,
+      maxPpl: Double): DataFrame =
+    perplexityAdmission(df,
+      graft.ops.TextAnalysis.lmKernel(graft.ops.TextAnalysis.loadLm(spark, modelPath)),
+      textCol, maxPpl)
+
   private def admit(
       df: DataFrame,
       score: Column,

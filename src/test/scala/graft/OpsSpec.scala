@@ -1523,6 +1523,46 @@ class PackingSpec extends SparkSpecBase {
     assert(math.abs(got(4L).get - 1.0 / (0.16 / n)) < 1e-3)
   }
 
+  test("backoff kernel: per-row scorer ≡ brute reference exactly; ≡ join path at the grid") {
+    import graft.ops.TextAnalysis
+    val ref = Seq("the cat sat on the mat", "the dog sat on a rug", "a cat ran")
+    val refDf = ref.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val lm = TextAnalysis.fitStupidBackoffLm(refDf, "text")
+    val kernel = TextAnalysis.lmKernel(lm)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the mat"),
+      (3L, "rug the dog zebra ran"), (4L, "zz yy xx"),
+      (5L, "one two"), (6L, null.asInstanceOf[String]))
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.backoffPerplexityScore(col("text"), kernel).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    docs.foreach { case (id, text) =>
+      val want = bruteBackoffPpl(ref, text)
+      (got(id), want) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-12, s"doc $id")
+        case (g, w)             => assert(g == w, s"doc $id")
+      }
+    }
+    // against the join-based scorer on real text: equal at the round-6 grid
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val lmR = TextAnalysis.fitStupidBackoffLm(d.where(col("doc_id") % 3 === 0), "text")
+    val kR = TextAnalysis.lmKernel(lmR)
+    val joinPath = TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lmR)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    d.select(col("doc_id"), TextAnalysis.backoffPerplexityScore(col("text"), kR).as("p"))
+      .collect().foreach { r =>
+        val k = Option(r.get(1)).map(_.asInstanceOf[Double])
+        val j = joinPath(r.getLong(0))
+        (k, j) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) <= 5.01e-7 * math.max(1.0, b))
+          case (a, b)             => assert(a == b)
+        }
+      }
+    // the cap fails loudly instead of collecting an oversized model
+    val e = intercept[IllegalArgumentException](TextAnalysis.lmKernel(lmR, maxEntries = 10))
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("saveLm/loadLm: round-trip scores bit-identically; tamper fails the sig") {
     import graft.ops.TextAnalysis
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

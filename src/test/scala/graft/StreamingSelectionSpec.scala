@@ -153,4 +153,52 @@ class StreamingSelectionSpec extends SparkSpecBase {
       StreamingSelection.languageAdmission(
         feedDf.withColumn("pred_lang", lit("en")), model, "text", Set("en")))
   }
+
+  test("perplexity admission: persisted LM gates a stream exactly like batch, statelessly") {
+    import graft.ops.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lm-admit").toString
+    // reference = the target-like half; low-ppl docs read like it
+    TextAnalysis.saveLm(spark,
+      TextAnalysis.fitStupidBackoffLm(targetDf, "text"), dir)
+    // feed mixes reference-like, background, and unscorable docs
+    val feed: Seq[(Long, String)] = corpus ++ Seq(
+      (90L, "xy"),                         // < 3 tokens → unscorable
+      (91L, null.asInstanceOf[String]))
+    val feedDf = feed.toDF("doc_id", "text")
+    // the fixture's scored tiers are deterministic: reference-like docs
+    // land ≤ 2.0, the all-OOV background at exactly α²-backed 112.5 —
+    // gate between them
+    val kernel = TextAnalysis.lmKernel(TextAnalysis.loadLm(spark, dir))
+    val maxPpl = 10.0
+    val batch = StreamingSelection.perplexityAdmission(
+      spark, feedDf, dir, "text", maxPpl)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty && batch.size < feed.size - 2,
+      s"threshold must bind: $batch")
+    assert(!batch.contains(90L) && !batch.contains(91L),
+      "unscorable docs are rejected by default")
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingSelection.perplexityAdmission(
+      spark, input.toDF().toDF("doc_id", "text"), dir, "text", maxPpl)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("ppladmit").start()
+    feed.grouped(5).foreach { chunk =>
+      input.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    val got = spark.table("ppladmit").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q.stop()
+    assert(got == batch, s"stream == batch admission: $got vs $batch")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "perplexity admission must not create a state store")
+    // keepUnscored lets NULL-score docs through alongside the admitted set
+    val lenient = StreamingSelection.perplexityAdmission(
+      feedDf, kernel, "text", maxPpl, keepUnscored = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(lenient == batch.keySet ++ Set(90L, 91L))
+  }
 }
