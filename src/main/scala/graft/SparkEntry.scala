@@ -1669,6 +1669,21 @@ object SparkEntry {
           .otherwise(size(split(col("clean"), "\n")).cast("long")))
         .orderBy("doc_id")
     }),
+    // WITHIN-doc repeated-line removal (the repetition FIXER): fixture
+    // builds 6-line docs — short '---' separators (exempt, survive twice),
+    // a lead line repeated at positions 2/3/6 (first kept, copies
+    // dropped), a unique tail. Short docs whose lead trims under the
+    // exemption floor keep every copy — both engines apply the same rule
+    "q127_dedup_lines" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val lead = substring(coalesce(col("text"), lit("")), 1, 40)
+      val doc = concat_ws("\n", lit("---"), lead, lead, lit("---"),
+        concat(lit("tail "), col("doc_id").cast("string")), lead)
+      d.select(col("doc_id"),
+          graft.ops.Scrub.dropRepeatedLines(doc, minLineChars = 5).as("text_clean"))
+        .withColumn("n_lines", size(split(col("text_clean"), "\n")).cast("long"))
+        .orderBy("doc_id")
+    }),
     // rebalance langs to a fixed target mix — FULLY oracle-backed: the
     // oracle reimplements Spark's xxhash64 (public XXH64) in HUGEINT SQL,
     // so the hash-seeded admission itself is exact-checked, not rows-only
@@ -3279,6 +3294,24 @@ object SparkEntry {
         |CAST(CASE WHEN cl IS NULL OR cl = '' THEN 0
         |ELSE len(string_split(cl, chr(10))) END AS BIGINT) AS n_lines
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the relational spelling of the per-row prefix rule: first occurrence
+    // per (doc, raw line) via min(pos), exempt short-trimmed lines keep
+    // every copy, reassembly ordered by position
+    "q127_dedup_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |string_split('---' || chr(10) || substr(coalesce(text, ''), 1, 40) || chr(10)
+        ||| substr(coalesce(text, ''), 1, 40) || chr(10) || '---' || chr(10)
+        ||| 'tail ' || doc_id || chr(10) || substr(coalesce(text, ''), 1, 40),
+        |chr(10)) AS lines FROM documents),
+        |x AS (SELECT doc_id, unnest(lines) AS line,
+        |generate_subscripts(lines, 1) AS pos FROM d),
+        |k AS (SELECT doc_id, line, pos,
+        |min(pos) OVER (PARTITION BY doc_id, line) AS first_pos FROM x),
+        |c AS (SELECT doc_id,
+        |string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+        |CAST(count(*) AS BIGINT) AS n_lines
+        |FROM k WHERE len(trim(line)) < 5 OR pos = first_pos GROUP BY doc_id)
+        |SELECT doc_id, text_clean, n_lines FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // generate_subscripts zips with unnest; dim is 0-based on the Spark
     // side (posexplode) so the oracle shifts p by 1
     "q63_group_centroids" ->

@@ -74,6 +74,29 @@ object Scrub {
     array_join(kept, "\n")
   }
 
+  /** WITHIN-document repeated-line removal — the repetition FIXER
+    * complementing [[graft.ops.GopherRepetition]]'s scorer: templated
+    * pages repeat nav lines, quoted mail chains repeat bodies; keep each
+    * line's FIRST occurrence, drop later exact copies. Lines whose
+    * trimmed length is under `minLineChars` are exempt (blank separators,
+    * '---' rules, short headings legitimately repeat — the
+    * [[graft.ops.Dedup.dedupParagraphs]] exemption convention).
+    *
+    * Pure per-row array HOF (`filter` with the index lambda over the
+    * split lines — a line survives iff exempt or absent from the line
+    * prefix before it): NO explode, NO shuffle, scan-speed at 100 TB.
+    * O(lines²) string compares per doc is the right trade at tens of
+    * lines per document. NULL in → NULL out; a fully-deduped doc keeps
+    * its first line (never vanishes). */
+  def dropRepeatedLines(c: Column, minLineChars: Int = 10): Column = {
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    val lines = split(c, "\n")
+    val kept = filter(lines, (l, i) =>
+      length(trim(l)) < minLineChars ||
+        !array_contains(slice(lines, lit(1), i), l))
+    array_join(kept, "\n")
+  }
+
   /** CROSS-document boilerplate-line removal (the C4-style global line
     * filter [[cleanLines]] can't express: it sees one document at a time):
     * a line is boilerplate iff it appears in at least

@@ -8,6 +8,24 @@ class ScrubSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.ops.Scrub
 
+  test("dropRepeatedLines: first occurrence kept, short lines exempt, NULL passes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma\nmiddle line here\nalpha beta gamma\n---\nmiddle line here\n---"),
+      (2L, "same long line here\nsame long line here\nsame long line here"),
+      (3L, "one\none\none"), // every line under the floor → all exempt
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Scrub.dropRepeatedLines(col("text"), minLineChars = 5).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // copies drop, order survives, '---' (trimmed 3 < 5) survives twice
+    assert(got(1L).get == "alpha beta gamma\nmiddle line here\n---\n---")
+    // a fully-repeated doc keeps its first line, never vanishes
+    assert(got(2L).get == "same long line here")
+    assert(got(3L).get == "one\none\none")
+    assert(got(4L).isEmpty)
+  }
+
   test("dropBoilerplateLines: cross-doc repeated lines vanish, order survives") {
     val docs = (1L to 10L).map { i =>
       (i, s"unique opener $i\nAll rights reserved\nbody text $i here\n" +
