@@ -467,6 +467,11 @@ object SparkEntry {
     * discipline). The embeddings fixture is 500 random-gaussian vectors at
     * every SF; k=8 / 2 Lloyd iterations / threshold 0.30 makes the drop set
     * non-empty without knife-edge pairs. */
+  /** q128's perplexity-admission ceiling — must BIND (reject some docs,
+    * admit some) on the extracted pool at both verify SFs; chosen from the
+    * measured ppl3 distribution of that pool. */
+  private val WebPipelinePplMax = 60.0
+
   private val SemDedupK = 8
   private val SemDedupIters = 2
   private val SemDedupSeed = 7L
@@ -590,6 +595,47 @@ object SparkEntry {
        |CAST(coalesce(len(l.idl), 0) AS BIGINT) AS n_tokens
        |FROM bpe_d d LEFT JOIN bpe_dl l ON l.doc_id = d.doc_id)""".stripMargin.replace("\n", " ")
   }
+
+  /** Stupid-backoff scoring CTEs over `rel(doc_id, text)` — the oracle
+    * twin of [[graft.ops.TextAnalysis.fitStupidBackoffLm]] +
+    * [[graft.ops.TextAnalysis.stupidBackoffPerplexity]]: reference =
+    * `doc_id % 3 = 0` slice of `rel`, counts by gram STRING (== the
+    * engine's XXH64 keys absent collisions), trigram windows with the
+    * backoff CASE chain (α = 0.4, OOV = α²/N). Terminal CTE:
+    * `bk_sc(doc_id, ppl3)` — one row per SCORED doc (≥ 3 tokens);
+    * consumers LEFT JOIN for full coverage. */
+  private def backoffPplCtes(rel: String): String =
+    s"""bk_t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \\t\\n\\f\\r]+') AS toks
+       |FROM $rel),
+       |bk_ref AS (SELECT * FROM bk_t WHERE doc_id % 3 = 0),
+       |bk_r1 AS (SELECT toks[i] AS g FROM bk_ref, unnest(generate_series(1, len(toks))) AS u(i)),
+       |bk_c1 AS (SELECT g, count(*) AS c FROM bk_r1 GROUP BY g),
+       |bk_n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM bk_r1),
+       |bk_r2 AS (SELECT toks[i] || ' ' || toks[i+1] AS g
+       |FROM bk_ref, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+       |bk_c2 AS (SELECT g, count(*) AS c FROM bk_r2 GROUP BY g),
+       |bk_r3 AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |FROM bk_ref, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+       |bk_c3 AS (SELECT g, count(*) AS c FROM bk_r3 GROUP BY g),
+       |bk_pos AS (SELECT doc_id,
+       |toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
+       |toks[i] || ' ' || toks[i+1] AS cx2,
+       |toks[i+1] || ' ' || toks[i+2] AS bg,
+       |toks[i+1] AS cx1, toks[i+2] AS ug
+       |FROM bk_t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+       |bk_j AS (SELECT doc_id,
+       |CASE WHEN tc.c IS NOT NULL THEN ln(CAST(tc.c AS DOUBLE) / cx2c.c)
+       |WHEN bc.c IS NOT NULL THEN ln(0.4) + ln(CAST(bc.c AS DOUBLE) / cx1c.c)
+       |WHEN uc.c IS NOT NULL THEN 2*ln(0.4) + ln(CAST(uc.c AS DOUBLE) / total)
+       |ELSE 2*ln(0.4) + ln(1.0 / total) END AS s
+       |FROM bk_pos
+       |LEFT JOIN bk_c3 tc ON bk_pos.tg = tc.g
+       |LEFT JOIN bk_c2 cx2c ON bk_pos.cx2 = cx2c.g
+       |LEFT JOIN bk_c2 bc ON bk_pos.bg = bc.g
+       |LEFT JOIN bk_c1 cx1c ON bk_pos.cx1 = cx1c.g
+       |LEFT JOIN bk_c1 uc ON bk_pos.ug = uc.g
+       |CROSS JOIN bk_n),
+       |bk_sc AS (SELECT doc_id, round(exp(-avg(s)), 6) AS ppl3 FROM bk_j GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
   /** The q111 quality-classifier fit config — ONE definition consumed by
     * the Spark query AND baked into the oracle CTEs (same anti-drift
@@ -1955,6 +2001,46 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "stream", "pack", "pack_id")
         .orderBy("doc_id")
     }),
+    // the CAPSTONE pipeline: q117's crawl→text chain extended with the
+    // reference-LM quality gate and the trainer-facing artifact — WARC
+    // walk → html_text → Gopher gate (one scan) → exact keep-first dedup
+    // → backoff LM fit on the %3 slice of the SURVIVING pool → ppl
+    // admission → packed token-id streams under EXACT BPE budgets. The
+    // deduped pool is frozen once (the Pipeline freeze contract) so the
+    // LM fit, the scoring pass, and the packing all reuse it instead of
+    // re-walking the crawl
+    "q128_web_pipeline" -> ((s, dir) => {
+      val w = Multimodal.warcHtmlFromDocuments(table(s, dir, "documents"))
+      val recs = w.select(col("media_id").as("doc_id"),
+          explode(graft.functions.WarcFunctions.warcRecords(col("payload"))).as("r"))
+        .where(col("r.rec_type") === "response")
+        .select(col("doc_id"),
+          graft.ops.Extract.textFromHtmlBytes(col("r.body")).as("text"))
+      val kept = recs.where(TextAnalysis.gopherPasses(col("text"),
+        TextAnalysis.GopherThresholds(minWords = 10, minStopwords = 1)))
+      // a junk side-feed the LM gate must REJECT: per-doc-unique OOV
+      // gibberish; ids offset by 9999990 (≡ 0 mod 15) so junk keeps its
+      // %5/%3 residues and stays OUT of the %3 reference slice
+      val junk = table(s, dir, "documents")
+        .where(col("doc_id") % 5 === 1 && col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") + lit(9999990L)).as("doc_id"),
+          concat(lit("the qbrf xwqz kplm vrts nghw zdfy cmjq hslx bwrn ptkv x"),
+            translate(col("doc_id").cast("string"), "0123456789", "abcdefghij"))
+            .as("text"))
+      val pool = org.apache.spark.sql.graftbridge.DatasetBridge.freezeStatsFree(
+        graft.ops.Dedup.dropExact(kept.unionByName(junk), "text", "doc_id"))
+      val lm = TextAnalysis.fitStupidBackoffLm(
+        pool.where(col("doc_id") % 3 === 0), "text")
+      val scored = TextAnalysis.stupidBackoffPerplexity(pool, "text", "doc_id", lm)
+      val admitted = pool.join(
+        scored.where(col("ppl3") <= WebPipelinePplMax).select("doc_id"), Seq("doc_id"))
+      graft.ops.Packing.packTokenStreams(admitted, "doc_id", "text",
+          graft.functions.BpeVocab.Builtin, capacity = 512L, nStreams = 4)
+        .select(col("pack_id"), col("stream"), col("pack"), col("n_docs"),
+          col("n_tokens"),
+          array_join(col("token_ids").cast("array<string>"), ",").as("token_ids"))
+        .orderBy("pack_id")
+    }),
     // raw-crawl ingest: WARC files parsed by the native record walker —
     // request AND response records, HTTP framing split, byte-level header
     // pin (hdr_hex); the fixture is pure arithmetic so the oracle rebuilds
@@ -2975,6 +3061,42 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, stream, CAST(off // 512 AS BIGINT) AS pack,
          |CAST(stream * 4294967296 + off // 512 AS BIGINT) AS pack_id
          |FROM c117 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the capstone: q117's extract→gate→dedup chain, a junk side-feed the
+    // LM gate must reject (OOV gibberish, ids offset by 9999990 ≡ 0 mod 15
+    // so junk stays out of the %3 reference slice), the shared backoff
+    // CTEs scoring the deduped pool, the ppl ≤ 60 admission, then the
+    // token-id packing of q121 at capacity 512 / 4 streams
+    "q128_web_pipeline" ->
+      s"""WITH RECURSIVE
+         |x128 AS (SELECT doc_id, $htmlExpectedTextSql AS text FROM documents),
+         |g128 AS (SELECT doc_id FROM (${gopherOracleSql("x128", minWords = 10)}) WHERE passes),
+         |k128a AS (SELECT x128.doc_id, x128.text FROM x128 JOIN g128 USING (doc_id)
+         |UNION ALL
+         |SELECT doc_id + 9999990,
+         |'the qbrf xwqz kplm vrts nghw zdfy cmjq hslx bwrn ptkv x' ||
+         |translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')
+         |FROM documents WHERE doc_id % 5 = 1 AND doc_id % 3 <> 0),
+         |ded128 AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+         |row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM k128a) WHERE rn = 1),
+         |${backoffPplCtes("ded128")},
+         |adm128 AS (SELECT ded128.doc_id, ded128.text FROM ded128
+         |JOIN bk_sc USING (doc_id) WHERE bk_sc.ppl3 <= 60.0),
+         |${bpeIdsCtes("adm128")},
+         |t128 AS (SELECT b.doc_id, b.bpe_exact AS n_tokens,
+         |CAST(b.doc_id % 4 AS BIGINT) AS stream, x.token_ids
+         |FROM bpe_cnt b JOIN bpe_ids x ON x.doc_id = b.doc_id),
+         |c128 AS (SELECT doc_id, n_tokens, stream, token_ids,
+         |sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+         |FROM t128 WHERE n_tokens > 0),
+         |p128 AS (SELECT doc_id, n_tokens, stream, token_ids,
+         |CAST(off // 512 AS BIGINT) AS pack,
+         |CAST(stream * 4294967296 + off // 512 AS BIGINT) AS pack_id FROM c128)
+         |SELECT pack_id, stream, pack, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |string_agg(token_ids, ',' ORDER BY doc_id) AS token_ids
+         |FROM p128 GROUP BY pack_id, stream, pack ORDER BY pack_id""".stripMargin
+        .replace("\n", " "),
     // transitive closure via recursive CTE; cluster id = min reachable id
     "q49_dup_clusters" ->
       """WITH RECURSIVE e AS (SELECT a.doc_id AS s, b.doc_id AS t
@@ -3098,40 +3220,11 @@ object SparkEntry {
     // stupid backoff: reference counts by gram STRING (== the engine's
     // XXH64 keys absent collisions), trigram windows with the backoff
     // CASE chain, OOV = alpha^2/N, full doc coverage via LEFT JOIN
+    // (the shared backoffPplCtes builder — also feeds q126 and q128)
     "q125_backoff_ppl" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\f\r]+') AS toks
-        |FROM documents),
-        |ref AS (SELECT * FROM t WHERE doc_id % 3 = 0),
-        |r1 AS (SELECT toks[i] AS g FROM ref, unnest(generate_series(1, len(toks))) AS u(i)),
-        |c1 AS (SELECT g, count(*) AS c FROM r1 GROUP BY g),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM r1),
-        |r2 AS (SELECT toks[i] || ' ' || toks[i+1] AS g
-        |FROM ref, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
-        |c2 AS (SELECT g, count(*) AS c FROM r2 GROUP BY g),
-        |r3 AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-        |FROM ref, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
-        |c3 AS (SELECT g, count(*) AS c FROM r3 GROUP BY g),
-        |pos AS (SELECT doc_id,
-        |toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
-        |toks[i] || ' ' || toks[i+1] AS cx2,
-        |toks[i+1] || ' ' || toks[i+2] AS bg,
-        |toks[i+1] AS cx1, toks[i+2] AS ug
-        |FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
-        |j AS (SELECT doc_id,
-        |CASE WHEN tc.c IS NOT NULL THEN ln(CAST(tc.c AS DOUBLE) / cx2c.c)
-        |WHEN bc.c IS NOT NULL THEN ln(0.4) + ln(CAST(bc.c AS DOUBLE) / cx1c.c)
-        |WHEN uc.c IS NOT NULL THEN 2*ln(0.4) + ln(CAST(uc.c AS DOUBLE) / total)
-        |ELSE 2*ln(0.4) + ln(1.0 / total) END AS s
-        |FROM pos
-        |LEFT JOIN c3 tc ON pos.tg = tc.g
-        |LEFT JOIN c2 cx2c ON pos.cx2 = cx2c.g
-        |LEFT JOIN c2 bc ON pos.bg = bc.g
-        |LEFT JOIN c1 cx1c ON pos.cx1 = cx1c.g
-        |LEFT JOIN c1 uc ON pos.ug = uc.g
-        |CROSS JOIN n),
-        |sc AS (SELECT doc_id, round(exp(-avg(s)), 6) AS ppl3 FROM j GROUP BY doc_id)
-        |SELECT d.doc_id, sc.ppl3 FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      s"""WITH ${backoffPplCtes("documents")}
+         |SELECT d.doc_id, bk_sc.ppl3 FROM documents d LEFT JOIN bk_sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     // CCNet buckets: q104's ppl CTEs + q79's mass-cumulative qcut
     // arithmetic, weight = length(text), partition by lang
     "q122_ppl_buckets" ->
@@ -3159,41 +3252,11 @@ object SparkEntry {
         |CASE WHEN bucket IS NULL THEN NULL WHEN bucket = 0 THEN 'head'
         |WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_label
         |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
-    // q125's backoff-scored sc CTE chained into q122's weight-mass qcut
+    // q125's backoff-scored bk_sc CTE chained into q122's weight-mass qcut
     "q126_ccnet_buckets" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\f\r]+') AS toks
-        |FROM documents),
-        |ref AS (SELECT * FROM t WHERE doc_id % 3 = 0),
-        |r1 AS (SELECT toks[i] AS g FROM ref, unnest(generate_series(1, len(toks))) AS u(i)),
-        |c1 AS (SELECT g, count(*) AS c FROM r1 GROUP BY g),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM r1),
-        |r2 AS (SELECT toks[i] || ' ' || toks[i+1] AS g
-        |FROM ref, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
-        |c2 AS (SELECT g, count(*) AS c FROM r2 GROUP BY g),
-        |r3 AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-        |FROM ref, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
-        |c3 AS (SELECT g, count(*) AS c FROM r3 GROUP BY g),
-        |pos AS (SELECT doc_id,
-        |toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
-        |toks[i] || ' ' || toks[i+1] AS cx2,
-        |toks[i+1] || ' ' || toks[i+2] AS bg,
-        |toks[i+1] AS cx1, toks[i+2] AS ug
-        |FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
-        |j AS (SELECT doc_id,
-        |CASE WHEN tc.c IS NOT NULL THEN ln(CAST(tc.c AS DOUBLE) / cx2c.c)
-        |WHEN bc.c IS NOT NULL THEN ln(0.4) + ln(CAST(bc.c AS DOUBLE) / cx1c.c)
-        |WHEN uc.c IS NOT NULL THEN 2*ln(0.4) + ln(CAST(uc.c AS DOUBLE) / total)
-        |ELSE 2*ln(0.4) + ln(1.0 / total) END AS s
-        |FROM pos
-        |LEFT JOIN c3 tc ON pos.tg = tc.g
-        |LEFT JOIN c2 cx2c ON pos.cx2 = cx2c.g
-        |LEFT JOIN c2 bc ON pos.bg = bc.g
-        |LEFT JOIN c1 cx1c ON pos.cx1 = cx1c.g
-        |LEFT JOIN c1 uc ON pos.ug = uc.g
-        |CROSS JOIN n),
-        |sc AS (SELECT doc_id, round(exp(-avg(s)), 6) AS ppl3 FROM j GROUP BY doc_id),
-        |d2 AS (SELECT d.doc_id, d.lang, CAST(length(coalesce(d.text, '')) AS DOUBLE) AS w, sc.ppl3
-        |FROM documents d LEFT JOIN sc USING (doc_id)),
+      s"""WITH ${backoffPplCtes("documents")},
+        |d2 AS (SELECT d.doc_id, d.lang, CAST(length(coalesce(d.text, '')) AS DOUBLE) AS w, bk_sc.ppl3
+        |FROM documents d LEFT JOIN bk_sc USING (doc_id)),
         |p AS (SELECT doc_id, lang, ppl3,
         |sum(CASE WHEN ppl3 IS NOT NULL THEN w ELSE 0 END)
         |OVER (PARTITION BY lang ORDER BY ppl3
