@@ -96,7 +96,26 @@ object StreamBench {
         (org.apache.spark.sql.streaming.StreamingQuery, () => Long)): Result =
       runFeed(name, allBatches)(mkQuery)
 
+    // offline fit-once for the LM-admission row: reference = the %3 slice,
+    // threshold = the corpus median ppl so the gate BINDS (~half admitted)
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lmKernel = graft.ops.TextAnalysis.lmKernel(
+      graft.ops.TextAnalysis.fitStupidBackoffLm(
+        docsDf.where(col("doc_id") % 3 === 0), "text"))
+    val medPpl = docsDf.select(
+        graft.ops.TextAnalysis.backoffPerplexityScore(col("text"), lmKernel).as("p"))
+      .where(col("p").isNotNull)
+      .stat.approxQuantile("p", Array(0.5), 0.01).head
+
     val results = Seq(
+      run("ppl_admit") { input =>
+        val out = graft.streaming.StreamingSelection.perplexityAdmission(
+          input.toDF().toDF("doc_id", "text"), lmKernel, "text", medPpl)
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName("sb_ppl").start()
+        (q, () => spark.table("sb_ppl").count())
+      },
       run("exact") { input =>
         val out = StreamingDedup.dropDuplicateTexts(input.toDF()
           .toDF("doc_id", "text"), "text")
