@@ -223,4 +223,49 @@ object Pipeline {
       frozen, model, textCol, Seq(idCol), nSelect, temperature, seed)
     Packing.packSequences(picked, idCol, col("bpe_tokens"), capacity, nStreams)
   }
+
+  /** Crawl → training tokens, end to end (the q128 capstone as an API):
+    * WARC record walk → [[Extract.textFromHtmlBytes]] → Gopher gate (all
+    * in ONE scan) → exact keep-first dedup → optional reference-LM
+    * perplexity admission → [[Packing.packTokenStreams]] under EXACT BPE
+    * budgets. Input: one WARC payload blob per row.
+    *
+    * The LM gate: pass `pplMax` finite to enable it. With `lm = None` the
+    * model is fit on the SURVIVING pool's `docId % 3 == 0` slice
+    * (self-bootstrapped — adequate when the crawl is mostly clean and the
+    * gate only needs to shed outliers); pass a reference-fitted
+    * [[TextAnalysis.StupidBackoffLm]] ([[TextAnalysis.loadLm]]) for the
+    * CCNet configuration. The deduped pool freezes ONCE so the fit, the
+    * scoring pass, and the packing reuse it instead of re-walking the
+    * crawl; with the gate off, no freeze happens and the whole flow is
+    * one declarative graph. Docs the LM cannot score (< 3 tokens) are
+    * rejected when the gate is on (the admission convention). */
+  def prepareWebCorpus(
+      payloads: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      gopher: TextAnalysis.GopherThresholds = TextAnalysis.GopherThresholds(),
+      pplMax: Double = Double.PositiveInfinity,
+      lm: Option[TextAnalysis.StupidBackoffLm] = None,
+      vocab: graft.functions.BpeVocab = graft.functions.BpeVocab.Builtin,
+      capacity: Long = 2048L,
+      nStreams: Int = 64): DataFrame = {
+    require(pplMax > 0, s"pplMax must be positive, got $pplMax")
+    val recs = payloads.select(col(idCol),
+        explode(graft.functions.WarcFunctions.warcRecords(col(payloadCol))).as("__r__"))
+      .where(col("__r__.rec_type") === "response")
+      .select(col(idCol), Extract.textFromHtmlBytes(col("__r__.body")).as("__text__"))
+    val kept = recs.where(TextAnalysis.gopherPasses(col("__text__"), gopher))
+    val deduped = Dedup.dropExact(kept, "__text__", idCol)
+    val admitted =
+      if (pplMax.isInfinite) deduped
+      else {
+        val pool = freeze(deduped)
+        val m = lm.getOrElse(TextAnalysis.fitStupidBackoffLm(
+          pool.where(col(idCol) % 3 === 0), "__text__"))
+        val scored = TextAnalysis.stupidBackoffPerplexity(pool, "__text__", idCol, m)
+        pool.join(scored.where(col("ppl3") <= pplMax).select(idCol), Seq(idCol))
+      }
+    Packing.packTokenStreams(admitted, idCol, "__text__", vocab, capacity, nStreams)
+  }
 }

@@ -46,6 +46,38 @@ object StreamingDedup {
     deduped.drop("__h1__", "__h2__")
   }
 
+  /** Streaming URL dedup — the crawl-ingest twin of
+    * [[graft.ops.Dedup.dropByUrl]]: keep the FIRST arrival per
+    * [[graft.ops.Urls.normalizeUrl]] key (a stream has no keep-newest —
+    * later captures of a seen URL are simply not re-admitted). Rows whose
+    * URL does not normalize (no scheme / no host) pass through unchanged:
+    * they are keyed by a per-row unique surrogate instead of sharing one
+    * NULL bucket, so non-URL records are never deduped against each
+    * other. Same state regimes as [[dropDuplicateTexts]] (watermark TTL
+    * with `tsCol`, full history without); state per URL is the 128-bit
+    * key hash, never the URL. */
+  def dropDuplicateUrls(
+      df: DataFrame,
+      urlCol: String,
+      tsCol: Option[String] = None,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val withNorm = df.withColumn("__n__", graft.ops.Urls.normalizeUrl(col(urlCol)))
+    // non-URL rows BYPASS the stateful branch entirely (a stateless filter
+    // union) — no surrogate keys, no shared NULL bucket, no state cost
+    val keyed = withNorm.where(col("__n__").isNotNull)
+      .withColumn("__h1__", xxhash64(col("__n__"), lit(0)))
+      .withColumn("__h2__", xxhash64(col("__n__"), lit(1)))
+    val deduped = tsCol match {
+      case Some(t) =>
+        keyed.withWatermark(t, watermarkDelay)
+          .dropDuplicatesWithinWatermark("__h1__", "__h2__")
+      case None =>
+        keyed.dropDuplicates("__h1__", "__h2__")
+    }
+    deduped.drop("__h1__", "__h2__", "__n__")
+      .unionByName(withNorm.where(col("__n__").isNull).drop("__n__"))
+  }
+
   /** One micro-batch step of streaming MinHash NEAR-duplicate dedup:
     * given the accumulated `seen` band-key table, returns the batch rows
     * to admit and the updated band-key table.

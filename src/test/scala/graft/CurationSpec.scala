@@ -343,6 +343,46 @@ class PrepareTrainingDataSpec extends SparkSpecBase {
     assert(packs.forall { case (t, m) => t - m < 512L })
   }
 
+  test("prepareWebCorpus: crawl to packed token streams, LM gate optional and binding") {
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = graft.multimodal.Multimodal.warcHtmlFromDocuments(docs)
+      .select(col("media_id").as("doc_id"), col("payload"))
+    val g = TextAnalysis.GopherThresholds(minWords = 10, minStopwords = 1)
+    // gate OFF: the whole flow is one graph; equals the manual composition
+    val open = graft.ops.Pipeline.prepareWebCorpus(w, "doc_id", "payload",
+      gopher = g, capacity = 512L, nStreams = 4)
+    val openDocs = open.agg(sum("n_docs")).head().getLong(0)
+    assert(openDocs > 0)
+    val manual = {
+      val recs = w.select(col("doc_id"),
+          explode(graft.functions.WarcFunctions.warcRecords(col("payload"))).as("r"))
+        .where(col("r.rec_type") === "response")
+        .select(col("doc_id"),
+          graft.ops.Extract.textFromHtmlBytes(col("r.body")).as("t"))
+        .where(TextAnalysis.gopherPasses(col("t"), g))
+      graft.ops.Dedup.dropExact(recs, "t", "doc_id").count()
+    }
+    assert(openDocs == manual)
+    // gate ON (self-bootstrapped LM): an unreachable ceiling admits the
+    // same pool; a sub-minimum ceiling rejects everything scorable
+    val same = graft.ops.Pipeline.prepareWebCorpus(w, "doc_id", "payload",
+      gopher = g, pplMax = 1e9, capacity = 512L, nStreams = 4)
+    assert(same.agg(sum("n_docs")).head().getLong(0) == openDocs)
+    val none = graft.ops.Pipeline.prepareWebCorpus(w, "doc_id", "payload",
+      gopher = g, pplMax = 1e-6, capacity = 512L, nStreams = 4)
+    assert(none.count() == 0)
+    // a REFERENCE-fitted LM (the CCNet configuration) slots in unchanged
+    val lm = TextAnalysis.fitStupidBackoffLm(
+      docs.where(col("doc_id") % 3 === 0), "text")
+    val ref = graft.ops.Pipeline.prepareWebCorpus(w, "doc_id", "payload",
+      gopher = g, pplMax = 1e9, lm = Some(lm), capacity = 512L, nStreams = 4)
+    assert(ref.agg(sum("n_docs")).head().getLong(0) == openDocs)
+    // pack overrun contract
+    val packs = open.select(col("n_tokens")).as[Long].collect()
+    assert(packs.nonEmpty)
+  }
+
   test("prepareTrainingDataDsir selects toward the target distribution and packs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = 100

@@ -596,6 +596,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.schema.fieldNames.toSeq == Seq("doc_id", "text"))
   }
 
+  test("streaming URL dedup: first capture per normalized key wins; non-URLs bypass") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("rec_id", "url")
+    val out = graft.streaming.StreamingDedup.dropDuplicateUrls(sdf, "url")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("surldedup").start()
+    input.addData(
+      (1L, "HTTP://WWW.Ex.COM:80/p/?utm_source=a&b=2&a=1#f"),
+      (2L, "not a url"),
+      (3L, "http://www.ex.com/p?a=1&b=2")) // same key as 1 → dropped
+    q.processAllAvailable()
+    input.addData(
+      (4L, "http://www.ex.com/p?b=2&a=1"), // still the same key → dropped
+      (5L, "also not a url"),              // non-URLs never dedup each other
+      (6L, "https://other.ex.com/q"))
+    q.processAllAvailable()
+    val got = spark.table("surldedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(1L, 2L, 5L, 6L))
+    assert(out.schema.fieldNames.toSeq == Seq("rec_id", "url"))
+  }
+
   test("streaming packing carries the token offset across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingPacking
