@@ -619,6 +619,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.schema.fieldNames.toSeq == Seq("rec_id", "url"))
   }
 
+  test("full ingest chain: LM admission → URL dedup → text dedup in ONE streaming query") {
+    import graft.ops.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // reference LM: the clean phrasebook; junk scores at the OOV ceiling
+    val ref = Seq("the cat sat on the mat today", "the dog sat on the mat today",
+      "a cat ran to the mat").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val kernel = TextAnalysis.lmKernel(
+      TextAnalysis.fitStupidBackoffLm(ref.toDF("doc_id", "text"), "text"))
+    val input = MemoryStream[(Long, String, String)]
+    val sdf = input.toDF().toDF("rec_id", "url", "text")
+    val chain = graft.streaming.StreamingDedup.dropDuplicateTexts(
+      graft.streaming.StreamingDedup.dropDuplicateUrls(
+        graft.streaming.StreamingSelection.perplexityAdmission(
+          sdf, kernel, "text", maxPpl = 50.0),
+        "url"),
+      "text")
+    val q = chain.writeStream.outputMode("append").format("memory")
+      .queryName("singest").start()
+    input.addData(
+      (1L, "http://a.com/x", "the cat sat on the mat"),   // admitted
+      (2L, "HTTP://A.com:80/x?utm_source=1", "the dog sat on the mat"), // URL dup of 1 → dropped
+      (3L, "http://a.com/y", "zz qq ww rr tt"))            // junk → LM-rejected
+    q.processAllAvailable()
+    input.addData(
+      (4L, "http://b.com/x", "the cat sat on the mat"),   // text dup of 1 → dropped
+      (5L, "http://c.com/x", "a cat ran to the mat"))      // admitted
+    q.processAllAvailable()
+    val got = spark.table("singest").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(1L, 5L))
+    // exactly the two dedup state stores — the LM gate added none
+    assert(q.lastProgress.stateOperators.length == 2)
+  }
+
   test("streaming packing carries the token offset across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingPacking
