@@ -1730,6 +1730,16 @@ object SparkEntry {
         .withColumn("n_lines", size(split(col("text_clean"), "\n")).cast("long"))
         .orderBy("doc_id")
     }),
+    // epoch-based UPSAMPLING by per-stratum repeat factors (the
+    // source-weight recipe: en 2.5 epochs — 2 full + a seeded-hash coin
+    // for the half; zh 3.0 whole — hash never consulted; fr 0.5 —
+    // coin-only; de 0 — removed; es absent — natural single epoch)
+    "q129_upsample_epochs" -> ((s, dir) =>
+      graft.ops.Sampling.upsampleByFactor(
+        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("doc_id"), "lang",
+        Map("en" -> 2.5, "fr" -> 0.5, "de" -> 0.0, "zh" -> 3.0), seed = 17L)
+        .orderBy("doc_id", "epoch")),
     // rebalance langs to a fixed target mix — FULLY oracle-backed: the
     // oracle reimplements Spark's xxhash64 (public XXH64) in HUGEINT SQL,
     // so the hash-seeded admission itself is exact-checked, not rows-only
@@ -3271,6 +3281,23 @@ object SparkEntry {
         |CASE WHEN bucket IS NULL THEN NULL WHEN bucket = 0 THEN 'head'
         |WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_label
         |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // upsampling: the factor CASE, floor + fractional-epoch coin on the
+    // exact-replayed xxhash uniform, then a generate_series epoch fan-out
+    "q129_upsample_epochs" -> {
+      val (ctes, last) = xxhashUnifCtes("src", "doc_id", 17L, "xue_")
+      s"""WITH src AS (SELECT doc_id, lang, n_chars FROM documents),
+         |$ctes,
+         |f AS (SELECT t.doc_id, t.lang, t.n_chars, t.u,
+         |CASE t.lang WHEN 'en' THEN 2.5 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.0
+         |WHEN 'zh' THEN 3.0 ELSE 1.0 END AS fac FROM $last t),
+         |n AS (SELECT doc_id, lang, n_chars,
+         |CAST(floor(fac) AS BIGINT) +
+         |CASE WHEN fac - floor(fac) > 0 AND u < fac - floor(fac) THEN 1 ELSE 0 END AS nn
+         |FROM f)
+         |SELECT doc_id, lang, n_chars, CAST(e AS BIGINT) AS epoch
+         |FROM n, unnest(generate_series(0, nn - 1)) AS g(e)
+         |WHERE nn > 0 ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
+    },
     // temperature mix: shares recomputed from the data (pow(p, 0.5),
     // normalized), then the q64 min-k fraction + hash admission
     "q123_temperature_mix" -> {

@@ -205,6 +205,47 @@ object Sampling {
     sampleStratified(df, idCols, strataCol, fractions, defaultFraction = 0.0, seed = seed)
   }
 
+  /** Epoch-based UPSAMPLING by per-stratum repeat factors — the
+    * source-weight recipe of production pretraining mixes (a high-quality
+    * source repeats for several epochs while a bulk source contributes
+    * less than one): every row of stratum `s` is emitted
+    * `floor(factors(s))` times plus one more with probability
+    * `frac(factors(s))`, decided by the row's seeded id hash ([[unif]] —
+    * deterministic under any partitioning; the complement of
+    * [[temperatureMix]], which only ever SUBSAMPLES). Output: the input
+    * columns plus 0-based `epoch`; a row's copies are distinguishable (and
+    * a trainer can interleave epochs by filtering on it). Strata absent
+    * from `factors` keep the natural single epoch (factor 1.0); a factor
+    * of 0 removes the stratum. Factors must be finite and ≥ 0.
+    *
+    * Scale shape: one `when`-chain projection (factor map is
+    * stratum-sized) + a `sequence`/explode — NO shuffle, NO join; the
+    * fan-out is the requested Σ(rows·factor) and happens inside the scan
+    * stage. */
+  def upsampleByFactor(
+      df: DataFrame,
+      idCols: Seq[String],
+      strataCol: String,
+      factors: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    require(idCols.nonEmpty, "upsampleByFactor needs id columns to hash")
+    require(factors.values.forall(f => f >= 0 && !f.isNaN && !f.isInfinite),
+      s"factors must be finite and >= 0, got $factors")
+    val factor = factors.foldLeft(lit(1.0)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    val full = floor(factor).cast("long")
+    val frac = factor - floor(factor)
+    // frac == 0 never consults the hash (a whole-number factor must not
+    // depend on the seed); the fractional epoch admits when u < frac
+    val extra = when(frac > 0 && unif(idCols, seed) < frac, 1L).otherwise(0L)
+    val n = (full + extra).as("__n__")
+    df.withColumn("__n__", n)
+      .where(col("__n__") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0L), col("__n__") - 1)).as("epoch"): _*)
+  }
+
   /** The deterministic half of [[matchDistribution]] as its own relation:
     * per stratum, the available row count and the derived keep-fraction —
     * the binding stratum (smallest available/target ratio) keeps 1.0, the

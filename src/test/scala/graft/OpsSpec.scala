@@ -751,6 +751,45 @@ class SamplingSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.ops.Sampling
 
+  test("upsampleByFactor: epoch fan-out per stratum factor, deterministic fractional coin") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang")
+    val factors = Map("en" -> 2.5, "fr" -> 0.5, "de" -> 0.0, "zh" -> 3.0)
+    val up = Sampling.upsampleByFactor(d, Seq("doc_id"), "lang", factors, seed = 17L)
+    val perDoc = up.groupBy("doc_id", "lang").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    perDoc.foreach { case (_, lang, n) => lang match {
+      case "en" => assert(n == 2 || n == 3)
+      case "fr" => assert(n == 1) // 0-copy docs have no rows at all
+      case "zh" => assert(n == 3) // whole factor: every doc, no coin
+      case "es" => assert(n == 1) // absent from the map → natural epoch
+      case other => fail(s"unexpected stratum in output: $other")
+    }}
+    // de vanishes entirely; zh fans exactly 3x; epochs are 0..n-1
+    assert(up.where(col("lang") === "de").count() == 0)
+    val zh = d.where(col("lang") === "zh").count()
+    assert(up.where(col("lang") === "zh").count() == 3 * zh)
+    val epochs = up.where(col("lang") === "zh").groupBy("doc_id")
+      .agg(sort_array(collect_list("epoch")).as("e")).select("e")
+      .collect().map(_.getSeq[Long](0))
+    epochs.foreach(e => assert(e == Seq(0L, 1L, 2L)))
+    // the en half-epoch coin lands near half, and the draw is exactly
+    // reproducible under a different partitioning
+    val en = d.where(col("lang") === "en").count().toDouble
+    val en3 = perDoc.count { case (_, l, n) => l == "en" && n == 3 }
+    assert(en3 / en > 0.3 && en3 / en < 0.7, s"coin rate ${en3 / en}")
+    val again = Sampling.upsampleByFactor(d.repartition(13), Seq("doc_id"),
+      "lang", factors, seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(again == up.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+    // a whole-number factor never consults the seed
+    val w1 = Sampling.upsampleByFactor(d, Seq("doc_id"), "lang",
+      Map("zh" -> 3.0), seed = 1L).where(col("lang") === "zh").count()
+    val w2 = Sampling.upsampleByFactor(d, Seq("doc_id"), "lang",
+      Map("zh" -> 3.0), seed = 2L).where(col("lang") === "zh").count()
+    assert(w1 == w2 && w1 == 3 * zh)
+  }
+
   test("weightedSample: exact size, deterministic, weight-proportional inclusion") {
     val df = (1 to 2000).map { i =>
       (i.toLong, if (i % 2 == 0) "heavy" else "light", if (i % 2 == 0) 10.0 else 1.0)
