@@ -1730,6 +1730,17 @@ object SparkEntry {
         .withColumn("n_lines", size(split(col("text_clean"), "\n")).cast("long"))
         .orderBy("doc_id")
     }),
+    // tokenizer losslessness, END TO END through the engine: every doc
+    // encoded to ids and decoded back must be byte-identical to its
+    // input — the oracle is the identity (byte-level BPE loses nothing)
+    "q130_bpe_roundtrip" -> ((s, dir) => {
+      val v = graft.functions.BpeVocab.Builtin
+      table(s, dir, "documents").select(col("doc_id"),
+          graft.functions.BpeFunctions.bpeDecode(
+            graft.functions.BpeFunctions.bpeEncode(col("text"), v), v)
+            .as("text_rt"))
+        .orderBy("doc_id")
+    }),
     // epoch-based UPSAMPLING by per-stratum repeat factors (the
     // source-weight recipe: en 2.5 epochs — 2 full + a seeded-hash coin
     // for the half; zh 3.0 whole — hash never consulted; fr 0.5 —
@@ -3281,6 +3292,10 @@ object SparkEntry {
         |CASE WHEN bucket IS NULL THEN NULL WHEN bucket = 0 THEN 'head'
         |WHEN bucket = 1 THEN 'middle' ELSE 'tail' END AS bucket_label
         |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // losslessness IS the oracle: decode(encode(text)) must equal the
+    // source column byte for byte
+    "q130_bpe_roundtrip" ->
+      """SELECT doc_id, text AS text_rt FROM documents ORDER BY doc_id""",
     // upsampling: the factor CASE, floor + fractional-epoch coin on the
     // exact-replayed xxhash uniform, then a generate_series epoch fan-out
     "q129_upsample_epochs" -> {

@@ -106,6 +106,20 @@ final class BpeVocab private (
 
   /** 256 byte symbols + one id per merge. */
   def vocabSize: Int = 256 + nMerges
+
+  /** Raw-byte symbol string of a token id — the decode table: ids 0–255
+    * are their byte, id 256+r is merge r's result string. Defined for
+    * EVERY id below [[vocabSize]] (an id whose rank was result-aliased
+    * never appears in [[idOf]] output, but decoding it still yields that
+    * rank's — identical — string). Throws on an out-of-range id: silent
+    * truncation would corrupt reassembled text downstream. */
+  def symbolOf(id: Int): String = {
+    if (id < 0 || id >= vocabSize)
+      throw new IllegalArgumentException(
+        s"bpe_decode: token id $id outside [0, $vocabSize)")
+    if (id < 256) String.valueOf(id.toChar)
+    else { val (l, r) = mergePair(id - 256); l + r }
+  }
 }
 
 object BpeVocab {
@@ -372,6 +386,54 @@ object BpeEncode {
   }
 }
 
+/** `bpe_decode(ids)` — token-id array back to text under the same
+  * vocabulary: per id the raw-byte symbol string ([[BpeVocab.symbolOf]]),
+  * concatenated and read as UTF-8. The inspection/debugging half of the
+  * tokenizer surface: `bpe_decode(bpe_encode(text)) = text` for any
+  * input (byte-level BPE is lossless by construction — pinned by the
+  * q130 identity oracle and BpeSpec). NULL in → NULL; empty array → ''.
+  * Out-of-range ids throw. */
+case class BpeDecode(child: Expression, vocab: BpeVocab) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"bpe_decode requires array<int>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    BpeDecode.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.addReferenceObj("bpeVocab", vocab, classOf[BpeVocab].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeDecode.compute($c, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeDecode {
+  /** Shared by the interpreted and generated paths. */
+  def compute(ids: org.apache.spark.sql.catalyst.util.ArrayData,
+      vocab: BpeVocab): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) { sb.append(vocab.symbolOf(ids.getInt(i))); i += 1 }
+    val s = sb.toString
+    val bytes = new Array[Byte](s.length)
+    var j = 0
+    while (j < bytes.length) { bytes(j) = s.charAt(j).toByte; j += 1 }
+    UTF8String.fromBytes(bytes)
+  }
+}
+
 object BpeFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -383,4 +445,8 @@ object BpeFunctions {
   /** Exact BPE token-ID sequence of `text` under `vocab` (`array<int>`). */
   def bpeEncode(text: Column, vocab: BpeVocab): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), vocab))
+
+  /** Token-id array back to text (`bpe_decode(bpe_encode(t)) = t`). */
+  def bpeDecode(ids: Column, vocab: BpeVocab): Column =
+    ColumnBridge.column(BpeDecode(ColumnBridge.expression(ids), vocab))
 }

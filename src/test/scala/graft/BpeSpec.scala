@@ -115,6 +115,29 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("bpe_decode expression: engine round-trip, NULL/empty contracts, loud bad ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val v = BpeVocab.Builtin
+    val docs = Seq("the weighted documents are over the dog .",
+      "mixed 123 , ünïcödé and 中文", "", "a", "!!!")
+    val got = docs.map(Tuple1(_)).toDF("t")
+      .select(graft.functions.BpeFunctions.bpeDecode(
+        graft.functions.BpeFunctions.bpeEncode(col("t"), v), v).as("rt"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == docs)
+    val nul = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(graft.functions.BpeFunctions.bpeDecode(
+        graft.functions.BpeFunctions.bpeEncode(col("t"), v), v)).head()
+    assert(nul.isNullAt(0))
+    // an out-of-range id fails loudly, never truncates silently
+    val e = intercept[Exception] {
+      Seq(Tuple1(Array(0, v.vocabSize))).toDF("ids")
+        .select(graft.functions.BpeFunctions.bpeDecode(col("ids"), v)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("encode round-trips: id → symbol bytes reassemble the original text") {
     val v = BpeVocab.Builtin
     // reverse id table: byte ids map to their byte, merge ids to their
