@@ -1741,6 +1741,14 @@ object SparkEntry {
             .as("text_rt"))
         .orderBy("doc_id")
     }),
+    // temperature resampling WITH replacement (in expectation): factors
+    // m·share/count feeding the epoch fan-out — under-represented langs
+    // UPSAMPLE toward the flattened mix, over-represented ones shed
+    "q131_temperature_resample" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureResample(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        Seq("doc_id"), "lang", alpha = 0.5, seed = 23L)
+        .orderBy("doc_id", "epoch")),
     // epoch-based UPSAMPLING by per-stratum repeat factors (the
     // source-weight recipe: en 2.5 epochs — 2 full + a seeded-hash coin
     // for the half; zh 3.0 whole — hash never consulted; fr 0.5 —
@@ -3296,6 +3304,27 @@ object SparkEntry {
     // source column byte for byte
     "q130_bpe_roundtrip" ->
       """SELECT doc_id, text AS text_rt FROM documents ORDER BY doc_id""",
+    // factors recomputed from the data (q123's share arithmetic × n/c),
+    // then the q129 fan-out on the exact-replayed xxhash uniform
+    "q131_temperature_resample" -> {
+      val (ctes, last) = xxhashUnifCtes("src", "doc_id", 23L, "xtr_")
+      s"""WITH src AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+         |cnt AS (SELECT lang, count(*) AS c FROM src GROUP BY lang),
+         |tot AS (SELECT sum(c) AS n FROM cnt),
+         |pw AS (SELECT lang, c, pow(CAST(c AS DOUBLE) / (SELECT n FROM tot), 0.5) AS p FROM cnt),
+         |zz AS (SELECT sum(p) AS z FROM pw),
+         |fs AS (SELECT lang, c,
+         |CAST((SELECT n FROM tot) AS DOUBLE) * (p / (SELECT z FROM zz)) / c AS fac FROM pw),
+         |$ctes,
+         |n AS (SELECT t.doc_id, t.lang,
+         |CAST(floor(fs.fac) AS BIGINT) +
+         |CASE WHEN fs.fac - floor(fs.fac) > 0 AND t.u < fs.fac - floor(fs.fac)
+         |THEN 1 ELSE 0 END AS nn
+         |FROM $last t JOIN fs ON t.lang = fs.lang)
+         |SELECT doc_id, lang, CAST(e AS BIGINT) AS epoch
+         |FROM n, unnest(generate_series(0, nn - 1)) AS g(e)
+         |WHERE nn > 0 ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
+    },
     // upsampling: the factor CASE, floor + fractional-epoch coin on the
     // exact-replayed xxhash uniform, then a generate_series epoch fan-out
     "q129_upsample_epochs" -> {

@@ -192,6 +192,35 @@ object Sampling {
     matchDistribution(df, idCols, strataCol,
       temperatureShares(df, strataCol, alpha), seed)
 
+  /** Temperature resampling WITH replacement (in expectation) — the
+    * mT5/XLM rule realized exactly: stratum s contributes
+    * `totalRows · share_s` rows in expectation, via per-stratum repeat
+    * factors `f_s = totalRows · share_s / count_s` fed to
+    * [[upsampleByFactor]]. Unlike [[temperatureMix]] (admission-only —
+    * over-represented strata downsample but under-represented ones can
+    * only keep what exists), this both UP- and DOWN-samples, hitting the
+    * flattened mixture at any requested corpus size. `totalRows = 0`
+    * keeps the natural total. Null-stratum rows are excluded (shares are
+    * defined over the non-null strata, the [[temperatureShares]]
+    * contract). Output carries the 0-based `epoch` column. */
+  def temperatureResample(
+      df: DataFrame,
+      idCols: Seq[String],
+      strataCol: String,
+      alpha: Double,
+      totalRows: Long = 0L,
+      seed: Long = 42L): DataFrame = {
+    require(totalRows >= 0, s"totalRows must be >= 0 (0 = natural), got $totalRows")
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val shares = temperatureShares(df, strataCol, alpha)
+    val m = if (totalRows > 0) totalRows.toDouble else counts.values.sum.toDouble
+    val factors = shares.map { case (s, q) => s -> m * q / counts(s) }
+    upsampleByFactor(df.where(col(strataCol).isNotNull), idCols, strataCol,
+      factors, seed)
+  }
+
   def matchDistribution(
       df: DataFrame,
       idCols: Seq[String],

@@ -790,6 +790,41 @@ class SamplingSpec extends SparkSpecBase {
     assert(w1 == w2 && w1 == 3 * zh)
   }
 
+  test("temperatureResample: hits the flattened mix in expectation, up AND down") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang")
+    val shares = Sampling.temperatureShares(d, "lang", alpha = 0.5)
+    val n = d.where(col("lang").isNotNull).count().toDouble
+    val out = Sampling.temperatureResample(d, Seq("doc_id"), "lang",
+      alpha = 0.5, seed = 23L)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.foreach { case (lang, q) =>
+      val want = n * q
+      // floor+coin per row: |got − want| is a sum of ±frac coins — loose bound
+      assert(math.abs(got(lang) - want) <= in(lang) * 0.5 + 2,
+        s"$lang: got ${got(lang)} want $want")
+    }
+    // flattening means the minority stratum UPSAMPLES past its input count
+    val minority = in.minBy(_._2)._1
+    assert(got(minority) > in(minority),
+      s"minority $minority must upsample: ${got(minority)} vs ${in(minority)}")
+    // and the majority sheds
+    val majority = in.maxBy(_._2)._1
+    assert(got(majority) < in(majority))
+    // totalRows scales the whole mix
+    val doubled = Sampling.temperatureResample(d, Seq("doc_id"), "lang",
+      alpha = 0.5, totalRows = 2 * n.toLong, seed = 23L).count().toDouble
+    assert(math.abs(doubled - 2 * out.count()) / doubled < 0.2)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureResample(d.repartition(11), Seq("doc_id"),
+      "lang", alpha = 0.5, seed = 23L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+  }
+
   test("weightedSample: exact size, deterministic, weight-proportional inclusion") {
     val df = (1 to 2000).map { i =>
       (i.toLong, if (i % 2 == 0) "heavy" else "light", if (i % 2 == 0) 10.0 else 1.0)
