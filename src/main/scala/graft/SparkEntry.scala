@@ -1569,6 +1569,15 @@ object SparkEntry {
         table(s, dir, "documents").select("doc_id", "text"), "doc_id",
         TextAnalysis.bpeTokenCount(col("text")), chunkSize = 256L, overlap = 32L)
         .orderBy("doc_id", "chunk_idx")),
+    // q55's context windows with boundaries in EXACT trainer tokens (the
+    // vendored-vocab kernel in the scan projection — chunk offsets a
+    // tokenizer-aware loader can slice directly)
+    "q132_chunk_exact_bpe" -> ((s, dir) =>
+      graft.ops.Packing.chunkDocuments(
+        table(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        TextAnalysis.bpeTokenCountExact(col("text"),
+          graft.functions.BpeVocab.Builtin), chunkSize = 64L, overlap = 16L)
+        .orderBy("doc_id", "chunk_idx")),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
     // keyed by term — shuffle ≈ vocab size — then a TakeOrdered merge)
     "q56_vocabulary" -> ((s, dir) =>
@@ -3214,6 +3223,18 @@ object SparkEntry {
         |CAST(chunk_idx * 224 AS BIGINT) AS tok_start,
         |CAST(least(chunk_idx * 224 + 256, n_tokens) AS BIGINT) AS tok_end
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+    // q55's chunk arithmetic (stride 48 = 64 − 16) over the shared BPE
+    // count recursion — window boundaries in exact trainer tokens
+    "q132_chunk_exact_bpe" ->
+      s"""WITH RECURSIVE ${bpeCountCtes("documents")},
+         |t AS (SELECT doc_id, bpe_exact AS n_tokens FROM bpe_cnt),
+         |c AS (SELECT doc_id, n_tokens,
+         |1 + (greatest(n_tokens - 64, 0) + 47) // 48 AS nc FROM t WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, n_tokens, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, n_tokens, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
+         |CAST(least(chunk_idx * 48 + 64, n_tokens) AS BIGINT) AS tok_end
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
     "q56_vocabulary" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         |FROM documents)
