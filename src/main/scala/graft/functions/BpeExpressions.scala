@@ -392,7 +392,8 @@ object BpeEncode {
   * tokenizer surface: `bpe_decode(bpe_encode(text)) = text` for any
   * input (byte-level BPE is lossless by construction — pinned by the
   * q130 identity oracle and BpeSpec). NULL in → NULL; empty array → ''.
-  * Out-of-range ids throw. */
+  * Out-of-range ids throw; a NULL *element* also throws (silent
+  * truncation or a NUL byte would corrupt reassembled text). */
 case class BpeDecode(child: Expression, vocab: BpeVocab) extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -425,7 +426,13 @@ object BpeDecode {
     val n = ids.numElements()
     val sb = new java.lang.StringBuilder
     var i = 0
-    while (i < n) { sb.append(vocab.symbolOf(ids.getInt(i))); i += 1 }
+    while (i < n) {
+      if (ids.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"bpe_decode: NULL token id at position $i (of $n)")
+      }
+      sb.append(vocab.symbolOf(ids.getInt(i))); i += 1
+    }
     val s = sb.toString
     val bytes = new Array[Byte](s.length)
     var j = 0

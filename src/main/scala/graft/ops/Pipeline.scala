@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.DatasetBridge
 
 /** Composed training-corpus cleaning — the end-to-end flow a data pipeline
   * actually runs, expressed as one declarative DataFrame graph so Catalyst
@@ -148,9 +149,23 @@ object Pipeline {
   /** Freeze a lazy plan before an EAGER consumer (a driver-side count or
     * model-fit job) so the upstream subtree runs once, not once per
     * consumer. Reliable checkpoint when the session has a checkpoint dir,
-    * localCheckpoint otherwise (DatasetBridge.freezeStatsFree). */
-  private def freeze(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graftbridge.DatasetBridge.freezeStatsFree(df)
+    * localCheckpoint otherwise (DatasetBridge.freezeStatsFree).
+    *
+    * Storage lifecycle: the frozen pool BACKS the lazily-returned result,
+    * so the pipeline itself can never delete it — only the caller knows
+    * when the result has been materialized to its sink. Callers that run
+    * pipelines repeatedly in one application (the ingest-round shape)
+    * should pass their own [[DatasetBridge.FreezeChain]] and call
+    * `chain.releaseAll()` after the sink write; otherwise each invocation
+    * leaves one checkpoint dir (or localCheckpoint block set) behind until
+    * application exit. */
+  private def freeze(
+      df: DataFrame,
+      chain: Option[DatasetBridge.FreezeChain]): DataFrame =
+    chain match {
+      case Some(c) => c.freeze(df)
+      case None    => DatasetBridge.freezeStatsFree(df)
+    }
 
   def prepareTrainingData(
       docs: DataFrame,
@@ -164,7 +179,8 @@ object Pipeline {
       strataTargets: Map[String, Double] = Map.empty,
       capacity: Long = 2048L,
       nStreams: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      chain: Option[DatasetBridge.FreezeChain] = None): DataFrame = {
     val canon = canonicalCorpus(docs, textCol, idCol,
       minQuality, minTokens, nearDupThreshold, shingleSize)
     val balanced = strataCol match {
@@ -173,7 +189,7 @@ object Pipeline {
         // matchDistribution counts strata EAGERLY (one driver collect);
         // freeze first or the whole clean→cluster→cut subtree runs twice —
         // once for the counts, again when the result is consumed
-        Sampling.matchDistribution(freeze(canon), Seq(idCol), sc, strataTargets, seed)
+        Sampling.matchDistribution(freeze(canon, chain), Seq(idCol), sc, strataTargets, seed)
       case None => canon
     }
     // bpe_tokens rides along from analyze — the packing stage must not pay
@@ -213,11 +229,12 @@ object Pipeline {
       temperature: Double = 1.0,
       capacity: Long = 2048L,
       nStreams: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      chain: Option[DatasetBridge.FreezeChain] = None): DataFrame = {
     // the fit below is EAGER — freeze the canonical pool so the
     // clean→cluster subtree runs once, not once per consumer
     val frozen = freeze(canonicalCorpus(docs, textCol, idCol,
-      minQuality, minTokens, nearDupThreshold, shingleSize))
+      minQuality, minTokens, nearDupThreshold, shingleSize), chain)
     val model = Dsir.fitImportanceModel(target, frozen, textCol, nBuckets, alpha)
     val picked = Dsir.resampleByImportance(
       frozen, model, textCol, Seq(idCol), nSelect, temperature, seed)
@@ -249,7 +266,8 @@ object Pipeline {
       lm: Option[TextAnalysis.StupidBackoffLm] = None,
       vocab: graft.functions.BpeVocab = graft.functions.BpeVocab.Builtin,
       capacity: Long = 2048L,
-      nStreams: Int = 64): DataFrame = {
+      nStreams: Int = 64,
+      chain: Option[DatasetBridge.FreezeChain] = None): DataFrame = {
     require(pplMax > 0, s"pplMax must be positive, got $pplMax")
     val recs = payloads.select(col(idCol),
         explode(graft.functions.WarcFunctions.warcRecords(col(payloadCol))).as("__r__"))
@@ -260,7 +278,7 @@ object Pipeline {
     val admitted =
       if (pplMax.isInfinite) deduped
       else {
-        val pool = freeze(deduped)
+        val pool = freeze(deduped, chain)
         val m = lm.getOrElse(TextAnalysis.fitStupidBackoffLm(
           pool.where(col(idCol) % 3 === 0), "__text__"))
         val scored = TextAnalysis.stupidBackoffPerplexity(pool, "__text__", idCol, m)

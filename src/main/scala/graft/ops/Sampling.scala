@@ -245,7 +245,12 @@ object Sampling {
     * columns plus 0-based `epoch`; a row's copies are distinguishable (and
     * a trainer can interleave epochs by filtering on it). Strata absent
     * from `factors` keep the natural single epoch (factor 1.0); a factor
-    * of 0 removes the stratum. Factors must be finite and ≥ 0.
+    * of 0 removes the stratum. NULL-stratum rows are treated exactly like
+    * an absent stratum — every `when(col === s)` predicate is null-false,
+    * so they fall through to factor 1.0 and emit one epoch-0 copy; a
+    * caller that defines its mixture over non-null strata only (e.g.
+    * [[temperatureResample]]) must pre-filter NULLs itself. Factors must
+    * be finite and ≥ 0.
     *
     * Scale shape: one `when`-chain projection (factor map is
     * stratum-sized) + a `sequence`/explode — NO shuffle, NO join; the

@@ -559,8 +559,13 @@ object Similarity {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val books =
       try {
+        val sc = trainDf.sparkSession.sparkContext
+        val jobGroup = s"graft-fitpq-$seed"
         val futures = (0 until m).map { j =>
           scala.concurrent.Future {
+            // job group is thread-local on the driver — set it on THIS
+            // pool thread so a failure path can cancel the siblings
+            sc.setJobGroup(jobGroup, s"fitPq subspace $j", interruptOnCancel = true)
             val sub = trainDf.select(
               array_to_vector(slice(col("__vh__"), j * dsub + 1, dsub)).as("features"))
             val kk = math.min(ksub.toLong, trainN).toInt
@@ -568,10 +573,22 @@ object Similarity {
             model.clusterCenters.map(_.toArray.toSeq).toSeq
           }
         }
-        futures.map(f => scala.concurrent.Await.result(
+        try futures.map(f => scala.concurrent.Await.result(
           f, scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdown()
-    trainDf.unpersist()
+        catch { case e: Throwable =>
+          // one sub-fit failed: stop feeding the pool new work AND cancel
+          // the in-flight Spark jobs of its siblings (group-scoped — NOT
+          // cancelAllJobs, which would kill unrelated concurrent work) —
+          // without this, the surviving KMeans fits keep burning the
+          // cluster after the caller has already seen the failure
+          pool.shutdownNow()
+          sc.cancelJobGroup(jobGroup)
+          throw e
+        }
+      } finally {
+        pool.shutdown()
+        trainDf.unpersist() // in finally: a failed fit must not leak the cache
+      }
     PqModel(dim, m, books, residual = residualOf.isDefined, offsets = offsets)
   }
 

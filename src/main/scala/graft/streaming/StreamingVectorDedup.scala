@@ -77,7 +77,22 @@ object StreamingVectorDedup {
     require(!pq.residual || pq.offsets.size == ivf.centroids.size,
       s"residual PqModel carries ${pq.offsets.size} cell offsets but the " +
         s"IvfModel has ${ivf.centroids.size} cells — models from different fits")
-    val v = df.select(col(idCol).cast("long").as("__vid__"),
+    // The id must survive the long cast losslessly: a non-numeric id would
+    // cast to NULL __vid__, whose state row could never veto (NULL
+    // comparisons are false) — duplicates of such rows would be silently
+    // admitted forever. Fail at plan time instead of degrading.
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"vector-dedup idCol '$idCol' must be an integral type " +
+          s"(byte/short/int/long), got $other — a lossy cast would produce " +
+          "NULL state ids that can never veto duplicates")
+    }
+    val v = df.select(
+      when(col(idCol).isNull,
+        raise_error(lit(s"vector-dedup idCol '$idCol' is NULL — a NULL " +
+          "state id can never veto duplicates")))
+        .otherwise(col(idCol).cast("long")).as("__vid__"),
       col(vecCol).cast("array<double>").as("__v__"))
       .where(col("__v__").isNotNull)
       .withColumn("__n__", Similarity.norm(col("__v__")))

@@ -85,6 +85,18 @@ object DatasetBridge {
       out
     }
 
+    /** Release every frame this chain still tracks — the end-of-lifecycle
+      * call for caller-owned chains (e.g. the [[graft.ops.Pipeline]]
+      * freezes, whose frozen pool backs the returned lazy plan and so can
+      * only be dropped by the CALLER, after the result is materialized to
+      * its sink). Without it, a long-lived application invoking a pipeline
+      * per ingest round accumulates one orphaned checkpoint dir per round
+      * until exit. */
+    def releaseAll(): Unit = {
+      val frames = new java.util.ArrayList(backing.keySet())
+      frames.forEach(release(_))
+    }
+
     /** Drop the storage behind a frame this chain froze: reliable
       * checkpoint files are deleted, localCheckpoint blocks unpersisted.
       * No-op for frames the chain does not know. */

@@ -383,6 +383,47 @@ class PrepareTrainingDataSpec extends SparkSpecBase {
     assert(packs.nonEmpty)
   }
 
+  test("pipeline freezes release their checkpoint storage through a caller-owned chain") {
+    // a long-lived application runs a pipeline per ingest round; each
+    // round's frozen pool backs the returned lazy plan, so only the CALLER
+    // can drop it — the FreezeChain handle. Pin: (a) with a checkpoint dir
+    // the gated prepareWebCorpus writes reliable-checkpoint state, (b)
+    // releaseAll() after the sink materialization deletes it (no O(rounds)
+    // dirs surviving to app exit), (c) the chain changes no values.
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = graft.multimodal.Multimodal.warcHtmlFromDocuments(docs)
+      .select(col("media_id").as("doc_id"), col("payload"))
+    val g = TextAnalysis.GopherThresholds(minWords = 10, minStopwords = 1)
+    def run(chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain]) =
+      graft.ops.Pipeline.prepareWebCorpus(w, "doc_id", "payload",
+        gopher = g, pplMax = 1e9, capacity = 512L, nStreams = 4, chain = chain)
+        .select("stream", "pack", "n_docs", "n_tokens")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    org.apache.spark.TestCheckpointDir.clear(spark.sparkContext)
+    val baseline = run(None) // localCheckpoint mode, no chain
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      val got = run(Some(chain)) // materialized: the "sink write" moment
+      assert(got == baseline, "chain-tracked freeze changed pipeline output")
+      def rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs == 1, s"gated pipeline should hold exactly its pool checkpoint, found $rddDirs")
+      chain.releaseAll()
+      assert(rddDirs == 0, "releaseAll() left superseded checkpoint dirs behind")
+    } finally {
+      org.apache.spark.TestCheckpointDir.clear(spark.sparkContext)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("prepareTrainingDataDsir selects toward the target distribution and packs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = 100
