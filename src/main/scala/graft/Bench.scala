@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   * `errors` field instead of being swallowed as fast fake timings.
   */
 object Bench {
+  /** Quiet-machine min-of-two of the calibration aggregate below
+    * (local[32], measured while freezing the round-14 baselines) — the
+    * denominator of the emitted `contention_ratio`. Re-freeze alongside
+    * BASELINE-LOCAL if the calibration query or partitioning changes. */
+  val CalibrationQuietSec: Double = 0.35
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,6 +43,23 @@ object Bench {
     }
     try SparkEntry.queries("q04_mean")(spark, sfDir).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+
+    // contention sentinel: a fixed-cost, IO-free aggregate (pure codegen
+    // over an in-memory range — no parquet, no shuffle payload) timed
+    // min-of-two right before the suite. Its quiet-machine time is frozen
+    // below; the emitted ratio lets a reader separate machine contention
+    // from code regressions WITHOUT re-running anything (two rounds of
+    // driver benches produced 6–7 phantom 2x flags that each cost an
+    // adjudication). Ratio > ~1.5 ⇒ treat per-query flags as suspect and
+    // prefer the quiet min-of-two in BASELINE-LOCAL.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("sum(id * 3 + 1) as s").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationSec = math.min(calibrateOnce(), calibrateOnce())
+    val contentionRatio = calibrationSec / CalibrationQuietSec
 
     // optional comma-separated filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -75,7 +98,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(r => math.min(r._2, r._3)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_warm":$qsWarm,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_warm":$qsWarm,"errors":$errs,"calibration_sec":$calibrationSec,"contention_ratio":$contentionRatio,"sf":"$sfDir"}"""
     println(json)
     // log-tail capture can truncate a long run's stdout (round 7 lost
     // q01–q19 and the total); a file copy makes the artifact durable. A

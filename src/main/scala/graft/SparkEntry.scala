@@ -1605,29 +1605,43 @@ object SparkEntry {
     // whole corpus scored against it — so the backoff chain genuinely
     // fires (unseen trigrams → α·bigram, unseen bigrams → α²·unigram,
     // OOV → α²/N)
+    // single-scan spelling (ngramHashPool): the frozen hash-array pool
+    // feeds BOTH the reference fit (its %3 slice) and the corpus scoring,
+    // so the text column is read once — at 100 TB the fit+score chain
+    // otherwise plans 4 full corpus text scans (PLANS r13)
     "q125_backoff_ppl" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      val lm = TextAnalysis.fitStupidBackoffLm(
-        d.where(col("doc_id") % 3 === 0), "text")
-      TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lm)
+      val pool = TextAnalysis.ngramHashPool(d, "text", "doc_id")
+      val lm = TextAnalysis.fitStupidBackoffLmFromPool(
+        pool.where(col("doc_id") % 3 === 0))
+      TextAnalysis.stupidBackoffPerplexityFromPool(pool, "doc_id", lm)
         .orderBy("doc_id")
     }),
     // CCNet head/middle/tail: per-language perplexity thirds cut by
     // WEIGHT MASS (weight = doc length — the paper cuts bytes, not doc
     // counts); composes the bigram LM with the weighted-qcut kernel
+    // freeze = the single-scan knob: scorer explodes + qcut weights read
+    // one frozen hash-array pool instead of 4 corpus text scans
     "q122_ppl_buckets" -> ((s, dir) =>
       TextAnalysis.pplBuckets(table(s, dir, "documents"), "text", "doc_id",
-        by = Seq("lang"), buckets = 3)
+        by = Seq("lang"), buckets = 3, freeze = true)
         .orderBy("doc_id")),
     // the FULL CCNet configuration: head/middle/tail per language under a
     // REFERENCE-fitted backoff LM (the paper buckets crawl text under a
     // Wikipedia-trained KenLM — here the %3 slice plays the reference),
     // cut by weight mass
+    // single-scan spelling: ONE frozen pool carries the hash arrays AND
+    // the lang/byte-weight columns, so reference fit + corpus scoring +
+    // weight-mass thirds all read the corpus text exactly once (the
+    // unfrozen composition planned 7 text scans — PLANS r13)
     "q126_ccnet_buckets" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      val lm = TextAnalysis.fitStupidBackoffLm(
-        d.where(col("doc_id") % 3 === 0), "text")
-      TextAnalysis.pplBuckets(d, "text", "doc_id", by = Seq("lang"),
+      val pool = TextAnalysis.ngramHashPool(d, "text", "doc_id",
+        extra = Seq(col("lang"),
+          length(coalesce(col("text"), lit(""))).cast("double").as("__w__")))
+      val lm = TextAnalysis.fitStupidBackoffLmFromPool(
+        pool.where(col("doc_id") % 3 === 0))
+      TextAnalysis.pplBucketsFromPool(pool, "doc_id", by = Seq("lang"),
         buckets = 3, lm = Some(lm))
         .orderBy("doc_id")
     }),
@@ -2067,6 +2081,13 @@ object SparkEntry {
             .as("text"))
       val pool = org.apache.spark.sql.graftbridge.DatasetBridge.freezeStatsFree(
         graft.ops.Dedup.dropExact(kept.unionByName(junk), "text", "doc_id"))
+      // the LM stage recomputes over the FROZEN pool (deliberately un-
+      // cached): the pool is already materialized blocks, so its re-reads
+      // are local block IO, not corpus scans — an ngramHashPool cache on
+      // top trades those for a ~2x-bigger cache write and measured SLOWER
+      // at sf0.1 (3.6 s vs 3.0 s); the corpus text is read once by the
+      // crawl scan regardless. Contrast q125/q126, where the pool caches
+      // replace real parquet text scans and win.
       val lm = TextAnalysis.fitStupidBackoffLm(
         pool.where(col("doc_id") % 3 === 0), "text")
       val scored = TextAnalysis.stupidBackoffPerplexity(pool, "text", "doc_id", lm)

@@ -279,6 +279,13 @@ object Pipeline {
       if (pplMax.isInfinite) deduped
       else {
         val pool = freeze(deduped, chain)
+        // the LM stage deliberately RECOMPUTES over the frozen pool: the
+        // pool is already materialized blocks, so fit/score re-reads are
+        // local block IO, not corpus scans — the corpus is read once by
+        // the crawl scan above regardless. (An ngramHashPool cache on top
+        // measured slower at sf0.1: it trades block re-reads for a
+        // ~2x-bigger cache write. The pool APIs are for corpora that are
+        // NOT already frozen — see q125/q126.)
         val m = lm.getOrElse(TextAnalysis.fitStupidBackoffLm(
           pool.where(col(idCol) % 3 === 0), "__text__"))
         val scored = TextAnalysis.stupidBackoffPerplexity(pool, "__text__", idCol, m)

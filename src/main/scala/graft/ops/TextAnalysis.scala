@@ -388,16 +388,69 @@ object TextAnalysis {
       idCol: String,
       by: Seq[String] = Seq.empty,
       buckets: Int = 3,
-      lm: Option[StupidBackoffLm] = None): DataFrame = {
-    val (ppl, pplCol) = lm match {
-      case Some(m) => (stupidBackoffPerplexity(df, textCol, idCol, m), "ppl3")
-      case None    => (bigramPerplexity(df, textCol, idCol), "ppl2")
-    }
-    val base = df
-      .select((col(idCol) +: by.map(col)) :+
+      lm: Option[StupidBackoffLm] = None,
+      freeze: Boolean = false): DataFrame = {
+    if (!freeze) {
+      val (ppl, pplCol) = lm match {
+        case Some(m) => (stupidBackoffPerplexity(df, textCol, idCol, m), "ppl3")
+        case None    => (bigramPerplexity(df, textCol, idCol), "ppl2")
+      }
+      val base = df.select((col(idCol) +: by.map(col)) :+
         length(coalesce(col(textCol), lit(""))).cast("double").as("__w__"): _*)
-      .join(ppl, Seq(idCol))
-    val wdf = graft.core.WeightedDataFrame.wt(base, "__w__")
+      bucketTail(base.join(ppl, Seq(idCol)), idCol, by, buckets, pplCol)
+    } else {
+      // single-scan bucketing: the frozen pool carries BOTH halves of
+      // the query — the by/weight projection AND the hash arrays the
+      // scorer consumes — so the corpus text is read exactly once;
+      // every downstream branch (count aggs, scoring explode, spine,
+      // qcut weights) reads the frozen pool.
+      import graft.functions.StringFunctions.wordNGramHashes
+      val hashCols = lm match {
+        case Some(_) => Seq(
+          wordNGramHashes(col(textCol), 1).as("__h1s__"),
+          wordNGramHashes(col(textCol), 2).as("__h2s__"),
+          wordNGramHashes(col(textCol), 3).as("__h3s__"))
+        case None => Seq(
+          wordNGramHashes(col(textCol), 1).as("__h1s__"),
+          wordNGramHashes(col(textCol), 2).as("__h2s__"))
+      }
+      val pre = maybeFreezeArrs(df.select(
+        (col(idCol) +: by.map(col)) ++
+          (length(coalesce(col(textCol), lit(""))).cast("double").as("__w__") +:
+            hashCols): _*), freeze = true)
+      pplBucketsFromPool(pre, idCol, by, buckets, lm)
+    }
+  }
+
+  /** [[pplBuckets]] over an [[ngramHashPool]] that also carries the `by`
+    * columns and the CCNet byte-mass weight as `__w__` (pass them through
+    * the pool's `extra` parameter: `extra = Seq(col("lang"),
+    * length(coalesce(col("text"), lit(""))).cast("double").as("__w__"))`).
+    * With a pool-fitted LM ([[fitStupidBackoffLmFromPool]] on a pool
+    * slice), the ENTIRE CCNet configuration — reference fit, corpus
+    * scoring, per-language weight-mass thirds — reads the corpus text
+    * exactly once. */
+  def pplBucketsFromPool(
+      pool: DataFrame,
+      idCol: String,
+      by: Seq[String] = Seq.empty,
+      buckets: Int = 3,
+      lm: Option[StupidBackoffLm] = None): DataFrame = {
+    val arrs = pool.withColumnRenamed(idCol, "__id__")
+    val (ppl, pplCol) = lm match {
+      case Some(m) => (backoffPplFromArrs(arrs, m, alpha = 0.4), "ppl3")
+      case None    => (bigramPplFromArrs(arrs), "ppl2")
+    }
+    val base = pool.select((col(idCol) +: by.map(col)) :+ col("__w__"): _*)
+    bucketTail(base.join(ppl.withColumnRenamed("__id__", idCol), Seq(idCol)),
+      idCol, by, buckets, pplCol)
+  }
+
+  /** The weight-mass qcut + labeling tail shared by both [[pplBuckets]]
+    * spellings: `joined` carries (idCol, by…, __w__, <ppl col>). */
+  private def bucketTail(joined: DataFrame, idCol: String, by: Seq[String],
+      buckets: Int, pplCol: String): DataFrame = {
+    val wdf = graft.core.WeightedDataFrame.wt(joined, "__w__")
     val cut = graft.core.WeightedNormalize.qcut(wdf, pplCol, by, buckets, "bucket")
     val label =
       if (buckets == 3)
@@ -410,11 +463,25 @@ object TextAnalysis {
         Seq(col(pplCol), col("bucket"), col("bucket_label")): _*)
   }
 
-  def bigramPerplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def bigramPerplexity(df: DataFrame, textCol: String, idCol: String,
+      freeze: Boolean = false): DataFrame = {
     import graft.functions.StringFunctions.wordNGramHashes
-    val arrs = df.select(col(idCol).as("__id__"),
+    val arrs0 = df.select(col(idCol).as("__id__"),
       wordNGramHashes(col(textCol), 1).as("__h1s__"),
       wordNGramHashes(col(textCol), 2).as("__h2s__"))
+    val arrs = maybeFreezeArrs(arrs0, freeze)
+    bigramPplFromArrs(arrs)
+      .select(col("__id__").as(idCol), col("ppl2"))
+  }
+
+  /** The scoring half of [[bigramPerplexity]] over an already-projected
+    * hash-array pool `(__id__, __h1s__, __h2s__)` — shared by the frozen
+    * single-scan path (the pool reads the text once; the three consumers
+    * below re-read HASH ARRAYS, never text) and by [[pplBuckets]], whose
+    * frozen pool carries the qcut weight alongside the same arrays. The
+    * full-coverage spine comes from the pool itself (one row per input
+    * doc), so no extra source scan is planned for it. */
+  private def bigramPplFromArrs(arrs: DataFrame): DataFrame = {
     // one row per bigram occurrence: the window hash + its context's
     // (position-aligned) unigram hash
     val g = arrs
@@ -428,9 +495,31 @@ object TextAnalysis {
       .groupBy(col("__id__"))
       .agg(round(exp(-avg(log(col("__cb__").cast("double") / col("__cc__")))), 6)
         .as("ppl2"))
-    df.select(col(idCol))
-      .join(scored.select(col("__id__").as(idCol), col("ppl2")), Seq(idCol), "left")
+    arrs.select(col("__id__"))
+      .join(scored, Seq("__id__"), "left")
   }
+
+  /** The single-scan knob of the LM scoring chains: materialize the
+    * hash-array projection ONCE (lineage + stats truncated —
+    * [[org.apache.spark.sql.graftbridge.DatasetBridge.freezeStatsFree]],
+    * the Pipeline pool-freeze contract), so the count aggregates, the
+    * scoring explode, and the coverage spine all read 8-byte-per-token
+    * hash arrays instead of re-scanning the corpus TEXT per consumer. At
+    * 100 TB the text column dominates IO — the unfrozen spellings plan
+    * 3–8 column-pruned text scans per query (PLANS.md), each a full
+    * corpus read. Off by default: at small scale recompute is cheaper
+    * than a materialization barrier, and the unfrozen plan is fully
+    * pipelined. The pool is a CACHE (`persist(MEMORY_AND_DISK)`), not a
+    * checkpoint: the first consumer materializes it as a side effect of
+    * its own job (no separate materialization barrier — measured ~0.5 s
+    * of pure overhead per query at sf0.1 for the localCheckpoint
+    * spelling), later consumers read blocks, memory pressure spills to
+    * executor disk rather than recomputing, and the ContextCleaner
+    * unpersists the blocks when the pool is no longer referenced — no
+    * caller-managed lifecycle needed. */
+  private def maybeFreezeArrs(arrs: DataFrame, freeze: Boolean): DataFrame =
+    if (freeze) arrs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else arrs
 
   /** A fitted stupid-backoff n-gram LM (order 3): hash-keyed count
     * DataFrames per order plus the reference corpus's token total. The
@@ -447,16 +536,78 @@ object TextAnalysis {
     * (map-side combine; the shuffles carry hash+count rows, text never
     * leaves the scan). `total` derives from the unigram table — no extra
     * corpus pass. */
-  def fitStupidBackoffLm(ref: DataFrame, textCol: String): StupidBackoffLm = {
+  def fitStupidBackoffLm(ref: DataFrame, textCol: String,
+      freeze: Boolean = false): StupidBackoffLm = {
     import graft.functions.StringFunctions.wordNGramHashes
-    def counts(n: Int, key: String, cnt: String): DataFrame = ref
-      .select(explode(wordNGramHashes(col(textCol), n)).as(key))
-      .groupBy(col(key)).agg(count(lit(1)).as(cnt))
-    val uni = counts(1, "__u__", "__c1__")
-    val total = uni.agg(sum(col("__c1__"))).head().getLong(0)
-    StupidBackoffLm(uni, counts(2, "__b__", "__c2__"),
-      counts(3, "__t__", "__c3__"), total)
+    if (!freeze) {
+      def counts(n: Int, key: String, cnt: String): DataFrame = ref
+        .select(explode(wordNGramHashes(col(textCol), n)).as(key))
+        .groupBy(col(key)).agg(count(lit(1)).as(cnt))
+      val uni = counts(1, "__u__", "__c1__")
+      val total = uni.agg(sum(col("__c1__"))).head().getLong(0)
+      StupidBackoffLm(uni, counts(2, "__b__", "__c2__"),
+        counts(3, "__t__", "__c3__"), total)
+    } else {
+      // single-scan fit: one projection computes all three hash arrays,
+      // frozen once (maybeFreezeArrs contract) — the three count
+      // aggregates then explode FROZEN 8-byte arrays instead of each
+      // re-reading (and re-tokenizing) the reference text. Counts are
+      // identical: same kernels, same aggregate.
+      fitStupidBackoffLmFromPool(maybeFreezeArrs(ref.select(
+        wordNGramHashes(col(textCol), 1).as("__h1s__"),
+        wordNGramHashes(col(textCol), 2).as("__h2s__"),
+        wordNGramHashes(col(textCol), 3).as("__h3s__")), freeze = true))
+    }
   }
+
+  /** The shared single-scan pool of the LM fit+score chains: per document,
+    * the order-1..3 positional n-gram hash arrays, frozen once (the
+    * [[maybeFreezeArrs]] contract). The CCNet self-referential setup —
+    * fit the LM on a SLICE of the corpus, score the WHOLE corpus — then
+    * reads the corpus text exactly ONCE:
+    *
+    * {{{
+    * val pool = TextAnalysis.ngramHashPool(docs, "text", "doc_id")
+    * val lm = TextAnalysis.fitStupidBackoffLmFromPool(
+    *   pool.where(col("doc_id") % 3 === 0))
+    * val ppl = TextAnalysis.stupidBackoffPerplexityFromPool(pool, "doc_id", lm)
+    * }}}
+    *
+    * Output: `(idCol, __h1s__, __h2s__, __h3s__)` — the id keeps the
+    * caller's name so pool slices filter naturally. At 100 TB the pool is
+    * ~8 B/token vs the text's raw bytes, and every downstream consumer
+    * (three count aggregates, the scoring explode, the coverage spine)
+    * reads the materialized pool, never the corpus. */
+  def ngramHashPool(df: DataFrame, textCol: String, idCol: String,
+      freeze: Boolean = true, extra: Seq[Column] = Nil): DataFrame = {
+    import graft.functions.StringFunctions.wordNGramHashes
+    maybeFreezeArrs(df.select((col(idCol) +: extra) ++ Seq(
+      wordNGramHashes(col(textCol), 1).as("__h1s__"),
+      wordNGramHashes(col(textCol), 2).as("__h2s__"),
+      wordNGramHashes(col(textCol), 3).as("__h3s__")): _*), freeze)
+  }
+
+  /** [[fitStupidBackoffLm]] over an [[ngramHashPool]] (or any slice of
+    * one): three explode-aggregates over the pool's hash arrays — no text
+    * access at all. Counts are identical to the text-path fit (same
+    * kernels, same aggregates). */
+  def fitStupidBackoffLmFromPool(pool: DataFrame): StupidBackoffLm = {
+    def counts(arr: String, key: String, cnt: String): DataFrame = pool
+      .select(explode(col(arr)).as(key))
+      .groupBy(col(key)).agg(count(lit(1)).as(cnt))
+    val uni = counts("__h1s__", "__u__", "__c1__")
+    val total = uni.agg(sum(col("__c1__"))).head().getLong(0)
+    StupidBackoffLm(uni, counts("__h2s__", "__b__", "__c2__"),
+      counts("__h3s__", "__t__", "__c3__"), total)
+  }
+
+  /** [[stupidBackoffPerplexity]] over an [[ngramHashPool]]: the scoring
+    * explode and the full-coverage spine both read the pool, never text.
+    * Output `(idCol, ppl3)`, bit-identical to the text-path scorer. */
+  def stupidBackoffPerplexityFromPool(pool: DataFrame, idCol: String,
+      lm: StupidBackoffLm, alpha: Double = 0.4): DataFrame =
+    backoffPplFromArrs(pool.withColumnRenamed(idCol, "__id__"), lm, alpha)
+      .select(col("__id__").as(idCol), col("ppl3"))
 
   /** Order-independent content sig of one LM count table: XOR of
     * `xxhash64(key, count)` over its rows (keys are unique post-aggregate,
@@ -574,13 +725,25 @@ object TextAnalysis {
       textCol: String,
       idCol: String,
       lm: StupidBackoffLm,
-      alpha: Double = 0.4): DataFrame = {
+      alpha: Double = 0.4,
+      freeze: Boolean = false): DataFrame = {
     import graft.functions.StringFunctions.wordNGramHashes
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
-    val arrs = df.select(col(idCol).as("__id__"),
+    val arrs0 = df.select(col(idCol).as("__id__"),
       wordNGramHashes(col(textCol), 1).as("__h1s__"),
       wordNGramHashes(col(textCol), 2).as("__h2s__"),
       wordNGramHashes(col(textCol), 3).as("__h3s__"))
+    val arrs = maybeFreezeArrs(arrs0, freeze)
+    backoffPplFromArrs(arrs, lm, alpha)
+      .select(col("__id__").as(idCol), col("ppl3"))
+  }
+
+  /** The scoring half of [[stupidBackoffPerplexity]] over an
+    * already-projected hash-array pool `(__id__, __h1s__, __h2s__,
+    * __h3s__)` — the [[bigramPplFromArrs]] twin for the trigram backoff
+    * chain; [[pplBuckets]]' frozen pool rides the same projection. */
+  private def backoffPplFromArrs(
+      arrs: DataFrame, lm: StupidBackoffLm, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     // window at 0-based pos covers tokens (p, p+1, p+2); element_at is
     // 1-based: prefix bigram h2s[p], suffix bigram h2s[p+1], context
     // unigram h1s[p+1], scored unigram h1s[p+2]
@@ -610,8 +773,8 @@ object TextAnalysis {
       .otherwise(lit(2 * la) + log(lit(1.0) / lit(lm.total.toDouble)))
     val scored = joined.groupBy(col("__id__"))
       .agg(round(exp(-avg(logS)), 6).as("ppl3"))
-    df.select(col(idCol))
-      .join(scored.select(col("__id__").as(idCol), col("ppl3")), Seq(idCol), "left")
+    arrs.select(col("__id__"))
+      .join(scored, Seq("__id__"), "left")
   }
 
   /** Corpus vocabulary: the `k` most frequent tokens with their total and

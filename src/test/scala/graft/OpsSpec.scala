@@ -1701,6 +1701,78 @@ class PackingSpec extends SparkSpecBase {
     rows.foreach(r => assert(Option(r.get(2)) == direct(r.getLong(0))))
   }
 
+  test("single-scan freeze knob: frozen LM chains match unfrozen bit-for-bit, zero text re-scans") {
+    import graft.ops.TextAnalysis
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // DISTINCT parquet-scan nodes in the plan that read the TEXT column —
+    // the 100-TB cost the freeze knob exists to kill. Counted from the
+    // formatted detail section (one entry per node id), because a cached
+    // pool's single fill scan is REFERENCED from every InMemoryTableScan
+    // in the tree view but executes once.
+    def textScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+        .split("\n\n").count { block =>
+          val lines = block.linesIterator.toList
+          lines.headOption.exists(_.matches("""\(\d+\) Scan parquet\s*""")) &&
+            lines.find(_.trim.startsWith("Output")).exists(_.contains("text#"))
+        }
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map(Option(_))).toSeq.sortBy(_.toString)
+    // ALL cold-path plans and values are captured BEFORE any freeze=true
+    // call: persist registers the pool fragment with the CacheManager,
+    // and later explains of the SAME fragment pick the cache up by plan
+    // substitution — which would make the cold scan counts vacuous
+    val bgCold = TextAnalysis.bigramPerplexity(d, "text", "doc_id")
+    val bgColdScans = textScans(bgCold)
+    val bgColdRows = m(bgCold)
+    val refSlice = d.where(col("doc_id") % 3 === 0)
+    val lmCold = TextAnalysis.fitStupidBackoffLm(refSlice, "text")
+    val lmColdTri = m(lmCold.tri)
+    val lmColdBi = m(lmCold.bi)
+    val boCold = TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lmCold)
+    val boColdRows = m(boCold)
+    val pbCold = TextAnalysis.pplBuckets(d, "text", "doc_id", by = Seq("lang"))
+    val pbColdScans = textScans(pbCold)
+    val pbColdRows = m(pbCold)
+    val cbColdRows = m(TextAnalysis.pplBuckets(d, "text", "doc_id",
+      by = Seq("lang"), lm = Some(lmCold)))
+    assert(bgColdScans >= 3, s"unfrozen bigram should re-scan text, got $bgColdScans")
+    assert(pbColdScans >= 3)
+    // bigram scorer, frozen
+    val bgHot = TextAnalysis.bigramPerplexity(d, "text", "doc_id", freeze = true)
+    assert(m(bgHot) == bgColdRows)
+    assert(textScans(bgHot) == 1, "frozen bigram must plan exactly ONE text scan (the cache fill)")
+    // backoff fit + scorer, frozen end to end
+    val lmHot = TextAnalysis.fitStupidBackoffLm(refSlice, "text", freeze = true)
+    assert(lmHot.total == lmCold.total)
+    assert(m(lmHot.tri) == lmColdTri)
+    val boHot = TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lmHot, freeze = true)
+    assert(m(boHot) == boColdRows)
+    // fit pool (1 fill scan over the slice) + scoring pool (1 fill scan)
+    assert(textScans(boHot) <= 2)
+    // bucketing, both LM flavors
+    val pbHot = TextAnalysis.pplBuckets(d, "text", "doc_id", by = Seq("lang"), freeze = true)
+    assert(m(pbHot) == pbColdRows)
+    assert(textScans(pbHot) == 1)
+    val cbHot = TextAnalysis.pplBuckets(d, "text", "doc_id", by = Seq("lang"),
+      lm = Some(lmHot), freeze = true)
+    assert(m(cbHot) == cbColdRows)
+    assert(textScans(cbHot) <= 2)
+    // the shared pool: fit on a slice + score the corpus off ONE text read
+    val pool = TextAnalysis.ngramHashPool(d, "text", "doc_id")
+    val lmPool = TextAnalysis.fitStupidBackoffLmFromPool(
+      pool.where(col("doc_id") % 3 === 0))
+    assert(lmPool.total == lmCold.total)
+    assert(m(lmPool.bi) == lmColdBi)
+    val poolScore = TextAnalysis.stupidBackoffPerplexityFromPool(pool, "doc_id", lmPool)
+    assert(m(poolScore) == boColdRows)
+    // the shared pool: fit AND score hang off ONE cache-fill text scan
+    assert(textScans(poolScore) == 1)
+    // drop the registered pools so fragment substitution cannot leak into
+    // later tests' plans (the suite shares one session)
+    spark.catalog.clearCache()
+  }
+
   test("stupidBackoffPerplexity: self-scored corpus never backs off (pure trigram MLE)") {
     import graft.ops.TextAnalysis
     val corpus = Seq(
