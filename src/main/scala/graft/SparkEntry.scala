@@ -637,6 +637,46 @@ object SparkEntry {
        |CROSS JOIN bk_n),
        |bk_sc AS (SELECT doc_id, round(exp(-avg(s)), 6) AS ppl3 FROM bk_j GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
+  /** CTEs recomputing the [[graft.functions.PngAHash64]] /
+    * [[graft.functions.PngDHash64]] grid hashes in pure SQL over a pixel
+    * relation `pm(media_id, w, h, px)` — px is the fixture's `6·w·h` hex
+    * chars of 3-byte RGB pixels. Per-pixel luma = the three byte values
+    * summed; 8×8 (aHash) / 9×8 (dHash) floor-div grid cells; integer
+    * cross-multiplied comparisons — the exact expression semantics, no
+    * floats anywhere. Terminal CTEs `ph_ah(media_id, ah_hi, ah_lo)` /
+    * `ph_dh(media_id, dh_hi, dh_lo)` carry unsigned 32-bit halves;
+    * images with NO set bits have no row (consumers LEFT JOIN +
+    * coalesce 0). */
+  private def phashCtes(pm: String): String =
+    s"""ph_v AS (SELECT media_id, w, h,
+       |CAST(i % w AS INTEGER) AS x, CAST(i // w AS INTEGER) AS y,
+       |(strpos('0123456789ABCDEF', substr(px, 6*i+1, 1)) - 1) * 16
+       |+ (strpos('0123456789ABCDEF', substr(px, 6*i+2, 1)) - 1)
+       |+ (strpos('0123456789ABCDEF', substr(px, 6*i+3, 1)) - 1) * 16
+       |+ (strpos('0123456789ABCDEF', substr(px, 6*i+4, 1)) - 1)
+       |+ (strpos('0123456789ABCDEF', substr(px, 6*i+5, 1)) - 1) * 16
+       |+ (strpos('0123456789ABCDEF', substr(px, 6*i+6, 1)) - 1) AS luma
+       |FROM (SELECT media_id, w, h, px, unnest(range(0, w*h)) AS i FROM $pm)),
+       |ph_ac AS (SELECT media_id, (y*8//h)*8 + (x*8//w) AS cell,
+       |sum(luma) AS s, count(*) AS c FROM ph_v GROUP BY media_id, cell),
+       |ph_at AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM ph_ac GROUP BY media_id),
+       |ph_ab AS (SELECT ph_ac.media_id, ph_ac.cell AS b FROM ph_ac JOIN ph_at
+       |ON ph_ac.media_id = ph_at.media_id
+       |WHERE ph_ac.s * ph_at.tc > ph_at.ts * ph_ac.c),
+       |ph_ah AS (SELECT media_id,
+       |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS ah_hi,
+       |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS ah_lo
+       |FROM ph_ab GROUP BY media_id),
+       |ph_dc AS (SELECT media_id, (y*8//h)*9 + (x*9//w) AS cell,
+       |sum(luma) AS s, count(*) AS c FROM ph_v GROUP BY media_id, cell),
+       |ph_db AS (SELECT l.media_id, (l.cell//9)*8 + (l.cell%9) AS b
+       |FROM ph_dc l JOIN ph_dc r ON l.media_id = r.media_id AND r.cell = l.cell + 1
+       |WHERE l.cell % 9 < 8 AND l.s * r.c > r.s * l.c),
+       |ph_dh AS (SELECT media_id,
+       |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS dh_hi,
+       |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS dh_lo
+       |FROM ph_db GROUP BY media_id)""".stripMargin.replace("\n", " ")
+
   /** The q111 quality-classifier fit config — ONE definition consumed by
     * the Spark query AND baked into the oracle CTEs (same anti-drift
     * discipline as [[DsirBuckets]]). Bucket count inherits the
@@ -1578,6 +1618,62 @@ object SparkEntry {
         TextAnalysis.bpeTokenCountExact(col("text"),
           graft.functions.BpeVocab.Builtin), chunkSize = 64L, overlap = 16L)
         .orderBy("doc_id", "chunk_idx")),
+    // crawl→multimodal ingest: harvest image responses out of WARC
+    // payloads by HTTP Content-Type (binary bodies — the media half of a
+    // real crawl the html_text walk skips); dims re-parsed from the
+    // harvested bytes by the native IHDR parser, so the oracle's framing
+    // arithmetic pins extraction AND parse. One Generate per payload, all
+    // inside the scan stage — only matching bodies leave it
+    "q133_warc_media_extract" -> ((s, dir) => {
+      val crawl = Multimodal.warcImageCrawlFromDocuments(table(s, dir, "documents"))
+      Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+        .select(
+          regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1).cast("long").as("media_id"),
+          col("content_type"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          graft.functions.MediaFunctions.imageDims(col("payload")).as("d"))
+        .select(col("media_id"), col("content_type"), col("n_bytes"),
+          col("d.width").cast("long").as("width"),
+          col("d.height").cast("long").as("height"))
+        .orderBy("media_id")
+    }),
+    // perceptual image fingerprints: 64-bit aHash (8×8 grid luma-vs-mean)
+    // and dHash (9×8 horizontal gradient) as native codegen expressions
+    // over the q86 PNG fixtures — integer-exact grid math (floor-div cell
+    // mapping, cross-multiplied comparisons), so DuckDB recomputes every
+    // bit from the same hex text. Emitted as unsigned 32-bit halves (the
+    // driver compare needs sign-free integers on both sides)
+    "q134_image_phash" -> ((s, dir) => {
+      val m = Multimodal.pngPixelMediaFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.functions.MediaFunctions.pngAHash64(col("payload")).as("ah"),
+          graft.functions.MediaFunctions.pngDHash64(col("payload")).as("dh"))
+        .where(col("ah").isNotNull)
+        .select(col("media_id"),
+          shiftrightunsigned(col("ah"), 32).as("ah_hi"),
+          col("ah").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"),
+          shiftrightunsigned(col("dh"), 32).as("dh_hi"),
+          col("dh").bitwiseAND(lit(0xFFFFFFFFL)).as("dh_lo"))
+        .orderBy("media_id")
+    }),
+    // media dedup end-to-end: WARC harvest → exact byte dedup (hash-narrow
+    // two-phase, keep-min-id) → aHash near-dup pairs (pigeonhole-banded
+    // Hamming ≤ 3, recall exactly 1) → connected components → keep-min per
+    // cluster. The fixture plants an exact-dup group (one constant image
+    // across all doc_id%7 docs) and per-doc near-dup variants (one-pixel
+    // dents); the oracle replays every decision from the doc text —
+    // hashes, banding (sound by the pigeonhole theorem), and the
+    // transitive clustering (recursive reachability)
+    "q135_media_dedup" -> ((s, dir) => {
+      val crawl = Multimodal.warcImageCrawlFromDocuments(table(s, dir, "documents"))
+      val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+        .select(
+          regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1).cast("long").as("media_id"),
+          col("payload"))
+      graft.ops.MediaDedup.imageDedupReport(media, "payload", "media_id", maxHamming = 3)
+        .select(col("media_id"), col("status"), col("keeper"))
+        .orderBy("media_id")
+    }),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
     // keyed by term — shuffle ≈ vocab size — then a TakeOrdered merge)
     "q56_vocabulary" -> ((s, dir) =>
@@ -1605,11 +1701,21 @@ object SparkEntry {
     // whole corpus scored against it — so the backoff chain genuinely
     // fires (unseen trigrams → α·bigram, unseen bigrams → α²·unigram,
     // OOV → α²/N)
-    // single-scan spelling (ngramHashPool): the frozen hash-array pool
-    // feeds BOTH the reference fit (its %3 slice) and the corpus scoring,
-    // so the text column is read once — at 100 TB the fit+score chain
-    // otherwise plans 4 full corpus text scans (PLANS r13)
     "q125_backoff_ppl" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val lm = TextAnalysis.fitStupidBackoffLm(
+        d.where(col("doc_id") % 3 === 0), "text")
+      TextAnalysis.stupidBackoffPerplexity(d, "text", "doc_id", lm)
+        .orderBy("doc_id")
+    }),
+    // the SINGLE-SCAN spelling of q125 (ngramHashPool): the cached
+    // hash-array pool feeds BOTH the reference fit (its %3 slice) and the
+    // corpus scoring, so the corpus text is read once. Kept as a separate
+    // oracle query, not the default: with page-cached local parquet,
+    // recompute measured FASTER at every rehearsal scale (SCALING r14) —
+    // the pool pays off when each re-scan re-runs upstream compute (the
+    // crawl-extraction rows) or remote-object-store IO
+    "q125b_backoff_ppl_pooled" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val pool = TextAnalysis.ngramHashPool(d, "text", "doc_id")
       val lm = TextAnalysis.fitStupidBackoffLmFromPool(
@@ -1620,9 +1726,13 @@ object SparkEntry {
     // CCNet head/middle/tail: per-language perplexity thirds cut by
     // WEIGHT MASS (weight = doc length — the paper cuts bytes, not doc
     // counts); composes the bigram LM with the weighted-qcut kernel
-    // freeze = the single-scan knob: scorer explodes + qcut weights read
-    // one frozen hash-array pool instead of 4 corpus text scans
     "q122_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(table(s, dir, "documents"), "text", "doc_id",
+        by = Seq("lang"), buckets = 3)
+        .orderBy("doc_id")),
+    // freeze = the single-scan knob (q125b rationale): scorer explodes +
+    // qcut weights read one cached hash-array pool instead of 4 text scans
+    "q122b_ppl_buckets_pooled" -> ((s, dir) =>
       TextAnalysis.pplBuckets(table(s, dir, "documents"), "text", "doc_id",
         by = Seq("lang"), buckets = 3, freeze = true)
         .orderBy("doc_id")),
@@ -1630,11 +1740,19 @@ object SparkEntry {
     // REFERENCE-fitted backoff LM (the paper buckets crawl text under a
     // Wikipedia-trained KenLM — here the %3 slice plays the reference),
     // cut by weight mass
-    // single-scan spelling: ONE frozen pool carries the hash arrays AND
-    // the lang/byte-weight columns, so reference fit + corpus scoring +
-    // weight-mass thirds all read the corpus text exactly once (the
-    // unfrozen composition planned 7 text scans — PLANS r13)
     "q126_ccnet_buckets" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val lm = TextAnalysis.fitStupidBackoffLm(
+        d.where(col("doc_id") % 3 === 0), "text")
+      TextAnalysis.pplBuckets(d, "text", "doc_id", by = Seq("lang"),
+        buckets = 3, lm = Some(lm))
+        .orderBy("doc_id")
+    }),
+    // single-scan spelling of q126 (q125b rationale): ONE cached pool
+    // carries the hash arrays AND the lang/byte-weight columns, so
+    // reference fit + corpus scoring + weight-mass thirds read the corpus
+    // text exactly once
+    "q126b_ccnet_buckets_pooled" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val pool = TextAnalysis.ngramHashPool(d, "text", "doc_id",
         extra = Seq(col("lang"),
@@ -2086,8 +2204,8 @@ object SparkEntry {
       // are local block IO, not corpus scans — an ngramHashPool cache on
       // top trades those for a ~2x-bigger cache write and measured SLOWER
       // at sf0.1 (3.6 s vs 3.0 s); the corpus text is read once by the
-      // crawl scan regardless. Contrast q125/q126, where the pool caches
-      // replace real parquet text scans and win.
+      // crawl scan regardless. The pooled spellings exist as q122b/q125b/
+      // q126b; SCALING r14 records where each side wins.
       val lm = TextAnalysis.fitStupidBackoffLm(
         pool.where(col("doc_id") % 3 === 0), "text")
       val scored = TextAnalysis.stupidBackoffPerplexity(pool, "text", "doc_id", lm)
@@ -2394,7 +2512,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_count" ->
       s"""SELECT ${sqlCount("l_extendedprice")} AS l_extendedprice,
          |${sqlCount("l_discount")} AS l_discount,
@@ -3191,6 +3309,91 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, stream, CAST(off // 2048 AS BIGINT) AS pack,
         |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // WARC media harvest: every planted image record re-derived from the
+    // doc text — content type constant, dims from the doc_id rules, byte
+    // length from the stored-PNG framing arithmetic (rawlen + 68)
+    "q133_warc_media_extract" ->
+      """WITH m AS (SELECT doc_id,
+        |CAST(CASE WHEN doc_id % 7 = 0 THEN 8 ELSE doc_id % 6 + 6 END AS BIGINT) AS w,
+        |CAST(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE doc_id % 4 + 5 END AS BIGINT) AS h
+        |FROM documents WHERE text IS NOT NULL),
+        |ids AS (SELECT doc_id*10 AS media_id, w, h FROM m
+        |UNION ALL SELECT doc_id*10+1, w, h FROM m
+        |WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        |'image/png' AS content_type,
+        |CAST(h*(1+3*w) + 68 AS BIGINT) AS n_bytes,
+        |w AS width, h AS height
+        |FROM ids ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // perceptual grid hashes bit-for-bit from the q86 fixture hex (see
+    // phashCtes); zero-hash images coalesce to 0 on both sides
+    "q134_image_phash" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |CAST(doc_id % 6 + 2 AS INTEGER) AS w, CAST(doc_id % 4 + 2 AS INTEGER) AS h,
+         |hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL),
+         |pm AS (SELECT media_id, w, h,
+         |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM m),
+         |${phashCtes("pm")}
+         |SELECT pm.media_id,
+         |CAST(COALESCE(ph_ah.ah_hi, 0) AS BIGINT) AS ah_hi,
+         |CAST(COALESCE(ph_ah.ah_lo, 0) AS BIGINT) AS ah_lo,
+         |CAST(COALESCE(ph_dh.dh_hi, 0) AS BIGINT) AS dh_hi,
+         |CAST(COALESCE(ph_dh.dh_lo, 0) AS BIGINT) AS dh_lo
+         |FROM pm LEFT JOIN ph_ah ON pm.media_id = ph_ah.media_id
+         |LEFT JOIN ph_dh ON pm.media_id = ph_dh.media_id
+         |ORDER BY pm.media_id""".stripMargin.replace("\n", " "),
+    // media dedup decisions replayed end-to-end: exact groups by the
+    // pixel identity (payload bytes are a bijection of (w,h,px) under the
+    // fixed framing), aHash over survivors via phashCtes, candidate pairs
+    // by 16-bit pigeonhole chunks (sound for hd ≤ 3 by the pigeonhole
+    // theorem — same recall-1 argument as the engine's banding), hamming
+    // verify via xor + bit_count on the 32-bit halves, then q49's
+    // recursive-reachability clustering and keep-min
+    "q135_media_dedup" ->
+      s"""WITH RECURSIVE m0 AS (SELECT doc_id,
+         |CAST(CASE WHEN doc_id % 7 = 0 THEN 8 ELSE doc_id % 6 + 6 END AS INTEGER) AS w,
+         |CAST(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE doc_id % 4 + 5 END AS INTEGER) AS h,
+         |CASE WHEN doc_id % 7 = 0 THEN '' ELSE hex(encode(text)) END AS hx
+         |FROM documents WHERE text IS NOT NULL),
+         |mbase AS (SELECT doc_id, w, h,
+         |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM m0),
+         |med AS (SELECT doc_id*10 AS media_id, w, h, px FROM mbase
+         |UNION ALL SELECT doc_id*10+1, w, h, '000000' || substr(px, 7) FROM mbase
+         |WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+         |eg AS (SELECT media_id, w, h, px,
+         |min(media_id) OVER (PARTITION BY w, h, px) AS ekeep FROM med),
+         |ed AS (SELECT media_id, ekeep FROM eg WHERE media_id <> ekeep),
+         |pm AS (SELECT media_id, w, h, px FROM eg WHERE media_id = ekeep),
+         |${phashCtes("pm")},
+         |sig AS (SELECT pm.media_id,
+         |CAST(COALESCE(ph_ah.ah_hi, 0) AS BIGINT) AS hi,
+         |CAST(COALESCE(ph_ah.ah_lo, 0) AS BIGINT) AS lo
+         |FROM pm LEFT JOIN ph_ah ON pm.media_id = ph_ah.media_id),
+         |ch AS (SELECT media_id, hi, lo,
+         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+         |unnest([0, 1, 2, 3]) AS chunk FROM sig),
+         |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |FROM ch a JOIN ch b
+         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+         |pr AS (SELECT ma, mb FROM cand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+         |e AS (SELECT ma AS s, mb AS t FROM pr UNION ALL SELECT mb, ma FROM pr),
+         |reach(id, r) AS (SELECT media_id, media_id FROM pm
+         |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id),
+         |cl AS (SELECT id AS media_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |nk AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM cl)
+         |SELECT CAST(med.media_id AS BIGINT) AS media_id,
+         |CASE WHEN ed.media_id IS NOT NULL THEN 'exact_dup'
+         |WHEN nk.nkeep <> med.media_id THEN 'near_dup'
+         |ELSE 'kept' END AS status,
+         |CAST(COALESCE(ed.ekeep,
+         |CASE WHEN nk.nkeep <> med.media_id THEN nk.nkeep END,
+         |med.media_id) AS BIGINT) AS keeper
+         |FROM med LEFT JOIN ed ON med.media_id = ed.media_id
+         |LEFT JOIN nk ON med.media_id = nk.media_id
+         |ORDER BY med.media_id""".stripMargin.replace("\n", " "),
     // exact BPE counts: the engine's merge loop replayed in SQL (rank-
     // order unrolled recursion over distinct pre-tokens — see bpeCountCtes)
     "q114_bpe_exact" ->
@@ -4043,6 +4246,18 @@ object SparkEntry {
          |$q81PackTail""".stripMargin.replace("\n", " ")
     }
   )
+
+  def oracleSql: Map[String, String] = {
+    // the pooled single-scan spellings are DEFINED to produce the same
+    // relation as their recompute twins (spec-pinned bit-for-bit), so
+    // they share the twin's oracle verbatim — the driver then certifies
+    // the cached-pool path hash-exact at both SFs on its own row
+    val pooledTwins = Map(
+      "q122b_ppl_buckets_pooled" -> "q122_ppl_buckets",
+      "q125b_backoff_ppl_pooled" -> "q125_backoff_ppl",
+      "q126b_ccnet_buckets_pooled" -> "q126_ccnet_buckets")
+    oracleSqlBase ++ pooledTwins.map { case (to, from) => to -> oracleSqlBase(from) }
+  }
 
   /** Shared CTE prefix of the q81/q81b oracles: clean (q39) →
     * token-set-identity clusters via recursive reachability (q49's shape)

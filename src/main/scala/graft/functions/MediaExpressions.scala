@@ -367,9 +367,63 @@ object PngPixelStats {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
+  /** Fully decoded (unfiltered, deinterlaced-in-stream-order) PNG pixel
+    * stream plus its geometry — the shared product of the chunk walk +
+    * inflate + unfilter pipeline, consumed by [[PngPixelStats]] (channel
+    * stats) and [[PngAHash64]]/[[PngDHash64]] (perceptual grid hashes).
+    * `raw` holds filter-byte-prefixed scanlines per sub-image, already
+    * reconstructed; `subImages` is one (w,h) for plain images or the
+    * present Adam7 pass dims for interlaced ones. */
+  private[functions] final class DecodedPng(
+      val w: Int, val h: Int, val ch: Int, val bps: Int,
+      val raw: Array[Byte], val subImages: Array[(Int, Int)])
+
   /** `(width, height, channels, depth, ch_sum[], ch_min[], ch_max[])`
-    * decoded from a supported PNG payload, or null. */
+    * decoded from a supported PNG payload, or null. Stats accumulate over
+    * the [[decode]]d sample stream in stream order — identical values to
+    * the historical fused unfilter+stats pass (sums are commutative,
+    * min/max order-free). */
   def parse(b: Array[Byte]): InternalRow = {
+    val d = decode(b)
+    if (d == null) return null
+    val ch = d.ch
+    val bps = d.bps
+    val sums = new Array[Long](ch)
+    val mins = Array.fill(ch)(if (bps == 1) 255 else 65535)
+    val maxs = new Array[Int](ch)
+    val raw = d.raw
+    var off = 0
+    var si = 0
+    while (si < d.subImages.length) {
+      val (wp, hp) = d.subImages(si)
+      val stride = 1 + wp * ch * bps
+      var r = 0
+      while (r < hp) {
+        val base = off + r * stride + 1
+        var s = 0
+        val nSamples = wp * ch
+        while (s < nSamples) {
+          val at = base + s * bps
+          val v = if (bps == 1) u8(raw, at) else (u8(raw, at) << 8) | u8(raw, at + 1)
+          val c = s % ch
+          sums(c) += v
+          if (v < mins(c)) mins(c) = v
+          if (v > maxs(c)) maxs(c) = v
+          s += 1
+        }
+        r += 1
+      }
+      off += hp * stride
+      si += 1
+    }
+    InternalRow(d.w, d.h, ch, bps * 8,
+      new GenericArrayData(sums), new GenericArrayData(mins), new GenericArrayData(maxs))
+  }
+
+  /** Decode a supported PNG payload to its unfiltered sample stream
+    * (see [[PngPixelStats.DecodedPng]]), or null for anything malformed /
+    * unsupported — shared by the stats and perceptual-hash expressions. */
+  private[functions] def decode(b: Array[Byte]): DecodedPng = {
     // signature + IHDR (required first chunk, len 13)
     if (b.length < 45) return null
     var i = 0
@@ -396,10 +450,8 @@ object PngPixelStats {
     val bps = bitDepth / 8 // bytes per sample (16-bit samples are big-endian)
     val bpp = ch * bps
     // the raw stream is a sequence of (wp, hp) sub-images: one for the
-    // whole frame, or the 7 Adam7 passes when interlaced. Per-channel
-    // stats are POSITION-independent, so deinterlacing reduces to
-    // unfiltering each pass sub-image in stream order — no pixel
-    // placement needed (each pixel appears in exactly one pass).
+    // whole frame, or the 7 Adam7 passes when interlaced (each pixel
+    // appears in exactly one pass).
     val subImages: Array[(Int, Int)] =
       if (interlace == 0) Array((w.toInt, h.toInt))
       else Adam7.filter { case (xs, ys, _, _) => w > xs && h > ys }
@@ -449,12 +501,7 @@ object PngPixelStats {
     // per sub-image: unfilter in place (PNG spec §9: a/b/c are the
     // RECONSTRUCTED left / above / upper-left bytes; out-of-frame = 0;
     // filters operate BYTEWISE at any depth, offset by bpp bytes, and
-    // each interlace pass filters against ITS OWN scanlines only), then
-    // accumulate per-channel stats over the reconstructed samples
-    // (16-bit samples big-endian per spec)
-    val sums = new Array[Long](ch)
-    val mins = Array.fill(ch)(if (bps == 1) 255 else 65535)
-    val maxs = new Array[Int](ch)
+    // each interlace pass filters against ITS OWN scanlines only)
     var off = 0
     var si = 0
     while (si < subImages.length) {
@@ -488,24 +535,172 @@ object PngPixelStats {
             x += 1
           }
         }
-        var s = 0
-        val nSamples = wp * ch
-        while (s < nSamples) {
-          val at = base + s * bps
-          val v = if (bps == 1) u8(raw, at) else (u8(raw, at) << 8) | u8(raw, at + 1)
-          val c = s % ch
-          sums(c) += v
-          if (v < mins(c)) mins(c) = v
-          if (v > maxs(c)) maxs(c) = v
-          s += 1
-        }
         r += 1
       }
       off += hp * stride
       si += 1
     }
-    InternalRow(w.toInt, h.toInt, ch, bitDepth,
-      new GenericArrayData(sums), new GenericArrayData(mins), new GenericArrayData(maxs))
+    new DecodedPng(w.toInt, h.toInt, ch, bps, raw, subImages)
+  }
+}
+
+/** 64-bit average-hash (aHash) of a decodable PNG — the classic perceptual
+  * image fingerprint: partition the image into an 8×8 grid (cell of pixel
+  * (x,y) is `(y·8/h, x·8/w)` by integer floor — exact, no resampling
+  * kernel, so any engine can reproduce it bit-for-bit), per-cell mean luma
+  * (luma = sum of the non-alpha channel samples — integer-exact), bit set
+  * iff the cell is non-empty AND its mean exceeds the image mean (compared
+  * by integer cross-multiplication `cellSum·n > totalSum·cellCnt`, never
+  * floating division). Bit `b = row·8+col` lands at position `63−b`, so
+  * `lpad(bin(hash),64,'0')` reads row-major. Near-identical images differ
+  * in a few bits; Hamming-banded pairing rides the existing
+  * [[graft.ops.Dedup.simhashPairs]] pigeonhole machinery.
+  *
+  * NULL for undecodable payloads, interlaced images (the stream order of
+  * Adam7 loses pixel positions), and images over 2²⁰ pixels (keeps every
+  * cross-multiplication inside Long — ~2⁵⁸ max; hash downsampled/thumb
+  * variants of larger assets instead). One native expression per row in
+  * whole-stage codegen, like [[PngPixelStats]]. */
+case class PngAHash64(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"png_ahash64 requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    PngGridHash.aHash(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("ah")
+      s"""
+         |Long $r = graft.functions.PngGridHash.aHash($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit difference-hash (dHash) sibling of [[PngAHash64]]: a 9-column ×
+  * 8-row grid (col of pixel x is `x·9/w`), bit `b = row·8+col` set iff
+  * `mean(cell[row][col]) > mean(cell[row][col+1])` by integer
+  * cross-multiplication (an empty cell on either side ⇒ products 0 > 0 ⇒
+  * bit 0 — deterministic for tiny images). Captures horizontal gradient
+  * structure, complementary to aHash's brightness profile; same NULL
+  * contract. */
+case class PngDHash64(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"png_dhash64 requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    PngGridHash.dHash(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("dh")
+      s"""
+         |Long $r = graft.functions.PngGridHash.dHash($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PngGridHash {
+
+  /** Hash expressions refuse images past this pixel count so every
+    * `sum·count` cross-multiplication stays inside Long (sum ≤
+    * 3·65535·2²⁰ ≈ 2³⁷·⁶, count ≤ 2²⁰ → ≤ 2⁵⁸). */
+  private val MaxPixels = 1 << 20
+
+  /** Per-grid-cell luma sums and pixel counts of a decoded non-interlaced
+    * PNG, cells row-major over a `gw`×`gh` grid; null when unsupported. */
+  private def gridLuma(b: Array[Byte], gw: Int, gh: Int): (Array[Long], Array[Long]) = {
+    val d = PngPixelStats.decode(b)
+    if (d == null || d.subImages.length != 1) return null
+    val w = d.w; val h = d.h
+    if (w.toLong * h > MaxPixels) return null
+    val ch = d.ch; val bps = d.bps
+    val lumaCh = math.min(ch, 3) // alpha excluded
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    val raw = d.raw
+    val stride = 1 + w * ch * bps
+    var y = 0
+    while (y < h) {
+      val base = y * stride + 1
+      val row = y * gh / h
+      var x = 0
+      while (x < w) {
+        val at = base + x * ch * bps
+        var luma = 0L
+        var c = 0
+        while (c < lumaCh) {
+          val sAt = at + c * bps
+          luma += (if (bps == 1) raw(sAt) & 0xff
+                   else ((raw(sAt) & 0xff) << 8) | (raw(sAt + 1) & 0xff))
+          c += 1
+        }
+        val cell = row * gw + x * gw / w
+        sums(cell) += luma
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, cnts)
+  }
+
+  def aHash(b: Array[Byte]): java.lang.Long = {
+    val g = gridLuma(b, 8, 8)
+    if (g == null) return null
+    val (sums, cnts) = g
+    var totalSum = 0L; var totalCnt = 0L
+    var i = 0
+    while (i < 64) { totalSum += sums(i); totalCnt += cnts(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i) * totalCnt > totalSum * cnts(i))
+        hash |= 1L << (63 - i)
+      i += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  def dHash(b: Array[Byte]): java.lang.Long = {
+    val g = gridLuma(b, 9, 8)
+    if (g == null) return null
+    val (sums, cnts) = g
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val i = r * 9 + c
+        if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+          hash |= 1L << (63 - (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
   }
 }
 
@@ -728,4 +923,15 @@ object MediaFunctions {
     * NULL for unrecognized payloads. */
   def videoMeta(payload: Column): Column =
     ColumnBridge.column(VideoMeta(ColumnBridge.expression(payload)))
+
+  /** `png_ahash64(payload)` — 64-bit average-hash perceptual fingerprint of
+    * a decodable PNG (8×8 integer-grid luma-vs-mean bits); NULL for
+    * undecodable / interlaced / over-2²⁰-pixel payloads. */
+  def pngAHash64(payload: Column): Column =
+    ColumnBridge.column(PngAHash64(ColumnBridge.expression(payload)))
+
+  /** `png_dhash64(payload)` — 64-bit difference-hash sibling (9×8 grid,
+    * horizontal luma gradient bits); same NULL contract. */
+  def pngDHash64(payload: Column): Column =
+    ColumnBridge.column(PngDHash64(ColumnBridge.expression(payload)))
 }

@@ -218,36 +218,54 @@ object Multimodal {
       hExpr: Column,
       bytesPerPx: Int,
       ihdrDepthColorHex: String): DataFrame = {
-    val sl = 2 * bytesPerPx // hex chars per pixel
     docs.select(col("doc_id"), col("text"))
       .withColumn("w", wExpr.cast("int"))
       .withColumn("h", hExpr.cast("int"))
       .withColumn("npb", col("w") * col("h") * lit(bytesPerPx)) // pixel bytes
       .withColumn("pxhex",
         expr("substr(concat(hex(encode(text, 'UTF-8')), repeat('41', npb)), 1, 2*npb)"))
-      .withColumn("rawlen", col("h") * (lit(1) + col("w") * lit(bytesPerPx)))
-      .withColumn("slhex", expr(
-        s"array_join(transform(sequence(0, h-1), r -> concat('00', substr(pxhex, r*w*$sl+1, w*$sl))), '')"))
-      .withColumn("lenle", expr(
-        "concat(lpad(hex(rawlen % 256), 2, '0'), lpad(hex(rawlen div 256), 2, '0'))"))
-      .withColumn("nlenle", expr(
-        "concat(lpad(hex((65535 - rawlen) % 256), 2, '0'), lpad(hex((65535 - rawlen) div 256), 2, '0'))"))
-      .withColumn("payload_hex", concat(
-        lit("89504E470D0A1A0A"), // signature
-        lit("0000000D49484452"), // IHDR length + type
-        expr("lpad(hex(w), 8, '0')"), expr("lpad(hex(h), 8, '0')"),
-        lit(ihdrDepthColorHex), // bit depth, color type, no interlace
-        lit("00000000"), // IHDR crc (not validated)
-        expr("lpad(hex(rawlen + 11), 8, '0')"), lit("49444154"), // IDAT len + type
-        lit("7801"), // zlib header: deflate, no preset dict
-        lit("01"), col("lenle"), col("nlenle"), // final stored-block header
-        col("slhex"), // raw filter-0 scanlines
-        lit("00000000"), // adler32 (ignored by raw inflate)
-        lit("00000000"), // IDAT crc
-        lit("0000000049454E44AE426082"))) // IEND
+      .withColumn("payload_hex",
+        pngHexFromPixels(col("w"), col("h"), col("pxhex"), bytesPerPx, ihdrDepthColorHex))
       .select(col("doc_id").as("media_id"), lit("png").as("kind"),
         col("w").as("width"), col("h").as("height"),
         unhex(col("payload_hex")).as("payload"))
+  }
+
+  /** The stored-deflate PNG framing of [[pngStoredFixture]] as a pure
+    * Column function over (width, height, pixel-hex): signature + IHDR +
+    * one final stored deflate block of filter-0 scanlines + IEND, zeroed
+    * CRC/Adler. `px` must hold exactly `2·bytesPerPx·w·h` hex chars.
+    * Factored out so builders that frame SEVERAL images per row
+    * ([[warcImageCrawlFromDocuments]]'s near-duplicate variants) reuse
+    * the one framing — the chunk layout / LEN·NLEN encoding / IDAT
+    * length arithmetic can never diverge between fixtures. */
+  private[graft] def pngHexFromPixels(
+      wc: Column,
+      hc: Column,
+      px: Column,
+      bytesPerPx: Int,
+      ihdrDepthColorHex: String): Column = {
+    val sl = 2 * bytesPerPx // hex chars per pixel
+    val rawlen = hc * (lit(1) + wc * lit(bytesPerPx))
+    val slhex = array_join(
+      transform(sequence(lit(0), hc - lit(1)),
+        r => concat(lit("00"), px.substr(r * wc * lit(sl) + lit(1), wc * lit(sl)))),
+      "")
+    def h2(c: Column) = lpad(hex(c), 2, "0")
+    def le16(v: Column) = concat(h2(v % 256), h2(shiftright(v.cast("long"), 8)))
+    concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D49484452"), // IHDR length + type
+      lpad(hex(wc), 8, "0"), lpad(hex(hc), 8, "0"),
+      lit(ihdrDepthColorHex), // bit depth, color type, no interlace
+      lit("00000000"), // IHDR crc (not validated)
+      lpad(hex(rawlen + 11), 8, "0"), lit("49444154"), // IDAT len + type
+      lit("7801"), // zlib header: deflate, no preset dict
+      lit("01"), le16(rawlen), le16(lit(65535) - rawlen), // final stored block
+      slhex, // raw filter-0 scanlines
+      lit("00000000"), // adler32 (ignored by raw inflate)
+      lit("00000000"), // IDAT crc
+      lit("0000000049454E44AE426082")) // IEND
   }
 
   /** Little-endian fixed-width bytes of an integral column (RIFF/WAV fields
@@ -536,5 +554,107 @@ object Multimodal {
     docs.select(col("doc_id").as("media_id"),
       encode(concat(rec("request", "request", reqBlock),
         rec("response", "response", respBlock)), "UTF-8").as("payload"))
+  }
+
+  /** Image-bearing demo WARC crawl from `documents`: per non-null-text doc
+    * ONE WARC payload holding an HTML response (the [[warcHtmlFromDocuments]]
+    * record shape) followed by PNG image responses
+    * (`Content-Type: image/png`, BINARY bodies — the media half of a real
+    * crawl, which [[extractWarcMedia]] harvests by content type):
+    *
+    *   - a PRIMARY image, `media_id = doc_id·10`, pixels from the row's
+    *     text ('A'-padded), dims `(doc_id%6+6, doc_id%4+5)` — EXCEPT docs
+    *     with `doc_id % 7 == 0`, which all carry ONE constant 8×6 all-'A'
+    *     image: the planted exact-duplicate group (byte-identical bodies
+    *     under different ids/urls).
+    *   - for `doc_id % 5 == 0` outside the constant group, a NEAR-DUPLICATE
+    *     variant, `media_id = doc_id·10 + 1`: same dims, same pixels except
+    *     the first pixel forced to RGB(0,0,0) — a one-cell luma dent that
+    *     leaves the 64-bit aHash within a few bits of the primary's.
+    *
+    * Every image byte derives analytically from `(doc_id, text)`, so a SQL
+    * oracle re-frames the exact payloads and replays the dedup decisions
+    * (q133/q135). */
+  def warcImageCrawlFromDocuments(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val date = concat(lit("2026-03-"),
+      lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"), lit("T00:00:00Z"))
+    val htmlBlock = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+      htmlFromDocuments(col("doc_id"), col("text")))
+    val htmlRec = encode(concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://img.ex.com/page/"), id,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+      length(encode(htmlBlock, "UTF-8")).cast("string"),
+      lit("\r\n\r\n"), htmlBlock, lit("\r\n\r\n")), "UTF-8")
+    // image records are BINARY end-to-end: UTF-8 headers concatenated with
+    // the raw PNG bytes (Content-Length = byte length of the HTTP block)
+    def imageRec(mediaId: Column, png: Column): Column = {
+      val block = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"), "UTF-8"), png)
+      concat(
+        encode(concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://img.ex.com/media/"),
+          mediaId.cast("string"), lit(".png"),
+          lit("\r\nWARC-Date: "), date,
+          lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+          length(block).cast("string"),
+          lit("\r\n\r\n")), "UTF-8"),
+        block,
+        encode(lit("\r\n\r\n"), "UTF-8"))
+    }
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .withColumn("__const__", col("doc_id") % 7 === 0)
+      .withColumn("w", when(col("__const__"), lit(8))
+        .otherwise(col("doc_id") % 6 + 6).cast("int"))
+      .withColumn("h", when(col("__const__"), lit(6))
+        .otherwise(col("doc_id") % 4 + 5).cast("int"))
+      .withColumn("npb", col("w") * col("h") * lit(3))
+      .withColumn("basepx", expr(
+        """substr(concat(CASE WHEN doc_id % 7 = 0 THEN ''
+          |ELSE hex(encode(text, 'UTF-8')) END,
+          |repeat('41', npb)), 1, 2*npb)""".stripMargin.replace("\n", " ")))
+      .withColumn("__variant__", col("doc_id") % 5 === 0 && !col("__const__"))
+      .select(col("doc_id").as("media_id"),
+        concat(
+          htmlRec,
+          imageRec(col("doc_id") * 10,
+            unhex(pngHexFromPixels(col("w"), col("h"), col("basepx"), 3, "0802000000"))),
+          when(col("__variant__"),
+            imageRec(col("doc_id") * 10 + 1,
+              unhex(pngHexFromPixels(col("w"), col("h"),
+                concat(lit("000000"), expr("substr(basepx, 7)")), 3, "0802000000"))))
+            .otherwise(lit(Array.emptyByteArray))).as("payload"))
+  }
+
+  /** Typed media rows harvested from WARC payloads by HTTP Content-Type —
+    * the crawl→multimodal ingest step the text pipeline's
+    * `html_text` walk skips: explode the
+    * [[graft.functions.WarcFunctions.warcRecords]] record array, keep
+    * `response` records whose content type starts with one of
+    * `typePrefixes`, and hand each raw body to the decode path
+    * ([[MediaFunctions]] / [[decodePixelStats]]). Output
+    * `(warc_id, url, content_type, payload)`.
+    *
+    * Scale shape: the WARC walk, the type predicate, and the body
+    * projection all run in the scan stage (one Generate per payload) —
+    * only MATCHING bodies leave the scan, so a 100 TB crawl pays one
+    * pass and ships only its media. */
+  def extractWarcMedia(
+      warc: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      typePrefixes: Seq[String] = Seq("image/", "audio/", "video/")): DataFrame = {
+    require(typePrefixes.nonEmpty, "typePrefixes must be non-empty")
+    val matches = typePrefixes
+      .map(p => col("__r__.content_type").startsWith(p))
+      .reduce(_ || _)
+    warc.select(col(idCol).as("warc_id"),
+        explode(graft.functions.WarcFunctions.warcRecords(col(payloadCol))).as("__r__"))
+      .where(col("__r__.rec_type") === "response" && matches)
+      .select(col("warc_id"), col("__r__.url").as("url"),
+        col("__r__.content_type").as("content_type"), col("__r__.body").as("payload"))
   }
 }

@@ -104,12 +104,19 @@ object Dedup {
     * duplicate-sized (tiny against a real corpus), which is what makes
     * [[dropDuplicatesByKey]] a broadcast anti-join instead of a
     * corpus-sized shuffle join on the keep list. */
-  def duplicateIds(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
+  def duplicateIds(df: DataFrame, keyExpr: Column, idCol: String): DataFrame =
+    duplicateIdPairs(df, keyExpr, idCol).select("__id__")
+
+  /** [[duplicateIds]] plus WHICH row each drop lost to: `(__id__,
+    * __keep__)` — dropped id and its group's kept (minimum) id. The
+    * provenance form dedup REPORTS need ([[MediaDedup.imageDedupReport]]);
+    * same duplicate-sized output and hash-narrow shuffle shape. */
+  def duplicateIdPairs(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__key__"))
     dupKeyed(df, keyExpr, idCol)
       .withColumn("__keep__", min(col("__id__")).over(w))
       .where(col("__id__") =!= col("__keep__"))
-      .select("__id__")
+      .select("__id__", "__keep__")
   }
 
   /** The deduplicated corpus under a keep-first (minimum id) policy: one
@@ -526,7 +533,18 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleSize: Int = 1,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simhashTable(df, textCol, idCol, shingleSize), maxHamming)
+
+  /** Hamming-distance-≤`maxHamming` pairs over ANY 64-bit signature table
+    * `(__id__, __sim__)` — the banding/verify/expand engine behind
+    * [[simhashPairs]], factored out so other 64-bit perceptual signatures
+    * (image aHash/dHash — [[graft.ops.MediaDedup]]) ride the same
+    * pigeonhole machinery and skew guards. Same recall-1 guarantee and
+    * distinct-signature join shape as documented on [[simhashPairs]].
+    * NULL ids / signatures are excluded (a pair policy cannot address
+    * them). */
+  def hammingPairs64(sigTable: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
     val nChunks = maxHamming + 1
     // partition the 64 bits into exactly nChunks non-empty ranges via
@@ -536,8 +554,9 @@ object Dedup {
     // pre-partition the (id, simhash) table by the signature: every
     // consumer below (self-join sides, distinct signatures, the two doc
     // expansions) needs clustering by __sim__, so they all reuse this ONE
-    // exchange and the explode+64-agg subtree is computed once
-    val docs = simhashTable(df, textCol, idCol, shingleSize)
+    // exchange and the signature subtree is computed once
+    val docs = sigTable
+      .where(col("__id__").isNotNull && col("__sim__").isNotNull)
       .repartition(col("__sim__")) // (__id__, __sim__)
 
     // within-signature pairs (hamming 0 by construction): streamed self-join

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Media (image) deduplication for crawl curation — the multimodal twin of
+  * the text dedup ladder: exact byte-identical copies first (mirrored
+  * assets, re-hosted files), then PERCEPTUAL near-duplicates (re-encoded /
+  * lightly edited images) via 64-bit grid hashes
+  * ([[graft.functions.PngAHash64]] aHash /
+  * [[graft.functions.PngDHash64]] dHash) paired by the same
+  * pigeonhole-banded Hamming machinery text SimHash uses
+  * ([[Dedup.hammingPairs64]]) and clustered transitively
+  * ([[Dedup.duplicateClusters]]).
+  *
+  * Scale shape, stage by stage:
+  *   - exact stage: [[Dedup.duplicateIdPairs]]'s hash-narrow two-phase —
+  *     the corpus-wide exchange carries a 128-bit payload hash + id,
+  *     never the image bytes; only hash-dup candidates re-verify on the
+  *     full payload.
+  *   - hash stage: one codegen'd projection (decode + grid luma + 64-bit
+  *     assembly per row inside the scan), emitting an 8-byte signature
+  *     per image.
+  *   - pair stage: banding over DISTINCT signatures with recall exactly 1
+  *     for Hamming ≤ `maxHamming` (pigeonhole over `maxHamming+1` chunks),
+  *     g² signature pairs — never n² image pairs — on degenerate corpora.
+  *   - cluster stage: O(log n) alternating contraction over the
+  *     pair-sized edge list.
+  *
+  * Undecodable images (aHash NULL: malformed, interlaced, > 2²⁰ px) take
+  * no part in the near-dup stage — they can still drop as exact byte
+  * duplicates, and otherwise pass through as `kept`. */
+object MediaDedup {
+
+  /** `(__id__, __sim__)` aHash signature table of a media frame — the
+    * [[Dedup.simhashTable]] analogue for images; NULL hashes (undecodable
+    * payloads) are excluded. */
+  def aHashTable(media: DataFrame, payloadCol: String, idCol: String): DataFrame =
+    media.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__id__"),
+        graft.functions.MediaFunctions.pngAHash64(col(payloadCol)).as("__sim__"))
+      .where(col("__sim__").isNotNull)
+
+  /** Perceptual near-duplicate image pairs `(doc_a, doc_b, hamming)` with
+    * aHash Hamming distance ≤ `maxHamming` — recall exactly 1 over the
+    * decodable images (pigeonhole banding, see [[Dedup.hammingPairs64]]). */
+  def nearDuplicateImagePairs(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(aHashTable(media, payloadCol, idCol), maxHamming)
+
+  /** Per-image dedup decisions under the full ladder — exact byte dedup
+    * (keep lowest id per payload group), then aHash near-dup clustering
+    * over the exact survivors (keep lowest id per connected component):
+    * every input row with `(idCol, status, keeper)` where `status` is
+    * `exact_dup` / `near_dup` / `kept` and `keeper` is the row it lost to
+    * (itself when kept). Keepers are PER STAGE: an exact drop reports its
+    * byte-group's kept id even if that id later drops as a near-dup —
+    * provenance of the decision, not transitive closure (compose with
+    * [[Dedup.duplicateClusters]] for lineage-complete grouping).
+    *
+    * The joins back onto the corpus are drop-list-sized (broadcast
+    * anti/left joins); nothing image-sized shuffles outside the exact
+    * stage's candidate re-verify. */
+  def imageDedupReport(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val exactPairs = Dedup.duplicateIdPairs(media, col(payloadCol), idCol)
+      .select(col("__id__").as("__eid__"), col("__keep__").as("__ekeep__"))
+    val survivors = media
+      .join(exactPairs, col(idCol) === col("__eid__"), "left_anti")
+    val pairs = nearDuplicateImagePairs(survivors, payloadCol, idCol, maxHamming)
+    val clusters = Dedup.duplicateClusters(survivors, idCol, pairs)
+    val keepers = clusters
+      .withColumn("__nkeep__", min(col(idCol)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col(idCol).as("__nid__"), col("__nkeep__"))
+    media
+      .join(exactPairs, col(idCol) === col("__eid__"), "left")
+      .join(keepers, col(idCol) === col("__nid__"), "left")
+      .withColumn("status",
+        when(col("__eid__").isNotNull, lit("exact_dup"))
+          .when(col("__nkeep__").isNotNull && col("__nkeep__") =!= col(idCol),
+            lit("near_dup"))
+          .otherwise(lit("kept")))
+      .withColumn("keeper",
+        coalesce(col("__ekeep__"),
+          when(col("__nkeep__") =!= col(idCol), col("__nkeep__")),
+          col(idCol)))
+      .drop("__eid__", "__ekeep__", "__nid__", "__nkeep__")
+  }
+
+  /** The deduplicated media set: [[imageDedupReport]]'s `kept` rows with
+    * the original columns — "give me the clean corpus" form. */
+  def dropDuplicateImages(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    imageDedupReport(media, payloadCol, idCol, maxHamming)
+      .where(col("status") === "kept")
+      .drop("status", "keeper")
+}

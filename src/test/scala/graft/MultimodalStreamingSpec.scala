@@ -546,6 +546,197 @@ class MultimodalSpec extends SparkSpecBase {
     // the payload column must not appear in the plan (blob pruned at scan)
     assert(!plan.queryExecution.optimizedPlan.toString.contains("payload"))
   }
+
+  // ---- perceptual grid hashes (aHash / dHash) ----------------------------
+
+  /** Independent reimplementation of the 8×8 / 9×8 grid hashes straight
+    * from their definition (floor-div cells, integer cross-multiplied
+    * comparisons) — the reference the expressions are checked against. */
+  private def refGrid(w: Int, h: Int, ch: Int, pixels: Array[Int],
+      gw: Int): (Array[Long], Array[Long]) = {
+    val lumaCh = math.min(ch, 3)
+    val sums = new Array[Long](gw * 8); val cnts = new Array[Long](gw * 8)
+    for (y <- 0 until h; x <- 0 until w) {
+      var l = 0L
+      for (c <- 0 until lumaCh) l += pixels((y * w + x) * ch + c)
+      val cell = (y * 8 / h) * gw + (x * gw / w)
+      sums(cell) += l; cnts(cell) += 1
+    }
+    (sums, cnts)
+  }
+
+  private def refAHash(w: Int, h: Int, ch: Int, pixels: Array[Int]): Long = {
+    val (s, c) = refGrid(w, h, ch, pixels, 8)
+    val ts = s.sum; val tc = c.sum
+    (0 until 64).foldLeft(0L)((acc, b) =>
+      if (c(b) > 0 && s(b) * tc > ts * c(b)) acc | (1L << (63 - b)) else acc)
+  }
+
+  private def refDHash(w: Int, h: Int, ch: Int, pixels: Array[Int]): Long = {
+    val (s, c) = refGrid(w, h, ch, pixels, 9)
+    var hash = 0L
+    for (r <- 0 until 8; cc <- 0 until 8) {
+      val i = r * 9 + cc
+      if (s(i) * c(i + 1) > s(i + 1) * c(i)) hash |= 1L << (63 - (r * 8 + cc))
+    }
+    hash
+  }
+
+  test("aHash/dHash match the independent grid reference across shapes, depths, encodings") {
+    import graft.functions.PngGridHash
+    val rnd = new scala.util.Random(314)
+    for (ch <- Seq(1, 3, 4); (w, h) <- Seq((8, 8), (11, 7), (3, 2), (40, 25), (1, 1))) {
+      val pixels = Array.fill(w * h * ch)(rnd.nextInt(256))
+      val ea = refAHash(w, h, ch, pixels); val ed = refDHash(w, h, ch, pixels)
+      // the hash is an ENCODING-independent pixel property: every filter
+      // strategy and IDAT split of the same pixels hashes identically
+      for (f <- Seq[Int => Int](_ => 0, _ => 4, r => r % 5)) {
+        val png = makePng(w, h, ch, pixels, f, idatSplit = 2)
+        assert(PngGridHash.aHash(png) == ea, s"ahash w=$w h=$h ch=$ch")
+        assert(PngGridHash.dHash(png) == ed, s"dhash w=$w h=$h ch=$ch")
+      }
+    }
+    // 16-bit samples: luma sums the 16-bit values (no truncation)
+    val px16 = Array.fill(9 * 6 * 3)(rnd.nextInt(65536))
+    assert(PngGridHash.aHash(makePng(9, 6, 3, px16, _ => 2, depth = 16)) ==
+      refAHash(9, 6, 3, px16))
+    assert(PngGridHash.dHash(makePng(9, 6, 3, px16, _ => 2, depth = 16)) ==
+      refDHash(9, 6, 3, px16))
+  }
+
+  test("aHash/dHash hand goldens: half-bright split and monotone gradient") {
+    import graft.functions.PngGridHash
+    // 8×8 RGB, top half black, bottom half white: exactly the bottom 32
+    // cells exceed the mean → aHash = 0x00000000FFFFFFFF; every row is
+    // uniform → no horizontal gradient → dHash = 0
+    val split = Array.tabulate(8 * 8 * 3)(i => if ((i / (8 * 3)) < 4) 0 else 255)
+    val png = makePng(8, 8, 3, split, _ => 0)
+    assert(PngGridHash.aHash(png) == 0x00000000FFFFFFFFL)
+    assert(PngGridHash.dHash(png) == 0L)
+    // 9×8 grayscale, luma strictly decreasing left→right (constant per
+    // column): all 64 left>right comparisons fire → dHash = all ones
+    val grad = Array.tabulate(8 * 9)(i => 255 - (i % 9) * 28)
+    assert(PngGridHash.dHash(makePng(9, 8, 1, grad, _ => 1)) == -1L)
+  }
+
+  test("hash NULL contract: interlaced and oversize reject, stats still decode") {
+    import graft.functions.{PngGridHash, PngPixelStats}
+    val rnd = new scala.util.Random(77)
+    // multi-pass Adam7: stream order loses pixel positions → hash NULL,
+    // while the position-free channel stats still decode the same bytes
+    val px = Array.fill(8 * 8 * 3)(rnd.nextInt(256))
+    val inter = makePng(8, 8, 3, px, _ => 0, interlaced = true)
+    assert(PngPixelStats.parse(inter) != null)
+    assert(PngGridHash.aHash(inter) == null && PngGridHash.dHash(inter) == null)
+    // over the 2²⁰-pixel Long-overflow guard: 1025×1024 rejects,
+    // 1024×1024 (exactly the cap) hashes
+    val big = makePng(1025, 1024, 1, Array.fill(1025 * 1024)(7), _ => 0)
+    assert(PngPixelStats.parse(big) != null)
+    assert(PngGridHash.aHash(big) == null)
+    val cap = makePng(1024, 1024, 1, Array.fill(1024 * 1024)(7), _ => 0)
+    assert(PngGridHash.aHash(cap) != null)
+    // garbage and the q30-style fake payloads reject through the Column
+    // path (exercises the codegen'd expressions end-to-end)
+    import graft.functions.MediaFunctions
+    val df = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, makePng(4, 3, 3, Array.fill(36)(9), _ => 1)),
+      org.apache.spark.sql.Row(2L, "not a png".getBytes),
+      org.apache.spark.sql.Row(3L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    val out = df.select(col("id"),
+        MediaFunctions.pngAHash64(col("payload")).as("ah"),
+        MediaFunctions.pngDHash64(col("payload")).as("dh"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == ((false, false)) && out(2L) == ((true, true)) && out(3L) == ((true, true)))
+  }
+
+  test("banded image near-dup pairs equal brute force (pigeonhole recall 1)") {
+    import graft.ops.MediaDedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    val crawl = Multimodal.warcImageCrawlFromDocuments(docs)
+    val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+      .select(regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1)
+        .cast("long").as("media_id"), col("payload"))
+    val sigs = MediaDedup.aHashTable(media, "payload", "media_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    for (maxH <- Seq(0, 3, 7)) {
+      val brute = (for {
+        (ida, sa) <- sigs; (idb, sb) <- sigs
+        if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= maxH
+      } yield (ida, idb)).toSet
+      val banded = MediaDedup.nearDuplicateImagePairs(media, "payload", "media_id", maxH)
+        .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(banded == brute, s"maxHamming=$maxH: banded ${banded.size} vs brute ${brute.size}")
+      if (maxH >= 3) assert(brute.nonEmpty, "fixture must plant near-dup pairs")
+    }
+  }
+
+  test("imageDedupReport: planted exact group, near-dup variants, stage invariants") {
+    import graft.ops.MediaDedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val crawl = Multimodal.warcImageCrawlFromDocuments(docs)
+    val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+      .select(regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1)
+        .cast("long").as("media_id"), col("payload"))
+    val report = MediaDedup.imageDedupReport(media, "payload", "media_id", maxHamming = 3)
+      .select("media_id", "status", "keeper").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val constIds = docs.select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(1) && r.getLong(0) % 7 == 0).map(_.getLong(0) * 10)
+    assert(constIds.length >= 2, "fixture must have a constant-image group")
+    // the constant-image group: min id kept, the rest exact_dup onto it
+    val keepConst = constIds.min
+    assert(report(keepConst)._1 == "kept")
+    constIds.filter(_ != keepConst).foreach { id =>
+      assert(report(id) == (("exact_dup", keepConst)), s"media $id") }
+    // invariants: kept rows keep themselves; every near_dup keeper is a
+    // kept row with a smaller id (keep-min policy, transitive clustering)
+    report.foreach { case (id, (status, keeper)) =>
+      if (status == "kept") assert(keeper == id)
+      if (status == "near_dup") {
+        assert(keeper < id && report(keeper)._1 == "kept", s"media $id -> $keeper") }
+    }
+    assert(report.values.count(_._1 == "near_dup") > 0, "variants must pair up")
+    // the clean-corpus form is exactly the kept rows
+    val kept = MediaDedup.dropDuplicateImages(media, "payload", "media_id", 3)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == report.filter(_._2._1 == "kept").keySet)
+  }
+
+  test("extractWarcMedia harvests typed responses only, bodies decode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val nText = docs.where(col("text").isNotNull).count()
+    val crawl = Multimodal.warcImageCrawlFromDocuments(docs)
+    val out = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+    assert(out.columns.toSeq == Seq("warc_id", "url", "content_type", "payload"))
+    val rows = out.collect()
+    assert(rows.forall(_.getString(2) == "image/png"))
+    assert(rows.forall(_.getString(1).contains("/media/"))) // html pages excluded
+    val expVariants = docs.select("doc_id", "text").collect()
+      .count(r => !r.isNullAt(1) && r.getLong(0) % 5 == 0 && r.getLong(0) % 7 != 0)
+    assert(rows.length == nText + expVariants)
+    // every harvested body is a decodable PNG with the fixture's dims
+    import graft.functions.MediaFunctions
+    val dims = out.select(
+        regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1).cast("long").as("mid"),
+        MediaFunctions.pngPixelStats(col("payload")).as("p"))
+      .collect()
+    dims.foreach { r =>
+      assert(!r.isNullAt(1), s"media ${r.getLong(0)} must decode")
+      val docId = r.getLong(0) / 10
+      val p = r.getStruct(1)
+      val (ew, eh) =
+        if (docId % 7 == 0) (8, 6) else ((docId % 6 + 6).toInt, (docId % 4 + 5).toInt)
+      assert(p.getInt(0) == ew && p.getInt(1) == eh, s"dims for media ${r.getLong(0)}")
+    }
+    // a text/html-only prefix filter harvests nothing from image records
+    assert(Multimodal.extractWarcMedia(crawl, "media_id", "payload",
+      typePrefixes = Seq("text/html")).collect()
+      .forall(_.getString(1).contains("/page/")))
+  }
 }
 
 class StreamingSpec extends SparkSpecBase {
