@@ -13,9 +13,15 @@ import org.apache.spark.sql.types.DoubleType
   * month's bin regardless of `closed`). */
 sealed trait ResampleRule
 final case class FixedRule(micros: Long) extends ResampleRule
-/** `months` per bin (3 for quarters, 12 for years), anchored at Jan 1970;
-  * `labelEnd` = the pandas end-labeled spellings (`"M"`, `"Q"`, `"Y"`). */
-final case class CalendarRule(months: Int, labelEnd: Boolean) extends ResampleRule
+/** `months` per bin (6 for `"2Q"`, 24 for `"2Y"`); `labelEnd` = the pandas
+  * end-labeled spellings (`"M"`, `"Q"`, `"Y"`); `unit` = the months of ONE
+  * period of the rule's unit (1/3/12 for M/Q/Y). Single-period bins
+  * (`months == unit`) are absolutely anchored (every calendar period is a
+  * bin); multi-period bins are phased from the DATA START's period, like
+  * pandas — which is why `"6ME"` and `"2QE"` are different rules even
+  * though both bin 6 months: they anchor to the first row's month vs its
+  * quarter (pandas 2.2.2, verified by the seeded resample fuzzer). */
+final case class CalendarRule(months: Int, labelEnd: Boolean, unit: Int) extends ResampleRule
 /** Anchored weekly rule (`"W"`, `"W-SUN"`, `"2W-MON"`…): `n`·7-day bins
   * ENDING on `endDow` (pandas weekday: 0=Mon … 6=Sun). Not a plain fixed
   * rule — the grid is pinned to the weekday, not to `origin`. For `n == 1`
@@ -178,12 +184,12 @@ object RuleParser {
             case _            => BQuarterEndGrid
           })
         // calendar aliases are case-sensitive (pandas: MS≠ms, M≠min)
-        case "M" | "ME"        => CalendarRule(n, labelEnd = true)
-        case "MS"              => CalendarRule(n, labelEnd = false)
-        case "Q" | "QE"        => CalendarRule(3 * n, labelEnd = true)
-        case "QS"              => CalendarRule(3 * n, labelEnd = false)
-        case "Y" | "A" | "YE"  => CalendarRule(12 * n, labelEnd = true)
-        case "YS" | "AS"       => CalendarRule(12 * n, labelEnd = false)
+        case "M" | "ME"        => CalendarRule(n, labelEnd = true, unit = 1)
+        case "MS"              => CalendarRule(n, labelEnd = false, unit = 1)
+        case "Q" | "QE"        => CalendarRule(3 * n, labelEnd = true, unit = 3)
+        case "QS"              => CalendarRule(3 * n, labelEnd = false, unit = 3)
+        case "Y" | "A" | "YE"  => CalendarRule(12 * n, labelEnd = true, unit = 12)
+        case "YS" | "AS"       => CalendarRule(12 * n, labelEnd = false, unit = 12)
         case _ =>
           val unitUs = unit.toLowerCase(Locale.ROOT) match {
             case "us"                        => 1L
@@ -257,6 +263,10 @@ final class WeightedResampler private[core] (
       case _: WeeklyRule                    => "right"
       case BusinessRule(g) if g.defaultRight => "right"
       case _: BusinessRule                   => "left"
+      // pandas defaults END-anchored calendar rules (ME/QE/YE) to
+      // right-closed bins — which is exactly period membership at the
+      // period-end-midnight edge — and start-anchored ones to left
+      case CalendarRule(_, labelEnd, _)      => if (labelEnd) "right" else "left"
       case _                                 => if (endOrigin) "right" else "left"
     }
   /** pandas' label default is RULE-dependent: end-anchored calendar rules
@@ -267,7 +277,7 @@ final class WeightedResampler private[core] (
   private val resolvedLabel: String =
     if (label != "auto") label
     else parsed match {
-      case CalendarRule(_, true)             => "right"
+      case CalendarRule(_, true, _)          => "right"
       case _: WeeklyRule                     => "right"
       case BusinessRule(g) if g.defaultRight => "right"
       case _: BusinessRule                   => "left"
@@ -280,9 +290,19 @@ final class WeightedResampler private[core] (
   // Weekly rules are pinned to their weekday anchor — pandas silently
   // IGNORES origin/offset for them; we refuse non-defaults instead.
   parsed match {
-    case _: CalendarRule =>
-      require(resolvedClosed == "left" && origin == "start_day" && offset.isEmpty,
-        s"calendar rule '$rule' bins by period membership; closed/origin/offset do not apply " +
+    case CalendarRule(_, labelEnd, _) =>
+      // period membership equals pandas' DEFAULT closed for the rule —
+      // right for end-anchored (ME/QE/YE), left for start-anchored
+      // (MS/QS/YS). The OTHER closed genuinely moves period-edge-midnight
+      // timestamps in pandas (resample("YE", closed="left") shifts an
+      // exact Dec-31-midnight row into the next year), so accepting it
+      // here would diverge silently; refuse it, like origin/offset.
+      // (Found by the seeded resample fuzzer — ResampleSpec's pandas
+      // differential property.)
+      val membership = if (labelEnd) "right" else "left"
+      require(resolvedClosed == membership && origin == "start_day" && offset.isEmpty,
+        s"calendar rule '$rule' bins by period membership (closed='$membership' in pandas " +
+          s"terms); the other closed, origin and offset do not apply " +
           s"(got closed=$closed, origin=$origin, offset=$offset)")
     case _: WeeklyRule =>
       require(origin == "start_day" && offset.isEmpty,
@@ -323,7 +343,7 @@ final class WeightedResampler private[core] (
   /** Spine step in the bucket key's own unit. */
   private def spineStep: Long = parsed match {
     case FixedRule(us)        => us
-    case CalendarRule(m, _)   => m.toLong
+    case CalendarRule(m, _, _) => m.toLong
     case WeeklyRule(_, n)     => n * WeekUs
     case _: BusinessRule      => 1L // bucket keys are grid-point indexes
   }
@@ -353,7 +373,7 @@ final class WeightedResampler private[core] (
         if (resolvedClosed == "right") { if (resolvedLabel == "right") b else b - lit(1L) }
         else { if (resolvedLabel == "left") b else b + lit(1L) }
       grid.edgeDate(edgeKey).cast("timestamp")
-    case CalendarRule(months, labelEnd) =>
+    case CalendarRule(months, labelEnd, _) =>
       val yr = ((b - pmod(b, lit(12L))) / lit(12L)).cast("int") + 1970
       val mo = pmod(b, lit(12L)).cast("int") + 1
       val start = make_date(yr, mo, lit(1))
@@ -393,6 +413,13 @@ final class WeightedResampler private[core] (
         s"'$rule' phases its every-$n-weeks grid from the data start, which is " +
           s"per-group under by=${by.mkString(",")}; use 'W-…' (absolute grid) or " +
           "a fixed '" + (7 * n) + "d' rule with origin='epoch'")
+    case CalendarRule(months, _, unit) =>
+      // same story for multi-period calendar grids (pandas phases them
+      // from the first row's period — per-group under groupby().resample())
+      require(months == unit || by.isEmpty,
+        s"'$rule' phases its multi-period grid from the data start, which is " +
+          s"per-group under by=${by.mkString(",")}; use the single-period rule " +
+          "and combine bins, or resample each group separately")
     case _ =>
   }
 
@@ -486,13 +513,32 @@ final class WeightedResampler private[core] (
           .withColumn(BucketCol, tsUs - pmod(tsUs - anchor, lit(binUs)))
           .drop("__min_day_us__")
       }
-    case CalendarRule(months, _) =>
-      // period membership: a row belongs to its calendar month's bin,
-      // multi-month bins anchored at Jan 1970 (pandas QS/YS anchoring);
-      // origin/offset/closed don't apply to period-like rules
+    case CalendarRule(months, labelEnd, unit) =>
+      // period membership: a row belongs to its calendar period's bin;
+      // origin/offset/closed don't apply to period-like rules. The bucket
+      // key is the bin's FIRST month index.
       val df0 = wdf.df.where(col(on).isNotNull)
       val mIdx = (year(col(on)).cast("long") - 1970L) * 12L + month(col(on)).cast("long") - 1L
-      df0.withColumn(BucketCol, mIdx - pmod(mIdx, lit(months.toLong)))
+      if (months == unit)
+        // single-period bins: every calendar period is a bin — the grid is
+        // absolute (epoch congruence == calendar period boundaries)
+        df0.withColumn(BucketCol, mIdx - pmod(mIdx, lit(months.toLong)))
+      else {
+        // multi-period bins phase from the DATA START's period (pandas
+        // 2.2.2 `resample("3QE")` etc., verified by the seeded fuzzer):
+        // end-anchored rules' FIRST bin ENDS at the first row's period,
+        // start-anchored rules' first bin STARTS at it. One tiny min-agg
+        // broadcast onto the rows — the n-weekly data-anchor pattern.
+        val mins = df0.agg(min(
+          (year(col(on)).cast("long") - 1970L) * 12L + month(col(on)).cast("long") - 1L)
+          .as("__min_midx__"))
+        // first data period's first month, then the first bin's first month
+        val a0 = col("__min_midx__") - pmod(col("__min_midx__"), lit(unit.toLong))
+        val firstBin = if (labelEnd) a0 + lit((unit - months).toLong) else a0
+        df0.crossJoin(broadcast(mins))
+          .withColumn(BucketCol, mIdx - pmod(mIdx - firstBin, lit(months.toLong)))
+          .drop("__min_midx__")
+      }
     case BusinessRule(grid) =>
       // the grid is absolute, so the key is computable per-row (no range
       // scan): right-closed bins are keyed by their RIGHT edge's index,

@@ -101,6 +101,30 @@ object ScaleBench {
         pool.where(col("doc_id") % 3 === 0))
       TextAnalysis.stupidBackoffPerplexityFromPool(pool, "doc_id", lm)
     }
+    // ADVERSARIAL skew fixture for the band-join guards: 1% of the corpus
+    // collapses to ONE near-identical cluster (a shared 40-token base, a
+    // unique 2-token tail per doc → pairwise 3-shingle jaccard ≈ 0.9), so
+    // every cluster doc lands in every band bucket together — the
+    // degenerate corpus the est-prefilter / pair-`distinct` rebalance /
+    // t≥1 streamed self-join guards exist for. The OUTPUT is quadratic in
+    // the cluster size by construction (all its pairs are TRUE pairs);
+    // the claim under measurement is that the pair expansion STREAMS
+    // (bounded task memory, no g²-element array row) and the rest of the
+    // corpus's verify work isn't serialized behind the hot bucket.
+    def adversarial(s: SparkSession, dir: String, identical: Boolean): DataFrame = {
+      val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+      docs(s, dir).withColumn("text",
+        when(col("doc_id") % 100 === 0,
+          if (identical) lit(base)
+          else concat(lit(base + " v"), col("doc_id").cast("string")))
+          .otherwise(col("text")))
+    }
+    def minhashSkewNear(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.minhashDedup(adversarial(s, dir, identical = false),
+        "text", "doc_id", shingleSize = 3, threshold = 0.8)
+    def minhashSkewIdentical(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.minhashDedup(adversarial(s, dir, identical = true),
+        "text", "doc_id", shingleSize = 3, threshold = 1.0)
     val custom: Map[String, (SparkSession, String) => DataFrame] = Map(
       "ann_ivfpq" -> (ivfPq _),
       "semdedup_exact_kderived" -> (semExactDerived _),
@@ -109,7 +133,9 @@ object ScaleBench {
       "buckets_unfrozen" -> (bucketsUnfrozen _),
       "ccnet_unfrozen" -> (ccnetUnfrozen _),
       "backoff_crawl_recompute" -> (backoffCrawlRecompute _),
-      "backoff_crawl_pooled" -> (backoffCrawlPooled _))
+      "backoff_crawl_pooled" -> (backoffCrawlPooled _),
+      "minhash_skew_neardup" -> (minhashSkewNear(_, _)),
+      "minhash_skew_identical" -> (minhashSkewIdentical(_, _)))
     val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
       queryNames.map(n =>
         n -> custom.getOrElse(n, SparkEntry.queries(n))) ++

@@ -401,6 +401,36 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Seq((0L, 1L)))
   }
 
+  test("degenerate corpora: pair expansion streams, never a g²-element array row") {
+    // the adversarial shape the skew guards exist for (ScaleBench
+    // minhash_skew_* rows measure it at x100): every doc in ONE band
+    // bucket. Both physical paths must (a) emit the complete quadratic
+    // pair set through streaming join iterators — the plan carries no
+    // grouped array materialization (collect_list) and no cartesian
+    // product — and (b) stay exact.
+    val n = 120
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // all byte-identical → the t≥1 streamed self-join path
+    val ident = (0 until n).map(i => (i.toLong, base)).toDF("doc_id", "text")
+    val identPairs = Dedup.minhashDedup(ident, "text", "doc_id",
+      shingleSize = 3, threshold = 1.0)
+    val identPlan = identPairs.queryExecution.executedPlan.toString
+    assert(!identPlan.contains("collect_list") && !identPlan.contains("CartesianProduct"),
+      "t>=1 path must stream pairs through a join, not build per-group arrays")
+    assert(identPairs.count() == n.toLong * (n - 1) / 2)
+    // all near-identical (unique 1-token tail, pairwise jaccard 38/40) →
+    // the banding path: one hot bucket, est-prefilter keeps true pairs,
+    // pair-`distinct` rebalances off the bucket key
+    val nearIdent = (0 until n).map(i => (i.toLong, s"$base v$i")).toDF("doc_id", "text")
+    val nearPairs = Dedup.minhashDedup(nearIdent, "text", "doc_id",
+      shingleSize = 3, threshold = 0.8)
+    val nearPlan = nearPairs.queryExecution.executedPlan.toString
+    assert(!nearPlan.contains("collect_list") && !nearPlan.contains("CartesianProduct"),
+      "banding path must stream pairs through the bucket join")
+    assert(nearPairs.count() == n.toLong * (n - 1) / 2)
+    assert(nearPairs.agg(min(col("jaccard"))).head().getDouble(0) >= 0.8)
+  }
+
   test("simhash pairs: identical token sets at hamming 0") {
     val got = Dedup.simhashPairs(docs, "text", "doc_id", shingleSize = 1, maxHamming = 0)
       .orderBy("doc_a", "doc_b")

@@ -30,12 +30,12 @@ class ResampleSpec extends SparkSpecBase {
   }
 
   test("calendar rule parsing is case-sensitive like pandas (MS month-start vs ms millis)") {
-    assert(RuleParser.parse("MS") == CalendarRule(1, labelEnd = false))
-    assert(RuleParser.parse("M") == CalendarRule(1, labelEnd = true))
-    assert(RuleParser.parse("2M") == CalendarRule(2, labelEnd = true))
-    assert(RuleParser.parse("Q") == CalendarRule(3, labelEnd = true))
-    assert(RuleParser.parse("QS") == CalendarRule(3, labelEnd = false))
-    assert(RuleParser.parse("Y") == CalendarRule(12, labelEnd = true))
+    assert(RuleParser.parse("MS") == CalendarRule(1, labelEnd = false, unit = 1))
+    assert(RuleParser.parse("M") == CalendarRule(1, labelEnd = true, unit = 1))
+    assert(RuleParser.parse("2M") == CalendarRule(2, labelEnd = true, unit = 1))
+    assert(RuleParser.parse("Q") == CalendarRule(3, labelEnd = true, unit = 3))
+    assert(RuleParser.parse("QS") == CalendarRule(3, labelEnd = false, unit = 3))
+    assert(RuleParser.parse("Y") == CalendarRule(12, labelEnd = true, unit = 12))
     assert(RuleParser.parse("ms") == FixedRule(1000L))
     assert(RuleParser.parse("2D") == FixedRule(2L * 86400 * 1000000))
   }
@@ -98,9 +98,16 @@ class ResampleSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { wdf.resample("ts", "MS", closed = "right") }
     intercept[IllegalArgumentException] { wdf.resample("ts", "M", origin = "epoch") }
     intercept[IllegalArgumentException] { wdf.resample("ts", "Q", offset = Some("1D")) }
+    // END-anchored rules: membership == pandas closed='right', so 'left'
+    // is the diverging one (pandas shifts Dec-31-midnight rows under it —
+    // caught by the seeded fuzzer) and must refuse
+    intercept[IllegalArgumentException] { wdf.resample("ts", "M", closed = "left") }
+    intercept[IllegalArgumentException] { wdf.resample("ts", "YE", closed = "left") }
     // the supported combinations still construct fine
     wdf.resample("ts", "MS", label = "right")
     wdf.resample("ts", "M", label = "left")
+    wdf.resample("ts", "M", closed = "right")
+    wdf.resample("ts", "QS", closed = "left")
   }
 
   test("resample 2D sum/count/mean (test_frame.py:305-338)") {
@@ -682,5 +689,39 @@ class ResampleSpec extends SparkSpecBase {
     // the null-key row vanishes entirely — never a zero-filled ghost row
     assert(rows.length == 1 && rows(0).getString(0) == "a")
     assert(cell(rows(0), 2) == Some(1.0))
+  }
+
+  test("seeded differential fuzz vs pandas 2.2.2 across the full kwarg lattice") {
+    // committed goldens from tools/resample_fuzz_goldens.py (seed
+    // 20260815): 220 random (rule, closed, label, origin, offset, fixture)
+    // cases spanning fixed rules with every origin/offset combination,
+    // nW-anchored weekly rules, ME/MS/QE/QS/YE/YS multiples, and the
+    // business grids — each compared bin-for-bin (INCLUDING the empty
+    // spine bins) against pandas' resample(...).sum(). Integer-valued
+    // fixtures make the sums exact, so the compare is ==, not ~=.
+    val cases = spark.read.json("src/test/resources/resample_fuzz_goldens.jsonl")
+      .collect()
+    assert(cases.length >= 200, s"golden file must carry >=200 cases, got ${cases.length}")
+    val ruleFamilies = cases.map(_.getAs[String]("rule")).toSet
+    assert(ruleFamilies.size >= 30, s"lattice coverage collapsed: $ruleFamilies")
+    cases.foreach { c =>
+      def opt(n: String) = Option(c.getAs[String](n))
+      val rule = c.getAs[String]("rule")
+      val fixture = c.getAs[collection.Seq[String]]("ts").zip(c.getAs[collection.Seq[Double]]("v"))
+        .map { case (t, x) => (Timestamp.valueOf(t), Some(x), 1.0) }.toSeq
+      val w = WeightedDataFrame.wt(
+        fixture.toDF("ts", "Value", "weights"), "weights")
+      val out = w.resample("ts", rule,
+        closed = opt("closed").getOrElse("auto"),
+        label = opt("label").getOrElse("auto"),
+        origin = opt("origin").getOrElse("start_day"),
+        offset = opt("offset")).sum()
+      val got = out.collect().map(r => r.getTimestamp(0) -> cell(r, 1)).toMap
+      val exp = c.getAs[collection.Seq[String]]("ets").zip(c.getAs[collection.Seq[Double]]("ev"))
+        .map { case (t, x) => Timestamp.valueOf(t) -> Option(x) }.toMap
+      assert(got == exp,
+        s"case ${c.getAs[Long]("id")}: rule=$rule closed=${opt("closed")} " +
+          s"label=${opt("label")} origin=${opt("origin")} offset=${opt("offset")}")
+    }
   }
 }
