@@ -1670,7 +1670,16 @@ object SparkEntry {
         .select(
           regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1).cast("long").as("media_id"),
           col("payload"))
-      graft.ops.MediaDedup.imageDedupReport(media, "payload", "media_id", maxHamming = 3)
+      // frozen ladder: the media frame here is a crawl DERIVATION (WARC
+      // walk + content-type harvest), and the dedup ladder has ~8
+      // consumers — freezing the extraction once measured 2x faster even
+      // at sf0.1 (11.0 -> 5.4 s) and is the 100 TB default for derived
+      // media (MultimodalSpec pins frozen ≡ unfrozen bit-for-bit; the
+      // chain's checkpoint backs the returned plan, lifecycle as the CC
+      // freezes — ContextCleaner-managed once the frame is unreachable)
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      graft.ops.MediaDedup.imageDedupReport(media, "payload", "media_id",
+        maxHamming = 3, chain = Some(chain))
         .select(col("media_id"), col("status"), col("keeper"))
         .orderBy("media_id")
     }),

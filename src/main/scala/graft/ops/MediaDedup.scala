@@ -64,22 +64,33 @@ object MediaDedup {
     *
     * The joins back onto the corpus are drop-list-sized (broadcast
     * anti/left joins); nothing image-sized shuffles outside the exact
-    * stage's candidate re-verify. */
+    * stage's candidate re-verify. The LADDER, however, has ~8 consumers
+    * of `media` (hash-narrow, candidate re-verify, survivors, aHash
+    * table, cluster nodes, the report joins) — when `media` is itself an
+    * expensive derivation (a WARC walk + [[graft.multimodal.Multimodal.extractWarcMedia]],
+    * the q135 shape), pass a caller-owned `chain` to FREEZE the extracted
+    * frame once and plan every consumer off the materialized rows instead
+    * of 8 crawl re-extractions — the Pipeline/LM-pool freeze contract
+    * (release with `chain.releaseAll()` after the result is sunk). Plain
+    * parquet-backed media can stay unfrozen (column-pruned re-scans are
+    * near-free, the checkpoint write is not). */
   def imageDedupReport(
       media: DataFrame,
       payloadCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val exactPairs = Dedup.duplicateIdPairs(media, col(payloadCol), idCol)
+      maxHamming: Int = 3,
+      chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain] = None): DataFrame = {
+    val m = chain.map(_.freeze(media)).getOrElse(media)
+    val exactPairs = Dedup.duplicateIdPairs(m, col(payloadCol), idCol)
       .select(col("__id__").as("__eid__"), col("__keep__").as("__ekeep__"))
-    val survivors = media
+    val survivors = m
       .join(exactPairs, col(idCol) === col("__eid__"), "left_anti")
     val pairs = nearDuplicateImagePairs(survivors, payloadCol, idCol, maxHamming)
     val clusters = Dedup.duplicateClusters(survivors, idCol, pairs)
     val keepers = clusters
       .withColumn("__nkeep__", min(col(idCol)).over(Window.partitionBy(col("cluster_id"))))
       .select(col(idCol).as("__nid__"), col("__nkeep__"))
-    media
+    m
       .join(exactPairs, col(idCol) === col("__eid__"), "left")
       .join(keepers, col(idCol) === col("__nid__"), "left")
       .withColumn("status",
@@ -100,8 +111,9 @@ object MediaDedup {
       media: DataFrame,
       payloadCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame =
-    imageDedupReport(media, payloadCol, idCol, maxHamming)
+      maxHamming: Int = 3,
+      chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain] = None): DataFrame =
+    imageDedupReport(media, payloadCol, idCol, maxHamming, chain)
       .where(col("status") === "kept")
       .drop("status", "keeper")
 }

@@ -737,6 +737,34 @@ class MultimodalSpec extends SparkSpecBase {
       typePrefixes = Seq("text/html")).collect()
       .forall(_.getString(1).contains("/page/")))
   }
+
+  test("imageDedupReport freeze knob: identical decisions, one upstream extraction") {
+    import graft.ops.MediaDedup
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(70)
+    def media = Multimodal.extractWarcMedia(
+        Multimodal.warcImageCrawlFromDocuments(docs), "media_id", "payload")
+      .select(regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1)
+        .cast("long").as("media_id"), col("payload"))
+    val unfrozen = MediaDedup.imageDedupReport(media, "payload", "media_id", 3)
+    val chain = new DatasetBridge.FreezeChain
+    try {
+      val frozen = MediaDedup.imageDedupReport(media, "payload", "media_id", 3,
+        chain = Some(chain))
+      // the dedup ladder fans media out to ~8 consumers; frozen, every one
+      // plans off the materialized rows — ZERO parquet re-scans of the
+      // crawl source survive in the physical plan
+      val plan = frozen.queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet"),
+        "frozen ladder must plan off the checkpointed frame, not re-extract")
+      assert(plan.contains("Scan ExistingRDD"))
+      // bit-identical decisions
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("media_id", "status", "keeper").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows(frozen) == rows(unfrozen))
+    } finally chain.releaseAll()
+  }
 }
 
 class StreamingSpec extends SparkSpecBase {

@@ -21,7 +21,8 @@ def load(path):
 sources = [("r10", load(os.path.join(ROOT, "bench/r10.json"))),
            ("r11", load(os.path.join(ROOT, "bench/r11.json")))]
 for p in sys.argv[1:]:
-    sources.append(("r13", load(p)))
+    tag = os.path.basename(p).split(".")[0]  # bench/r14.json -> "r14"
+    sources.append((tag, load(p)))
 
 mins = {}
 for tag, qs in sources:
