@@ -1683,6 +1683,26 @@ object SparkEntry {
         .select(col("media_id"), col("status"), col("keeper"))
         .orderBy("media_id")
     }),
+    // LAION/DataComp-style image quality battery: dims / aspect /
+    // dynamic-range / brightness gates, every signal derived from the
+    // native pixel decode in ONE codegen'd scan projection — the q98
+    // Gopher-battery shape for images. The oracle recomputes each signal
+    // from the fixture hex (integer sums; round-6 on the two doubles)
+    "q136_image_quality" -> ((s, dir) => {
+      val crawl = Multimodal.warcImageCrawlFromDocuments(table(s, dir, "documents"))
+      val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+        .select(
+          regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1).cast("long").as("media_id"),
+          col("payload"))
+      graft.ops.MediaQuality.imageQualityReport(media, "payload", "media_id")
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("aspect"), 6).as("aspect"),
+          round(col("mean_luma"), 6).as("mean_luma"),
+          col("dyn_range"), col("payload_bytes"),
+          col("ok_dims"), col("ok_aspect"), col("ok_dyn_range"), col("ok_luma"),
+          col("passes"))
+        .orderBy("media_id")
+    }),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
     // keyed by term — shuffle ≈ vocab size — then a TakeOrdered merge)
     "q56_vocabulary" -> ((s, dir) =>
@@ -3403,6 +3423,45 @@ object SparkEntry {
          |FROM med LEFT JOIN ed ON med.media_id = ed.media_id
          |LEFT JOIN nk ON med.media_id = nk.media_id
          |ORDER BY med.media_id""".stripMargin.replace("\n", " "),
+    // image quality battery: every signal recomputed from the fixture hex
+    // (the q135 media reconstruction + q86-style byte enumeration); the
+    // gate constants are the Scala defaults, the two double signals round
+    // to 6 on both sides, the BOOLEAN comparisons use the unrounded values
+    "q136_image_quality" ->
+      """WITH m0 AS (SELECT doc_id,
+        |CAST(CASE WHEN doc_id % 7 = 0 THEN 8 ELSE doc_id % 6 + 6 END AS INTEGER) AS w,
+        |CAST(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE doc_id % 4 + 5 END AS INTEGER) AS h,
+        |CASE WHEN doc_id % 7 = 0 THEN '' ELSE hex(encode(text)) END AS hx
+        |FROM documents WHERE text IS NOT NULL),
+        |mbase AS (SELECT doc_id, w, h,
+        |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM m0),
+        |med AS (SELECT doc_id*10 AS media_id, w, h, px FROM mbase
+        |UNION ALL SELECT doc_id*10+1, w, h, '000000' || substr(px, 7) FROM mbase
+        |WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+        |s AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM med),
+        |v AS (SELECT media_id, i % 3 AS c,
+        |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM s),
+        |cs AS (SELECT media_id, c, sum(u) AS su, min(u) AS mn, max(u) AS mx
+        |FROM v GROUP BY media_id, c),
+        |agg AS (SELECT media_id, sum(su) AS stot, max(mx - mn) AS dr
+        |FROM cs GROUP BY media_id)
+        |SELECT CAST(med.media_id AS BIGINT) AS media_id,
+        |CAST(med.w AS BIGINT) AS width, CAST(med.h AS BIGINT) AS height,
+        |round(CAST(greatest(med.w, med.h) AS DOUBLE) / least(med.w, med.h), 6) AS aspect,
+        |round(CAST(agg.stot AS DOUBLE) / (3*med.w*med.h), 6) AS mean_luma,
+        |CAST(agg.dr AS BIGINT) AS dyn_range,
+        |CAST(med.h*(1+3*med.w) + 68 AS BIGINT) AS payload_bytes,
+        |least(med.w, med.h) >= 7 AS ok_dims,
+        |CAST(greatest(med.w, med.h) AS DOUBLE) / least(med.w, med.h) <= 1.8 AS ok_aspect,
+        |agg.dr >= 8 AS ok_dyn_range,
+        |CAST(agg.stot AS DOUBLE) / (3*med.w*med.h) BETWEEN 70.0 AND 200.0 AS ok_luma,
+        |(least(med.w, med.h) >= 7
+        |AND CAST(greatest(med.w, med.h) AS DOUBLE) / least(med.w, med.h) <= 1.8
+        |AND agg.dr >= 8
+        |AND CAST(agg.stot AS DOUBLE) / (3*med.w*med.h) BETWEEN 70.0 AND 200.0) AS passes
+        |FROM med JOIN agg ON med.media_id = agg.media_id
+        |ORDER BY med.media_id""".stripMargin.replace("\n", " "),
     // exact BPE counts: the engine's merge loop replayed in SQL (rank-
     // order unrolled recursion over distinct pre-tokens — see bpeCountCtes)
     "q114_bpe_exact" ->

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Image quality gates for multimodal curation — the media analogue of the
+  * Gopher text battery: the cheap, fully-deterministic pre-filters a
+  * LAION/DataComp-style pipeline runs on every crawled image BEFORE any
+  * model touches it (Schuhmann et al. 2021 filter crawled pairs on image
+  * size/aspect; DataComp's pools gate on min dims). All signals derive
+  * from the native [[graft.functions.PngPixelStats]] decode — dims,
+  * channel sums, channel min/max — so the whole battery is ONE codegen'd
+  * projection per row inside the scan stage: zero shuffle, zero UDFs,
+  * and a SQL oracle can recompute every signal from fixture bytes.
+  *
+  * Signals (NULL row contract: undecodable payloads yield NULL signals
+  * and `passes = false` — reject explicitly, never fabricate):
+  *   - `width`/`height`/`n_px` — from the decoded header.
+  *   - `aspect` — max(w,h)/min(w,h) as a double (≥ 1).
+  *   - `mean_luma` — mean sample value over the non-alpha channels
+  *     (sum of channel sums / (lumaCh·n_px)); blank/overexposed filter.
+  *   - `dyn_range` — max over non-alpha channels of (ch_max − ch_min);
+  *     0 for constant images (solid placeholders, tracking pixels).
+  *   - `payload_bytes` — raw size, for bytes-per-pixel style caps.
+  */
+object MediaQuality {
+
+  /** Per-image quality signal struct:
+    * `struct(width, height, n_px, aspect, mean_luma, dyn_range,
+    * payload_bytes)`, NULL when the payload does not decode. */
+  def imageSignals(payload: Column): Column = {
+    val p = graft.functions.MediaFunctions.pngPixelStats(payload)
+    val w = p.getField("width").cast("long")
+    val h = p.getField("height").cast("long")
+    val nPx = w * h
+    val ch = p.getField("channels")
+    val lumaCh = least(ch, lit(3)).cast("long") // alpha excluded
+    // sum of the first lumaCh channel sums / mean of their ranges via
+    // array slices (ch_sum/ch_min/ch_max are per-channel arrays)
+    val sums = slice(p.getField("ch_sum"), lit(1), lumaCh.cast("int"))
+    val mins = slice(p.getField("ch_min"), lit(1), lumaCh.cast("int"))
+    val maxs = slice(p.getField("ch_max"), lit(1), lumaCh.cast("int"))
+    val sumAll = aggregate(sums, lit(0L), (acc, x) => acc + x)
+    val meanLuma = sumAll.cast("double") / (lumaCh * nPx).cast("double")
+    val dynRange = aggregate(
+      zip_with(maxs, mins, (mx, mn) => mx - mn), lit(0), (acc, x) => greatest(acc, x))
+    when(p.isNotNull, struct(
+      w.as("width"), h.as("height"), nPx.as("n_px"),
+      (greatest(w, h).cast("double") / least(w, h).cast("double")).as("aspect"),
+      meanLuma.as("mean_luma"),
+      dynRange.cast("long").as("dyn_range"),
+      length(payload).cast("long").as("payload_bytes")))
+  }
+
+  /** The gate battery over [[imageSignals]]: per-gate booleans plus the
+    * conjunction. Undecodable images fail every gate (NULL-safe: the
+    * comparisons are wrapped in `coalesce(..., false)`). */
+  def imageGates(
+      signals: Column,
+      minDim: Long = 7L,
+      maxAspect: Double = 1.8,
+      minDynRange: Long = 8L,
+      lumaBounds: (Double, Double) = (70.0, 200.0)): Column = {
+    def ok(c: Column): Column = coalesce(c, lit(false))
+    val okDims = ok(least(signals.getField("width"), signals.getField("height")) >= minDim)
+    val okAspect = ok(signals.getField("aspect") <= maxAspect)
+    val okDyn = ok(signals.getField("dyn_range") >= minDynRange)
+    val okLuma = ok(signals.getField("mean_luma").between(lumaBounds._1, lumaBounds._2))
+    struct(
+      okDims.as("ok_dims"), okAspect.as("ok_aspect"),
+      okDyn.as("ok_dyn_range"), okLuma.as("ok_luma"),
+      (okDims && okAspect && okDyn && okLuma).as("passes"))
+  }
+
+  /** Battery REPORT over a media frame: one row per image with the raw
+    * signals and the gate booleans — the q98 (Gopher battery) shape for
+    * images. One scan, zero shuffle. */
+  def imageQualityReport(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      minDim: Long = 7L,
+      maxAspect: Double = 1.8,
+      minDynRange: Long = 8L,
+      lumaBounds: (Double, Double) = (70.0, 200.0)): DataFrame = {
+    // signals are materialized in their own projection and the gates read
+    // the COLUMN, not the expression — one decode chain per row by
+    // construction (not by reliance on codegen subexpression elimination)
+    media.select(col(idCol), imageSignals(col(payloadCol)).as("__s__"))
+      .select(col(idCol), col("__s__"),
+        imageGates(col("__s__"), minDim, maxAspect, minDynRange, lumaBounds).as("__g__"))
+      .select(col(idCol),
+        col("__s__.width").as("width"), col("__s__.height").as("height"),
+        col("__s__.aspect").as("aspect"), col("__s__.mean_luma").as("mean_luma"),
+        col("__s__.dyn_range").as("dyn_range"),
+        col("__s__.payload_bytes").as("payload_bytes"),
+        col("__g__.ok_dims").as("ok_dims"), col("__g__.ok_aspect").as("ok_aspect"),
+        col("__g__.ok_dyn_range").as("ok_dyn_range"), col("__g__.ok_luma").as("ok_luma"),
+        col("__g__.passes").as("passes"))
+  }
+
+  /** Curation form: the media rows whose battery passes. */
+  def keepQualityImages(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      minDim: Long = 7L,
+      maxAspect: Double = 1.8,
+      minDynRange: Long = 8L,
+      lumaBounds: (Double, Double) = (70.0, 200.0)): DataFrame =
+    media.withColumn("__s__", imageSignals(col(payloadCol)))
+      .where(imageGates(col("__s__"),
+        minDim, maxAspect, minDynRange, lumaBounds).getField("passes"))
+      .drop("__s__")
+}

@@ -159,84 +159,10 @@ class MultimodalSpec extends SparkSpecBase {
 
   // ---- PngPixelStats: real decode (inflate + unfilter) -------------------
 
-  /** Reference PNG encoder for the decoder tests: takes the raw pixel
-    * array, applies the requested FILTER per scanline (the encoder-side
-    * transform, independently implemented from the spec), deflates with
-    * the JDK's real Deflater, and wraps in signature/IHDR/IDAT/IEND —
-    * optionally splitting the zlib stream across several IDAT chunks. */
   private def makePng(w: Int, h: Int, ch: Int, pixels: Array[Int],
       filterOf: Int => Int, idatSplit: Int = 1, depth: Int = 8,
-      interlaced: Boolean = false): Array[Byte] = {
-    require(pixels.length == w * h * ch)
-    val colorType = ch match { case 1 => 0; case 3 => 2; case 4 => 6; case c => sys.error(s"ch $c") }
-    val bps = depth / 8
-    val bpp = ch * bps
-    // sub-images: the full frame, or the 7 Adam7 pass selections
-    val passes: Seq[(Int, Int, Array[Int])] =
-      if (!interlaced) Seq((w, h, pixels))
-      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).flatMap { case (xs, ys, dx, dy) =>
-        val xi = xs until w by dx
-        val yi = ys until h by dy
-        if (xi.isEmpty || yi.isEmpty) None
-        else Some((xi.size, yi.size,
-          (for (y <- yi; x <- xi; c <- 0 until ch)
-            yield pixels(y * w * ch + x * ch + c)).toArray))
-      }
-    // filters operate BYTEWISE at any depth, offset by bpp bytes, each
-    // pass filtered against its own scanlines only
-    val rawAll = new java.io.ByteArrayOutputStream()
-    var rowCounter = 0
-    for ((wp, hp, ps) <- passes) {
-      val rb = wp * ch * bps
-      val plain = new Array[Int](hp * rb)
-      for (i <- ps.indices) {
-        if (bps == 1) plain(i) = ps(i) & 0xff
-        else { plain(2 * i) = (ps(i) >>> 8) & 0xff; plain(2 * i + 1) = ps(i) & 0xff }
-      }
-      for (r <- 0 until hp) {
-        val f = filterOf(rowCounter); rowCounter += 1
-        rawAll.write(f)
-        for (x <- 0 until rb) {
-          val cur = plain(r * rb + x)
-          val left = if (x >= bpp) plain(r * rb + x - bpp) else 0
-          val up = if (r > 0) plain((r - 1) * rb + x) else 0
-          val ul = if (r > 0 && x >= bpp) plain((r - 1) * rb + x - bpp) else 0
-          val pred = f match {
-            case 0 => 0
-            case 1 => left
-            case 2 => up
-            case 3 => (left + up) >> 1
-            case 4 =>
-              val p = left + up - ul
-              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-          }
-          rawAll.write((cur - pred) & 0xff)
-        }
-      }
-    }
-    val raw = rawAll.toByteArray
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val zbuf = new Array[Byte](raw.length + 64)
-    val zlen = deflater.deflate(zbuf); deflater.end()
-    val z = zbuf.take(zlen)
-    val out = new java.io.ByteArrayOutputStream()
-    def be32(v: Int): Array[Byte] =
-      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      out.write(be32(data.length)); out.write(typ.getBytes("US-ASCII"))
-      out.write(data); out.write(Array[Byte](0, 0, 0, 0)) // crc not validated
-    }
-    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    chunk("IHDR", be32(w) ++ be32(h) ++
-      Array[Byte](depth.toByte, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
-    val per = math.max(1, (z.length + idatSplit - 1) / idatSplit)
-    z.grouped(per).foreach(part => chunk("IDAT", part))
-    chunk("IEND", Array[Byte]())
-    out.toByteArray
-  }
+      interlaced: Boolean = false): Array[Byte] =
+    PngTestImages.makePng(w, h, ch, pixels, filterOf, idatSplit, depth, interlaced)
 
   private def expectStats(w: Int, h: Int, ch: Int, pixels: Array[Int], depth: Int = 8) = {
     val sums = new Array[Long](ch)
@@ -738,6 +664,49 @@ class MultimodalSpec extends SparkSpecBase {
       .forall(_.getString(1).contains("/page/")))
   }
 
+  test("image quality battery: signals vs hand math, NULL contract, curation form") {
+    import graft.ops.MediaQuality
+    val rnd = new scala.util.Random(9)
+    // 10x5 RGB random: hand-compute the signals from the pixel array
+    val px = Array.fill(10 * 5 * 3)(rnd.nextInt(256))
+    val good = makePng(10, 5, 3, px, _ => 2)
+    // 4x4 grayscale CONSTANT 65: fails dims (4 < 7), dyn_range (0 < 8),
+    // luma (65 < 70); aspect 1.0 passes
+    val flat = makePng(4, 4, 1, Array.fill(16)(65), _ => 0)
+    val df = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, good),
+      org.apache.spark.sql.Row(2L, flat),
+      org.apache.spark.sql.Row(3L, "junk".getBytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    val r = MediaQuality.imageQualityReport(df, "payload", "media_id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val g = r(1L)
+    assert(g.getLong(1) == 10 && g.getLong(2) == 5)
+    assert(g.getDouble(3) == 2.0) // aspect 10/5
+    assert(g.getDouble(4) == px.map(_.toLong).sum.toDouble / (3 * 50))
+    val chRange = (0 until 3).map(c =>
+      px.indices.filter(_ % 3 == c).map(px).max - px.indices.filter(_ % 3 == c).map(px).min).max
+    assert(g.getLong(5) == chRange)
+    assert(g.getLong(6) == good.length)
+    // good fails dims (5 < 7) and aspect (2.0 > 1.8), passes the rest
+    assert((g.getBoolean(7), g.getBoolean(8), g.getBoolean(9), g.getBoolean(10), g.getBoolean(11))
+      == ((false, false, true, true, false)))
+    val f = r(2L)
+    assert((f.getBoolean(7), f.getBoolean(8), f.getBoolean(9), f.getBoolean(10), f.getBoolean(11))
+      == ((false, true, false, false, false)))
+    // undecodable: NULL signals, every gate false — reject, never fabricate
+    val j = r(3L)
+    assert(j.isNullAt(1) && j.isNullAt(3) && j.isNullAt(5))
+    assert(!j.getBoolean(7) && !j.getBoolean(8) && !j.getBoolean(11))
+    // curation form = the passing subset (widen the gates so `good` passes)
+    val kept = MediaQuality.keepQualityImages(df, "payload", "media_id",
+        minDim = 5L, maxAspect = 2.0, minDynRange = 8L, lumaBounds = (20.0, 200.0))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("imageDedupReport freeze knob: identical decisions, one upstream extraction") {
     import graft.ops.MediaDedup
     import org.apache.spark.sql.graftbridge.DatasetBridge
@@ -836,6 +805,50 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
     assert(got == Set(1L, 2L, 5L, 6L))
     assert(out.schema.fieldNames.toSeq == Seq("rec_id", "url"))
+  }
+
+  test("streaming media dedup: exact byte + perceptual aHash first-wins, undecodable bypass") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixtures: A and A2 are byte-DIFFERENT encodings of the SAME pixels
+    // (filter 0 vs filter 2) — exact dedup keeps both, perceptual drops A2;
+    // B is a different image; the junk rows are byte-identical
+    // undecodables: the EXACT stage rightly dedups them (byte equality is
+    // byte equality), the PERCEPTUAL stage bypasses them statelessly
+    // (NULL aHash — never one shared state bucket)
+    val rnd = new scala.util.Random(21)
+    val pxA = Array.fill(9 * 6 * 3)(rnd.nextInt(256))
+    val pxB = Array.fill(9 * 6 * 3)(rnd.nextInt(256))
+    val imgA = PngTestImages.makePng(9, 6, 3, pxA, _ => 0)
+    val imgA2 = PngTestImages.makePng(9, 6, 3, pxA, _ => 2)
+    val imgB = PngTestImages.makePng(9, 6, 3, pxB, _ => 0)
+    assert(!java.util.Arrays.equals(imgA, imgA2)) // different bytes, same pixels
+    val payloads = Map(1L -> imgA, 2L -> imgA2, 3L -> imgA, 4L -> imgB,
+      5L -> "junk".getBytes, 6L -> "junk".getBytes)
+    val lookup = udf((id: Long) => payloads(id))
+    def run(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Set[Long] = {
+      val input = MemoryStream[Long]
+      val sdf = input.toDF().toDF("media_id")
+        .withColumn("payload", lookup(col("media_id")))
+      val out = mk(sdf)
+      // schema preserved, no helper columns leak
+      assert(out.schema.fieldNames.toSeq == Seq("media_id", "payload"))
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L, 5L, 6L)
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(_.getLong(0)).toSet
+      q.stop()
+      got
+    }
+    // exact: 3 (byte-dup of 1) and 6 (byte-dup of 5) dropped; 2 kept
+    assert(run(graft.streaming.StreamingMediaDedup.dropDuplicateImages(_, "payload"),
+      "smediaexact") == Set(1L, 2L, 4L, 5L))
+    // perceptual: 2 AND 3 dropped (same pixels ⇒ same aHash)
+    assert(run(graft.streaming.StreamingMediaDedup.dropPerceptualDuplicateImages(_, "payload"),
+      "smediaphash") == Set(1L, 4L, 5L, 6L))
   }
 
   test("full ingest chain: LM admission → URL dedup → text dedup in ONE streaming query") {
@@ -1360,5 +1373,87 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("sdedupwm").collect().map(_.getString(1)).sorted.toSeq
     q.stop()
     assert(got == Seq("alpha", "beta"))
+  }
+}
+
+/** Shared reference PNG encoder for the decoder / perceptual-hash /
+  * streaming-media tests: takes the raw pixel
+    * array, applies the requested FILTER per scanline (the encoder-side
+    * transform, independently implemented from the spec), deflates with
+    * the JDK's real Deflater, and wraps in signature/IHDR/IDAT/IEND —
+    * optionally splitting the zlib stream across several IDAT chunks. */
+private[graft] object PngTestImages {
+  def makePng(w: Int, h: Int, ch: Int, pixels: Array[Int],
+      filterOf: Int => Int, idatSplit: Int = 1, depth: Int = 8,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(pixels.length == w * h * ch)
+    val colorType = ch match { case 1 => 0; case 3 => 2; case 4 => 6; case c => sys.error(s"ch $c") }
+    val bps = depth / 8
+    val bpp = ch * bps
+    // sub-images: the full frame, or the 7 Adam7 pass selections
+    val passes: Seq[(Int, Int, Array[Int])] =
+      if (!interlaced) Seq((w, h, pixels))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).flatMap { case (xs, ys, dx, dy) =>
+        val xi = xs until w by dx
+        val yi = ys until h by dy
+        if (xi.isEmpty || yi.isEmpty) None
+        else Some((xi.size, yi.size,
+          (for (y <- yi; x <- xi; c <- 0 until ch)
+            yield pixels(y * w * ch + x * ch + c)).toArray))
+      }
+    // filters operate BYTEWISE at any depth, offset by bpp bytes, each
+    // pass filtered against its own scanlines only
+    val rawAll = new java.io.ByteArrayOutputStream()
+    var rowCounter = 0
+    for ((wp, hp, ps) <- passes) {
+      val rb = wp * ch * bps
+      val plain = new Array[Int](hp * rb)
+      for (i <- ps.indices) {
+        if (bps == 1) plain(i) = ps(i) & 0xff
+        else { plain(2 * i) = (ps(i) >>> 8) & 0xff; plain(2 * i + 1) = ps(i) & 0xff }
+      }
+      for (r <- 0 until hp) {
+        val f = filterOf(rowCounter); rowCounter += 1
+        rawAll.write(f)
+        for (x <- 0 until rb) {
+          val cur = plain(r * rb + x)
+          val left = if (x >= bpp) plain(r * rb + x - bpp) else 0
+          val up = if (r > 0) plain((r - 1) * rb + x) else 0
+          val ul = if (r > 0 && x >= bpp) plain((r - 1) * rb + x - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          rawAll.write((cur - pred) & 0xff)
+        }
+      }
+    }
+    val raw = rawAll.toByteArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = deflater.deflate(zbuf); deflater.end()
+    val z = zbuf.take(zlen)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length)); out.write(typ.getBytes("US-ASCII"))
+      out.write(data); out.write(Array[Byte](0, 0, 0, 0)) // crc not validated
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
+    val per = math.max(1, (z.length + idatSplit - 1) / idatSplit)
+    z.grouped(per).foreach(part => chunk("IDAT", part))
+    chunk("IEND", Array[Byte]())
+    out.toByteArray
   }
 }
