@@ -1703,6 +1703,37 @@ object SparkEntry {
           col("passes"))
         .orderBy("media_id")
     }),
+    // the audio battery (q136's shape for clips): sample-rate floor,
+    // channel cap, duration floor, RMS silence floor, clipping cap — all
+    // from the native RIFF/PCM parsers in one scan projection; gate
+    // constants chosen to split the fixture on every gate
+    "q137_audio_quality" -> ((s, dir) => {
+      val m = Multimodal.audioFromDocuments(table(s, dir, "documents"))
+      graft.ops.MediaQuality.audioQualityReport(m, "payload", "media_id",
+        minSampleRate = 16000L, maxChannels = 1L, minDurationS = 0.004,
+        minRms = 25400.0, clipPeak = 30600L)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("duration_s"), 6).as("duration_s"),
+          col("peak"), round(col("rms"), 6).as("rms"), col("payload_bytes"),
+          col("ok_rate"), col("ok_channels"), col("ok_duration"),
+          col("ok_level"), col("ok_clip"), col("passes"))
+        .orderBy("media_id")
+    }),
+    // 64-bit energy-envelope audio fingerprint (the aHash analogue for
+    // PCM): 65 equal L = n/65 sample windows, adjacent-energy comparison
+    // bits — integer-exact, so DuckDB replays every window energy from
+    // the same text bytes. Unsigned 32-bit halves (the q134 convention);
+    // sub-65-sample clips hash NULL and are excluded on both sides
+    "q138_audio_envelope" -> ((s, dir) => {
+      val m = Multimodal.audioFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.functions.MediaFunctions.pcmEnvelopeHash64(col("payload")).as("eh"))
+        .where(col("eh").isNotNull)
+        .select(col("media_id"),
+          shiftrightunsigned(col("eh"), 32).as("eh_hi"),
+          col("eh").bitwiseAND(lit(0xFFFFFFFFL)).as("eh_lo"))
+        .orderBy("media_id")
+    }),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
     // keyed by term — shuffle ≈ vocab size — then a TakeOrdered merge)
     "q56_vocabulary" -> ((s, dir) =>
@@ -3462,6 +3493,68 @@ object SparkEntry {
         |AND CAST(agg.stot AS DOUBLE) / (3*med.w*med.h) BETWEEN 70.0 AND 200.0) AS passes
         |FROM med JOIN agg ON med.media_id = agg.media_id
         |ORDER BY med.media_id""".stripMargin.replace("\n", " "),
+    // audio battery: sr/ch from doc_id arithmetic, samples from the text
+    // bytes (the q82 PCM convention), duration/rms as doubles rounded 6,
+    // gate booleans on the UNROUNDED values; payload_bytes = 44-byte
+    // RIFF/fmt/data framing + the data bytes
+    "q137_audio_quality" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sr,
+        |CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT media_id, sr, ch, n, n // 2 AS ns, hx,
+        |unnest(range(0, n // 2)) AS k FROM m WHERE n >= 2),
+        |v AS (SELECT media_id, sr, ch, n, ns,
+        |(strpos('0123456789ABCDEF', substr(hx, 4*k+3, 1)) - 1) * 4096
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+4, 1)) - 1) * 256
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+2, 1)) - 1) AS u FROM s),
+        |w AS (SELECT media_id, sr, ch, n, ns,
+        |CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM v),
+        |a AS (SELECT media_id, max(sr) AS sr, max(ch) AS ch, max(n) AS n,
+        |CAST(max(ns) AS BIGINT) AS ns,
+        |CAST(max(ns) AS DOUBLE) / (max(sr) * max(ch)) AS dur,
+        |CAST(max(abs(x)) AS BIGINT) AS peak,
+        |sqrt(CAST(sum(CAST(x AS BIGINT) * x) AS DOUBLE) / max(ns)) AS rms
+        |FROM w GROUP BY media_id)
+        |SELECT media_id, sr AS sample_rate, ch AS channels, ns AS n_samples,
+        |round(dur, 6) AS duration_s, peak, round(rms, 6) AS rms,
+        |CAST(44 + n AS BIGINT) AS payload_bytes,
+        |sr >= 16000 AS ok_rate, ch <= 1 AS ok_channels,
+        |dur >= 0.004 AS ok_duration, rms >= 25400.0 AS ok_level,
+        |peak <= 30600 AS ok_clip,
+        |(sr >= 16000 AND ch <= 1 AND dur >= 0.004 AND rms >= 25400.0
+        |AND peak <= 30600) AS passes
+        |FROM a ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // envelope hash: window energies replayed from the text bytes — L =
+    // ns//65 equal windows, adjacent strict-greater bits, 32-bit halves
+    "q138_audio_envelope" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |octet_length(encode(text)) // 2 AS ns FROM documents
+        |WHERE text IS NOT NULL AND octet_length(encode(text)) // 2 >= 65),
+        |win AS (SELECT media_id, ns // 65 AS L, hx,
+        |unnest(range(0, 65 * (ns // 65))) AS k FROM m),
+        |v AS (SELECT media_id, k // L AS w,
+        |(strpos('0123456789ABCDEF', substr(hx, 4*k+3, 1)) - 1) * 4096
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+4, 1)) - 1) * 256
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+2, 1)) - 1) AS u FROM win),
+        |e AS (SELECT media_id, w,
+        |sum(CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT)
+        |* (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS en
+        |FROM v GROUP BY media_id, w),
+        |bits AS (SELECT l.media_id, l.w AS b FROM e l JOIN e r
+        |ON l.media_id = r.media_id AND r.w = l.w + 1 WHERE l.en > r.en),
+        |h AS (SELECT media_id,
+        |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS eh_hi,
+        |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS eh_lo
+        |FROM bits GROUP BY media_id)
+        |SELECT m.media_id,
+        |CAST(COALESCE(h.eh_hi, 0) AS BIGINT) AS eh_hi,
+        |CAST(COALESCE(h.eh_lo, 0) AS BIGINT) AS eh_lo
+        |FROM m LEFT JOIN h ON m.media_id = h.media_id
+        |ORDER BY m.media_id""".stripMargin.replace("\n", " "),
     // exact BPE counts: the engine's merge loop replayed in SQL (rank-
     // order unrolled recursion over distinct pre-tokens — see bpeCountCtes)
     "q114_bpe_exact" ->

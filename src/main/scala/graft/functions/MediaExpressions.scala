@@ -248,9 +248,11 @@ object PcmStats {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
-  /** `(n_samples, peak, sum_sq, rms)` over the `data` chunk's PCM samples,
-    * or null for non-PCM / non-8/16-bit / sample-less payloads. */
-  def parse(b: Array[Byte]): InternalRow = {
+  /** Located PCM sample stream: `(bytesPerSample, dataAt, nSamples)`, or
+    * null for non-PCM / non-8/16-bit / sample-less payloads — the shared
+    * chunk walk behind [[parse]] (stats) and [[PcmEnvelopeHash64]]
+    * (perceptual fingerprint). */
+  private[functions] def locate(b: Array[Byte]): Array[Long] = {
     if (b.length < 36 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     var bits = -1
     var dataAt = -1
@@ -276,19 +278,105 @@ object PcmStats {
     val bytesPer = bits / 8
     val n = dataLen / bytesPer
     if (n <= 0L) return null
+    Array(bytesPer.toLong, dataAt.toLong, n)
+  }
+
+  /** Sample `k` of a located stream, sign-adjusted to the PCM convention
+    * (8-bit unsigned centered at 128; 16-bit little-endian signed). */
+  private[functions] def sampleAt(b: Array[Byte], bytesPer: Long, dataAt: Long, k: Long): Int =
+    if (bytesPer == 1L) u8(b, (dataAt + k).toInt) - 128
+    else (le16(b, (dataAt + k * 2).toInt) << 16) >> 16 // sign-extend
+
+  /** `(n_samples, peak, sum_sq, rms)` over the `data` chunk's PCM samples,
+    * or null for non-PCM / non-8/16-bit / sample-less payloads. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val loc = locate(b)
+    if (loc == null) return null
+    val Array(bytesPer, dataAt, n) = loc
     var k = 0L
     var peak = 0
     var sumSq = 0L
     while (k < n) {
-      val v =
-        if (bytesPer == 1) u8(b, dataAt + k.toInt) - 128
-        else (le16(b, dataAt + (k * 2).toInt) << 16) >> 16 // sign-extend
+      val v = sampleAt(b, bytesPer, dataAt, k)
       val a = math.abs(v)
       if (a > peak) peak = a
       sumSq += v.toLong * v
       k += 1
     }
     InternalRow(n, peak, sumSq, math.sqrt(sumSq.toDouble / n))
+  }
+}
+
+/** 64-bit energy-envelope hash of a PCM WAV — the audio analogue of
+  * [[PngDHash64]]: the sample stream splits into 65 equal windows of
+  * `L = n/65` samples (integer floor; the `n − 65·L` tail samples are
+  * ignored, so every window is EXACTLY L samples and window energies
+  * compare directly — no normalization, no overflow: `L ≤ 2²⁵/65 < 2¹⁹`
+  * samples × `v² ≤ 2³⁰` keeps every energy under 2⁴⁹), per-window energy
+  * `Σv²`, bit `b` (at position `63−b`, MSB-first like the image hashes)
+  * set iff `energy(b) > energy(b+1)` strictly. Captures the loudness
+  * CONTOUR — robust to uniform gain-preserving re-encodes of the same
+  * recording (byte-different containers, padding differences), and
+  * channel-agnostic by construction (interleaved samples hash as laid
+  * out). NULL for undecodable payloads and streams shorter than 65
+  * samples (too short to contour). Rides [[graft.ops.Dedup.hammingPairs64]]
+  * for near-dup pairing like the image hashes. */
+case class PcmEnvelopeHash64(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"pcm_envelope_hash64 requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    PcmEnvelopeHash64.compute(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("eh")
+      s"""
+         |Long $r = graft.functions.PcmEnvelopeHash64.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PcmEnvelopeHash64 {
+
+  def compute(b: Array[Byte]): java.lang.Long = {
+    val loc = PcmStats.locate(b)
+    if (loc == null) return null
+    val Array(bytesPer, dataAt, n) = loc
+    if (n < 65L) return null
+    val L = n / 65L
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var k = w * L
+      val end = k + L
+      var sum = 0L
+      while (k < end) {
+        val v = PcmStats.sampleAt(b, bytesPer, dataAt, k)
+        sum += v.toLong * v
+        k += 1
+      }
+      e(w) = sum
+      w += 1
+    }
+    var hash = 0L
+    var bb = 0
+    while (bb < 64) {
+      if (e(bb) > e(bb + 1)) hash |= 1L << (63 - bb)
+      bb += 1
+    }
+    java.lang.Long.valueOf(hash)
   }
 }
 
@@ -934,4 +1022,10 @@ object MediaFunctions {
     * horizontal luma gradient bits); same NULL contract. */
   def pngDHash64(payload: Column): Column =
     ColumnBridge.column(PngDHash64(ColumnBridge.expression(payload)))
+
+  /** `pcm_envelope_hash64(payload)` — 64-bit loudness-contour fingerprint
+    * of a PCM WAV (65 equal windows, adjacent-energy comparison bits);
+    * NULL for undecodable / sub-65-sample payloads. */
+  def pcmEnvelopeHash64(payload: Column): Column =
+    ColumnBridge.column(PcmEnvelopeHash64(ColumnBridge.expression(payload)))
 }

@@ -33,14 +33,20 @@ import org.apache.spark.sql.functions._
   * duplicates, and otherwise pass through as `kept`. */
 object MediaDedup {
 
-  /** `(__id__, __sim__)` aHash signature table of a media frame — the
-    * [[Dedup.simhashTable]] analogue for images; NULL hashes (undecodable
-    * payloads) are excluded. */
-  def aHashTable(media: DataFrame, payloadCol: String, idCol: String): DataFrame =
+  /** `(__id__, __sim__)` signature table of a media frame under any
+    * 64-bit perceptual hash — the [[Dedup.simhashTable]] analogue for
+    * media; NULL hashes (undecodable payloads) are excluded. */
+  def signatureTable(
+      media: DataFrame, payloadCol: String, idCol: String,
+      sig: Column => Column): DataFrame =
     media.where(col(idCol).isNotNull)
-      .select(col(idCol).as("__id__"),
-        graft.functions.MediaFunctions.pngAHash64(col(payloadCol)).as("__sim__"))
+      .select(col(idCol).as("__id__"), sig(col(payloadCol)).as("__sim__"))
       .where(col("__sim__").isNotNull)
+
+  /** [[signatureTable]] under the image aHash. */
+  def aHashTable(media: DataFrame, payloadCol: String, idCol: String): DataFrame =
+    signatureTable(media, payloadCol, idCol,
+      graft.functions.MediaFunctions.pngAHash64)
 
   /** Perceptual near-duplicate image pairs `(doc_a, doc_b, hamming)` with
     * aHash Hamming distance ≤ `maxHamming` — recall exactly 1 over the
@@ -51,6 +57,17 @@ object MediaDedup {
       idCol: String,
       maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs64(aHashTable(media, payloadCol, idCol), maxHamming)
+
+  /** Perceptual near-duplicate AUDIO pairs under the energy-envelope hash
+    * ([[graft.functions.PcmEnvelopeHash64]]) — same banding machinery and
+    * recall-1 guarantee as the image pairs. */
+  def nearDuplicateAudioPairs(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(signatureTable(media, payloadCol, idCol,
+      graft.functions.MediaFunctions.pcmEnvelopeHash64), maxHamming)
 
   /** Per-image dedup decisions under the full ladder — exact byte dedup
     * (keep lowest id per payload group), then aHash near-dup clustering
@@ -79,13 +96,39 @@ object MediaDedup {
       payloadCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain] = None): DataFrame = {
+      chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain] = None): DataFrame =
+    dedupReport(media, payloadCol, idCol,
+      graft.functions.MediaFunctions.pngAHash64, maxHamming, chain)
+
+  /** The [[imageDedupReport]] ladder for AUDIO: exact byte dedup, then
+    * energy-envelope-hash near-dup clustering — same statuses, keepers,
+    * skew guards, and freeze contract. */
+  def audioDedupReport(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain] = None): DataFrame =
+    dedupReport(media, payloadCol, idCol,
+      graft.functions.MediaFunctions.pcmEnvelopeHash64, maxHamming, chain)
+
+  /** The generic ladder both modality reports delegate to: any 64-bit
+    * perceptual signature slots into the same exact → pair → cluster →
+    * report machinery. */
+  private def dedupReport(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      sig: Column => Column,
+      maxHamming: Int,
+      chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain]): DataFrame = {
     val m = chain.map(_.freeze(media)).getOrElse(media)
     val exactPairs = Dedup.duplicateIdPairs(m, col(payloadCol), idCol)
       .select(col("__id__").as("__eid__"), col("__keep__").as("__ekeep__"))
     val survivors = m
       .join(exactPairs, col(idCol) === col("__eid__"), "left_anti")
-    val pairs = nearDuplicateImagePairs(survivors, payloadCol, idCol, maxHamming)
+    val pairs = Dedup.hammingPairs64(
+      signatureTable(survivors, payloadCol, idCol, sig), maxHamming)
     val clusters = Dedup.duplicateClusters(survivors, idCol, pairs)
     val keepers = clusters
       .withColumn("__nkeep__", min(col(idCol)).over(Window.partitionBy(col("cluster_id"))))

@@ -99,6 +99,79 @@ object MediaQuality {
         col("__g__.passes").as("passes"))
   }
 
+  /** Per-clip audio quality signal struct from the native RIFF/PCM
+    * parsers: `struct(sample_rate, channels, n_samples, duration_s, peak,
+    * rms, payload_bytes)`; NULL when the payload is not a decodable PCM
+    * WAV. `duration_s = n_samples / (sample_rate · channels)` (samples
+    * are interleaved across channels). */
+  def audioSignals(payload: Column): Column = {
+    val a = graft.functions.MediaFunctions.audioMeta(payload)
+    val p = graft.functions.MediaFunctions.pcmStats(payload)
+    when(a.isNotNull && p.isNotNull, struct(
+      a.getField("sample_rate").cast("long").as("sample_rate"),
+      a.getField("channels").cast("long").as("channels"),
+      p.getField("n_samples").cast("long").as("n_samples"),
+      (p.getField("n_samples").cast("double") /
+        (a.getField("sample_rate") * a.getField("channels")).cast("double")).as("duration_s"),
+      p.getField("peak").cast("long").as("peak"),
+      p.getField("rms").as("rms"),
+      length(payload).cast("long").as("payload_bytes")))
+  }
+
+  /** Audio gate battery: sample-rate floor (low-rate telephony rejects),
+    * channel cap (mono/stereo policy), duration floor (click/blip
+    * filter), RMS level floor (silence filter), clipping cap (peak at the
+    * 16-bit rail ⇒ distorted capture). Same NULL-fails-everything
+    * contract as [[imageGates]]. */
+  def audioGates(
+      signals: Column,
+      minSampleRate: Long = 16000L,
+      maxChannels: Long = 2L,
+      minDurationS: Double = 0.01,
+      minRms: Double = 100.0,
+      clipPeak: Long = 32760L): Column = {
+    def ok(c: Column): Column = coalesce(c, lit(false))
+    val okRate = ok(signals.getField("sample_rate") >= minSampleRate)
+    val okCh = ok(signals.getField("channels") <= maxChannels)
+    val okDur = ok(signals.getField("duration_s") >= minDurationS)
+    val okLevel = ok(signals.getField("rms") >= minRms)
+    val okClip = ok(signals.getField("peak") <= clipPeak)
+    struct(
+      okRate.as("ok_rate"), okCh.as("ok_channels"), okDur.as("ok_duration"),
+      okLevel.as("ok_level"), okClip.as("ok_clip"),
+      (okRate && okCh && okDur && okLevel && okClip).as("passes"))
+  }
+
+  /** Audio battery REPORT — the [[imageQualityReport]] shape for clips:
+    * one row per DECODABLE clip (undecodable payloads are not audio rows;
+    * the NULL-fails contract is exercised through [[audioGates]] by the
+    * spec). One scan, zero shuffle. */
+  def audioQualityReport(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      minSampleRate: Long = 16000L,
+      maxChannels: Long = 2L,
+      minDurationS: Double = 0.01,
+      minRms: Double = 100.0,
+      clipPeak: Long = 32760L): DataFrame = {
+    media.select(col(idCol), audioSignals(col(payloadCol)).as("__s__"))
+      .where(col("__s__").isNotNull)
+      .select(col(idCol), col("__s__"),
+        audioGates(col("__s__"), minSampleRate, maxChannels, minDurationS,
+          minRms, clipPeak).as("__g__"))
+      .select(col(idCol),
+        col("__s__.sample_rate").as("sample_rate"),
+        col("__s__.channels").as("channels"),
+        col("__s__.n_samples").as("n_samples"),
+        col("__s__.duration_s").as("duration_s"),
+        col("__s__.peak").as("peak"), col("__s__.rms").as("rms"),
+        col("__s__.payload_bytes").as("payload_bytes"),
+        col("__g__.ok_rate").as("ok_rate"), col("__g__.ok_channels").as("ok_channels"),
+        col("__g__.ok_duration").as("ok_duration"), col("__g__.ok_level").as("ok_level"),
+        col("__g__.ok_clip").as("ok_clip"), col("__g__.passes").as("passes"))
+  }
+
   /** Curation form: the media rows whose battery passes. */
   def keepQualityImages(
       media: DataFrame,

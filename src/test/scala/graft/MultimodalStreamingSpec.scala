@@ -707,6 +707,114 @@ class MultimodalSpec extends SparkSpecBase {
     assert(kept == Set(1L))
   }
 
+  // ---- audio: energy-envelope hash + dedup ladder + quality -------------
+
+  private def le16b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** 16-bit mono PCM WAV from a sample array; `extraChunk` inserts an
+    * unknown chunk before `data` (a byte-different "re-encode" of the
+    * same samples — the chunk walk must skip it). */
+  private def wav16(samples: Array[Int], sr: Int = 8000,
+      extraChunk: Boolean = false): Array[Byte] = {
+    val data = samples.flatMap(v => le16b(v & 0xffff))
+    val extra = if (extraChunk) "LIST".getBytes ++ le32b(4) ++ "info".getBytes
+      else Array.emptyByteArray
+    val fmtC = "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(1) ++
+      le32b(sr) ++ le32b(sr * 2) ++ le16b(2) ++ le16b(16)
+    val body = fmtC ++ extra ++ "data".getBytes ++ le32b(data.length) ++ data
+    "RIFF".getBytes ++ le32b(4 + body.length) ++ "WAVE".getBytes ++ body
+  }
+
+  /** Independent reimplementation of the envelope hash from its
+    * definition (65 equal floor-div windows, adjacent strict-greater). */
+  private def refEnvelope(samples: Array[Int]): Long = {
+    val L = samples.length / 65
+    val e = Array.tabulate(65)(w =>
+      (w * L until (w + 1) * L).map(k => samples(k).toLong * samples(k)).sum)
+    (0 until 64).foldLeft(0L)((a, b) => if (e(b) > e(b + 1)) a | (1L << (63 - b)) else a)
+  }
+
+  test("pcm envelope hash: windowed reference parity, gain/container invariance, NULL") {
+    import graft.functions.PcmEnvelopeHash64
+    val rnd = new scala.util.Random(33)
+    val samples = Array.fill(300)(rnd.nextInt(8000) - 4000)
+    assert(PcmEnvelopeHash64.compute(wav16(samples)) == refEnvelope(samples))
+    // uniform gain scales every window energy by 4 exactly — the loudness
+    // CONTOUR (and so the hash) is unchanged
+    assert(PcmEnvelopeHash64.compute(wav16(samples.map(_ * 2))) == refEnvelope(samples))
+    // container re-encode (extra skipped chunk): different bytes, same hash
+    val re = wav16(samples, extraChunk = true)
+    assert(!java.util.Arrays.equals(re, wav16(samples)))
+    assert(PcmEnvelopeHash64.compute(re) == refEnvelope(samples))
+    // sub-65-sample streams and garbage hash NULL; exactly 65 hashes (L=1)
+    assert(PcmEnvelopeHash64.compute(wav16(Array.fill(64)(5))) == null)
+    assert(PcmEnvelopeHash64.compute("garbage".getBytes) == null)
+    assert(PcmEnvelopeHash64.compute(wav16(Array.tabulate(65)(i => i * 50))) != null)
+  }
+
+  test("audioDedupReport: byte dups, re-encode near-dups, dented-sample near-dups") {
+    import graft.ops.MediaDedup
+    val rnd = new scala.util.Random(44)
+    val base = Array.fill(260)(rnd.nextInt(8000) - 4000)
+    val other = Array.fill(260)(rnd.nextInt(8000) - 4000)
+    // a dent in ONE sample moves one window energy — at most the two
+    // adjacent comparison bits flip, so hamming ≤ 2 ≤ maxHamming
+    val dented = base.clone(); dented(130) = dented(130) + 600
+    val rows = Seq(
+      1L -> wav16(base),
+      2L -> wav16(base),                      // byte dup of 1 → exact_dup
+      3L -> wav16(base, extraChunk = true),   // re-encode → near_dup (hd 0)
+      4L -> wav16(dented),                    // dented → near_dup (hd ≤ 2)
+      5L -> wav16(other),                     // unrelated → kept
+      6L -> "not audio".getBytes)             // undecodable → kept (no state)
+    val df = spark.createDataFrame(
+      java.util.List.of(rows.map { case (i, p) =>
+        org.apache.spark.sql.Row(i, p) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    val got = MediaDedup.audioDedupReport(df, "payload", "media_id", maxHamming = 3)
+      .select("media_id", "status", "keeper").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("kept", 1L)))
+    assert(got(2L) == (("exact_dup", 1L)))
+    assert(got(3L) == (("near_dup", 1L)))
+    assert(got(4L) == (("near_dup", 1L)))
+    assert(got(5L) == (("kept", 5L)))
+    assert(got(6L) == (("kept", 6L)))
+  }
+
+  test("audio quality battery: signals from the PCM parsers, gates split") {
+    import graft.ops.MediaQuality
+    val loud = Array.tabulate(200)(i => 3000 + (i % 7) * 100)
+    val quiet = Array.fill(200)(3)
+    val clipped = Array.tabulate(200)(i => if (i % 3 == 0) 32767 else 1000)
+    val df = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, wav16(loud, sr = 16000)),
+      org.apache.spark.sql.Row(2L, wav16(quiet, sr = 16000)),
+      org.apache.spark.sql.Row(3L, wav16(clipped, sr = 16000)),
+      org.apache.spark.sql.Row(4L, wav16(loud, sr = 8000)),
+      org.apache.spark.sql.Row(5L, "junk".getBytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    val r = MediaQuality.audioQualityReport(df, "payload", "media_id",
+      minSampleRate = 16000L, maxChannels = 2L, minDurationS = 0.005,
+      minRms = 100.0, clipPeak = 32000L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // undecodable rows are not audio rows (report covers decodable only)
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    val g = r(1L)
+    assert(g.getLong(1) == 16000 && g.getLong(2) == 1 && g.getLong(3) == 200)
+    assert(g.getDouble(4) == 200.0 / 16000)
+    assert(g.getAs[Boolean]("passes"))
+    assert(!r(2L).getAs[Boolean]("ok_level") && !r(2L).getAs[Boolean]("passes"))
+    assert(!r(3L).getAs[Boolean]("ok_clip") && r(3L).getLong(5) == 32767)
+    assert(!r(4L).getAs[Boolean]("ok_rate") && r(4L).getAs[Boolean]("ok_duration"))
+  }
+
   test("imageDedupReport freeze knob: identical decisions, one upstream extraction") {
     import graft.ops.MediaDedup
     import org.apache.spark.sql.graftbridge.DatasetBridge
