@@ -815,6 +815,41 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!r(4L).getAs[Boolean]("ok_rate") && r(4L).getAs[Boolean]("ok_duration"))
   }
 
+  test("curateImages ≡ manual gates-then-ladder composition; frozen ≡ unfrozen") {
+    import graft.ops.{MediaDedup, MediaPipeline, MediaQuality}
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(90)
+    def media = Multimodal.extractWarcMedia(
+        Multimodal.warcImageCrawlFromDocuments(docs), "media_id", "payload")
+      .select(regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1)
+        .cast("long").as("media_id"), col("payload"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id", "status", "keeper").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val capstone = rows(MediaPipeline.curateImages(media, "payload", "media_id",
+      minDim = 6L, maxAspect = 2.2, minDynRange = 0L, lumaBounds = (60.0, 200.0)))
+    // manual composition: gate, then ladder over the pool, rejects unioned
+    val gated = media.withColumn("__p__", MediaQuality.imageGates(
+      MediaQuality.imageSignals(col("payload")),
+      minDim = 6L, maxAspect = 2.2, minDynRange = 0L,
+      lumaBounds = (60.0, 200.0)).getField("passes"))
+    val manual = rows(MediaDedup.imageDedupReport(
+        gated.where(col("__p__")).drop("__p__"), "payload", "media_id", 3)
+        .select("media_id", "status", "keeper"))
+      .union(gated.where(!col("__p__")).select("media_id").collect()
+        .map(r => (r.getLong(0), "quality_reject", r.getLong(0))).toSet)
+    assert(capstone == manual)
+    assert(capstone.map(_._2) == Set("quality_reject", "exact_dup", "near_dup", "kept"))
+    // frozen run: identical decisions
+    val chain = new DatasetBridge.FreezeChain
+    try {
+      val frozen = rows(MediaPipeline.curateImages(media, "payload", "media_id",
+        minDim = 6L, maxAspect = 2.2, minDynRange = 0L, lumaBounds = (60.0, 200.0),
+        chain = Some(chain)))
+      assert(frozen == capstone)
+    } finally chain.releaseAll()
+  }
+
   test("imageDedupReport freeze knob: identical decisions, one upstream extraction") {
     import graft.ops.MediaDedup
     import org.apache.spark.sql.graftbridge.DatasetBridge
