@@ -1738,6 +1738,22 @@ object SparkEntry {
         maxHamming = 3, chain = Some(chain))
         .orderBy("media_id")
     }),
+    // video battery (completes the modality triple): duration window,
+    // frame-dim floor, aspect cap, track cap — signals through the real
+    // ISO-BMFF box walk (byte-parity pinned by q94), gate constants
+    // splitting the fixture on every gate
+    "q140_video_quality" -> ((s, dir) => {
+      val m = Multimodal.videoFromDocuments(table(s, dir, "documents"))
+      graft.ops.MediaQuality.videoQualityReport(m, "payload", "media_id",
+        minDurationMs = 1000L, maxDurationMs = 12000L, minDim = 360L,
+        maxAspect = 2.5, maxTracks = 1L)
+        .select(col("media_id"), col("timescale"), col("duration_ms"),
+          col("n_tracks"), col("width"), col("height"),
+          round(col("aspect"), 6).as("aspect"),
+          col("ok_duration"), col("ok_dims"), col("ok_aspect"),
+          col("ok_tracks"), col("passes"))
+        .orderBy("media_id")
+    }),
     // 64-bit energy-envelope audio fingerprint (the aHash analogue for
     // PCM): 65 equal L = n/65 sample windows, adjacent-energy comparison
     // bits — integer-exact, so DuckDB replays every window energy from
@@ -3580,6 +3596,27 @@ object SparkEntry {
          |FROM poolm LEFT JOIN ed ON poolm.media_id = ed.media_id
          |LEFT JOIN nk ON poolm.media_id = nk.media_id
          |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // video battery: every signal from the q94 doc_id arithmetic (the
+    // parser's byte-parity is q94's job), gates on the unrounded values
+    "q140_video_quality" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |CAST(600*(doc_id%4+1) AS BIGINT) AS ts,
+        |CAST((doc_id%9000+600)*1000 // (600*(doc_id%4+1)) AS BIGINT) AS dms,
+        |CAST(doc_id%2+1 AS BIGINT) AS nt,
+        |CAST((doc_id%8)*160+320 AS BIGINT) AS w,
+        |CAST((doc_id%6)*120+240 AS BIGINT) AS h
+        |FROM documents),
+        |a AS (SELECT media_id, ts, dms, nt, w, h,
+        |CAST(greatest(w, h) AS DOUBLE) / least(w, h) AS asp FROM m)
+        |SELECT media_id, ts AS timescale, dms AS duration_ms, nt AS n_tracks,
+        |w AS width, h AS height, round(asp, 6) AS aspect,
+        |(dms BETWEEN 1000 AND 12000) AS ok_duration,
+        |least(w, h) >= 360 AS ok_dims,
+        |asp <= 2.5 AS ok_aspect,
+        |nt <= 1 AS ok_tracks,
+        |((dms BETWEEN 1000 AND 12000) AND least(w, h) >= 360
+        |AND asp <= 2.5 AND nt <= 1) AS passes
+        |FROM a ORDER BY media_id""".stripMargin.replace("\n", " "),
     // audio battery: sr/ch from doc_id arithmetic, samples from the text
     // bytes (the q82 PCM convention), duration/rms as doubles rounded 6,
     // gate booleans on the UNROUNDED values; payload_bytes = 44-byte

@@ -172,6 +172,72 @@ object MediaQuality {
         col("__g__.ok_clip").as("ok_clip"), col("__g__.passes").as("passes"))
   }
 
+  /** Per-clip VIDEO quality signal struct from the native ISO-BMFF box
+    * walk ([[graft.functions.VideoMeta]]): `struct(brand, timescale,
+    * duration_ms, n_tracks, width, height, handler, aspect)`; NULL when
+    * the payload is not a parseable MP4/MOV. */
+  def videoSignals(payload: Column): Column = {
+    val v = graft.functions.MediaFunctions.videoMeta(payload)
+    val w = v.getField("width").cast("long")
+    val h = v.getField("height").cast("long")
+    when(v.isNotNull, struct(
+      v.getField("brand").as("brand"),
+      v.getField("timescale").cast("long").as("timescale"),
+      v.getField("duration_ms").cast("long").as("duration_ms"),
+      v.getField("n_tracks").cast("long").as("n_tracks"),
+      w.as("width"), h.as("height"),
+      v.getField("handler").as("handler"),
+      (greatest(w, h).cast("double") / least(w, h).cast("double")).as("aspect")))
+  }
+
+  /** Video gate battery: duration window (shorts and unbounded captures
+    * both reject), frame-dim floor, aspect cap, track-count cap. Same
+    * NULL-fails contract as the other batteries. */
+  def videoGates(
+      signals: Column,
+      minDurationMs: Long = 1000L,
+      maxDurationMs: Long = 3600000L,
+      minDim: Long = 360L,
+      maxAspect: Double = 2.5,
+      maxTracks: Long = 2L): Column = {
+    def ok(c: Column): Column = coalesce(c, lit(false))
+    val okDur = ok(signals.getField("duration_ms").between(minDurationMs, maxDurationMs))
+    val okDims = ok(least(signals.getField("width"), signals.getField("height")) >= minDim)
+    val okAspect = ok(signals.getField("aspect") <= maxAspect)
+    val okTracks = ok(signals.getField("n_tracks") <= maxTracks)
+    struct(
+      okDur.as("ok_duration"), okDims.as("ok_dims"),
+      okAspect.as("ok_aspect"), okTracks.as("ok_tracks"),
+      (okDur && okDims && okAspect && okTracks).as("passes"))
+  }
+
+  /** Video battery REPORT — one row per PARSEABLE clip, the
+    * [[audioQualityReport]] convention. One scan, zero shuffle. */
+  def videoQualityReport(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      minDurationMs: Long = 1000L,
+      maxDurationMs: Long = 3600000L,
+      minDim: Long = 360L,
+      maxAspect: Double = 2.5,
+      maxTracks: Long = 2L): DataFrame = {
+    media.select(col(idCol), videoSignals(col(payloadCol)).as("__s__"))
+      .where(col("__s__").isNotNull)
+      .select(col(idCol), col("__s__"),
+        videoGates(col("__s__"), minDurationMs, maxDurationMs, minDim,
+          maxAspect, maxTracks).as("__g__"))
+      .select(col(idCol),
+        col("__s__.timescale").as("timescale"),
+        col("__s__.duration_ms").as("duration_ms"),
+        col("__s__.n_tracks").as("n_tracks"),
+        col("__s__.width").as("width"), col("__s__.height").as("height"),
+        col("__s__.aspect").as("aspect"),
+        col("__g__.ok_duration").as("ok_duration"), col("__g__.ok_dims").as("ok_dims"),
+        col("__g__.ok_aspect").as("ok_aspect"), col("__g__.ok_tracks").as("ok_tracks"),
+        col("__g__.passes").as("passes"))
+  }
+
   /** Curation form: the media rows whose battery passes. */
   def keepQualityImages(
       media: DataFrame,

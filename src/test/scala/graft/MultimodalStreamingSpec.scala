@@ -850,6 +850,37 @@ class MultimodalSpec extends SparkSpecBase {
     } finally chain.releaseAll()
   }
 
+  test("video quality battery: signals through the real box walk, gates split") {
+    import graft.ops.MediaQuality
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    val m = Multimodal.videoFromDocuments(docs)
+    val r = MediaQuality.videoQualityReport(m, "payload", "media_id",
+      minDurationMs = 1000L, maxDurationMs = 12000L, minDim = 360L,
+      maxAspect = 2.5, maxTracks = 1L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 30)
+    r.foreach { case (id, row) =>
+      val ts = 600L * (id % 4 + 1); val durMs = (id % 9000 + 600) * 1000 / ts
+      val w = (id % 8) * 160 + 320; val h = (id % 6) * 120 + 240
+      assert(row.getLong(1) == ts && row.getLong(2) == durMs, s"video $id")
+      assert(row.getLong(4) == w && row.getLong(5) == h, s"dims $id")
+      assert(row.getAs[Boolean]("ok_tracks") == (id % 2 == 0), s"tracks $id")
+      assert(row.getAs[Boolean]("passes") ==
+        (durMs >= 1000 && durMs <= 12000 && math.min(w, h) >= 360 &&
+          math.max(w, h).toDouble / math.min(w, h) <= 2.5 && id % 2 == 0))
+    }
+    // unparseable payloads are not video rows; NULL signals fail the gates
+    val junk = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(-1L, "not a video".getBytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    assert(MediaQuality.videoQualityReport(junk, "payload", "media_id").count() == 0)
+    assert(junk.select(MediaQuality.videoGates(
+        MediaQuality.videoSignals(col("payload"))).getField("passes"))
+      .head().getBoolean(0) == false)
+  }
+
   test("imageDedupReport freeze knob: identical decisions, one upstream extraction") {
     import graft.ops.MediaDedup
     import org.apache.spark.sql.graftbridge.DatasetBridge
