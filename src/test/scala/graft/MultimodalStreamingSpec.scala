@@ -752,6 +752,15 @@ class MultimodalSpec extends SparkSpecBase {
     assert(PcmEnvelopeHash64.compute(wav16(Array.fill(64)(5))) == null)
     assert(PcmEnvelopeHash64.compute("garbage".getBytes) == null)
     assert(PcmEnvelopeHash64.compute(wav16(Array.tabulate(65)(i => i * 50))) != null)
+    // 8-BIT path: unsigned bytes center at 128; the same contour hashes
+    // identically through the independent reference on centered values
+    val bytes8 = Array.fill(260)(rnd.nextInt(256))
+    val data8 = bytes8.map(_.toByte)
+    val wav8 = "RIFF".getBytes ++ le32b(4 + 24 + 8 + data8.length) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(1) ++ le32b(8000) ++
+        le32b(8000) ++ le16b(1) ++ le16b(8)) ++
+      "data".getBytes ++ le32b(data8.length) ++ data8
+    assert(PcmEnvelopeHash64.compute(wav8) == refEnvelope(bytes8.map(_ - 128)))
   }
 
   test("audioDedupReport: byte dups, re-encode near-dups, dented-sample near-dups") {
