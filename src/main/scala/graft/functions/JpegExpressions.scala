@@ -1,0 +1,622 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Baseline JPEG pixel decode — the JPEG sibling of [[PngPixelStats]]'s
+  * inflate+unfilter pipeline, closing the codec asymmetry where
+  * `extractWarcMedia` harvests every image-typed body but only PNGs got
+  * quality signals and perceptual hashes: a real crawl is mostly JPEG.
+  *
+  * Spec-derived from ITU-T T.81 (the same public spec the
+  * [[graft.multimodal.JpegFixtures]] ENCODER was written from — this
+  * decoder and that encoder share no code, so fixtures round-trip through
+  * two independent implementations): marker walk (DQT/DHT/SOF/DRI/SOS,
+  * APPn/COM skipped by length), canonical Huffman decode (F.2.2.3
+  * mincode/maxcode/valptr), run-length AC with ZRL/EOB, dequantization in
+  * zigzag order, and a double-precision separable IDCT (A.3.3) with
+  * round-half-up and clamp. Supported: baseline and extended-sequential
+  * Huffman frames (SOF0/SOF1), 8-bit precision, 1 component (grayscale)
+  * or 3 components (YCbCr → RGB by the JFIF formulas), sampling factors
+  * 1..4 with box (nearest) chroma upsampling, restart intervals,
+  * multi-table DQT/DHT segments, FF-stuffing, fill bytes. Anything else —
+  * progressive (SOF2), arithmetic coding, 12-bit, 4-component CMYK,
+  * non-interleaved multi-component scans, truncated entropy data —
+  * returns null, never throws.
+  *
+  * Exactness contract for the oracle: a uniform 8×8 block with all-ones
+  * quantization is DC-only, and the separable IDCT of a DC-only block is
+  * `dc/8` to within 1e-13 (the rounding step absorbs it), so
+  * [[graft.multimodal.JpegFixtures]] mosaics decode BIT-EXACTLY and a
+  * DuckDB oracle can replay every downstream signal from the block
+  * values — the q89 convention. General JPEGs decode to within normal
+  * cross-decoder IDCT tolerance (pinned against `javax.imageio` in
+  * MultimodalSpec).
+  *
+  * Scale shape: one native call per row inside whole-stage codegen (see
+  * [[ImagePixelStats]]); decode buffers are bounded ([[MaxPlaneBytes]])
+  * so a forged SOF can never allocate unboundedly — a poisoned blob must
+  * fail to NULL, not OOM an executor. */
+object JpegDecoder {
+
+  /** Cap on the sum of component-plane buffers (64 MiB — matches
+    * [[PngPixelStats]]'s MaxRawBytes): a forged SOF declaring huge dims
+    * returns null before allocating. */
+  private val MaxPlaneBytes = 1 << 26
+
+  /** Zigzag order: ZZ(k) = natural (row-major) index of the k-th
+    * coefficient in transmission order (T.81 Figure 5). */
+  private[functions] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** `cosTab(x)(u) = (Cu/2)·cos((2x+1)uπ/16)` — the separable IDCT kernel
+    * (T.81 A.3.3), precomputed once. */
+  private val CosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Decoded image: 8-bit interleaved samples, `ch` ∈ {1, 3}. */
+  final class Decoded(val w: Int, val h: Int, val ch: Int, val samples: Array[Byte])
+
+  /** Canonical Huffman table per T.81 F.2.2.3. `maxcode(l) = -1` marks
+    * lengths with no codes. */
+  private final class HuffTable(bits: Array[Int], val vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader with T.81 F.1.2.3 stuffing (FF 00 →
+    * literal FF) — a marker byte mid-read marks the segment's end;
+    * further bit requests set `underrun` (truncated stream → null). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    var underrun = false
+
+    def nextBit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) { underrun = true; return 0 }
+        var v = b(pos) & 0xff
+        if (v == 0xff) {
+          val nx = if (pos + 1 < b.length) b(pos + 1) & 0xff else -1
+          if (nx == 0) pos += 2 // stuffed FF
+          else { underrun = true; return 0 } // marker: entropy data ends here
+        } else pos += 1
+        acc = v
+        n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+
+    /** Byte-align and consume an expected RSTn marker (F.2.1.3.1); false
+      * when the stream disagrees. */
+    def restart(): Boolean = {
+      n = 0
+      if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff) return false
+      val m = b(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
+  }
+
+  private def huffDecode(r: BitReader, t: HuffTable): Int = {
+    var code = 0
+    var l = 1
+    while (l <= 16) {
+      code = (code << 1) | r.nextBit()
+      if (t.maxcode(l) >= 0 && code <= t.maxcode(l))
+        return t.vals(t.valptr(l) + code - t.mincode(l))
+      l += 1
+    }
+    -1 // no such code: corrupt stream
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map a `s`-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  private final class Component {
+    var id = 0
+    var hSamp = 1
+    var vSamp = 1
+    var quantId = 0
+    var dcTable = 0
+    var acTable = 0
+    var plane: Array[Byte] = null // padded to whole MCUs
+    var planeW = 0
+    var planeH = 0
+    var pred = 0 // DC predictor
+  }
+
+  /** Decode a baseline JPEG payload, or null for anything unsupported /
+    * malformed. */
+  def decode(b: Array[Byte]): Decoded = {
+    if (b == null || b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return null
+    val quant = new Array[Array[Int]](4) // stored in zigzag order
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var w = 0
+    var h = 0
+    var restartInterval = 0
+
+    var i = 2
+    while (i + 1 < b.length) {
+      if (u8(b, i) != 0xff) return null // desynchronized
+      var m = u8(b, i + 1)
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
+      else if (m == 0xd9) return null // EOI before SOS
+      else {
+        if (i + 3 >= b.length) return null
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return null
+        val p = i + 4 // segment payload start
+        val pEnd = i + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (pq/tq, 64 entries) tables
+            var q = p
+            while (q < pEnd) {
+              val pq = u8(b, q) >> 4
+              val tq = u8(b, q) & 0x0f
+              if (tq > 3 || pq > 1) return null
+              val width = if (pq == 0) 1 else 2
+              if (q + 1 + 64 * width > pEnd) return null
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                tab(k) = if (pq == 0) u8(b, q + 1 + k) else be16(b, q + 1 + 2 * k)
+                k += 1
+              }
+              quant(tq) = tab
+              q += 1 + 64 * width
+            }
+          case 0xc4 => // DHT: one or more (tc/th, bits, vals) tables
+            var q = p
+            while (q < pEnd) {
+              val tc = u8(b, q) >> 4
+              val th = u8(b, q) & 0x0f
+              if (tc > 1 || th > 3 || q + 17 > pEnd) return null
+              val bits = Array.tabulate(16)(k => u8(b, q + 1 + k))
+              val total = bits.sum
+              if (total > 256 || q + 17 + total > pEnd) return null
+              val vals = Array.tabulate(total)(k => u8(b, q + 17 + k))
+              val tab = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              q += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0/SOF1: the Huffman sequential frames
+            if (comps != null) return null // second frame header
+            if (len < 8 || u8(b, p) != 8) return null // 8-bit precision only
+            h = be16(b, p + 1)
+            w = be16(b, p + 3)
+            val nf = u8(b, p + 5)
+            if (w <= 0 || h <= 0 || (nf != 1 && nf != 3) || len < 8 + 3 * nf) return null
+            comps = Array.fill(nf)(new Component)
+            var c = 0
+            while (c < nf) {
+              val at = p + 6 + 3 * c
+              comps(c).id = u8(b, at)
+              comps(c).hSamp = u8(b, at + 1) >> 4
+              comps(c).vSamp = u8(b, at + 1) & 0x0f
+              comps(c).quantId = u8(b, at + 2)
+              if (comps(c).hSamp < 1 || comps(c).hSamp > 4 ||
+                comps(c).vSamp < 1 || comps(c).vSamp > 4 ||
+                comps(c).quantId > 3) return null
+              c += 1
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf =>
+            return null // progressive / lossless / arithmetic: unsupported
+          case 0xdd => // DRI
+            if (len != 4) return null
+            restartInterval = be16(b, p)
+          case 0xda => // SOS: decode the scan and finish
+            if (comps == null) return null
+            val ns = u8(b, p)
+            if (ns != comps.length || len != 6 + 2 * ns) return null
+            var c = 0
+            while (c < ns) {
+              val cs = u8(b, p + 1 + 2 * c)
+              val comp = comps.find(_.id == cs).orNull
+              if (comp == null) return null
+              comp.dcTable = u8(b, p + 2 + 2 * c) >> 4
+              comp.acTable = u8(b, p + 2 + 2 * c) & 0x0f
+              if (comp.dcTable > 3 || comp.acTable > 3) return null
+              c += 1
+            }
+            return decodeScan(b, pEnd, comps, w, h, quant, dcTabs, acTabs,
+              restartInterval)
+          case _ => () // APPn / COM / anything else: skip by length
+        }
+        i += 2 + len
+      }
+    }
+    null // no SOS reached
+  }
+
+  private def decodeScan(
+      b: Array[Byte],
+      scanStart: Int,
+      comps: Array[Component],
+      w: Int,
+      h: Int,
+      quant: Array[Array[Int]],
+      dcTabs: Array[HuffTable],
+      acTabs: Array[HuffTable],
+      restartInterval: Int): Decoded = {
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // allocate padded planes, bounded BEFORE any allocation
+    var planeBytes = 0L
+    comps.foreach { c =>
+      c.planeW = mcusX * c.hSamp * 8
+      c.planeH = mcusY * c.vSamp * 8
+      planeBytes += c.planeW.toLong * c.planeH
+      if (quant(c.quantId) == null) return null
+    }
+    if (planeBytes > MaxPlaneBytes ||
+      w.toLong * h * comps.length > MaxPlaneBytes) return null
+    comps.foreach(c => c.plane = new Array[Byte](c.planeW * c.planeH))
+
+    val r = new BitReader(b, scanStart)
+    val coef = new Array[Int](64) // natural order, dequantized
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    var sinceRestart = 0
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        if (!r.restart()) return null
+        comps.foreach(_.pred = 0)
+        sinceRestart = 0
+      }
+      val mcuX = mcu % mcusX
+      val mcuY = mcu / mcusX
+      var c = 0
+      while (c < comps.length) {
+        val comp = comps(c)
+        val dcT = dcTabs(comp.dcTable)
+        val acT = acTabs(comp.acTable)
+        if (dcT == null || acT == null) return null
+        val q = quant(comp.quantId)
+        var v = 0
+        while (v < comp.vSamp) {
+          var hh = 0
+          while (hh < comp.hSamp) {
+            // ---- decode one block (T.81 F.2.2) ----
+            java.util.Arrays.fill(coef, 0)
+            val t = huffDecode(r, dcT)
+            if (t < 0 || t > 15) return null
+            comp.pred += extend(r.receive(t), t)
+            coef(0) = comp.pred * q(0)
+            var k = 1
+            var open = true
+            while (open && k < 64) {
+              val rs = huffDecode(r, acT)
+              if (rs < 0) return null
+              val run = rs >> 4
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else open = false // EOB
+              } else {
+                k += run
+                if (k > 63) return null
+                coef(Zigzag(k)) = extend(r.receive(size), size) * q(k)
+                k += 1
+              }
+            }
+            if (r.underrun) return null // truncated entropy data
+            // ---- separable IDCT + level shift into the plane ----
+            var x = 0
+            while (x < 8) { // tmp(v*8+x) = Σu cosTab(x)(u) · coef(v*8+u)
+              var vv = 0
+              while (vv < 8) {
+                var s = 0.0
+                var u = 0
+                while (u < 8) { s += CosTab(x)(u) * coef(vv * 8 + u); u += 1 }
+                tmp(vv * 8 + x) = s
+                vv += 1
+              }
+              x += 1
+            }
+            val bx = (mcuX * comp.hSamp + hh) * 8
+            val by = (mcuY * comp.vSamp + v) * 8
+            var y = 0
+            while (y < 8) {
+              val rowAt = (by + y) * comp.planeW + bx
+              var xx = 0
+              while (xx < 8) {
+                var s = 0.0
+                var vv = 0
+                while (vv < 8) { s += CosTab(y)(vv) * tmp(vv * 8 + xx); vv += 1 }
+                val px = math.round(s).toInt + 128
+                comp.plane(rowAt + xx) =
+                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                xx += 1
+              }
+              y += 1
+            }
+            hh += 1
+          }
+          v += 1
+        }
+        c += 1
+      }
+      sinceRestart += 1
+      mcu += 1
+    }
+
+    // assemble interleaved output with box (nearest) chroma upsampling
+    val nc = comps.length
+    val out = new Array[Byte](w * h * nc)
+    if (nc == 1) {
+      val comp = comps(0)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(comp.plane, y * comp.planeW, out, y * w, w)
+        y += 1
+      }
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      var y = 0
+      while (y < h) {
+        val yRow = (y * cy.vSamp / vMax) * cy.planeW
+        val bRow = (y * cb.vSamp / vMax) * cb.planeW
+        val rRow = (y * cr.vSamp / vMax) * cr.planeW
+        var x = 0
+        while (x < w) {
+          val yy = u8(cy.plane, yRow + x * cy.hSamp / hMax)
+          val pb = u8(cb.plane, bRow + x * cb.hSamp / hMax) - 128
+          val pr = u8(cr.plane, rRow + x * cr.hSamp / hMax) - 128
+          // JFIF YCbCr → RGB, round-half-up, clamp
+          val rr = math.round(yy + 1.402 * pr).toInt
+          val gg = math.round(yy - 0.344136 * pb - 0.714136 * pr).toInt
+          val bb = math.round(yy + 1.772 * pb).toInt
+          val at = (y * w + x) * 3
+          out(at) = (if (rr < 0) 0 else if (rr > 255) 255 else rr).toByte
+          out(at + 1) = (if (gg < 0) 0 else if (gg > 255) 255 else gg).toByte
+          out(at + 2) = (if (bb < 0) 0 else if (bb > 255) 255 else bb).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    new Decoded(w, h, nc, out)
+  }
+}
+
+/** Codec-dispatching pixel statistics — [[PngPixelStats]]'s struct over
+  * ANY supported still-image payload: the container is sniffed from its
+  * magic bytes (PNG signature / JPEG SOI) and routed to the matching
+  * native decode. This is the expression [[graft.ops.MediaQuality]]'s
+  * image battery rides, so a crawled JPEG gets the same quality signals
+  * as a PNG — previously it was `quality_reject`ed as undecodable while
+  * `extractWarcMedia` harvested it anyway. JPEG output depth is always 8.
+  * NULL for unrecognized containers and anything either decoder rejects.
+  */
+case class ImagePixelStats(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("ch_sum", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("ch_min", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ch_max", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"image_pixel_stats requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ImagePixelStats.parse(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("img")
+      s"""
+         |InternalRow $r = graft.functions.ImagePixelStats.parse($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImagePixelStats {
+
+  private[functions] def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+      (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a
+
+  private[functions] def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  def parse(b: Array[Byte]): InternalRow = {
+    if (isPng(b)) return PngPixelStats.parse(b)
+    if (!isJpeg(b)) return null
+    val d = JpegDecoder.decode(b)
+    if (d == null) return null
+    val ch = d.ch
+    val sums = new Array[Long](ch)
+    val mins = Array.fill(ch)(255)
+    val maxs = new Array[Int](ch)
+    val s = d.samples
+    var i = 0
+    while (i < s.length) {
+      val v = s(i) & 0xff
+      val c = i % ch
+      sums(c) += v
+      if (v < mins(c)) mins(c) = v
+      if (v > maxs(c)) maxs(c) = v
+      i += 1
+    }
+    InternalRow(d.w, d.h, ch, 8,
+      new GenericArrayData(sums), new GenericArrayData(mins), new GenericArrayData(maxs))
+  }
+}
+
+/** Codec-dispatching 64-bit average-hash — [[PngAHash64]]'s grid
+  * conventions over PNG *or* baseline JPEG payloads, so byte-different
+  * cross-codec re-encodes of the same pixels land on the SAME fingerprint
+  * and dedup against each other in [[graft.ops.MediaDedup]]'s ladder
+  * (grayscale pixels encode identical luma both ways; the grid, the
+  * floor-div cell mapping, and the cross-multiplied comparisons are
+  * shared exactly — encoding-independence is pinned in MultimodalSpec).
+  * Same NULL contract per codec: undecodable, interlaced PNG, > 2²⁰ px. */
+case class ImageAHash64(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"image_ahash64 requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ImageGridHash.aHash(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("iah")
+      s"""
+         |Long $r = graft.functions.ImageGridHash.aHash($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codec-dispatching dHash sibling of [[ImageAHash64]] (9×8 horizontal
+  * gradient grid; PNG or baseline JPEG). */
+case class ImageDHash64(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"image_dhash64 requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ImageGridHash.dHash(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("idh")
+      s"""
+         |Long $r = graft.functions.ImageGridHash.dHash($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageGridHash {
+
+  /** Same Long-overflow pixel cap as [[PngGridHash]] (sum·count
+    * cross-multiplications stay under 2⁵⁸). */
+  private val MaxPixels = 1 << 20
+
+  /** Per-grid-cell luma sums/counts of a decoded JPEG — the byte-array
+    * twin of [[PngGridHash]]'s scanline walk, same floor-div cell mapping
+    * and alpha-free luma (JPEG has no alpha; gray = 1 channel, RGB = 3). */
+  private def jpegGridLuma(b: Array[Byte], gw: Int, gh: Int): (Array[Long], Array[Long]) = {
+    val d = JpegDecoder.decode(b)
+    if (d == null) return null
+    val w = d.w; val h = d.h
+    if (w.toLong * h > MaxPixels) return null
+    val ch = d.ch
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    val s = d.samples
+    var y = 0
+    while (y < h) {
+      val rowAt = y * w * ch
+      val row = y * gh / h
+      var x = 0
+      while (x < w) {
+        val at = rowAt + x * ch
+        var luma = 0L
+        var c = 0
+        while (c < ch) { luma += s(at + c) & 0xff; c += 1 }
+        val cell = row * gw + x * gw / w
+        sums(cell) += luma
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, cnts)
+  }
+
+  def aHash(b: Array[Byte]): java.lang.Long = {
+    if (ImagePixelStats.isPng(b)) return PngGridHash.aHash(b)
+    if (!ImagePixelStats.isJpeg(b)) return null
+    val g = jpegGridLuma(b, 8, 8)
+    if (g == null) null else PngGridHash.aHashFromGrid(g._1, g._2)
+  }
+
+  def dHash(b: Array[Byte]): java.lang.Long = {
+    if (ImagePixelStats.isPng(b)) return PngGridHash.dHash(b)
+    if (!ImagePixelStats.isJpeg(b)) return null
+    val g = jpegGridLuma(b, 9, 8)
+    if (g == null) null else PngGridHash.dHashFromGrid(g._1, g._2)
+  }
+}

@@ -755,10 +755,10 @@ object PngGridHash {
     (sums, cnts)
   }
 
-  def aHash(b: Array[Byte]): java.lang.Long = {
-    val g = gridLuma(b, 8, 8)
-    if (g == null) return null
-    val (sums, cnts) = g
+  /** Bit assembly of the 8×8 aHash from grid luma sums/counts — shared
+    * with the JPEG path ([[ImageGridHash]]) so the comparison convention
+    * can never diverge between codecs. */
+  private[functions] def aHashFromGrid(sums: Array[Long], cnts: Array[Long]): java.lang.Long = {
     var totalSum = 0L; var totalCnt = 0L
     var i = 0
     while (i < 64) { totalSum += sums(i); totalCnt += cnts(i); i += 1 }
@@ -772,10 +772,8 @@ object PngGridHash {
     java.lang.Long.valueOf(hash)
   }
 
-  def dHash(b: Array[Byte]): java.lang.Long = {
-    val g = gridLuma(b, 9, 8)
-    if (g == null) return null
-    val (sums, cnts) = g
+  /** Bit assembly of the 9×8 dHash, shared like [[aHashFromGrid]]. */
+  private[functions] def dHashFromGrid(sums: Array[Long], cnts: Array[Long]): java.lang.Long = {
     var hash = 0L
     var r = 0
     while (r < 8) {
@@ -789,6 +787,18 @@ object PngGridHash {
       r += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  def aHash(b: Array[Byte]): java.lang.Long = {
+    val g = gridLuma(b, 8, 8)
+    if (g == null) return null
+    aHashFromGrid(g._1, g._2)
+  }
+
+  def dHash(b: Array[Byte]): java.lang.Long = {
+    val g = gridLuma(b, 9, 8)
+    if (g == null) return null
+    dHashFromGrid(g._1, g._2)
   }
 }
 
@@ -1028,4 +1038,20 @@ object MediaFunctions {
     * NULL for undecodable / sub-65-sample payloads. */
   def pcmEnvelopeHash64(payload: Column): Column =
     ColumnBridge.column(PcmEnvelopeHash64(ColumnBridge.expression(payload)))
+
+  /** `image_pixel_stats(payload)` — [[pngPixelStats]]'s struct over PNG
+    * *or* baseline JPEG payloads (magic-byte dispatch to the matching
+    * native decode); NULL for unrecognized/undecodable payloads. */
+  def imagePixelStats(payload: Column): Column =
+    ColumnBridge.column(ImagePixelStats(ColumnBridge.expression(payload)))
+
+  /** `image_ahash64(payload)` — codec-dispatching aHash: identical grid
+    * conventions over PNG or baseline JPEG, so cross-codec re-encodes of
+    * the same pixels fingerprint identically; NULL contract per codec. */
+  def imageAHash64(payload: Column): Column =
+    ColumnBridge.column(ImageAHash64(ColumnBridge.expression(payload)))
+
+  /** `image_dhash64(payload)` — codec-dispatching dHash sibling. */
+  def imageDHash64(payload: Column): Column =
+    ColumnBridge.column(ImageDHash64(ColumnBridge.expression(payload)))
 }

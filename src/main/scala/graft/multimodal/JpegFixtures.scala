@@ -84,8 +84,18 @@ object JpegFixtures {
   /** Encode a (blocksW·8) × (blocksH·8) grayscale baseline JPEG whose
     * 8×8 blocks are uniform with values `blockValues` (raster order,
     * 0..255 each). Single-component scan ⇒ MCU = one data unit, blocks
-    * in raster order (T.81 A.2.2 non-interleaved order). */
-  def encodeGrayMosaic(blockValues: Array[Int], blocksW: Int, blocksH: Int): Array[Byte] = {
+    * in raster order (T.81 A.2.2 non-interleaved order).
+    *
+    * `restartInterval > 0` adds a DRI segment and emits RSTn markers
+    * every that many MCUs (byte-aligned with 1-fill, DC predictor reset,
+    * marker index mod 8 — T.81 F.1.2.3 / E.2.4), putting the decoder's
+    * restart machinery under the same two-independent-implementations
+    * round-trip as the plain stream. */
+  def encodeGrayMosaic(
+      blockValues: Array[Int],
+      blocksW: Int,
+      blocksH: Int,
+      restartInterval: Int = 0): Array[Byte] = {
     require(blocksW > 0 && blocksH > 0 && blocksW * 8 <= 65535 && blocksH * 8 <= 65535,
       s"bad mosaic dims ${blocksW}x$blocksH")
     require(blockValues.length == blocksW * blocksH,
@@ -111,14 +121,25 @@ object JpegFixtures {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { marker(0xdd); be2(4); be2(restartInterval) } // DRI
     marker(0xda); be2(2 + 1 + 2 + 3) // SOS
     out.write(1) // Ns
     out.write(1); out.write(0x00) // component 1, DC table 0 / AC table 0
     out.write(0); out.write(63); out.write(0) // Ss, Se, Ah/Al (baseline)
     val bw = new BitWriter(out)
     var prevDc = 0
+    var sinceRestart = 0
+    var rstIdx = 0
     var b = 0
     while (b < blockValues.length) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        bw.flush() // byte-align with 1-fill before the marker
+        marker(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        prevDc = 0 // predictors reset at a restart (T.81 E.2.4)
+        sinceRestart = 0
+      }
+      sinceRestart += 1
       val dc = 8 * (blockValues(b) - 128) // FDCT of a constant block, quant 1
       val diff = dc - prevDc
       prevDc = dc

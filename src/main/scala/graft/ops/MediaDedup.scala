@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** Media (image) deduplication for crawl curation — the multimodal twin of
   * the text dedup ladder: exact byte-identical copies first (mirrored
   * assets, re-hosted files), then PERCEPTUAL near-duplicates (re-encoded /
-  * lightly edited images) via 64-bit grid hashes
-  * ([[graft.functions.PngAHash64]] aHash /
-  * [[graft.functions.PngDHash64]] dHash) paired by the same
+  * lightly edited images — including CROSS-CODEC re-encodes, since the
+  * grid hashes dispatch over PNG and baseline JPEG with identical
+  * conventions) via 64-bit grid hashes
+  * ([[graft.functions.ImageAHash64]] aHash /
+  * [[graft.functions.ImageDHash64]] dHash) paired by the same
   * pigeonhole-banded Hamming machinery text SimHash uses
   * ([[Dedup.hammingPairs64]]) and clustered transitively
   * ([[Dedup.duplicateClusters]]).
@@ -43,10 +45,10 @@ object MediaDedup {
       .select(col(idCol).as("__id__"), sig(col(payloadCol)).as("__sim__"))
       .where(col("__sim__").isNotNull)
 
-  /** [[signatureTable]] under the image aHash. */
+  /** [[signatureTable]] under the codec-dispatching image aHash. */
   def aHashTable(media: DataFrame, payloadCol: String, idCol: String): DataFrame =
     signatureTable(media, payloadCol, idCol,
-      graft.functions.MediaFunctions.pngAHash64)
+      graft.functions.MediaFunctions.imageAHash64)
 
   /** Perceptual near-duplicate image pairs `(doc_a, doc_b, hamming)` with
     * aHash Hamming distance ≤ `maxHamming` — recall exactly 1 over the
@@ -98,7 +100,7 @@ object MediaDedup {
       maxHamming: Int = 3,
       chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain] = None): DataFrame =
     dedupReport(media, payloadCol, idCol,
-      graft.functions.MediaFunctions.pngAHash64, maxHamming, chain)
+      graft.functions.MediaFunctions.imageAHash64, maxHamming, chain)
 
   /** The [[imageDedupReport]] ladder for AUDIO: exact byte dedup, then
     * energy-envelope-hash near-dup clustering — same statuses, keepers,

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * LAION/DataComp-style pipeline runs on every crawled image BEFORE any
   * model touches it (Schuhmann et al. 2021 filter crawled pairs on image
   * size/aspect; DataComp's pools gate on min dims). All signals derive
-  * from the native [[graft.functions.PngPixelStats]] decode — dims,
+  * from the native codec-dispatching [[graft.functions.ImagePixelStats]]
+  * decode (PNG inflate+unfilter or baseline-JPEG Huffman+IDCT — a real
+  * crawl is mostly JPEG, and both codecs land in the same struct) — dims,
   * channel sums, channel min/max — so the whole battery is ONE codegen'd
   * projection per row inside the scan stage: zero shuffle, zero UDFs,
   * and a SQL oracle can recompute every signal from fixture bytes.
@@ -29,7 +31,7 @@ object MediaQuality {
     * `struct(width, height, n_px, aspect, mean_luma, dyn_range,
     * payload_bytes)`, NULL when the payload does not decode. */
   def imageSignals(payload: Column): Column = {
-    val p = graft.functions.MediaFunctions.pngPixelStats(payload)
+    val p = graft.functions.MediaFunctions.imagePixelStats(payload)
     val w = p.getField("width").cast("long")
     val h = p.getField("height").cast("long")
     val nPx = w * h
