@@ -677,6 +677,93 @@ object SparkEntry {
        |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS dh_lo
        |FROM ph_db GROUP BY media_id)""".stripMargin.replace("\n", " ")
 
+  /** CTEs reconstructing the MIXED-codec crawl fixture
+    * ([[graft.multimodal.Multimodal.warcMixedImageCrawlFromDocuments]])
+    * analytically: PNG rows as pixel-hex relations (the q135/q136 shape),
+    * JPEG rows as their 64 mosaic BLOCK VALUES (`vhx`, 128 hex chars) —
+    * the decoded pixels, which round-trip bit-exactly per JpegFixtures,
+    * so no entropy bytes are ever needed. Terminal CTEs:
+    *   - `pm(media_id, w, h, px)` — PNG mains + dent variants;
+    *   - `jm(media_id, vhx)` / `tm(media_id, vhx)` — JPEG mains +
+    *     XOR-1-dent variants / cross-codec 8×8 PNG thumbnails;
+    *   - `mx_sig(media_id, kind, w, h, stot, npxch, dr)` — battery
+    *     signals for every media row (`mean_luma = stot/npxch`);
+    *   - `mx_ah(media_id, ah_hi, ah_lo)` — aHash halves for every row
+    *     with ≥1 set bit (consumers LEFT JOIN + coalesce 0): PNGs via
+    *     [[phashCtes]], JPEG mosaics as one cell per block (s = 64·v,
+    *     c = 64), thumbnails one pixel per cell (s = 3·v, c = 1) — the
+    *     scale-invariant cross-multiplications make the three agree
+    *     exactly with the engine's per-pixel grid walk. */
+  private def mixedMediaCtes: String =
+    s"""mx0 AS (SELECT doc_id, text,
+       |(doc_id % 7 <> 0 AND doc_id % 3 = 1) AS isjpeg,
+       |(doc_id % 7 <> 0 AND doc_id % 3 = 1 AND doc_id % 33 = 1) AS jconst,
+       |(doc_id % 7 <> 0 AND doc_id % 3 = 1 AND doc_id % 33 <> 1 AND doc_id % 17 = 2) AS bright
+       |FROM documents WHERE text IS NOT NULL),
+       |mp0 AS (SELECT doc_id,
+       |CAST(CASE WHEN doc_id % 7 = 0 THEN 8 ELSE doc_id % 6 + 6 END AS INTEGER) AS w,
+       |CAST(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE doc_id % 4 + 5 END AS INTEGER) AS h,
+       |CASE WHEN doc_id % 7 = 0 THEN '' ELSE hex(encode(text)) END AS hx
+       |FROM mx0 WHERE NOT isjpeg),
+       |mpb AS (SELECT doc_id, w, h,
+       |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM mp0),
+       |pm AS (SELECT doc_id*10 AS media_id, w, h, px FROM mpb
+       |UNION ALL SELECT doc_id*10+1, w, h, '000000' || substr(px, 7) FROM mpb
+       |WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+       |mj0 AS (SELECT doc_id, jconst, bright,
+       |CASE WHEN jconst THEN hex(encode(substr(repeat('GRAFTJPEGCONSTANTGROUP', 3), 1, 64)))
+       |WHEN bright THEN repeat('FA', 64)
+       |ELSE substr(hex(encode(text)) || repeat('41', 64), 1, 128) END AS vhx
+       |FROM mx0 WHERE isjpeg),
+       |mjd AS (SELECT doc_id, substr(vhx, 1, 1) ||
+       |substr('0123456789ABCDEF',
+       |xor(strpos('0123456789ABCDEF', substr(vhx, 2, 1)) - 1, 1) + 1, 1) ||
+       |substr(vhx, 3) AS vhx
+       |FROM mj0 WHERE NOT jconst AND NOT bright AND doc_id % 5 = 0),
+       |jm AS (SELECT doc_id*10 AS media_id, vhx FROM mj0
+       |UNION ALL SELECT doc_id*10+1, vhx FROM mjd),
+       |tm AS (SELECT doc_id*10+2 AS media_id, vhx FROM mj0
+       |WHERE NOT jconst AND NOT bright AND doc_id % 13 = 3),
+       |jv AS (SELECT media_id, i AS cell,
+       |(strpos('0123456789ABCDEF', substr(vhx, 2*i+1, 1)) - 1) * 16
+       |+ (strpos('0123456789ABCDEF', substr(vhx, 2*i+2, 1)) - 1) AS v
+       |FROM (SELECT media_id, vhx, unnest(range(0, 64)) AS i FROM jm)),
+       |tv AS (SELECT media_id, i AS cell,
+       |(strpos('0123456789ABCDEF', substr(vhx, 2*i+1, 1)) - 1) * 16
+       |+ (strpos('0123456789ABCDEF', substr(vhx, 2*i+2, 1)) - 1) AS v
+       |FROM (SELECT media_id, vhx, unnest(range(0, 64)) AS i FROM tm)),
+       |mxjc AS (SELECT media_id, cell, 64*v AS s, CAST(64 AS BIGINT) AS c FROM jv
+       |UNION ALL SELECT media_id, cell, 3*v, 1 FROM tv),
+       |mxjt AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM mxjc GROUP BY media_id),
+       |mxjb AS (SELECT mxjc.media_id, cell AS b FROM mxjc
+       |JOIN mxjt ON mxjc.media_id = mxjt.media_id
+       |WHERE mxjc.s * mxjt.tc > mxjt.ts * mxjc.c),
+       |mxj_ah AS (SELECT media_id,
+       |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS ah_hi,
+       |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS ah_lo
+       |FROM mxjb GROUP BY media_id),
+       |${phashCtes("pm")},
+       |mx_ah AS (SELECT media_id, ah_hi, ah_lo FROM ph_ah
+       |UNION ALL SELECT media_id, ah_hi, ah_lo FROM mxj_ah),
+       |ps1 AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM pm),
+       |ps2 AS (SELECT media_id, i % 3 AS ci,
+       |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
+       |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM ps1),
+       |ps3 AS (SELECT media_id, ci, sum(u) AS su, min(u) AS mn, max(u) AS mx
+       |FROM ps2 GROUP BY media_id, ci),
+       |psig AS (SELECT pm.media_id, 'png' AS kind, pm.w, pm.h,
+       |sum(ps3.su) AS stot, 3*pm.w*pm.h AS npxch, max(ps3.mx - ps3.mn) AS dr
+       |FROM ps3 JOIN pm ON ps3.media_id = pm.media_id
+       |GROUP BY pm.media_id, pm.w, pm.h),
+       |jsig AS (SELECT media_id, 'jpg' AS kind, 64 AS w, 64 AS h,
+       |64*sum(v) AS stot, 4096 AS npxch, max(v) - min(v) AS dr
+       |FROM jv GROUP BY media_id),
+       |tsig AS (SELECT media_id, 'png' AS kind, 8 AS w, 8 AS h,
+       |3*sum(v) AS stot, 192 AS npxch, max(v) - min(v) AS dr
+       |FROM tv GROUP BY media_id),
+       |mx_sig AS (SELECT * FROM psig UNION ALL SELECT * FROM jsig
+       |UNION ALL SELECT * FROM tsig)""".stripMargin.replace("\n", " ")
+
   /** The q111 quality-classifier fit config — ONE definition consumed by
     * the Spark query AND baked into the oracle CTEs (same anti-drift
     * discipline as [[DsirBuckets]]). Bucket count inherits the
@@ -1767,6 +1854,55 @@ object SparkEntry {
         .select(col("media_id"),
           shiftrightunsigned(col("eh"), 32).as("eh_hi"),
           col("eh").bitwiseAND(lit(0xFFFFFFFFL)).as("eh_lo"))
+        .orderBy("media_id")
+    }),
+    // MIXED-codec battery + perceptual hash (the real-crawl shape: the
+    // image population is mostly JPEG): quality signals and aHash over a
+    // crawl interleaving PNGs with baseline-JPEG mosaics — one codegen'd
+    // scan projection through the codec-dispatching expressions; the
+    // oracle replays PNG signals from pixel hex and JPEG signals from the
+    // mosaic block values (bit-exact decode per JpegFixtures)
+    "q141_mixed_image_quality" -> ((s, dir) => {
+      val crawl = Multimodal.warcMixedImageCrawlFromDocuments(table(s, dir, "documents"))
+      val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+        .select(
+          regexp_extract(col("url"), "/media/(\\d+)\\.(png|jpg)$", 1)
+            .cast("long").as("media_id"),
+          regexp_extract(col("url"), "\\.(png|jpg)$", 1).as("kind"),
+          col("payload"))
+      media.select(col("media_id"), col("kind"),
+          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
+          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+        .select(col("media_id"), col("kind"), col("__s__"), col("__ah__"),
+          graft.ops.MediaQuality.imageGates(col("__s__")).as("__g__"))
+        .select(col("media_id"), col("kind"),
+          col("__s__.width").as("width"), col("__s__.height").as("height"),
+          round(col("__s__.aspect"), 6).as("aspect"),
+          round(col("__s__.mean_luma"), 6).as("mean_luma"),
+          col("__s__.dyn_range").as("dyn_range"),
+          col("__g__.ok_dims").as("ok_dims"), col("__g__.ok_aspect").as("ok_aspect"),
+          col("__g__.ok_dyn_range").as("ok_dyn_range"), col("__g__.ok_luma").as("ok_luma"),
+          col("__g__.passes").as("passes"),
+          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
+          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+        .orderBy("media_id")
+    }),
+    // the curation capstone over the MIXED crawl: gates-then-ladder with
+    // JPEG rows landing in every status — quality_reject (the bright
+    // plant), exact_dup (the constant JPEG group), near_dup (XOR-1 dent
+    // re-encodes AND cross-codec PNG thumbnails at Hamming 0), kept.
+    // Same q139 gate constants and freeze contract
+    "q142_mixed_media_pipeline" -> ((s, dir) => {
+      val crawl = Multimodal.warcMixedImageCrawlFromDocuments(table(s, dir, "documents"))
+      val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+        .select(
+          regexp_extract(col("url"), "/media/(\\d+)\\.(png|jpg)$", 1)
+            .cast("long").as("media_id"),
+          col("payload"))
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      graft.ops.MediaPipeline.curateImages(media, "payload", "media_id",
+        minDim = 6L, maxAspect = 2.2, minDynRange = 0L, lumaBounds = (60.0, 200.0),
+        maxHamming = 3, chain = Some(chain))
         .orderBy("media_id")
     }),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
@@ -3617,6 +3753,89 @@ object SparkEntry {
         |((dms BETWEEN 1000 AND 12000) AND least(w, h) >= 360
         |AND asp <= 2.5 AND nt <= 1) AS passes
         |FROM a ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // mixed-codec battery + aHash: PNG signals/hashes from pixel hex,
+    // JPEG ones from the mosaic block values (bit-exact decode), thumbs
+    // from the same values scaled — one signal relation, one hash
+    // relation, gates at the Scala defaults
+    "q141_mixed_image_quality" ->
+      s"""WITH $mixedMediaCtes
+         |SELECT CAST(s.media_id AS BIGINT) AS media_id, s.kind,
+         |CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
+         |round(CAST(greatest(s.w, s.h) AS DOUBLE) / least(s.w, s.h), 6) AS aspect,
+         |round(CAST(s.stot AS DOUBLE) / s.npxch, 6) AS mean_luma,
+         |CAST(s.dr AS BIGINT) AS dyn_range,
+         |least(s.w, s.h) >= 7 AS ok_dims,
+         |CAST(greatest(s.w, s.h) AS DOUBLE) / least(s.w, s.h) <= 1.8 AS ok_aspect,
+         |s.dr >= 8 AS ok_dyn_range,
+         |CAST(s.stot AS DOUBLE) / s.npxch BETWEEN 70.0 AND 200.0 AS ok_luma,
+         |(least(s.w, s.h) >= 7
+         |AND CAST(greatest(s.w, s.h) AS DOUBLE) / least(s.w, s.h) <= 1.8
+         |AND s.dr >= 8
+         |AND CAST(s.stot AS DOUBLE) / s.npxch BETWEEN 70.0 AND 200.0) AS passes,
+         |CAST(COALESCE(a.ah_hi, 0) AS BIGINT) AS ah_hi,
+         |CAST(COALESCE(a.ah_lo, 0) AS BIGINT) AS ah_lo
+         |FROM mx_sig s LEFT JOIN mx_ah a ON s.media_id = a.media_id
+         |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // mixed capstone replay: gates (q139 constants) over the unified
+    // signal relation, exact groups by codec-tagged content key (PNG
+    // framing and the JPEG encoder are both content-bijective; thumbs
+    // expand their blocks to the tripled pixel hex so a thumb that
+    // byte-equals a PNG row groups with it), then banding + recursive
+    // clustering over the unified hash relation — cross-codec pairs
+    // included
+    "q142_mixed_media_pipeline" ->
+      s"""WITH RECURSIVE $mixedMediaCtes,
+         |tpx AS (SELECT media_id,
+         |string_agg(repeat(substr(vhx, 2*i+1, 2), 3), '' ORDER BY i) AS px
+         |FROM (SELECT media_id, vhx, unnest(range(0, 64)) AS i FROM tm)
+         |GROUP BY media_id),
+         |allm AS (SELECT media_id, 'p:' || w || ':' || h || ':' || px AS ck FROM pm
+         |UNION ALL SELECT media_id, 'j:' || vhx FROM jm
+         |UNION ALL SELECT media_id, 'p:8:8:' || px FROM tpx),
+         |gt AS (SELECT media_id,
+         |(least(w, h) >= 6
+         |AND CAST(greatest(w, h) AS DOUBLE) / least(w, h) <= 2.2
+         |AND dr >= 0
+         |AND CAST(stot AS DOUBLE) / npxch BETWEEN 60.0 AND 200.0) AS p FROM mx_sig),
+         |poolk AS (SELECT allm.media_id, allm.ck FROM allm
+         |JOIN gt ON allm.media_id = gt.media_id AND gt.p),
+         |eg AS (SELECT media_id, ck,
+         |min(media_id) OVER (PARTITION BY ck) AS ekeep FROM poolk),
+         |ed AS (SELECT media_id, ekeep FROM eg WHERE media_id <> ekeep),
+         |sv AS (SELECT media_id FROM eg WHERE media_id = ekeep),
+         |sig AS (SELECT sv.media_id,
+         |CAST(COALESCE(a.ah_hi, 0) AS BIGINT) AS hi,
+         |CAST(COALESCE(a.ah_lo, 0) AS BIGINT) AS lo
+         |FROM sv LEFT JOIN mx_ah a ON sv.media_id = a.media_id),
+         |ch AS (SELECT media_id, hi, lo,
+         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+         |unnest([0, 1, 2, 3]) AS chunk FROM sig),
+         |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |FROM ch a JOIN ch b
+         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+         |pr AS (SELECT ma, mb FROM cand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+         |e AS (SELECT ma AS s, mb AS t FROM pr UNION ALL SELECT mb, ma FROM pr),
+         |reach(id, r) AS (SELECT media_id, media_id FROM sv
+         |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id),
+         |cl AS (SELECT id AS media_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |nk AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM cl)
+         |SELECT CAST(media_id AS BIGINT) AS media_id,
+         |'quality_reject' AS status, CAST(media_id AS BIGINT) AS keeper
+         |FROM gt WHERE NOT p
+         |UNION ALL
+         |SELECT CAST(poolk.media_id AS BIGINT) AS media_id,
+         |CASE WHEN ed.media_id IS NOT NULL THEN 'exact_dup'
+         |WHEN nk.nkeep <> poolk.media_id THEN 'near_dup'
+         |ELSE 'kept' END AS status,
+         |CAST(COALESCE(ed.ekeep,
+         |CASE WHEN nk.nkeep <> poolk.media_id THEN nk.nkeep END,
+         |poolk.media_id) AS BIGINT) AS keeper
+         |FROM poolk LEFT JOIN ed ON poolk.media_id = ed.media_id
+         |LEFT JOIN nk ON poolk.media_id = nk.media_id
+         |ORDER BY media_id""".stripMargin.replace("\n", " "),
     // audio battery: sr/ch from doc_id arithmetic, samples from the text
     // bytes (the q82 PCM convention), duration/rms as doubles rounded 6,
     // gate booleans on the UNROUNDED values; payload_bytes = 44-byte

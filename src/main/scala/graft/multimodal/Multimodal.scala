@@ -575,35 +575,50 @@ object Multimodal {
     * Every image byte derives analytically from `(doc_id, text)`, so a SQL
     * oracle re-frames the exact payloads and replays the dedup decisions
     * (q133/q135). */
-  def warcImageCrawlFromDocuments(docs: DataFrame): DataFrame = {
-    val id = col("doc_id").cast("string")
-    val date = concat(lit("2026-03-"),
-      lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"), lit("T00:00:00Z"))
+  /** The crawl fixtures' per-doc WARC-Date column (doc_id arithmetic). */
+  private def crawlDate: Column = concat(lit("2026-03-"),
+    lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"), lit("T00:00:00Z"))
+
+  /** The crawl fixtures' HTML response record (UTF-8, Content-Length over
+    * the HTTP block) — shared so the single- and mixed-codec builders
+    * frame the text half identically. */
+  private def crawlHtmlRec: Column = {
     val htmlBlock = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
       htmlFromDocuments(col("doc_id"), col("text")))
-    val htmlRec = encode(concat(
-      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://img.ex.com/page/"), id,
-      lit("\r\nWARC-Date: "), date,
+    encode(concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://img.ex.com/page/"),
+      col("doc_id").cast("string"),
+      lit("\r\nWARC-Date: "), crawlDate,
       lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
       length(encode(htmlBlock, "UTF-8")).cast("string"),
       lit("\r\n\r\n"), htmlBlock, lit("\r\n\r\n")), "UTF-8")
-    // image records are BINARY end-to-end: UTF-8 headers concatenated with
-    // the raw PNG bytes (Content-Length = byte length of the HTTP block)
-    def imageRec(mediaId: Column, png: Column): Column = {
-      val block = concat(
-        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"), "UTF-8"), png)
-      concat(
-        encode(concat(
-          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://img.ex.com/media/"),
-          mediaId.cast("string"), lit(".png"),
-          lit("\r\nWARC-Date: "), date,
-          lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
-          length(block).cast("string"),
-          lit("\r\n\r\n")), "UTF-8"),
-        block,
-        encode(lit("\r\n\r\n"), "UTF-8"))
-    }
+  }
+
+  /** A media response record, BINARY end-to-end: UTF-8 headers
+    * concatenated with the raw image bytes (Content-Length = byte length
+    * of the HTTP block). `ext`/`ctype` parameterize the codec
+    * (`png`/`image/png`, `jpg`/`image/jpeg`). */
+  private def crawlMediaRec(
+      mediaId: Column, ext: String, ctype: String, body: Column): Column = {
+    val block = concat(
+      encode(lit(s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n"), "UTF-8"), body)
+    concat(
+      encode(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://img.ex.com/media/"),
+        mediaId.cast("string"), lit(s".$ext"),
+        lit("\r\nWARC-Date: "), crawlDate,
+        lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        length(block).cast("string"),
+        lit("\r\n\r\n")), "UTF-8"),
+      block,
+      encode(lit("\r\n\r\n"), "UTF-8"))
+  }
+
+  def warcImageCrawlFromDocuments(docs: DataFrame): DataFrame = {
+    val htmlRec = crawlHtmlRec
+    def imageRec(mediaId: Column, png: Column): Column =
+      crawlMediaRec(mediaId, "png", "image/png", png)
     docs.where(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
       .withColumn("__const__", col("doc_id") % 7 === 0)
@@ -627,6 +642,122 @@ object Multimodal {
               unhex(pngHexFromPixels(col("w"), col("h"),
                 concat(lit("000000"), expr("substr(basepx, 7)")), 3, "0802000000"))))
             .otherwise(lit(Array.emptyByteArray))).as("payload"))
+  }
+
+  /** Block values of the mixed crawl's CONSTANT JPEG group (the exact-dup
+    * plant): the first 64 bytes of this repeated ASCII literal — all
+    * members byte-identical, mean luma mid-range so the group SURVIVES
+    * quality gating and exercises exact dedup (the q139 rationale). The
+    * DuckDB oracle replays it as
+    * `substr(repeat('GRAFTJPEGCONSTANTGROUP', 3), 1, 64)`. */
+  private[graft] val MixedJpegConstVals: Array[Int] =
+    ("GRAFTJPEGCONSTANTGROUP" * 3).take(64).map(_.toInt).toArray
+
+  /** Mixed-codec sibling of [[warcImageCrawlFromDocuments]] — the
+    * real-crawl shape where the image population is MOSTLY JPEG: one WARC
+    * payload per document holding the HTML response plus its media
+    * responses, PNG and baseline JPEG interleaved by doc_id class. Every
+    * decoded signal derives analytically from `(doc_id, text)`, so a SQL
+    * oracle replays the battery / hash / dedup decisions for BOTH codecs
+    * (JPEG entropy bytes are not SQL-replayable — the oracle replays the
+    * DECODED mosaic, which round-trips bit-exactly per [[JpegFixtures]];
+    * extraction framing itself is pinned byte-level by q133).
+    *
+    * Classes over docs with non-null text:
+    *   - `doc_id % 7 == 0`: the constant 8×6 PNG (exact-dup group),
+    *     unchanged from the single-codec fixture.
+    *   - else `doc_id % 3 == 1`: a GRAYSCALE 8×8-block JPEG mosaic
+    *     (64×64 px, one mosaic block per aHash grid cell), media
+    *     `doc_id·10`, url `….jpg`, type `image/jpeg`. Block values =
+    *     first 64 text bytes 'A'-padded, except:
+    *       - `doc_id % 33 == 1`: [[MixedJpegConstVals]] (JPEG exact-dup
+    *         group — byte-identical payloads);
+    *       - else `doc_id % 17 == 2`: all-250 blocks (bright + zero
+    *         dynamic range — the planted JPEG quality_reject);
+    *       - else `doc_id % 5 == 0`: ALSO a near-dup variant
+    *         `doc_id·10 + 1` with block 0 dented by XOR 1 — byte-different
+    *         entropy stream, aHash Hamming 0 (a ±1 luma dent cannot cross
+    *         the integer cell-vs-mean comparisons except at exact
+    *         equality), the re-encode dedup class;
+    *       - else `doc_id % 13 == 3`: ALSO a cross-codec PNG THUMBNAIL
+    *         `doc_id·10 + 2` — 8×8 RGB with pixel (r,c) = (v,v,v) of
+    *         block (r,c): aHash identical to the 64×64 JPEG (per-cell
+    *         comparisons are scale-invariant: cells shrink 64×, luma
+    *         triples, both sides of every cross-multiplication scale
+    *         together), so the downscaled re-host dedups against the
+    *         JPEG original ACROSS codecs.
+    *   - else: the varied-dims PNG of the single-codec fixture (with its
+    *     `% 5` one-pixel-dent variants). */
+  def warcMixedImageCrawlFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // JPEG payloads need the entropy encoder — a typed map builds ONLY the
+    // image bytes; classes, PNG pixels, and all WARC framing stay Column
+    // algebra so the rest of the fixture remains SQL-replayable
+    val withJpeg = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val isJpeg = id % 7 != 0 && id % 3 == 1
+        if (!isJpeg) (id, text, null: Array[Byte], null: Array[Byte])
+        else {
+          val jconst = id % 33 == 1
+          val bright = !jconst && id % 17 == 2
+          val vals =
+            if (jconst) MixedJpegConstVals
+            else if (bright) Array.fill(64)(250)
+            else {
+              val tb = text.getBytes("UTF-8")
+              Array.tabulate(64)(i => if (i < tb.length) tb(i) & 0xff else 'A'.toInt)
+            }
+          val main = JpegFixtures.encodeGrayMosaic(vals, 8, 8)
+          val variant =
+            if (!jconst && !bright && id % 5 == 0) {
+              val dent = vals.clone(); dent(0) ^= 1
+              JpegFixtures.encodeGrayMosaic(dent, 8, 8)
+            } else null
+          (id, text, main, variant)
+        }
+      }.toDF("doc_id", "text", "jpeg_main", "jpeg_variant")
+    val empty = lit(Array.emptyByteArray)
+    withJpeg
+      .withColumn("__const__", col("doc_id") % 7 === 0)
+      .withColumn("__jpeg__", col("jpeg_main").isNotNull)
+      .withColumn("w", when(col("__const__"), lit(8))
+        .otherwise(col("doc_id") % 6 + 6).cast("int"))
+      .withColumn("h", when(col("__const__"), lit(6))
+        .otherwise(col("doc_id") % 4 + 5).cast("int"))
+      .withColumn("npb", col("w") * col("h") * lit(3))
+      .withColumn("basepx", expr(
+        """substr(concat(CASE WHEN doc_id % 7 = 0 THEN ''
+          |ELSE hex(encode(text, 'UTF-8')) END,
+          |repeat('41', npb)), 1, 2*npb)""".stripMargin.replace("\n", " ")))
+      .withColumn("vhx", expr(
+        "substr(concat(hex(encode(text, 'UTF-8')), repeat('41', 64)), 1, 128)"))
+      .withColumn("__pvariant__",
+        !col("__jpeg__") && !col("__const__") && col("doc_id") % 5 === 0)
+      .withColumn("__thumb__", col("__jpeg__") && col("doc_id") % 13 === 3 &&
+        col("doc_id") % 33 =!= 1 && col("doc_id") % 17 =!= 2)
+      .withColumn("thumbpx", expr(
+        "array_join(transform(sequence(0, 63), i -> repeat(substr(vhx, 2*i+1, 2), 3)), '')"))
+      .select(col("doc_id").as("media_id"),
+        concat(
+          crawlHtmlRec,
+          when(col("__jpeg__"),
+            crawlMediaRec(col("doc_id") * 10, "jpg", "image/jpeg", col("jpeg_main")))
+            .otherwise(crawlMediaRec(col("doc_id") * 10, "png", "image/png",
+              unhex(pngHexFromPixels(col("w"), col("h"), col("basepx"), 3, "0802000000")))),
+          when(col("__pvariant__"),
+            crawlMediaRec(col("doc_id") * 10 + 1, "png", "image/png",
+              unhex(pngHexFromPixels(col("w"), col("h"),
+                concat(lit("000000"), expr("substr(basepx, 7)")), 3, "0802000000"))))
+            .otherwise(empty),
+          when(col("jpeg_variant").isNotNull,
+            crawlMediaRec(col("doc_id") * 10 + 1, "jpg", "image/jpeg",
+              col("jpeg_variant"))).otherwise(empty),
+          when(col("__thumb__"),
+            crawlMediaRec(col("doc_id") * 10 + 2, "png", "image/png",
+              unhex(pngHexFromPixels(lit(8), lit(8), col("thumbpx"), 3, "0802000000"))))
+            .otherwise(empty)).as("payload"))
   }
 
   /** Typed media rows harvested from WARC payloads by HTTP Content-Type —

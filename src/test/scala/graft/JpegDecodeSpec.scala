@@ -171,6 +171,77 @@ class JpegDecodeSpec extends SparkSpecBase {
     assert(out(3L).isEmpty)
   }
 
+  test("mixed crawl fixture: planted classes extract, decode, and pair as designed") {
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 140)
+    val crawl = Multimodal.warcMixedImageCrawlFromDocuments(docs)
+    val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+      .select(
+        regexp_extract(col("url"), "/media/(\\d+)\\.(png|jpg)$", 1).cast("long").as("media_id"),
+        regexp_extract(col("url"), "\\.(png|jpg)$", 1).as("kind"),
+        col("content_type"), col("payload"))
+    val rows = media.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2), r.getAs[Array[Byte]]("payload")))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1)).toMap
+    // expected media set per the doc_id class rules
+    val expected = texts.keySet.flatMap { id =>
+      val isJpeg = id % 7 != 0 && id % 3 == 1
+      val jconst = isJpeg && id % 33 == 1
+      val bright = isJpeg && !jconst && id % 17 == 2
+      Set(id * 10) ++
+        (if (isJpeg && !jconst && !bright && id % 5 == 0) Set(id * 10 + 1) else Set.empty) ++
+        (if (!isJpeg && id % 7 != 0 && id % 5 == 0) Set(id * 10 + 1) else Set.empty) ++
+        (if (isJpeg && !jconst && !bright && id % 13 == 3) Set(id * 10 + 2) else Set.empty)
+    }
+    assert(rows.keySet == expected)
+    // content types follow the extension; every payload decodes
+    rows.foreach { case (mid, (kind, ctype, payload)) =>
+      assert(ctype == (if (kind == "jpg") "image/jpeg" else "image/png"), s"media $mid")
+      assert(ImagePixelStats.parse(payload) != null, s"media $mid must decode")
+    }
+    // JPEG stats are the analytic mosaic values
+    val jpegDocs = texts.keys.filter(id => id % 7 != 0 && id % 3 == 1 &&
+      id % 33 != 1 && !(id % 17 == 2)).toSeq.sorted
+    assert(jpegDocs.nonEmpty)
+    jpegDocs.take(8).foreach { id =>
+      val tb = texts(id).getBytes("UTF-8")
+      val vals = Array.tabulate(64)(i => if (i < tb.length) tb(i) & 0xff else 'A'.toInt)
+      val st = ImagePixelStats.parse(rows(id * 10)._3)
+      assert(st.getInt(0) == 64 && st.getInt(1) == 64 && st.getInt(2) == 1)
+      assert(st.getArray(4).toLongArray()(0) == vals.map(_.toLong * 64).sum, s"doc $id")
+    }
+    // the planted pairs: variant at Hamming 0 (±1 dent), thumb at Hamming 0
+    // (scale-invariant grid comparisons), jconst byte-identical
+    jpegDocs.filter(_ % 5 == 0).foreach { id =>
+      val h = java.lang.Long.bitCount(
+        ImageGridHash.aHash(rows(id * 10)._3) ^ ImageGridHash.aHash(rows(id * 10 + 1)._3))
+      assert(h == 0, s"variant of doc $id at hamming $h")
+      assert(!java.util.Arrays.equals(rows(id * 10)._3, rows(id * 10 + 1)._3))
+    }
+    val thumbDocs = jpegDocs.filter(_ % 13 == 3)
+    assert(thumbDocs.nonEmpty, "fixture slice must contain a thumb pair")
+    thumbDocs.foreach { id =>
+      assert(rows(id * 10 + 2)._1 == "png")
+      assert(ImageGridHash.aHash(rows(id * 10)._3) ==
+        ImageGridHash.aHash(rows(id * 10 + 2)._3), s"thumb of doc $id")
+    }
+    val jconstDocs = texts.keys.filter(id => id % 7 != 0 && id % 3 == 1 && id % 33 == 1).toSeq
+    assert(jconstDocs.size >= 2, "need an exact-dup group")
+    val ref = rows(jconstDocs.head * 10)._3
+    jconstDocs.tail.foreach(id =>
+      assert(java.util.Arrays.equals(rows(id * 10)._3, ref), s"jconst doc $id"))
+    // the bright plant: battery rejects on luma AND dyn_range
+    val brightDocs = texts.keys.filter(id => id % 7 != 0 && id % 3 == 1 &&
+      id % 33 != 1 && id % 17 == 2)
+    assert(brightDocs.nonEmpty, "fixture slice must contain a bright reject")
+    brightDocs.foreach { id =>
+      val st = ImagePixelStats.parse(rows(id * 10)._3)
+      assert(st.getArray(5).toIntArray()(0) == 250 && st.getArray(6).toIntArray()(0) == 250)
+    }
+  }
+
   test("cross-codec re-encode dedups as near_dup through the image ladder") {
     val vals = Array(16, 235, 80, 170, 40, 210) // 3×2 blocks, distinct profile
     val pixels = Array.tabulate(24 * 16)(i => vals(((i / 24) / 8) * 3 + (i % 24) / 8))
