@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Repeated single-JVM timing of one SparkEntry query — the diagnosis
+  * tool for separating CODE regressions from measurement-context drift
+  * (JIT/codegen warmth, GC state): `Bench`'s min-of-two runs in a fresh
+  * JVM, so a fixed-overhead-dominated composite query reports whatever
+  * its second execution happens to pay in compilation, while N
+  * back-to-back runs converge to the steady-state cost. Two builds whose
+  * per-run-index times match within noise have identical code cost
+  * regardless of what their suite benches reported (the round-15 q128
+  * adjudication: 2.37 → 3.56 s across suite runs, yet run-index-matched
+  * probes agreed within 1% at every index and converged to 2.17 s).
+  *
+  * Usage: runMain graft.tools.QueryProbe <queryName> [runs] [sfDir]
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QueryProbe <queryName> [runs] [sfDir]")
+    val name = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 6
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'"))
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
