@@ -45,7 +45,13 @@ object Dedup {
     * collision can never merge distinct documents. `keyExpr` is evaluated
     * here only for the candidates (a small fraction of a real corpus): the
     * candidate ids come off the shared [[hashedNarrow]] exchange and are
-    * joined back to `df` by id (AQE broadcasts the small id list), so the
+    * joined back to `df` by id under an EXPLICIT broadcast hint — the
+    * two-phase design premises candidates ≪ corpus, and the hint keeps
+    * the payload side of this semi join exchange-free regardless of
+    * `autoBroadcastJoinThreshold`/AQE (an id-keyed shuffle here would
+    * move the full KEY bytes — document text, image payloads — through
+    * an exchange on exactly the high-duplication inputs where dedup
+    * pays; the MediaDedup payload-locality spec pins this). So the
     * full-key exchange this feeds is candidate-sized, not corpus-sized. */
   private def dupKeyed(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
     val hashed = hashedNarrow(df, keyExpr, idCol)
@@ -63,7 +69,7 @@ object Dedup {
     // corpus; inner joins stay put
     val dupIds = hashed.join(dupHashes, Seq("__h1__", "__h2__"))
       .select("__id__")
-    df.join(dupIds, col(idCol) === dupIds("__id__"), "left_semi")
+    df.join(broadcast(dupIds), col(idCol) === dupIds("__id__"), "left_semi")
       .select(keyExpr.as("__key__"), col(idCol).as("__id__"))
   }
 

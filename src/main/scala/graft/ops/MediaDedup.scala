@@ -81,9 +81,23 @@ object MediaDedup {
     * provenance of the decision, not transitive closure (compose with
     * [[Dedup.duplicateClusters]] for lineage-complete grouping).
     *
-    * The joins back onto the corpus are drop-list-sized (broadcast
-    * anti/left joins); nothing image-sized shuffles outside the exact
-    * stage's candidate re-verify. The LADDER, however, has ~8 consumers
+    * Payload-locality contract (plan-pinned in MultimodalSpec with auto
+    * broadcast DISABLED): image bytes never cross an exchange except the
+    * exact stage's candidate re-verify, whose exchange is keyed ON the
+    * payload itself and carries only the duplicate-candidate rows (the
+    * hash-narrow two-phase). The two decision tables are
+    * DUPLICATE-POPULATION-sized by construction —
+    * `exactPairs` is the exact drop list, and the near-dup keeper map is
+    * restricted to ids that appear in a Hamming pair (a singleton's
+    * cluster is itself; absent rows default to `kept` in the status
+    * CASE) — and both attach to the payload-carrying frame under
+    * EXPLICIT `broadcast()` hints, so the payload side never shuffles
+    * regardless of `autoBroadcastJoinThreshold` / AQE re-planning. On a
+    * pathological crawl whose duplicate population alone exceeds driver
+    * memory, take the decisions from the narrow stages directly
+    * ([[Dedup.duplicateIdPairs]] / [[nearDuplicateImagePairs]], id-sized
+    * shuffles) and attach payloads downstream of whatever reduction
+    * follows. The LADDER, however, has ~8 consumers
     * of `media` (hash-narrow, candidate re-verify, survivors, aHash
     * table, cluster nodes, the report joins) — when `media` is itself an
     * expensive derivation (a WARC walk + [[graft.multimodal.Multimodal.extractWarcMedia]],
@@ -101,6 +115,34 @@ object MediaDedup {
       chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain] = None): DataFrame =
     dedupReport(media, payloadCol, idCol,
       graft.functions.MediaFunctions.imageAHash64, maxHamming, chain)
+
+  /** Re-mux-class near-duplicate VIDEO pairs under the stsz sample-size
+    * contour ([[graft.functions.VideoSampleHash64]]) — a CONTAINER
+    * fingerprint: byte-different re-muxed/re-hosted copies of the same
+    * encoded stream pair up; re-ENCODES do not (every sample size
+    * changes) and dedup byte-exact only. Same banding machinery and
+    * recall-1 guarantee as the image/audio pairs. */
+  def nearDuplicateVideoPairs(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(signatureTable(media, payloadCol, idCol,
+      graft.functions.MediaFunctions.videoSampleHash64), maxHamming)
+
+  /** The [[imageDedupReport]] ladder for VIDEO: exact byte dedup, then
+    * sample-size-contour near-dup clustering (the re-mux class — see
+    * [[nearDuplicateVideoPairs]] for what this honestly does and does
+    * not catch) — same statuses, keepers, skew guards, and freeze
+    * contract. */
+  def videoDedupReport(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      chain: Option[org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain] = None): DataFrame =
+    dedupReport(media, payloadCol, idCol,
+      graft.functions.MediaFunctions.videoSampleHash64, maxHamming, chain)
 
   /** The [[imageDedupReport]] ladder for AUDIO: exact byte dedup, then
     * energy-envelope-hash near-dup clustering — same statuses, keepers,
@@ -128,16 +170,22 @@ object MediaDedup {
     val exactPairs = Dedup.duplicateIdPairs(m, col(payloadCol), idCol)
       .select(col("__id__").as("__eid__"), col("__keep__").as("__ekeep__"))
     val survivors = m
-      .join(exactPairs, col(idCol) === col("__eid__"), "left_anti")
+      .join(broadcast(exactPairs), col(idCol) === col("__eid__"), "left_anti")
     val pairs = Dedup.hammingPairs64(
       signatureTable(survivors, payloadCol, idCol, sig), maxHamming)
-    val clusters = Dedup.duplicateClusters(survivors, idCol, pairs)
+    // cluster only the ids that appear in a pair: singletons are their own
+    // keepers (the status CASE defaults absent rows to kept), so the
+    // keeper map is pair-participant-sized — not corpus-sized — and stays
+    // broadcastable by construction
+    val pairedIds = pairs.select(col("doc_a").as(idCol))
+      .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+    val clusters = Dedup.duplicateClusters(pairedIds, idCol, pairs)
     val keepers = clusters
       .withColumn("__nkeep__", min(col(idCol)).over(Window.partitionBy(col("cluster_id"))))
       .select(col(idCol).as("__nid__"), col("__nkeep__"))
     m
-      .join(exactPairs, col(idCol) === col("__eid__"), "left")
-      .join(keepers, col(idCol) === col("__nid__"), "left")
+      .join(broadcast(exactPairs), col(idCol) === col("__eid__"), "left")
+      .join(broadcast(keepers), col(idCol) === col("__nid__"), "left")
       .withColumn("status",
         when(col("__eid__").isNotNull, lit("exact_dup"))
           .when(col("__nkeep__").isNotNull && col("__nkeep__") =!= col(idCol),

@@ -890,6 +890,67 @@ class MultimodalSpec extends SparkSpecBase {
       .head().getBoolean(0) == false)
   }
 
+  test("dedupReport payload locality: binary crosses no exchange except the keyed re-verify") {
+    import graft.ops.MediaDedup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    // auto-broadcast OFF: without the explicit broadcast() hints on the
+    // decision-table attaches, AQE would plan id-keyed shuffle joins that
+    // move image BYTES through the exchange on exactly the crawls where
+    // dedup pays (high duplication). The hints must hold regardless.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+      val crawl = Multimodal.warcImageCrawlFromDocuments(docs)
+      val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+        .select(regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"), col("payload"))
+      // keep the payload in the OUTPUT (the q135-style narrow select would
+      // let column pruning hide the problem): dropDuplicateImages returns
+      // payload-carrying rows through both attach joins
+      val kept = MediaDedup.dropDuplicateImages(media, "payload", "media_id")
+      kept.queryExecution.toRdd.count() // finalize every AQE stage
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val expanded = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => p.children
+        }
+        p +: expanded.flatMap(flatten)
+      }
+      val exchanges = flatten(kept.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "the ladder must plan (hash-narrow) exchanges")
+      val binaryCarrying = exchanges.filter(
+        _.child.output.exists(_.dataType == BinaryType))
+      // the ONLY exchange allowed to carry bytes is the candidate
+      // re-verify, which is PARTITIONED BY the payload key itself —
+      // id-keyed exchanges must never carry payload as a passenger
+      binaryCarrying.foreach { e =>
+        val partitionsOnBinary = e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.exists(_.dataType == BinaryType)
+          case _ => false
+        }
+        assert(partitionsOnBinary,
+          s"exchange carries binary but is not the keyed re-verify:\n$e")
+      }
+      // and the decisions themselves are unchanged by the restriction of
+      // the keeper map to pair participants
+      val report = MediaDedup.imageDedupReport(media, "payload", "media_id")
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(report.getOrElse("exact_dup", 0L) > 0 &&
+        report.getOrElse("near_dup", 0L) > 0 && report.getOrElse("kept", 0L) > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("imageDedupReport freeze knob: identical decisions, one upstream extraction") {
     import graft.ops.MediaDedup
     import org.apache.spark.sql.graftbridge.DatasetBridge
