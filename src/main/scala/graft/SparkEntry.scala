@@ -764,6 +764,37 @@ object SparkEntry {
        |mx_sig AS (SELECT * FROM psig UNION ALL SELECT * FROM jsig
        |UNION ALL SELECT * FROM tsig)""".stripMargin.replace("\n", " ")
 
+  /** CTEs reconstructing the sampled-video fixture
+    * ([[graft.multimodal.Multimodal.videoWithSamplesFromDocuments]]) and
+    * its stsz contour hash: `vmm(media_id, doc_id, isconst, isvar, vhx)`
+    * — mains + re-mux variants sharing the main's size bytes — and
+    * `vs_ah(media_id, sh_hi, sh_lo)` (rows only for hashes with ≥1 set
+    * bit; consumers LEFT JOIN + coalesce 0). Window sums are L = 2
+    * consecutive size bytes (130 samples / 65 windows), bit `b` iff
+    * `win(b) > win(b+1)` — the engine's exact integer convention. */
+  private def videoHashCtes: String =
+    s"""vm0 AS (SELECT doc_id, (doc_id % 9 = 0) AS isconst,
+       |CASE WHEN doc_id % 9 = 0
+       |THEN hex(encode(substr(repeat('GRAFTVIDEOCONSTANTGROUP!', 6), 1, 130)))
+       |ELSE substr(hex(encode(text)) || repeat('41', 130), 1, 260) END AS vhx
+       |FROM documents WHERE text IS NOT NULL),
+       |vmm AS (SELECT doc_id*10 AS media_id, doc_id, isconst, 0 AS isvar, vhx FROM vm0
+       |UNION ALL SELECT doc_id*10+1, doc_id, isconst, 1, vhx FROM vm0
+       |WHERE NOT isconst AND doc_id % 4 = 1),
+       |vsw AS (SELECT media_id, w, sum(v) AS e FROM
+       |(SELECT media_id, i // 2 AS w,
+       |(strpos('0123456789ABCDEF', substr(vhx, 2*i+1, 1)) - 1) * 16
+       |+ (strpos('0123456789ABCDEF', substr(vhx, 2*i+2, 1)) - 1) AS v
+       |FROM (SELECT media_id, vhx, unnest(range(0, 130)) AS i FROM vmm))
+       |GROUP BY media_id, w),
+       |vsb AS (SELECT l.media_id, l.w AS b FROM vsw l JOIN vsw r
+       |ON l.media_id = r.media_id AND r.w = l.w + 1
+       |WHERE l.w < 64 AND l.e > r.e),
+       |vs_ah AS (SELECT media_id,
+       |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS sh_hi,
+       |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS sh_lo
+       |FROM vsb GROUP BY media_id)""".stripMargin.replace("\n", " ")
+
   /** The q111 quality-classifier fit config — ONE definition consumed by
     * the Spark query AND baked into the oracle CTEs (same anti-drift
     * discipline as [[DsirBuckets]]). Bucket count inherits the
@@ -1903,6 +1934,56 @@ object SparkEntry {
       graft.ops.MediaPipeline.curateImages(media, "payload", "media_id",
         minDim = 6L, maxAspect = 2.2, minDynRange = 0L, lumaBounds = (60.0, 200.0),
         maxHamming = 3, chain = Some(chain))
+        .orderBy("media_id")
+    }),
+    // chunked-transfer captures: the WARC walk now DECHUNKS HTTP bodies
+    // whose headers say Transfer-Encoding: chunked — text bodies come out
+    // as the exact document bytes (no framing noise), PNG bodies decode
+    // through the native dims parser; the oracle replays every dechunked
+    // field arithmetically (the q106 convention)
+    "q143_warc_chunked" -> ((s, dir) => {
+      val w = Multimodal.warcChunkedCrawlFromDocuments(table(s, dir, "documents"))
+      w.select(col("media_id"),
+          explode(graft.functions.WarcFunctions.warcRecords(col("payload"))).as("r"))
+        .select(col("media_id").as("doc_id"),
+          when(col("r.content_type").startsWith("image/"), lit("png"))
+            .otherwise(lit("text")).as("kind"),
+          col("r.http_status").cast("long").as("http_status"),
+          col("r.content_type").as("content_type"),
+          length(col("r.body")).cast("long").as("n_bytes"),
+          graft.functions.MediaFunctions.imageDims(col("r.body")).as("d"),
+          col("r.body").as("body"))
+        .select(col("doc_id"), col("kind"), col("http_status"), col("content_type"),
+          col("n_bytes"),
+          col("d.width").cast("long").as("width"),
+          col("d.height").cast("long").as("height"),
+          when(col("kind") === "text", col("body").cast("string")).as("body_text"))
+        .orderBy("doc_id", "kind")
+    }),
+    // video container fingerprint (the aHash/envelope analogue for the
+    // third modality): 65-window sample-SIZE contour from the stsz box —
+    // integer-exact, so DuckDB replays every window sum from the same
+    // text bytes; honestly a container signature (re-mux class), not a
+    // content hash. Unsigned 32-bit halves (the q134 convention)
+    "q144_video_sample_hash" -> ((s, dir) => {
+      val m = Multimodal.videoWithSamplesFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.functions.MediaFunctions.videoSampleHash64(col("payload")).as("sh"))
+        .where(col("sh").isNotNull)
+        .select(col("media_id"),
+          shiftrightunsigned(col("sh"), 32).as("sh_hi"),
+          col("sh").bitwiseAND(lit(0xFFFFFFFFL)).as("sh_lo"))
+        .orderBy("media_id")
+    }),
+    // video dedup ladder: exact byte dedup (the constant-clip group) +
+    // sample-size-contour clustering — byte-different RE-MUXED copies
+    // (different brand, doubled timescale, same encoded samples) dedup at
+    // Hamming 0; the oracle replays exact groups, window sums, banding,
+    // and the recursive clustering from doc arithmetic
+    "q145_video_dedup" -> ((s, dir) => {
+      val m = Multimodal.videoWithSamplesFromDocuments(table(s, dir, "documents"))
+      graft.ops.MediaDedup.videoDedupReport(m, "payload", "media_id")
+        .select(col("media_id"), col("status"), col("keeper"))
         .orderBy("media_id")
     }),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
@@ -3836,6 +3917,70 @@ object SparkEntry {
          |FROM poolk LEFT JOIN ed ON poolk.media_id = ed.media_id
          |LEFT JOIN nk ON poolk.media_id = nk.media_id
          |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // video contour hash bit-for-bit from the same text bytes (windows of
+    // two consecutive size bytes); variants share the main's bytes
+    "q144_video_sample_hash" ->
+      s"""WITH $videoHashCtes
+         |SELECT CAST(vmm.media_id AS BIGINT) AS media_id,
+         |CAST(COALESCE(vs_ah.sh_hi, 0) AS BIGINT) AS sh_hi,
+         |CAST(COALESCE(vs_ah.sh_lo, 0) AS BIGINT) AS sh_lo
+         |FROM vmm LEFT JOIN vs_ah ON vmm.media_id = vs_ah.media_id
+         |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // video ladder replay: the exact stage is EXACTLY the constant-clip
+    // group (non-constant payloads embed doc-unique durations, variants
+    // differ from mains by brand/timescale bytes), then banding +
+    // recursive clustering over the contour hashes
+    "q145_video_dedup" ->
+      s"""WITH RECURSIVE $videoHashCtes,
+         |veg AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY CASE WHEN isconst THEN 'c'
+         |ELSE 'd' || media_id END) AS ekeep FROM vmm),
+         |ved AS (SELECT media_id, ekeep FROM veg WHERE media_id <> ekeep),
+         |vsv AS (SELECT media_id FROM veg WHERE media_id = ekeep),
+         |sig AS (SELECT vsv.media_id,
+         |CAST(COALESCE(a.sh_hi, 0) AS BIGINT) AS hi,
+         |CAST(COALESCE(a.sh_lo, 0) AS BIGINT) AS lo
+         |FROM vsv LEFT JOIN vs_ah a ON vsv.media_id = a.media_id),
+         |ch AS (SELECT media_id, hi, lo,
+         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+         |unnest([0, 1, 2, 3]) AS chunk FROM sig),
+         |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |FROM ch a JOIN ch b
+         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+         |pr AS (SELECT ma, mb FROM cand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+         |e AS (SELECT ma AS s, mb AS t FROM pr UNION ALL SELECT mb, ma FROM pr),
+         |reach(id, r) AS (SELECT media_id, media_id FROM vsv
+         |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id),
+         |cl AS (SELECT id AS media_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |nk AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM cl)
+         |SELECT CAST(vmm.media_id AS BIGINT) AS media_id,
+         |CASE WHEN ved.media_id IS NOT NULL THEN 'exact_dup'
+         |WHEN nk.nkeep <> vmm.media_id THEN 'near_dup'
+         |ELSE 'kept' END AS status,
+         |CAST(COALESCE(ved.ekeep,
+         |CASE WHEN nk.nkeep <> vmm.media_id THEN nk.nkeep END,
+         |vmm.media_id) AS BIGINT) AS keeper
+         |FROM vmm LEFT JOIN ved ON vmm.media_id = ved.media_id
+         |LEFT JOIN nk ON vmm.media_id = nk.media_id
+         |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // chunked WARC replay: the dechunked text body IS the document text,
+    // the dechunked PNG is the fixed stored-deflate framing (n_bytes from
+    // the q133 arithmetic), dims from doc_id — nothing about the chunk
+    // framing survives into the output, which is exactly the point
+    "q143_warc_chunked" ->
+      """WITH m AS (SELECT doc_id, text,
+        |CAST(doc_id % 6 + 2 AS BIGINT) AS w, CAST(doc_id % 4 + 2 AS BIGINT) AS h
+        |FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, 'png' AS kind, CAST(200 AS BIGINT) AS http_status,
+        |'image/png' AS content_type,
+        |CAST(h*(1+3*w) + 68 AS BIGINT) AS n_bytes,
+        |w AS width, h AS height, CAST(NULL AS VARCHAR) AS body_text FROM m
+        |UNION ALL SELECT doc_id, 'text', 200, 'text/plain; charset=utf-8',
+        |CAST(octet_length(encode(text)) AS BIGINT), NULL, NULL, text FROM m
+        |ORDER BY doc_id, kind""".stripMargin.replace("\n", " "),
     // audio battery: sr/ch from doc_id arithmetic, samples from the text
     // bytes (the q82 PCM convention), duration/rms as doubles rounded 6,
     // gate booleans on the UNROUNDED values; payload_bytes = 44-byte

@@ -872,7 +872,7 @@ object VideoMeta {
     * null when the header is truncated / the size is inconsistent. Sizes
     * are unsigned 32-bit (Long math throughout — a forged size near 2³²
     * must fail the bounds check, not wrap negative). */
-  private def box(b: Array[Byte], at: Long, end: Long): Array[Long] = {
+  private[functions] def box(b: Array[Byte], at: Long, end: Long): Array[Long] = {
     if (at + 8 > end) return null
     val i = at.toInt
     var size = be32(b, i)
@@ -992,6 +992,155 @@ object VideoMeta {
   }
 }
 
+/** 64-bit CONTAINER fingerprint of an ISO-BMFF video — honestly a
+  * container-level signature, not a content hash: the bits derive from
+  * the first video track's `stsz` sample-SIZE contour (65 equal windows
+  * of `L = n/65` samples, window sums of encoded-sample byte sizes, bit
+  * `b` at `63−b` set iff `sum(b) > sum(b+1)` — exactly the
+  * [[PcmEnvelopeHash64]] convention one modality over). Encoded sample
+  * sizes survive re-muxing, brand changes, metadata edits, and
+  * re-hosting (the `mdat` bytes and their `stsz` index move verbatim
+  * between containers), so byte-different re-muxed copies fingerprint
+  * identically and dedup through [[graft.ops.Dedup.hammingPairs64]];
+  * a RE-ENCODE changes every sample size and is out of scope by design
+  * (document the gap, don't fake it with pixel claims).
+  *
+  * Track selection mirrors [[VideoMeta]]: the first `vide`-handler track,
+  * falling back to the first track with a sample table. NULL for
+  * non-ISO-BMFF payloads, tracks without a parseable `stsz`, fewer than
+  * 65 samples (too short to contour), fixed-sample-size tables with
+  * `sample_count < 65`, and guards against forged counts
+  * (`sample_count` capped at 2²⁰ — window sums stay far inside Long). */
+case class VideoSampleHash64(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"video_sample_hash64 requires binary, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VideoSampleHash64.compute(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vsh")
+      s"""
+         |Long $r = graft.functions.VideoSampleHash64.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VideoSampleHash64 {
+
+  /** Forged-count guard: sample tables past this are rejected, keeping
+    * every window sum under 2²⁰·2³² < 2⁵³. */
+  private val MaxSamples = 1 << 20
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** Walk `[p, end)` for the first child box named `name`; null if absent.
+    * Returns (payloadStart, boxEnd). */
+  private def find(b: Array[Byte], p0: Long, end: Long, name: String): Array[Long] = {
+    var p = p0
+    while (p + 8 <= end) {
+      val h = VideoMeta.box(b, p, end)
+      if (h == null) return null
+      if (tag(b, p.toInt + 4, name)) return h
+      p = h(1)
+    }
+    null
+  }
+
+  def compute(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 16) return null
+    val len = b.length.toLong
+    // top level: locate moov (tolerate anything else, as VideoMeta does)
+    var moov: Array[Long] = null
+    var i = 0L
+    while (i + 8 <= len && moov == null) {
+      val h = VideoMeta.box(b, i, len)
+      if (h == null) return null
+      if (tag(b, i.toInt + 4, "moov")) moov = h
+      i = h(1)
+    }
+    if (moov == null) return null
+    // per trak: handler + stsz location; prefer the first 'vide' track,
+    // fall back to the first track owning a sample table
+    var pick: Array[Long] = null // stsz payload bounds of the chosen track
+    var pickIsVide = false
+    var t = moov(0)
+    while (t + 8 <= moov(1) && !pickIsVide) {
+      val th = VideoMeta.box(b, t, moov(1))
+      if (th == null) return null
+      if (tag(b, t.toInt + 4, "trak")) {
+        val mdia = find(b, th(0), th(1), "mdia")
+        if (mdia != null) {
+          val hdlr = find(b, mdia(0), mdia(1), "hdlr")
+          val isVide = hdlr != null && hdlr(0) + 12 <= hdlr(1) &&
+            tag(b, (hdlr(0) + 8).toInt, "vide")
+          val minf = find(b, mdia(0), mdia(1), "minf")
+          val stbl = if (minf == null) null else find(b, minf(0), minf(1), "stbl")
+          val stsz = if (stbl == null) null else find(b, stbl(0), stbl(1), "stsz")
+          if (stsz != null && (pick == null || isVide)) {
+            pick = stsz
+            pickIsVide = isVide
+          }
+        }
+      }
+      t = th(1)
+    }
+    if (pick == null) return null
+    // stsz: version/flags(4) sample_size(4) sample_count(4) [entries(4·n)]
+    val p = pick(0)
+    if (p + 12 > pick(1)) return null
+    val fixedSize = be32(b, (p + 4).toInt)
+    val n = be32(b, (p + 8).toInt)
+    if (n < 65L || n > MaxSamples) return null
+    val L = n / 65L
+    val e = new Array[Long](65)
+    if (fixedSize != 0L) {
+      // all samples equal: every window sums L·fixedSize — a legal (all
+      // zero bits) contour; keep it deterministic rather than rejecting
+      java.util.Arrays.fill(e, L * fixedSize)
+    } else {
+      if (p + 12 + 4L * n > pick(1)) return null // truncated entry table
+      var w = 0
+      while (w < 65) {
+        var k = w * L
+        val kEnd = k + L
+        var sum = 0L
+        while (k < kEnd) {
+          sum += be32(b, (p + 12 + 4 * k).toInt)
+          k += 1
+        }
+        e(w) = sum
+        w += 1
+      }
+    }
+    var hash = 0L
+    var bb = 0
+    while (bb < 64) {
+      if (e(bb) > e(bb + 1)) hash |= 1L << (63 - bb)
+      bb += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+}
+
 object MediaFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -1054,4 +1203,11 @@ object MediaFunctions {
   /** `image_dhash64(payload)` — codec-dispatching dHash sibling. */
   def imageDHash64(payload: Column): Column =
     ColumnBridge.column(ImageDHash64(ColumnBridge.expression(payload)))
+
+  /** `video_sample_hash64(payload)` — 64-bit container fingerprint over
+    * the first video track's stsz sample-size contour (re-mux-invariant;
+    * NOT a content hash — re-encodes change every size); NULL for
+    * unparseable containers / missing stsz / under 65 samples. */
+  def videoSampleHash64(payload: Column): Column =
+    ColumnBridge.column(VideoSampleHash64(ColumnBridge.expression(payload)))
 }

@@ -28,6 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     a `HTTP/x.y NNN` status line (NULL for requests), `content_type`
   *     from the HTTP `Content-Type` header; any other block is returned
   *     whole as `body` with the record-level `content_type`.
+  *   - an HTTP body whose headers carry `Transfer-Encoding: chunked`
+  *     (RFC 9112 §7.1 — common in live captures that record the wire
+  *     bytes) is DECHUNKED: chunk-size lines (hex, optional `;ext`
+  *     extensions) and their CRLF framing are stripped, the chunk data
+  *     concatenated, trailers after the 0-size chunk ignored; the
+  *     decoded size rides the same [[WarcRecords.MaxDecompressed]] guard
+  *     as gzip. A malformed chunked body (bad hex, truncated chunk,
+  *     missing CRLF) yields a NULL `body` for THAT record — the WARC
+  *     framing is still sound, so sibling records survive; without
+  *     dechunking, the text path would keep chunk-size framing noise
+  *     inside documents and every media decode would reject.
   *   - NULL in → NULL out; anything malformed (bad framing, missing
   *     Content-Length, truncation, gzip errors, decompressed size over
   *     [[WarcRecords.MaxDecompressed]]) → NULL for the whole payload —
@@ -78,7 +89,9 @@ object WarcRecords {
     StructField("warc_date", StringType, nullable = true),
     StructField("http_status", IntegerType, nullable = true),
     StructField("content_type", StringType, nullable = true),
-    StructField("body", BinaryType, nullable = false)))
+    // nullable: a record whose CHUNKED body is malformed keeps its headers
+    // but cannot offer decoded bytes
+    StructField("body", BinaryType, nullable = true)))
 
   /** Decompression cap: a gzip member claiming more than this is rejected
     * (NULL) rather than ballooning executor memory — crawl data is
@@ -92,6 +105,44 @@ object WarcRecords {
       i += 1
     }
     -1
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int, end: Int): Int = {
+    var i = from
+    while (i + 1 < end) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode an RFC 9112 §7.1 chunked body in `[start, end)`: hex size
+    * line (optional `;ext`), CRLF, `size` data bytes, CRLF — until the
+    * 0-size chunk (trailers ignored; the WARC Content-Length already
+    * bounds the block, so nothing after the terminator needs consuming).
+    * Null for anything malformed or over [[MaxDecompressed]] decoded. */
+  private def dechunk(b: Array[Byte], start: Int, end: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(end - start, 1 << 16).max(16))
+    var p = start
+    while (true) {
+      val lineEnd = indexOfCrlf(b, p, end)
+      if (lineEnd < 0 || lineEnd - p > 32) return null // size line: bounded
+      val line = new String(b, p, lineEnd - p, java.nio.charset.StandardCharsets.US_ASCII)
+      val semi = line.indexOf(';')
+      val hexStr = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val size =
+        try java.lang.Long.parseLong(hexStr, 16)
+        catch { case _: NumberFormatException => return null }
+      if (size < 0 || size > MaxDecompressed) return null
+      p = lineEnd + 2
+      if (size == 0) return out.toByteArray
+      if (p + size + 2 > end) return null // truncated chunk (data + CRLF)
+      out.write(b, p, size.toInt)
+      if (out.size > MaxDecompressed) return null
+      p += size.toInt + 2
+      if (!(b(p - 2) == '\r' && b(p - 1) == '\n')) return null
+    }
+    null // unreachable
   }
 
   /** Inflate a (possibly multi-member) gzip stream, or null on any error.
@@ -160,6 +211,7 @@ object WarcRecords {
       var outCt: String = null
       var bodyStart = blockStart
       var bodyLen = cl.toInt
+      var teChunked = false
       if (warcCt != null &&
           warcCt.toLowerCase(java.util.Locale.ROOT).startsWith("application/http")) {
         // if the block has no CRLFCRLF header/body boundary (a truncated or
@@ -181,9 +233,15 @@ object WarcRecords {
           var hi = 1
           while (hi < hLines.length) {
             val c2 = hLines(hi).indexOf(':')
-            if (c2 > 0 && hLines(hi).substring(0, c2).trim
-                .equalsIgnoreCase("Content-Type"))
-              outCt = hLines(hi).substring(c2 + 1).trim
+            if (c2 > 0) {
+              val hName = hLines(hi).substring(0, c2).trim
+              if (hName.equalsIgnoreCase("Content-Type"))
+                outCt = hLines(hi).substring(c2 + 1).trim
+              else if (hName.equalsIgnoreCase("Transfer-Encoding") &&
+                  hLines(hi).substring(c2 + 1).toLowerCase(java.util.Locale.ROOT)
+                    .contains("chunked"))
+                teChunked = true
+            }
             hi += 1
           }
           bodyStart = hEnd + 4
@@ -192,7 +250,9 @@ object WarcRecords {
       } else {
         outCt = warcCt
       }
-      val body = java.util.Arrays.copyOfRange(data, bodyStart, bodyStart + bodyLen)
+      val body: Array[Byte] =
+        if (teChunked) dechunk(data, bodyStart, bodyStart + bodyLen)
+        else java.util.Arrays.copyOfRange(data, bodyStart, bodyStart + bodyLen)
       def u(s: String): Any = if (s == null) null else UTF8String.fromString(s)
       out += InternalRow(
         UTF8String.fromString(recType),

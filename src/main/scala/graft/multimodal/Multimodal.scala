@@ -358,6 +358,95 @@ object Multimodal {
       concat(unhex(hexAll), encode(col("text"), "UTF-8")).as("payload"))
   }
 
+  /** Byte values of the video fixture's CONSTANT sample-size table (the
+    * byte-dup plant): first 130 bytes of this repeated literal. The
+    * oracle replays it as
+    * `hex(encode(substr(repeat('GRAFTVIDEOCONSTANTGROUP!', 6), 1, 130)))`. */
+  private[graft] val VideoConstSizesHex: String = {
+    val s = ("GRAFTVIDEOCONSTANTGROUP!" * 6).take(130)
+    s.getBytes("US-ASCII").map(b => f"$b%02X").mkString
+  }
+
+  /** VIDEO media table with real SAMPLE TABLES — the
+    * [[videoFromDocuments]] box tree extended with a full
+    * `mdia/minf/stbl/stsz` chain (130 per-sample sizes = the document's
+    * first 130 text bytes, 'A'-padded), so the container fingerprint
+    * ([[graft.functions.VideoSampleHash64]]) walks a spec-shaped sample
+    * table. Planted dedup classes, all analytic:
+    *   - `doc_id % 9 == 0`: the CONSTANT clip — fixed brand/timescale/
+    *     duration/dims, [[VideoConstSizesHex]] sizes, fixed mdat — a
+    *     byte-identical exact-dup group;
+    *   - else `doc_id % 4 == 1`: ALSO a RE-MUX variant `doc_id·10 + 1` —
+    *     same sample sizes and mdat, different brand (`mp42`) and
+    *     doubled timescale: byte-different container, IDENTICAL
+    *     sample-size contour (Hamming 0), the re-host class the
+    *     signature exists for.
+    * Non-constant payloads are pairwise distinct by construction (the
+    * tkhd/mvhd duration embeds `doc_id % 9000 + 600`, injective below
+    * 9000 docs), so the oracle's exact stage is the constant group and
+    * nothing else. */
+  def videoWithSamplesFromDocuments(docs: DataFrame): DataFrame = {
+    def bh(c: Column, nBytes: Int): Column = lpad(hex(c), nBytes * 2, "0")
+    val isConst = col("doc_id") % 9 === 0
+    val matrix =
+      "000100000000000000000000" + "000000000001000000000000" +
+        "000000000000000040000000"
+    def payloadHex(brandHex: Column, ts: Column, dur: Column,
+        wc: Column, hc: Column, vhx: Column, mdatHex: Column): Column = {
+      val entries = array_join(
+        transform(sequence(lit(0), lit(129)),
+          i => concat(lit("000000"), vhx.substr(i * 2 + 1, lit(2)))), "")
+      val stsz = concat(
+        lit("0000021C" + "7374737A" + "00000000" + "00000000" + "00000082"),
+        entries) // version/flags, sample_size=0, count=130
+      val mdia = concat(
+        lit("00000255" + "6D646961" +
+          "00000021" + "68646C72" + "00000000" + "00000000" +
+          "76696465" + "0" * 24 + "00"), // hdlr 'vide'
+        lit("0000022C" + "6D696E66" + "00000224" + "7374626C"), stsz)
+      val tkhd = concat(
+        lit("0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" +
+          "00000001" + "00000000"), bh(dur, 4),
+        lit("0000000000000000" + "0000" + "0000" + "0000" + "0000" + matrix),
+        bh(wc, 2), lit("0000"), bh(hc, 2), lit("0000"))
+      val mvhd = concat(
+        lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+        bh(ts, 4), bh(dur, 4),
+        lit("00010000" + "0100" + "0000" + "0000000000000000" + matrix + "0" * 48),
+        lit("00000002"))
+      concat(
+        lit("00000010" + "66747970"), brandHex, lit("00000200"),
+        lit("0000032D" + "6D6F6F76"), mvhd,
+        lit("000002B9" + "7472616B"), tkhd, mdia,
+        bh((length(mdatHex) / 2 + 8).cast("long"), 4), lit("6D646174"), mdatHex)
+    }
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .withColumn("vhx", when(isConst, lit(VideoConstSizesHex))
+        .otherwise(expr(
+          "substr(concat(hex(encode(text, 'UTF-8')), repeat('41', 130)), 1, 260)")))
+      .withColumn("brand", when(isConst, lit("69736F6D")).otherwise(lit("69736F6D")))
+      .withColumn("ts", when(isConst, lit(600L))
+        .otherwise((col("doc_id") % 4 + 1).cast("long") * 600L))
+      .withColumn("dur", when(isConst, lit(1200L))
+        .otherwise((col("doc_id") % 9000 + 600).cast("long")))
+      .withColumn("w", when(isConst, lit(320L))
+        .otherwise((col("doc_id") % 8 * 160 + 320).cast("long")))
+      .withColumn("h", when(isConst, lit(240L))
+        .otherwise((col("doc_id") % 6 * 120 + 240).cast("long")))
+      .withColumn("mdathex", when(isConst, lit("4D444154"))
+        .otherwise(hex(encode(col("text"), "UTF-8"))))
+    val main = base.select(
+      (col("doc_id") * 10).as("media_id"),
+      unhex(payloadHex(col("brand"), col("ts"), col("dur"),
+        col("w"), col("h"), col("vhx"), col("mdathex"))).as("payload"))
+    val variant = base.where(!isConst && col("doc_id") % 4 === 1).select(
+      (col("doc_id") * 10 + 1).as("media_id"),
+      unhex(payloadHex(lit("6D703432"), col("ts") * 2, col("dur"),
+        col("w"), col("h"), col("vhx"), col("mdathex"))).as("payload"))
+    main.unionByName(variant)
+  }
+
   /** [[graft.functions.PngPixelStats]] result row → [[PixelStats]] (the
     * shared shape both decode paths feed into). */
   private def rowStats(px: org.apache.spark.sql.catalyst.InternalRow): PixelStats =
@@ -758,6 +847,70 @@ object Multimodal {
             crawlMediaRec(col("doc_id") * 10 + 2, "png", "image/png",
               unhex(pngHexFromPixels(lit(8), lit(8), col("thumbpx"), 3, "0802000000"))))
             .otherwise(empty)).as("payload"))
+  }
+
+  /** Chunked-transfer crawl fixture: one WARC payload per document whose
+    * HTTP responses record the WIRE bytes of a `Transfer-Encoding:
+    * chunked` capture — a text/plain record carrying the document text
+    * and an image/png record carrying a stored-deflate PNG, both bodies
+    * chunk-framed (hex size line + CRLF + data + CRLF …, `0`-chunk
+    * terminator). Every framing byte derives from `(doc_id, text)`
+    * Column algebra, so the oracle replays the DECHUNKED outputs
+    * arithmetically (the q106 convention); chunk sizes vary per doc
+    * (`doc_id % 6 + 4` for text, 11 for the PNG) so chunk boundaries
+    * land mid-document and mid-IDAT. */
+  def warcChunkedCrawlFromDocuments(docs: DataFrame): DataFrame = {
+    // chunked framing in HEX space: ASCII-hex of the size line, the chunk
+    // bytes' hex, CRLFs between — unhex'd once at the record assembly
+    def chunkedHex(payloadHex: Column, chunkBytes: Column): Column = {
+      val n = (length(payloadHex) / 2).cast("int")
+      val k = ceil(n.cast("double") / chunkBytes).cast("int")
+      val body = when(n > 0, array_join(
+        transform(sequence(lit(0), k - lit(1)), i => {
+          val size = least(chunkBytes, n - i * chunkBytes)
+          concat(
+            hex(encode(hex(size), "UTF-8")), lit("0D0A"),
+            payloadHex.substr(i * chunkBytes * 2 + 1, size * 2),
+            lit("0D0A"))
+        }), "")).otherwise(lit(""))
+      concat(body, lit("300D0A0D0A")) // "0" CRLF CRLF
+    }
+    val date = crawlDate
+    def chunkedRec(url: Column, ctype: String, bodyHex: Column, chunkBytes: Column): Column = {
+      val block = concat(
+        encode(lit(s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"), "UTF-8"),
+        unhex(chunkedHex(bodyHex, chunkBytes)))
+      concat(
+        encode(concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+          lit("\r\nWARC-Date: "), date,
+          lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+          length(block).cast("string"),
+          lit("\r\n\r\n")), "UTF-8"),
+        block,
+        encode(lit("\r\n\r\n"), "UTF-8"))
+    }
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .withColumn("w", (col("doc_id") % 6 + 2).cast("int"))
+      .withColumn("h", (col("doc_id") % 4 + 2).cast("int"))
+      .withColumn("npb", col("w") * col("h") * lit(3))
+      .withColumn("pxhex",
+        expr("substr(concat(hex(encode(text, 'UTF-8')), repeat('41', npb)), 1, 2*npb)"))
+      .select(col("doc_id").as("media_id"),
+        concat(
+          chunkedRec(
+            concat(lit("http://chunk.ex.com/doc/"), col("doc_id").cast("string")),
+            "text/plain; charset=utf-8",
+            hex(encode(col("text"), "UTF-8")),
+            (col("doc_id") % 6 + 4).cast("int")),
+          chunkedRec(
+            concat(lit("http://chunk.ex.com/media/"), col("doc_id").cast("string"),
+              lit(".png")),
+            "image/png",
+            pngHexFromPixels(col("w"), col("h"), col("pxhex"), 3, "0802000000"),
+            lit(11).cast("int"))).as("payload"))
   }
 
   /** Typed media rows harvested from WARC payloads by HTTP Content-Type —

@@ -98,6 +98,66 @@ class VideoMetaSpec extends SparkSpecBase {
     assert(m.getInt(4) == 0 && m.getInt(5) == 0)
   }
 
+  test("video sample hash: remux invariance, planted ladder, NULL/fixed-size contracts") {
+    import graft.functions.VideoSampleHash64
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 100)
+    val m = Multimodal.videoWithSamplesFromDocuments(docs)
+    val rows = m.select(col("media_id"),
+        MediaFunctions.videoSampleHash64(col("payload")).as("sh"), col("payload"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[Array[Byte]](2)))).toMap
+    val docIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // re-mux variants: byte-different container, identical contour
+    val varDocs = docIds.filter(id => id % 9 != 0 && id % 4 == 1)
+    assert(varDocs.nonEmpty)
+    varDocs.foreach { id =>
+      assert(rows(id * 10)._1 == rows(id * 10 + 1)._1, s"doc $id contour")
+      assert(!java.util.Arrays.equals(rows(id * 10)._2, rows(id * 10 + 1)._2))
+    }
+    // constant clips: byte-identical payloads, one shared hash
+    val constIds = docIds.filter(_ % 9 == 0).map(_ * 10)
+    assert(constIds.size >= 2)
+    assert(constIds.forall(rows.contains)) // all present
+    assert(constIds.map(id => rows(id)._1).size == 1) // one shared contour
+    val constRef = rows(constIds.min)._2
+    constIds.foreach(id => assert(java.util.Arrays.equals(rows(id)._2, constRef)))
+    // the ladder: exact_dup for the constant group, near_dup for variants
+    val report = graft.ops.MediaDedup.videoDedupReport(m, "payload", "media_id")
+      .select("media_id", "status", "keeper").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val keepConst = constIds.min
+    assert(report(keepConst)._1 == "kept")
+    constIds.filter(_ != keepConst).foreach(id =>
+      assert(report(id) == (("exact_dup", keepConst)), s"media $id"))
+    varDocs.foreach { id =>
+      val (st, keeper) = report(id * 10 + 1)
+      assert(st == "near_dup" && keeper <= id * 10, s"variant of doc $id: $st -> $keeper")
+    }
+    assert(report.values.count(_._1 == "kept") > 0)
+    // NULL contract: no sample table (the q94 fixture), garbage, truncated
+    // entries, sub-65 counts; fixed-size tables hash (all-equal contour)
+    val plain = Multimodal.videoFromDocuments(docs.limit(2)).select("payload")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(VideoSampleHash64.compute(plain) == null, "no stsz -> NULL")
+    assert(VideoSampleHash64.compute("garbage".getBytes) == null)
+    val sample = rows(rows.keySet.min)._2
+    assert(VideoSampleHash64.compute(
+      java.util.Arrays.copyOf(sample, sample.length - 600)) == null,
+      "truncated stsz entries -> NULL")
+    // locate the stsz box and patch count / fixed-size fields
+    def stszAt(b: Array[Byte]): Int = (0 until b.length - 4).find(i =>
+      b(i) == 's' && b(i + 1) == 't' && b(i + 2) == 's' && b(i + 3) == 'z').get
+    val under = sample.clone()
+    val at = stszAt(under) + 4 // payload: vf(4) sample_size(4) count(4)
+    under(at + 8) = 0; under(at + 9) = 0; under(at + 10) = 0; under(at + 11) = 64
+    assert(VideoSampleHash64.compute(under) == null, "64 samples -> NULL")
+    val fixed = sample.clone()
+    val at2 = stszAt(fixed) + 4
+    fixed(at2 + 4) = 0; fixed(at2 + 5) = 0; fixed(at2 + 6) = 0; fixed(at2 + 7) = 7
+    assert(VideoSampleHash64.compute(fixed) == java.lang.Long.valueOf(0L),
+      "fixed-size table -> all-equal contour, hash 0")
+  }
+
   test("ScalaCheck: random box trees round-trip every advertised field") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genTrack = for {

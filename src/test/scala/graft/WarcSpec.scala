@@ -158,6 +158,59 @@ class WarcSpec extends SparkSpecBase {
     assert(result.passed, s"ScalaCheck: $result")
   }
 
+  test("chunked transfer-encoding: bodies dechunk, malformed chunking nulls ONE body") {
+    def chunked(pieces: Seq[String]): String =
+      pieces.map(p => f"${p.getBytes("UTF-8").length}%x$crlf$p$crlf").mkString +
+        s"0$crlf$crlf"
+    val chunkedBlock =
+      s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain${crlf}" +
+        s"Transfer-Encoding: chunked$crlf$crlf" +
+        chunked(Seq("hello ", "chunked ", "world"))
+    // chunk extensions after ';' are spec-legal and ignored; uppercase hex
+    // sizes parse; trailers after the 0-chunk are ignored
+    val extBlock =
+      s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain${crlf}" +
+        s"Transfer-Encoding: CHUNKED$crlf$crlf" +
+        s"6;name=v$crlf" + "abcdef" + crlf + s"A$crlf" + "0123456789" + crlf +
+        s"0${crlf}X-Trailer: t$crlf$crlf"
+    // malformed: size line claims more bytes than the block holds
+    val badBlock =
+      s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain${crlf}" +
+        s"Transfer-Encoding: chunked$crlf$crlf" + s"FFFF$crlf" + "short" + crlf
+    val warc = (record("response", "http://c/1", chunkedBlock) +
+      record("response", "http://c/2", extBlock) +
+      record("response", "http://c/3", badBlock) +
+      record("response", "http://c/4", respBlock)).getBytes("UTF-8")
+    val got = parseOne(warc).toSeq
+    assert(got(0) == (("response", "http://c/1", Some(200),
+      Some("text/plain"), "hello chunked world")))
+    assert(got(1) == (("response", "http://c/2", Some(200),
+      Some("text/plain"), "abcdef0123456789")))
+    // the malformed chunked body nulls — but ONLY that record's body; its
+    // headers and every sibling record survive
+    assert(got(2) == (("response", "http://c/3", Some(200), Some("text/plain"), null)))
+    assert(got(3) == (("response", "http://c/4", Some(200), Some("text/html"), "<p>hi</p>")))
+    // a non-chunked record never enters the dechunker even if the body
+    // happens to LOOK like chunk framing
+    val lookalike =
+      s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain$crlf$crlf" +
+        s"5${crlf}hello$crlf" + s"0$crlf$crlf"
+    val got2 = parseOne(record("response", "http://c/5", lookalike).getBytes("UTF-8")).toSeq
+    assert(got2(0)._5 == s"5${crlf}hello$crlf" + s"0$crlf$crlf")
+    // a chunked MEDIA capture dechunks to decodable bytes end-to-end
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
+    val crawl = Multimodal.warcChunkedCrawlFromDocuments(docs)
+    val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+      .where(col("content_type") === "image/png")
+      .select(col("warc_id"),
+        graft.functions.MediaFunctions.imagePixelStats(col("payload")).as("p"))
+      .collect()
+    assert(media.length == 12)
+    media.foreach(r => assert(!r.isNullAt(1),
+      s"dechunked PNG for doc ${r.getLong(0)} must decode"))
+  }
+
   test("warc_records registers for SQL use (SparkSessionExtensions path)") {
     graft.functions.GraftFunctions.register(spark)
     Seq(Tuple1(plainWarc)).toDF("payload").createOrReplaceTempView("warc_files")
