@@ -772,14 +772,15 @@ object SparkEntry {
     * bit; consumers LEFT JOIN + coalesce 0). Window sums are L = 2
     * consecutive size bytes (130 samples / 65 windows), bit `b` iff
     * `win(b) > win(b+1)` — the engine's exact integer convention. */
-  private def videoHashCtes: String =
+  private def videoHashCtes(
+      mainId: String = "doc_id*10", varId: String = "doc_id*10+1"): String =
     s"""vm0 AS (SELECT doc_id, (doc_id % 9 = 0) AS isconst,
        |CASE WHEN doc_id % 9 = 0
        |THEN hex(encode(substr(repeat('GRAFTVIDEOCONSTANTGROUP!', 6), 1, 130)))
        |ELSE substr(hex(encode(text)) || repeat('41', 130), 1, 260) END AS vhx
        |FROM documents WHERE text IS NOT NULL),
-       |vmm AS (SELECT doc_id*10 AS media_id, doc_id, isconst, 0 AS isvar, vhx FROM vm0
-       |UNION ALL SELECT doc_id*10+1, doc_id, isconst, 1, vhx FROM vm0
+       |vmm AS (SELECT $mainId AS media_id, doc_id, isconst, 0 AS isvar, vhx FROM vm0
+       |UNION ALL SELECT $varId, doc_id, isconst, 1, vhx FROM vm0
        |WHERE NOT isconst AND doc_id % 4 = 1),
        |vsw AS (SELECT media_id, w, sum(v) AS e FROM
        |(SELECT media_id, i // 2 AS w,
@@ -794,6 +795,83 @@ object SparkEntry {
        |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS sh_hi,
        |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS sh_lo
        |FROM vsb GROUP BY media_id)""".stripMargin.replace("\n", " ")
+
+  /** CTEs replaying the AUDIO slice of
+    * [[graft.multimodal.Multimodal.multimodalMediaFromDocuments]] through
+    * the [[graft.ops.MediaPipeline.curateAudio]] capstone at the
+    * q146/q147 policy (rate ≥ 16000, channels ≤ 1 — pure doc_id
+    * arithmetic, duration/level/clip floors chosen to pass every
+    * decodable clip): gates → exact groups by content key (sr, ch,
+    * LIST-flag, text bytes) → envelope-hash banding over survivors with
+    * ≥ 65 samples (the q138 window math) → recursive clustering.
+    * Terminal CTE: `a_st(media_id, status, keeper)`. */
+  private def audioStatusCtes: String =
+    s"""am0 AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |octet_length(encode(text)) AS nb,
+       |CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sr,
+       |CAST(1 + doc_id % 2 AS BIGINT) AS ach
+       |FROM documents WHERE text IS NOT NULL),
+       |amm AS (SELECT doc_id*100+12 AS media_id, doc_id, sr, ach, hx, nb, 0 AS lst FROM am0
+       |UNION ALL SELECT doc_id*100+22, doc_id, sr, ach, hx, nb, 0 FROM am0
+       |WHERE doc_id % 6 = 0
+       |UNION ALL SELECT doc_id*100+32, doc_id, sr, ach, hx, nb, 1 FROM am0
+       |WHERE doc_id % 7 = 1),
+       |agt AS (SELECT media_id, (sr >= 16000 AND ach <= 1 AND nb // 2 >= 1) AS p FROM amm),
+       |apool AS (SELECT amm.* FROM amm JOIN agt ON amm.media_id = agt.media_id AND agt.p),
+       |aeg AS (SELECT media_id, min(media_id) OVER (PARTITION BY
+       |'a:' || sr || ':' || ach || ':' || lst || ':' || hx) AS ekeep FROM apool),
+       |aed AS (SELECT media_id, ekeep FROM aeg WHERE media_id <> ekeep),
+       |asv AS (SELECT media_id FROM aeg WHERE media_id = ekeep),
+       |aw AS (SELECT asv.media_id, amm.hx, amm.nb // 2 AS ns FROM asv
+       |JOIN amm ON asv.media_id = amm.media_id WHERE amm.nb // 2 >= 65),
+       |awin AS (SELECT media_id, ns // 65 AS L, hx,
+       |unnest(range(0, 65 * (ns // 65))) AS k FROM aw),
+       |av AS (SELECT media_id, k // L AS w,
+       |(strpos('0123456789ABCDEF', substr(hx, 4*k+3, 1)) - 1) * 4096
+       |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+4, 1)) - 1) * 256
+       |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+1, 1)) - 1) * 16
+       |+ (strpos('0123456789ABCDEF', substr(hx, 4*k+2, 1)) - 1) AS u FROM awin),
+       |ae AS (SELECT media_id, w,
+       |sum(CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT)
+       |* (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS en
+       |FROM av GROUP BY media_id, w),
+       |abits AS (SELECT l.media_id, l.w AS b FROM ae l JOIN ae r
+       |ON l.media_id = r.media_id AND r.w = l.w + 1 WHERE l.en > r.en),
+       |a_ah AS (SELECT media_id,
+       |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS hi,
+       |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS lo
+       |FROM abits GROUP BY media_id),
+       |asig AS (SELECT aw.media_id,
+       |CAST(COALESCE(a_ah.hi, 0) AS BIGINT) AS hi,
+       |CAST(COALESCE(a_ah.lo, 0) AS BIGINT) AS lo
+       |FROM aw LEFT JOIN a_ah ON aw.media_id = a_ah.media_id),
+       |ach2 AS (SELECT media_id, hi, lo,
+       |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+       |unnest([0, 1, 2, 3]) AS chunk FROM asig),
+       |acand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+       |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+       |FROM ach2 a JOIN ach2 b
+       |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+       |apr AS (SELECT ma, mb FROM acand
+       |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+       |ae2 AS (SELECT ma AS s, mb AS t FROM apr UNION ALL SELECT mb, ma FROM apr),
+       |areach(id, r) AS (SELECT media_id, media_id FROM asv
+       |UNION SELECT ae2.t, areach.r FROM areach JOIN ae2 ON ae2.s = areach.id),
+       |acl AS (SELECT id AS media_id, min(r) AS cluster_id FROM areach GROUP BY id),
+       |ank AS (SELECT media_id,
+       |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM acl),
+       |a_st AS (SELECT CAST(amm.media_id AS BIGINT) AS media_id,
+       |CASE WHEN NOT agt.p THEN 'quality_reject'
+       |WHEN aed.media_id IS NOT NULL THEN 'exact_dup'
+       |WHEN ank.nkeep <> amm.media_id THEN 'near_dup'
+       |ELSE 'kept' END AS status,
+       |CAST(CASE WHEN NOT agt.p THEN amm.media_id
+       |ELSE COALESCE(aed.ekeep,
+       |CASE WHEN ank.nkeep <> amm.media_id THEN ank.nkeep END,
+       |amm.media_id) END AS BIGINT) AS keeper
+       |FROM amm JOIN agt ON amm.media_id = agt.media_id
+       |LEFT JOIN aed ON amm.media_id = aed.media_id
+       |LEFT JOIN ank ON amm.media_id = ank.media_id)""".stripMargin.replace("\n", " ")
 
   /** The q111 quality-classifier fit config — ONE definition consumed by
     * the Spark query AND baked into the oracle CTEs (same anti-drift
@@ -1984,6 +2062,39 @@ object SparkEntry {
       val m = Multimodal.videoWithSamplesFromDocuments(table(s, dir, "documents"))
       graft.ops.MediaDedup.videoDedupReport(m, "payload", "media_id")
         .select(col("media_id"), col("status"), col("keeper"))
+        .orderBy("media_id")
+    }),
+    // the AUDIO curation capstone (q139's convention for clips): battery
+    // gates first (rate/channel policy — doc_id arithmetic — plus the
+    // decodability floor), then the envelope-hash ladder over the gated
+    // pool: byte twins drop exact, junk-LIST container remasters dedup
+    // at Hamming 0, short clips (< 65 samples) skip the perceptual
+    // stage; all four statuses non-vacuous
+    "q146_audio_pipeline" -> ((s, dir) => {
+      val m = Multimodal.audioDedupMediaFromDocuments(table(s, dir, "documents"))
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      graft.ops.MediaPipeline.curateAudio(m, "payload", "media_id",
+        graft.ops.MediaPipeline.AudioPolicy(minSampleRate = 16000L, maxChannels = 1L,
+          minDurationS = 0.0, minRms = 0.0, clipPeak = 40000L),
+        maxHamming = 3, chain = Some(chain))
+        .orderBy("media_id")
+    }),
+    // the ALL-MODALITY capstone: ONE call curates a typed media frame —
+    // per-kind gates and ladders (image aHash / audio envelope / video
+    // sample contour), dedup never pairing across modalities; the
+    // oracle replays all three gates-then-ladder chains and unions the
+    // statuses. Media frozen once at entry, pools frozen per ladder
+    "q147_media_pipeline_all" -> ((s, dir) => {
+      val m = Multimodal.multimodalMediaFromDocuments(table(s, dir, "documents"))
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      graft.ops.MediaPipeline.curateMedia(m, "payload", "media_id", "kind",
+        image = graft.ops.MediaPipeline.ImagePolicy(minDim = 2L, maxAspect = 2.2,
+          minDynRange = 0L, lumaBounds = (60.0, 200.0)),
+        audio = graft.ops.MediaPipeline.AudioPolicy(minSampleRate = 16000L,
+          maxChannels = 1L, minDurationS = 0.0, minRms = 0.0, clipPeak = 40000L),
+        video = graft.ops.MediaPipeline.VideoPolicy(minDurationMs = 100L,
+          maxDurationMs = 20000L, minDim = 240L, maxAspect = 2.2, maxTracks = 1L),
+        maxHamming = 3, chain = Some(chain))
         .orderBy("media_id")
     }),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
@@ -3920,7 +4031,7 @@ object SparkEntry {
     // video contour hash bit-for-bit from the same text bytes (windows of
     // two consecutive size bytes); variants share the main's bytes
     "q144_video_sample_hash" ->
-      s"""WITH $videoHashCtes
+      s"""WITH ${videoHashCtes()}
          |SELECT CAST(vmm.media_id AS BIGINT) AS media_id,
          |CAST(COALESCE(vs_ah.sh_hi, 0) AS BIGINT) AS sh_hi,
          |CAST(COALESCE(vs_ah.sh_lo, 0) AS BIGINT) AS sh_lo
@@ -3931,7 +4042,7 @@ object SparkEntry {
     // differ from mains by brand/timescale bytes), then banding +
     // recursive clustering over the contour hashes
     "q145_video_dedup" ->
-      s"""WITH RECURSIVE $videoHashCtes,
+      s"""WITH RECURSIVE ${videoHashCtes()},
          |veg AS (SELECT media_id,
          |min(media_id) OVER (PARTITION BY CASE WHEN isconst THEN 'c'
          |ELSE 'd' || media_id END) AS ekeep FROM vmm),
@@ -3965,6 +4076,131 @@ object SparkEntry {
          |vmm.media_id) AS BIGINT) AS keeper
          |FROM vmm LEFT JOIN ved ON vmm.media_id = ved.media_id
          |LEFT JOIN nk ON vmm.media_id = nk.media_id
+         |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // audio capstone replay: the shared a_st chain (gates -> exact ->
+    // envelope banding -> recursive clustering)
+    "q146_audio_pipeline" ->
+      s"""WITH RECURSIVE $audioStatusCtes
+         |SELECT media_id, status, keeper FROM a_st
+         |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // all-modality capstone replay: three independent gates-then-ladder
+    // chains (image px enumeration + phash banding; the shared audio
+    // chain; video dims arithmetic + contour banding) union'd — dedup
+    // never pairs across modalities, and neither do these CTEs
+    "q147_media_pipeline_all" ->
+      s"""WITH RECURSIVE $audioStatusCtes,
+         |im0 AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+         |CAST(doc_id % 4 + 2 AS INTEGER) AS h,
+         |hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL),
+         |imb AS (SELECT doc_id, w, h,
+         |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM im0),
+         |ipm AS (SELECT doc_id*100+11 AS media_id, w, h, px FROM imb
+         |UNION ALL SELECT doc_id*100+21, w, h, px FROM imb WHERE doc_id % 6 = 0
+         |UNION ALL SELECT doc_id*100+31, w, h, '000000' || substr(px, 7) FROM imb
+         |WHERE doc_id % 7 = 1),
+         |is1 AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM ipm),
+         |iv1 AS (SELECT media_id, i % 3 AS c,
+         |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
+         |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM is1),
+         |ics AS (SELECT media_id, c, sum(u) AS su, min(u) AS mn, max(u) AS mx
+         |FROM iv1 GROUP BY media_id, c),
+         |iag AS (SELECT media_id, sum(su) AS stot, max(mx - mn) AS dr
+         |FROM ics GROUP BY media_id),
+         |igt AS (SELECT ipm.media_id,
+         |(least(ipm.w, ipm.h) >= 2
+         |AND CAST(greatest(ipm.w, ipm.h) AS DOUBLE) / least(ipm.w, ipm.h) <= 2.2
+         |AND iag.dr >= 0
+         |AND CAST(iag.stot AS DOUBLE) / (3*ipm.w*ipm.h) BETWEEN 60.0 AND 200.0) AS p
+         |FROM ipm JOIN iag ON ipm.media_id = iag.media_id),
+         |ipool AS (SELECT ipm.* FROM ipm JOIN igt ON ipm.media_id = igt.media_id AND igt.p),
+         |ieg AS (SELECT media_id, min(media_id) OVER (PARTITION BY
+         |'i:' || w || ':' || h || ':' || px) AS ekeep FROM ipool),
+         |ied AS (SELECT media_id, ekeep FROM ieg WHERE media_id <> ekeep),
+         |isvv AS (SELECT ipool.media_id, ipool.w, ipool.h, ipool.px FROM ipool
+         |JOIN ieg ON ipool.media_id = ieg.media_id AND ieg.media_id = ieg.ekeep),
+         |${phashCtes("isvv")},
+         |isig AS (SELECT isvv.media_id,
+         |CAST(COALESCE(ph_ah.ah_hi, 0) AS BIGINT) AS hi,
+         |CAST(COALESCE(ph_ah.ah_lo, 0) AS BIGINT) AS lo
+         |FROM isvv LEFT JOIN ph_ah ON isvv.media_id = ph_ah.media_id),
+         |ich AS (SELECT media_id, hi, lo,
+         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+         |unnest([0, 1, 2, 3]) AS chunk FROM isig),
+         |icand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |FROM ich a JOIN ich b
+         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+         |ipr AS (SELECT ma, mb FROM icand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+         |ie2 AS (SELECT ma AS s, mb AS t FROM ipr UNION ALL SELECT mb, ma FROM ipr),
+         |ireach(id, r) AS (SELECT media_id, media_id FROM isvv
+         |UNION SELECT ie2.t, ireach.r FROM ireach JOIN ie2 ON ie2.s = ireach.id),
+         |icl AS (SELECT id AS media_id, min(r) AS cluster_id FROM ireach GROUP BY id),
+         |ink AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM icl),
+         |i_st AS (SELECT CAST(ipm.media_id AS BIGINT) AS media_id,
+         |CASE WHEN NOT igt.p THEN 'quality_reject'
+         |WHEN ied.media_id IS NOT NULL THEN 'exact_dup'
+         |WHEN ink.nkeep <> ipm.media_id THEN 'near_dup'
+         |ELSE 'kept' END AS status,
+         |CAST(CASE WHEN NOT igt.p THEN ipm.media_id
+         |ELSE COALESCE(ied.ekeep,
+         |CASE WHEN ink.nkeep <> ipm.media_id THEN ink.nkeep END,
+         |ipm.media_id) END AS BIGINT) AS keeper
+         |FROM ipm JOIN igt ON ipm.media_id = igt.media_id
+         |LEFT JOIN ied ON ipm.media_id = ied.media_id
+         |LEFT JOIN ink ON ipm.media_id = ink.media_id),
+         |${videoHashCtes("doc_id*100+13", "doc_id*100+23")},
+         |vdim AS (SELECT media_id, isconst, isvar,
+         |(CASE WHEN isconst THEN 600 ELSE 600*(doc_id % 4 + 1) END)
+         |* (CASE WHEN isvar = 1 THEN 2 ELSE 1 END) AS ts,
+         |CASE WHEN isconst THEN 1200 ELSE doc_id % 9000 + 600 END AS dur,
+         |CASE WHEN isconst THEN 320 ELSE (doc_id % 8)*160 + 320 END AS w,
+         |CASE WHEN isconst THEN 240 ELSE (doc_id % 6)*120 + 240 END AS h
+         |FROM vmm),
+         |vgt AS (SELECT media_id,
+         |(dur*1000 // ts BETWEEN 100 AND 20000
+         |AND least(w, h) >= 240
+         |AND CAST(greatest(w, h) AS DOUBLE) / least(w, h) <= 2.2) AS p FROM vdim),
+         |vpool AS (SELECT vmm.* FROM vmm JOIN vgt ON vmm.media_id = vgt.media_id AND vgt.p),
+         |veg AS (SELECT media_id, min(media_id) OVER (PARTITION BY
+         |CASE WHEN isconst THEN 'vc' ELSE 'v:' || media_id END) AS ekeep FROM vpool),
+         |ved AS (SELECT media_id, ekeep FROM veg WHERE media_id <> ekeep),
+         |vsvv AS (SELECT media_id FROM veg WHERE media_id = ekeep),
+         |vsig AS (SELECT vsvv.media_id,
+         |CAST(COALESCE(vs_ah.sh_hi, 0) AS BIGINT) AS hi,
+         |CAST(COALESCE(vs_ah.sh_lo, 0) AS BIGINT) AS lo
+         |FROM vsvv LEFT JOIN vs_ah ON vsvv.media_id = vs_ah.media_id),
+         |vch AS (SELECT media_id, hi, lo,
+         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+         |unnest([0, 1, 2, 3]) AS chunk FROM vsig),
+         |vcand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |FROM vch a JOIN vch b
+         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+         |vpr AS (SELECT ma, mb FROM vcand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+         |ve2 AS (SELECT ma AS s, mb AS t FROM vpr UNION ALL SELECT mb, ma FROM vpr),
+         |vreach(id, r) AS (SELECT media_id, media_id FROM vsvv
+         |UNION SELECT ve2.t, vreach.r FROM vreach JOIN ve2 ON ve2.s = vreach.id),
+         |vcl AS (SELECT id AS media_id, min(r) AS cluster_id FROM vreach GROUP BY id),
+         |vnk AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM vcl),
+         |v_st AS (SELECT CAST(vmm.media_id AS BIGINT) AS media_id,
+         |CASE WHEN NOT vgt.p THEN 'quality_reject'
+         |WHEN ved.media_id IS NOT NULL THEN 'exact_dup'
+         |WHEN vnk.nkeep <> vmm.media_id THEN 'near_dup'
+         |ELSE 'kept' END AS status,
+         |CAST(CASE WHEN NOT vgt.p THEN vmm.media_id
+         |ELSE COALESCE(ved.ekeep,
+         |CASE WHEN vnk.nkeep <> vmm.media_id THEN vnk.nkeep END,
+         |vmm.media_id) END AS BIGINT) AS keeper
+         |FROM vmm JOIN vgt ON vmm.media_id = vgt.media_id
+         |LEFT JOIN ved ON vmm.media_id = ved.media_id
+         |LEFT JOIN vnk ON vmm.media_id = vnk.media_id)
+         |SELECT media_id, status, keeper FROM i_st
+         |UNION ALL SELECT media_id, status, keeper FROM a_st
+         |UNION ALL SELECT media_id, status, keeper FROM v_st
          |ORDER BY media_id""".stripMargin.replace("\n", " "),
     // chunked WARC replay: the dechunked text body IS the document text,
     // the dechunked PNG is the fixed stored-deflate framing (n_bytes from

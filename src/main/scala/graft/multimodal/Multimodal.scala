@@ -283,25 +283,41 @@ object Multimodal {
     * genuinely encoded in the header bytes and
     * [[graft.functions.AudioMeta]] parses them back (byte-level DuckDB
     * oracle in q57). */
-  def audioFromDocuments(docs: DataFrame): DataFrame = {
+  /** Shared RIFF/WAVE framing of the audio fixtures: spec-shaped header
+    * + optional junk `LIST` chunk between `fmt ` and `data` (the
+    * container-variant plant — byte-different payload, IDENTICAL PCM
+    * stream, so the envelope hash is unchanged), then the text bytes as
+    * 16-bit sample data. */
+  private def wavPayload(withList: Boolean): Column = {
     val sr = lit(8000L) + (col("doc_id") % 8) * lit(4000L)
     val ch = lit(1L) + col("doc_id") % 2
     val dataLen = length(encode(col("text"), "UTF-8")).cast("long")
+    val listLen = if (withList) 12L else 0L
     val header = concat(
-      lit("RIFF".getBytes("US-ASCII")), le(lit(36L) + dataLen, 4),
+      lit("RIFF".getBytes("US-ASCII")), le(lit(36L + listLen) + dataLen, 4),
       lit("WAVEfmt ".getBytes("US-ASCII")), le(lit(16L), 4), // fmt chunk, len 16
       le(lit(1L), 2), // PCM
       le(ch, 2), le(sr, 4),
       le(sr * ch * lit(2L), 4), // byte rate (16-bit samples)
       le(ch * lit(2L), 2), // block align
       le(lit(16L), 2), // bits per sample
+      if (withList)
+        concat(lit("LIST".getBytes("US-ASCII")), le(lit(4L), 4),
+          lit("INFO".getBytes("US-ASCII")))
+      else lit(Array.emptyByteArray),
       lit("data".getBytes("US-ASCII")), le(dataLen, 4))
+    concat(header, encode(col("text"), "UTF-8"))
+  }
+
+  def audioFromDocuments(docs: DataFrame): DataFrame = {
+    val sr = lit(8000L) + (col("doc_id") % 8) * lit(4000L)
+    val ch = lit(1L) + col("doc_id") % 2
     docs.select(
       col("doc_id").as("media_id"),
       lit("wav").as("kind"),
       sr.cast("int").as("sample_rate"),
       ch.cast("int").as("channels"),
-      concat(header, encode(col("text"), "UTF-8")).as("payload"))
+      wavPayload(withList = false).as("payload"))
   }
 
   /** Build a demo VIDEO media table from the documents table: payloads
@@ -445,6 +461,65 @@ object Multimodal {
       unhex(payloadHex(lit("6D703432"), col("ts") * 2, col("dur"),
         col("w"), col("h"), col("vhx"), col("mdathex"))).as("payload"))
     main.unionByName(variant)
+  }
+
+  /** A TYPED three-modality media table `(media_id, kind, payload)` with
+    * planted dedup classes in every modality — the input shape of
+    * [[graft.ops.MediaPipeline.curateMedia]]. `media_id = doc_id·100 +
+    * tag`, tag = modality (1 image / 2 audio / 3 video) + 10·sub
+    * (1 main / 2 byte-twin / 3 variant):
+    *   - image (stored-deflate PNG, `doc_id%6+2 × doc_id%4+2` RGB from
+    *     text bytes): main `…11` always; byte-identical twin `…21` for
+    *     `doc_id % 6 == 0`; first-pixel-black dent variant `…31` for
+    *     `doc_id % 7 == 1` (the q135 near-dup class).
+    *   - audio (16-bit PCM WAV, text bytes as samples): main `…12`;
+    *     byte twin `…22` (`% 6`); junk-LIST-chunk container remaster
+    *     `…32` (`% 7 == 1`) — byte-different, envelope-hash-identical.
+    *   - video ([[videoWithSamplesFromDocuments]]'s payloads remapped):
+    *     main `…13` (the `% 9` constant-clip group is cross-doc
+    *     byte-identical); re-mux variant `…23` (`% 4 == 1`, non-const).
+    * Every byte derives from `(doc_id, text)` (the JPEG-free slice of
+    * the media surface), so one DuckDB oracle replays all three
+    * modality ladders. */
+  def multimodalMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .withColumn("iw", (col("doc_id") % 6 + 2).cast("int"))
+      .withColumn("ih", (col("doc_id") % 4 + 2).cast("int"))
+      .withColumn("inpb", col("iw") * col("ih") * lit(3))
+      .withColumn("ipx", expr(
+        "substr(concat(hex(encode(text, 'UTF-8')), repeat('41', inpb)), 1, 2*inpb)"))
+    def png(px: Column): Column =
+      unhex(pngHexFromPixels(col("iw"), col("ih"), px, 3, "0802000000"))
+    def out(tagged: Column, kind: String, payload: Column)(rows: DataFrame): DataFrame =
+      rows.select(tagged.as("media_id"), lit(kind).as("kind"), payload.as("payload"))
+    val d = col("doc_id")
+    val imgMain = out(d * 100 + 11, "image", png(col("ipx")))(base)
+    val imgTwin = out(d * 100 + 21, "image", png(col("ipx")))(base.where(d % 6 === 0))
+    val imgDent = out(d * 100 + 31, "image",
+      png(concat(lit("000000"), expr("substr(ipx, 7)"))))(base.where(d % 7 === 1))
+    val vids = videoWithSamplesFromDocuments(docs).select(
+      (expr("media_id div 10") * 100 + 13 + (col("media_id") % 10) * 10).as("media_id"),
+      lit("video").as("kind"), col("payload"))
+    imgMain.unionByName(imgTwin).unionByName(imgDent)
+      .unionByName(audioDedupMediaFromDocuments(docs))
+      .unionByName(vids)
+  }
+
+  /** The AUDIO slice of [[multimodalMediaFromDocuments]] as its own
+    * builder (same ids, same planted classes) — the single-modality
+    * input for audio-capstone specs and queries, with a plan small
+    * enough to run the ladder UNFROZEN (the frozen≡unfrozen pin needs
+    * one honest unfrozen execution). */
+  def audioDedupMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = docs.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val d = col("doc_id")
+    def out(tagged: Column, payload: Column)(rows: DataFrame): DataFrame =
+      rows.select(tagged.as("media_id"), lit("audio").as("kind"),
+        payload.as("payload"))
+    out(d * 100 + 12, wavPayload(withList = false))(base)
+      .unionByName(out(d * 100 + 22, wavPayload(withList = false))(base.where(d % 6 === 0)))
+      .unionByName(out(d * 100 + 32, wavPayload(withList = true))(base.where(d % 7 === 1)))
   }
 
   /** [[graft.functions.PngPixelStats]] result row → [[PixelStats]] (the

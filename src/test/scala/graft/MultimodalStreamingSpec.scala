@@ -951,6 +951,71 @@ class MultimodalSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("curateAudio/curateVideo/curateMedia ≡ manual composition; frozen ≡ unfrozen; unknown kinds reject") {
+    import graft.ops.{MediaDedup, MediaPipeline, MediaQuality}
+    import graft.ops.MediaPipeline.{AudioPolicy, VideoPolicy, ImagePolicy}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val all = Multimodal.multimodalMediaFromDocuments(docs)
+    // the single-modality builder (3 union branches, not the filtered
+    // 7-branch fixture): small enough to run the ladder UNFROZEN below
+    val audio = Multimodal.audioDedupMediaFromDocuments(docs)
+    val policy = AudioPolicy(minSampleRate = 16000L, maxChannels = 1L,
+      minDurationS = 0.0, minRms = 0.0, clipPeak = 40000L)
+    // capstone ≡ manual gates-then-ladder
+    val capstone = MediaPipeline.curateAudio(audio, "payload", "media_id", policy)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val gated = audio.withColumn("__s__", MediaQuality.audioSignals(col("payload")))
+      .withColumn("__p__", MediaQuality.audioGates(col("__s__"), policy.minSampleRate,
+        policy.maxChannels, policy.minDurationS, policy.minRms, policy.clipPeak)
+        .getField("passes"))
+    val manual = gated.where(!col("__p__"))
+      .select(col("media_id"), lit("quality_reject").as("status"),
+        col("media_id").as("keeper"))
+      .unionByName(MediaDedup.audioDedupReport(
+        gated.where(col("__p__")).drop("__s__", "__p__"), "payload", "media_id")
+        .select(col("media_id"), col("status"), col("keeper")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(capstone == manual)
+    assert(Set("quality_reject", "exact_dup", "near_dup", "kept")
+      .subsetOf(capstone.map(_._2)), s"statuses: ${capstone.map(_._2)}")
+    // curateMedia ≡ union of the per-kind capstones; unknown kinds reject
+    val withJunk = all.unionByName(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(999999L, "pdf", "oops".getBytes)),
+      all.schema))
+    val vPolicy = VideoPolicy(minDurationMs = 100L, maxDurationMs = 20000L,
+      minDim = 240L, maxAspect = 2.2, maxTracks = 1L)
+    val iPolicy = ImagePolicy(minDim = 2L, maxAspect = 2.2, minDynRange = 0L,
+      lumaBounds = (60.0, 200.0))
+    // the multi-kind compositions run FROZEN (the documented contract for
+    // derived frames: an unfrozen 3-ladder × 8-consumer plan over the
+    // 7-way-union fixture is a Catalyst plan explosion, which is exactly
+    // why curateMedia freezes once at entry)
+    val chain1 = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+    val dispatched = MediaPipeline.curateMedia(withJunk, "payload", "media_id", "kind",
+      image = iPolicy, audio = policy, video = vPolicy, chain = Some(chain1))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val chain2 = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+    val m2 = chain2.freeze(all)
+    val perKind =
+      MediaPipeline.curateImages(m2.where(col("kind") === "image"), "payload",
+        "media_id", iPolicy.minDim, iPolicy.maxAspect, iPolicy.minDynRange,
+        iPolicy.lumaBounds, chain = Some(chain2), freezeEntry = false)
+        .unionByName(MediaPipeline.curateAudio(m2.where(col("kind") === "audio"),
+          "payload", "media_id", policy, chain = Some(chain2), freezeEntry = false))
+        .unionByName(MediaPipeline.curateVideo(m2.where(col("kind") === "video"),
+          "payload", "media_id", vPolicy, chain = Some(chain2), freezeEntry = false))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(dispatched == perKind + ((999999L, "quality_reject", 999999L)))
+    // frozen ≡ unfrozen bit-for-bit on the audio capstone (the tractable
+    // single-ladder plan; `capstone` above IS the unfrozen run)
+    val chain3 = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+    val frozenAudio = MediaPipeline.curateAudio(audio, "payload", "media_id", policy,
+      chain = Some(chain3))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    chain1.releaseAll(); chain2.releaseAll(); chain3.releaseAll()
+    assert(frozenAudio == capstone)
+  }
+
   test("imageDedupReport freeze knob: identical decisions, one upstream extraction") {
     import graft.ops.MediaDedup
     import org.apache.spark.sql.graftbridge.DatasetBridge
