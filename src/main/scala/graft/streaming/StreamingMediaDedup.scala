@@ -51,17 +51,19 @@ object StreamingMediaDedup {
   }
 
   /** Keep the FIRST arrival per 64-bit perceptual aHash
-    * ([[graft.functions.PngAHash64]]) — the hamming-0 perceptual tier:
-    * re-encoded copies whose pixels grid-hash identically are dropped
-    * even when their bytes differ. Undecodable images (NULL hash) pass
-    * through unchanged via the stateless bypass branch. */
+    * ([[graft.functions.ImageAHash64]], codec-dispatching) — the
+    * hamming-0 perceptual tier: re-encoded copies whose pixels grid-hash
+    * identically are dropped even when their bytes differ, INCLUDING a
+    * JPEG re-encode of a PNG original (the grid conventions are shared
+    * across codecs). Undecodable images (NULL hash) pass through
+    * unchanged via the stateless bypass branch. */
   def dropPerceptualDuplicateImages(
       df: DataFrame,
       payloadCol: String,
       tsCol: Option[String] = None,
       watermarkDelay: String = "1 hour"): DataFrame = {
     val withSig = df.withColumn("__ah__",
-      graft.functions.MediaFunctions.pngAHash64(col(payloadCol)))
+      graft.functions.MediaFunctions.imageAHash64(col(payloadCol)))
     val keyed = withSig.where(col("__ah__").isNotNull)
     val deduped = tsCol match {
       case Some(t) =>

@@ -1160,6 +1160,69 @@ class StreamingSpec extends SparkSpecBase {
       "smediaphash") == Set(1L, 4L, 5L, 6L))
   }
 
+  test("streaming media quality admission: stream ≡ batch, stateless, gates before dedup state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StreamingMediaDedup, StreamingMediaSelection}
+    import graft.ops.MediaPipeline.ImagePolicy
+    import graft.multimodal.JpegFixtures
+    import graft.PngTestImages.makePng
+    // both codecs and every gate: a good PNG, its byte copy, a
+    // byte-different JPEG re-encode of the SAME pixels, a tiny reject, a
+    // flat (zero dyn-range) reject, undecodable junk
+    val vals = Array(40, 220, 90, 160, 70, 200)
+    val pixels = Array.tabulate(24 * 16)(i => vals(((i / 24) / 8) * 3 + (i % 24) / 8))
+    val png = makePng(24, 16, 1, pixels, _ => 0)
+    val jpeg = JpegFixtures.encodeGrayMosaic(vals, 3, 2)
+    val tiny = makePng(2, 2, 1, Array(0, 255, 60, 200), _ => 0)
+    val flat = makePng(10, 10, 1, Array.fill(100)(128), _ => 0)
+    val junk = "not an image".getBytes
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> png, 2L -> png.clone, 3L -> jpeg, 4L -> tiny, 5L -> flat, 6L -> junk)
+    val policy = ImagePolicy(minDim = 5L, maxAspect = 2.0, minDynRange = 8L,
+      lumaBounds = (10.0, 250.0))
+    val batchAdmitted = StreamingMediaSelection.imageQualityAdmission(
+      rows.toDF("media_id", "payload"), "payload", policy)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(batchAdmitted == Set(1L, 2L, 3L),
+      s"gate fixture must admit exactly the decodable quality trio: $batchAdmitted")
+    // stream ≡ batch across triggers, with ZERO state operators
+    val in1 = MemoryStream[(Long, Array[Byte])]
+    val gated = StreamingMediaSelection.imageQualityAdmission(
+      in1.toDF().toDF("media_id", "payload"), "payload", policy)
+    assert(gated.isStreaming)
+    val q1 = gated.writeStream.outputMode("append").format("memory")
+      .queryName("madmit").start()
+    rows.grouped(3).foreach { chunk => in1.addData(chunk: _*); q1.processAllAvailable() }
+    val got = spark.table("madmit").select("media_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == batchAdmitted, s"stream == batch admission: $got")
+    assert(q1.lastProgress.stateOperators.isEmpty,
+      "quality admission must not create a state store")
+    q1.stop()
+    // composed ingest: gates FIRST (junk never reaches a state store),
+    // then exact byte dedup, then the codec-dispatching perceptual tier —
+    // the byte copy drops exact, the JPEG re-encode drops perceptual
+    val in2 = MemoryStream[(Long, Array[Byte])]
+    val chain = StreamingMediaDedup.dropPerceptualDuplicateImages(
+      StreamingMediaDedup.dropDuplicateImages(
+        StreamingMediaSelection.imageQualityAdmission(
+          in2.toDF().toDF("media_id", "payload"), "payload", policy),
+        "payload"),
+      "payload")
+    val q2 = chain.writeStream.outputMode("append").format("memory")
+      .queryName("mchain").start()
+    in2.addData(1L -> png, 4L -> tiny)
+    q2.processAllAvailable()
+    in2.addData(2L -> png.clone, 3L -> jpeg, 5L -> flat, 6L -> junk)
+    q2.processAllAvailable()
+    val survivors = spark.table("mchain").select("media_id").collect()
+      .map(_.getLong(0)).toSet
+    q2.stop()
+    assert(survivors == Set(1L),
+      s"copy drops exact, re-encode drops perceptual, junk drops at the gate: $survivors")
+  }
+
   test("full ingest chain: LM admission → URL dedup → text dedup in ONE streaming query") {
     import graft.ops.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
