@@ -18,11 +18,16 @@ import org.apache.spark.sql.SparkSession
   * `errors` field instead of being swallowed as fast fake timings.
   */
 object Bench {
-  /** Quiet-machine min-of-two of the calibration aggregate below
-    * (local[32], measured while freezing the round-14 baselines) — the
-    * denominator of the emitted `contention_ratio`. Re-freeze alongside
-    * BASELINE-LOCAL if the calibration query or partitioning changes. */
-  val CalibrationQuietSec: Double = 0.35
+  /** Quiet-machine min-of-two of the calibration aggregate below, frozen
+    * PER CORE COUNT (round 15, quiet box: 0.35 at the default local[4],
+    * 0.27 at local[8], 0.24 at local[32] — the 32-task 400M-row sum
+    * scales only weakly with threads, so one constant mislabels quiet
+    * runs at other configs). The denominator of the emitted
+    * `contention_ratio`; the config it was resolved for rides the JSON
+    * as `calibration_cpus`. Re-freeze alongside BASELINE-LOCAL if the
+    * calibration query or partitioning changes. */
+  def calibrationQuietSec(cpus: Int): Double =
+    if (cpus >= 32) 0.24 else if (cpus >= 8) 0.27 else 0.35
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,7 +64,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibrationSec = math.min(calibrateOnce(), calibrateOnce())
-    val contentionRatio = calibrationSec / CalibrationQuietSec
+    val contentionRatio = calibrationSec / calibrationQuietSec(cpus.toInt)
 
     // optional comma-separated filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -98,7 +103,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(r => math.min(r._2, r._3)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_warm":$qsWarm,"errors":$errs,"calibration_sec":$calibrationSec,"contention_ratio":$contentionRatio,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_warm":$qsWarm,"errors":$errs,"calibration_sec":$calibrationSec,"calibration_cpus":$cpus,"contention_ratio":$contentionRatio,"sf":"$sfDir"}"""
     println(json)
     // log-tail capture can truncate a long run's stdout (round 7 lost
     // q01–q19 and the total); a file copy makes the artifact durable. A

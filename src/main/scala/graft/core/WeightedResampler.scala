@@ -287,6 +287,15 @@ final class WeightedResampler private[core] (
   // effect on which period a timestamp belongs to, so accepting them would
   // quietly return left-closed epoch-anchored results for whatever the
   // caller thought they asked for; refuse instead of diverging silently.
+  // MIGRATION NOTE (round 15, per the round-14 fuzzer fix): versions
+  // before the fuzzer fix ACCEPTED the non-default closed on calendar
+  // rules and binned it as if it were the default — silently wrong for
+  // period-edge-midnight rows. Callers who relied on that now get this
+  // error; pandas' non-default-closed edge-shift (resample("YE",
+  // closed="left") moves an exact Dec-31-midnight row into the next
+  // year) is a known capability gap vs the reference, refused rather
+  // than approximated. Pass the rule's default closed (or "auto") to
+  // keep the previous correct-cases behavior unchanged.
   // Weekly rules are pinned to their weekday anchor — pandas silently
   // IGNORES origin/offset for them; we refuse non-defaults instead.
   parsed match {

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Monotone uniquifier for [[fitPq]]'s cancellation job groups (see
+    * the group-id comment there). */
+  private val FitPqGroupCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Native codegen'd dot product ([[graft.functions.DotProduct]]) — the
@@ -560,7 +564,12 @@ object Similarity {
     val books =
       try {
         val sc = trainDf.sparkSession.sparkContext
-        val jobGroup = s"graft-fitpq-$seed"
+        // uniquified per CALL, not just per seed: two concurrent fits in
+        // one application share the default seed, and a shared group id
+        // would let one fit's failure path cancel the other's in-flight
+        // KMeans jobs
+        val jobGroup =
+          s"graft-fitpq-$seed-${FitPqGroupCounter.incrementAndGet()}"
         val futures = (0 until m).map { j =>
           scala.concurrent.Future {
             // job group is thread-local on the driver — set it on THIS

@@ -29,7 +29,18 @@ object StreamingMediaDedup {
 
   /** Keep the FIRST arrival of each byte-identical payload. Same state
     * regimes as [[StreamingDedup.dropDuplicateTexts]]: watermark TTL with
-    * `tsCol`, full-history without. NULL payloads bypass statelessly. */
+    * `tsCol`, full-history without. NULL payloads bypass statelessly.
+    *
+    * Collision tradeoff (documented, deliberate): state keys on the
+    * 128-bit xxhash pair with NO payload re-verification — unlike the
+    * batch ladder's hash-narrow two-phase, a streaming state store
+    * cannot hold payloads for re-verify without keying state on image
+    * bytes. A collision silently drops a distinct image forever; at
+    * n distinct payloads the probability any collision exists is
+    * ≈ n²/2¹²⁹ — under 10⁻¹⁸ at n = 10⁹ and ~3·10⁻¹³ at n = 10¹¹, far
+    * below crawl-pipeline loss rates from transport alone. Callers who
+    * cannot accept that bound should run the batch ladder in a
+    * compaction pass, which re-verifies candidates on full bytes. */
   def dropDuplicateImages(
       df: DataFrame,
       payloadCol: String,
