@@ -2060,7 +2060,13 @@ object SparkEntry {
     // and the recursive clustering from doc arithmetic
     "q145_video_dedup" -> ((s, dir) => {
       val m = Multimodal.videoWithSamplesFromDocuments(table(s, dir, "documents"))
-      graft.ops.MediaDedup.videoDedupReport(m, "payload", "media_id")
+      // frozen ladder (the q135 convention): the media frame is a DERIVED
+      // fixture (130-entry stsz synthesis from doc text) and the ladder
+      // has ~8 consumers — without the chain the synthesis recomputes per
+      // consumer, which is the recompute-x-8 shape q135 measured at 2x
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      graft.ops.MediaDedup.videoDedupReport(m, "payload", "media_id",
+        chain = Some(chain))
         .select(col("media_id"), col("status"), col("keeper"))
         .orderBy("media_id")
     }),

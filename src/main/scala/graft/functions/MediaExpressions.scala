@@ -1008,8 +1008,11 @@ object VideoMeta {
   * Track selection mirrors [[VideoMeta]]: the first `vide`-handler track,
   * falling back to the first track with a sample table. NULL for
   * non-ISO-BMFF payloads, tracks without a parseable `stsz`, fewer than
-  * 65 samples (too short to contour), fixed-sample-size tables with
-  * `sample_count < 65`, and guards against forged counts
+  * 65 samples (too short to contour), ALL fixed-sample-size tables
+  * (`sample_size != 0`: every window sums the same, the contour carries
+  * zero bits of information and would hash every unrelated fixed-size
+  * video to the constant 0 — a false-positive merge class), and guards
+  * against forged counts
   * (`sample_count` capped at 2²⁰ — window sums stay far inside Long). */
 case class VideoSampleHash64(child: Expression) extends UnaryExpression {
 
@@ -1110,26 +1113,26 @@ object VideoSampleHash64 {
     val fixedSize = be32(b, (p + 4).toInt)
     val n = be32(b, (p + 8).toInt)
     if (n < 65L || n > MaxSamples) return null
+    // fixed-size tables (sample_size != 0) carry ZERO contour information:
+    // every window sums L·fixedSize, every adjacent comparison is equal,
+    // and the hash degenerates to the constant 0L — which would pair every
+    // unrelated fixed-size video at Hamming 0 with no confirming stage.
+    // NULL instead (the <65-sample contract): no signal, no signature
+    if (fixedSize != 0L) return null
     val L = n / 65L
     val e = new Array[Long](65)
-    if (fixedSize != 0L) {
-      // all samples equal: every window sums L·fixedSize — a legal (all
-      // zero bits) contour; keep it deterministic rather than rejecting
-      java.util.Arrays.fill(e, L * fixedSize)
-    } else {
-      if (p + 12 + 4L * n > pick(1)) return null // truncated entry table
-      var w = 0
-      while (w < 65) {
-        var k = w * L
-        val kEnd = k + L
-        var sum = 0L
-        while (k < kEnd) {
-          sum += be32(b, (p + 12 + 4 * k).toInt)
-          k += 1
-        }
-        e(w) = sum
-        w += 1
+    if (p + 12 + 4L * n > pick(1)) return null // truncated entry table
+    var w = 0
+    while (w < 65) {
+      var k = w * L
+      val kEnd = k + L
+      var sum = 0L
+      while (k < kEnd) {
+        sum += be32(b, (p + 12 + 4 * k).toInt)
+        k += 1
       }
+      e(w) = sum
+      w += 1
     }
     var hash = 0L
     var bb = 0

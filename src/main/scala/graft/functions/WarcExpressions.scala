@@ -126,14 +126,29 @@ object WarcRecords {
     var p = start
     while (true) {
       val lineEnd = indexOfCrlf(b, p, end)
-      if (lineEnd < 0 || lineEnd - p > 32) return null // size line: bounded
-      val line = new String(b, p, lineEnd - p, java.nio.charset.StandardCharsets.US_ASCII)
-      val semi = line.indexOf(';')
-      val hexStr = (if (semi >= 0) line.substring(0, semi) else line).trim
-      val size =
-        try java.lang.Long.parseLong(hexStr, 16)
-        catch { case _: NumberFormatException => return null }
-      if (size < 0 || size > MaxDecompressed) return null
+      // RFC 9112 puts no limit on chunk extensions, so only the line
+      // itself is (generously) bounded — 4 KiB covers any legal capture
+      // while still refusing a forged CRLF-free megabyte scan
+      if (lineEnd < 0 || lineEnd - p > 4096) return null
+      // hex prefix parsed in place (leading zeros legal; accumulation
+      // capped so forged digit runs can't overflow), then optional BWS
+      // and a `;ext` skipped by the scan to CRLF above
+      var q = p
+      var size = 0L
+      var digits = 0
+      while (q < lineEnd && size <= MaxDecompressed && {
+        val c = b(q).toChar
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      }) {
+        val c = b(q).toChar
+        val v = if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+        size = size * 16 + v
+        digits += 1
+        q += 1
+      }
+      if (digits == 0 || size > MaxDecompressed) return null
+      while (q < lineEnd && (b(q) == ' ' || b(q) == '\t')) q += 1
+      if (q < lineEnd && b(q) != ';') return null // junk after size: malformed
       p = lineEnd + 2
       if (size == 0) return out.toByteArray
       if (p + size + 2 > end) return null // truncated chunk (data + CRLF)

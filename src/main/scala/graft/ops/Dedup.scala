@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Conf key gating the explicit `broadcast()` hints on dedup DECISION
+    * tables (duplicate-id lists, keeper maps). Default true: the
+    * two-phase design premises decisions ≪ corpus, and the hint keeps
+    * payload bytes off every exchange regardless of
+    * `autoBroadcastJoinThreshold`/AQE. Set `"false"` for a pathological
+    * corpus whose duplicate population alone exceeds driver memory: the
+    * joins fall back to AQE/threshold sizing and degrade to a shuffle
+    * join instead of a driver-side collect OOM. */
+  val BroadcastDecisionsKey = "spark.graft.dedup.broadcastDecisions"
+
+  /** `broadcast(df)` under [[BroadcastDecisionsKey]] (the failover knob);
+    * plain `df` when the session disables decision broadcasts. */
+  private[ops] def hintBroadcast(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(BroadcastDecisionsKey, "true").toBoolean)
+      broadcast(df)
+    else df
+
   /** Narrow (hash₁, hash₂, id) corpus table, hash-partitioned on the
     * 128-bit key hash. This is the ONE subtree every exact-dedup phase
     * consumes: the `repartition` puts a reusable shuffle exchange below all
@@ -69,7 +86,7 @@ object Dedup {
     // corpus; inner joins stay put
     val dupIds = hashed.join(dupHashes, Seq("__h1__", "__h2__"))
       .select("__id__")
-    df.join(broadcast(dupIds), col(idCol) === dupIds("__id__"), "left_semi")
+    df.join(hintBroadcast(dupIds), col(idCol) === dupIds("__id__"), "left_semi")
       .select(keyExpr.as("__key__"), col(idCol).as("__id__"))
   }
 

@@ -94,7 +94,10 @@ object MediaDedup {
     * EXPLICIT `broadcast()` hints, so the payload side never shuffles
     * regardless of `autoBroadcastJoinThreshold` / AQE re-planning. On a
     * pathological crawl whose duplicate population alone exceeds driver
-    * memory, take the decisions from the narrow stages directly
+    * memory, either set [[Dedup.BroadcastDecisionsKey]] `= "false"` (the
+    * hints vanish and the joins fail over to AQE/threshold-sized shuffle
+    * joins instead of a driver-side collect OOM), or take the decisions
+    * from the narrow stages directly
     * ([[Dedup.duplicateIdPairs]] / [[nearDuplicateImagePairs]], id-sized
     * shuffles) and attach payloads downstream of whatever reduction
     * follows. The LADDER, however, has ~8 consumers
@@ -170,7 +173,7 @@ object MediaDedup {
     val exactPairs = Dedup.duplicateIdPairs(m, col(payloadCol), idCol)
       .select(col("__id__").as("__eid__"), col("__keep__").as("__ekeep__"))
     val survivors = m
-      .join(broadcast(exactPairs), col(idCol) === col("__eid__"), "left_anti")
+      .join(Dedup.hintBroadcast(exactPairs), col(idCol) === col("__eid__"), "left_anti")
     val pairs = Dedup.hammingPairs64(
       signatureTable(survivors, payloadCol, idCol, sig), maxHamming)
     // cluster only the ids that appear in a pair: singletons are their own
@@ -184,8 +187,8 @@ object MediaDedup {
       .withColumn("__nkeep__", min(col(idCol)).over(Window.partitionBy(col("cluster_id"))))
       .select(col(idCol).as("__nid__"), col("__nkeep__"))
     m
-      .join(broadcast(exactPairs), col(idCol) === col("__eid__"), "left")
-      .join(broadcast(keepers), col(idCol) === col("__nid__"), "left")
+      .join(Dedup.hintBroadcast(exactPairs), col(idCol) === col("__eid__"), "left")
+      .join(Dedup.hintBroadcast(keepers), col(idCol) === col("__nid__"), "left")
       .withColumn("status",
         when(col("__eid__").isNotNull, lit("exact_dup"))
           .when(col("__nkeep__").isNotNull && col("__nkeep__") =!= col(idCol),

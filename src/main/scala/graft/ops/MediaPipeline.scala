@@ -152,7 +152,12 @@ object MediaPipeline {
       audio, maxHamming, chain, freezeEntry = false)
     val videos = curateVideo(m.where(col(kindCol) === "video"), payloadCol, idCol,
       video, maxHamming, chain, freezeEntry = false)
-    val unknown = m.where(!col(kindCol).isin("image", "audio", "video"))
+    // NULL kind must land here too: `=== "image"` and `!isin(...)` are both
+    // NULL-valued (so false) for a NULL kind — without the isNull arm such
+    // rows would match NO branch and vanish, the exact silent drop the
+    // quality_reject contract exists to prevent
+    val unknown = m.where(col(kindCol).isNull ||
+        !col(kindCol).isin("image", "audio", "video"))
       .select(col(idCol), lit("quality_reject").as("status"), col(idCol).as("keeper"))
     images.unionByName(audios).unionByName(videos).unionByName(unknown)
   }

@@ -951,6 +951,54 @@ class MultimodalSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("broadcast-decisions knob: hints off ⇒ shuffle failover, decisions unchanged") {
+    import graft.ops.{Dedup, MediaDedup}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val crawl = Multimodal.warcImageCrawlFromDocuments(docs)
+    val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+      .select(regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1)
+        .cast("long").as("media_id"), col("payload"))
+    def reportSet() = MediaDedup.imageDedupReport(media, "payload", "media_id")
+      .select("media_id", "status", "keeper").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val withHints = reportSet()
+    val priorBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the pathological-corpus failover: knob off + auto-broadcast off
+      // must degrade the decision attaches to shuffle joins (no broadcast
+      // exchange anywhere — no driver-side collect to OOM) while the
+      // DECISIONS stay bit-identical
+      spark.conf.set(Dedup.BroadcastDecisionsKey, "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val without = MediaDedup.imageDedupReport(media, "payload", "media_id")
+        .select("media_id", "status", "keeper")
+      without.queryExecution.toRdd.count() // finalize AQE stages
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val expanded = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => p.children
+        }
+        p +: expanded.flatMap(flatten)
+      }
+      val bcast = flatten(without.queryExecution.executedPlan).collect {
+        case e: BroadcastExchangeExec => e
+      }
+      assert(bcast.isEmpty, s"knob off must plan NO broadcast exchange:\n$bcast")
+      val withoutSet = without.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(withoutSet == withHints, "decisions must not depend on the join strategy")
+    } finally {
+      spark.conf.set(Dedup.BroadcastDecisionsKey, "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+    }
+  }
+
   test("curateAudio/curateVideo/curateMedia ≡ manual composition; frozen ≡ unfrozen; unknown kinds reject") {
     import graft.ops.{MediaDedup, MediaPipeline, MediaQuality}
     import graft.ops.MediaPipeline.{AudioPolicy, VideoPolicy, ImagePolicy}
@@ -979,9 +1027,17 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Set("quality_reject", "exact_dup", "near_dup", "kept")
       .subsetOf(capstone.map(_._2)), s"statuses: ${capstone.map(_._2)}")
     // curateMedia ≡ union of the per-kind capstones; unknown kinds reject
+    // unknown kinds INCLUDING NULL: `kind === "image"` and `!isin(...)`
+    // both evaluate NULL (false) on a NULL kind, so without the explicit
+    // isNull arm in curateMedia the 999998 row would silently vanish —
+    // matching no modality slice and not the unknown branch either
+    val junkSchema = org.apache.spark.sql.types.StructType(
+      all.schema.map(_.copy(nullable = true)))
     val withJunk = all.unionByName(spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(999999L, "pdf", "oops".getBytes)),
-      all.schema))
+      java.util.List.of(
+        org.apache.spark.sql.Row(999999L, "pdf", "oops".getBytes),
+        org.apache.spark.sql.Row(999998L, null, "nokind".getBytes)),
+      junkSchema))
     val vPolicy = VideoPolicy(minDurationMs = 100L, maxDurationMs = 20000L,
       minDim = 240L, maxAspect = 2.2, maxTracks = 1L)
     val iPolicy = ImagePolicy(minDim = 2L, maxAspect = 2.2, minDynRange = 0L,
@@ -1005,7 +1061,8 @@ class MultimodalSpec extends SparkSpecBase {
         .unionByName(MediaPipeline.curateVideo(m2.where(col("kind") === "video"),
           "payload", "media_id", vPolicy, chain = Some(chain2), freezeEntry = false))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(dispatched == perKind + ((999999L, "quality_reject", 999999L)))
+    assert(dispatched == perKind + ((999999L, "quality_reject", 999999L))
+      + ((999998L, "quality_reject", 999998L)))
     // frozen ≡ unfrozen bit-for-bit on the audio capstone (the tractable
     // single-ladder plan; `capstone` above IS the unfrozen run)
     val chain3 = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain

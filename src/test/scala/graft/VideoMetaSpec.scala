@@ -135,7 +135,7 @@ class VideoMetaSpec extends SparkSpecBase {
     }
     assert(report.values.count(_._1 == "kept") > 0)
     // NULL contract: no sample table (the q94 fixture), garbage, truncated
-    // entries, sub-65 counts; fixed-size tables hash (all-equal contour)
+    // entries, sub-65 counts, and fixed-size tables (zero-information)
     val plain = Multimodal.videoFromDocuments(docs.limit(2)).select("payload")
       .collect()(0).getAs[Array[Byte]](0)
     assert(VideoSampleHash64.compute(plain) == null, "no stsz -> NULL")
@@ -154,8 +154,11 @@ class VideoMetaSpec extends SparkSpecBase {
     val fixed = sample.clone()
     val at2 = stszAt(fixed) + 4
     fixed(at2 + 4) = 0; fixed(at2 + 5) = 0; fixed(at2 + 6) = 0; fixed(at2 + 7) = 7
-    assert(VideoSampleHash64.compute(fixed) == java.lang.Long.valueOf(0L),
-      "fixed-size table -> all-equal contour, hash 0")
+    // fixed-size tables carry zero contour information — hashing them
+    // (to the constant 0) would merge every unrelated fixed-size video
+    // at Hamming 0; the contract is NULL, same as <65 samples
+    assert(VideoSampleHash64.compute(fixed) == null,
+      "fixed-size table -> zero-information contour -> NULL")
   }
 
   test("ScalaCheck: random box trees round-trip every advertised field") {

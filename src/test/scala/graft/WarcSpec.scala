@@ -177,10 +177,24 @@ class WarcSpec extends SparkSpecBase {
     val badBlock =
       s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain${crlf}" +
         s"Transfer-Encoding: chunked$crlf$crlf" + s"FFFF$crlf" + "short" + crlf
+    // RFC 9112 places NO length limit on chunk extensions: a 600-byte
+    // extension and BWS padding before it are legal and must dechunk
+    // (only the hex prefix is semantically bounded; the line cap is 4 KiB)
+    val longExtBlock =
+      s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain${crlf}" +
+        s"Transfer-Encoding: chunked$crlf$crlf" +
+        s"5  ;meta=${"x" * 600}$crlf" + "bytes" + crlf + s"0$crlf$crlf"
+    // junk (non-extension, non-whitespace) after the hex size: malformed
+    val junkSizeBlock =
+      s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain${crlf}" +
+        s"Transfer-Encoding: chunked$crlf$crlf" +
+        s"5 junk$crlf" + "bytes" + crlf + s"0$crlf$crlf"
     val warc = (record("response", "http://c/1", chunkedBlock) +
       record("response", "http://c/2", extBlock) +
       record("response", "http://c/3", badBlock) +
-      record("response", "http://c/4", respBlock)).getBytes("UTF-8")
+      record("response", "http://c/4", respBlock) +
+      record("response", "http://c/6", longExtBlock) +
+      record("response", "http://c/7", junkSizeBlock)).getBytes("UTF-8")
     val got = parseOne(warc).toSeq
     assert(got(0) == (("response", "http://c/1", Some(200),
       Some("text/plain"), "hello chunked world")))
@@ -190,6 +204,10 @@ class WarcSpec extends SparkSpecBase {
     // headers and every sibling record survive
     assert(got(2) == (("response", "http://c/3", Some(200), Some("text/plain"), null)))
     assert(got(3) == (("response", "http://c/4", Some(200), Some("text/html"), "<p>hi</p>")))
+    assert(got(4) == (("response", "http://c/6", Some(200),
+      Some("text/plain"), "bytes")), "long chunk extension must dechunk")
+    assert(got(5) == (("response", "http://c/7", Some(200),
+      Some("text/plain"), null)), "junk after hex size is malformed")
     // a non-chunked record never enters the dechunker even if the body
     // happens to LOOK like chunk framing
     val lookalike =
