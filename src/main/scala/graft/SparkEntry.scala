@@ -2103,6 +2103,28 @@ object SparkEntry {
         maxHamming = 3, chain = Some(chain))
         .orderBy("media_id")
     }),
+    // PROGRESSIVE JPEG on the query surface: baseline and SOF2 re-encodes
+    // of the same mosaics run the SAME battery + aHash through the native
+    // decode (a real crawl's progressive share — mozjpeg's default — is
+    // first-class, not quality_rejected). Signals and hashes are
+    // coding-INDEPENDENT: the oracle replays both rows from ONE
+    // block-value relation; flat-bright plants split the gate; unsigned
+    // halves per the q134 convention
+    "q148_progressive_jpeg" -> ((s, dir) => {
+      val m = Multimodal.progressiveJpegMediaFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"), col("coding"),
+          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
+          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+        .select(col("media_id"), col("coding"),
+          col("__s__.width").as("width"), col("__s__.height").as("height"),
+          round(col("__s__.mean_luma"), 6).as("mean_luma"),
+          col("__s__.dyn_range").as("dyn_range"),
+          graft.ops.MediaQuality.imageGates(col("__s__"))
+            .getField("passes").as("passes"),
+          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
+          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+        .orderBy("media_id")
+    }),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
     // keyed by term — shuffle ≈ vocab size — then a TakeOrdered merge)
     "q56_vocabulary" -> ((s, dir) =>
@@ -3974,6 +3996,41 @@ object SparkEntry {
          |CAST(COALESCE(a.ah_lo, 0) AS BIGINT) AS ah_lo
          |FROM mx_sig s LEFT JOIN mx_ah a ON s.media_id = a.media_id
          |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // progressive twins replay from ONE block-value relation: signals
+    // (jsig math), aHash one-cell-per-block (the mxjc convention), gates
+    // at the Scala defaults (64×64 ⇒ dims/aspect always pass; dr and
+    // luma split on the flat-bright plant)
+    "q148_progressive_jpeg" ->
+      """WITH p0 AS (SELECT doc_id,
+        |CASE WHEN doc_id % 9 = 4 THEN repeat('FA', 64)
+        |ELSE substr(hex(encode(text)) || repeat('41', 64), 1, 128) END AS vhx
+        |FROM documents WHERE text IS NOT NULL),
+        |pj AS (SELECT doc_id*10 AS media_id, 'baseline' AS coding, vhx FROM p0
+        |UNION ALL SELECT doc_id*10+1, 'progressive', vhx FROM p0 WHERE doc_id % 2 = 1),
+        |v AS (SELECT media_id, coding, i AS cell,
+        |(strpos('0123456789ABCDEF', substr(vhx, 2*i+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(vhx, 2*i+2, 1)) - 1) AS u
+        |FROM (SELECT media_id, coding, vhx, unnest(range(0, 64)) AS i FROM pj)),
+        |sg AS (SELECT media_id, coding, 64*sum(u) AS stot, max(u) - min(u) AS dr
+        |FROM v GROUP BY media_id, coding),
+        |jc AS (SELECT media_id, cell, 64*u AS s, CAST(64 AS BIGINT) AS c FROM v),
+        |jt AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM jc GROUP BY media_id),
+        |jb AS (SELECT jc.media_id, cell AS b FROM jc
+        |JOIN jt ON jc.media_id = jt.media_id
+        |WHERE jc.s * jt.tc > jt.ts * jc.c),
+        |ah AS (SELECT media_id,
+        |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS ah_hi,
+        |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS ah_lo
+        |FROM jb GROUP BY media_id)
+        |SELECT CAST(sg.media_id AS BIGINT) AS media_id, sg.coding,
+        |CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |round(CAST(sg.stot AS DOUBLE) / 4096, 6) AS mean_luma,
+        |CAST(sg.dr AS BIGINT) AS dyn_range,
+        |(sg.dr >= 8 AND CAST(sg.stot AS DOUBLE) / 4096 BETWEEN 70.0 AND 200.0) AS passes,
+        |CAST(COALESCE(ah.ah_hi, 0) AS BIGINT) AS ah_hi,
+        |CAST(COALESCE(ah.ah_lo, 0) AS BIGINT) AS ah_lo
+        |FROM sg LEFT JOIN ah ON sg.media_id = ah.media_id
+        |ORDER BY media_id""".stripMargin.replace("\n", " "),
     // mixed capstone replay: gates (q139 constants) over the unified
     // signal relation, exact groups by codec-tagged content key (PNG
     // framing and the JPEG encoder are both content-bijective; thumbs

@@ -20,12 +20,16 @@ import org.apache.spark.sql.types._
   * mincode/maxcode/valptr), run-length AC with ZRL/EOB, dequantization in
   * zigzag order, and a double-precision separable IDCT (A.3.3) with
   * round-half-up and clamp. Supported: baseline and extended-sequential
-  * Huffman frames (SOF0/SOF1), 8-bit precision, 1 component (grayscale)
-  * or 3 components (YCbCr → RGB by the JFIF formulas), sampling factors
-  * 1..4 with box (nearest) chroma upsampling, restart intervals,
-  * multi-table DQT/DHT segments, FF-stuffing, fill bytes. Anything else —
-  * progressive (SOF2), arithmetic coding, 12-bit, 4-component CMYK,
-  * non-interleaved multi-component scans, truncated entropy data —
+  * Huffman frames (SOF0/SOF1) AND progressive frames (SOF2 — T.81 G.2:
+  * spectral selection, successive approximation with DC/AC first and
+  * refinement scans, EOB-run coding, interleaved DC scans,
+  * per-scan restart intervals; coefficients accumulate unquantized
+  * across scans and dequantize + IDCT once at EOI), 8-bit precision,
+  * 1 component (grayscale) or 3 components (YCbCr → RGB by the JFIF
+  * formulas), sampling factors 1..4 with box (nearest) chroma
+  * upsampling, multi-table DQT/DHT segments, FF-stuffing, fill bytes.
+  * Anything else — arithmetic coding, lossless, 12-bit, 4-component
+  * CMYK, truncated entropy data, a progressive stream missing its EOI —
   * returns null, never throws.
   *
   * Exactness contract for the oracle: a uniform 8×8 block with all-ones
@@ -163,6 +167,14 @@ object JpegDecoder {
     var planeW = 0
     var planeH = 0
     var pred = 0 // DC predictor
+    // progressive (SOF2) state: the unquantized natural-order coefficient
+    // store, sized to the MCU-padded block grid (bwPad×bhPad); bw×bh is
+    // the component's true block grid (T.81 A.2.2 non-interleaved order)
+    var coefs: Array[Int] = null
+    var bw = 0
+    var bh = 0
+    var bwPad = 0
+    var bhPad = 0
   }
 
   /** Decode a baseline JPEG payload, or null for anything unsupported /
@@ -176,6 +188,10 @@ object JpegDecoder {
     var w = 0
     var h = 0
     var restartInterval = 0
+    var progressive = false
+    var scans = 0 // progressive scans decoded so far
+    var mcusX = 0
+    var mcusY = 0
 
     var i = 2
     while (i + 1 < b.length) {
@@ -183,13 +199,18 @@ object JpegDecoder {
       var m = u8(b, i + 1)
       while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
-      else if (m == 0xd9) return null // EOI before SOS
+      else if (m == 0xd9) { // EOI: progressive decode completes here
+        return if (progressive && scans > 0)
+          finishProgressive(comps, w, h, quant, mcusX, mcusY)
+        else null // EOI before SOS (baseline) / before any scan
+      }
       else {
         if (i + 3 >= b.length) return null
         val len = be16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return null
         val p = i + 4 // segment payload start
         val pEnd = i + 2 + len
+        var iNext = i + 2 + len // progressive SOS overrides (entropy follows)
         m match {
           case 0xdb => // DQT: one or more (pq/tq, 64 entries) tables
             var q = p
@@ -222,7 +243,7 @@ object JpegDecoder {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               q += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0/SOF1: the Huffman sequential frames
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
             if (comps != null) return null // second frame header
             if (len < 8 || u8(b, p) != 8) return null // 8-bit precision only
             h = be16(b, p + 1)
@@ -242,16 +263,40 @@ object JpegDecoder {
                 comps(c).quantId > 3) return null
               c += 1
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            if (m == 0xc2) {
+              progressive = true
+              // the coefficient store is allocated UP FRONT (scans write
+              // into it): 4-byte coefficients, so the bound is a quarter
+              // of the plane budget — 16M samples, plenty for any honest
+              // crawl image, and a forged SOF2 still can't balloon memory
+              val hMax = comps.map(_.hSamp).max
+              val vMax = comps.map(_.vSamp).max
+              mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              var coefInts = 0L
+              comps.foreach { cc =>
+                cc.bwPad = mcusX * cc.hSamp
+                cc.bhPad = mcusY * cc.vSamp
+                val compW = (w * cc.hSamp + hMax - 1) / hMax
+                val compH = (h * cc.vSamp + vMax - 1) / vMax
+                cc.bw = (compW + 7) / 8
+                cc.bh = (compH + 7) / 8
+                coefInts += cc.bwPad.toLong * cc.bhPad * 64
+              }
+              if (coefInts * 4 > MaxPlaneBytes) return null
+              comps.foreach(cc => cc.coefs = new Array[Int](cc.bwPad * cc.bhPad * 64))
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return null // progressive / lossless / arithmetic: unsupported
+            return null // lossless / arithmetic / differential: unsupported
           case 0xdd => // DRI
             if (len != 4) return null
             restartInterval = be16(b, p)
-          case 0xda => // SOS: decode the scan and finish
+          case 0xda => // SOS: baseline decodes-and-finishes; progressive accumulates
             if (comps == null) return null
             val ns = u8(b, p)
-            if (ns != comps.length || len != 6 + 2 * ns) return null
+            if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return null
+            val scanComps = new Array[Component](ns)
             var c = 0
             while (c < ns) {
               val cs = u8(b, p + 1 + 2 * c)
@@ -260,16 +305,29 @@ object JpegDecoder {
               comp.dcTable = u8(b, p + 2 + 2 * c) >> 4
               comp.acTable = u8(b, p + 2 + 2 * c) & 0x0f
               if (comp.dcTable > 3 || comp.acTable > 3) return null
+              scanComps(c) = comp
               c += 1
             }
-            return decodeScan(b, pEnd, comps, w, h, quant, dcTabs, acTabs,
-              restartInterval)
+            if (!progressive) {
+              if (ns != comps.length) return null
+              return decodeScan(b, pEnd, comps, w, h, quant, dcTabs, acTabs,
+                restartInterval)
+            }
+            val ss = u8(b, p + 1 + 2 * ns)
+            val se = u8(b, p + 2 + 2 * ns)
+            val ahal = u8(b, p + 3 + 2 * ns)
+            val next = decodeProgressiveScan(b, pEnd, scanComps,
+              ss, se, ahal >> 4, ahal & 0x0f, restartInterval,
+              mcusX, mcusY, dcTabs, acTabs)
+            if (next < 0) return null
+            scans += 1
+            iNext = next
           case _ => () // APPn / COM / anything else: skip by length
         }
-        i += 2 + len
+        i = iNext
       }
     }
-    null // no SOS reached
+    null // no SOS (baseline) / no EOI (progressive) reached
   }
 
   private def decodeScan(
@@ -347,36 +405,8 @@ object JpegDecoder {
               }
             }
             if (r.underrun) return null // truncated entropy data
-            // ---- separable IDCT + level shift into the plane ----
-            var x = 0
-            while (x < 8) { // tmp(v*8+x) = Σu cosTab(x)(u) · coef(v*8+u)
-              var vv = 0
-              while (vv < 8) {
-                var s = 0.0
-                var u = 0
-                while (u < 8) { s += CosTab(x)(u) * coef(vv * 8 + u); u += 1 }
-                tmp(vv * 8 + x) = s
-                vv += 1
-              }
-              x += 1
-            }
-            val bx = (mcuX * comp.hSamp + hh) * 8
-            val by = (mcuY * comp.vSamp + v) * 8
-            var y = 0
-            while (y < 8) {
-              val rowAt = (by + y) * comp.planeW + bx
-              var xx = 0
-              while (xx < 8) {
-                var s = 0.0
-                var vv = 0
-                while (vv < 8) { s += CosTab(y)(vv) * tmp(vv * 8 + xx); vv += 1 }
-                val px = math.round(s).toInt + 128
-                comp.plane(rowAt + xx) =
-                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-                xx += 1
-              }
-              y += 1
-            }
+            idctBlock(coef, tmp, comp.plane, comp.planeW,
+              (mcuX * comp.hSamp + hh) * 8, (mcuY * comp.vSamp + v) * 8)
             hh += 1
           }
           v += 1
@@ -386,8 +416,46 @@ object JpegDecoder {
       sinceRestart += 1
       mcu += 1
     }
+    assemble(comps, w, h, hMax, vMax)
+  }
 
-    // assemble interleaved output with box (nearest) chroma upsampling
+  /** Separable exact-float IDCT (T.81 A.3.3) of one natural-order block,
+    * level-shifted and clamped into `plane` at pixel (bx, by). Shared by
+    * the sequential scan decoder and the progressive finish. */
+  private def idctBlock(coef: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], planeW: Int, bx: Int, by: Int): Unit = {
+    var x = 0
+    while (x < 8) { // tmp(v*8+x) = Σu cosTab(x)(u) · coef(v*8+u)
+      var vv = 0
+      while (vv < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += CosTab(x)(u) * coef(vv * 8 + u); u += 1 }
+        tmp(vv * 8 + x) = s
+        vv += 1
+      }
+      x += 1
+    }
+    var y = 0
+    while (y < 8) {
+      val rowAt = (by + y) * planeW + bx
+      var xx = 0
+      while (xx < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += CosTab(y)(vv) * tmp(vv * 8 + xx); vv += 1 }
+        val px = math.round(s).toInt + 128
+        plane(rowAt + xx) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        xx += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Interleave decoded planes into the output sample array with box
+    * (nearest) chroma upsampling — shared by both frame types. */
+  private def assemble(comps: Array[Component], w: Int, h: Int,
+      hMax: Int, vMax: Int): Decoded = {
     val nc = comps.length
     val out = new Array[Byte](w * h * nc)
     if (nc == 1) {
@@ -423,6 +491,259 @@ object JpegDecoder {
       }
     }
     new Decoded(w, h, nc, out)
+  }
+
+  /** One progressive scan (T.81 G.2): DC first/refinement (interleaved
+    * per A.2.3 when Ns > 1; the component's true block grid when Ns = 1),
+    * AC first/refinement with EOB-run coding (G.1.2.2–G.1.2.3; AC scans
+    * are single-component per G.1.1). Coefficients accumulate UNQUANTIZED
+    * in each component's natural-order store; restart markers reset DC
+    * predictors and the EOB run. Returns the position of the next marker
+    * after the scan's entropy data, or -1 for anything malformed. */
+  private def decodeProgressiveScan(
+      b: Array[Byte],
+      start: Int,
+      scanComps: Array[Component],
+      ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int,
+      mcusX: Int, mcusY: Int,
+      dcTabs: Array[HuffTable],
+      acTabs: Array[HuffTable]): Int = {
+    if (al > 13 || ah > 14) return -1
+    val r = new BitReader(b, start)
+    if (ss == 0) {
+      // ---- DC scan ----
+      if (se != 0) return -1
+      scanComps.foreach(_.pred = 0)
+      if (ah == 0) {
+        var c = 0
+        while (c < scanComps.length) {
+          if (dcTabs(scanComps(c).dcTable) == null) return -1
+          c += 1
+        }
+      }
+      val interleaved = scanComps.length > 1
+      val nUnits =
+        if (interleaved) mcusX * mcusY else scanComps(0).bw * scanComps(0).bh
+      var unit = 0
+      var sinceRestart = 0
+      while (unit < nUnits) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          if (!r.restart()) return -1
+          scanComps.foreach(_.pred = 0)
+          sinceRestart = 0
+        }
+        if (interleaved) {
+          val mcuX = unit % mcusX
+          val mcuY = unit / mcusX
+          var c = 0
+          while (c < scanComps.length) {
+            val comp = scanComps(c)
+            var v = 0
+            while (v < comp.vSamp) {
+              var hh = 0
+              while (hh < comp.hSamp) {
+                val blk = (mcuY * comp.vSamp + v) * comp.bwPad + (mcuX * comp.hSamp + hh)
+                if (!dcUnit(r, comp, blk * 64, ah, al, dcTabs)) return -1
+                hh += 1
+              }
+              v += 1
+            }
+            c += 1
+          }
+        } else {
+          val comp = scanComps(0)
+          val blk = (unit / comp.bw) * comp.bwPad + (unit % comp.bw)
+          if (!dcUnit(r, comp, blk * 64, ah, al, dcTabs)) return -1
+        }
+        sinceRestart += 1
+        unit += 1
+      }
+    } else {
+      // ---- AC scan: exactly one component (T.81 G.1.1) ----
+      if (scanComps.length != 1 || se > 63 || ss > se) return -1
+      val comp = scanComps(0)
+      val acT = acTabs(comp.acTable)
+      if (acT == null || comp.coefs == null) return -1
+      val p1 = 1 << al
+      val nBlocks = comp.bw * comp.bh
+      var eobrun = 0
+      var blkIdx = 0
+      var sinceRestart = 0
+      while (blkIdx < nBlocks) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          if (!r.restart()) return -1
+          eobrun = 0
+          sinceRestart = 0
+        }
+        val base = ((blkIdx / comp.bw) * comp.bwPad + (blkIdx % comp.bw)) * 64
+        if (ah == 0) {
+          // first pass (G.1.2.2): coefficients arrive scaled by 2^Al
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var open = true
+            while (open && k <= se) {
+              val rs = huffDecode(r, acT)
+              if (rs < 0) return -1
+              val run = rs >> 4
+              val s = rs & 0x0f
+              if (s == 0) {
+                if (run == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << run) - 1 // covers THIS block too
+                  if (run > 0) eobrun += r.receive(run)
+                  open = false
+                }
+              } else {
+                k += run
+                if (k > se) return -1
+                comp.coefs(base + Zigzag(k)) = extend(r.receive(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // refinement (G.1.2.3): correction bits for already-nonzero
+          // coefficients; newly-nonzero ones arrive as ±2^Al
+          var k = ss
+          if (eobrun == 0) {
+            var open = true
+            while (open && k <= se) {
+              val rs = huffDecode(r, acT)
+              if (rs < 0) return -1
+              var run = rs >> 4
+              val s = rs & 0x0f
+              var newval = 0
+              if (s == 0) {
+                if (run < 15) { // EOBn: the block's tail refines below
+                  eobrun = 1 << run
+                  if (run > 0) eobrun += r.receive(run)
+                  open = false
+                }
+                // run == 15 (ZRL): pass 16 zero-HISTORY coefficients
+              } else {
+                if (s != 1) return -1 // refinement magnitudes are ±1
+                newval = if (r.nextBit() == 1) p1 else -p1
+              }
+              if (open) {
+                var placed = false
+                while (!placed && k <= se) {
+                  val idx = base + Zigzag(k)
+                  val cur = comp.coefs(idx)
+                  if (cur != 0) { // history: a correction bit, not a run slot
+                    if (r.nextBit() == 1 && (cur & p1) == 0)
+                      comp.coefs(idx) = cur + (if (cur >= 0) p1 else -p1)
+                  } else if (run == 0) {
+                    if (newval != 0) comp.coefs(idx) = newval
+                    placed = true
+                  } else run -= 1
+                  k += 1
+                }
+                if (!placed && newval != 0) return -1 // ran past Se: corrupt
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB region: correction bits only, through the band's end
+            while (k <= se) {
+              val idx = base + Zigzag(k)
+              val cur = comp.coefs(idx)
+              if (cur != 0) {
+                if (r.nextBit() == 1 && (cur & p1) == 0)
+                  comp.coefs(idx) = cur + (if (cur >= 0) p1 else -p1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        if (r.underrun) return -1
+        sinceRestart += 1
+        blkIdx += 1
+      }
+    }
+    if (r.underrun) return -1
+    skipToMarker(b, r.pos)
+  }
+
+  /** One DC data unit of a progressive scan: first pass decodes the
+    * predictor diff at point transform Al (G.1.2.1); refinement appends
+    * the bit at position Al (G.1.2.1 successive approximation). */
+  private def dcUnit(r: BitReader, comp: Component, base: Int,
+      ah: Int, al: Int, dcTabs: Array[HuffTable]): Boolean = {
+    if (comp.coefs == null) return false
+    if (ah == 0) {
+      val tab = dcTabs(comp.dcTable)
+      val t = huffDecode(r, tab)
+      if (t < 0 || t > 15) return false
+      comp.pred += extend(r.receive(t), t)
+      comp.coefs(base) = comp.pred << al
+    } else {
+      if (r.nextBit() == 1) comp.coefs(base) |= (1 << al)
+    }
+    !r.underrun
+  }
+
+  /** First true marker at/after `from`: `FF xx` where `xx` is not a
+    * stuffing 00, a fill FF, or an in-stream RSTn. -1 when none. */
+  private def skipToMarker(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val nx = b(p + 1) & 0xff
+        if (nx == 0x00) p += 2
+        else if (nx == 0xff) p += 1
+        else if (nx >= 0xd0 && nx <= 0xd7) p += 2
+        else return p
+      } else p += 1
+    }
+    -1
+  }
+
+  /** Progressive finish at EOI: dequantize the accumulated coefficient
+    * store (tables in effect at EOI — T.81 forbids changing a quant
+    * table mid-frame) and IDCT each block of each component's TRUE grid
+    * into its plane, then the shared assembly. */
+  private def finishProgressive(
+      comps: Array[Component],
+      w: Int, h: Int,
+      quant: Array[Array[Int]],
+      mcusX: Int, mcusY: Int): Decoded = {
+    if (comps == null) return null
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
+    var planeBytes = 0L
+    comps.foreach { c =>
+      c.planeW = mcusX * c.hSamp * 8
+      c.planeH = mcusY * c.vSamp * 8
+      planeBytes += c.planeW.toLong * c.planeH
+      if (quant(c.quantId) == null) return null
+    }
+    if (planeBytes > MaxPlaneBytes ||
+      w.toLong * h * comps.length > MaxPlaneBytes) return null
+    val dq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    comps.foreach { c =>
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      val q = quant(c.quantId)
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          val base = (by * c.bwPad + bx) * 64
+          var k = 0
+          while (k < 64) {
+            dq(Zigzag(k)) = c.coefs(base + Zigzag(k)) * q(k)
+            k += 1
+          }
+          idctBlock(dq, tmp, c.plane, c.planeW, bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    assemble(comps, w, h, hMax, vMax)
   }
 }
 

@@ -628,6 +628,36 @@ object Multimodal {
       .toDF("media_id", "kind", "width", "height", "payload")
   }
 
+  /** Progressive-JPEG twin table: for every document the baseline 8×8
+    * block mosaic (the mixed-crawl recipe: text bytes 'A'-padded, or the
+    * flat-bright 250 plant for `doc_id % 9 == 4` so the quality gate
+    * splits) at `doc_id·10`, and for ODD doc_ids a PROGRESSIVE (SOF2)
+    * re-encode of the SAME mosaic at `doc_id·10 + 1` — byte-different
+    * coding (spectral bands + successive approximation, see
+    * [[JpegFixtures.encodeGrayMosaicProgressive]]), pixel-identical
+    * decode, so a DuckDB oracle replays BOTH rows' signals and hashes
+    * from one block-value relation. */
+  def progressiveJpegMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val vals =
+          if (id % 9 == 4) Array.fill(64)(250)
+          else {
+            val tb = text.getBytes("UTF-8")
+            Array.tabulate(64)(i => if (i < tb.length) tb(i) & 0xff else 'A'.toInt)
+          }
+        val base = (id * 10, "baseline", JpegFixtures.encodeGrayMosaic(vals, 8, 8))
+        if (id % 2 == 1)
+          Seq(base, (id * 10 + 1, "progressive",
+            JpegFixtures.encodeGrayMosaicProgressive(vals, 8, 8)))
+        else Seq(base)
+      }
+      .toDF("media_id", "coding", "payload")
+  }
+
   /** Aspect-preserving resize metadata (shorter side → `target`). Pure
     * arithmetic — in a real pipeline the payload transform happens in the
     * decode batch; the *plan* shape is identical. */

@@ -53,6 +53,77 @@ class JpegDecodeSpec extends SparkSpecBase {
     }
   }
 
+  test("progressive mosaic twin: byte-different, pixel-identical, hash-identical") {
+    val vals = Array(0, 255, 128, 65, 66, 1, 254, 2, 199, 31, 100, 101)
+    val base = JpegFixtures.encodeGrayMosaic(vals, 4, 3)
+    val prog = JpegFixtures.encodeGrayMosaicProgressive(vals, 4, 3)
+    assert(!java.util.Arrays.equals(base, prog))
+    assert(prog.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "twin must be SOF2")
+    val d = JpegDecoder.decode(prog)
+    assert(d != null && d.w == 32 && d.h == 24 && d.ch == 1)
+    // uniform DC-only blocks round-trip EXACTLY through the progressive
+    // scan script too (successive approximation reassembles the same DC)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val want = vals((y / 8) * 4 + (x / 8))
+      assert((d.samples(y * 32 + x) & 0xff) == want,
+        s"pixel ($x,$y): got ${d.samples(y * 32 + x) & 0xff}, want $want")
+    }
+    // the independent third implementation agrees on the same bytes
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+    assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert(img.getRaster.getSample(x, y, 0) == (d.samples(y * 32 + x) & 0xff))
+    // perceptual hashes are CODING-independent: baseline, progressive,
+    // and the PNG of the same pixels all hash identically
+    assert(ImageGridHash.aHash(prog) == ImageGridHash.aHash(base))
+    assert(ImageGridHash.dHash(prog) == ImageGridHash.dHash(base))
+  }
+
+  test("random coefficient blocks: progressive ≡ baseline decode, imageio within rounding") {
+    // the two-spelling property: the SAME quantized coefficients encoded
+    // sequentially and progressively (spectral bands + successive
+    // approximation + EOB runs + refinement correction bits) must decode
+    // to IDENTICAL pixels — any encoder/decoder disagreement about the
+    // G.1.2 bit discipline breaks equality. imageio independently decodes
+    // the progressive bytes to within integer-IDCT rounding.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 24) {
+      val bw = 1 + rnd.nextInt(4)
+      val bh = 1 + rnd.nextInt(3)
+      val al = trial % 3 // 0 = spectral-selection-only script
+      val splitAt = Seq(2, 5, 20, 35)(trial % 4)
+      val blocks = Array.fill(bw * bh) {
+        val zz = new Array[Int](64)
+        zz(0) = rnd.nextInt(1800) - 900
+        // sparse AC: a few low-band, a few high-band, occasional runs>16
+        val nAc = rnd.nextInt(10)
+        for (_ <- 0 until nAc)
+          zz(1 + rnd.nextInt(63)) = rnd.nextInt(511) - 255
+        if (rnd.nextBoolean()) zz(40 + rnd.nextInt(23)) = rnd.nextInt(31) - 15
+        zz
+      }
+      val base = JpegFixtures.encodeCoefMosaic(blocks, bw, bh, progressive = false)
+      val prog = JpegFixtures.encodeCoefMosaic(blocks, bw, bh, progressive = true,
+        al = al, splitAt = splitAt)
+      val db = JpegDecoder.decode(base)
+      val dp = JpegDecoder.decode(prog)
+      assert(db != null && dp != null, s"trial $trial must decode")
+      assert(db.w == bw * 8 && db.h == bh * 8 && dp.w == db.w && dp.h == db.h)
+      assert(java.util.Arrays.equals(db.samples, dp.samples),
+        s"trial $trial (al=$al split=$splitAt): progressive ≠ baseline")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+      assert(ref != null, s"trial $trial: imageio must accept the stream")
+      var maxDiff = 0
+      for (y <- 0 until db.h; x <- 0 until db.w) {
+        val diff = math.abs((dp.samples(y * db.w + x) & 0xff) -
+          ref.getRaster.getSample(x, y, 0))
+        if (diff > maxDiff) maxDiff = diff
+      }
+      assert(maxDiff <= 2, s"trial $trial: imageio diff $maxDiff")
+    }
+  }
+
   test("imageio-encoded grayscale decodes pixel-close to imageio's own decoder") {
     // a real entropy-coded stream (imageio's tables, AC coefficients,
     // non-trivial Huffman) — not our own encoder: smooth gradient so the
@@ -119,15 +190,33 @@ class JpegDecodeSpec extends SparkSpecBase {
     assert(st.getArray(4).toLongArray()(0) == vals.map(_.toLong * 64).sum)
     assert(st.getArray(5).toIntArray()(0) == vals.min)
     assert(st.getArray(6).toIntArray()(0) == vals.max)
-    // NULL contract: progressive (SOF2), truncated entropy data, garbage,
-    // forged huge SOF dims — all reject, never fabricate or throw
+    // progressive (SOF2) streams from the INDEPENDENT imageio encoder —
+    // libjpeg-style scan script, its own tables — decode through the
+    // native path and land in the same signal struct
     val gray = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    for (y <- 0 until 16; x <- 0 until 16) gray.getRaster.setSample(x, y, 0, 80)
+    for (y <- 0 until 16; x <- 0 until 16)
+      gray.getRaster.setSample(x, y, 0, 40 + 4 * x + 9 * y)
     val progressive = imageIoEncode(gray, 1.0f, progressive = true)
     assert(progressive.sliding(2).exists(p =>
       (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "must be SOF2")
-    assert(ImagePixelStats.parse(progressive) == null)
+    val pst = ImagePixelStats.parse(progressive)
+    assert(pst != null, "progressive must decode natively now")
+    assert(pst.getInt(0) == 16 && pst.getInt(1) == 16 && pst.getInt(2) == 1)
+    val pd = JpegDecoder.decode(progressive)
+    val pref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(progressive))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val diff = math.abs((pd.samples(y * 16 + x) & 0xff) - pref.getRaster.getSample(x, y, 0))
+      assert(diff <= 2, s"progressive cross-decoder diff $diff at ($x,$y)")
+    }
+    // NULL contract: truncated entropy data, garbage, forged huge SOF
+    // dims (both frame types) — all reject, never fabricate or throw
+    val forgedProg = progressive.clone()
+    val sof2At = forgedProg.indices.find(i => (forgedProg(i) & 0xff) == 0xff &&
+      i + 1 < forgedProg.length && (forgedProg(i + 1) & 0xff) == 0xc2).get
+    forgedProg(sof2At + 5) = 0xff.toByte; forgedProg(sof2At + 6) = 0xff.toByte
+    forgedProg(sof2At + 7) = 0xff.toByte; forgedProg(sof2At + 8) = 0xff.toByte
+    assert(ImagePixelStats.parse(forgedProg) == null, "SOF2 coef guard must fire")
     assert(ImagePixelStats.parse(jpeg.take(jpeg.length - 4)) == null)
     assert(ImagePixelStats.parse("not an image at all".getBytes) == null)
     assert(ImagePixelStats.parse(Array.empty[Byte]) == null)
