@@ -677,6 +677,76 @@ object SparkEntry {
        |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS dh_lo
        |FROM ph_db GROUP BY media_id)""".stripMargin.replace("\n", " ")
 
+  /** The q139 image-curation oracle (battery gates → exact groups →
+    * banding → recursive clustering over the q135 crawl fixture),
+    * parameterized with an extra status arm so the GIF-planted q149
+    * fixture reuses the whole replay verbatim. */
+  private def imageCurationOracleSql(extraArm: String): String =
+    s"""WITH RECURSIVE m0 AS (SELECT doc_id,
+         |CAST(CASE WHEN doc_id % 7 = 0 THEN 8 ELSE doc_id % 6 + 6 END AS INTEGER) AS w,
+         |CAST(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE doc_id % 4 + 5 END AS INTEGER) AS h,
+         |CASE WHEN doc_id % 7 = 0 THEN '' ELSE hex(encode(text)) END AS hx
+         |FROM documents WHERE text IS NOT NULL),
+         |mbase AS (SELECT doc_id, w, h,
+         |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM m0),
+         |med AS (SELECT doc_id*10 AS media_id, w, h, px FROM mbase
+         |UNION ALL SELECT doc_id*10+1, w, h, '000000' || substr(px, 7) FROM mbase
+         |WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+         |s1 AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM med),
+         |v1 AS (SELECT media_id, i % 3 AS c,
+         |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
+         |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM s1),
+         |cs1 AS (SELECT media_id, c, sum(u) AS su, min(u) AS mn, max(u) AS mx
+         |FROM v1 GROUP BY media_id, c),
+         |ag AS (SELECT media_id, sum(su) AS stot, max(mx - mn) AS dr
+         |FROM cs1 GROUP BY media_id),
+         |gt AS (SELECT med.media_id,
+         |(least(med.w, med.h) >= 6
+         |AND CAST(greatest(med.w, med.h) AS DOUBLE) / least(med.w, med.h) <= 2.2
+         |AND ag.dr >= 0
+         |AND CAST(ag.stot AS DOUBLE) / (3*med.w*med.h) BETWEEN 60.0 AND 200.0) AS p
+         |FROM med JOIN ag ON med.media_id = ag.media_id),
+         |poolm AS (SELECT med.media_id, med.w, med.h, med.px FROM med
+         |JOIN gt ON med.media_id = gt.media_id AND gt.p),
+         |eg AS (SELECT media_id, w, h, px,
+         |min(media_id) OVER (PARTITION BY w, h, px) AS ekeep FROM poolm),
+         |ed AS (SELECT media_id, ekeep FROM eg WHERE media_id <> ekeep),
+         |pm AS (SELECT media_id, w, h, px FROM eg WHERE media_id = ekeep),
+         |${phashCtes("pm")},
+         |sig AS (SELECT pm.media_id,
+         |CAST(COALESCE(ph_ah.ah_hi, 0) AS BIGINT) AS hi,
+         |CAST(COALESCE(ph_ah.ah_lo, 0) AS BIGINT) AS lo
+         |FROM pm LEFT JOIN ph_ah ON pm.media_id = ph_ah.media_id),
+         |ch AS (SELECT media_id, hi, lo,
+         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+         |unnest([0, 1, 2, 3]) AS chunk FROM sig),
+         |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |FROM ch a JOIN ch b
+         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+         |pr AS (SELECT ma, mb FROM cand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+         |e AS (SELECT ma AS s, mb AS t FROM pr UNION ALL SELECT mb, ma FROM pr),
+         |reach(id, r) AS (SELECT media_id, media_id FROM pm
+         |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id),
+         |cl AS (SELECT id AS media_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |nk AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM cl)
+         |SELECT CAST(media_id AS BIGINT) AS media_id,
+         |'quality_reject' AS status, CAST(media_id AS BIGINT) AS keeper
+         |FROM gt WHERE NOT p
+         |UNION ALL
+         |SELECT CAST(poolm.media_id AS BIGINT) AS media_id,
+         |CASE WHEN ed.media_id IS NOT NULL THEN 'exact_dup'
+         |WHEN nk.nkeep <> poolm.media_id THEN 'near_dup'
+         |ELSE 'kept' END AS status,
+         |CAST(COALESCE(ed.ekeep,
+         |CASE WHEN nk.nkeep <> poolm.media_id THEN nk.nkeep END,
+         |poolm.media_id) AS BIGINT) AS keeper
+         |FROM poolm LEFT JOIN ed ON poolm.media_id = ed.media_id
+         |LEFT JOIN nk ON poolm.media_id = nk.media_id
+         |$extraArm ORDER BY media_id""".stripMargin.replace("\n", " ")
+
   /** CTEs reconstructing the MIXED-codec crawl fixture
     * ([[graft.multimodal.Multimodal.warcMixedImageCrawlFromDocuments]])
     * analytically: PNG rows as pixel-hex relations (the q135/q136 shape),
@@ -2123,6 +2193,26 @@ object SparkEntry {
             .getField("passes").as("passes"),
           shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
           col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+        .orderBy("media_id")
+    }),
+    // harvest-attrition observability: the crawl plants GIF bodies that
+    // extractWarcMedia keeps (content-type image/*) but no supported
+    // codec decodes — curation surfaces them as their own `undecodable`
+    // status instead of folding the codec-coverage gap into
+    // quality_reject. Same q139 fixture/gates otherwise, so the ladder
+    // statuses replay identically
+    "q149_undecodable_attrition" -> ((s, dir) => {
+      val crawl = Multimodal.warcImageCrawlWithGifsFromDocuments(
+        table(s, dir, "documents"))
+      val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+        .select(
+          regexp_extract(col("url"), "/media/(\\d+)\\.(png|gif)$", 1)
+            .cast("long").as("media_id"),
+          col("payload"))
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      graft.ops.MediaPipeline.curateImages(media, "payload", "media_id",
+        minDim = 6L, maxAspect = 2.2, minDynRange = 0L, lumaBounds = (60.0, 200.0),
+        maxHamming = 3, chain = Some(chain))
         .orderBy("media_id")
     }),
     // corpus vocabulary: top-k tokens by total frequency (one grouped agg
@@ -3887,71 +3977,14 @@ object SparkEntry {
     // capstone replay: the q136 gate arithmetic (at the q139 constants)
     // selects the pool, then the q135 dedup CTEs run over THAT pool —
     // quality rejects union'd back with self-keepers
-    "q139_media_pipeline" ->
-      s"""WITH RECURSIVE m0 AS (SELECT doc_id,
-         |CAST(CASE WHEN doc_id % 7 = 0 THEN 8 ELSE doc_id % 6 + 6 END AS INTEGER) AS w,
-         |CAST(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE doc_id % 4 + 5 END AS INTEGER) AS h,
-         |CASE WHEN doc_id % 7 = 0 THEN '' ELSE hex(encode(text)) END AS hx
-         |FROM documents WHERE text IS NOT NULL),
-         |mbase AS (SELECT doc_id, w, h,
-         |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM m0),
-         |med AS (SELECT doc_id*10 AS media_id, w, h, px FROM mbase
-         |UNION ALL SELECT doc_id*10+1, w, h, '000000' || substr(px, 7) FROM mbase
-         |WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
-         |s1 AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM med),
-         |v1 AS (SELECT media_id, i % 3 AS c,
-         |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
-         |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM s1),
-         |cs1 AS (SELECT media_id, c, sum(u) AS su, min(u) AS mn, max(u) AS mx
-         |FROM v1 GROUP BY media_id, c),
-         |ag AS (SELECT media_id, sum(su) AS stot, max(mx - mn) AS dr
-         |FROM cs1 GROUP BY media_id),
-         |gt AS (SELECT med.media_id,
-         |(least(med.w, med.h) >= 6
-         |AND CAST(greatest(med.w, med.h) AS DOUBLE) / least(med.w, med.h) <= 2.2
-         |AND ag.dr >= 0
-         |AND CAST(ag.stot AS DOUBLE) / (3*med.w*med.h) BETWEEN 60.0 AND 200.0) AS p
-         |FROM med JOIN ag ON med.media_id = ag.media_id),
-         |poolm AS (SELECT med.media_id, med.w, med.h, med.px FROM med
-         |JOIN gt ON med.media_id = gt.media_id AND gt.p),
-         |eg AS (SELECT media_id, w, h, px,
-         |min(media_id) OVER (PARTITION BY w, h, px) AS ekeep FROM poolm),
-         |ed AS (SELECT media_id, ekeep FROM eg WHERE media_id <> ekeep),
-         |pm AS (SELECT media_id, w, h, px FROM eg WHERE media_id = ekeep),
-         |${phashCtes("pm")},
-         |sig AS (SELECT pm.media_id,
-         |CAST(COALESCE(ph_ah.ah_hi, 0) AS BIGINT) AS hi,
-         |CAST(COALESCE(ph_ah.ah_lo, 0) AS BIGINT) AS lo
-         |FROM pm LEFT JOIN ph_ah ON pm.media_id = ph_ah.media_id),
-         |ch AS (SELECT media_id, hi, lo,
-         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
-         |unnest([0, 1, 2, 3]) AS chunk FROM sig),
-         |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
-         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
-         |FROM ch a JOIN ch b
-         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
-         |pr AS (SELECT ma, mb FROM cand
-         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
-         |e AS (SELECT ma AS s, mb AS t FROM pr UNION ALL SELECT mb, ma FROM pr),
-         |reach(id, r) AS (SELECT media_id, media_id FROM pm
-         |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id),
-         |cl AS (SELECT id AS media_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |nk AS (SELECT media_id,
-         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM cl)
-         |SELECT CAST(media_id AS BIGINT) AS media_id,
-         |'quality_reject' AS status, CAST(media_id AS BIGINT) AS keeper
-         |FROM gt WHERE NOT p
-         |UNION ALL
-         |SELECT CAST(poolm.media_id AS BIGINT) AS media_id,
-         |CASE WHEN ed.media_id IS NOT NULL THEN 'exact_dup'
-         |WHEN nk.nkeep <> poolm.media_id THEN 'near_dup'
-         |ELSE 'kept' END AS status,
-         |CAST(COALESCE(ed.ekeep,
-         |CASE WHEN nk.nkeep <> poolm.media_id THEN nk.nkeep END,
-         |poolm.media_id) AS BIGINT) AS keeper
-         |FROM poolm LEFT JOIN ed ON poolm.media_id = ed.media_id
-         |LEFT JOIN nk ON poolm.media_id = nk.media_id
-         |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "q139_media_pipeline" -> imageCurationOracleSql(""),
+    // the same replay plus the planted-GIF arm: codec-coverage gaps are
+    // their own status, never folded into quality_reject
+    "q149_undecodable_attrition" -> imageCurationOracleSql(
+      """UNION ALL SELECT CAST(doc_id*10+2 AS BIGINT) AS media_id,
+        |'undecodable' AS status, CAST(doc_id*10+2 AS BIGINT) AS keeper
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 6 = 2
+        |""".stripMargin.replace("\n", " ")),
     // video battery: every signal from the q94 doc_id arithmetic (the
     // parser's byte-parity is q94's job), gates on the unrounded values
     "q140_video_quality" ->

@@ -838,6 +838,27 @@ object Multimodal {
             .otherwise(lit(Array.emptyByteArray))).as("payload"))
   }
 
+  /** [[warcImageCrawlFromDocuments]] plus a planted UNDECODABLE-codec
+    * slice: for `doc_id % 6 == 2` the page also serves a GIF
+    * (`image/gif`, a real `GIF89a` signature followed by the text bytes —
+    * analytic, and no supported codec decodes it). `extractWarcMedia`
+    * harvests it like any `image/…` body, so downstream curation must
+    * surface the codec-coverage gap as `undecodable` rather than folding
+    * it into `quality_reject` (the q149 contract). */
+  def warcImageCrawlWithGifsFromDocuments(docs: DataFrame): DataFrame = {
+    val withGif = warcImageCrawlFromDocuments(docs)
+      .join(docs.select(col("doc_id"), col("text")),
+        col("media_id") === col("doc_id"))
+    val gifBody = concat(
+      encode(lit("GIF89a"), "UTF-8"),
+      encode(col("text"), "UTF-8"))
+    withGif.select(col("media_id"),
+      concat(col("payload"),
+        when(col("doc_id") % 6 === 2,
+          crawlMediaRec(col("doc_id") * 10 + 2, "gif", "image/gif", gifBody))
+          .otherwise(lit(Array.emptyByteArray))).as("payload"))
+  }
+
   /** Block values of the mixed crawl's CONSTANT JPEG group (the exact-dup
     * plant): the first 64 bytes of this repeated ASCII literal — all
     * members byte-identical, mean luma mid-range so the group SURVIVES

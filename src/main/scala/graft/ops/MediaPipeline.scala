@@ -10,10 +10,14 @@ import org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
   * runs all three in one call: gate order matters at scale because every
   * battery is a scan-stage projection that drops junk BEFORE anything is
   * hashed, banded, or clustered. Output: every input row with
-  * `(idCol, status, keeper)`, `status` ∈ `quality_reject` / `exact_dup`
-  * / `near_dup` / `kept` (keeper = the row a duplicate lost to; itself
-  * for kept and quality-rejected rows — a reject is a gate decision, not
-  * a loss to another row).
+  * `(idCol, status, keeper)`, `status` ∈ `undecodable` /
+  * `quality_reject` / `exact_dup` / `near_dup` / `kept` (keeper = the
+  * row a duplicate lost to; itself for kept, rejected, and undecodable
+  * rows). `undecodable` is the rows whose payload NO supported codec
+  * decodes (NULL signal struct — e.g. GIF/WebP bodies a crawl harvest
+  * keeps because their content-type is `image/…`): splitting them from
+  * `quality_reject` makes harvest attrition OBSERVABLE — a curation
+  * user sees "codec coverage gap", not a silent quality failure.
   *
   * Freeze contract: with `chain`, the MEDIA frame is materialized once
   * at entry (the upstream derivation — a crawl extraction — runs once;
@@ -65,10 +69,15 @@ object MediaPipeline {
       if (freezeEntry) chain.map(_.freeze(media)).getOrElse(media) else media
     val gated = m.withColumn("__s__", signals(col(payloadCol)))
       .withColumn("__p__", gatePass(col("__s__")))
-    val rejects = gated.where(!col("__p__"))
+    // a NULL signal struct means NO supported codec decoded the payload
+    // (every builder wraps its struct in when(parsed.isNotNull, ...)):
+    // that's a codec-coverage gap, not a quality decision — its own status
+    val undecodable = gated.where(col("__s__").isNull)
+      .select(col(idCol), lit("undecodable").as("status"), col(idCol).as("keeper"))
+    val rejects = gated.where(col("__s__").isNotNull && !col("__p__"))
       .select(col(idCol), lit("quality_reject").as("status"), col(idCol).as("keeper"))
     val pool = gated.where(col("__p__")).drop("__s__", "__p__")
-    rejects.unionByName(
+    undecodable.unionByName(rejects).unionByName(
       ladder(pool).select(col(idCol), col("status"), col("keeper")))
   }
 

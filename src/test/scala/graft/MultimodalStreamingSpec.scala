@@ -999,6 +999,47 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("undecodable codecs are their own status, never folded into quality_reject") {
+    import graft.ops.MediaPipeline
+    val vals = Array(16, 235, 80, 170, 40, 210)
+    val good = graft.multimodal.JpegFixtures.encodeGrayMosaic(vals, 3, 2)
+    val bright = graft.multimodal.JpegFixtures.encodeGrayMosaic(Array.fill(6)(250), 3, 2)
+    val gif = "GIF89a-not-decodable-by-any-supported-codec".getBytes
+    val df = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, good),
+      org.apache.spark.sql.Row(2L, bright), // decodes, fails luma/dyn gates
+      org.apache.spark.sql.Row(3L, gif)), // harvested image/… body, no codec
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val report = MediaPipeline.curateImages(df, "payload", "media_id",
+      minDim = 6L, maxAspect = 2.2, minDynRange = 0L, lumaBounds = (60.0, 200.0))
+      .select("media_id", "status", "keeper").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(report(1L) == (("kept", 1L)))
+    assert(report(2L) == (("quality_reject", 2L)), "decodable gate failure")
+    assert(report(3L) == (("undecodable", 3L)),
+      "codec-coverage gap must be observable, not a quality decision")
+    // and through the GIF-planted crawl fixture end-to-end
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val crawl = graft.multimodal.Multimodal.warcImageCrawlWithGifsFromDocuments(docs)
+    val media = graft.multimodal.Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+      .select(regexp_extract(col("url"), "/media/(\\d+)\\.(png|gif)$", 1)
+        .cast("long").as("media_id"), col("payload"))
+    val statuses = MediaPipeline.curateImages(media, "payload", "media_id",
+      minDim = 6L, maxAspect = 2.2, minDynRange = 0L, lumaBounds = (60.0, 200.0))
+      .select("media_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gifIds = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 6 == 2).map(_ * 10 + 2).toSet
+    assert(gifIds.nonEmpty)
+    gifIds.foreach(id => assert(statuses(id) == "undecodable", s"media $id"))
+    assert(statuses.values.count(_ == "undecodable") == gifIds.size,
+      "only the planted GIFs are undecodable")
+  }
+
   test("curateAudio/curateVideo/curateMedia ≡ manual composition; frozen ≡ unfrozen; unknown kinds reject") {
     import graft.ops.{MediaDedup, MediaPipeline, MediaQuality}
     import graft.ops.MediaPipeline.{AudioPolicy, VideoPolicy, ImagePolicy}
