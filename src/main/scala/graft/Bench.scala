@@ -18,16 +18,33 @@ import org.apache.spark.sql.SparkSession
   * `errors` field instead of being swallowed as fast fake timings.
   */
 object Bench {
-  /** Quiet-machine min-of-two of the calibration aggregate below, frozen
-    * PER CORE COUNT (round 15, quiet box: 0.35 at the default local[4],
-    * 0.27 at local[8], 0.24 at local[32] — the 32-task 400M-row sum
-    * scales only weakly with threads, so one constant mislabels quiet
-    * runs at other configs). The denominator of the emitted
-    * `contention_ratio`; the config it was resolved for rides the JSON
-    * as `calibration_cpus`. Re-freeze alongside BASELINE-LOCAL if the
-    * calibration query or partitioning changes. */
-  def calibrationQuietSec(cpus: Int): Double =
-    if (cpus >= 32) 0.24 else if (cpus >= 8) 0.27 else 0.35
+  /** Quiet-machine min-of-two calibration baselines, frozen PER CORE
+    * COUNT and PER PROBE CLASS (round 16, quiet box). One CPU-only probe
+    * mislabeled round-15 epochs as "quiet" (1.06) while code-unchanged
+    * queries ran 1.5–2× their frozen minimums: the suite's cost is
+    * mostly parquet scan/decode and exchange traffic, which a loaded
+    * machine degrades long before a register-resident codegen loop. The
+    * three probes separate the resources:
+    *   - `codegen`: 400M-row range sum — pure whole-stage codegen, no IO;
+    *   - `scan`: a self-generated 10M-row parquet (written untimed at
+    *     bench start, so the probe is SF-independent) read back through
+    *     long/double/string aggregates — decode + memory bandwidth;
+    *   - `shuffle`: 12M rows through a 1M-key hash exchange with no
+    *     map-side reduction — exchange write/read + task scheduling.
+    * Emitted per class as `{sec, quiet, ratio}`; `contention_ratio` =
+    * MAX ratio (any contended resource makes per-query flags suspect),
+    * `env_factor` = geometric mean (the normalizer the flag protocol in
+    * BASELINE-LOCAL.md divides observed/frozen by before applying the
+    * 2× gate). Re-freeze alongside BASELINE-LOCAL if a probe or its
+    * partitioning changes. */
+  def calibrationQuietSec(probe: String, cpus: Int): Double = probe match {
+    // codegen: the round-15 quiet-box freeze (continuity across epochs);
+    // scan/shuffle: round-16 quiet min-of-two-runs on the same box class
+    case "codegen" => if (cpus >= 32) 0.24 else if (cpus >= 8) 0.27 else 0.35
+    case "scan" => if (cpus >= 32) 0.53 else if (cpus >= 8) 0.46 else 0.54
+    case "shuffle" => if (cpus >= 32) 0.90 else if (cpus >= 8) 1.35 else 2.20
+    case p => throw new IllegalArgumentException(p)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,22 +66,56 @@ object Bench {
     try SparkEntry.queries("q04_mean")(spark, sfDir).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
 
-    // contention sentinel: a fixed-cost, IO-free aggregate (pure codegen
-    // over an in-memory range — no parquet, no shuffle payload) timed
-    // min-of-two right before the suite. Its quiet-machine time is frozen
-    // below; the emitted ratio lets a reader separate machine contention
-    // from code regressions WITHOUT re-running anything (two rounds of
-    // driver benches produced 6–7 phantom 2x flags that each cost an
-    // adjudication). Ratio > ~1.5 ⇒ treat per-query flags as suspect and
-    // prefer the quiet min-of-two in BASELINE-LOCAL.
-    def calibrateOnce(): Double = {
+    // contention sentinel: three fixed-cost probes (CPU / scan / shuffle)
+    // timed min-of-two right before the suite — the per-class quiet
+    // baselines are frozen in calibrationQuietSec. The emitted ratios let
+    // a reader separate machine contention from code regressions WITHOUT
+    // re-running anything (two rounds of driver benches produced 6–7
+    // phantom 2x flags that each cost an adjudication; a CPU-only probe
+    // then read "quiet" on epochs where scan/shuffle-bound queries ran
+    // 1.5–2x). contention_ratio (max) > ~1.4 ⇒ per-query flags are
+    // suspect; env_factor (geomean) is the normalizer BASELINE-LOCAL.md's
+    // flag protocol divides by before the 2x gate.
+    val probeDir = java.nio.file.Files.createTempDirectory("graft_bench_probe")
+    val probePath = probeDir.resolve("scan.parquet").toString
+    spark.range(0L, 10000000L, 1L, 32)
+      .selectExpr("id", "cast(id % 10000 as double) / 7.0 AS x",
+        "repeat('a', cast(id % 23 as int)) AS s")
+      .write.mode("overwrite").parquet(probePath) // setup: untimed
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 400000000L, 1L, 32)
-        .selectExpr("sum(id * 3 + 1) as s").head()
+      body
       (System.nanoTime() - t0) / 1e9
     }
-    val calibrationSec = math.min(calibrateOnce(), calibrateOnce())
-    val contentionRatio = calibrationSec / calibrationQuietSec(cpus.toInt)
+    def minOf2(body: => Unit): Double = math.min(timed(body), timed(body))
+    val probes: Seq[(String, Double)] = Seq(
+      "codegen" -> minOf2 {
+        spark.range(0L, 400000000L, 1L, 32).selectExpr("sum(id * 3 + 1) as s").head()
+      },
+      "scan" -> minOf2 {
+        spark.read.parquet(probePath)
+          .selectExpr("sum(id)", "sum(x)", "sum(length(s))").head()
+      },
+      "shuffle" -> minOf2 {
+        // contiguous 375k-id partitions over a 1M-key space: no map-side
+        // reduction, the full 12M rows cross the exchange
+        spark.range(0L, 12000000L, 1L, 32).selectExpr("id % 1000000 AS k")
+          .groupBy("k").count().selectExpr("sum(count)").head()
+      })
+    try {
+      java.nio.file.Files.walk(probeDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    val probeRatios = probes.map { case (n, sec) =>
+      n -> (sec / calibrationQuietSec(n, cpus.toInt)) }
+    val contentionRatio = probeRatios.map(_._2).max
+    val envFactor = math.pow(probeRatios.map(_._2).product, 1.0 / probeRatios.size)
+    // legacy field: the codegen probe keeps its old name so round-over-
+    // round tooling can still compare epochs
+    val calibrationSec = probes.head._2
+    val calibrationJson = probes.zip(probeRatios).map { case ((n, sec), (_, ratio)) =>
+      s""""$n":{"sec":$sec,"quiet":${calibrationQuietSec(n, cpus.toInt)},"ratio":$ratio}"""
+    }.mkString("{", ",", "}")
 
     // optional comma-separated filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -103,7 +154,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(r => math.min(r._2, r._3)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_warm":$qsWarm,"errors":$errs,"calibration_sec":$calibrationSec,"calibration_cpus":$cpus,"contention_ratio":$contentionRatio,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_warm":$qsWarm,"errors":$errs,"calibration_sec":$calibrationSec,"calibration_cpus":$cpus,"calibration":$calibrationJson,"contention_ratio":$contentionRatio,"env_factor":$envFactor,"sf":"$sfDir"}"""
     println(json)
     // log-tail capture can truncate a long run's stdout (round 7 lost
     // q01–q19 and the total); a file copy makes the artifact durable. A
