@@ -1659,6 +1659,20 @@ object SparkEntry {
     "q29_resample_monthly" -> ((s, dir) =>
       wli(s, dir).select("l_shipdate", "l_extendedprice")
         .resample("l_shipdate", "MS").summary("l_extendedprice")),
+    // pandas' NON-DEFAULT `closed` on calendar rules (the last reference
+    // parity gap, refused until round 16): YE closed='left' keeps bin
+    // edges at Dec-31 MIDNIGHT (no end-of-day adjustment), so every row
+    // on a year's last DAY shifts into the next year — l_shipdate is a
+    // date, so each Dec-31 row exercises the shift, not just permits it
+    "q150_resample_closed_left" -> ((s, dir) =>
+      wli(s, dir).select("l_shipdate", "l_extendedprice")
+        .resample("l_shipdate", "YE", closed = "left").summary("l_extendedprice")),
+    // MS closed='right' bins (start, next-start]: every exact month-start-
+    // midnight row (all l_shipdate on the 1st) drops to the previous
+    // month, and pandas' binner adds its leading/trailing empty spine bins
+    "q150b_resample_closed_right" -> ((s, dir) =>
+      wli(s, dir).select("l_shipdate", "l_extendedprice")
+        .resample("l_shipdate", "MS", closed = "right").summary("l_extendedprice")),
     // text analysis: token counts, ratios, language id, quality, fingerprint
     "q28_text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(table(s, dir, "documents"), "text", "doc_id")
@@ -2195,12 +2209,32 @@ object SparkEntry {
           col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
         .orderBy("media_id")
     }),
-    // harvest-attrition observability: the crawl plants GIF bodies that
-    // extractWarcMedia keeps (content-type image/*) but no supported
-    // codec decodes — curation surfaces them as their own `undecodable`
-    // status instead of folding the codec-coverage gap into
-    // quality_reject. Same q139 fixture/gates otherwise, so the ladder
-    // statuses replay identically
+    // native GIF decode (round 16): real variable-width LZW payloads with
+    // an identity grayscale palette, battery + perceptual hash through
+    // the SAME codec dispatchers as PNG/JPEG — the oracle replays every
+    // signal and aHash bit from text bytes (the q148 mosaic convention)
+    "q151_gif_decode" -> ((s, dir) => {
+      val m = Multimodal.gifMediaFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
+          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+        .select(col("media_id"),
+          col("__s__.width").as("width"), col("__s__.height").as("height"),
+          round(col("__s__.mean_luma"), 6).as("mean_luma"),
+          col("__s__.dyn_range").as("dyn_range"),
+          graft.ops.MediaQuality.imageGates(col("__s__"))
+            .getField("passes").as("passes"),
+          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
+          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+        .orderBy("media_id")
+    }),
+    // harvest-attrition observability: the crawl plants GIF-SIGNATURE
+    // bodies (raw text after the magic — corrupt GIFs no decoder reads)
+    // that extractWarcMedia keeps (content-type image/*) but nothing
+    // decodes — curation surfaces them as their own `undecodable` status
+    // instead of folding the decode failure into quality_reject. Same
+    // q139 fixture/gates otherwise, so the ladder statuses replay
+    // identically
     "q149_undecodable_attrition" -> ((s, dir) => {
       val crawl = Multimodal.warcImageCrawlWithGifsFromDocuments(
         table(s, dir, "documents"))
@@ -3161,6 +3195,54 @@ object SparkEntry {
          |a.mean_l_extendedprice, a.var_l_extendedprice, a.std_l_extendedprice
          |FROM s LEFT JOIN a ON s.bucket = a.bucket ORDER BY s.bucket""".stripMargin.replace("\n", " ")
     },
+    // YE closed='left': membership = calendar year of (date + 1 day) —
+    // pandas' midnight Dec-31 edges without the end-of-day adjustment;
+    // label (right default) = the membership year's Dec 31; spine spans
+    // the membership years with no leading/trailing extension
+    "q150_resample_closed_left" -> {
+      val cnt = "sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)"
+      s"""WITH b AS (SELECT date_trunc('year', l_shipdate + INTERVAL 1 DAY) AS y,
+         |l_extendedprice AS v, l_quantity AS w FROM lineitem WHERE l_shipdate IS NOT NULL),
+         |a AS (SELECT y,
+         |$cnt AS count_l_extendedprice,
+         |coalesce(sum(v * w), 0.0) AS sum_l_extendedprice,
+         |(sum(v * w) / $cnt) AS mean_l_extendedprice,
+         |((sum(v * v * w) - (sum(v * w) * sum(v * w)) / $cnt) / ($cnt - 1)) AS var_l_extendedprice,
+         |sqrt(((sum(v * v * w) - (sum(v * w) * sum(v * w)) / $cnt) / ($cnt - 1))) AS std_l_extendedprice
+         |FROM b GROUP BY y),
+         |s AS (SELECT unnest(generate_series(
+         |(SELECT min(y) FROM b), (SELECT max(y) FROM b), INTERVAL 1 YEAR)) AS y)
+         |SELECT CAST(epoch(s.y + INTERVAL 1 YEAR - INTERVAL 1 DAY) AS BIGINT) AS bucket,
+         |coalesce(a.count_l_extendedprice, 0.0) AS count_l_extendedprice,
+         |coalesce(a.sum_l_extendedprice, 0.0) AS sum_l_extendedprice,
+         |a.mean_l_extendedprice, a.var_l_extendedprice, a.std_l_extendedprice
+         |FROM s LEFT JOIN a ON s.y = a.y ORDER BY bucket""".stripMargin.replace("\n", " ")
+    },
+    // MS closed='right': membership = calendar month of (ts − 1µs), so
+    // exact month-start-midnight rows drop to the previous month; pandas'
+    // binner spans (normalize(min) − 1 month, normalize(max) + 1 month],
+    // i.e. spine from month(min date − 1 day) to month(max date)
+    "q150b_resample_closed_right" -> {
+      val cnt = "sum(CASE WHEN v IS NOT NULL THEN w ELSE 0 END)"
+      s"""WITH b AS (SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP) - INTERVAL 1 MICROSECOND) AS m,
+         |l_extendedprice AS v, l_quantity AS w FROM lineitem WHERE l_shipdate IS NOT NULL),
+         |a AS (SELECT m,
+         |$cnt AS count_l_extendedprice,
+         |coalesce(sum(v * w), 0.0) AS sum_l_extendedprice,
+         |(sum(v * w) / $cnt) AS mean_l_extendedprice,
+         |((sum(v * v * w) - (sum(v * w) * sum(v * w)) / $cnt) / ($cnt - 1)) AS var_l_extendedprice,
+         |sqrt(((sum(v * v * w) - (sum(v * w) * sum(v * w)) / $cnt) / ($cnt - 1))) AS std_l_extendedprice
+         |FROM b GROUP BY m),
+         |s AS (SELECT unnest(generate_series(
+         |(SELECT date_trunc('month', CAST(min(l_shipdate) AS TIMESTAMP) - INTERVAL 1 DAY) FROM lineitem),
+         |(SELECT date_trunc('month', CAST(max(l_shipdate) AS TIMESTAMP)) FROM lineitem),
+         |INTERVAL 1 MONTH)) AS m)
+         |SELECT CAST(epoch(s.m) AS BIGINT) AS bucket,
+         |coalesce(a.count_l_extendedprice, 0.0) AS count_l_extendedprice,
+         |coalesce(a.sum_l_extendedprice, 0.0) AS sum_l_extendedprice,
+         |a.mean_l_extendedprice, a.var_l_extendedprice, a.std_l_extendedprice
+         |FROM s LEFT JOIN a ON s.m = a.m ORDER BY bucket""".stripMargin.replace("\n", " ")
+    },
     "q17_grouped_apply_range" ->
       s"""SELECT l_returnflag,
          |(max(l_extendedprice * l_quantity) - min(l_extendedprice * l_quantity)) AS l_extendedprice
@@ -4056,6 +4138,38 @@ object SparkEntry {
         |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS ah_lo
         |FROM jb GROUP BY media_id)
         |SELECT CAST(sg.media_id AS BIGINT) AS media_id, sg.coding,
+        |CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |round(CAST(sg.stot AS DOUBLE) / 4096, 6) AS mean_luma,
+        |CAST(sg.dr AS BIGINT) AS dyn_range,
+        |(sg.dr >= 8 AND CAST(sg.stot AS DOUBLE) / 4096 BETWEEN 70.0 AND 200.0) AS passes,
+        |CAST(COALESCE(ah.ah_hi, 0) AS BIGINT) AS ah_hi,
+        |CAST(COALESCE(ah.ah_lo, 0) AS BIGINT) AS ah_lo
+        |FROM sg LEFT JOIN ah ON sg.media_id = ah.media_id
+        |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // GIF battery/hash replay: identity palette ⇒ decoded luma == text
+    // byte, so the q148 block-value relation replays verbatim (one row
+    // per doc, no coding axis)
+    "q151_gif_decode" ->
+      """WITH pj AS (SELECT doc_id AS media_id,
+        |CASE WHEN doc_id % 9 = 4 THEN repeat('FA', 64)
+        |ELSE substr(hex(encode(text)) || repeat('41', 64), 1, 128) END AS vhx
+        |FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT media_id, i AS cell,
+        |(strpos('0123456789ABCDEF', substr(vhx, 2*i+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(vhx, 2*i+2, 1)) - 1) AS u
+        |FROM (SELECT media_id, vhx, unnest(range(0, 64)) AS i FROM pj)),
+        |sg AS (SELECT media_id, 64*sum(u) AS stot, max(u) - min(u) AS dr
+        |FROM v GROUP BY media_id),
+        |jc AS (SELECT media_id, cell, 64*u AS s, CAST(64 AS BIGINT) AS c FROM v),
+        |jt AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM jc GROUP BY media_id),
+        |jb AS (SELECT jc.media_id, cell AS b FROM jc
+        |JOIN jt ON jc.media_id = jt.media_id
+        |WHERE jc.s * jt.tc > jt.ts * jc.c),
+        |ah AS (SELECT media_id,
+        |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS ah_hi,
+        |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS ah_lo
+        |FROM jb GROUP BY media_id)
+        |SELECT CAST(sg.media_id AS BIGINT) AS media_id,
         |CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
         |round(CAST(sg.stot AS DOUBLE) / 4096, 6) AS mean_luma,
         |CAST(sg.dr AS BIGINT) AS dyn_range,

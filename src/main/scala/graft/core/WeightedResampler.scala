@@ -9,8 +9,10 @@ import org.apache.spark.sql.types.DoubleType
 /** A parsed resample rule: either a fixed duration or a calendar
   * month-multiple. Calendar rules are not fixed durations — February is
   * shorter than March — so they bin by period membership (pandas' own
-  * semantics for `"M"`/`"Q"`/`"Y"`: a timestamp belongs to its calendar
-  * month's bin regardless of `closed`). */
+  * semantics for `"M"`/`"Q"`/`"Y"`): under the rule's default `closed`
+  * a timestamp belongs to its own calendar period's bin, and the
+  * non-default `closed` shifts period-edge rows exactly as pandas'
+  * midnight bin edges do (see `calendarShifted` in the resampler). */
 sealed trait ResampleRule
 final case class FixedRule(micros: Long) extends ResampleRule
 /** `months` per bin (6 for `"2Q"`, 24 for `"2Y"`); `labelEnd` = the pandas
@@ -222,7 +224,7 @@ object RuleParser {
   * Rows are assigned to fixed-width time buckets with pandas' boundary
   * conventions (`closed`/`label`/`origin`/`offset`) — or, for calendar
   * rules (`"MS"`, `"M"`, `"Q"`, `"Y"`…), to calendar-period bins by
-  * membership — aggregated with the same
+  * membership with pandas' `closed` edge-shift — aggregated with the same
   * single-pass moment algebra as [[WeightedGroupBy]], and joined against a
   * generated bucket spine so empty buckets are emitted (pandas emits every
   * bucket in the span — `tests/test_frame.py:316-331`; Spark's groupBy omits
@@ -283,36 +285,18 @@ final class WeightedResampler private[core] (
       case _: BusinessRule                   => "left"
       case _                                 => if (endOrigin) "right" else "left"
     }
-  // calendar rules bin by period membership — closed/origin/offset have no
-  // effect on which period a timestamp belongs to, so accepting them would
-  // quietly return left-closed epoch-anchored results for whatever the
-  // caller thought they asked for; refuse instead of diverging silently.
-  // MIGRATION NOTE (round 15, per the round-14 fuzzer fix): versions
-  // before the fuzzer fix ACCEPTED the non-default closed on calendar
-  // rules and binned it as if it were the default — silently wrong for
-  // period-edge-midnight rows. Callers who relied on that now get this
-  // error; pandas' non-default-closed edge-shift (resample("YE",
-  // closed="left") moves an exact Dec-31-midnight row into the next
-  // year) is a known capability gap vs the reference, refused rather
-  // than approximated. Pass the rule's default closed (or "auto") to
-  // keep the previous correct-cases behavior unchanged.
+  // Calendar rules accept BOTH closeds (the non-default one shifts edge
+  // rows exactly as pandas' midnight bin edges do — see `calendarShifted`);
+  // origin/offset have no effect on period bins in pandas (silently
+  // ignored, `_get_timestamp_range_edges`' non-Tick branch) — refuse the
+  // silent no-op instead of pretending it applied.
   // Weekly rules are pinned to their weekday anchor — pandas silently
   // IGNORES origin/offset for them; we refuse non-defaults instead.
   parsed match {
-    case CalendarRule(_, labelEnd, _) =>
-      // period membership equals pandas' DEFAULT closed for the rule —
-      // right for end-anchored (ME/QE/YE), left for start-anchored
-      // (MS/QS/YS). The OTHER closed genuinely moves period-edge-midnight
-      // timestamps in pandas (resample("YE", closed="left") shifts an
-      // exact Dec-31-midnight row into the next year), so accepting it
-      // here would diverge silently; refuse it, like origin/offset.
-      // (Found by the seeded resample fuzzer — ResampleSpec's pandas
-      // differential property.)
-      val membership = if (labelEnd) "right" else "left"
-      require(resolvedClosed == membership && origin == "start_day" && offset.isEmpty,
-        s"calendar rule '$rule' bins by period membership (closed='$membership' in pandas " +
-          s"terms); the other closed, origin and offset do not apply " +
-          s"(got closed=$closed, origin=$origin, offset=$offset)")
+    case _: CalendarRule =>
+      require(origin == "start_day" && offset.isEmpty,
+        s"calendar rule '$rule' bins by calendar periods; origin and offset do not apply " +
+          s"(pandas silently ignores them — got origin=$origin, offset=$offset)")
     case _: WeeklyRule =>
       require(origin == "start_day" && offset.isEmpty,
         s"weekly rule '$rule' is anchored to its weekday; origin/offset do not apply " +
@@ -343,7 +327,34 @@ final class WeightedResampler private[core] (
   private val SpineEndCol = "__spine_end__"
   private def hasSpinePhase: Boolean = parsed match {
     case BusinessRule(g) => resolvedClosed == "right" && !g.eodAdjust
+    // fixed rules under data-END origins: pandas reassigns the spine
+    // anchor backwards from the last timestamp and can emit ONE leading
+    // empty bin (see the end-origin block in `bucketed`)
+    case _: FixedRule => endOrigin
+    // start-anchored calendar rules under closed='right': pandas' binner
+    // spans (normalize(min) − freq, normalize(max) + freq], which emits a
+    // LEADING empty bin when min is just past an anchor midnight and a
+    // TRAILING one when max sits exactly on an anchor midnight — the
+    // business-grid spine-phase machinery, in month-index space.
+    case CalendarRule(_, labelEnd, _) => !labelEnd && resolvedClosed == "right"
     case _               => false
+  }
+
+  /** Non-default `closed` on a calendar rule shifts period membership
+    * exactly as pandas' midnight bin edges do (`_get_time_bins` +
+    * `_adjust_bin_edges`): end-anchored rules (ME/QE/YE) under
+    * closed='left' keep their edges at period-end MIDNIGHT (no end-of-day
+    * adjustment), so every row on a period's last calendar DAY belongs to
+    * the NEXT period — membership of `date(ts) + 1 day`; start-anchored
+    * rules (MS/QS/YS) under closed='right' bin as (start, next-start], so
+    * a row exactly AT a period-start midnight drops to the PREVIOUS
+    * period — membership of `ts − 1µs` (exact at Spark's microsecond
+    * resolution). Default closeds are plain period membership.
+    * (pandas 2.2.2, pinned by the seeded resample fuzzer.) */
+  private def calendarShifted: Boolean = parsed match {
+    case CalendarRule(_, labelEnd, _) =>
+      (labelEnd && resolvedClosed == "left") || (!labelEnd && resolvedClosed == "right")
+    case _ => false
   }
 
   private val DayUs = 86400L * 1000000L
@@ -453,9 +464,13 @@ final class WeightedResampler private[core] (
     case FixedRule(ruleUs) =>
       val df0 = wdf.df.where(col(on).isNotNull)
       val tsUs = unix_micros(col(on))
-      // data-derived origins are one tiny agg, broadcast onto every row
-      def dataOrigin(o: Column): (DataFrame, Column) = {
-        val b = df0.agg(o.as("__origin_us__"))
+      // data-derived origins are one tiny agg, broadcast onto every row;
+      // END origins also carry min(ts) — pandas' `_adjust_dates_anchored`
+      // REASSIGNS the spine anchor for them (see below) and needs both ends
+      def dataOrigin(o: Column, alsoMin: Boolean = false): (DataFrame, Column) = {
+        val b =
+          if (alsoMin) df0.agg(o.as("__origin_us__"), unix_micros(min(col(on))).as("__min_us__"))
+          else df0.agg(o.as("__origin_us__"))
         (df0.crossJoin(broadcast(b)), col("__origin_us__") + lit(offsetUs))
       }
       val (df1, originUs): (DataFrame, Column) = origin match {
@@ -467,13 +482,13 @@ final class WeightedResampler private[core] (
         case "start" => // the first timestamp itself, un-truncated
           dataOrigin(unix_micros(min(col(on))))
         case "end" => // the last timestamp itself (bins count back from it)
-          dataOrigin(unix_micros(max(col(on))))
+          dataOrigin(unix_micros(max(col(on))), alsoMin = true)
         case "end_day" =>
           // ceiling midnight of the last day (midnight stays put) — the
           // grid phase only matters modulo the rule, so anchoring at the
           // ceiling is pandas' `Timestamp(last).ceil("D")`
           val mx = unix_micros(max(col(on)))
-          dataOrigin(mx + pmod(-mx, lit(DayUs)))
+          dataOrigin(mx + pmod(-mx, lit(DayUs)), alsoMin = true)
         case ts if ts.nonEmpty && ts.head.isDigit =>
           (df0, unix_micros(to_timestamp(lit(ts))) + lit(offsetUs))
         case other =>
@@ -485,7 +500,36 @@ final class WeightedResampler private[core] (
       val startUs =
         if (resolvedClosed == "left") tsUs - pmod(delta, lit(ruleUs))
         else tsUs + pmod(-delta, lit(ruleUs)) - lit(ruleUs) // (start, start+rule]
-      df1.withColumn(BucketCol, startUs).drop("__origin_us__")
+      val keyed = df1.withColumn(BucketCol, startUs)
+      if (!endOrigin) keyed.drop("__origin_us__")
+      else {
+        // pandas `_adjust_dates_anchored` end-origin spine START: the
+        // anchor is reassigned to `F = origin_last − n0·rule` with
+        // n0 = ⌊(origin_last − min)/rule⌋ (+1 when left-closed), and the
+        // binner begins at `F − ((−offset) mod rule)` (or `F − rule` for
+        // right-closed when that mod is 0) — which sits one bin BEFORE
+        // the first data bucket exactly when pandas emits a leading
+        // empty bin (e.g. left-closed with the data span a multiple of
+        // the rule, or a sub-rule offset). Same grid phase either way —
+        // only the spine extent changes; found by the seeded fuzzer.
+        // (pandas raises "values falls before first bin" on the
+        // degenerate right-closed offset overshoot; the `least` clamp
+        // bins those sanely instead of erroring.)
+        val lastUs = col("__origin_us__")
+        val minUs = col("__min_us__")
+        val span = lastUs - minUs
+        val n0 = ((span - pmod(span, lit(ruleUs))) / lit(ruleUs)).cast("long") +
+          lit(if (resolvedClosed == "left") 1L else 0L)
+        val fAnchor = lastUs - n0 * lit(ruleUs)
+        val fo = ((-offsetUs) % ruleUs + ruleUs) % ruleUs
+        val fresult =
+          if (fo == 0L) { if (resolvedClosed == "right") fAnchor - lit(ruleUs) else fAnchor }
+          else fAnchor - lit(fo)
+        keyed
+          .withColumn(SpineStartCol, least(fresult, col(BucketCol)))
+          .withColumn(SpineEndCol, col(BucketCol))
+          .drop("__origin_us__", "__min_us__")
+      }
     case WeeklyRule(endDow, n) =>
       // right-closed (the pandas W default): pandas draws anchor-midnight
       // edges then pushes them to end-of-day, so the bin is exactly
@@ -523,30 +567,64 @@ final class WeightedResampler private[core] (
           .drop("__min_day_us__")
       }
     case CalendarRule(months, labelEnd, unit) =>
-      // period membership: a row belongs to its calendar period's bin;
-      // origin/offset/closed don't apply to period-like rules. The bucket
-      // key is the bin's FIRST month index.
+      // period membership: a row belongs to its calendar period's bin —
+      // under the rule's DEFAULT closed the period of the timestamp
+      // itself, under the non-default closed the period of the shifted
+      // timestamp (see `calendarShifted`). The bucket key is the bin's
+      // FIRST month index.
       val df0 = wdf.df.where(col(on).isNotNull)
-      val mIdx = (year(col(on)).cast("long") - 1970L) * 12L + month(col(on)).cast("long") - 1L
+      def mIdxOf(c: Column): Column =
+        (year(c).cast("long") - 1970L) * 12L + month(c).cast("long") - 1L
+      def periodFloor(c: Column): Column = c - pmod(c, lit(unit.toLong))
+      val mIdx =
+        if (calendarShifted && labelEnd) mIdxOf(date_add(to_date(col(on)), 1))
+        else if (calendarShifted)
+          mIdxOf(timestamp_micros(unix_micros(col(on).cast("timestamp")) - lit(1L)))
+        else mIdxOf(col(on))
+      // start-anchored closed='right': pandas' binner runs from
+      // `normalize(min) − freq` to `normalize(max) + freq` (offset
+      // arithmetic: an on-anchor date steps a full n periods back, an
+      // off-anchor one rolls back first) — the first bin's first month is
+      // periodFloor(month(date(min) − 1 day)) − (months − unit) and the
+      // last anchor is periodFloor(month(date(max))) + months, both
+      // MONOTONE in the timestamp, so each row carries its own candidate
+      // and the group min/max IS the corpus value (the business spine-
+      // phase pattern; the last-bin clip happens in expandSpine).
+      def withSpine(d: DataFrame): DataFrame =
+        if (hasSpinePhase)
+          d.withColumn(SpineStartCol,
+              periodFloor(mIdxOf(date_sub(to_date(col(on)), 1))) - lit((months - unit).toLong))
+            .withColumn(SpineEndCol, periodFloor(mIdxOf(col(on))) + lit(months.toLong))
+        else d
       if (months == unit)
         // single-period bins: every calendar period is a bin — the grid is
         // absolute (epoch congruence == calendar period boundaries)
-        df0.withColumn(BucketCol, mIdx - pmod(mIdx, lit(months.toLong)))
+        withSpine(df0.withColumn(BucketCol, mIdx - pmod(mIdx, lit(months.toLong))))
       else {
         // multi-period bins phase from the DATA START's period (pandas
         // 2.2.2 `resample("3QE")` etc., verified by the seeded fuzzer):
-        // end-anchored rules' FIRST bin ENDS at the first row's period,
-        // start-anchored rules' first bin STARTS at it. One tiny min-agg
-        // broadcast onto the rows — the n-weekly data-anchor pattern.
-        val mins = df0.agg(min(
-          (year(col(on)).cast("long") - 1970L) * 12L + month(col(on)).cast("long") - 1L)
-          .as("__min_midx__"))
-        // first data period's first month, then the first bin's first month
-        val a0 = col("__min_midx__") - pmod(col("__min_midx__"), lit(unit.toLong))
-        val firstBin = if (labelEnd) a0 + lit((unit - months).toLong) else a0
-        df0.crossJoin(broadcast(mins))
+        // under the default closeds the end-anchored FIRST bin ENDS at the
+        // first row's period and the start-anchored one STARTS at it;
+        // under the shifted closeds pandas re-derives the phase from
+        // `rollback(normalize(min))` / `normalize(min) − freq`, which in
+        // membership space puts the first bin's START at the first row's
+        // SHIFTED period (end-anchored left) or at the binner origin
+        // above (start-anchored right). One tiny min-agg broadcast onto
+        // the rows — the n-weekly data-anchor pattern.
+        val phaseCand: Column =
+          if (calendarShifted && labelEnd)
+            periodFloor(mIdxOf(date_add(to_date(col(on)), 1)))
+          else if (calendarShifted)
+            periodFloor(mIdxOf(date_sub(to_date(col(on)), 1))) - lit((months - unit).toLong)
+          else {
+            val a0 = periodFloor(mIdxOf(col(on)))
+            if (labelEnd) a0 + lit((unit - months).toLong) else a0
+          }
+        val mins = df0.agg(min(phaseCand).as("__min_midx__"))
+        val firstBin = col("__min_midx__")
+        withSpine(df0.crossJoin(broadcast(mins))
           .withColumn(BucketCol, mIdx - pmod(mIdx - firstBin, lit(months.toLong)))
-          .drop("__min_midx__")
+          .drop("__min_midx__"))
       }
     case BusinessRule(grid) =>
       // the grid is absolute, so the key is computable per-row (no range
@@ -622,8 +700,20 @@ final class WeightedResampler private[core] (
         when(row_number().over(wOrd) === 1, min(SpineStartCol).over(wAll))
           .otherwise(col(BucketCol))
       else col(BucketCol)
-    val lastHi =
-      if (hasSpinePhase) max(SpineEndCol).over(wAll) else col(BucketCol)
+    val lastHi = parsed match {
+      // calendar start-anchored closed='right': SpineEndCol carries the
+      // binner's LAST anchor month (periodFloor(month(max)) + months); the
+      // last BIN's first month is the largest grid point at or below it
+      // minus one bin — pandas' date_range(first, last, freq) keeps whole
+      // bins only, so clip (last − first) down to the grid before stepping
+      // back one bin width.
+      case CalendarRule(months, _, _) if hasSpinePhase =>
+        val s = min(SpineStartCol).over(wAll)
+        val d = max(SpineEndCol).over(wAll) - s
+        s + (d - pmod(d, lit(months.toLong))) - lit(months.toLong)
+      case _ if hasSpinePhase => max(SpineEndCol).over(wAll)
+      case _                  => col(BucketCol)
+    }
     val hi = coalesce(lead(BucketCol, 1).over(wOrd) - lit(step), lastHi)
     val expanded = agged
       .withColumn("__lo__", lo)

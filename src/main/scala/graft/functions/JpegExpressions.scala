@@ -749,12 +749,13 @@ object JpegDecoder {
 
 /** Codec-dispatching pixel statistics — [[PngPixelStats]]'s struct over
   * ANY supported still-image payload: the container is sniffed from its
-  * magic bytes (PNG signature / JPEG SOI) and routed to the matching
-  * native decode. This is the expression [[graft.ops.MediaQuality]]'s
+  * magic bytes (PNG signature / JPEG SOI / GIF87a-GIF89a header) and
+  * routed to the matching native decode. This is the expression [[graft.ops.MediaQuality]]'s
   * image battery rides, so a crawled JPEG gets the same quality signals
   * as a PNG — previously it was `quality_reject`ed as undecodable while
-  * `extractWarcMedia` harvested it anyway. JPEG output depth is always 8.
-  * NULL for unrecognized containers and anything either decoder rejects.
+  * `extractWarcMedia` harvested it anyway. JPEG/GIF output depth is
+  * always 8. NULL for unrecognized containers and anything the matching
+  * decoder rejects.
   */
 case class ImagePixelStats(child: Expression) extends UnaryExpression {
 
@@ -803,8 +804,10 @@ object ImagePixelStats {
 
   def parse(b: Array[Byte]): InternalRow = {
     if (isPng(b)) return PngPixelStats.parse(b)
-    if (!isJpeg(b)) return null
-    val d = JpegDecoder.decode(b)
+    val d =
+      if (isJpeg(b)) JpegDecoder.decode(b)
+      else if (GifDecoder.isGif(b)) GifDecoder.decode(b)
+      else return null
     if (d == null) return null
     val ch = d.ch
     val sums = new Array[Long](ch)
@@ -826,7 +829,7 @@ object ImagePixelStats {
 }
 
 /** Codec-dispatching 64-bit average-hash — [[PngAHash64]]'s grid
-  * conventions over PNG *or* baseline JPEG payloads, so byte-different
+  * conventions over PNG, JPEG or GIF payloads, so byte-different
   * cross-codec re-encodes of the same pixels land on the SAME fingerprint
   * and dedup against each other in [[graft.ops.MediaDedup]]'s ladder
   * (grayscale pixels encode identical luma both ways; the grid, the
@@ -861,7 +864,7 @@ case class ImageAHash64(child: Expression) extends UnaryExpression {
 }
 
 /** Codec-dispatching dHash sibling of [[ImageAHash64]] (9×8 horizontal
-  * gradient grid; PNG or baseline JPEG). */
+  * gradient grid; PNG, JPEG or GIF). */
 case class ImageDHash64(child: Expression) extends UnaryExpression {
 
   override def nullable: Boolean = true
@@ -895,11 +898,11 @@ object ImageGridHash {
     * cross-multiplications stay under 2⁵⁸). */
   private val MaxPixels = 1 << 20
 
-  /** Per-grid-cell luma sums/counts of a decoded JPEG — the byte-array
-    * twin of [[PngGridHash]]'s scanline walk, same floor-div cell mapping
-    * and alpha-free luma (JPEG has no alpha; gray = 1 channel, RGB = 3). */
-  private def jpegGridLuma(b: Array[Byte], gw: Int, gh: Int): (Array[Long], Array[Long]) = {
-    val d = JpegDecoder.decode(b)
+  /** Per-grid-cell luma sums/counts of a decoded JPEG or GIF — the
+    * byte-array twin of [[PngGridHash]]'s scanline walk, same floor-div
+    * cell mapping and alpha-free luma (neither codec carries alpha here;
+    * gray = 1 channel, RGB = 3). */
+  private def decodedGridLuma(d: JpegDecoder.Decoded, gw: Int, gh: Int): (Array[Long], Array[Long]) = {
     if (d == null) return null
     val w = d.w; val h = d.h
     if (w.toLong * h > MaxPixels) return null
@@ -927,17 +930,20 @@ object ImageGridHash {
     (sums, cnts)
   }
 
+  private def decodeNonPng(b: Array[Byte]): JpegDecoder.Decoded =
+    if (ImagePixelStats.isJpeg(b)) JpegDecoder.decode(b)
+    else if (GifDecoder.isGif(b)) GifDecoder.decode(b)
+    else null
+
   def aHash(b: Array[Byte]): java.lang.Long = {
     if (ImagePixelStats.isPng(b)) return PngGridHash.aHash(b)
-    if (!ImagePixelStats.isJpeg(b)) return null
-    val g = jpegGridLuma(b, 8, 8)
+    val g = decodedGridLuma(decodeNonPng(b), 8, 8)
     if (g == null) null else PngGridHash.aHashFromGrid(g._1, g._2)
   }
 
   def dHash(b: Array[Byte]): java.lang.Long = {
     if (ImagePixelStats.isPng(b)) return PngGridHash.dHash(b)
-    if (!ImagePixelStats.isJpeg(b)) return null
-    val g = jpegGridLuma(b, 9, 8)
+    val g = decodedGridLuma(decodeNonPng(b), 9, 8)
     if (g == null) null else PngGridHash.dHashFromGrid(g._1, g._2)
   }
 }

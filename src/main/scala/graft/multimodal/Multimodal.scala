@@ -658,6 +658,46 @@ object Multimodal {
       .toDF("media_id", "coding", "payload")
   }
 
+  /** GIF sibling of [[progressiveJpegMediaFromDocuments]]'s mosaic recipe:
+    * a 64×64 grayscale GIF89a per document (identity-ramp palette, REAL
+    * variable-width LZW from [[GifFixtures]]) whose 8×8 uniform blocks
+    * are the text bytes 'A'-padded — the identity palette makes decoded
+    * luma equal the input byte, so a DuckDB oracle replays every battery
+    * signal and aHash bit from `text` without any codec (q151), while the
+    * payload itself exercises the full LZW path (dictionary growth,
+    * width changes, CLEAR resets on real data). `doc_id % 9 == 4` plants
+    * the flat-bright 250 mosaic so the quality gate splits. */
+  def gifMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val vals =
+          if (id % 9 == 4) Array.fill(64)(250)
+          else {
+            val tb = text.getBytes("UTF-8")
+            Array.tabulate(64)(i => if (i < tb.length) tb(i) & 0xff else 'A'.toInt)
+          }
+        val px = new Array[Int](64 * 64)
+        var b = 0
+        while (b < 64) {
+          val v = vals(b)
+          val x0 = (b % 8) * 8
+          val y0 = (b / 8) * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { px((y0 + y) * 64 + x0 + x) = v; x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        (id, "gif", GifFixtures.encodeGray(px, 64, 64))
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** Aspect-preserving resize metadata (shorter side → `target`). Pure
     * arithmetic — in a real pipeline the payload transform happens in the
     * decode batch; the *plan* shape is identical. */
@@ -838,13 +878,15 @@ object Multimodal {
             .otherwise(lit(Array.emptyByteArray))).as("payload"))
   }
 
-  /** [[warcImageCrawlFromDocuments]] plus a planted UNDECODABLE-codec
-    * slice: for `doc_id % 6 == 2` the page also serves a GIF
-    * (`image/gif`, a real `GIF89a` signature followed by the text bytes —
-    * analytic, and no supported codec decodes it). `extractWarcMedia`
-    * harvests it like any `image/…` body, so downstream curation must
-    * surface the codec-coverage gap as `undecodable` rather than folding
-    * it into `quality_reject` (the q149 contract). */
+  /** [[warcImageCrawlFromDocuments]] plus a planted UNDECODABLE slice:
+    * for `doc_id % 6 == 2` the page also serves a CORRUPT GIF
+    * (`image/gif`, a real `GIF89a` signature followed by raw text bytes —
+    * no screen descriptor survives, so even the native [[graft.functions.GifDecoder]]
+    * NULLs it, as any decoder must). `extractWarcMedia` harvests it like
+    * any `image/…` body, so downstream curation must surface the decode
+    * failure as `undecodable` rather than folding it into
+    * `quality_reject` (the q149 contract — the status now covers corrupt
+    * payloads and genuinely unsupported codecs like WebP alike). */
   def warcImageCrawlWithGifsFromDocuments(docs: DataFrame): DataFrame = {
     val withGif = warcImageCrawlFromDocuments(docs)
       .join(docs.select(col("doc_id"), col("text")),

@@ -14,8 +14,9 @@ import org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
   * `quality_reject` / `exact_dup` / `near_dup` / `kept` (keeper = the
   * row a duplicate lost to; itself for kept, rejected, and undecodable
   * rows). `undecodable` is the rows whose payload NO supported codec
-  * decodes (NULL signal struct — e.g. GIF/WebP bodies a crawl harvest
-  * keeps because their content-type is `image/…`): splitting them from
+  * decodes (NULL signal struct — e.g. WebP bodies or corrupt payloads a
+  * crawl harvest keeps because their content-type is `image/…`; valid
+  * PNG/JPEG/GIF all decode natively): splitting them from
   * `quality_reject` makes harvest attrition OBSERVABLE — a curation
   * user sees "codec coverage gap", not a silent quality failure.
   *

@@ -92,22 +92,74 @@ class ResampleSpec extends SparkSpecBase {
     assert(got == Map("2024-02-01" -> Some(1.0), "2024-03-01" -> Some(2.0)))
   }
 
-  test("calendar rules refuse closed/origin/offset (period membership ignores them)") {
+  test("calendar rules refuse origin/offset; both closeds accepted") {
     val d = Seq((ts("2024-01-05"), Some(1.0), 1.0)).toDF("ts", "Value", "weights")
     val wdf = WeightedDataFrame.wt(d, "weights")
-    intercept[IllegalArgumentException] { wdf.resample("ts", "MS", closed = "right") }
+    // pandas silently IGNORES origin/offset for period rules — refuse the
+    // silent no-op instead
     intercept[IllegalArgumentException] { wdf.resample("ts", "M", origin = "epoch") }
     intercept[IllegalArgumentException] { wdf.resample("ts", "Q", offset = Some("1D")) }
-    // END-anchored rules: membership == pandas closed='right', so 'left'
-    // is the diverging one (pandas shifts Dec-31-midnight rows under it —
-    // caught by the seeded fuzzer) and must refuse
-    intercept[IllegalArgumentException] { wdf.resample("ts", "M", closed = "left") }
-    intercept[IllegalArgumentException] { wdf.resample("ts", "YE", closed = "left") }
-    // the supported combinations still construct fine
+    // both closeds construct: the non-default one shifts period-edge rows
+    // exactly as pandas' midnight bin edges do (differential-fuzz-pinned)
     wdf.resample("ts", "MS", label = "right")
     wdf.resample("ts", "M", label = "left")
     wdf.resample("ts", "M", closed = "right")
     wdf.resample("ts", "QS", closed = "left")
+    wdf.resample("ts", "M", closed = "left")
+    wdf.resample("ts", "YE", closed = "left")
+    wdf.resample("ts", "MS", closed = "right")
+  }
+
+  test("calendar non-default closed: pandas edge-shift semantics") {
+    def tsf(s: String): Timestamp = Timestamp.valueOf(s)
+    // pandas 2.2.2 pins (see the derivation in WeightedResampler's
+    // calendarShifted): YE closed='left' keeps bin edges at Dec-31
+    // MIDNIGHT (no end-of-day adjustment), so every row ON Dec 31 belongs
+    // to the NEXT year; MS closed='right' bins (start, next-start], so a
+    // row exactly AT month-start midnight drops to the PREVIOUS month —
+    // with the leading/trailing empty spine bins pandas' binner emits.
+    val d = Seq(
+      (tsf("2020-06-15 10:00:00"), Some(1.0), 1.0),
+      (tsf("2020-12-30 23:59:59"), Some(2.0), 1.0),
+      (tsf("2020-12-31 00:00:00"), Some(3.0), 1.0),
+      (tsf("2020-12-31 12:34:56"), Some(4.0), 1.0),
+      (tsf("2021-01-01 00:00:00"), Some(5.0), 1.0),
+      (tsf("2021-12-31 00:00:01"), Some(6.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val w = WeightedDataFrame.wt(d, "weights")
+    // pandas: s.resample("YE", closed="left").sum() → 2020: 3, 2021: 12, 2022: 6
+    assert(byBucket(w.resample("ts", "YE", closed = "left").sum()) == Map(
+      "2020-12-31" -> Some(3.0), "2021-12-31" -> Some(12.0), "2022-12-31" -> Some(6.0)))
+    // label='left' labels the previous period end
+    assert(byBucket(w.resample("ts", "YE", closed = "left", label = "left").sum()) == Map(
+      "2019-12-31" -> Some(3.0), "2020-12-31" -> Some(12.0), "2021-12-31" -> Some(6.0)))
+    // MS closed='right': exact-midnight month starts shift back one month;
+    // pandas emits a TRAILING empty bin when max is exactly on an anchor
+    val d2 = Seq(
+      (tsf("2020-01-01 00:00:00"), Some(1.0), 1.0),
+      (tsf("2020-01-15 00:00:00"), Some(2.0), 1.0),
+      (tsf("2020-02-01 00:00:00"), Some(4.0), 1.0),
+      (tsf("2020-02-01 00:00:01"), Some(8.0), 1.0),
+      (tsf("2020-03-31 23:59:00"), Some(16.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val w2 = WeightedDataFrame.wt(d2, "weights")
+    // pandas: [2019-12:1, 2020-01:6, 2020-02:8, 2020-03:16]
+    assert(byBucket(w2.resample("ts", "MS", closed = "right").sum()) == Map(
+      "2019-12-01" -> Some(1.0), "2020-01-01" -> Some(6.0),
+      "2020-02-01" -> Some(8.0), "2020-03-01" -> Some(16.0)))
+    // trailing empty: max exactly at anchor midnight
+    val d3 = Seq((tsf("2020-02-01 00:00:00"), Some(1.0), 1.0)).toDF("ts", "Value", "weights")
+    assert(byBucket(WeightedDataFrame.wt(d3, "weights")
+      .resample("ts", "MS", closed = "right").sum()) == Map(
+      "2020-01-01" -> Some(1.0), "2020-02-01" -> Some(0.0)))
+    // leading empty: min just past an anchor midnight
+    val d4 = Seq(
+      (tsf("2020-02-01 00:00:01"), Some(1.0), 1.0),
+      (tsf("2020-03-15 00:00:00"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    assert(byBucket(WeightedDataFrame.wt(d4, "weights")
+      .resample("ts", "MS", closed = "right").sum()) == Map(
+      "2020-01-01" -> Some(0.0), "2020-02-01" -> Some(1.0), "2020-03-01" -> Some(2.0)))
   }
 
   test("resample 2D sum/count/mean (test_frame.py:305-338)") {
@@ -627,6 +679,66 @@ class ResampleSpec extends SparkSpecBase {
     assert(byKey(("b", "2024-02-29")) == Some(15.0))
     assert(byKey(("b", "2024-03-29")) == Some(9.0))
     assert(byKey(("b", "2024-04-30")) == Some(10.0))
+  }
+
+  test("ScalaCheck: grouped CALENDAR resample (both closeds) ≡ ungrouped per-group slices") {
+    // single-period calendar rules compose with `by` under BOTH closeds:
+    // membership is per-row (absolute grid, shifted or not) and the
+    // start-anchored closed='right' spine extensions are per-group
+    // windows — the grouped result must equal resampling each group's
+    // slice independently (pandas groupby().resample() semantics)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRow = for {
+      k <- Gen.oneOf("a", "b")
+      day <- Gen.choose(0, 400)
+      // bias onto period edges: month starts/ends are the rows the
+      // non-default closed shifts
+      snap <- Gen.oneOf(0, 0, 1, 2)
+      hour <- Gen.choose(0, 23)
+      v <- Gen.oneOf(Gen.const(Option.empty[Double]), Gen.choose(-9, 9).map(x => Some(x.toDouble)))
+      w <- Gen.choose(1, 5)
+    } yield {
+      val base = java.time.LocalDate.of(2023, 1, 1).plusDays(day)
+      val d =
+        if (snap == 1) base.withDayOfMonth(1)
+        else if (snap == 2) base.withDayOfMonth(base.lengthOfMonth)
+        else base
+      val h = if (snap > 0 && hour % 2 == 0) 0 else hour // plant exact midnights
+      (k, Timestamp.valueOf(d.atTime(h, 0).toString.replace("T", " ") + ":00"), v, w.toDouble)
+    }
+    val genCase = for {
+      n <- Gen.choose(3, 20)
+      rows <- Gen.listOfN(n, genRow)
+      rule <- Gen.oneOf("ME", "MS", "QE", "QS", "YE", "YS")
+      closed <- Gen.oneOf("auto", "left", "right")
+    } yield (rows, rule, closed)
+
+    def collect(df: org.apache.spark.sql.DataFrame, grouped: Boolean): Map[(String, String), Option[Double]] =
+      df.collect().map { r =>
+        if (grouped) (r.getString(0), r.getTimestamp(1).toString) -> cell(r, 2)
+        else ("", r.getTimestamp(0).toString) -> cell(r, 1)
+      }.toMap
+
+    val prop = Prop.forAll(genCase) { case (rows, rule, closed) =>
+      val df = rows.toDF("k", "ts", "value", "weights")
+      val wdf = WeightedDataFrame.wt(df, "weights")
+      val grouped = collect(
+        wdf.resample("ts", rule, closed = closed, by = Seq("k")).sum(), grouped = true)
+      val sliced = rows.map(_._1).distinct.sorted.flatMap { key =>
+        val slice = WeightedDataFrame.wt(df.where(df("k") === key).drop("k"), "weights")
+        collect(slice.resample("ts", rule, closed = closed).sum(), grouped = false)
+          .map { case ((_, b), v) => (key, b) -> v }
+      }.toMap
+      if (grouped != sliced)
+        println(s"grouped-calendar FALSIFIED: rule=$rule closed=$closed rows=$rows\n got=$grouped\nwant=$sliced")
+      grouped == sliced
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(12)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260816L)),
+      prop)
+    assert(result.passed, s"ScalaCheck: $result")
   }
 
   test("ScalaCheck: grouped BUSINESS resample ≡ ungrouped per-group slices") {

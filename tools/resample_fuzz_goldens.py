@@ -10,9 +10,11 @@ writes one JSONL golden per case for ResampleSpec's
 "seeded differential fuzz vs pandas" property.
 
 The engine's kwarg constraints are respected by construction (calendar
-rules: closed left/default only, no origin/offset; weekly/business:
-no origin/offset — the engine REFUSES these instead of silently
-diverging, and the refusal is spec-pinned separately).
+rules: BOTH closeds but no origin/offset; weekly/business: no
+origin/offset — the engine REFUSES those instead of silently
+diverging/no-op'ing, and the refusal is spec-pinned separately).
+Calendar fixtures plant period-edge midnight stamps so the
+non-default-closed edge shift is exercised densely.
 
 Values are integer-valued floats so sums compare exactly; weights are
 all 1 on the Scala side, making the weighted sum pandas' plain sum.
@@ -26,7 +28,7 @@ import sys
 
 import pandas as pd
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 220
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 OUT = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/resample_fuzz_goldens.jsonl"
 SEED = 20260815
 MAX_BINS = 400
@@ -37,7 +39,7 @@ WEEKDAYS = ["MON", "TUE", "WED", "THU", "FRI", "SAT", "SUN"]
 
 
 def pick_case():
-    family = rnd.choice(["fixed", "fixed", "fixed", "weekly", "calendar", "business"])
+    family = rnd.choice(["fixed", "fixed", "fixed", "weekly", "calendar", "calendar", "business"])
     closed = rnd.choice([None, "left", "right"])
     label = rnd.choice([None, "left", "right"])
     origin, offset = None, None
@@ -57,10 +59,12 @@ def pick_case():
         unit = rnd.choice(["ME", "MS", "QE", "QS", "YE", "YS"])
         n = rnd.choice([1, 1, 2, 3])
         rule = f"{n}{unit}" if n > 1 else unit
-        # the engine bins by period membership and refuses the OTHER
-        # closed (the one that moves period-edge-midnight rows in pandas);
-        # membership == pandas' default: right for *E rules, left for *S
-        closed = rnd.choice([None, "right" if unit.endswith("E") else "left"])
+        # BOTH closeds: the non-default one shifts period-edge rows (the
+        # engine reproduces pandas' midnight bin edges — end-anchored
+        # closed='left' moves every row on a period's last DAY forward,
+        # start-anchored closed='right' moves exact-anchor-midnight rows
+        # back); make_rows plants period-edge stamps so the shift is
+        # exercised, not just possible
         span_s = 86400 * (700 if unit[0] in "MQ" else 2500)
     else:
         rule = rnd.choice(["B", "BME", "SME", "BQE"])
@@ -68,7 +72,7 @@ def pick_case():
     return family, rule, closed, label, origin, offset, span_s
 
 
-def make_rows(span_s):
+def make_rows(span_s, calendar=False):
     base = pd.Timestamp("2023-01-01") + pd.Timedelta(seconds=rnd.randrange(86400 * 365))
     n_rows = rnd.randrange(8, 25)
     stamps = []
@@ -76,7 +80,19 @@ def make_rows(span_s):
         off = rnd.randrange(span_s + 1)
         if rnd.random() < 0.25:  # snap to a midnight / round edge
             off -= off % 86400
-        stamps.append(base + pd.Timedelta(seconds=off))
+        t = base + pd.Timedelta(seconds=off)
+        if calendar:
+            # plant period-edge stamps: month-start / month-end midnights
+            # (± a second) are exactly the rows the non-default closed
+            # shifts — without them the edge cases are possible but rare
+            r = rnd.random()
+            if r < 0.15:
+                t = t.normalize().replace(day=1)
+            elif r < 0.30:
+                t = (t.normalize().replace(day=1) + pd.offsets.MonthEnd(1)).normalize()
+            if r < 0.30 and rnd.random() < 0.4:
+                t += pd.Timedelta(seconds=rnd.choice([-1, 1]))
+        stamps.append(t)
     if rnd.random() < 0.3 and len(stamps) > 2:  # planted duplicate timestamps
         stamps[1] = stamps[0]
     return sorted((ts, float(rnd.randrange(1, 100))) for ts in stamps)
@@ -86,7 +102,7 @@ cases, tried = [], 0
 while len(cases) < N and tried < N * 10:
     tried += 1
     family, rule, closed, label, origin, offset, span_s = pick_case()
-    rows = make_rows(span_s)
+    rows = make_rows(span_s, calendar=(family == "calendar"))
     s = pd.Series([v for _, v in rows], index=pd.DatetimeIndex([t for t, _ in rows]))
     kw = {}
     if closed:
