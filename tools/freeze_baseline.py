@@ -64,6 +64,41 @@ below reflect quiet-machine behavior. This re-freeze (r13) exists so
 later gates compare against coherent quiet-run minimums instead of
 mixed-epoch ad-hoc adoption notes.""")
 lines.append("")
+lines.append("""**Contention sentinel (r16 — three probe classes).** The single
+codegen-only calibration read "quiet" (1.06–1.09) on machine epochs
+where code-unchanged queries ran 1.5–2x their frozen minimums (r15):
+the suite's cost is mostly parquet scan/decode and exchange traffic,
+which a loaded box degrades long before a register-resident loop. The
+bench now times THREE min-of-two probes before the suite — `codegen`
+(400M-row range sum), `scan` (a self-generated 10M-row parquet read
+back through long/double/string aggregates; written untimed, so the
+probe is SF-independent), `shuffle` (12M rows through a 1M-key hash
+exchange with no map-side reduction) — each against a frozen
+per-core-count quiet baseline (`Bench.calibrationQuietSec`), and emits
+per-class `{sec, quiet, ratio}` plus:
+
+- `contention_ratio` = MAX class ratio — **> ~1.4 ⇒ the run is
+  non-gating**: per-query flags from it are suspect and must not
+  re-freeze minimums;
+- `env_factor` = geometric mean of the class ratios — the normalizer
+  for flag evaluation on a non-quiet run: a query flags only if
+  `min_observed > 2 x frozen x env_factor` (and the 1.0 s floor).
+  On a quiet run env_factor ≈ 1 and the rule reduces to the plain gate.
+
+Separation measured r16 (local[4], same box): quiet run ratios
+codegen/scan/shuffle = 0.81/0.83/0.96 (contention_ratio 0.96,
+env_factor 0.87); under a deliberate load of 24 CPU burners + fsync'd
+1 GiB/s writes: 1.56/1.24/1.44 (contention_ratio 1.56, env_factor
+1.41). The r15 blind spot is closed: a loaded epoch now reads loaded
+on the resources the suite actually uses.
+
+**Epoch note (r16 adoptions):** the r16 freeze run was an IDLE box whose
+sentinel still read codegen/scan/shuffle = 1.35/1.22/1.29 (env_factor
+1.28) against the r10–r14 quiet baselines — a ~1.3x slower machine
+epoch, not contention. The 12 queries adopted at r16 carry that
+epoch's inflation in their frozen minimums; a later quiet run on a
+faster box should min-merge them down.""")
+lines.append("")
 lines.append(f"Total (sum of per-query mins): **{total:.1f} s / {len(mins)} queries** at sf0.1.")
 lines.append("")
 lines.append("| query | min (s) | 2x gate (s) | epoch |")
