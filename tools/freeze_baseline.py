@@ -92,12 +92,14 @@ env_factor 0.87); under a deliberate load of 24 CPU burners + fsync'd
 1.41). The r15 blind spot is closed: a loaded epoch now reads loaded
 on the resources the suite actually uses.
 
-**Epoch note (r16 adoptions):** the r16 freeze run was an IDLE box whose
-sentinel still read codegen/scan/shuffle = 1.35/1.22/1.29 (env_factor
-1.28) against the r10–r14 quiet baselines — a ~1.3x slower machine
-epoch, not contention. The 12 queries adopted at r16 carry that
-epoch's inflation in their frozen minimums; a later quiet run on a
-faster box should min-merge them down.""")
+**Epoch note (r16 adoptions):** two r16 runs were min-merged. The first
+(bench/r16.json) ran on transiently degraded machine state — sentinel
+1.35/1.22/1.29, env_factor 1.28 — and its 12 new-query adoptions were
+inflated accordingly; the second (bench/r16b.json, hours later, same
+box) read QUIET (1.01/1.07/0.99, env_factor 1.02) and pulled every new
+minimum down 10–30% (q148 29.0→21.9, q142 19.7→15.6). The sentinel's
+value is exactly this: the first run's ratios said "don't trust these
+numbers as a quiet floor", and the second run proved them right.""")
 lines.append("")
 lines.append(f"Total (sum of per-query mins): **{total:.1f} s / {len(mins)} queries** at sf0.1.")
 lines.append("")
