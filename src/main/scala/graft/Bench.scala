@@ -30,7 +30,12 @@ object Bench {
     *     bench start, so the probe is SF-independent) read back through
     *     long/double/string aggregates — decode + memory bandwidth;
     *   - `shuffle`: 12M rows through a 1M-key hash exchange with no
-    *     map-side reduction — exchange write/read + task scheduling.
+    *     map-side reduction — exchange write/read + task scheduling;
+    *   - `single` (round 16): one thread through a 400M-step dependent-op
+    *     chain — the single-core clock that driver-side model builds
+    *     (eager bloom construction, collect-assembled matrices) are bound
+    *     by; a box can read quiet on every parallel probe and still run
+    *     those 2× slower (the round-16 q93 diagnosis).
     * Emitted per class as `{sec, quiet, ratio}`; `contention_ratio` =
     * MAX ratio (any contended resource makes per-query flags suspect),
     * `env_factor` = geometric mean (the normalizer the flag protocol in
@@ -39,10 +44,17 @@ object Bench {
     * partitioning changes. */
   def calibrationQuietSec(probe: String, cpus: Int): Double = probe match {
     // codegen: the round-15 quiet-box freeze (continuity across epochs);
-    // scan/shuffle: round-16 quiet min-of-two-runs on the same box class
+    // scan/shuffle: round-16 quiet min-of-two-runs on the same box class;
+    // single: round-16 quiet freeze — ONE thread, so core-count-free.
+    // NOTE the single-class baseline starts at the r16 box epoch: the
+    // r10–r14 boxes (whose single-core was ~2.3x faster per the q93
+    // steady-state comparison) were gone before this probe existed, so
+    // ratios are comparable from r16 on; pre-r16 frozen minimums of
+    // driver-bound queries keep their written diagnoses instead
     case "codegen" => if (cpus >= 32) 0.24 else if (cpus >= 8) 0.27 else 0.35
     case "scan" => if (cpus >= 32) 0.53 else if (cpus >= 8) 0.46 else 0.54
     case "shuffle" => if (cpus >= 32) 0.90 else if (cpus >= 8) 1.35 else 2.20
+    case "single" => 0.55
     case p => throw new IllegalArgumentException(p)
   }
 
@@ -101,6 +113,18 @@ object Bench {
         // reduction, the full 12M rows cross the exchange
         spark.range(0L, 12000000L, 1L, 32).selectExpr("id % 1000000 AS k")
           .groupBy("k").count().selectExpr("sum(count)").head()
+      },
+      "single" -> minOf2 {
+        // ONE core through a dependent-op chain (LCG over 400M steps):
+        // the single-thread clock the parallel probes can't see — what a
+        // driver-side model build (the q93 eager bloom construction, a
+        // collect-assembled centroid matrix) is actually bound by. A box
+        // can read quiet on all three parallel probes and still run
+        // driver-bound queries 2x slower (round-16 q93 diagnosis).
+        var acc = 1L
+        var i = 0L
+        while (i < 400000000L) { acc = acc * 6364136223846793005L + i; i += 1 }
+        if (acc == 42L) System.err.println("") // defeat dead-code elimination
       })
     try {
       java.nio.file.Files.walk(probeDir).sorted(java.util.Comparator.reverseOrder())
@@ -108,8 +132,13 @@ object Bench {
     } catch { case _: Throwable => () }
     val probeRatios = probes.map { case (n, sec) =>
       n -> (sec / calibrationQuietSec(n, cpus.toInt)) }
-    val contentionRatio = probeRatios.map(_._2).max
-    val envFactor = math.pow(probeRatios.map(_._2).product, 1.0 / probeRatios.size)
+    // the `single` class is DIAGNOSTIC-ONLY: the suite is parallel-bound,
+    // so folding a single-core ratio into env_factor would mis-normalize
+    // scan/shuffle-bound queries; its per-class ratio is read directly
+    // when adjudicating driver-bound flags (q93-class)
+    val aggRatios = probeRatios.filterNot(_._1 == "single").map(_._2)
+    val contentionRatio = aggRatios.max
+    val envFactor = math.pow(aggRatios.product, 1.0 / aggRatios.size)
     // legacy field: the codegen probe keeps its old name so round-over-
     // round tooling can still compare epochs
     val calibrationSec = probes.head._2

@@ -85,6 +85,15 @@ per-class `{sec, quiet, ratio}` plus:
   `min_observed > 2 x frozen x env_factor` (and the 1.0 s floor).
   On a quiet run env_factor ≈ 1 and the rule reduces to the plain gate.
 
+A fourth, DIAGNOSTIC-ONLY class `single` (added late r16 after the q93
+adjudication) times one thread through a 400M-step dependent-op chain —
+the single-core clock that driver-side model builds (eager bloom
+construction, collect-assembled matrices) are bound by; a box can read
+quiet on every parallel probe and still run those 2x slower. Its ratio
+is excluded from contention_ratio/env_factor (the suite is
+parallel-bound) and read directly when adjudicating driver-bound
+flags. Its quiet baseline starts at the r16 box epoch.
+
 Separation measured r16 (local[4], same box): quiet run ratios
 codegen/scan/shuffle = 0.81/0.83/0.96 (contention_ratio 0.96,
 env_factor 0.87); under a deliberate load of 24 CPU burners + fsync'd
