@@ -512,20 +512,29 @@ final class WeightedResampler private[core] (
         // empty bin (e.g. left-closed with the data span a multiple of
         // the rule, or a sub-rule offset). Same grid phase either way —
         // only the spine extent changes; found by the seeded fuzzer.
-        // (pandas raises "values falls before first bin" on the
-        // degenerate right-closed offset overshoot; the `least` clamp
-        // bins those sanely instead of erroring.)
+        // (pandas raises "values falls before first bin" only on STRICT
+        // right-closed offset overshoot — fresult > min; when the data
+        // minimum lands EXACTLY on the computed first edge (span ≡
+        // −offset mod rule) `generate_bins`' first edge is inclusive and
+        // pandas keys that row into the FIRST bin. The `greatest` clamp
+        // below reproduces the on-edge inclusion and bins the strict
+        // overshoot rows into the first bin instead of erroring.)
         val lastUs = col("__origin_us__")
         val minUs = col("__min_us__")
         val span = lastUs - minUs
-        val n0 = ((span - pmod(span, lit(ruleUs))) / lit(ruleUs)).cast("long") +
-          lit(if (resolvedClosed == "left") 1L else 0L)
-        val fAnchor = lastUs - n0 * lit(ruleUs)
+        // fAnchor = last − (⌊span/rule⌋ + [closed=left])·rule, computed as
+        // pure integer µs (min + span mod rule) — Long/Long Column division
+        // evaluates in Double and can round for ~2^53 µs spans.
+        val fAnchor = minUs + pmod(span, lit(ruleUs)) -
+          lit(if (resolvedClosed == "left") ruleUs else 0L)
         val fo = ((-offsetUs) % ruleUs + ruleUs) % ruleUs
         val fresult =
           if (fo == 0L) { if (resolvedClosed == "right") fAnchor - lit(ruleUs) else fAnchor }
           else fAnchor - lit(fo)
-        keyed
+        val clamped =
+          if (resolvedClosed == "right") keyed.withColumn(BucketCol, greatest(col(BucketCol), fresult))
+          else keyed
+        clamped
           .withColumn(SpineStartCol, least(fresult, col(BucketCol)))
           .withColumn(SpineEndCol, col(BucketCol))
           .drop("__origin_us__", "__min_us__")

@@ -389,6 +389,66 @@ class ResampleSpec extends SparkSpecBase {
     assert(sum == Map("2024-01-04" -> Some(1.0), "2024-01-05" -> Some(2.0)))
   }
 
+  test("origin=end on-edge minimum joins the FIRST bin (pandas generate_bins)") {
+    // span ≡ −offset (mod rule): rule=10s offset=4s, span=16s → 16%10 = 6 =
+    // (−4)%10, so the computed first binner edge == min(ts). pandas 2.2.2
+    // keys that on-edge row into the first bin — generate_bins' first edge
+    // is inclusive — NOT a leading extra bin (differential-verified).
+    val d = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-01 00:00:07"), Some(2.0), 1.0),
+      (Timestamp.valueOf("2024-01-01 00:00:16"), Some(4.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val sum = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "10s", origin = "end", offset = Some("4s")).sum()
+      .collect().map(r => r.getTimestamp(0).toString -> cell(r, 1)).toMap
+    assert(sum == Map("2024-01-01 00:00:10.0" -> Some(3.0),
+      "2024-01-01 00:00:20.0" -> Some(4.0)))
+  }
+
+  test("origin=end strict overshoot bins into the first bin (pandas raises)") {
+    // span%rule=7 > (−offset)%rule=6 → first edge lands strictly after
+    // min(ts); pandas raises 'Values falls before first bin'. The engine's
+    // documented divergence: clamp those rows into the first bin instead.
+    val d = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-01 00:00:02"), Some(2.0), 1.0),
+      (Timestamp.valueOf("2024-01-01 00:00:17"), Some(4.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val sum = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "10s", origin = "end", offset = Some("4s")).sum()
+      .collect().map(r => r.getTimestamp(0).toString -> cell(r, 1)).toMap
+    assert(sum == Map("2024-01-01 00:00:11.0" -> Some(3.0),
+      "2024-01-01 00:00:21.0" -> Some(4.0)))
+  }
+
+  test("origin=end anchor arithmetic stays exact beyond 2^53 µs spans") {
+    // a ~324-year span (~1.02e16 µs) overflows Double's 53-bit mantissa:
+    // a Long/Long Column division evaluates in Double and can round the
+    // bin count, shifting the spine anchor by whole rules. The
+    // pure-integer (min + span mod rule) form must key both rows exactly.
+    // Rule 30D keeps the empty-bin spine tractable (~3.9k bins).
+    val d = Seq(
+      (Timestamp.valueOf("1700-01-01 00:00:07"), Some(1.0), 1.0),
+      (Timestamp.valueOf("2024-01-01 00:00:03"), Some(2.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val r = WeightedDataFrame.wt(d, "weights")
+      .resample("ts", "30D", origin = "end").sum()
+    val nonEmpty = r.where(org.apache.spark.sql.functions.expr("Value > 0"))
+      .collect().map(_.getTimestamp(0).toString)
+    assert(nonEmpty.length == 2, s"expected both rows binned: ${nonEmpty.mkString(",")}")
+    // right-closed grid counts back from max: the last label is max itself
+    assert(nonEmpty.contains("2024-01-01 00:00:03.0"), nonEmpty.mkString(","))
+    // the min row's label sits on the same exact-µs 30D grid: span mod 30D
+    // computed in exact Long arithmetic here must match the engine's
+    val ruleUs = 30L * 86400L * 1000000L
+    val maxUs = Timestamp.valueOf("2024-01-01 00:00:03").getTime * 1000L
+    val minUs = Timestamp.valueOf("1700-01-01 00:00:07").getTime * 1000L
+    val minLabelUs = minUs + java.lang.Math.floorMod(maxUs - minUs, ruleUs)
+    val expMinLabel = new Timestamp(minLabelUs / 1000L).toString
+    assert(nonEmpty.contains(expMinLabel), s"want $expMinLabel in ${nonEmpty.mkString(",")}")
+  }
+
   test("unknown origin alias is rejected loudly") {
     val w = WeightedDataFrame.wt(resampleDf, "weights")
     intercept[IllegalArgumentException] { w.resample("ts", "1D", origin = "bogus").sum() }
