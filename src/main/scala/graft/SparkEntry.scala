@@ -88,6 +88,27 @@ object SparkEntry {
       d => Similarity.fitPq(table(s, d, "embeddings"), "embedding",
         residualOf = Some(ivfModel(s, d))))
 
+  /** Brute-force ANN ground truth per corpus dir, for the q90 recall
+    * report: `(top-1 pairs, top-5 for the query set)`. The truth table is
+    * a deterministic, reusable artifact of an immutable corpus exactly
+    * like the fitted quantizers above — and its O(n²·dim) scoring is the
+    * report's dominant cost — so it's computed once per dir and pinned
+    * with `localCheckpoint` (eager; same immutable-snapshot caveat as
+    * [[ivfModel]]). The report's APPROXIMATE paths re-run every time —
+    * recall telemetry must re-measure the thing that can regress, and
+    * that's the ANN side, not the truth. */
+  private val bruteTruths =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private[graft] def bruteTruth(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bruteTruths.computeIfAbsent(dir, { d =>
+      val emb = table(s, d, "embeddings")
+      val top1 = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+        strategy = "brute").select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val top5 = Similarity.bruteKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      (top1, top5)
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     wli(spark, "/root/testdata/sf0.001")
@@ -1514,15 +1535,14 @@ object SparkEntry {
     // boolean and the driver's hash check goes red.
     "q90_recall_report" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val bruteNN = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
-        strategy = "brute").select(col("doc_a"), col("doc_b"))
+      // ground truth from the per-dir cache (fit-once/search-many — the
+      // O(n²) brute scoring is the report's dominant cost and the corpus
+      // is an immutable snapshot); the APPROXIMATE paths below re-run
+      // every time — they're the thing recall telemetry must re-measure
+      val (bruteNN, bruteK) = bruteTruth(s, dir)
       val lshNN = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
         strategy = "lsh").select(col("doc_a"), col("doc_b"))
       val pred = col("vec_id") < 10
-      // truth side of TWO report branches: checkpoint so the O(n·q) brute
-      // scoring runs once, not once per unionAll branch (q37b precedent)
-      val bruteK = Similarity.bruteKnn(emb, "vec_id", "embedding", pred, 5)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val lshK = Similarity.annLsh(emb, "vec_id", "embedding", pred, 5)
         .select(col("query_id"), col("neighbor_id"))
       val ivfK = Similarity.searchIvf(ivfModel(s, dir), emb, "vec_id", "embedding",
@@ -2215,6 +2235,27 @@ object SparkEntry {
     // signal and aHash bit from text bytes (the q148 mosaic convention)
     "q151_gif_decode" -> ((s, dir) => {
       val m = Multimodal.gifMediaFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
+          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+        .select(col("media_id"),
+          col("__s__.width").as("width"), col("__s__.height").as("height"),
+          round(col("__s__.mean_luma"), 6).as("mean_luma"),
+          col("__s__.dyn_range").as("dyn_range"),
+          graft.ops.MediaQuality.imageGates(col("__s__"))
+            .getField("passes").as("passes"),
+          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
+          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+        .orderBy("media_id")
+    }),
+    // native lossless-WebP decode (round 17): real VP8L bitstreams —
+    // canonical prefix codes, subtract-green + predictor transforms,
+    // LZ77 row copies, color cache, rotating per doc — through the SAME
+    // codec dispatchers as PNG/JPEG/GIF. Pixel content matches the q151
+    // mosaic convention exactly, so the oracle replays every signal and
+    // aHash bit from text bytes, knob-independent
+    "q152_webp_decode" -> ((s, dir) => {
+      val m = Multimodal.webpMediaFromDocuments(table(s, dir, "documents"))
       m.select(col("media_id"),
           graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
           graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
@@ -4150,6 +4191,38 @@ object SparkEntry {
     // byte, so the q148 block-value relation replays verbatim (one row
     // per doc, no coding axis)
     "q151_gif_decode" ->
+      """WITH pj AS (SELECT doc_id AS media_id,
+        |CASE WHEN doc_id % 9 = 4 THEN repeat('FA', 64)
+        |ELSE substr(hex(encode(text)) || repeat('41', 64), 1, 128) END AS vhx
+        |FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT media_id, i AS cell,
+        |(strpos('0123456789ABCDEF', substr(vhx, 2*i+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(vhx, 2*i+2, 1)) - 1) AS u
+        |FROM (SELECT media_id, vhx, unnest(range(0, 64)) AS i FROM pj)),
+        |sg AS (SELECT media_id, 64*sum(u) AS stot, max(u) - min(u) AS dr
+        |FROM v GROUP BY media_id),
+        |jc AS (SELECT media_id, cell, 64*u AS s, CAST(64 AS BIGINT) AS c FROM v),
+        |jt AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM jc GROUP BY media_id),
+        |jb AS (SELECT jc.media_id, cell AS b FROM jc
+        |JOIN jt ON jc.media_id = jt.media_id
+        |WHERE jc.s * jt.tc > jt.ts * jc.c),
+        |ah AS (SELECT media_id,
+        |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS ah_hi,
+        |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS ah_lo
+        |FROM jb GROUP BY media_id)
+        |SELECT CAST(sg.media_id AS BIGINT) AS media_id,
+        |CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |round(CAST(sg.stot AS DOUBLE) / 4096, 6) AS mean_luma,
+        |CAST(sg.dr AS BIGINT) AS dyn_range,
+        |(sg.dr >= 8 AND CAST(sg.stot AS DOUBLE) / 4096 BETWEEN 70.0 AND 200.0) AS passes,
+        |CAST(COALESCE(ah.ah_hi, 0) AS BIGINT) AS ah_hi,
+        |CAST(COALESCE(ah.ah_lo, 0) AS BIGINT) AS ah_lo
+        |FROM sg LEFT JOIN ah ON sg.media_id = ah.media_id
+        |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // WebP battery/hash replay: the VP8L fixture carries the SAME mosaic
+    // pixels as the GIF table (decoded luma == text byte, encoder knobs
+    // are pixel-invariant), so q151's block-value replay is verbatim
+    "q152_webp_decode" ->
       """WITH pj AS (SELECT doc_id AS media_id,
         |CASE WHEN doc_id % 9 = 4 THEN repeat('FA', 64)
         |ELSE substr(hex(encode(text)) || repeat('41', 64), 1, 128) END AS vhx

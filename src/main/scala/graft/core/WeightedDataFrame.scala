@@ -327,8 +327,9 @@ final class WeightedDataFrame private[core] (val df: DataFrame, val weightName: 
       label: String = "auto", // rule-dependent pandas default: right for M/Q/Y/W, left otherwise
       origin: String = "start_day",
       offset: Option[String] = None,
-      by: Seq[String] = Nil): WeightedResampler =
-    new WeightedResampler(this, on, rule, closed, label, origin, offset, by)
+      by: Seq[String] = Nil,
+      lenient: Boolean = false): WeightedResampler =
+    new WeightedResampler(this, on, rule, closed, label, origin, offset, by, lenient)
 
   /** Apply an expression builder to each weighted numeric column
     * (`frame.py:287-367` axis=0 semantics: the function sees the

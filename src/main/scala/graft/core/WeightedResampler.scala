@@ -242,7 +242,8 @@ final class WeightedResampler private[core] (
     label: String,
     origin: String,
     offset: Option[String],
-    by: Seq[String] = Nil) {
+    by: Seq[String] = Nil,
+    lenient: Boolean = false) {
 
   require(by.forall(wdf.df.columns.contains),
     s"resample by keys ${by.filterNot(wdf.df.columns.contains)} not in frame")
@@ -289,22 +290,31 @@ final class WeightedResampler private[core] (
   // rows exactly as pandas' midnight bin edges do — see `calendarShifted`);
   // origin/offset have no effect on period bins in pandas (silently
   // ignored, `_get_timestamp_range_edges`' non-Tick branch) — refuse the
-  // silent no-op instead of pretending it applied.
+  // silent no-op instead of pretending it applied, UNLESS `lenient`:
+  // the explicit pandas-compat escape hatch for ported workloads that
+  // pass origin/offset on period rules and expect the no-op (the flag
+  // reproduces the ignore; the default keeps the loud error).
   // Weekly rules are pinned to their weekday anchor — pandas silently
-  // IGNORES origin/offset for them; we refuse non-defaults instead.
-  parsed match {
+  // IGNORES origin/offset for them; same refusal, same escape hatch.
+  // (Nothing downstream reads origin/offset on these rule families, so
+  // lenient mode needs no further neutering — the values are simply
+  // never consulted.)
+  if (!lenient) parsed match {
     case _: CalendarRule =>
       require(origin == "start_day" && offset.isEmpty,
         s"calendar rule '$rule' bins by calendar periods; origin and offset do not apply " +
-          s"(pandas silently ignores them — got origin=$origin, offset=$offset)")
+          s"(pandas silently ignores them — got origin=$origin, offset=$offset; " +
+          "pass lenient=true to reproduce pandas' silent ignore)")
     case _: WeeklyRule =>
       require(origin == "start_day" && offset.isEmpty,
         s"weekly rule '$rule' is anchored to its weekday; origin/offset do not apply " +
-          s"(got origin=$origin, offset=$offset)")
+          s"(got origin=$origin, offset=$offset; pass lenient=true to reproduce " +
+          "pandas' silent ignore)")
     case _: BusinessRule =>
       require(origin == "start_day" && offset.isEmpty,
         s"business rule '$rule' is anchored to its calendar grid; origin/offset do not apply " +
-          s"(got origin=$origin, offset=$offset)")
+          s"(got origin=$origin, offset=$offset; pass lenient=true to reproduce " +
+          "pandas' silent ignore)")
     case _ =>
   }
   private val offsetUs: Long = offset.map(RuleParser.toMicros).getOrElse(0L)

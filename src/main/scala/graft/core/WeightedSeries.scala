@@ -107,8 +107,9 @@ final class WeightedSeries private (
       closed: String = "left",
       label: String = "auto", // rule-dependent pandas default: right for M/Q/Y, left otherwise
       origin: String = "start_day",
-      offset: Option[String] = None): WeightedResampler =
-    series.resample(on, rule, closed, label, origin, offset)
+      offset: Option[String] = None,
+      lenient: Boolean = false): WeightedResampler =
+    series.resample(on, rule, closed, label, origin, offset, lenient = lenient)
 }
 
 object WeightedSeries {

@@ -807,6 +807,7 @@ object ImagePixelStats {
     val d =
       if (isJpeg(b)) JpegDecoder.decode(b)
       else if (GifDecoder.isGif(b)) GifDecoder.decode(b)
+      else if (WebpDecoder.isWebp(b)) WebpDecoder.decode(b)
       else return null
     if (d == null) return null
     val ch = d.ch
@@ -933,6 +934,7 @@ object ImageGridHash {
   private def decodeNonPng(b: Array[Byte]): JpegDecoder.Decoded =
     if (ImagePixelStats.isJpeg(b)) JpegDecoder.decode(b)
     else if (GifDecoder.isGif(b)) GifDecoder.decode(b)
+    else if (WebpDecoder.isWebp(b)) WebpDecoder.decode(b)
     else null
 
   def aHash(b: Array[Byte]): java.lang.Long = {

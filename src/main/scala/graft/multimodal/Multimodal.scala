@@ -698,6 +698,60 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  /** WebP sibling of [[gifMediaFromDocuments]]'s mosaic recipe: a 64×64
+    * grayscale LOSSLESS WebP (VP8L) per document whose 8×8 uniform blocks
+    * are the text bytes 'A'-padded — identical pixel content to the GIF
+    * table, so the same DuckDB oracle replays every battery signal and
+    * aHash bit from `text` (q152) while the payloads exercise the real
+    * VP8L machinery. Encoder knobs rotate per doc so the corpus covers
+    * the bitstream features a crawl sees: subtract-green everywhere,
+    * predictor transform (modes 0/2/7) for `doc_id % 4 != 0`, LZ77 row
+    * copies (the mosaic's repeated block rows make them fire) for even
+    * docs, a color cache for `doc_id % 3 == 0` — pixel content is
+    * knob-INDEPENDENT, so one oracle covers all variants. `doc_id % 9 ==
+    * 4` plants the flat-bright 250 mosaic so the quality gate splits. */
+  def webpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val vals =
+          if (id % 9 == 4) Array.fill(64)(250)
+          else {
+            val tb = text.getBytes("UTF-8")
+            Array.tabulate(64)(i => if (i < tb.length) tb(i) & 0xff else 'A'.toInt)
+          }
+        val px = new Array[Int](64 * 64)
+        var b = 0
+        while (b < 64) {
+          val v = vals(b)
+          val x0 = (b % 8) * 8
+          val y0 = (b / 8) * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { px((y0 + y) * 64 + x0 + x) = v; x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        val mode = (id % 4) match {
+          case 1 => 0
+          case 2 => 2
+          case 3 => 7
+          case _ => -1
+        }
+        val payload = WebpFixtures.encodeGray(px, 64, 64,
+          subtractGreen = true,
+          predictorMode = mode,
+          cacheBits = if (id % 3 == 0) 5 else 0,
+          lz77Rows = id % 2 == 0)
+        (id, "webp", payload)
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** Aspect-preserving resize metadata (shorter side → `target`). Pure
     * arithmetic — in a real pipeline the payload transform happens in the
     * decode batch; the *plan* shape is identical. */

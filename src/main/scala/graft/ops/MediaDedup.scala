@@ -161,8 +161,12 @@ object MediaDedup {
 
   /** The generic ladder both modality reports delegate to: any 64-bit
     * perceptual signature slots into the same exact → pair → cluster →
-    * report machinery. */
-  private def dedupReport(
+    * report machinery. `sig` need not touch the payload —
+    * [[MediaPipeline]]'s eval-once decode barrier passes `_ =>
+    * col("__sig__")` over a frame whose signature column was materialized
+    * in the same frozen projection as the quality signals, so the ladder
+    * never re-decodes. */
+  private[ops] def dedupReport(
       media: DataFrame,
       payloadCol: String,
       idCol: String,

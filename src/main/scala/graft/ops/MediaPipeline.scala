@@ -20,13 +20,14 @@ import org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
   * `quality_reject` makes harvest attrition OBSERVABLE — a curation
   * user sees "codec coverage gap", not a silent quality failure.
   *
-  * Freeze contract: with `chain`, the MEDIA frame is materialized once
-  * at entry (the upstream derivation — a crawl extraction — runs once;
-  * the gate decode runs once per output branch) and the GATED POOL is
-  * frozen again inside each ladder, so its ~8 consumers plan off
-  * materialized rows. Without a chain everything recomputes per consumer
-  * (fine for parquet-backed media — the
-  * [[MediaDedup.imageDedupReport]] trade). */
+  * Freeze contract: with `chain`, the SIGNALED frame is materialized
+  * once at entry — payload, battery signal struct, gate bit, and the
+  * ladder's perceptual signature in ONE frozen projection, so the codec
+  * decode runs exactly once per row (the upstream derivation — a crawl
+  * extraction — also runs once) — and the GATED POOL is frozen again
+  * inside each ladder, so its ~8 consumers plan off materialized rows.
+  * Without a chain everything recomputes per consumer (fine for
+  * parquet-backed media — the [[MediaDedup.imageDedupReport]] trade). */
 object MediaPipeline {
 
   /** Image gate policy (the [[MediaQuality.imageGates]] knobs). */
@@ -55,31 +56,70 @@ object MediaPipeline {
   /** The shared gates-then-ladder skeleton: signals in their OWN
     * projection (one decode per row by construction), the gate
     * conjunction splitting rejects from the pool, the modality's ladder
-    * over the pool. `freezeEntry = false` lets [[curateMedia]] freeze
-    * the full frame once instead of re-freezing each kind slice. */
+    * over the pool.
+    *
+    * Eval-once decode barrier (round 17): with a `chain`, the battery
+    * signals, the gate bit, AND the ladder's 64-bit perceptual signature
+    * all materialize in ONE frozen projection — one codec decode per row,
+    * total. Without the barrier each status branch and the ladder's
+    * signature table re-ran the decode over the entry-frozen payloads
+    * (~4 decodes/row); the round-16 fused-expression postmortem proved a
+    * single-tree form cannot do this (CollapseProject re-derives the
+    * producing struct per field reference), so the barrier is a
+    * MATERIALIZATION, not a wider expression. The ladder then reads the
+    * materialized `__sig__` column instead of re-hashing the payload.
+    * Without a chain the `__sig__` column must NOT ride the lazy plan:
+    * an unmaterialized signature column in the pool projection threads
+    * the hash expression through every ladder consumer's tree and the
+    * self-join plan blows up Catalyst (measured: the unfrozen multi-kind
+    * capstone went from ~1 min to >30 min of driver plan work) — so the
+    * unfrozen path keeps the proven lazy shape with the ladder hashing
+    * the payload itself (the parquet-backed-media trade). */
   private def curateWith(
       media: DataFrame,
       payloadCol: String,
       idCol: String,
       signals: Column => Column,
       gatePass: Column => Column,
-      ladder: DataFrame => DataFrame,
-      chain: Option[FreezeChain],
-      freezeEntry: Boolean): DataFrame = {
-    val m =
-      if (freezeEntry) chain.map(_.freeze(media)).getOrElse(media) else media
-    val gated = m.withColumn("__s__", signals(col(payloadCol)))
-      .withColumn("__p__", gatePass(col("__s__")))
-    // a NULL signal struct means NO supported codec decoded the payload
-    // (every builder wraps its struct in when(parsed.isNotNull, ...)):
-    // that's a codec-coverage gap, not a quality decision — its own status
-    val undecodable = gated.where(col("__s__").isNull)
-      .select(col(idCol), lit("undecodable").as("status"), col(idCol).as("keeper"))
-    val rejects = gated.where(col("__s__").isNotNull && !col("__p__"))
-      .select(col(idCol), lit("quality_reject").as("status"), col(idCol).as("keeper"))
-    val pool = gated.where(col("__p__")).drop("__s__", "__p__")
-    undecodable.unionByName(rejects).unionByName(
-      ladder(pool).select(col(idCol), col("status"), col("keeper")))
+      sig: Column => Column,
+      maxHamming: Int,
+      chain: Option[FreezeChain]): DataFrame = {
+    def branches(gated: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      // a NULL signal struct means NO supported codec decoded the payload
+      // (every builder wraps its struct in when(parsed.isNotNull, ...)):
+      // that's a codec-coverage gap, not a quality decision — own status
+      val undecodable = gated.where(col("__s__").isNull)
+        .select(col(idCol), lit("undecodable").as("status"), col(idCol).as("keeper"))
+      val rejects = gated.where(col("__s__").isNotNull && !col("__p__"))
+        .select(col(idCol), lit("quality_reject").as("status"), col(idCol).as("keeper"))
+      val pool = gated.where(col("__p__")).drop("__s__", "__p__")
+      (undecodable, rejects, pool)
+    }
+    chain match {
+      case Some(ch) =>
+        val gated = ch.freeze(media
+          .withColumn("__s__", signals(col(payloadCol)))
+          .withColumn("__p__", gatePass(col("__s__")))
+          .withColumn("__sig__", sig(col(payloadCol))))
+        val (undecodable, rejects, pool) = branches(gated)
+        // NO inner pool freeze: the pool is a cheap boolean filter over
+        // the signaled ExistingRDD, so the ladder's ~8 consumers re-plan
+        // off materialized rows already — a second freeze would copy
+        // every payload byte again for nothing (measured: it erased the
+        // barrier's win on the cheap-signal modalities)
+        undecodable.unionByName(rejects).unionByName(
+          MediaDedup.dedupReport(pool, payloadCol, idCol, _ => col("__sig__"),
+            maxHamming, chain = None)
+            .select(col(idCol), col("status"), col("keeper")))
+      case None =>
+        val gated = media
+          .withColumn("__s__", signals(col(payloadCol)))
+          .withColumn("__p__", gatePass(col("__s__")))
+        val (undecodable, rejects, pool) = branches(gated)
+        undecodable.unionByName(rejects).unionByName(
+          MediaDedup.dedupReport(pool, payloadCol, idCol, sig, maxHamming, None)
+            .select(col(idCol), col("status"), col("keeper")))
+    }
   }
 
   def curateImages(
@@ -91,14 +131,13 @@ object MediaPipeline {
       minDynRange: Long = 8L,
       lumaBounds: (Double, Double) = (70.0, 200.0),
       maxHamming: Int = 3,
-      chain: Option[FreezeChain] = None,
-      freezeEntry: Boolean = true): DataFrame =
+      chain: Option[FreezeChain] = None): DataFrame =
     curateWith(media, payloadCol, idCol,
       MediaQuality.imageSignals,
       s => MediaQuality.imageGates(s, minDim, maxAspect, minDynRange, lumaBounds)
         .getField("passes"),
-      pool => MediaDedup.imageDedupReport(pool, payloadCol, idCol, maxHamming, chain),
-      chain, freezeEntry)
+      graft.functions.MediaFunctions.imageAHash64,
+      maxHamming, chain)
 
   /** The q139 capstone for AUDIO: battery gates (rate/channels/duration/
     * level/clipping), then the envelope-hash ladder. */
@@ -108,14 +147,13 @@ object MediaPipeline {
       idCol: String,
       policy: AudioPolicy = AudioPolicy(),
       maxHamming: Int = 3,
-      chain: Option[FreezeChain] = None,
-      freezeEntry: Boolean = true): DataFrame =
+      chain: Option[FreezeChain] = None): DataFrame =
     curateWith(media, payloadCol, idCol,
       MediaQuality.audioSignals,
       s => MediaQuality.audioGates(s, policy.minSampleRate, policy.maxChannels,
         policy.minDurationS, policy.minRms, policy.clipPeak).getField("passes"),
-      pool => MediaDedup.audioDedupReport(pool, payloadCol, idCol, maxHamming, chain),
-      chain, freezeEntry)
+      graft.functions.MediaFunctions.pcmEnvelopeHash64,
+      maxHamming, chain)
 
   /** The q139 capstone for VIDEO: battery gates (duration window, dims,
     * aspect, tracks), then the sample-size-contour ladder (the re-mux
@@ -126,14 +164,13 @@ object MediaPipeline {
       idCol: String,
       policy: VideoPolicy = VideoPolicy(),
       maxHamming: Int = 3,
-      chain: Option[FreezeChain] = None,
-      freezeEntry: Boolean = true): DataFrame =
+      chain: Option[FreezeChain] = None): DataFrame =
     curateWith(media, payloadCol, idCol,
       MediaQuality.videoSignals,
       s => MediaQuality.videoGates(s, policy.minDurationMs, policy.maxDurationMs,
         policy.minDim, policy.maxAspect, policy.maxTracks).getField("passes"),
-      pool => MediaDedup.videoDedupReport(pool, payloadCol, idCol, maxHamming, chain),
-      chain, freezeEntry)
+      graft.functions.MediaFunctions.videoSampleHash64,
+      maxHamming, chain)
 
   /** The ALL-MODALITY capstone: one call over a typed media frame with a
     * `kindCol` ∈ `image` / `audio` / `video` — each kind runs ITS
@@ -143,7 +180,7 @@ object MediaPipeline {
     * other kind are `quality_reject`ed explicitly — an ingest bug
     * surfaces as rejects, never as silently dropped rows. The media
     * frame freezes ONCE here; each kind slice filters the materialized
-    * rows (`freezeEntry = false` below). */
+    * rows before its own signaled freeze. */
   def curateMedia(
       media: DataFrame,
       payloadCol: String,
@@ -157,11 +194,11 @@ object MediaPipeline {
     val m = chain.map(_.freeze(media)).getOrElse(media)
     val images = curateImages(m.where(col(kindCol) === "image"), payloadCol, idCol,
       image.minDim, image.maxAspect, image.minDynRange, image.lumaBounds,
-      maxHamming, chain, freezeEntry = false)
+      maxHamming, chain)
     val audios = curateAudio(m.where(col(kindCol) === "audio"), payloadCol, idCol,
-      audio, maxHamming, chain, freezeEntry = false)
+      audio, maxHamming, chain)
     val videos = curateVideo(m.where(col(kindCol) === "video"), payloadCol, idCol,
-      video, maxHamming, chain, freezeEntry = false)
+      video, maxHamming, chain)
     // NULL kind must land here too: `=== "image"` and `!isin(...)` are both
     // NULL-valued (so false) for a NULL kind — without the isNull arm such
     // rows would match NO branch and vanish, the exact silent drop the

@@ -1096,11 +1096,11 @@ class MultimodalSpec extends SparkSpecBase {
     val perKind =
       MediaPipeline.curateImages(m2.where(col("kind") === "image"), "payload",
         "media_id", iPolicy.minDim, iPolicy.maxAspect, iPolicy.minDynRange,
-        iPolicy.lumaBounds, chain = Some(chain2), freezeEntry = false)
+        iPolicy.lumaBounds, chain = Some(chain2))
         .unionByName(MediaPipeline.curateAudio(m2.where(col("kind") === "audio"),
-          "payload", "media_id", policy, chain = Some(chain2), freezeEntry = false))
+          "payload", "media_id", policy, chain = Some(chain2)))
         .unionByName(MediaPipeline.curateVideo(m2.where(col("kind") === "video"),
-          "payload", "media_id", vPolicy, chain = Some(chain2), freezeEntry = false))
+          "payload", "media_id", vPolicy, chain = Some(chain2)))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(dispatched == perKind + ((999999L, "quality_reject", 999999L))
       + ((999998L, "quality_reject", 999998L)))

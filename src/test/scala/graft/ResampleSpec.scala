@@ -110,6 +110,36 @@ class ResampleSpec extends SparkSpecBase {
     wdf.resample("ts", "MS", closed = "right")
   }
 
+  test("lenient=true reproduces pandas' silent origin/offset ignore on period rules") {
+    // pandas 2.2.2: s.resample('ME', origin='epoch', offset='3h').sum()
+    // equals the no-kwarg run exactly (the non-Tick branch of
+    // _get_timestamp_range_edges never reads them) — same for W-anchored
+    // and business grids. lenient=true is the explicit compat escape
+    // hatch; the default stays the loud refusal (pinned above).
+    val d = Seq(
+      (ts("2024-01-05"), Some(1.0), 1.0),
+      (ts("2024-02-10"), Some(2.0), 1.0),
+      (ts("2024-03-20"), Some(3.0), 1.0)
+    ).toDF("ts", "Value", "weights")
+    val w = WeightedDataFrame.wt(d, "weights")
+    assert(byBucket(w.resample("ts", "M", origin = "epoch", offset = Some("3h"),
+        lenient = true).sum()) ==
+      byBucket(w.resample("ts", "M").sum()))
+    assert(byBucket(w.resample("ts", "W-SUN", origin = "end", lenient = true).sum()) ==
+      byBucket(w.resample("ts", "W-SUN").sum()))
+    assert(byBucket(w.resample("ts", "B", offset = Some("1h"), lenient = true).sum()) ==
+      byBucket(w.resample("ts", "B").sum()))
+    // lenient does NOT relax anything else: fixed rules still APPLY
+    // origin/offset (they're Tick rules in pandas — never ignored)
+    assert(byBucket(w.resample("ts", "2D", origin = "epoch", offset = Some("1D"),
+        lenient = true).sum()) ==
+      byBucket(w.resample("ts", "2D", origin = "epoch", offset = Some("1D")).sum()))
+    // and the default remains the loud refusal
+    intercept[IllegalArgumentException] {
+      w.resample("ts", "M", origin = "epoch")
+    }
+  }
+
   test("calendar non-default closed: pandas edge-shift semantics") {
     def tsf(s: String): Timestamp = Timestamp.valueOf(s)
     // pandas 2.2.2 pins (see the derivation in WeightedResampler's
