@@ -45,12 +45,16 @@ object Bench {
   def calibrationQuietSec(probe: String, cpus: Int): Double = probe match {
     // codegen: the round-15 quiet-box freeze (continuity across epochs);
     // scan/shuffle: round-16 quiet min-of-two-runs on the same box class;
-    // single: round-16 quiet freeze — ONE thread, so core-count-free.
-    // NOTE the single-class baseline starts at the r16 box epoch: the
-    // r10–r14 boxes (whose single-core was ~2.3x faster per the q93
-    // steady-state comparison) were gone before this probe existed, so
-    // ratios are comparable from r16 on; pre-r16 frozen minimums of
-    // driver-bound queries keep their written diagnoses instead
+    // single: round-16 quiet freeze — ONE thread, so core-count-free;
+    // MEASURED flat across core counts r17 (local[4]/[8]/[32] =
+    // 0.615/0.569/0.558 s on the same box, ambient ratios 1.0–1.2), so
+    // one baseline serves all three like the other classes' per-count
+    // rows would. NOTE the single-class baseline starts at the r16 box
+    // epoch: the r10–r14 boxes (whose single-core was ~2.3x faster per
+    // the q93 steady-state comparison) were gone before this probe
+    // existed, so ratios are comparable from r16 on; pre-r16 frozen
+    // minimums of driver-bound queries keep their written diagnoses
+    // (q93 itself re-frozen r17 after the probe confirmed the epoch)
     case "codegen" => if (cpus >= 32) 0.24 else if (cpus >= 8) 0.27 else 0.35
     case "scan" => if (cpus >= 32) 0.53 else if (cpus >= 8) 0.46 else 0.54
     case "shuffle" => if (cpus >= 32) 0.90 else if (cpus >= 8) 1.35 else 2.20
