@@ -768,6 +768,66 @@ object SparkEntry {
          |LEFT JOIN nk ON poolm.media_id = nk.media_id
          |$extraArm ORDER BY media_id""".stripMargin.replace("\n", " ")
 
+  /** The mixed-codec crawl capstone replay (q142 AND q153 — the WebP
+    * crawl fixture carries identical decoded pixel content per
+    * (doc_id, text) under a content-bijective encoder, so one oracle
+    * serves both): gates over the unified signal relation, exact groups
+    * by codec-tagged content key, banding + recursive clustering over
+    * the unified hash relation. */
+  private def mixedCurationOracleSql: String =
+    s"""WITH RECURSIVE $mixedMediaCtes,
+       |tpx AS (SELECT media_id,
+       |string_agg(repeat(substr(vhx, 2*i+1, 2), 3), '' ORDER BY i) AS px
+       |FROM (SELECT media_id, vhx, unnest(range(0, 64)) AS i FROM tm)
+       |GROUP BY media_id),
+       |allm AS (SELECT media_id, 'p:' || w || ':' || h || ':' || px AS ck FROM pm
+       |UNION ALL SELECT media_id, 'j:' || vhx FROM jm
+       |UNION ALL SELECT media_id, 'p:8:8:' || px FROM tpx),
+       |gt AS (SELECT media_id,
+       |(least(w, h) >= 6
+       |AND CAST(greatest(w, h) AS DOUBLE) / least(w, h) <= 2.2
+       |AND dr >= 0
+       |AND CAST(stot AS DOUBLE) / npxch BETWEEN 60.0 AND 200.0) AS p FROM mx_sig),
+       |poolk AS (SELECT allm.media_id, allm.ck FROM allm
+       |JOIN gt ON allm.media_id = gt.media_id AND gt.p),
+       |eg AS (SELECT media_id, ck,
+       |min(media_id) OVER (PARTITION BY ck) AS ekeep FROM poolk),
+       |ed AS (SELECT media_id, ekeep FROM eg WHERE media_id <> ekeep),
+       |sv AS (SELECT media_id FROM eg WHERE media_id = ekeep),
+       |sig AS (SELECT sv.media_id,
+       |CAST(COALESCE(a.ah_hi, 0) AS BIGINT) AS hi,
+       |CAST(COALESCE(a.ah_lo, 0) AS BIGINT) AS lo
+       |FROM sv LEFT JOIN mx_ah a ON sv.media_id = a.media_id),
+       |ch AS (SELECT media_id, hi, lo,
+       |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+       |unnest([0, 1, 2, 3]) AS chunk FROM sig),
+       |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+       |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+       |FROM ch a JOIN ch b
+       |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+       |pr AS (SELECT ma, mb FROM cand
+       |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+       |e AS (SELECT ma AS s, mb AS t FROM pr UNION ALL SELECT mb, ma FROM pr),
+       |reach(id, r) AS (SELECT media_id, media_id FROM sv
+       |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id),
+       |cl AS (SELECT id AS media_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |nk AS (SELECT media_id,
+       |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM cl)
+       |SELECT CAST(media_id AS BIGINT) AS media_id,
+       |'quality_reject' AS status, CAST(media_id AS BIGINT) AS keeper
+       |FROM gt WHERE NOT p
+       |UNION ALL
+       |SELECT CAST(poolk.media_id AS BIGINT) AS media_id,
+       |CASE WHEN ed.media_id IS NOT NULL THEN 'exact_dup'
+       |WHEN nk.nkeep <> poolk.media_id THEN 'near_dup'
+       |ELSE 'kept' END AS status,
+       |CAST(COALESCE(ed.ekeep,
+       |CASE WHEN nk.nkeep <> poolk.media_id THEN nk.nkeep END,
+       |poolk.media_id) AS BIGINT) AS keeper
+       |FROM poolk LEFT JOIN ed ON poolk.media_id = ed.media_id
+       |LEFT JOIN nk ON poolk.media_id = nk.media_id
+       |ORDER BY media_id""".stripMargin.replace("\n", " ")
+
   /** CTEs reconstructing the MIXED-codec crawl fixture
     * ([[graft.multimodal.Multimodal.warcMixedImageCrawlFromDocuments]])
     * analytically: PNG rows as pixel-hex relations (the q135/q136 shape),
@@ -2110,6 +2170,25 @@ object SparkEntry {
       val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
         .select(
           regexp_extract(col("url"), "/media/(\\d+)\\.(png|jpg)$", 1)
+            .cast("long").as("media_id"),
+          col("payload"))
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      graft.ops.MediaPipeline.curateImages(media, "payload", "media_id",
+        minDim = 6L, maxAspect = 2.2, minDynRange = 0L, lumaBounds = (60.0, 200.0),
+        maxHamming = 3, chain = Some(chain))
+        .orderBy("media_id")
+    }),
+    // the WebP CRAWL capstone (round 17): same content classes as q142
+    // with the mosaic slice served as lossless WebP — harvest → battery →
+    // exact → banded near-dup ladder all through the native VP8L decode;
+    // the oracle is q142's VERBATIM (identical decoded content under a
+    // content-bijective encoder), so this query asserts codec-equal
+    // curation decisions incl. the cross-codec WebP↔PNG-thumbnail pairs
+    "q153_webp_crawl_pipeline" -> ((s, dir) => {
+      val crawl = Multimodal.warcMixedWebpCrawlFromDocuments(table(s, dir, "documents"))
+      val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
+        .select(
+          regexp_extract(col("url"), "/media/(\\d+)\\.(png|webp)$", 1)
             .cast("long").as("media_id"),
           col("payload"))
       val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
@@ -4258,59 +4337,12 @@ object SparkEntry {
     // byte-equals a PNG row groups with it), then banding + recursive
     // clustering over the unified hash relation — cross-codec pairs
     // included
-    "q142_mixed_media_pipeline" ->
-      s"""WITH RECURSIVE $mixedMediaCtes,
-         |tpx AS (SELECT media_id,
-         |string_agg(repeat(substr(vhx, 2*i+1, 2), 3), '' ORDER BY i) AS px
-         |FROM (SELECT media_id, vhx, unnest(range(0, 64)) AS i FROM tm)
-         |GROUP BY media_id),
-         |allm AS (SELECT media_id, 'p:' || w || ':' || h || ':' || px AS ck FROM pm
-         |UNION ALL SELECT media_id, 'j:' || vhx FROM jm
-         |UNION ALL SELECT media_id, 'p:8:8:' || px FROM tpx),
-         |gt AS (SELECT media_id,
-         |(least(w, h) >= 6
-         |AND CAST(greatest(w, h) AS DOUBLE) / least(w, h) <= 2.2
-         |AND dr >= 0
-         |AND CAST(stot AS DOUBLE) / npxch BETWEEN 60.0 AND 200.0) AS p FROM mx_sig),
-         |poolk AS (SELECT allm.media_id, allm.ck FROM allm
-         |JOIN gt ON allm.media_id = gt.media_id AND gt.p),
-         |eg AS (SELECT media_id, ck,
-         |min(media_id) OVER (PARTITION BY ck) AS ekeep FROM poolk),
-         |ed AS (SELECT media_id, ekeep FROM eg WHERE media_id <> ekeep),
-         |sv AS (SELECT media_id FROM eg WHERE media_id = ekeep),
-         |sig AS (SELECT sv.media_id,
-         |CAST(COALESCE(a.ah_hi, 0) AS BIGINT) AS hi,
-         |CAST(COALESCE(a.ah_lo, 0) AS BIGINT) AS lo
-         |FROM sv LEFT JOIN mx_ah a ON sv.media_id = a.media_id),
-         |ch AS (SELECT media_id, hi, lo,
-         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
-         |unnest([0, 1, 2, 3]) AS chunk FROM sig),
-         |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
-         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
-         |FROM ch a JOIN ch b
-         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
-         |pr AS (SELECT ma, mb FROM cand
-         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
-         |e AS (SELECT ma AS s, mb AS t FROM pr UNION ALL SELECT mb, ma FROM pr),
-         |reach(id, r) AS (SELECT media_id, media_id FROM sv
-         |UNION SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.id),
-         |cl AS (SELECT id AS media_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |nk AS (SELECT media_id,
-         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM cl)
-         |SELECT CAST(media_id AS BIGINT) AS media_id,
-         |'quality_reject' AS status, CAST(media_id AS BIGINT) AS keeper
-         |FROM gt WHERE NOT p
-         |UNION ALL
-         |SELECT CAST(poolk.media_id AS BIGINT) AS media_id,
-         |CASE WHEN ed.media_id IS NOT NULL THEN 'exact_dup'
-         |WHEN nk.nkeep <> poolk.media_id THEN 'near_dup'
-         |ELSE 'kept' END AS status,
-         |CAST(COALESCE(ed.ekeep,
-         |CASE WHEN nk.nkeep <> poolk.media_id THEN nk.nkeep END,
-         |poolk.media_id) AS BIGINT) AS keeper
-         |FROM poolk LEFT JOIN ed ON poolk.media_id = ed.media_id
-         |LEFT JOIN nk ON poolk.media_id = nk.media_id
-         |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "q142_mixed_media_pipeline" -> mixedCurationOracleSql,
+    // the WebP crawl capstone shares the JPEG crawl's oracle VERBATIM:
+    // the fixture's decoded pixel content is identical per (doc_id, text)
+    // and both codecs' encoders are content-bijective, so the replayed
+    // gates/exact-groups/banding/clustering decisions are the same
+    "q153_webp_crawl_pipeline" -> mixedCurationOracleSql,
     // video contour hash bit-for-bit from the same text bytes (windows of
     // two consecutive size bytes); variants share the main's bytes
     "q144_video_sample_hash" ->

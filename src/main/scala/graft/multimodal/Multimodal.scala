@@ -1071,6 +1071,104 @@ object Multimodal {
             .otherwise(empty)).as("payload"))
   }
 
+  /** WebP twin of [[warcMixedImageCrawlFromDocuments]] — the SAME content
+    * classes (constant PNG exact group, PNG mains + one-pixel dents, a
+    * byte-identical const mosaic group, all-250 bright rejects, XOR-1
+    * dent re-encodes, cross-codec 8×8 PNG thumbnails) with the mosaic
+    * slice carried as LOSSLESS WebP (VP8L, `image/webp`, `….webp`)
+    * instead of JPEG. Encoder knobs are FIXED (subtract-green only) so
+    * payload bytes are a bijection of pixel content and the exact-dedup
+    * stage groups byte-identical mosaics exactly as the oracle's
+    * content-key grouping does. Because the decoded pixel content is
+    * IDENTICAL to the JPEG fixture per (doc_id, text), the q142 oracle
+    * replays this crawl VERBATIM — the q153 query literally asserts
+    * "curation over a WebP crawl makes the decisions the JPEG crawl
+    * makes on the same content". */
+  def warcMixedWebpCrawlFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withWebp = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val isWebp = id % 7 != 0 && id % 3 == 1
+        if (!isWebp) (id, text, null: Array[Byte], null: Array[Byte])
+        else {
+          val wconst = id % 33 == 1
+          val bright = !wconst && id % 17 == 2
+          val vals =
+            if (wconst) MixedJpegConstVals
+            else if (bright) Array.fill(64)(250)
+            else {
+              val tb = text.getBytes("UTF-8")
+              Array.tabulate(64)(i => if (i < tb.length) tb(i) & 0xff else 'A'.toInt)
+            }
+          def mosaic(blocks: Array[Int]): Array[Byte] = {
+            val px = new Array[Int](64 * 64)
+            var b = 0
+            while (b < 64) {
+              val v = blocks(b)
+              val x0 = (b % 8) * 8; val y0 = (b / 8) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { px((y0 + y) * 64 + x0 + x) = v; x += 1 }
+                y += 1
+              }
+              b += 1
+            }
+            WebpFixtures.encodeGray(px, 64, 64, subtractGreen = true)
+          }
+          val main = mosaic(vals)
+          val variant =
+            if (!wconst && !bright && id % 5 == 0) {
+              val dent = vals.clone(); dent(0) ^= 1
+              mosaic(dent)
+            } else null
+          (id, text, main, variant)
+        }
+      }.toDF("doc_id", "text", "webp_main", "webp_variant")
+    val empty = lit(Array.emptyByteArray)
+    withWebp
+      .withColumn("__const__", col("doc_id") % 7 === 0)
+      .withColumn("__webp__", col("webp_main").isNotNull)
+      .withColumn("w", when(col("__const__"), lit(8))
+        .otherwise(col("doc_id") % 6 + 6).cast("int"))
+      .withColumn("h", when(col("__const__"), lit(6))
+        .otherwise(col("doc_id") % 4 + 5).cast("int"))
+      .withColumn("npb", col("w") * col("h") * lit(3))
+      .withColumn("basepx", expr(
+        """substr(concat(CASE WHEN doc_id % 7 = 0 THEN ''
+          |ELSE hex(encode(text, 'UTF-8')) END,
+          |repeat('41', npb)), 1, 2*npb)""".stripMargin.replace("\n", " ")))
+      .withColumn("vhx", expr(
+        "substr(concat(hex(encode(text, 'UTF-8')), repeat('41', 64)), 1, 128)"))
+      .withColumn("__pvariant__",
+        !col("__webp__") && !col("__const__") && col("doc_id") % 5 === 0)
+      .withColumn("__thumb__", col("__webp__") && col("doc_id") % 13 === 3 &&
+        col("doc_id") % 33 =!= 1 && col("doc_id") % 17 =!= 2)
+      .withColumn("thumbpx", expr(
+        "array_join(transform(sequence(0, 63), i -> repeat(substr(vhx, 2*i+1, 2), 3)), '')"))
+      .select(col("doc_id").as("media_id"),
+        concat(
+          crawlHtmlRec,
+          when(col("__webp__"),
+            crawlMediaRec(col("doc_id") * 10, "webp", "image/webp", col("webp_main")))
+            .otherwise(crawlMediaRec(col("doc_id") * 10, "png", "image/png",
+              unhex(pngHexFromPixels(col("w"), col("h"), col("basepx"), 3, "0802000000")))),
+          when(col("__pvariant__"),
+            crawlMediaRec(col("doc_id") * 10 + 1, "png", "image/png",
+              unhex(pngHexFromPixels(col("w"), col("h"),
+                concat(lit("000000"), expr("substr(basepx, 7)")), 3, "0802000000"))))
+            .otherwise(empty),
+          when(col("webp_variant").isNotNull,
+            crawlMediaRec(col("doc_id") * 10 + 1, "webp", "image/webp",
+              col("webp_variant"))).otherwise(empty),
+          when(col("__thumb__"),
+            crawlMediaRec(col("doc_id") * 10 + 2, "png", "image/png",
+              unhex(pngHexFromPixels(lit(8), lit(8), col("thumbpx"), 3, "0802000000"))))
+            .otherwise(empty)).as("payload"))
+  }
+
   /** Chunked-transfer crawl fixture: one WARC payload per document whose
     * HTTP responses record the WIRE bytes of a `Transfer-Encoding:
     * chunked` capture — a text/plain record carrying the document text
