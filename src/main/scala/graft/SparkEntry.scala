@@ -96,18 +96,30 @@ object SparkEntry {
     * with `localCheckpoint` (eager; same immutable-snapshot caveat as
     * [[ivfModel]]). The report's APPROXIMATE paths re-run every time —
     * recall telemetry must re-measure the thing that can regress, and
-    * that's the ANN side, not the truth. */
-  private val bruteTruths =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  private[graft] def bruteTruth(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    bruteTruths.computeIfAbsent(dir, { d =>
-      val emb = table(s, d, "embeddings")
-      val top1 = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
-        strategy = "brute").select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val top5 = Similarity.bruteKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      (top1, top5)
+    * that's the ANN side, not the truth.
+    *
+    * Unlike the fitted models above (plain Scala objects, session-free),
+    * a checkpointed DataFrame's blocks live in the SparkSession that
+    * created it — a stopped-and-recreated session reusing the same dir
+    * must NOT get the dead references back. So the cache validates the
+    * owning session per hit (weakly held, so the map never pins a stopped
+    * session in memory) and recomputes on session change or stop. */
+  private val bruteTruths = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.ref.WeakReference[SparkSession], DataFrame, DataFrame)]()
+  private[graft] def bruteTruth(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val entry = bruteTruths.compute(dir, { (d, cached) =>
+      if (cached != null && (cached._1.get eq s) && !s.sparkContext.isStopped) cached
+      else {
+        val emb = table(s, d, "embeddings")
+        val top1 = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+          strategy = "brute").select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val top5 = Similarity.bruteKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+        (new java.lang.ref.WeakReference(s), top1, top5)
+      }
     })
+    (entry._2, entry._3)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -2348,6 +2360,29 @@ object SparkEntry {
           col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
         .orderBy("media_id")
     }),
+    // native LOSSY WebP decode (round 18): real VP8 keyframe bitstreams —
+    // boolean arithmetic decode, keyframe mode trees, DCT token decode,
+    // inverse WHT/DCT, 16×16 + B_PRED intra prediction (RFC 6386) —
+    // through the SAME codec dispatchers as PNG/JPEG/GIF/VP8L. The
+    // fixture's DC-only construction reconstructs EXACTLY (Vp8Fixtures),
+    // so the oracle replays every signal and aHash bit from text bytes
+    // even though the codec is lossy; encoder knobs (B_PRED vs Y2/WHT,
+    // skip prob) rotate per doc and are pixel-invariant
+    "q154_vp8_decode" -> ((s, dir) => {
+      val m = Multimodal.vp8MediaFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
+          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+        .select(col("media_id"),
+          col("__s__.width").as("width"), col("__s__.height").as("height"),
+          round(col("__s__.mean_luma"), 6).as("mean_luma"),
+          col("__s__.dyn_range").as("dyn_range"),
+          graft.ops.MediaQuality.imageGates(col("__s__"))
+            .getField("passes").as("passes"),
+          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
+          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+        .orderBy("media_id")
+    }),
     // harvest-attrition observability: the crawl plants GIF-SIGNATURE
     // bodies (raw text after the magic — corrupt GIFs no decoder reads)
     // that extractWarcMedia keeps (content-type image/*) but nothing
@@ -4315,6 +4350,43 @@ object SparkEntry {
         |jc AS (SELECT media_id, cell, 64*u AS s, CAST(64 AS BIGINT) AS c FROM v),
         |jt AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM jc GROUP BY media_id),
         |jb AS (SELECT jc.media_id, cell AS b FROM jc
+        |JOIN jt ON jc.media_id = jt.media_id
+        |WHERE jc.s * jt.tc > jt.ts * jc.c),
+        |ah AS (SELECT media_id,
+        |CAST(sum(CASE WHEN b < 32 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS ah_hi,
+        |CAST(sum(CASE WHEN b >= 32 THEN (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END) AS BIGINT) AS ah_lo
+        |FROM jb GROUP BY media_id)
+        |SELECT CAST(sg.media_id AS BIGINT) AS media_id,
+        |CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |round(CAST(sg.stot AS DOUBLE) / 4096, 6) AS mean_luma,
+        |CAST(sg.dr AS BIGINT) AS dyn_range,
+        |(sg.dr >= 8 AND CAST(sg.stot AS DOUBLE) / 4096 BETWEEN 70.0 AND 200.0) AS passes,
+        |CAST(COALESCE(ah.ah_hi, 0) AS BIGINT) AS ah_hi,
+        |CAST(COALESCE(ah.ah_lo, 0) AS BIGINT) AS ah_lo
+        |FROM sg LEFT JOIN ah ON sg.media_id = ah.media_id
+        |ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // lossy-VP8 battery/hash replay: the fixture's DC-only construction
+    // reconstructs EXACTLY, so decoded luma == the first 16 text bytes
+    // over 16×16 cells (each 256 px). The aHash's 8×8 grid cells are
+    // quarters of a mosaic cell: hash cell b reads mosaic value
+    // ((b//8)//2)*4 + (b%8)//2
+    "q154_vp8_decode" ->
+      """WITH pj AS (SELECT doc_id AS media_id,
+        |CASE WHEN doc_id % 9 = 4 THEN repeat('FA', 16)
+        |ELSE substr(hex(encode(text)) || repeat('41', 16), 1, 32) END AS vhx
+        |FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT media_id, i AS cell,
+        |(strpos('0123456789ABCDEF', substr(vhx, 2*i+1, 1)) - 1) * 16
+        |+ (strpos('0123456789ABCDEF', substr(vhx, 2*i+2, 1)) - 1) AS u
+        |FROM (SELECT media_id, vhx, unnest(range(0, 16)) AS i FROM pj)),
+        |sg AS (SELECT media_id, 256*sum(u) AS stot, max(u) - min(u) AS dr
+        |FROM v GROUP BY media_id),
+        |hc AS (SELECT media_id, b, ((b // 8) // 2) * 4 + ((b % 8) // 2) AS cell
+        |FROM (SELECT media_id, unnest(range(0, 64)) AS b FROM pj)),
+        |jc AS (SELECT hc.media_id, hc.b, 64*v.u AS s, CAST(64 AS BIGINT) AS c
+        |FROM hc JOIN v ON hc.media_id = v.media_id AND hc.cell = v.cell),
+        |jt AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM jc GROUP BY media_id),
+        |jb AS (SELECT jc.media_id, b FROM jc
         |JOIN jt ON jc.media_id = jt.media_id
         |WHERE jc.s * jt.tc > jt.ts * jc.c),
         |ah AS (SELECT media_id,

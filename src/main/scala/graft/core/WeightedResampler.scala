@@ -527,8 +527,10 @@ final class WeightedResampler private[core] (
         // minimum lands EXACTLY on the computed first edge (span ≡
         // −offset mod rule) `generate_bins`' first edge is inclusive and
         // pandas keys that row into the FIRST bin. The `greatest` clamp
-        // below reproduces the on-edge inclusion and bins the strict
-        // overshoot rows into the first bin instead of erroring.)
+        // below reproduces the on-edge inclusion; strict overshoot RAISES
+        // by default — the pandas-parity error, at execution time rather
+        // than plan time since min(ts) is data — and `lenient=true` opts
+        // into clamping those rows into the first bin instead.)
         val lastUs = col("__origin_us__")
         val minUs = col("__min_us__")
         val span = lastUs - minUs
@@ -542,8 +544,20 @@ final class WeightedResampler private[core] (
           if (fo == 0L) { if (resolvedClosed == "right") fAnchor - lit(ruleUs) else fAnchor }
           else fAnchor - lit(fo)
         val clamped =
-          if (resolvedClosed == "right") keyed.withColumn(BucketCol, greatest(col(BucketCol), fresult))
-          else keyed
+          if (resolvedClosed == "right") {
+            // on-edge (min == fresult): clamp reproduces pandas'
+            // inclusive first edge. Strict overshoot (min < fresult):
+            // pandas raises ValueError — so do we, unless lenient.
+            val guarded =
+              if (lenient) greatest(col(BucketCol), fresult)
+              else when(minUs < fresult, raise_error(lit(
+                "values falls before first bin: origin=end/end_day right-closed " +
+                  "offset overshoots the data minimum (pandas raises here; pass " +
+                  "lenient=true to clamp those rows into the first bin)"))
+                .cast(org.apache.spark.sql.types.LongType))
+                .otherwise(greatest(col(BucketCol), fresult))
+            keyed.withColumn(BucketCol, guarded)
+          } else keyed
         clamped
           .withColumn(SpineStartCol, least(fresult, col(BucketCol)))
           .withColumn(SpineEndCol, col(BucketCol))

@@ -14,10 +14,12 @@ package graft.functions
   * every pixel is gray (r == g == b), else 3.
   *
   * Scope and honesty notes:
-  *  - VP8L only: lossy WebP (`VP8 ` chunks — a full VP8 intra-frame
-  *    codec) and `ANIM`/`ANMF` animation frames decode to null and ride
-  *    the `undecodable` attrition status, observable, not silent.
-  *    `VP8X`-extended containers are walked to find an inner VP8L.
+  *  - this object owns the container walk + VP8L; lossy `VP8 ` keyframes
+  *    dispatch to [[Vp8Decoder]] (round 18, RFC 6386), and animations
+  *    decode their FIRST frame (`ANMF` dive below) — `VP8X`-extended
+  *    containers are walked to find the inner bitstream either way. Only
+  *    genuinely malformed/truncated payloads ride the `undecodable`
+  *    attrition status now.
   *  - the alpha channel is decoded (it participates in every transform
   *    and prefix code) but DROPPED at the sample-extraction step — the
   *    battery and hashes are defined over opaque pixel content, matching
@@ -43,8 +45,10 @@ object WebpDecoder {
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
 
-  /** Decode a lossless WebP payload, or null for anything unsupported /
-    * malformed / oversized (including lossy `VP8 ` bitstreams). */
+  /** Decode a WebP payload — a still VP8L, a lossy VP8 keyframe, or the
+    * FIRST frame of an animation (`ANMF`, over its own rectangle: the GIF
+    * frame-0 convention — compositing later frames onto the canvas is out
+    * of scope by design) — or null for anything malformed / oversized. */
   def decode(b: Array[Byte]): JpegDecoder.Decoded = {
     if (!isWebp(b)) return null
     // RIFF chunk walk: fourcc + u32le size + payload, padded to even
@@ -53,10 +57,26 @@ object WebpDecoder {
       val size = le32(b, pos + 4)
       val body = pos + 8
       if (size < 0 || body + size > b.length) return null
-      if (b(pos) == 'V' && b(pos + 1) == 'P' && b(pos + 2) == '8' && b(pos + 3) == 'L')
-        return decodeVp8l(b, body, size.toInt)
-      // VP8X / ICCP / EXIF / ANIM ... : skip; a VP8L may follow (VP8X form)
-      pos = body + size.toInt + (size.toInt & 1)
+      val fourcc = (u8(b, pos) << 24) | (u8(b, pos + 1) << 16) |
+        (u8(b, pos + 2) << 8) | u8(b, pos + 3)
+      fourcc match {
+        case 0x5650384c => // "VP8L"
+          return decodeVp8l(b, body, size.toInt)
+        case 0x56503820 => // "VP8 " (lossy keyframe)
+          return Vp8Decoder.decode(b, body, size.toInt)
+        case 0x414e4d46 if size >= 16 => // "ANMF" (animation frame)
+          // 16-byte frame header (x/y/w-1/h-1 as u24s, duration, flags),
+          // then the frame's own image subchunks (ALPH? + VP8/VP8L).
+          // Diving into the body makes the walk find the FIRST frame's
+          // bitstream — the GIF frame-0 convention, over its own
+          // rectangle (the frame header's dims duplicate the bitstream's;
+          // compositing later frames onto the canvas is out of scope by
+          // design). ANIM (global loop params) has no subchunks and is
+          // skipped below like VP8X/ICCP/EXIF.
+          pos = body + 16
+        case _ => // VP8X / ICCP / EXIF / ANIM / ALPH ... : skip
+          pos = body + size.toInt + (size.toInt & 1)
+      }
     }
     null
   }

@@ -752,6 +752,36 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  /** LOSSY-WebP (VP8 keyframe) sibling of [[webpMediaFromDocuments]]: a
+    * 64×64 grayscale mosaic per document of 4×4 SIXTEEN-pixel cells (one
+    * VP8 macroblock each, from the first 16 text bytes 'A'-padded), built
+    * by [[Vp8Fixtures.encodeGrayMosaic]] whose DC-only construction
+    * reconstructs EXACTLY — so a DuckDB oracle replays every battery
+    * signal and aHash bit from `text` even though the codec is lossy.
+    * Encoder knobs rotate per doc (B_PRED vs 16×16 DC_PRED + Y2/WHT,
+    * skip-probability) and are pixel-invariant, so one oracle covers all
+    * variants. `doc_id % 9 == 4` plants the flat-bright 250 mosaic so the
+    * quality gate splits, mirroring the q151/q152 convention. */
+  def vp8MediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val vals =
+          if (id % 9 == 4) Array.fill(16)(250)
+          else {
+            val tb = text.getBytes("UTF-8")
+            Array.tabulate(16)(i => if (i < tb.length) tb(i) & 0xff else 'A'.toInt)
+          }
+        val payload = Vp8Fixtures.encodeGrayMosaic(vals, 4, 4,
+          bPred = id % 3 == 0,
+          probSkip = if (id % 2 == 0) 150 else 220)
+        (id, "webp", payload)
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** Aspect-preserving resize metadata (shorter side → `target`). Pure
     * arithmetic — in a real pipeline the payload transform happens in the
     * decode batch; the *plan* shape is identical. */

@@ -97,10 +97,18 @@ object MediaPipeline {
     }
     chain match {
       case Some(ch) =>
+        // `__sig__` is gated on the pass bit: only pool survivors ever
+        // consume it, so gate-rejected and undecodable rows skip the
+        // signature decode entirely (a second full codec pass). The gate
+        // predicate re-references gatePass(signals(payload)) after
+        // projection collapse, but `when`'s predicate is ALWAYS-evaluated
+        // so codegen subexpression elimination shares the one signals
+        // decode with `__s__` — still exactly one battery decode per row,
+        // plus the hash decode only for rows that can reach the ladder.
         val gated = ch.freeze(media
           .withColumn("__s__", signals(col(payloadCol)))
           .withColumn("__p__", gatePass(col("__s__")))
-          .withColumn("__sig__", sig(col(payloadCol))))
+          .withColumn("__sig__", when(col("__p__"), sig(col(payloadCol)))))
         val (undecodable, rejects, pool) = branches(gated)
         // NO inner pool freeze: the pool is a cheap boolean filter over
         // the signaled ExistingRDD, so the ladder's ~8 consumers re-plan

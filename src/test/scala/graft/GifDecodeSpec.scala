@@ -190,4 +190,45 @@ class GifDecodeSpec extends SparkSpecBase {
       rows(1).getLong(4) == 0L, "flat-bright plant")
     assert(rows(2).getLong(4) > 0L)
   }
+
+  test("ANIMATED GIFs decode frame 0 (Netscape loop ext + later frames ignored)") {
+    // assemble a 2-frame animation: frame 0 = a planted gradient, frame 1
+    // = a different image; plus the Netscape application extension and a
+    // graphic-control extension before each frame — the crawl-reality
+    // shape. Frame-0-over-its-own-rectangle is the documented contract.
+    val px0 = Array.tabulate(24 * 16)(i => (i * 7) % 256)
+    val px1 = Array.fill(24 * 16)(9)
+    val g0 = GifFixtures.encodeGray(px0, 24, 16)
+    val g1 = GifFixtures.encodeGray(px1, 24, 16)
+    val out = new java.io.ByteArrayOutputStream()
+    // header + LSD + GCT of frame 0's encoding (up to its image
+    // separator, located structurally — 0x2c also occurs as a palette
+    // byte, so a byte scan would cut inside the color table)
+    def imgAt(g: Array[Byte]): Int = {
+      val flags = g(10) & 0xff
+      13 + (if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0)
+    }
+    val imgAt0 = imgAt(g0)
+    val imgAt1 = imgAt(g1)
+    assert(g0(imgAt0) == 0x2c.toByte && g1(imgAt1) == 0x2c.toByte)
+    out.write(g0, 0, imgAt0)
+    // Netscape looping application extension
+    out.write(Array[Byte](0x21, 0xff.toByte, 11,
+      'N', 'E', 'T', 'S', 'C', 'A', 'P', 'E', '2', '.', '0',
+      3, 1, 0, 0, 0))
+    // graphic control extension (delay 10, no transparency)
+    out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 10, 0, 0, 0))
+    out.write(g0, imgAt0, g0.length - imgAt0 - 1) // frame 0 sans trailer
+    out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 10, 0, 0, 0))
+    out.write(g1, imgAt1, g1.length - imgAt1) // frame 1 + trailer
+    val anim = out.toByteArray
+    val d = GifDecoder.decode(anim)
+    assert(d != null, "animated GIF must decode frame 0, not NULL out")
+    assert(d.w == 24 && d.h == 16 && d.ch == 1)
+    var i = 0
+    while (i < px0.length) {
+      assert((d.samples(i) & 0xff) == px0(i), s"pixel $i")
+      i += 1
+    }
+  }
 }

@@ -1045,9 +1045,18 @@ class MultimodalSpec extends SparkSpecBase {
     import graft.ops.MediaPipeline.{AudioPolicy, VideoPolicy, ImagePolicy}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
     val all = Multimodal.multimodalMediaFromDocuments(docs)
-    // the single-modality builder (3 union branches, not the filtered
-    // 7-branch fixture): small enough to run the ladder UNFROZEN below
-    val audio = Multimodal.audioDedupMediaFromDocuments(docs)
+    // MATERIALIZE the audio fixture before the unfrozen runs below: the
+    // unfrozen ladder fans the input expression tree into ~8 consumers +
+    // self-joins, and the fixture's Column-algebra WAV construction is a
+    // huge tree — unmaterialized, Catalyst planning alone cost ~25 min
+    // (measured r17/r18; it dominated the whole suite's wall clock). Both
+    // code paths still run — the unfrozen path just plans over plain
+    // attributes, which is exactly how real (parquet-backed) media looks.
+    val audio = {
+      val raw = Multimodal.audioDedupMediaFromDocuments(docs)
+      spark.createDataFrame(
+        java.util.Arrays.asList(raw.collect(): _*), raw.schema)
+    }
     val policy = AudioPolicy(minSampleRate = 16000L, maxChannels = 1L,
       minDurationS = 0.0, minRms = 0.0, clipPeak = 40000L)
     // capstone ≡ manual gates-then-ladder
@@ -1256,6 +1265,50 @@ class StreamingSpec extends SparkSpecBase {
     // perceptual: 2 AND 3 dropped (same pixels ⇒ same aHash)
     assert(run(graft.streaming.StreamingMediaDedup.dropPerceptualDuplicateImages(_, "payload"),
       "smediaphash") == Set(1L, 4L, 5L, 6L))
+  }
+
+  test("streaming WebP admission parity: VP8L and lossy VP8 ride the same state, stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.{Vp8Fixtures, WebpFixtures}
+    // one pixel content, three codecs: PNG, lossless WebP, lossy VP8 (the
+    // DC-only fixture construction reconstructs exactly, so all three
+    // decode to identical pixels ⇒ identical aHash); plus a distinct VP8
+    // and junk. Pins that the codec DISPATCH — not per-codec plumbing —
+    // is what streaming rides: WebP needed zero streaming code.
+    val vals = Array(40, 220, 90, 160)
+    val px = Array.tabulate(32 * 32)(i => vals(((i / 32) / 16) * 2 + (i % 32) / 16))
+    val png = PngTestImages.makePng(32, 32, 1, px, _ => 0)
+    val webpL = WebpFixtures.encodeGray(px, 32, 32,
+      subtractGreen = true, predictorMode = -1, cacheBits = 0, lz77Rows = false)
+    val vp8 = Vp8Fixtures.encodeGrayMosaic(vals, 2, 2)
+    val vp8Other = Vp8Fixtures.encodeGrayMosaic(Array(10, 140, 250, 65), 2, 2)
+    val junk = "RIFFxxxxWEBPnope".getBytes
+    val payloads = Map(1L -> png, 2L -> webpL, 3L -> vp8, 4L -> vp8Other, 5L -> junk)
+    val lookup = udf((id: Long) => payloads(id))
+    val input = MemoryStream[Long]
+    val sdf = input.toDF().toDF("media_id")
+      .withColumn("payload", lookup(col("media_id")))
+    val out = graft.streaming.StreamingMediaDedup
+      .dropPerceptualDuplicateImages(sdf, "payload")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("swebp").start()
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    input.addData(4L, 5L)
+    q.processAllAvailable()
+    val streamed = spark.table("swebp").collect().map(_.getLong(0)).toSet
+    q.stop()
+    // 2 and 3 are cross-codec perceptual dups of 1; junk bypasses
+    assert(streamed == Set(1L, 4L, 5L))
+    // batch parity: the batch ladder makes the same keep decisions on the
+    // decodable rows (junk is `undecodable` there — its own status, not a
+    // keeper — while the stateless stream gate just passes it through)
+    val batch = graft.ops.MediaDedup.dropDuplicateImages(
+      spark.createDataFrame(payloads.toSeq.map(p => (p._1, p._2)))
+        .toDF("media_id", "payload"),
+      "payload", "media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.intersect(Set(1L, 2L, 3L, 4L)) == streamed.intersect(Set(1L, 2L, 3L, 4L)))
   }
 
   test("streaming media quality admission: stream ≡ batch, stateless, gates before dedup state") {

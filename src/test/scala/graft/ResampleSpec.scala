@@ -436,17 +436,26 @@ class ResampleSpec extends SparkSpecBase {
       "2024-01-01 00:00:20.0" -> Some(4.0)))
   }
 
-  test("origin=end strict overshoot bins into the first bin (pandas raises)") {
+  test("origin=end strict overshoot raises like pandas; lenient clamps into the first bin") {
     // span%rule=7 > (−offset)%rule=6 → first edge lands strictly after
-    // min(ts); pandas raises 'Values falls before first bin'. The engine's
-    // documented divergence: clamp those rows into the first bin instead.
+    // min(ts); pandas raises 'Values falls before first bin'. Default is
+    // the same error (at execution time — min(ts) is data, not plan);
+    // lenient=true opts into the clamp for pipelines that'd rather bin
+    // than fail mid-job.
     val d = Seq(
       (Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1.0),
       (Timestamp.valueOf("2024-01-01 00:00:02"), Some(2.0), 1.0),
       (Timestamp.valueOf("2024-01-01 00:00:17"), Some(4.0), 1.0)
     ).toDF("ts", "Value", "weights")
+    val err = intercept[Exception] {
+      WeightedDataFrame.wt(d, "weights")
+        .resample("ts", "10s", origin = "end", offset = Some("4s")).sum().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("values falls before first bin")), err.toString)
     val sum = WeightedDataFrame.wt(d, "weights")
-      .resample("ts", "10s", origin = "end", offset = Some("4s")).sum()
+      .resample("ts", "10s", origin = "end", offset = Some("4s"), lenient = true).sum()
       .collect().map(r => r.getTimestamp(0).toString -> cell(r, 1)).toMap
     assert(sum == Map("2024-01-01 00:00:11.0" -> Some(3.0),
       "2024-01-01 00:00:21.0" -> Some(4.0)))
