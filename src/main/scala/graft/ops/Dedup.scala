@@ -559,6 +559,45 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     hammingPairs64(simhashTable(df, textCol, idCol, shingleSize), maxHamming)
 
+  /** Banded Hamming-≤`maxHamming` pairs over DISTINCT 64-bit signatures
+    * `(__sim__)` → `(sim_a, sim_b, hamming)` — the SIGNATURE-level half
+    * of [[hammingPairs64]], exposed for consumers whose output is a
+    * decision per document rather than a pair list ([[MediaDedup]]'s
+    * ladder): clustering at signature granularity never materializes the
+    * O(g_a·g_b) doc-pair expansion, which is the difference between a
+    * linear and a quadratic job on a corpus whose signatures quantize
+    * into a dense Hamming neighborhood (tiny thumbnails/beacons — a real
+    * crawl staple; measured: the all-modality capstone's image slice at
+    * x100 spent 400+ s materializing ~10⁹ doc pairs the decisions never
+    * needed). */
+  private[ops] def sigPairs64(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    // partition the 64 bits into exactly nChunks non-empty ranges via
+    // integer boundaries (a fixed chunk width would overshoot 64 bits for
+    // many nChunks values, producing degenerate all-zero band keys)
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    val chunked = sigs.select(col("__sim__"),
+      explode(array((0 until nChunks).map { ch =>
+        val lo = bounds(ch)
+        val bits = bounds(ch + 1) - lo
+        val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+        struct(lit(ch).as("chunk"),
+          shiftright(col("__sim__"), lo).bitwiseAND(mask).as("key"))
+      }: _*)).as("ck"))
+      .select(col("__sim__"), col("ck.chunk"), col("ck.key"))
+    val l = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_b"))
+    l.join(r, Seq("chunk", "key"))
+      .where(col("sim_a") < col("sim_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= maxHamming)
+      // a signature pair can match on several chunks; the groupBy both
+      // dedupes and hash-partitions by the PAIR, moving any downstream
+      // expansion off the hot bucket's join task
+      .groupBy(col("sim_a"), col("sim_b")).agg(first(col("hamming")).as("hamming"))
+  }
+
   /** Hamming-distance-≤`maxHamming` pairs over ANY 64-bit signature table
     * `(__id__, __sim__)` — the banding/verify/expand engine behind
     * [[simhashPairs]], factored out so other 64-bit perceptual signatures
@@ -569,11 +608,6 @@ object Dedup {
     * them). */
   def hammingPairs64(sigTable: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
-    val nChunks = maxHamming + 1
-    // partition the 64 bits into exactly nChunks non-empty ranges via
-    // integer boundaries (a fixed chunk width would overshoot 64 bits for
-    // many nChunks values, producing degenerate all-zero band keys)
-    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
     // pre-partition the (id, simhash) table by the signature: every
     // consumer below (self-join sides, distinct signatures, the two doc
     // expansions) needs clustering by __sim__, so they all reuse this ONE
@@ -599,25 +633,7 @@ object Dedup {
     val sigs = docs.groupBy(col("__sim__")).agg(min(col("__id__")).as("__rep__"))
       .where(col("__rep__").isNotNull)
       .select("__sim__")
-    val chunked = sigs.select(col("__sim__"),
-      explode(array((0 until nChunks).map { ch =>
-        val lo = bounds(ch)
-        val bits = bounds(ch + 1) - lo
-        val mask = if (bits >= 64) -1L else (1L << bits) - 1L
-        struct(lit(ch).as("chunk"),
-          shiftright(col("__sim__"), lo).bitwiseAND(mask).as("key"))
-      }: _*)).as("ck"))
-      .select(col("__sim__"), col("ck.chunk"), col("ck.key"))
-    val l = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_a"))
-    val r = chunked.select(col("chunk"), col("key"), col("__sim__").as("sim_b"))
-    val sigPairs = l.join(r, Seq("chunk", "key"))
-      .where(col("sim_a") < col("sim_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .where(col("hamming") <= maxHamming)
-      // a signature pair can match on several chunks; the groupBy both
-      // dedupes and hash-partitions by the PAIR, moving the doc expansion
-      // off the hot bucket's join task
-      .groupBy(col("sim_a"), col("sim_b")).agg(first(col("hamming")).as("hamming"))
+    val sigPairs = sigPairs64(sigs, maxHamming)
     // expand signature pairs to doc pairs: two streamed equi-joins on the
     // signature (each repartitions on its own join key — no array blow-up)
     val crossPairs = sigPairs

@@ -178,18 +178,59 @@ object MediaDedup {
       .select(col("__id__").as("__eid__"), col("__keep__").as("__ekeep__"))
     val survivors = m
       .join(Dedup.hintBroadcast(exactPairs), col(idCol) === col("__eid__"), "left_anti")
-    val pairs = Dedup.hammingPairs64(
-      signatureTable(survivors, payloadCol, idCol, sig), maxHamming)
-    // cluster only the ids that appear in a pair: singletons are their own
-    // keepers (the status CASE defaults absent rows to kept), so the
-    // keeper map is pair-participant-sized — not corpus-sized — and stays
-    // broadcastable by construction
-    val pairedIds = pairs.select(col("doc_a").as(idCol))
-      .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
-    val clusters = Dedup.duplicateClusters(pairedIds, idCol, pairs)
-    val keepers = clusters
-      .withColumn("__nkeep__", min(col(idCol)).over(Window.partitionBy(col("cluster_id"))))
-      .select(col(idCol).as("__nid__"), col("__nkeep__"))
+    // near-dup clustering at SIGNATURE granularity (round 18): the
+    // decision output needs (id → keeper), never the pair list, and
+    // same-signature docs are Hamming-0 near-dups BY CONSTRUCTION — so
+    // band/verify/cluster runs over DISTINCT signatures and docs map back
+    // through their signature with linear joins. The previous shape
+    // (hammingPairs64 → doc pairs → CC over doc nodes) materialized the
+    // O(g_a·g_b) within/cross-signature doc expansion, which goes
+    // quadratic exactly when a corpus's signatures quantize into dense
+    // Hamming neighborhoods — tiny thumbnails/tracking pixels, a real
+    // crawl staple (measured at x100 on the all-modality fixture: the
+    // image ladder alone spent 400+ s on ~10⁹ doc pairs; signature-level
+    // clustering retires the term). Pair-list SURFACES
+    // ([[nearDuplicateImagePairs]] etc.) keep the doc expansion — there
+    // the pairs ARE the requested output.
+    //
+    // The (id, signature) table and the banded signature pairs are each
+    // consumed by SEVERAL jobs (CC freezes its edge table AND its node
+    // universe in separate jobs before the report's own final plan), so
+    // both are materialized ONCE here — on the caller's chain when given,
+    // else an untracked freeze (ContextCleaner-reclaimed once the
+    // returned plan is unreachable, the [[Pipeline]] convention). Without
+    // this the signature decode + banding self-join re-ran ~5x across the
+    // job boundaries (measured: q135 5.4 -> 13.8 s, q139 6.3 -> 11.4 s at
+    // sf0.1 on a quiet box) — the narrow 16-byte rows cost nothing to
+    // keep, the recomputes cost everything.
+    def freezeNarrow(df: DataFrame): DataFrame = chain match {
+      case Some(c) => c.freeze(df)
+      case None =>
+        org.apache.spark.sql.graftbridge.DatasetBridge.freezeStatsFree(df)
+    }
+    val st = freezeNarrow(signatureTable(survivors, payloadCol, idCol, sig)
+      .where(col("__id__").isNotNull && col("__sim__").isNotNull))
+    val sigGroups = st.groupBy(col("__sim__")).agg(count(lit(1)).as("__n__"))
+    val sigPairs = freezeNarrow(
+      Dedup.sigPairs64(sigGroups.select(col("__sim__")), maxHamming))
+    // cluster only signatures that appear in a pair; multi-doc signatures
+    // with no cross-signature edge are their own (Hamming-0) cluster. Both
+    // tables are duplicate-population-sized, never corpus-sized.
+    val pairedSigs = sigPairs.select(col("sim_a").as("__sim__"))
+      .unionByName(sigPairs.select(col("sim_b").as("__sim__"))).distinct()
+    val ccClusters = Dedup.connectedComponents(
+      sigPairs, "sim_a", "sim_b", pairedSigs, "__sim__")
+    val soloMultiDoc = sigGroups.where(col("__n__") >= 2)
+      .join(pairedSigs.withColumnRenamed("__sim__", "__ps__"),
+        col("__sim__") === col("__ps__"), "left_anti")
+      .select(col("__sim__"), col("__sim__").as("cluster_id"))
+    val sigCluster = ccClusters.select(col("__sim__"), col("cluster_id"))
+      .unionByName(soloMultiDoc)
+    // docs of clustered signatures, keyed by cluster → min-id keeper
+    val docCluster = st.join(Dedup.hintBroadcast(sigCluster), Seq("__sim__"))
+    val keepers = docCluster
+      .withColumn("__nkeep__", min(col("__id__")).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("__id__").as("__nid__"), col("__nkeep__"))
     m
       .join(Dedup.hintBroadcast(exactPairs), col(idCol) === col("__eid__"), "left")
       .join(Dedup.hintBroadcast(keepers), col(idCol) === col("__nid__"), "left")

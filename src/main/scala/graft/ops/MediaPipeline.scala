@@ -105,10 +105,17 @@ object MediaPipeline {
         // so codegen subexpression elimination shares the one signals
         // decode with `__s__` — still exactly one battery decode per row,
         // plus the hash decode only for rows that can reach the ladder.
+        // The payload column itself is ALSO trimmed to pool rows in the
+        // same projection: the reject/undecodable branches only read the
+        // id, and the ladder only consumes pool rows — materializing
+        // reject payloads would hold dead bytes in the frozen frame for
+        // the life of the chain (at x100 the all-modality composition's
+        // frozen frames are the dominant memory term).
         val gated = ch.freeze(media
           .withColumn("__s__", signals(col(payloadCol)))
           .withColumn("__p__", gatePass(col("__s__")))
-          .withColumn("__sig__", when(col("__p__"), sig(col(payloadCol)))))
+          .withColumn("__sig__", when(col("__p__"), sig(col(payloadCol))))
+          .withColumn(payloadCol, when(col("__p__"), col(payloadCol))))
         val (undecodable, rejects, pool) = branches(gated)
         // NO inner pool freeze: the pool is a cheap boolean filter over
         // the signaled ExistingRDD, so the ladder's ~8 consumers re-plan
@@ -211,9 +218,22 @@ object MediaPipeline {
     // NULL-valued (so false) for a NULL kind — without the isNull arm such
     // rows would match NO branch and vanish, the exact silent drop the
     // quality_reject contract exists to prevent
-    val unknown = m.where(col(kindCol).isNull ||
+    val unknownSrc = m.where(col(kindCol).isNull ||
         !col(kindCol).isin("image", "audio", "video"))
       .select(col(idCol), lit("quality_reject").as("status"), col(idCol).as("keeper"))
+    // With a chain, everything that still needs the ENTRY frame is now
+    // materialized (freezing is eager: the three per-kind SIGNALED frames
+    // exist, and the unknown slice is decision-sized — freeze it too), so
+    // the entry frame's payload copy is released HERE instead of living
+    // until releaseAll(). At x100 scale the composition was holding every
+    // payload byte TWICE (entry + signaled) for the whole query — measured
+    // 493 s vs ~60 s for the three single-modality ladders combined; the
+    // early release removes the double residency.
+    val unknown = chain.map { ch =>
+      val u = ch.freeze(unknownSrc)
+      ch.release(m)
+      u
+    }.getOrElse(unknownSrc)
     images.unionByName(audios).unionByName(videos).unionByName(unknown)
   }
 }

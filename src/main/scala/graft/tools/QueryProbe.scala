@@ -31,8 +31,8 @@ object QueryProbe {
       sys.error(s"unknown query '$name'"))
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).queryExecution.toRdd.count()
-      println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
+      println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
     spark.stop()
   }

@@ -125,7 +125,34 @@ object ScaleBench {
     def minhashSkewIdentical(s: SparkSession, dir: String): DataFrame =
       graft.ops.Dedup.minhashDedup(adversarial(s, dir, identical = true),
         "text", "doc_id", shingleSize = 3, threshold = 1.0)
+    // the q147 all-modality capstone's OWN slices, each through its
+    // single-modality capstone — attribution probes for the composed
+    // query's scale behavior (the standalone q139/q145/q146 rows run
+    // over different fixtures, so composed-vs-parts needs these)
+    def q147Slice(kind: String)(s: SparkSession, dir: String): DataFrame = {
+      import graft.ops.MediaPipeline
+      val m = graft.multimodal.Multimodal
+        .multimodalMediaFromDocuments(docs(s, dir))
+        .where(col("kind") === kind)
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      kind match {
+        case "image" => MediaPipeline.curateImages(m, "payload", "media_id",
+          minDim = 2L, maxAspect = 2.2, minDynRange = 0L,
+          lumaBounds = (60.0, 200.0), maxHamming = 3, chain = Some(chain))
+        case "audio" => MediaPipeline.curateAudio(m, "payload", "media_id",
+          MediaPipeline.AudioPolicy(minSampleRate = 16000L, maxChannels = 1L,
+            minDurationS = 0.0, minRms = 0.0, clipPeak = 40000L),
+          maxHamming = 3, chain = Some(chain))
+        case _ => MediaPipeline.curateVideo(m, "payload", "media_id",
+          MediaPipeline.VideoPolicy(minDurationMs = 100L, maxDurationMs = 20000L,
+            minDim = 240L, maxAspect = 2.2, maxTracks = 1L),
+          maxHamming = 3, chain = Some(chain))
+      }
+    }
     val custom: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q147_image_slice" -> (q147Slice("image") _),
+      "q147_audio_slice" -> (q147Slice("audio") _),
+      "q147_video_slice" -> (q147Slice("video") _),
       "ann_ivfpq" -> (ivfPq _),
       "semdedup_exact_kderived" -> (semExactDerived _),
       "semdedup_twolevel_kderived" -> (semTwoLevelDerived _),
