@@ -2368,6 +2368,31 @@ object SparkEntry {
     // so the oracle replays every signal and aHash bit from text bytes
     // even though the codec is lossy; encoder knobs (B_PRED vs Y2/WHT,
     // skip prob) rotate per doc and are pixel-invariant
+    // compressed-audio container meta (the audio sibling of q94's MP4
+    // walk): MP3 frame-chain walk (version/bitrate/rate indices, frame
+    // count, ID3v2 tag size, 2-bitrate VBR detection), FLAC STREAMINFO
+    // bit unpack, Ogg Opus/Vorbis id headers + final-granule duration —
+    // every field re-derived by the oracle from doc_id arithmetic, and
+    // the first 16 payload bytes replayed hex-for-hex
+    "q155_audio_container_meta" -> ((s, dir) => {
+      val m = Multimodal.compressedAudioFromDocuments(table(s, dir, "documents"))
+      m.select(col("media_id"),
+          graft.functions.MediaFunctions.audioContainerMeta(col("payload")).as("m"),
+          col("payload"))
+        .select(col("media_id"),
+          col("m.container").as("container"),
+          col("m.codec").as("codec"),
+          col("m.sample_rate").cast("long").as("sample_rate"),
+          col("m.channels").cast("long").as("channels"),
+          col("m.bits_per_sample").cast("long").as("bits_per_sample"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.bitrate_kbps").cast("long").as("bitrate_kbps"),
+          col("m.frames").as("frames"),
+          col("m.vbr").as("vbr"),
+          col("m.tag_bytes").as("tag_bytes"),
+          hex(substring(col("payload"), 1, 16)).as("hdr_hex"))
+        .orderBy("media_id")
+    }),
     "q154_vp8_decode" -> ((s, dir) => {
       val m = Multimodal.vp8MediaFromDocuments(table(s, dir, "documents"))
       m.select(col("media_id"),
@@ -4370,6 +4395,61 @@ object SparkEntry {
     // over 16×16 cells (each 256 px). The aHash's 8×8 grid cells are
     // quarters of a mosaic cell: hash cell b reads mosaic value
     // ((b//8)//2)*4 + (b%8)//2
+    "q155_audio_container_meta" ->
+      """WITH p AS (SELECT doc_id AS d FROM documents),
+        |m AS (SELECT d, d % 3 AS c, d % 2 = 0 AS v1,
+        |  d % 14 + 1 AS bra, (d % 14 + 1) % 14 + 1 AS brb,
+        |  (d // 3) % 3 AS sri, d % 5 + 3 AS n, d % 7 = 3 AS isvbr,
+        |  d % 4 = 0 AS mono,
+        |  CASE WHEN d % 4 = 1 THEN d % 96 + 8 ELSE 0 END AS id3pad,
+        |  (d % 8 + 1) * 6000 AS fsr, d % 2 + 1 AS fch,
+        |  ((d // 3) % 3 + 1) * 8 AS fbps, d % 100000 + 1000 AS ftotal,
+        |  d % 4 = 2 AS fpad, d % 2 = 0 AS opus, d % 100000 AS serial
+        |  FROM p),
+        |m2 AS (SELECT *,
+        |  CASE WHEN v1 THEN ([44100,48000,32000])[sri + 1]
+        |       ELSE ([22050,24000,16000])[sri + 1] END AS msr,
+        |  CASE WHEN v1 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bra + 1]
+        |       ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bra + 1] END AS ka,
+        |  CASE WHEN v1 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[brb + 1]
+        |       ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[brb + 1] END AS kb,
+        |  CASE WHEN v1 THEN 1152 ELSE 576 END AS spf,
+        |  CASE WHEN opus THEN d % 50000 + 4800 ELSE d % 50000 + 4410 END AS osamples,
+        |  CASE WHEN opus THEN 48000 WHEN d % 4 = 1 THEN 44100 ELSE 48000 END AS osr,
+        |  CASE WHEN opus THEN (d % 4) // 2 + 1 ELSE (d % 4 + 1) // 2 END AS och,
+        |  (d % 10 + 1) * 16000 AS onom
+        |  FROM m)
+        |SELECT d AS media_id,
+        |  CASE c WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac' ELSE 'ogg' END AS container,
+        |  CASE WHEN c = 0 THEN CASE WHEN v1 THEN 'mpeg1-layer3' ELSE 'mpeg2-layer3' END
+        |       WHEN c = 1 THEN 'flac'
+        |       ELSE CASE WHEN opus THEN 'opus' ELSE 'vorbis' END END AS codec,
+        |  CAST(CASE c WHEN 0 THEN msr WHEN 1 THEN fsr ELSE osr END AS BIGINT) AS sample_rate,
+        |  CAST(CASE c WHEN 0 THEN CASE WHEN mono THEN 1 ELSE 2 END
+        |       WHEN 1 THEN fch ELSE och END AS BIGINT) AS channels,
+        |  CAST(CASE c WHEN 1 THEN fbps ELSE 0 END AS BIGINT) AS bits_per_sample,
+        |  CAST(CASE c WHEN 0 THEN n * spf * 1000 // msr
+        |       WHEN 1 THEN ftotal * 1000 // fsr
+        |       ELSE osamples * 1000 // osr END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN c = 0 THEN
+        |         (CASE WHEN isvbr THEN (n+1)//2*ka + n//2*kb ELSE n*ka END) // n
+        |       WHEN c = 2 AND NOT opus THEN onom // 1000 ELSE 0 END AS BIGINT) AS bitrate_kbps,
+        |  CAST(CASE c WHEN 0 THEN n WHEN 2 THEN 2 ELSE 0 END AS BIGINT) AS frames,
+        |  CASE WHEN c = 0 THEN isvbr ELSE FALSE END AS vbr,
+        |  CAST(CASE WHEN c = 0 AND id3pad > 0 THEN 10 + id3pad ELSE 0 END AS BIGINT) AS tag_bytes,
+        |  CASE WHEN c = 0 AND id3pad > 0 THEN
+        |         '494433040000000000' || lpad(hex(id3pad), 2, '0') || '000000000000'
+        |       WHEN c = 0 THEN
+        |         'FF' || CASE WHEN v1 THEN 'FB' ELSE 'F3' END ||
+        |         lpad(hex(bra * 16 + sri * 4), 2, '0') ||
+        |         CASE WHEN mono THEN 'C0' ELSE '00' END || repeat('AA', 12)
+        |       WHEN c = 1 THEN
+        |         '664C6143' || CASE WHEN fpad THEN '00' ELSE '80' END ||
+        |         '0000221000100000000000'
+        |       ELSE '4F6767530002' || '0000000000000000' ||
+        |         lpad(hex(serial % 256), 2, '0') || lpad(hex((serial // 256) % 256), 2, '0')
+        |       END AS hdr_hex
+        |FROM m2 ORDER BY media_id""".stripMargin,
     "q154_vp8_decode" ->
       """WITH pj AS (SELECT doc_id AS media_id,
         |CASE WHEN doc_id % 9 = 4 THEN repeat('FA', 16)

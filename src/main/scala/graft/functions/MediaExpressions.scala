@@ -1213,4 +1213,13 @@ object MediaFunctions {
     * unparseable containers / missing stsz / under 65 samples. */
   def videoSampleHash64(payload: Column): Column =
     ColumnBridge.column(VideoSampleHash64(ColumnBridge.expression(payload)))
+
+  /** `audio_container_meta(payload)` — struct(container, codec,
+    * sample_rate, channels, bits_per_sample, duration_ms, bitrate_kbps,
+    * frames, vbr, tag_bytes) parsed from an MP3 (MPEG frame walk +
+    * ID3v2), FLAC (STREAMINFO), or Ogg Vorbis/Opus (id header + final
+    * granule) payload — the compressed-audio sibling of [[videoMeta]];
+    * NULL for unrecognized payloads (PCM WAV stays with [[audioMeta]]). */
+  def audioContainerMeta(payload: Column): Column =
+    ColumnBridge.column(AudioContainerMeta(ColumnBridge.expression(payload)))
 }

@@ -522,6 +522,142 @@ object Multimodal {
       .unionByName(out(d * 100 + 32, wavPayload(withList = true))(base.where(d % 7 === 1)))
   }
 
+  /** Build a COMPRESSED-audio media table from the documents table: each
+    * doc becomes (doc_id % 3) an MP3 (a real MPEG Layer III frame chain —
+    * valid 4-byte headers, spec frame lengths, optional ID3v2 tag,
+    * optional 2-bitrate VBR alternation), a FLAC (`fLaC` + a bit-exact
+    * STREAMINFO block, optionally followed by a PADDING block), or an Ogg
+    * stream (BOS page carrying a real OpusHead / Vorbis id header packet,
+    * EOS page carrying the final granule). Every parsed field — versions,
+    * bitrate/rate indices, frame counts, total samples, granules, tag
+    * sizes — derives from doc_id arithmetic ONLY and is genuinely encoded
+    * in the payload bytes per the relevant public spec;
+    * [[graft.functions.AudioContainerMeta]] parses them back and the
+    * DuckDB oracle (q155) reconstructs the same values — and the first 16
+    * header bytes bit-for-bit — from the same arithmetic. Frame payload
+    * bytes are 0xAA fill (this fixture tests container parsing, not audio
+    * codecs — the [[videoFromDocuments]] mdat convention). */
+  def compressedAudioFromDocuments(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val v1L3 = Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val v2L3 = Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    def brLookup(idx: Column, tab: Seq[Int]): Column =
+      tab.zipWithIndex.tail.foldLeft(lit(0L)) { case (acc, (k, i)) =>
+        when(idx === i, k.toLong).otherwise(acc)
+      }
+    def pickSr(rates: Seq[Long], idx: Column): Column =
+      when(idx === 0, rates(0)).when(idx === 1, rates(1)).otherwise(rates(2))
+    val withCols = docs.select(col("doc_id"))
+      // MP3 knobs (doc_id % 3 == 0)
+      .withColumn("m_v1", d % 2 === 0)
+      .withColumn("m_br", d % 14 + 1)
+      .withColumn("m_br2", (d % 14 + 1) % 14 + 1)
+      .withColumn("m_sri", expr("(doc_id div 3) % 3"))
+      .withColumn("m_sr", when(col("m_v1"), pickSr(Seq(44100L, 48000L, 32000L), col("m_sri")))
+        .otherwise(pickSr(Seq(22050L, 24000L, 16000L), col("m_sri"))))
+      .withColumn("m_ka", when(col("m_v1"), brLookup(col("m_br"), v1L3))
+        .otherwise(brLookup(col("m_br"), v2L3)))
+      .withColumn("m_kb", when(col("m_v1"), brLookup(col("m_br2"), v1L3))
+        .otherwise(brLookup(col("m_br2"), v2L3)))
+      .withColumn("m_vbr", d % 7 === 3)
+      .withColumn("m_spf", when(col("m_v1"), 1152L).otherwise(576L))
+      .withColumn("m_n", d % 5 + 3)
+      .withColumn("m_mono", d % 4 === 0)
+      .withColumn("m_id3", when(d % 4 === 1, d % 96 + 8).otherwise(0L))
+      // FLAC knobs (doc_id % 3 == 1)
+      .withColumn("f_sr", (d % 8 + 1) * 6000L)
+      .withColumn("f_ch", d % 2 + 1)
+      .withColumn("f_bps", expr("((doc_id div 3) % 3 + 1) * 8"))
+      .withColumn("f_total", d % 100000 + 1000L)
+      .withColumn("f_pad", when(d % 4 === 2, d % 30 + 4).otherwise(0L))
+      // Ogg knobs (doc_id % 3 == 2): even doc -> Opus, odd -> Vorbis
+      .withColumn("o_opus", d % 2 === 0)
+      .withColumn("o_ch", when(col("o_opus"), expr("(doc_id % 4) div 2 + 1"))
+        .otherwise(expr("((doc_id % 4) + 1) div 2")))
+      .withColumn("o_sr", when(col("o_opus"), 48000L)
+        .when(d % 4 === 1, 44100L).otherwise(48000L))
+      .withColumn("o_nom", (d % 10 + 1) * 16000L)
+      .withColumn("o_samples", when(col("o_opus"), d % 50000 + 4800L)
+        .otherwise(d % 50000 + 4410L))
+      .withColumn("o_serial", d % 100000)
+    // MPEG frame lengths: Layer III counts spf/8 slots of kbps*1000/sr
+    // bytes (padding 0 in this fixture); all operands are small positive
+    // longs so double floor-division is exact
+    val framed = withCols
+      .withColumn("m_la", floor(col("m_spf") / 8 * 1000 * col("m_ka") / col("m_sr")).cast("long"))
+      .withColumn("m_lb", floor(col("m_spf") / 8 * 1000 * col("m_kb") / col("m_sr")).cast("long"))
+      // 4-byte headers: FF, sync/ver/layer/prot, br<<4|sr<<2, mode
+      .withColumn("m_ha", concat(lit("FF"), when(col("m_v1"), "FB").otherwise("F3"),
+        lpad(hex(col("m_br") * 16 + col("m_sri") * 4), 2, "0"),
+        when(col("m_mono"), "C0").otherwise("00")))
+      .withColumn("m_hb", concat(lit("FF"), when(col("m_v1"), "FB").otherwise("F3"),
+        lpad(hex(col("m_br2") * 16 + col("m_sri") * 4), 2, "0"),
+        when(col("m_mono"), "C0").otherwise("00")))
+    val mp3Hex = expr("""concat(
+      case when m_id3 > 0
+        then concat('494433', '0400', '00', '000000', lpad(hex(m_id3), 2, '0'),
+                    repeat('00', cast(m_id3 as int)))
+        else '' end,
+      case when m_vbr then
+        concat(repeat(concat(m_ha, repeat('AA', cast(m_la - 4 as int)),
+                             m_hb, repeat('AA', cast(m_lb - 4 as int))),
+                      cast(m_n div 2 as int)),
+               case when m_n % 2 = 1
+                 then concat(m_ha, repeat('AA', cast(m_la - 4 as int)))
+                 else '' end)
+      else repeat(concat(m_ha, repeat('AA', cast(m_la - 4 as int))), cast(m_n as int))
+      end)""")
+    // FLAC: fLaC, block header (last-flag | type 0, len 34), STREAMINFO
+    // (block sizes 4096/4096, frame sizes unknown, packed sr/ch/bps/total,
+    // zero md5), optional last PADDING block
+    val flacHex = expr("""concat(
+      '664C6143',
+      case when f_pad > 0 then '00' else '80' end, '000022',
+      '1000', '1000', '000000', '000000',
+      lpad(hex(f_sr div 4096), 2, '0'),
+      lpad(hex((f_sr div 16) % 256), 2, '0'),
+      lpad(hex((f_sr % 16) * 16 + (f_ch - 1) * 2 + (f_bps - 1) div 16), 2, '0'),
+      lpad(hex(((f_bps - 1) % 16) * 16), 2, '0'),
+      lpad(hex(f_total), 8, '0'),
+      repeat('00', 16),
+      case when f_pad > 0
+        then concat('81', lpad(hex(f_pad), 6, '0'), repeat('00', cast(f_pad as int)))
+        else '' end)""")
+    // Ogg: BOS page (granule 0) with the id packet, EOS page carrying the
+    // stream's final granule (Opus: samples + pre-skip 312, RFC 7845 §4).
+    // CRC fields are zero (the parser documents not verifying them).
+    val oggHex = expr("""concat(
+      '4F676753', '00', '02', repeat('00', 8),
+      lpad(hex(o_serial % 256), 2, '0'), lpad(hex((o_serial div 256) % 256), 2, '0'),
+      lpad(hex((o_serial div 65536) % 256), 2, '0'), '00',
+      '00000000', '00000000', '01',
+      case when o_opus then concat('13',
+        '4F70757348656164', '01', lpad(hex(o_ch), 2, '0'), '3801',
+        '44AC0000', '0000', '00')
+      else concat('1E',
+        '01', '766F72626973', '00000000', lpad(hex(o_ch), 2, '0'),
+        lpad(hex(o_sr % 256), 2, '0'), lpad(hex((o_sr div 256) % 256), 2, '0'),
+        lpad(hex((o_sr div 65536) % 256), 2, '0'), '00',
+        '00000000',
+        lpad(hex(o_nom % 256), 2, '0'), lpad(hex((o_nom div 256) % 256), 2, '0'),
+        lpad(hex((o_nom div 65536) % 256), 2, '0'), '00',
+        '00000000', 'B8', '01')
+      end,
+      '4F676753', '00', '04',
+      lpad(hex((case when o_opus then o_samples + 312 else o_samples end) % 256), 2, '0'),
+      lpad(hex((case when o_opus then o_samples + 312 else o_samples end) div 256 % 256), 2, '0'),
+      lpad(hex((case when o_opus then o_samples + 312 else o_samples end) div 65536 % 256), 2, '0'),
+      '00', '00000000',
+      lpad(hex(o_serial % 256), 2, '0'), lpad(hex((o_serial div 256) % 256), 2, '0'),
+      lpad(hex((o_serial div 65536) % 256), 2, '0'), '00',
+      '01000000', '00000000', '01', '01', '00')""")
+    framed.select(
+      col("doc_id").as("media_id"),
+      when(d % 3 === 0, "mp3").when(d % 3 === 1, "flac").otherwise("ogg").as("kind"),
+      unhex(when(d % 3 === 0, mp3Hex).when(d % 3 === 1, flacHex)
+        .otherwise(oggHex)).as("payload"))
+  }
+
   /** [[graft.functions.PngPixelStats]] result row → [[PixelStats]] (the
     * shared shape both decode paths feed into). */
   private def rowStats(px: org.apache.spark.sql.catalyst.InternalRow): PixelStats =
