@@ -968,6 +968,125 @@ object SparkEntry {
     * LIST-flag, text bytes) → envelope-hash banding over survivors with
     * ≥ 65 samples (the q138 window math) → recursive clustering.
     * Terminal CTE: `a_st(media_id, status, keeper)`. */
+  /** The all-modality curation status replay (audio + image + video
+    * gates-then-ladder chains over the multimodalMediaFromDocuments
+    * fixture), ending with the `i_st` / `a_st` / `v_st`
+    * `(media_id, status, keeper)` relations — factored out of the q147
+    * oracle so the q156 multimodal-training oracle composes the SAME
+    * statuses with the q81 text chain. Callers prepend
+    * `WITH RECURSIVE `. */
+  private def allModalityStatusCtes: String =
+    s"""$audioStatusCtes,
+         |im0 AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+         |CAST(doc_id % 4 + 2 AS INTEGER) AS h,
+         |hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL),
+         |imb AS (SELECT doc_id, w, h,
+         |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM im0),
+         |ipm AS (SELECT doc_id*100+11 AS media_id, w, h, px FROM imb
+         |UNION ALL SELECT doc_id*100+21, w, h, px FROM imb WHERE doc_id % 6 = 0
+         |UNION ALL SELECT doc_id*100+31, w, h, '000000' || substr(px, 7) FROM imb
+         |WHERE doc_id % 7 = 1),
+         |is1 AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM ipm),
+         |iv1 AS (SELECT media_id, i % 3 AS c,
+         |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
+         |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM is1),
+         |ics AS (SELECT media_id, c, sum(u) AS su, min(u) AS mn, max(u) AS mx
+         |FROM iv1 GROUP BY media_id, c),
+         |iag AS (SELECT media_id, sum(su) AS stot, max(mx - mn) AS dr
+         |FROM ics GROUP BY media_id),
+         |igt AS (SELECT ipm.media_id,
+         |(least(ipm.w, ipm.h) >= 2
+         |AND CAST(greatest(ipm.w, ipm.h) AS DOUBLE) / least(ipm.w, ipm.h) <= 2.2
+         |AND iag.dr >= 0
+         |AND CAST(iag.stot AS DOUBLE) / (3*ipm.w*ipm.h) BETWEEN 60.0 AND 200.0) AS p
+         |FROM ipm JOIN iag ON ipm.media_id = iag.media_id),
+         |ipool AS (SELECT ipm.* FROM ipm JOIN igt ON ipm.media_id = igt.media_id AND igt.p),
+         |ieg AS (SELECT media_id, min(media_id) OVER (PARTITION BY
+         |'i:' || w || ':' || h || ':' || px) AS ekeep FROM ipool),
+         |ied AS (SELECT media_id, ekeep FROM ieg WHERE media_id <> ekeep),
+         |isvv AS (SELECT ipool.media_id, ipool.w, ipool.h, ipool.px FROM ipool
+         |JOIN ieg ON ipool.media_id = ieg.media_id AND ieg.media_id = ieg.ekeep),
+         |${phashCtes("isvv")},
+         |isig AS (SELECT isvv.media_id,
+         |CAST(COALESCE(ph_ah.ah_hi, 0) AS BIGINT) AS hi,
+         |CAST(COALESCE(ph_ah.ah_lo, 0) AS BIGINT) AS lo
+         |FROM isvv LEFT JOIN ph_ah ON isvv.media_id = ph_ah.media_id),
+         |ich AS (SELECT media_id, hi, lo,
+         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+         |unnest([0, 1, 2, 3]) AS chunk FROM isig),
+         |icand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |FROM ich a JOIN ich b
+         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+         |ipr AS (SELECT ma, mb FROM icand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+         |ie2 AS (SELECT ma AS s, mb AS t FROM ipr UNION ALL SELECT mb, ma FROM ipr),
+         |ireach(id, r) AS (SELECT media_id, media_id FROM isvv
+         |UNION SELECT ie2.t, ireach.r FROM ireach JOIN ie2 ON ie2.s = ireach.id),
+         |icl AS (SELECT id AS media_id, min(r) AS cluster_id FROM ireach GROUP BY id),
+         |ink AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM icl),
+         |i_st AS (SELECT CAST(ipm.media_id AS BIGINT) AS media_id,
+         |CASE WHEN NOT igt.p THEN 'quality_reject'
+         |WHEN ied.media_id IS NOT NULL THEN 'exact_dup'
+         |WHEN ink.nkeep <> ipm.media_id THEN 'near_dup'
+         |ELSE 'kept' END AS status,
+         |CAST(CASE WHEN NOT igt.p THEN ipm.media_id
+         |ELSE COALESCE(ied.ekeep,
+         |CASE WHEN ink.nkeep <> ipm.media_id THEN ink.nkeep END,
+         |ipm.media_id) END AS BIGINT) AS keeper
+         |FROM ipm JOIN igt ON ipm.media_id = igt.media_id
+         |LEFT JOIN ied ON ipm.media_id = ied.media_id
+         |LEFT JOIN ink ON ipm.media_id = ink.media_id),
+         |${videoHashCtes("doc_id*100+13", "doc_id*100+23")},
+         |vdim AS (SELECT media_id, isconst, isvar,
+         |(CASE WHEN isconst THEN 600 ELSE 600*(doc_id % 4 + 1) END)
+         |* (CASE WHEN isvar = 1 THEN 2 ELSE 1 END) AS ts,
+         |CASE WHEN isconst THEN 1200 ELSE doc_id % 9000 + 600 END AS dur,
+         |CASE WHEN isconst THEN 320 ELSE (doc_id % 8)*160 + 320 END AS w,
+         |CASE WHEN isconst THEN 240 ELSE (doc_id % 6)*120 + 240 END AS h
+         |FROM vmm),
+         |vgt AS (SELECT media_id,
+         |(dur*1000 // ts BETWEEN 100 AND 20000
+         |AND least(w, h) >= 240
+         |AND CAST(greatest(w, h) AS DOUBLE) / least(w, h) <= 2.2) AS p FROM vdim),
+         |vpool AS (SELECT vmm.* FROM vmm JOIN vgt ON vmm.media_id = vgt.media_id AND vgt.p),
+         |veg AS (SELECT media_id, min(media_id) OVER (PARTITION BY
+         |CASE WHEN isconst THEN 'vc' ELSE 'v:' || media_id END) AS ekeep FROM vpool),
+         |ved AS (SELECT media_id, ekeep FROM veg WHERE media_id <> ekeep),
+         |vsvv AS (SELECT media_id FROM veg WHERE media_id = ekeep),
+         |vsig AS (SELECT vsvv.media_id,
+         |CAST(COALESCE(vs_ah.sh_hi, 0) AS BIGINT) AS hi,
+         |CAST(COALESCE(vs_ah.sh_lo, 0) AS BIGINT) AS lo
+         |FROM vsvv LEFT JOIN vs_ah ON vsvv.media_id = vs_ah.media_id),
+         |vch AS (SELECT media_id, hi, lo,
+         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
+         |unnest([0, 1, 2, 3]) AS chunk FROM vsig),
+         |vcand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+         |FROM vch a JOIN vch b
+         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
+         |vpr AS (SELECT ma, mb FROM vcand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
+         |ve2 AS (SELECT ma AS s, mb AS t FROM vpr UNION ALL SELECT mb, ma FROM vpr),
+         |vreach(id, r) AS (SELECT media_id, media_id FROM vsvv
+         |UNION SELECT ve2.t, vreach.r FROM vreach JOIN ve2 ON ve2.s = vreach.id),
+         |vcl AS (SELECT id AS media_id, min(r) AS cluster_id FROM vreach GROUP BY id),
+         |vnk AS (SELECT media_id,
+         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM vcl),
+         |v_st AS (SELECT CAST(vmm.media_id AS BIGINT) AS media_id,
+         |CASE WHEN NOT vgt.p THEN 'quality_reject'
+         |WHEN ved.media_id IS NOT NULL THEN 'exact_dup'
+         |WHEN vnk.nkeep <> vmm.media_id THEN 'near_dup'
+         |ELSE 'kept' END AS status,
+         |CAST(CASE WHEN NOT vgt.p THEN vmm.media_id
+         |ELSE COALESCE(ved.ekeep,
+         |CASE WHEN vnk.nkeep <> vmm.media_id THEN vnk.nkeep END,
+         |vmm.media_id) END AS BIGINT) AS keeper
+         |FROM vmm JOIN vgt ON vmm.media_id = vgt.media_id
+         |LEFT JOIN ved ON vmm.media_id = ved.media_id
+         |LEFT JOIN vnk ON vmm.media_id = vnk.media_id)""".stripMargin.replace("\n", " ")
+
   private def audioStatusCtes: String =
     s"""am0 AS (SELECT doc_id, hex(encode(text)) AS hx,
        |octet_length(encode(text)) AS nb,
@@ -2368,6 +2487,32 @@ object SparkEntry {
     // so the oracle replays every signal and aHash bit from text bytes
     // even though the codec is lossy; encoder knobs (B_PRED vs Y2/WHT,
     // skip prob) rotate per doc and are pixel-invariant
+    // the MULTIMODAL flagship: q81's text preparation (clean → exact
+    // dedup → token-set canonicalize → pack) joined with q147's per-doc
+    // curated-media inventories — a LAION/DataComp-style dataset build
+    // whose every stage is an already-oracled operator; the oracle
+    // composes the q81 CTE chain with the q147 status CTEs verbatim
+    "q156_prepare_multimodal" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val m = Multimodal.multimodalMediaFromDocuments(d)
+        .withColumn("owner_doc", expr("media_id div 100"))
+      val chain = new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain
+      graft.ops.Pipeline.prepareMultimodalTraining(
+        d, "text", "doc_id", m, "payload", "media_id", "kind", "owner_doc",
+        minQuality = 0.5, minTokens = 20L,
+        nearDupThreshold = 1.0, shingleSize = 1,
+        image = graft.ops.MediaPipeline.ImagePolicy(minDim = 2L, maxAspect = 2.2,
+          minDynRange = 0L, lumaBounds = (60.0, 200.0)),
+        audio = graft.ops.MediaPipeline.AudioPolicy(minSampleRate = 16000L,
+          maxChannels = 1L, minDurationS = 0.0, minRms = 0.0, clipPeak = 40000L),
+        video = graft.ops.MediaPipeline.VideoPolicy(minDurationMs = 100L,
+          maxDurationMs = 20000L, minDim = 240L, maxAspect = 2.2, maxTracks = 1L),
+        maxHamming = 3, capacity = 2048L, nStreams = 8, chain = Some(chain))
+        .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+          col("n_tokens"), col("n_images"), col("n_audio"), col("n_video"),
+          col("stream"), col("pack"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
     // compressed-audio container meta (the audio sibling of q94's MP4
     // walk): MP3 frame-chain walk (version/bitrate/rate indices, frame
     // count, ID3v2 tag size, 2-bitrate VBR detection), FLAC STREAMINFO
@@ -4395,6 +4540,32 @@ object SparkEntry {
     // over 16×16 cells (each 256 px). The aHash's 8×8 grid cells are
     // quarters of a mosaic cell: hash cell b reads mosaic value
     // ((b//8)//2)*4 + (b%8)//2
+    "q156_prepare_multimodal" ->
+      s"""WITH RECURSIVE $allModalityStatusCtes,
+         |$q81CoreCtes,
+         |mk AS (SELECT media_id, status FROM i_st
+         |UNION ALL SELECT media_id, status FROM a_st
+         |UNION ALL SELECT media_id, status FROM v_st),
+         |magg AS (SELECT media_id // 100 AS mdoc,
+         |sum(CASE WHEN media_id % 10 = 1 AND status = 'kept' THEN 1 ELSE 0 END) AS mimg,
+         |sum(CASE WHEN media_id % 10 = 2 AND status = 'kept' THEN 1 ELSE 0 END) AS maud,
+         |sum(CASE WHEN media_id % 10 = 3 AND status = 'kept' THEN 1 ELSE 0 END) AS mvid
+         |FROM mk GROUP BY media_id // 100),
+         |surv AS (SELECT rk.doc_id, rk.cluster_id, rk.quality_score,
+         |CAST(rk.bpe_tokens AS BIGINT) AS n_tokens,
+         |CAST(rk.doc_id % 8 AS BIGINT) AS stream,
+         |CAST(COALESCE(magg.mimg, 0) AS BIGINT) AS n_images,
+         |CAST(COALESCE(magg.maud, 0) AS BIGINT) AS n_audio,
+         |CAST(COALESCE(magg.mvid, 0) AS BIGINT) AS n_video
+         |FROM rk LEFT JOIN magg ON rk.doc_id = magg.mdoc
+         |WHERE rn = 1 AND bpe_tokens > 0),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off FROM surv)
+         |SELECT doc_id, cluster_id, quality_score, n_tokens,
+         |n_images, n_audio, n_video, stream,
+         |CAST(off // 2048 AS BIGINT) AS pack,
+         |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q155_audio_container_meta" ->
       """WITH p AS (SELECT doc_id AS d FROM documents),
         |m AS (SELECT d, d % 3 AS c, d % 2 = 0 AS v1,
@@ -4555,116 +4726,7 @@ object SparkEntry {
     // chain; video dims arithmetic + contour banding) union'd — dedup
     // never pairs across modalities, and neither do these CTEs
     "q147_media_pipeline_all" ->
-      s"""WITH RECURSIVE $audioStatusCtes,
-         |im0 AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS w,
-         |CAST(doc_id % 4 + 2 AS INTEGER) AS h,
-         |hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL),
-         |imb AS (SELECT doc_id, w, h,
-         |substr(hx || repeat('41', 3*w*h), 1, 6*w*h) AS px FROM im0),
-         |ipm AS (SELECT doc_id*100+11 AS media_id, w, h, px FROM imb
-         |UNION ALL SELECT doc_id*100+21, w, h, px FROM imb WHERE doc_id % 6 = 0
-         |UNION ALL SELECT doc_id*100+31, w, h, '000000' || substr(px, 7) FROM imb
-         |WHERE doc_id % 7 = 1),
-         |is1 AS (SELECT media_id, w, h, px, unnest(range(0, 3*w*h)) AS i FROM ipm),
-         |iv1 AS (SELECT media_id, i % 3 AS c,
-         |(strpos('0123456789ABCDEF', substr(px, 2*i+1, 1)) - 1) * 16
-         |+ (strpos('0123456789ABCDEF', substr(px, 2*i+2, 1)) - 1) AS u FROM is1),
-         |ics AS (SELECT media_id, c, sum(u) AS su, min(u) AS mn, max(u) AS mx
-         |FROM iv1 GROUP BY media_id, c),
-         |iag AS (SELECT media_id, sum(su) AS stot, max(mx - mn) AS dr
-         |FROM ics GROUP BY media_id),
-         |igt AS (SELECT ipm.media_id,
-         |(least(ipm.w, ipm.h) >= 2
-         |AND CAST(greatest(ipm.w, ipm.h) AS DOUBLE) / least(ipm.w, ipm.h) <= 2.2
-         |AND iag.dr >= 0
-         |AND CAST(iag.stot AS DOUBLE) / (3*ipm.w*ipm.h) BETWEEN 60.0 AND 200.0) AS p
-         |FROM ipm JOIN iag ON ipm.media_id = iag.media_id),
-         |ipool AS (SELECT ipm.* FROM ipm JOIN igt ON ipm.media_id = igt.media_id AND igt.p),
-         |ieg AS (SELECT media_id, min(media_id) OVER (PARTITION BY
-         |'i:' || w || ':' || h || ':' || px) AS ekeep FROM ipool),
-         |ied AS (SELECT media_id, ekeep FROM ieg WHERE media_id <> ekeep),
-         |isvv AS (SELECT ipool.media_id, ipool.w, ipool.h, ipool.px FROM ipool
-         |JOIN ieg ON ipool.media_id = ieg.media_id AND ieg.media_id = ieg.ekeep),
-         |${phashCtes("isvv")},
-         |isig AS (SELECT isvv.media_id,
-         |CAST(COALESCE(ph_ah.ah_hi, 0) AS BIGINT) AS hi,
-         |CAST(COALESCE(ph_ah.ah_lo, 0) AS BIGINT) AS lo
-         |FROM isvv LEFT JOIN ph_ah ON isvv.media_id = ph_ah.media_id),
-         |ich AS (SELECT media_id, hi, lo,
-         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
-         |unnest([0, 1, 2, 3]) AS chunk FROM isig),
-         |icand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
-         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
-         |FROM ich a JOIN ich b
-         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
-         |ipr AS (SELECT ma, mb FROM icand
-         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
-         |ie2 AS (SELECT ma AS s, mb AS t FROM ipr UNION ALL SELECT mb, ma FROM ipr),
-         |ireach(id, r) AS (SELECT media_id, media_id FROM isvv
-         |UNION SELECT ie2.t, ireach.r FROM ireach JOIN ie2 ON ie2.s = ireach.id),
-         |icl AS (SELECT id AS media_id, min(r) AS cluster_id FROM ireach GROUP BY id),
-         |ink AS (SELECT media_id,
-         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM icl),
-         |i_st AS (SELECT CAST(ipm.media_id AS BIGINT) AS media_id,
-         |CASE WHEN NOT igt.p THEN 'quality_reject'
-         |WHEN ied.media_id IS NOT NULL THEN 'exact_dup'
-         |WHEN ink.nkeep <> ipm.media_id THEN 'near_dup'
-         |ELSE 'kept' END AS status,
-         |CAST(CASE WHEN NOT igt.p THEN ipm.media_id
-         |ELSE COALESCE(ied.ekeep,
-         |CASE WHEN ink.nkeep <> ipm.media_id THEN ink.nkeep END,
-         |ipm.media_id) END AS BIGINT) AS keeper
-         |FROM ipm JOIN igt ON ipm.media_id = igt.media_id
-         |LEFT JOIN ied ON ipm.media_id = ied.media_id
-         |LEFT JOIN ink ON ipm.media_id = ink.media_id),
-         |${videoHashCtes("doc_id*100+13", "doc_id*100+23")},
-         |vdim AS (SELECT media_id, isconst, isvar,
-         |(CASE WHEN isconst THEN 600 ELSE 600*(doc_id % 4 + 1) END)
-         |* (CASE WHEN isvar = 1 THEN 2 ELSE 1 END) AS ts,
-         |CASE WHEN isconst THEN 1200 ELSE doc_id % 9000 + 600 END AS dur,
-         |CASE WHEN isconst THEN 320 ELSE (doc_id % 8)*160 + 320 END AS w,
-         |CASE WHEN isconst THEN 240 ELSE (doc_id % 6)*120 + 240 END AS h
-         |FROM vmm),
-         |vgt AS (SELECT media_id,
-         |(dur*1000 // ts BETWEEN 100 AND 20000
-         |AND least(w, h) >= 240
-         |AND CAST(greatest(w, h) AS DOUBLE) / least(w, h) <= 2.2) AS p FROM vdim),
-         |vpool AS (SELECT vmm.* FROM vmm JOIN vgt ON vmm.media_id = vgt.media_id AND vgt.p),
-         |veg AS (SELECT media_id, min(media_id) OVER (PARTITION BY
-         |CASE WHEN isconst THEN 'vc' ELSE 'v:' || media_id END) AS ekeep FROM vpool),
-         |ved AS (SELECT media_id, ekeep FROM veg WHERE media_id <> ekeep),
-         |vsvv AS (SELECT media_id FROM veg WHERE media_id = ekeep),
-         |vsig AS (SELECT vsvv.media_id,
-         |CAST(COALESCE(vs_ah.sh_hi, 0) AS BIGINT) AS hi,
-         |CAST(COALESCE(vs_ah.sh_lo, 0) AS BIGINT) AS lo
-         |FROM vsvv LEFT JOIN vs_ah ON vsvv.media_id = vs_ah.media_id),
-         |vch AS (SELECT media_id, hi, lo,
-         |unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS key,
-         |unnest([0, 1, 2, 3]) AS chunk FROM vsig),
-         |vcand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
-         |a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
-         |FROM vch a JOIN vch b
-         |ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id),
-         |vpr AS (SELECT ma, mb FROM vcand
-         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3),
-         |ve2 AS (SELECT ma AS s, mb AS t FROM vpr UNION ALL SELECT mb, ma FROM vpr),
-         |vreach(id, r) AS (SELECT media_id, media_id FROM vsvv
-         |UNION SELECT ve2.t, vreach.r FROM vreach JOIN ve2 ON ve2.s = vreach.id),
-         |vcl AS (SELECT id AS media_id, min(r) AS cluster_id FROM vreach GROUP BY id),
-         |vnk AS (SELECT media_id,
-         |min(media_id) OVER (PARTITION BY cluster_id) AS nkeep FROM vcl),
-         |v_st AS (SELECT CAST(vmm.media_id AS BIGINT) AS media_id,
-         |CASE WHEN NOT vgt.p THEN 'quality_reject'
-         |WHEN ved.media_id IS NOT NULL THEN 'exact_dup'
-         |WHEN vnk.nkeep <> vmm.media_id THEN 'near_dup'
-         |ELSE 'kept' END AS status,
-         |CAST(CASE WHEN NOT vgt.p THEN vmm.media_id
-         |ELSE COALESCE(ved.ekeep,
-         |CASE WHEN vnk.nkeep <> vmm.media_id THEN vnk.nkeep END,
-         |vmm.media_id) END AS BIGINT) AS keeper
-         |FROM vmm JOIN vgt ON vmm.media_id = vgt.media_id
-         |LEFT JOIN ved ON vmm.media_id = ved.media_id
-         |LEFT JOIN vnk ON vmm.media_id = vnk.media_id)
+      s"""WITH RECURSIVE $allModalityStatusCtes
          |SELECT media_id, status, keeper FROM i_st
          |UNION ALL SELECT media_id, status, keeper FROM a_st
          |UNION ALL SELECT media_id, status, keeper FROM v_st

@@ -197,6 +197,71 @@ object Pipeline {
     Packing.packSequences(balanced, idCol, col("bpe_tokens"), capacity, nStreams)
   }
 
+  /** The MULTIMODAL flagship — the LAION/DataComp dataset-build shape in
+    * one call: the text flagship (clean → exact dedup → near-dup
+    * canonicalize → pack) joined with per-document CURATED media
+    * inventories from the all-modality capstone ladder
+    * ([[MediaPipeline.curateMedia]]). A training sample is a kept
+    * document plus the count of its media that survived that modality's
+    * quality gates and dedup; media lost to undecodable / quality_reject
+    * / exact_dup / near_dup never count, and a document whose media ALL
+    * fail stays in the corpus with zero counts (pass `requireMedia` to
+    * drop text-only samples instead — the paired-dataset policy).
+    *
+    * `mediaDocIdCol` names the media frame's owning-document column (the
+    * crawl extraction knows which page carried each asset). Scale shape:
+    * the curation report and the per-doc counts are DECISION-sized, so
+    * the media→text join broadcasts decisions under the same failover
+    * knob as the dedup ladders ([[Dedup.BroadcastDecisionsKey]]); payload
+    * bytes stay inside the curation scan/ladder and never reach this
+    * join. */
+  def prepareMultimodalTraining(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      media: DataFrame,
+      payloadCol: String,
+      mediaIdCol: String,
+      kindCol: String,
+      mediaDocIdCol: String,
+      minQuality: Double = 0.5,
+      minTokens: Long = 20L,
+      nearDupThreshold: Double = 1.0,
+      shingleSize: Int = 3,
+      image: MediaPipeline.ImagePolicy = MediaPipeline.ImagePolicy(),
+      audio: MediaPipeline.AudioPolicy = MediaPipeline.AudioPolicy(),
+      video: MediaPipeline.VideoPolicy = MediaPipeline.VideoPolicy(),
+      maxHamming: Int = 3,
+      requireMedia: Boolean = false,
+      capacity: Long = 2048L,
+      nStreams: Int = 64,
+      chain: Option[DatasetBridge.FreezeChain] = None): DataFrame = {
+    val report = MediaPipeline.curateMedia(media, payloadCol, mediaIdCol,
+      kindCol, image, audio, video, maxHamming, chain)
+    // kept decisions back to their owning documents: every relation from
+    // here on carries ids/kinds/counts only
+    val keptMedia = report.where(col("status") === "kept").select(col(mediaIdCol))
+    val mediaDocs = media.select(col(mediaIdCol),
+        col(mediaDocIdCol).as("__mdoc__"), col(kindCol))
+      .join(keptMedia, Seq(mediaIdCol))
+    val counts = mediaDocs.groupBy(col("__mdoc__"))
+      .agg(
+        sum(when(col(kindCol) === "image", 1L).otherwise(0L)).as("n_images"),
+        sum(when(col(kindCol) === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col(kindCol) === "video", 1L).otherwise(0L)).as("n_video"))
+    val canon = canonicalCorpus(docs, textCol, idCol,
+      minQuality, minTokens, nearDupThreshold, shingleSize)
+    val joined = canon
+      .join(Dedup.hintBroadcast(counts), col(idCol) === col("__mdoc__"), "left")
+      .drop("__mdoc__")
+      .na.fill(0L, Seq("n_images", "n_audio", "n_video"))
+    val admitted =
+      if (requireMedia)
+        joined.where(col("n_images") + col("n_audio") + col("n_video") > 0)
+      else joined
+    Packing.packSequences(admitted, idCol, col("bpe_tokens"), capacity, nStreams)
+  }
+
   /** The flagship flow with a DSIR selection stage in place of the
     * stratum rebalance — pick the `nSelect` documents whose hashed-n-gram
     * distribution best matches a `target` corpus (Xie et al. 2023),

@@ -343,6 +343,57 @@ class PrepareTrainingDataSpec extends SparkSpecBase {
     assert(packs.forall { case (t, m) => t - m < 512L })
   }
 
+  test("prepareMultimodalTraining: kept-media counts, text-membership invariance, requireMedia") {
+    import graft.ops.{MediaPipeline, Pipeline}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.multimodal.Multimodal.multimodalMediaFromDocuments(docs)
+      .withColumn("owner_doc", expr("media_id div 100"))
+    val img = MediaPipeline.ImagePolicy(minDim = 2L, maxAspect = 2.2,
+      minDynRange = 0L, lumaBounds = (60.0, 200.0))
+    val aud = MediaPipeline.AudioPolicy(minSampleRate = 16000L, maxChannels = 1L,
+      minDurationS = 0.0, minRms = 0.0, clipPeak = 40000L)
+    val vid = MediaPipeline.VideoPolicy(minDurationMs = 100L, maxDurationMs = 20000L,
+      minDim = 240L, maxAspect = 2.2, maxTracks = 1L)
+    def run(requireMedia: Boolean) = Pipeline.prepareMultimodalTraining(
+      docs, "text", "doc_id", media, "payload", "media_id", "kind", "owner_doc",
+      minQuality = 0.0, minTokens = 5L, shingleSize = 1,
+      image = img, audio = aud, video = vid,
+      requireMedia = requireMedia, capacity = 512L, nStreams = 8,
+      chain = Some(new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain))
+    val out = run(requireMedia = false)
+    // counts equal the manual composition: curateMedia kept rows per doc
+    val manual = MediaPipeline.curateMedia(media, "payload", "media_id", "kind",
+        image = img, audio = aud, video = vid,
+        chain = Some(new org.apache.spark.sql.graftbridge.DatasetBridge.FreezeChain))
+      .where(col("status") === "kept")
+      .join(media.select("media_id", "owner_doc", "kind"), Seq("media_id"))
+      .groupBy("owner_doc").pivot("kind", Seq("image", "audio", "video")).count()
+      .collect().map(r => r.getLong(0) ->
+        (0 to 2).map(k => if (r.isNullAt(k + 1)) 0L else r.getLong(k + 1))).toMap
+    val got = out.select("doc_id", "n_images", "n_audio", "n_video")
+      .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (doc, counts) =>
+      assert(counts == manual.getOrElse(doc, Seq(0L, 0L, 0L)), s"doc $doc")
+    }
+    assert(got.exists(_._2.sum > 0) && got.exists(_._2.sum == 0),
+      "fixture should produce both media-bearing and media-less kept docs")
+    // media curation must not change TEXT membership or packing by default
+    val textOnly = Pipeline.prepareTrainingData(docs, "text", "doc_id",
+      minQuality = 0.0, minTokens = 5L, shingleSize = 1,
+      capacity = 512L, nStreams = 8)
+      .select("doc_id", "stream", "pack", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val mm = out.select("doc_id", "stream", "pack", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(mm == textOnly)
+    // requireMedia keeps exactly the media-bearing docs (and repacks them)
+    val req = run(requireMedia = true)
+    val reqDocs = req.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reqDocs == got.filter(_._2.sum > 0).map(_._1).toSet)
+    assert(req.where(col("n_images") + col("n_audio") + col("n_video") === 0).count() == 0)
+  }
+
   test("prepareWebCorpus: crawl to packed token streams, LM gate optional and binding") {
     import graft.ops.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
