@@ -968,6 +968,35 @@ object SparkEntry {
     * LIST-flag, text bytes) → envelope-hash banding over survivors with
     * ≥ 65 samples (the q138 window math) → recursive clustering.
     * Terminal CTE: `a_st(media_id, status, keeper)`. */
+  /** The q155 doc-arithmetic replay CTEs for the compressed-audio
+    * fixture (knobs + derived rates/bitrates/sample counts), ending
+    * with `m2` — factored so the q157 gate-battery oracle reuses the
+    * SAME arithmetic. Callers prepend `WITH `. */
+  private def compressedAudioMetaCtes: String =
+    """p AS (SELECT doc_id AS d FROM documents),
+        |m AS (SELECT d, d % 3 AS c, d % 2 = 0 AS v1,
+        |  d % 14 + 1 AS bra, (d % 14 + 1) % 14 + 1 AS brb,
+        |  (d // 3) % 3 AS sri, d % 5 + 3 AS n, d % 7 = 3 AS isvbr,
+        |  d % 4 = 0 AS mono,
+        |  CASE WHEN d % 4 = 1 THEN d % 96 + 8 ELSE 0 END AS id3pad,
+        |  (d % 8 + 1) * 6000 AS fsr, d % 2 + 1 AS fch,
+        |  ((d // 3) % 3 + 1) * 8 AS fbps, d % 100000 + 1000 AS ftotal,
+        |  d % 4 = 2 AS fpad, d % 2 = 0 AS opus, d % 100000 AS serial
+        |  FROM p),
+        |m2 AS (SELECT *,
+        |  CASE WHEN v1 THEN ([44100,48000,32000])[sri + 1]
+        |       ELSE ([22050,24000,16000])[sri + 1] END AS msr,
+        |  CASE WHEN v1 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bra + 1]
+        |       ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bra + 1] END AS ka,
+        |  CASE WHEN v1 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[brb + 1]
+        |       ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[brb + 1] END AS kb,
+        |  CASE WHEN v1 THEN 1152 ELSE 576 END AS spf,
+        |  CASE WHEN opus THEN d % 50000 + 4800 ELSE d % 50000 + 4410 END AS osamples,
+        |  CASE WHEN opus THEN 48000 WHEN d % 4 = 1 THEN 44100 ELSE 48000 END AS osr,
+        |  CASE WHEN opus THEN (d % 4) // 2 + 1 ELSE (d % 4 + 1) // 2 END AS och,
+        |  (d % 10 + 1) * 16000 AS onom
+        |  FROM m)""".stripMargin.replace("\n", " ")
+
   /** The all-modality curation status replay (audio + image + video
     * gates-then-ladder chains over the multimodalMediaFromDocuments
     * fixture), ending with the `i_st` / `a_st` / `v_st`
@@ -2536,6 +2565,20 @@ object SparkEntry {
           col("m.vbr").as("vbr"),
           col("m.tag_bytes").as("tag_bytes"),
           hex(substring(col("payload"), 1, 16)).as("hdr_hex"))
+        .orderBy("media_id")
+    }),
+    // the compressed-audio GATE battery over the q155 fixture (the
+    // q136/q137 report shape for MP3/FLAC/Ogg): rate floor, channel cap,
+    // duration window, bitrate floor that must NOT reject
+    // lossless/unknown (FLAC/Opus report 0), VBR policy. Every knob set
+    // so every gate splits on the fixture; the oracle replays signals,
+    // payload byte totals, and each gate bit from doc_id arithmetic
+    "q157_compressed_audio_quality" -> ((s, dir) => {
+      val m = Multimodal.compressedAudioFromDocuments(table(s, dir, "documents"))
+      graft.ops.MediaQuality.compressedAudioQualityReport(m, "payload", "media_id",
+        minSampleRate = 16000L, maxChannels = 1L,
+        minDurationMs = 100L, maxDurationMs = 10000L,
+        minBitrateKbps = 48L, allowVbr = false)
         .orderBy("media_id")
     }),
     "q154_vp8_decode" -> ((s, dir) => {
@@ -4566,30 +4609,45 @@ object SparkEntry {
          |CAST(off // 2048 AS BIGINT) AS pack,
          |CAST(stream * 4294967296 + off // 2048 AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q157_compressed_audio_quality" ->
+      s"""WITH $compressedAudioMetaCtes,
+         |m3 AS (SELECT d AS media_id,
+         |  CASE c WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac' ELSE 'ogg' END AS container,
+         |  CASE WHEN c = 0 THEN CASE WHEN v1 THEN 'mpeg1-layer3' ELSE 'mpeg2-layer3' END
+         |       WHEN c = 1 THEN 'flac'
+         |       ELSE CASE WHEN opus THEN 'opus' ELSE 'vorbis' END END AS codec,
+         |  CAST(CASE c WHEN 0 THEN msr WHEN 1 THEN fsr ELSE osr END AS BIGINT) AS sample_rate,
+         |  CAST(CASE c WHEN 0 THEN CASE WHEN mono THEN 1 ELSE 2 END
+         |       WHEN 1 THEN fch ELSE och END AS BIGINT) AS channels,
+         |  CAST(CASE c WHEN 0 THEN n * spf * 1000 // msr
+         |       WHEN 1 THEN ftotal * 1000 // fsr
+         |       ELSE osamples * 1000 // osr END AS BIGINT) AS duration_ms,
+         |  CAST(CASE WHEN c = 0 THEN
+         |         (CASE WHEN isvbr THEN (n+1)//2*ka + n//2*kb ELSE n*ka END) // n
+         |       WHEN c = 2 AND NOT opus THEN onom // 1000 ELSE 0 END AS BIGINT) AS bitrate_kbps,
+         |  CASE WHEN c = 0 THEN isvbr ELSE FALSE END AS vbr,
+         |  CAST(CASE WHEN c = 0 AND id3pad > 0 THEN 10 + id3pad ELSE 0 END AS BIGINT) AS tag_bytes,
+         |  CAST(CASE c
+         |       WHEN 0 THEN (CASE WHEN id3pad > 0 THEN 10 + id3pad ELSE 0 END)
+         |         + (CASE WHEN isvbr
+         |            THEN (n+1)//2 * ((spf//8)*1000*ka//msr) + n//2 * ((spf//8)*1000*kb//msr)
+         |            ELSE n * ((spf//8)*1000*ka//msr) END)
+         |       WHEN 1 THEN 42 + CASE WHEN fpad THEN 4 + d % 30 + 4 ELSE 0 END
+         |       ELSE CASE WHEN opus THEN 76 ELSE 87 END END AS BIGINT) AS payload_bytes
+         |  FROM m2)
+         |SELECT media_id, container, codec, sample_rate, channels, duration_ms,
+         |  bitrate_kbps, vbr, tag_bytes, payload_bytes,
+         |  sample_rate >= 16000 AS ok_rate,
+         |  channels <= 1 AS ok_channels,
+         |  duration_ms BETWEEN 100 AND 10000 AS ok_duration,
+         |  (bitrate_kbps = 0 OR bitrate_kbps >= 48) AS ok_bitrate,
+         |  NOT vbr AS ok_vbr,
+         |  (sample_rate >= 16000 AND channels <= 1
+         |   AND duration_ms BETWEEN 100 AND 10000
+         |   AND (bitrate_kbps = 0 OR bitrate_kbps >= 48) AND NOT vbr) AS passes
+         |FROM m3 ORDER BY media_id""".stripMargin.replace("\n", " "),
     "q155_audio_container_meta" ->
-      """WITH p AS (SELECT doc_id AS d FROM documents),
-        |m AS (SELECT d, d % 3 AS c, d % 2 = 0 AS v1,
-        |  d % 14 + 1 AS bra, (d % 14 + 1) % 14 + 1 AS brb,
-        |  (d // 3) % 3 AS sri, d % 5 + 3 AS n, d % 7 = 3 AS isvbr,
-        |  d % 4 = 0 AS mono,
-        |  CASE WHEN d % 4 = 1 THEN d % 96 + 8 ELSE 0 END AS id3pad,
-        |  (d % 8 + 1) * 6000 AS fsr, d % 2 + 1 AS fch,
-        |  ((d // 3) % 3 + 1) * 8 AS fbps, d % 100000 + 1000 AS ftotal,
-        |  d % 4 = 2 AS fpad, d % 2 = 0 AS opus, d % 100000 AS serial
-        |  FROM p),
-        |m2 AS (SELECT *,
-        |  CASE WHEN v1 THEN ([44100,48000,32000])[sri + 1]
-        |       ELSE ([22050,24000,16000])[sri + 1] END AS msr,
-        |  CASE WHEN v1 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bra + 1]
-        |       ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bra + 1] END AS ka,
-        |  CASE WHEN v1 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[brb + 1]
-        |       ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[brb + 1] END AS kb,
-        |  CASE WHEN v1 THEN 1152 ELSE 576 END AS spf,
-        |  CASE WHEN opus THEN d % 50000 + 4800 ELSE d % 50000 + 4410 END AS osamples,
-        |  CASE WHEN opus THEN 48000 WHEN d % 4 = 1 THEN 44100 ELSE 48000 END AS osr,
-        |  CASE WHEN opus THEN (d % 4) // 2 + 1 ELSE (d % 4 + 1) // 2 END AS och,
-        |  (d % 10 + 1) * 16000 AS onom
-        |  FROM m)
+      s"""WITH $compressedAudioMetaCtes
         |SELECT d AS media_id,
         |  CASE c WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac' ELSE 'ogg' END AS container,
         |  CASE WHEN c = 0 THEN CASE WHEN v1 THEN 'mpeg1-layer3' ELSE 'mpeg2-layer3' END

@@ -174,6 +174,103 @@ object MediaQuality {
         col("__g__.ok_clip").as("ok_clip"), col("__g__.passes").as("passes"))
   }
 
+  /** Gate knobs for [[compressedAudioGates]] — bundled for the streaming
+    * admission API (the [[graft.ops.MediaPipeline.AudioPolicy]]
+    * convention). No dedup-ladder policy exists for compressed audio by
+    * design: the perceptual envelope hash needs PCM sample access, which
+    * meta-level parsing deliberately does not do — exact byte dedup
+    * ([[graft.ops.Dedup.dropExact]] / the streaming exact tier) still
+    * applies. */
+  final case class CompressedAudioPolicy(
+      minSampleRate: Long = 16000L,
+      maxChannels: Long = 2L,
+      minDurationMs: Long = 1000L,
+      maxDurationMs: Long = 3600000L,
+      minBitrateKbps: Long = 0L,
+      allowVbr: Boolean = true)
+
+  /** COMPRESSED-audio (MP3 / FLAC / Ogg Vorbis/Opus) signal struct — the
+    * meta-level sibling of [[audioSignals]] for the codecs
+    * [[graft.functions.AudioContainerMeta]] parses without sample access
+    * (no rms/peak: those need a PCM decode); container/codec identity,
+    * rate, channels, duration, bitrate, VBR flag, tag size. NULL when no
+    * supported container parses. Same one-scan, zero-shuffle shape. */
+  def compressedAudioSignals(payload: Column): Column = {
+    val m = graft.functions.MediaFunctions.audioContainerMeta(payload)
+    when(m.isNotNull, struct(
+      m.getField("container").as("container"),
+      m.getField("codec").as("codec"),
+      m.getField("sample_rate").cast("long").as("sample_rate"),
+      m.getField("channels").cast("long").as("channels"),
+      m.getField("duration_ms").as("duration_ms"),
+      m.getField("bitrate_kbps").cast("long").as("bitrate_kbps"),
+      m.getField("vbr").as("vbr"),
+      m.getField("tag_bytes").as("tag_bytes"),
+      length(payload).cast("long").as("payload_bytes")))
+  }
+
+  /** Compressed-audio gate battery: rate floor, channel cap, duration
+    * WINDOW (blips and hour-long captures both reject), bitrate floor —
+    * applied only where the container reports one (FLAC and Opus report
+    * 0 = lossless/unknown and must not fail a lossy-bitrate floor) — and
+    * a VBR policy knob. Same NULL-fails-everything contract as
+    * [[audioGates]]. */
+  def compressedAudioGates(
+      signals: Column,
+      minSampleRate: Long = 16000L,
+      maxChannels: Long = 2L,
+      minDurationMs: Long = 1000L,
+      maxDurationMs: Long = 3600000L,
+      minBitrateKbps: Long = 0L,
+      allowVbr: Boolean = true): Column = {
+    def ok(c: Column): Column = coalesce(c, lit(false))
+    val okRate = ok(signals.getField("sample_rate") >= minSampleRate)
+    val okCh = ok(signals.getField("channels") <= maxChannels)
+    val okDur = ok(signals.getField("duration_ms")
+      .between(minDurationMs, maxDurationMs))
+    val okBr = ok(signals.getField("bitrate_kbps") === 0L ||
+      signals.getField("bitrate_kbps") >= minBitrateKbps)
+    val okVbr = ok(lit(allowVbr) || !signals.getField("vbr"))
+    struct(
+      okRate.as("ok_rate"), okCh.as("ok_channels"), okDur.as("ok_duration"),
+      okBr.as("ok_bitrate"), okVbr.as("ok_vbr"),
+      (okRate && okCh && okDur && okBr && okVbr).as("passes"))
+  }
+
+  /** Compressed-audio battery REPORT — the [[audioQualityReport]] shape
+    * for MP3/FLAC/Ogg clips: one row per PARSEABLE clip, signals + gate
+    * bits + passes. One scan, zero shuffle. */
+  def compressedAudioQualityReport(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      minSampleRate: Long = 16000L,
+      maxChannels: Long = 2L,
+      minDurationMs: Long = 1000L,
+      maxDurationMs: Long = 3600000L,
+      minBitrateKbps: Long = 0L,
+      allowVbr: Boolean = true): DataFrame = {
+    media.select(col(idCol), compressedAudioSignals(col(payloadCol)).as("__s__"))
+      .where(col("__s__").isNotNull)
+      .select(col(idCol), col("__s__"),
+        compressedAudioGates(col("__s__"), minSampleRate, maxChannels,
+          minDurationMs, maxDurationMs, minBitrateKbps, allowVbr).as("__g__"))
+      .select(col(idCol),
+        col("__s__.container").as("container"),
+        col("__s__.codec").as("codec"),
+        col("__s__.sample_rate").as("sample_rate"),
+        col("__s__.channels").as("channels"),
+        col("__s__.duration_ms").as("duration_ms"),
+        col("__s__.bitrate_kbps").as("bitrate_kbps"),
+        col("__s__.vbr").as("vbr"),
+        col("__s__.tag_bytes").as("tag_bytes"),
+        col("__s__.payload_bytes").as("payload_bytes"),
+        col("__g__.ok_rate").as("ok_rate"), col("__g__.ok_channels").as("ok_channels"),
+        col("__g__.ok_duration").as("ok_duration"),
+        col("__g__.ok_bitrate").as("ok_bitrate"),
+        col("__g__.ok_vbr").as("ok_vbr"), col("__g__.passes").as("passes"))
+  }
+
   /** Per-clip VIDEO quality signal struct from the native ISO-BMFF box
     * walk ([[graft.functions.VideoMeta]]): `struct(brand, timescale,
     * duration_ms, n_tracks, width, height, handler, aspect)`; NULL when

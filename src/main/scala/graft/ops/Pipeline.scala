@@ -239,11 +239,17 @@ object Pipeline {
     val report = MediaPipeline.curateMedia(media, payloadCol, mediaIdCol,
       kindCol, image, audio, video, maxHamming, chain)
     // kept decisions back to their owning documents: every relation from
-    // here on carries ids/kinds/counts only
+    // here on carries ids/kinds/counts only. The (id, doc, kind) mapping
+    // is frozen: referencing the RAW media frame here would thread its
+    // whole derivation (a multi-branch crawl extraction) back into the
+    // final plan as extra scans (measured: 21 parquet scans at sf0.01 vs
+    // q81's 4 before this freeze); the narrow projection column-prunes
+    // the payload out of the mapping pass, so the freeze carries three
+    // columns, never bytes
     val keptMedia = report.where(col("status") === "kept").select(col(mediaIdCol))
-    val mediaDocs = media.select(col(mediaIdCol),
-        col(mediaDocIdCol).as("__mdoc__"), col(kindCol))
-      .join(keptMedia, Seq(mediaIdCol))
+    val mapping = freeze(media.select(col(mediaIdCol),
+      col(mediaDocIdCol).as("__mdoc__"), col(kindCol)), chain)
+    val mediaDocs = mapping.join(keptMedia, Seq(mediaIdCol))
     val counts = mediaDocs.groupBy(col("__mdoc__"))
       .agg(
         sum(when(col(kindCol) === "image", 1L).otherwise(0L)).as("n_images"),

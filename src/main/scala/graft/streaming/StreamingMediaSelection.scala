@@ -48,6 +48,22 @@ object StreamingMediaSelection {
         policy.clipPeak).getField("passes"))
       .drop("__s__")
 
+  /** Keep payloads passing the COMPRESSED-audio battery (MP3 / FLAC /
+    * Ogg: rate / channels / duration window / bitrate floor / VBR
+    * policy) — the meta-level admission for the codecs the engine
+    * parses without sample access. */
+  def compressedAudioQualityAdmission(
+      df: DataFrame,
+      payloadCol: String,
+      policy: MediaQuality.CompressedAudioPolicy =
+        MediaQuality.CompressedAudioPolicy()): DataFrame =
+    df.withColumn("__s__", MediaQuality.compressedAudioSignals(col(payloadCol)))
+      .where(MediaQuality.compressedAudioGates(col("__s__"),
+        policy.minSampleRate, policy.maxChannels, policy.minDurationMs,
+        policy.maxDurationMs, policy.minBitrateKbps,
+        policy.allowVbr).getField("passes"))
+      .drop("__s__")
+
   /** Keep payloads passing the VIDEO battery (duration window / dims /
     * aspect / tracks). */
   def videoQualityAdmission(

@@ -1374,6 +1374,42 @@ class StreamingSpec extends SparkSpecBase {
       s"copy drops exact, re-encode drops perceptual, junk drops at the gate: $survivors")
   }
 
+  test("streaming compressed-audio admission: stream ≡ batch, stateless, junk drops at the gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingMediaSelection
+    import graft.ops.MediaQuality.CompressedAudioPolicy
+    import spark.implicits._
+    // real MP3/FLAC/Ogg payloads from the doc-arithmetic builder (every
+    // container class), plus junk that parses as none of them
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.compressedAudioFromDocuments(docs)
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toSeq
+    val rows = media :+ (999L -> "junk, not audio".getBytes("US-ASCII"))
+    val policy = CompressedAudioPolicy(minSampleRate = 16000L, maxChannels = 1L,
+      minDurationMs = 100L, maxDurationMs = 10000L,
+      minBitrateKbps = 48L, allowVbr = false)
+    val batch = StreamingMediaSelection.compressedAudioQualityAdmission(
+      rows.toDF("media_id", "payload"), "payload", policy)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && batch.size < media.size && !batch.contains(999L),
+      s"gates must split the fixture and drop junk: $batch")
+    val in = MemoryStream[(Long, Array[Byte])]
+    val gated = StreamingMediaSelection.compressedAudioQualityAdmission(
+      in.toDF().toDF("media_id", "payload"), "payload", policy)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("caadmit").start()
+    rows.grouped(7).foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    val got = spark.table("caadmit").select("media_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == batch, s"stream == batch admission: $got vs $batch")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "meta-level admission must not create a state store")
+    q.stop()
+  }
+
   test("full ingest chain: LM admission → URL dedup → text dedup in ONE streaming query") {
     import graft.ops.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
