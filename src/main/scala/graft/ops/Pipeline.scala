@@ -129,13 +129,19 @@ object Pipeline {
       minQuality: Double,
       minTokens: Long,
       nearDupThreshold: Double,
-      shingleSize: Int): DataFrame = {
+      shingleSize: Int,
+      chain: Option[DatasetBridge.FreezeChain] = None): DataFrame = {
     // the pipeline's computed quality_score/bpe_tokens govern; a pre-scored
     // corpus's same-named columns would make the join ambiguous
     val base = docs.drop("quality_score", "bpe_tokens")
     val quality = cleanCorpus(base, textCol, idCol, minQuality, minTokens)
       .select(col(idCol), col("quality_score"), col("bpe_tokens"))
-    val kept = base.join(quality, Seq(idCol))
+    // the kept corpus is consumed by the minhash pair generation, the
+    // canonicalize scoring windows, AND the packing tail — unfrozen, the
+    // clean→feature subtree (parquet scan + tokenize + quality battery)
+    // re-derived per consumer (13 parquet scans in q81's executed sf0.01
+    // plan). One freeze retires them; the frame carries the text once
+    val kept = freeze(base.join(quality, Seq(idCol)), chain)
     // shingleSize defaults to minhashDedup's 3-gram shingles: at thresholds
     // below 1.0, unigram token SETS (shingleSize = 1) would link any two
     // documents sharing most of their vocabulary regardless of order/counts
@@ -182,7 +188,7 @@ object Pipeline {
       seed: Long = 42L,
       chain: Option[DatasetBridge.FreezeChain] = None): DataFrame = {
     val canon = canonicalCorpus(docs, textCol, idCol,
-      minQuality, minTokens, nearDupThreshold, shingleSize)
+      minQuality, minTokens, nearDupThreshold, shingleSize, chain)
     val balanced = strataCol match {
       case Some(sc) =>
         require(strataTargets.nonEmpty, "strataCol given without strataTargets")
@@ -256,7 +262,7 @@ object Pipeline {
         sum(when(col(kindCol) === "audio", 1L).otherwise(0L)).as("n_audio"),
         sum(when(col(kindCol) === "video", 1L).otherwise(0L)).as("n_video"))
     val canon = canonicalCorpus(docs, textCol, idCol,
-      minQuality, minTokens, nearDupThreshold, shingleSize)
+      minQuality, minTokens, nearDupThreshold, shingleSize, chain)
     val joined = canon
       .join(Dedup.hintBroadcast(counts), col(idCol) === col("__mdoc__"), "left")
       .drop("__mdoc__")
@@ -305,7 +311,7 @@ object Pipeline {
     // the fit below is EAGER — freeze the canonical pool so the
     // clean→cluster subtree runs once, not once per consumer
     val frozen = freeze(canonicalCorpus(docs, textCol, idCol,
-      minQuality, minTokens, nearDupThreshold, shingleSize), chain)
+      minQuality, minTokens, nearDupThreshold, shingleSize, chain), chain)
     val model = Dsir.fitImportanceModel(target, frozen, textCol, nBuckets, alpha)
     val picked = Dsir.resampleByImportance(
       frozen, model, textCol, Seq(idCol), nSelect, temperature, seed)
