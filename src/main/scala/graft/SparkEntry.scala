@@ -19,6 +19,20 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[graft.sources.Tables.fanOutForCompute]] over a test table — applied
+    * per query, ONLY where a measured A/B showed the downstream per-row
+    * work (fixture encode + codec decode, gzip WARC walks) dominating a
+    * serial scan: the local single-row-group files scan as ONE task, which
+    * serialized those kernels at any core count (q148 27.9 s at both 4 and
+    * 32 cores before; 0.4 s after). Freeze-ladder pipelines with CHEAP
+    * per-row kernels (audio/video capstones) measurably LOSE from a wider
+    * base frame — their ~30 decision-sized jobs pay per-partition task
+    * overhead on every frozen frame (q146: 65 → 1497 tasks, +1.4 s) — so
+    * they deliberately do NOT fan out. At production scale the input
+    * arrives in >= cores splits and fanOutForCompute is a no-op. */
+  private def fanned(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.fanOutForCompute(table(s, dir, name), col("doc_id"))
+
   /** q100 fixture: the cross-document syndicated paragraph (one string, used
     * verbatim in the Spark fixture AND the DuckDB oracle). */
   private val SyndicatedParagraph =
@@ -2209,7 +2223,7 @@ object SparkEntry {
     // Gopher-battery shape for images. The oracle recomputes each signal
     // from the fixture hex (integer sums; round-6 on the two doubles)
     "q136_image_quality" -> ((s, dir) => {
-      val crawl = Multimodal.warcImageCrawlFromDocuments(table(s, dir, "documents"))
+      val crawl = Multimodal.warcImageCrawlFromDocuments(fanned(s, dir, "documents"))
       val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
         .select(
           regexp_extract(col("url"), "/media/(\\d+)\\.png$", 1).cast("long").as("media_id"),
@@ -2228,7 +2242,7 @@ object SparkEntry {
     // from the native RIFF/PCM parsers in one scan projection; gate
     // constants chosen to split the fixture on every gate
     "q137_audio_quality" -> ((s, dir) => {
-      val m = Multimodal.audioFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.audioFromDocuments(fanned(s, dir, "documents"))
       graft.ops.MediaQuality.audioQualityReport(m, "payload", "media_id",
         minSampleRate = 16000L, maxChannels = 1L, minDurationS = 0.004,
         minRms = 25400.0, clipPeak = 30600L)
@@ -2296,7 +2310,7 @@ object SparkEntry {
     // oracle replays PNG signals from pixel hex and JPEG signals from the
     // mosaic block values (bit-exact decode per JpegFixtures)
     "q141_mixed_image_quality" -> ((s, dir) => {
-      val crawl = Multimodal.warcMixedImageCrawlFromDocuments(table(s, dir, "documents"))
+      val crawl = Multimodal.warcMixedImageCrawlFromDocuments(fanned(s, dir, "documents"))
       val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
         .select(
           regexp_extract(col("url"), "/media/(\\d+)\\.(png|jpg)$", 1)
@@ -2304,9 +2318,8 @@ object SparkEntry {
           regexp_extract(col("url"), "\\.(png|jpg)$", 1).as("kind"),
           col("payload"))
       media.select(col("media_id"), col("kind"),
-          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
-          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
-        .select(col("media_id"), col("kind"), col("__s__"), col("__ah__"),
+          graft.ops.MediaQuality.imageSignalsWithAHash(col("payload")).as("__s__"))
+        .select(col("media_id"), col("kind"), col("__s__"),
           graft.ops.MediaQuality.imageGates(col("__s__")).as("__g__"))
         .select(col("media_id"), col("kind"),
           col("__s__.width").as("width"), col("__s__.height").as("height"),
@@ -2316,8 +2329,8 @@ object SparkEntry {
           col("__g__.ok_dims").as("ok_dims"), col("__g__.ok_aspect").as("ok_aspect"),
           col("__g__.ok_dyn_range").as("ok_dyn_range"), col("__g__.ok_luma").as("ok_luma"),
           col("__g__.passes").as("passes"),
-          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
-          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+          shiftrightunsigned(col("__s__.ahash"), 32).as("ah_hi"),
+          col("__s__.ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
         .orderBy("media_id")
     }),
     // the curation capstone over the MIXED crawl: gates-then-ladder with
@@ -2326,7 +2339,7 @@ object SparkEntry {
     // re-encodes AND cross-codec PNG thumbnails at Hamming 0), kept.
     // Same q139 gate constants and freeze contract
     "q142_mixed_media_pipeline" -> ((s, dir) => {
-      val crawl = Multimodal.warcMixedImageCrawlFromDocuments(table(s, dir, "documents"))
+      val crawl = Multimodal.warcMixedImageCrawlFromDocuments(fanned(s, dir, "documents"))
       val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
         .select(
           regexp_extract(col("url"), "/media/(\\d+)\\.(png|jpg)$", 1)
@@ -2345,7 +2358,7 @@ object SparkEntry {
     // content-bijective encoder), so this query asserts codec-equal
     // curation decisions incl. the cross-codec WebP↔PNG-thumbnail pairs
     "q153_webp_crawl_pipeline" -> ((s, dir) => {
-      val crawl = Multimodal.warcMixedWebpCrawlFromDocuments(table(s, dir, "documents"))
+      val crawl = Multimodal.warcMixedWebpCrawlFromDocuments(fanned(s, dir, "documents"))
       val media = Multimodal.extractWarcMedia(crawl, "media_id", "payload")
         .select(
           regexp_extract(col("url"), "/media/(\\d+)\\.(png|webp)$", 1)
@@ -2363,7 +2376,7 @@ object SparkEntry {
     // through the native dims parser; the oracle replays every dechunked
     // field arithmetically (the q106 convention)
     "q143_warc_chunked" -> ((s, dir) => {
-      val w = Multimodal.warcChunkedCrawlFromDocuments(table(s, dir, "documents"))
+      val w = Multimodal.warcChunkedCrawlFromDocuments(fanned(s, dir, "documents"))
       w.select(col("media_id"),
           explode(graft.functions.WarcFunctions.warcRecords(col("payload"))).as("r"))
         .select(col("media_id").as("doc_id"),
@@ -2387,7 +2400,7 @@ object SparkEntry {
     // text bytes; honestly a container signature (re-mux class), not a
     // content hash. Unsigned 32-bit halves (the q134 convention)
     "q144_video_sample_hash" -> ((s, dir) => {
-      val m = Multimodal.videoWithSamplesFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.videoWithSamplesFromDocuments(fanned(s, dir, "documents"))
       m.select(col("media_id"),
           graft.functions.MediaFunctions.videoSampleHash64(col("payload")).as("sh"))
         .where(col("sh").isNotNull)
@@ -2454,18 +2467,17 @@ object SparkEntry {
     // block-value relation; flat-bright plants split the gate; unsigned
     // halves per the q134 convention
     "q148_progressive_jpeg" -> ((s, dir) => {
-      val m = Multimodal.progressiveJpegMediaFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.progressiveJpegMediaFromDocuments(fanned(s, dir, "documents"))
       m.select(col("media_id"), col("coding"),
-          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
-          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+          graft.ops.MediaQuality.imageSignalsWithAHash(col("payload")).as("__s__"))
         .select(col("media_id"), col("coding"),
           col("__s__.width").as("width"), col("__s__.height").as("height"),
           round(col("__s__.mean_luma"), 6).as("mean_luma"),
           col("__s__.dyn_range").as("dyn_range"),
           graft.ops.MediaQuality.imageGates(col("__s__"))
             .getField("passes").as("passes"),
-          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
-          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+          shiftrightunsigned(col("__s__.ahash"), 32).as("ah_hi"),
+          col("__s__.ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
         .orderBy("media_id")
     }),
     // native GIF decode (round 16): real variable-width LZW payloads with
@@ -2473,18 +2485,17 @@ object SparkEntry {
     // the SAME codec dispatchers as PNG/JPEG — the oracle replays every
     // signal and aHash bit from text bytes (the q148 mosaic convention)
     "q151_gif_decode" -> ((s, dir) => {
-      val m = Multimodal.gifMediaFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.gifMediaFromDocuments(fanned(s, dir, "documents"))
       m.select(col("media_id"),
-          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
-          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+          graft.ops.MediaQuality.imageSignalsWithAHash(col("payload")).as("__s__"))
         .select(col("media_id"),
           col("__s__.width").as("width"), col("__s__.height").as("height"),
           round(col("__s__.mean_luma"), 6).as("mean_luma"),
           col("__s__.dyn_range").as("dyn_range"),
           graft.ops.MediaQuality.imageGates(col("__s__"))
             .getField("passes").as("passes"),
-          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
-          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+          shiftrightunsigned(col("__s__.ahash"), 32).as("ah_hi"),
+          col("__s__.ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
         .orderBy("media_id")
     }),
     // native lossless-WebP decode (round 17): real VP8L bitstreams —
@@ -2494,18 +2505,17 @@ object SparkEntry {
     // mosaic convention exactly, so the oracle replays every signal and
     // aHash bit from text bytes, knob-independent
     "q152_webp_decode" -> ((s, dir) => {
-      val m = Multimodal.webpMediaFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.webpMediaFromDocuments(fanned(s, dir, "documents"))
       m.select(col("media_id"),
-          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
-          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+          graft.ops.MediaQuality.imageSignalsWithAHash(col("payload")).as("__s__"))
         .select(col("media_id"),
           col("__s__.width").as("width"), col("__s__.height").as("height"),
           round(col("__s__.mean_luma"), 6).as("mean_luma"),
           col("__s__.dyn_range").as("dyn_range"),
           graft.ops.MediaQuality.imageGates(col("__s__"))
             .getField("passes").as("passes"),
-          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
-          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+          shiftrightunsigned(col("__s__.ahash"), 32).as("ah_hi"),
+          col("__s__.ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
         .orderBy("media_id")
     }),
     // native LOSSY WebP decode (round 18): real VP8 keyframe bitstreams —
@@ -2574,7 +2584,7 @@ object SparkEntry {
     // so every gate splits on the fixture; the oracle replays signals,
     // payload byte totals, and each gate bit from doc_id arithmetic
     "q157_compressed_audio_quality" -> ((s, dir) => {
-      val m = Multimodal.compressedAudioFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.compressedAudioFromDocuments(fanned(s, dir, "documents"))
       graft.ops.MediaQuality.compressedAudioQualityReport(m, "payload", "media_id",
         minSampleRate = 16000L, maxChannels = 1L,
         minDurationMs = 100L, maxDurationMs = 10000L,
@@ -2582,18 +2592,17 @@ object SparkEntry {
         .orderBy("media_id")
     }),
     "q154_vp8_decode" -> ((s, dir) => {
-      val m = Multimodal.vp8MediaFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.vp8MediaFromDocuments(fanned(s, dir, "documents"))
       m.select(col("media_id"),
-          graft.ops.MediaQuality.imageSignals(col("payload")).as("__s__"),
-          graft.functions.MediaFunctions.imageAHash64(col("payload")).as("__ah__"))
+          graft.ops.MediaQuality.imageSignalsWithAHash(col("payload")).as("__s__"))
         .select(col("media_id"),
           col("__s__.width").as("width"), col("__s__.height").as("height"),
           round(col("__s__.mean_luma"), 6).as("mean_luma"),
           col("__s__.dyn_range").as("dyn_range"),
           graft.ops.MediaQuality.imageGates(col("__s__"))
             .getField("passes").as("passes"),
-          shiftrightunsigned(col("__ah__"), 32).as("ah_hi"),
-          col("__ah__").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
+          shiftrightunsigned(col("__s__.ahash"), 32).as("ah_hi"),
+          col("__s__.ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ah_lo"))
         .orderBy("media_id")
     }),
     // harvest-attrition observability: the crawl plants GIF-SIGNATURE
@@ -3215,7 +3224,7 @@ object SparkEntry {
     // (uncompressed) deflate blocks so the oracle re-derives every pixel
     // byte from the same text hex without a decompressor (q82's pattern)
     "q86_png_pixels" -> ((s, dir) => {
-      val m = Multimodal.pngPixelMediaFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.pngPixelMediaFromDocuments(fanned(s, dir, "documents"))
       m.select(col("media_id"),
           graft.functions.MediaFunctions.pngPixelStats(col("payload")).as("p"))
         .where(col("p").isNotNull)
@@ -3234,7 +3243,7 @@ object SparkEntry {
     // 2-byte samples through the same inflate+unfilter path; DuckDB
     // recomputes each sample as 256*b[2i] + b[2i+1] from the text hex
     "q88_png_pixels16" -> ((s, dir) => {
-      val m = Multimodal.pngPixel16MediaFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.pngPixel16MediaFromDocuments(fanned(s, dir, "documents"))
       m.select(col("media_id"),
           graft.functions.MediaFunctions.pngPixelStats(col("payload")).as("p"))
         .where(col("p").isNotNull)
@@ -3256,7 +3265,7 @@ object SparkEntry {
     // round-trips exactly — so DuckDB recomputes every stat analytically
     // from the same text bytes, no codec anywhere in the oracle
     "q89_jpeg_pixels" -> ((s, dir) => {
-      val m = Multimodal.jpegMediaFromDocuments(table(s, dir, "documents"))
+      val m = Multimodal.jpegMediaFromDocuments(fanned(s, dir, "documents"))
       Multimodal.decodePixelStats(m).toDF()
         .select(col("media_id"),
           (col("width").cast("long") * col("height")).as("n_px"),

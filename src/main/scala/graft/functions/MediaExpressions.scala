@@ -474,6 +474,16 @@ object PngPixelStats {
   def parse(b: Array[Byte]): InternalRow = {
     val d = decode(b)
     if (d == null) return null
+    val (sums, mins, maxs) = statsArrays(d)
+    InternalRow(d.w, d.h, d.ch, d.bps * 8,
+      new GenericArrayData(sums), new GenericArrayData(mins), new GenericArrayData(maxs))
+  }
+
+  /** Per-channel (sum, min, max) over an already-decoded sample stream —
+    * shared by [[parse]] and the fused battery kernel
+    * ([[ImageSignalsKernel]]) so one decode serves both. */
+  private[functions] def statsArrays(
+      d: DecodedPng): (Array[Long], Array[Int], Array[Int]) = {
     val ch = d.ch
     val bps = d.bps
     val sums = new Array[Long](ch)
@@ -504,8 +514,7 @@ object PngPixelStats {
       off += hp * stride
       si += 1
     }
-    InternalRow(d.w, d.h, ch, bps * 8,
-      new GenericArrayData(sums), new GenericArrayData(mins), new GenericArrayData(maxs))
+    (sums, mins, maxs)
   }
 
   /** Decode a supported PNG payload to its unfiltered sample stream
@@ -719,8 +728,20 @@ object PngGridHash {
 
   /** Per-grid-cell luma sums and pixel counts of a decoded non-interlaced
     * PNG, cells row-major over a `gw`×`gh` grid; null when unsupported. */
-  private def gridLuma(b: Array[Byte], gw: Int, gh: Int): (Array[Long], Array[Long]) = {
-    val d = PngPixelStats.decode(b)
+  private def gridLuma(b: Array[Byte], gw: Int, gh: Int): (Array[Long], Array[Long]) =
+    gridLumaFromDecoded(PngPixelStats.decode(b), gw, gh)
+
+  /** aHash of an ALREADY-decoded PNG — the fused battery kernel
+    * ([[ImageSignalsKernel]]) hashes the same decode its stats walked;
+    * same NULL contract as [[aHash]] (interlaced / oversized refuse). */
+  private[functions] def aHashFromDecoded(
+      d: PngPixelStats.DecodedPng): java.lang.Long = {
+    val g = gridLumaFromDecoded(d, 8, 8)
+    if (g == null) null else aHashFromGrid(g._1, g._2)
+  }
+
+  private def gridLumaFromDecoded(
+      d: PngPixelStats.DecodedPng, gw: Int, gh: Int): (Array[Long], Array[Long]) = {
     if (d == null || d.subImages.length != 1) return null
     val w = d.w; val h = d.h
     if (w.toLong * h > MaxPixels) return null
@@ -1202,6 +1223,21 @@ object MediaFunctions {
     * the same pixels fingerprint identically; NULL contract per codec. */
   def imageAHash64(payload: Column): Column =
     ColumnBridge.column(ImageAHash64(ColumnBridge.expression(payload)))
+
+  /** Fused single-decode quality-signal struct (width/height/n_px/aspect/
+    * mean_luma/dyn_range/payload_bytes) — value-identical to the Column
+    * derivation over [[imagePixelStats]] but ONE decode per row by
+    * construction (see [[ImageSignalsKernel]]). */
+  def imageSignalsStruct(payload: Column): Column =
+    ColumnBridge.column(
+      ImageSignalsKernel(ColumnBridge.expression(payload), withAHash = false))
+
+  /** [[imageSignalsStruct]] plus the ladder's `ahash` field from the SAME
+    * decode — the battery + perceptual-hash surfaces pay one codec pass
+    * instead of two. */
+  def imageSignalsWithAHash(payload: Column): Column =
+    ColumnBridge.column(
+      ImageSignalsKernel(ColumnBridge.expression(payload), withAHash = true))
 
   /** `image_dhash64(payload)` — codec-dispatching dHash sibling. */
   def imageDHash64(payload: Column): Column =

@@ -83,7 +83,15 @@ object MediaPipeline {
       gatePass: Column => Column,
       sig: Column => Column,
       maxHamming: Int,
-      chain: Option[FreezeChain]): DataFrame = {
+      chain: Option[FreezeChain],
+      // fused single-decode barrier (optimization round 18): when the
+      // modality has a kernel that emits signals AND the ladder signature
+      // from ONE decode (images: ImageSignalsKernel), the chained path
+      // materializes that wider struct and extracts `__sig__` as a field
+      // reference — pool survivors stop paying a second full codec pass.
+      // (fusedSignals, sigFromSignals); signals/sig stay the lazy-path
+      // kernels (the unfrozen shape keeps the proven plan).
+      fused: Option[(Column => Column, Column => Column)] = None): DataFrame = {
     def branches(gated: DataFrame): (DataFrame, DataFrame, DataFrame) = {
       // a NULL signal struct means NO supported codec decoded the payload
       // (every builder wraps its struct in when(parsed.isNotNull, ...)):
@@ -111,10 +119,16 @@ object MediaPipeline {
         // reject payloads would hold dead bytes in the frozen frame for
         // the life of the chain (at x100 the all-modality composition's
         // frozen frames are the dominant memory term).
+        val sigExpr = fused match {
+          // fused kernel: the signature is a FIELD of the materialized
+          // signals struct — zero extra decode, for rejects and pool alike
+          case Some((_, fromSignals)) => fromSignals(col("__s__"))
+          case None => when(col("__p__"), sig(col(payloadCol)))
+        }
         val gated = ch.freeze(media
-          .withColumn("__s__", signals(col(payloadCol)))
+          .withColumn("__s__", fused.map(_._1).getOrElse(signals)(col(payloadCol)))
           .withColumn("__p__", gatePass(col("__s__")))
-          .withColumn("__sig__", when(col("__p__"), sig(col(payloadCol))))
+          .withColumn("__sig__", sigExpr)
           .withColumn(payloadCol, when(col("__p__"), col(payloadCol))))
         val (undecodable, rejects, pool) = branches(gated)
         // NO inner pool freeze: the pool is a cheap boolean filter over
@@ -152,7 +166,8 @@ object MediaPipeline {
       s => MediaQuality.imageGates(s, minDim, maxAspect, minDynRange, lumaBounds)
         .getField("passes"),
       graft.functions.MediaFunctions.imageAHash64,
-      maxHamming, chain)
+      maxHamming, chain,
+      fused = Some((MediaQuality.imageSignalsWithAHash, _.getField("ahash"))))
 
   /** The q139 capstone for AUDIO: battery gates (rate/channels/duration/
     * level/clipping), then the envelope-hash ladder. */

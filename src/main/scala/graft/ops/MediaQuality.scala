@@ -29,30 +29,23 @@ object MediaQuality {
 
   /** Per-image quality signal struct:
     * `struct(width, height, n_px, aspect, mean_luma, dyn_range,
-    * payload_bytes)`, NULL when the payload does not decode. */
-  def imageSignals(payload: Column): Column = {
-    val p = graft.functions.MediaFunctions.imagePixelStats(payload)
-    val w = p.getField("width").cast("long")
-    val h = p.getField("height").cast("long")
-    val nPx = w * h
-    val ch = p.getField("channels")
-    val lumaCh = least(ch, lit(3)).cast("long") // alpha excluded
-    // sum of the first lumaCh channel sums / mean of their ranges via
-    // array slices (ch_sum/ch_min/ch_max are per-channel arrays)
-    val sums = slice(p.getField("ch_sum"), lit(1), lumaCh.cast("int"))
-    val mins = slice(p.getField("ch_min"), lit(1), lumaCh.cast("int"))
-    val maxs = slice(p.getField("ch_max"), lit(1), lumaCh.cast("int"))
-    val sumAll = aggregate(sums, lit(0L), (acc, x) => acc + x)
-    val meanLuma = sumAll.cast("double") / (lumaCh * nPx).cast("double")
-    val dynRange = aggregate(
-      zip_with(maxs, mins, (mx, mn) => mx - mn), lit(0), (acc, x) => greatest(acc, x))
-    when(p.isNotNull, struct(
-      w.as("width"), h.as("height"), nPx.as("n_px"),
-      (greatest(w, h).cast("double") / least(w, h).cast("double")).as("aspect"),
-      meanLuma.as("mean_luma"),
-      dynRange.cast("long").as("dyn_range"),
-      length(payload).cast("long").as("payload_bytes")))
-  }
+    * payload_bytes)`, NULL when the payload does not decode.
+    *
+    * Kernel-backed (optimization round 18): the historical Column-algebra
+    * derivation referenced its ImagePixelStats child ~15 times after
+    * projection collapse and codegen subexpression elimination did NOT
+    * collapse them (measured ~4.6 decodes/row at sf0.1 — 0.652 s vs
+    * 0.142 s for one decode over 7500 progressive JPEGs).
+    * [[graft.functions.ImageSignalsKernel]] computes the identical values
+    * (same integer sums, same IEEE divisions) from ONE decode. */
+  def imageSignals(payload: Column): Column =
+    graft.functions.MediaFunctions.imageSignalsStruct(payload)
+
+  /** [[imageSignals]] plus the dedup ladder's 64-bit `ahash` field from
+    * the SAME decode — the shape the batteries and the curation barrier
+    * consume so signal + perceptual hash cost one codec pass, not two. */
+  def imageSignalsWithAHash(payload: Column): Column =
+    graft.functions.MediaFunctions.imageSignalsWithAHash(payload)
 
   /** The gate battery over [[imageSignals]]: per-gate booleans plus the
     * conjunction. Undecodable images fail every gate (NULL-safe: the
