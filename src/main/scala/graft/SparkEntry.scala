@@ -33,6 +33,14 @@ object SparkEntry {
   private def fanned(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.fanOutForCompute(table(s, dir, name), col("doc_id"))
 
+  /** [[fanned]] for the embeddings table (vec_id key) — applied ONLY to
+    * queries whose per-row vector kernels (dots, hyperplane signs, top-k)
+    * are partition-independent; NEVER to k-means-backed queries, whose
+    * `avg(double)` fit folds in partition order and could drift centroid
+    * ulps away from the frozen oracle replay. */
+  private def fannedEmb(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.fanOutForCompute(table(s, dir, "embeddings"), col("vec_id"))
+
   /** q100 fixture: the cross-document syndicated paragraph (one string, used
     * verbatim in the Spark fixture AND the DuckDB oracle). */
   private val SyndicatedParagraph =
@@ -1671,7 +1679,7 @@ object SparkEntry {
         shingleSize = 1, maxHamming = 3).orderBy("doc_a", "doc_b")),
     // char-3-gram Jaccard over explicit pairs (consecutive doc ids)
     "q24_ngram_jaccard" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      val d = fanned(s, dir, "documents")
       val pairs = d.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       Dedup.ngramJaccardForPairs(pairs, d, "text", "doc_id", n = 3).orderBy("doc_a")
     }),
@@ -1706,7 +1714,7 @@ object SparkEntry {
     // "auto" would silently flip to approximate LSH past its size cutoff
     // and the exact DuckDB oracle would then mismatch
     "q27_embed_neardup" -> ((s, dir) =>
-      Similarity.nearestNeighbors(table(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.nearestNeighbors(fannedEmb(s, dir), "vec_id", "embedding",
         strategy = "brute").orderBy("doc_a")),
     // bucketed near-dup — the 100 TB shape: LSH self-join on bucket keys,
     // no broadcast, no cartesian (plane-dependent — rows-only check)
@@ -1724,7 +1732,7 @@ object SparkEntry {
     // fabricated, reflexive, duplicated, or sim-inflated pair turns a
     // count nonzero and the driver's hash check red.
     "q37b_lsh_soundness" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
+      val emb = fannedEmb(s, dir)
       // bounded (≤ one row per vector): checkpoint so the LSH pass runs
       // once, not once per property branch
       val rep = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
@@ -1803,7 +1811,7 @@ object SparkEntry {
     // embedding near-dup corpus output: keep-first drop of vectors whose
     // nearest neighbor is an earlier near-dup (brute = oracle-checkable)
     "q40_drop_embed_neardup" -> ((s, dir) =>
-      Similarity.dropNearDuplicateVectors(table(s, dir, "embeddings"),
+      Similarity.dropNearDuplicateVectors(fannedEmb(s, dir),
         "vec_id", "embedding", simThreshold = 0.45, strategy = "brute")
         .select("vec_id").orderBy("vec_id")),
     // SemDeDup (Abbas et al. 2023): deterministic Lloyd spherical k-means,
@@ -1929,7 +1937,7 @@ object SparkEntry {
         .resample("l_shipdate", "MS", closed = "right").summary("l_extendedprice")),
     // text analysis: token counts, ratios, language id, quality, fingerprint
     "q28_text_analyze" -> ((s, dir) =>
-      TextAnalysis.analyze(table(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis.analyze(fanned(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
     // CROSS-document boilerplate-line removal: lines repeated in >= 40% of
     // docs (footers, subscribe prompts) dropped from every doc; fixture
@@ -1993,7 +2001,7 @@ object SparkEntry {
     // class — this query pins fit/score EXACTNESS; real multilingual
     // separation is pinned by LangIdSpec's crafted fixtures.
     "q113_langid_score" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      val d = fanned(s, dir, "documents")
       val model = graft.ops.LangId.fitLangId(
         d, "text", "lang", nBuckets = DsirBuckets, epochs = LiEpochs, lr = QcLr)
       d.select(col("doc_id"), col("lang"),
@@ -2119,7 +2127,7 @@ object SparkEntry {
     // compare is dtype-exact on both engines; n_tokens = the id count,
     // pinning encode ≡ count
     "q120_bpe_encode" -> ((s, dir) =>
-      table(s, dir, "documents").select(col("doc_id"),
+      fanned(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.bpeEncodeExact(coalesce(col("text"), lit("")),
           graft.functions.BpeVocab.Builtin).as("__ids__"))
         .select(col("doc_id"),
@@ -2148,7 +2156,7 @@ object SparkEntry {
     // tokenizer-aware loader can slice directly)
     "q132_chunk_exact_bpe" -> ((s, dir) =>
       graft.ops.Packing.chunkDocuments(
-        table(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        fanned(s, dir, "documents").select("doc_id", "text"), "doc_id",
         TextAnalysis.bpeTokenCountExact(col("text"),
           graft.functions.BpeVocab.Builtin), chunkSize = 64L, overlap = 16L)
         .orderBy("doc_id", "chunk_idx")),
@@ -2784,7 +2792,7 @@ object SparkEntry {
     // PII redaction: deterministic synthetic email+IP injected per doc,
     // then scrubbed (pure regex projection — the scan is the whole plan)
     "q65_scrub_pii" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select(col("doc_id"),
+      val d = fanned(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" contact u"), col("doc_id"),
           lit("@ex.com via 10.0."), (col("doc_id") % 256).cast("string"),
           lit(".7")).as("text"))
@@ -2885,7 +2893,7 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")),
     // composed corpus cleaning: exact dedup → features → quality filter
     "q39_clean_corpus" -> ((s, dir) =>
-      graft.ops.Pipeline.cleanCorpus(table(s, dir, "documents"), "text", "doc_id",
+      graft.ops.Pipeline.cleanCorpus(fanned(s, dir, "documents"), "text", "doc_id",
         minQuality = 0.5, minTokens = 20L).orderBy("doc_id")),
     // deterministic weighted sampling — FULLY oracle-backed: the oracle
     // recomputes the Efraimidis–Spirakis keys from the same XXH64 hash
@@ -3097,7 +3105,7 @@ object SparkEntry {
     // the paper-threshold conjunction both bind.
     "q118_gopher_repetition" -> ((s, dir) =>
       graft.ops.GopherRepetition.gopherRepetition(
-          table(s, dir, "documents"), "text", "doc_id")
+          fanned(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
     // the crawl-to-training-tokens FLAGSHIP: WARC record walk →
     // html_text extraction → Gopher quality gate → exact keep-first
@@ -3108,7 +3116,7 @@ object SparkEntry {
     // windows, the rank-order BPE recursion, and the q50 packing
     // arithmetic over the REBUILT extracted text)
     "q117_crawl_to_pack" -> ((s, dir) => {
-      val w = Multimodal.warcHtmlFromDocuments(table(s, dir, "documents"))
+      val w = Multimodal.warcHtmlFromDocuments(fanned(s, dir, "documents"))
       val recs = w.select(col("media_id").as("doc_id"),
           explode(graft.functions.WarcFunctions.warcRecords(col("payload"))).as("r"))
         .where(col("r.rec_type") === "response")
@@ -3332,7 +3340,7 @@ object SparkEntry {
     // t=1.0 (identical token sets) keeps the banding deterministic for the
     // oracle — the probabilistic t<1 path is pinned by CrossCorpusDedupSpec
     "q73_cross_neardup" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      val d = fanned(s, dir, "documents")
       Dedup.crossNearDuplicates(
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
         "text", "doc_id", shingleSize = 1, numHashes = 32, threshold = 1.0)
