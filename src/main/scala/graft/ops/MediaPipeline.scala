@@ -222,13 +222,20 @@ object MediaPipeline {
       maxHamming: Int = 3,
       chain: Option[FreezeChain] = None): DataFrame = {
     val m = chain.map(_.freeze(media)).getOrElse(media)
-    val images = curateImages(m.where(col(kindCol) === "image"), payloadCol, idCol,
-      image.minDim, image.maxAspect, image.minDynRange, image.lumaBounds,
-      maxHamming, chain)
-    val audios = curateAudio(m.where(col(kindCol) === "audio"), payloadCol, idCol,
-      audio, maxHamming, chain)
-    val videos = curateVideo(m.where(col(kindCol) === "video"), payloadCol, idCol,
-      video, maxHamming, chain)
+    // the three modality ladders are INDEPENDENT until the final union —
+    // and with a chain each is a long serial chain of small eager jobs
+    // (signaled freeze, exact-pair job, banding freeze, CC contraction
+    // rounds). One driver thread per modality overlaps the chains (guide
+    // §2.6): each ladder's tasks back-fill the others' single-task tails.
+    // Content is unchanged — every ladder computes its own kind slice.
+    val Seq(images, audios, videos) = Overlap.inParallel(Seq(
+      () => curateImages(m.where(col(kindCol) === "image"), payloadCol, idCol,
+        image.minDim, image.maxAspect, image.minDynRange, image.lumaBounds,
+        maxHamming, chain),
+      () => curateAudio(m.where(col(kindCol) === "audio"), payloadCol, idCol,
+        audio, maxHamming, chain),
+      () => curateVideo(m.where(col(kindCol) === "video"), payloadCol, idCol,
+        video, maxHamming, chain)))
     // NULL kind must land here too: `=== "image"` and `!isin(...)` are both
     // NULL-valued (so false) for a NULL kind — without the isNull arm such
     // rows would match NO branch and vanish, the exact silent drop the

@@ -242,27 +242,32 @@ object Pipeline {
       capacity: Long = 2048L,
       nStreams: Int = 64,
       chain: Option[DatasetBridge.FreezeChain] = None): DataFrame = {
-    val report = MediaPipeline.curateMedia(media, payloadCol, mediaIdCol,
-      kindCol, image, audio, video, maxHamming, chain)
+    // the media curation (per-modality ladders), the (id, doc, kind)
+    // mapping freeze, and the TEXT flagship prefix (clean → exact dedup →
+    // near-dup canonicalize) are mutually independent eager job chains —
+    // one driver thread each overlaps them (guide §2.6); contents are
+    // unaffected, only job scheduling. The mapping freeze: referencing the
+    // RAW media frame downstream would thread its whole derivation (a
+    // multi-branch crawl extraction) back into the final plan as extra
+    // scans (measured: 21 parquet scans at sf0.01 vs q81's 4 before this
+    // freeze); the narrow projection column-prunes the payload out of the
+    // mapping pass, so the freeze carries three columns, never bytes
+    val Seq(report, mapping, canon) = Overlap.inParallel(Seq(
+      () => MediaPipeline.curateMedia(media, payloadCol, mediaIdCol,
+        kindCol, image, audio, video, maxHamming, chain),
+      () => freeze(media.select(col(mediaIdCol),
+        col(mediaDocIdCol).as("__mdoc__"), col(kindCol)), chain),
+      () => canonicalCorpus(docs, textCol, idCol,
+        minQuality, minTokens, nearDupThreshold, shingleSize, chain)))
     // kept decisions back to their owning documents: every relation from
-    // here on carries ids/kinds/counts only. The (id, doc, kind) mapping
-    // is frozen: referencing the RAW media frame here would thread its
-    // whole derivation (a multi-branch crawl extraction) back into the
-    // final plan as extra scans (measured: 21 parquet scans at sf0.01 vs
-    // q81's 4 before this freeze); the narrow projection column-prunes
-    // the payload out of the mapping pass, so the freeze carries three
-    // columns, never bytes
+    // here on carries ids/kinds/counts only
     val keptMedia = report.where(col("status") === "kept").select(col(mediaIdCol))
-    val mapping = freeze(media.select(col(mediaIdCol),
-      col(mediaDocIdCol).as("__mdoc__"), col(kindCol)), chain)
     val mediaDocs = mapping.join(keptMedia, Seq(mediaIdCol))
     val counts = mediaDocs.groupBy(col("__mdoc__"))
       .agg(
         sum(when(col(kindCol) === "image", 1L).otherwise(0L)).as("n_images"),
         sum(when(col(kindCol) === "audio", 1L).otherwise(0L)).as("n_audio"),
         sum(when(col(kindCol) === "video", 1L).otherwise(0L)).as("n_video"))
-    val canon = canonicalCorpus(docs, textCol, idCol,
-      minQuality, minTokens, nearDupThreshold, shingleSize, chain)
     val joined = canon
       .join(Dedup.hintBroadcast(counts), col(idCol) === col("__mdoc__"), "left")
       .drop("__mdoc__")

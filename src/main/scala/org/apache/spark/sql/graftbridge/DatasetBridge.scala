@@ -67,6 +67,11 @@ object DatasetBridge {
     * their files until application exit — O(1) leftovers, not O(rounds).
     */
   final class FreezeChain {
+    // guarded by its own monitor: pipeline compositions freeze INDEPENDENT
+    // stages from concurrent driver threads (the §2.6 job-overlap shape —
+    // MediaPipeline.curateMedia's per-modality ladders), and only the
+    // tracking map is shared state — the checkpoint work itself is
+    // ordinary thread-safe Spark job submission
     private val backing =
       new java.util.IdentityHashMap[DataFrame, RDD[InternalRow]]()
 
@@ -79,7 +84,7 @@ object DatasetBridge {
       val ck = if (reliable) df.checkpoint() else df.localCheckpoint()
       val out = fromInternalRdd(ck)
       ck.queryExecution.analyzed match {
-        case lr: LogicalRDD => backing.put(out, lr.rdd): Unit
+        case lr: LogicalRDD => backing.synchronized(backing.put(out, lr.rdd)): Unit
         case _              => // unexpected plan shape: leave untracked
       }
       out
@@ -93,7 +98,7 @@ object DatasetBridge {
       * per ingest round accumulates one orphaned checkpoint dir per round
       * until exit. */
     def releaseAll(): Unit = {
-      val frames = new java.util.ArrayList(backing.keySet())
+      val frames = backing.synchronized(new java.util.ArrayList(backing.keySet()))
       frames.forEach(release(_))
     }
 
@@ -101,7 +106,7 @@ object DatasetBridge {
       * checkpoint files are deleted, localCheckpoint blocks unpersisted.
       * No-op for frames the chain does not know. */
     def release(df: DataFrame): Unit = {
-      val rdd = backing.remove(df)
+      val rdd = backing.synchronized(backing.remove(df))
       if (rdd != null) {
         rdd.getCheckpointFile.foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f)
