@@ -1846,12 +1846,18 @@ object SparkEntry {
       val lloyd = Similarity.fitLloyd(emb, "vec_id", "embedding",
         k = SemDedupK, iters = SemDedupIters, seed = SemDedupSeed)
       val routed = Similarity.groupForRouting(lloyd)
-      val rep = Similarity.semDedupTwoLevelReport(emb, "vec_id", "embedding",
-        SemDedupThreshold, seed = SemDedupSeed, keep = "centroid_far",
-        model = Some(routed)).localCheckpoint()
-      val exact = Similarity.semDedupReport(emb, "vec_id", "embedding",
-        SemDedupThreshold, keep = "centroid_far", model = Some(lloyd))
-        .localCheckpoint()
+      // the routed report and the exact-reference report are independent
+      // eager materializations off the SAME already-fitted model — one
+      // driver thread each overlaps their job chains (guide §2.6; the fit
+      // itself stays strictly serial above, so centroid floats are
+      // untouched)
+      val Seq(rep, exact) = graft.ops.Overlap.inParallel(Seq(
+        () => Similarity.semDedupTwoLevelReport(emb, "vec_id", "embedding",
+          SemDedupThreshold, seed = SemDedupSeed, keep = "centroid_far",
+          model = Some(routed)).localCheckpoint(),
+        () => Similarity.semDedupReport(emb, "vec_id", "embedding",
+          SemDedupThreshold, keep = "centroid_far", model = Some(lloyd))
+          .localCheckpoint()))
       val th6 = math.floor(SemDedupThreshold * 1e6 + 0.5).toLong
       def cnt(name: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).cast("long").as("n_bad"))
