@@ -133,6 +133,11 @@ object SparkEntry {
       if (cached != null && (cached._1.get eq s) && !s.sparkContext.isStopped) cached
       else {
         val emb = table(s, d, "embeddings")
+        // r18 note: overlapping these two materializations (Overlap
+        // .inParallel, guide §2.6) was A/B'd at a wash — the cold path is
+        // dominated by the per-dir model fits and first-read JIT, not
+        // these two short chains — so they stay serial per the round's
+        // revert-washes discipline.
         val top1 = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
           strategy = "brute").select(col("doc_a"), col("doc_b")).localCheckpoint()
         val top5 = Similarity.bruteKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)

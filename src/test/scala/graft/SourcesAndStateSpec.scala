@@ -170,6 +170,25 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("bruteTruth: truth build matches a direct computation and caches per dir") {
+    // pins the r17 session-guarded truth cache: contents must equal the
+    // direct Similarity calls, and a second lookup must return the SAME
+    // checkpointed frames (cache hit, no rebuild)
+    val dir = "/root/testdata/sf0.001"
+    val (top1, top5) = SparkEntry.bruteTruth(spark, dir)
+    val emb = Tables.testTable(spark, dir, "embeddings")
+    val top1Ref = graft.ops.Similarity.nearestNeighbors(
+      emb, "vec_id", "embedding", strategy = "brute").select("doc_a", "doc_b")
+    val top5Ref = graft.ops.Similarity.bruteKnn(
+      emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id")
+    assert(top1.except(top1Ref).isEmpty && top1Ref.except(top1).isEmpty)
+    assert(top5.except(top5Ref).isEmpty && top5Ref.except(top5).isEmpty)
+    val (again1, again5) = SparkEntry.bruteTruth(spark, dir)
+    assert((again1 eq top1) && (again5 eq top5),
+      "second bruteTruth call must hit the session-guarded cache")
+  }
+
   test("JSONL corpus read quarantines corrupt lines instead of failing") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
